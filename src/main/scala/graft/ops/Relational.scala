@@ -1,0 +1,392 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Core relational / analytics surface (SURVEY.md §2, q01–q20).
+  *
+  * Every query is a declarative DataFrame plan: filters/projections reach
+  * the parquet scan via Catalyst pushdown, dimension joins are broadcast,
+  * fact-side aggregations are single-shuffle with map-side partials.
+  * Parity rules with the DuckDB oracle (SURVEY.md §5): identical column
+  * aliases, round(_, 2) on float aggregates, deterministic total ordering
+  * with id tie-breaks, counts as BIGINT on both sides.
+  */
+object Relational {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def ts(s: String): Column = lit(s).cast("timestamp")
+
+  // q01: multi-aggregate scan (TPC-H Q1 flavor). One shuffle, map-side
+  // partial agg; only referenced columns read from parquet.
+  val q01_pricing_agg: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= ts("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 2).as("avg_qty"),
+        round(avg("l_extendedprice"), 2).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  // q02: selective conjunctive filter + narrow projection — the whole
+  // predicate and the 5-column read schema push into the parquet scan.
+  val q02_filter_pushdown: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate").between(ts("1996-01-01"), ts("1996-03-31")) &&
+        col("l_discount") >= 0.08 && col("l_quantity") > 45)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // q03: customer⋈orders⋈lineitem revenue top-10. customer/orders side is
+  // small relative to lineitem → Catalyst broadcasts under AQE; the topK is
+  // a TakeOrdered, not a global sort.
+  val q03_join_agg: Q = (s, d) => {
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1997-01-01"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(10)
+  }
+
+  // q04: EXISTS → left_semi (no row multiplication, broadcast the filter).
+  val q04_semijoin: Q = (s, d) => {
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  // q05: TPC-H Q5 star join — region/nation/supplier broadcast, single
+  // shuffle for the final nation-level aggregate.
+  val q05_multijoin: Q = (s, d) => {
+    broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA"))
+      .join(broadcast(Tables.nation(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .join(Tables.customer(s, d), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  // q06: TPC-H Q6 — fully-pushed range predicates, single partial+final agg.
+  val q06_selective: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1997-01-01") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  // q07: top-3 customers by balance per nation — one shuffle on the window
+  // partition key; rank ties broken by c_custkey for determinism.
+  val q07_window_rank: Q = (s, d) => {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("c_nationkey", "rn", "c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_nationkey", "rn")
+  }
+
+  // q08: global order-by-limit → TakeOrderedAndProject (no full sort).
+  val q08_topk: Q = (s, d) => {
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  // q09: exact count-distinct (expands to two-phase agg under Catalyst).
+  val q09_count_distinct: Q = (s, d) => {
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+  }
+
+  // q10: NOT EXISTS → left_anti (customers with no pending orders).
+  val q10_antijoin: Q = (s, d) => {
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  // q11: hierarchical rollup; NULL group markers coalesced to 'ALL' on both
+  // sides so sort semantics can't diverge between engines.
+  val q11_rollup: Q = (s, d) => {
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 2).as("total_bal"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region_name"),
+        coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+        col("n_cust"), col("total_bal"))
+      .orderBy("region_name", "nation_name")
+  }
+
+  // q12: conditional aggregation by ship month.
+  val q12_case_agg: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .groupBy(month(col("l_shipdate")).as("ship_month"))
+      .agg(
+        round(sum(when(col("l_returnflag") === "R", col("l_extendedprice")).otherwise(0.0)), 2).as("returned_price"),
+        round(sum(when(col("l_returnflag") =!= "R", col("l_extendedprice")).otherwise(0.0)), 2).as("kept_price"),
+        count(lit(1)).as("n_items"))
+      .orderBy("ship_month")
+  }
+
+  // q13: left outer join preserving customers with zero orders.
+  val q13_outer_join_agg: Q = (s, d) => {
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("total_spent"))
+      .orderBy("c_custkey")
+  }
+
+  // q14: UNION (distinct) of two selections.
+  val q14_union: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+      .union(o.filter(col("o_totalprice") > 400000.0).select(col("o_custkey").as("custkey")))
+      .distinct()
+      .orderBy("custkey")
+  }
+
+  // q15: scalar subquery threshold — single-row agg broadcast-joined, never
+  // collected to the driver.
+  val q15_scalar_subquery: Q = (s, d) => {
+    val p = Tables.part(s, d)
+    val a = p.agg(avg("p_retailprice").as("avg_price"))
+    p.join(broadcast(a))
+      .filter(col("p_retailprice") > col("avg_price"))
+      .select("p_partkey", "p_name", "p_retailprice")
+      .orderBy("p_partkey")
+  }
+
+  // q16: group + HAVING.
+  val q16_having: Q = (s, d) => {
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"), round(avg("c_acctbal"), 2).as("avg_bal"))
+      .filter(col("n_cust") >= 5)
+      .orderBy("c_nationkey")
+  }
+
+  // q17: correlated per-part average threshold (TPC-H Q17 flavor) — the
+  // correlation decorrelates to a self-agg join on l_partkey: one shuffle
+  // for the per-part avg, reused partitioning for the probe join.
+  val q17_correlated: Q = (s, d) => {
+    val l = Tables.lineitem(s, d)
+    val pavg = l.groupBy(col("l_partkey")).agg(avg("l_quantity").as("avg_qty"))
+    l.join(pavg, "l_partkey")
+      .filter(col("l_quantity") > col("avg_qty") * 1.5)
+      .agg(count(lit(1)).as("n_items"), round(sum("l_extendedprice"), 2).as("total_price"))
+  }
+
+  // q18: IN subquery → left_semi on broadcast dim selection.
+  val q18_in_subquery: Q = (s, d) => {
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING").select("c_custkey"),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  // q19: disjunctive multi-table predicates (TPC-H Q19 flavor).
+  val q19_complex_pred: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("l_quantity").between(1, 20) && col("p_size").between(1, 15)) ||
+        (col("p_brand") === "Brand#2" && col("l_quantity").between(10, 30) && col("p_size").between(1, 25)) ||
+        (col("p_type") === "PROMO" && col("l_discount") >= 0.05))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  // q20: running total per customer — explicit ROWS frame, window order
+  // tie-broken by o_orderkey so the sequential fp summation order is
+  // identical on both engines (exact double equality).
+  val q20_running_sum: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .withColumn("running_total", round(sum("o_totalprice").over(w), 2))
+      .select("o_custkey", "o_orderkey", "o_totalprice", "running_total")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q01_pricing_agg" -> q01_pricing_agg,
+    "q02_filter_pushdown" -> q02_filter_pushdown,
+    "q03_join_agg" -> q03_join_agg,
+    "q04_semijoin" -> q04_semijoin,
+    "q05_multijoin" -> q05_multijoin,
+    "q06_selective" -> q06_selective,
+    "q07_window_rank" -> q07_window_rank,
+    "q08_topk" -> q08_topk,
+    "q09_count_distinct" -> q09_count_distinct,
+    "q10_antijoin" -> q10_antijoin,
+    "q11_rollup" -> q11_rollup,
+    "q12_case_agg" -> q12_case_agg,
+    "q13_outer_join_agg" -> q13_outer_join_agg,
+    "q14_union" -> q14_union,
+    "q15_scalar_subquery" -> q15_scalar_subquery,
+    "q16_having" -> q16_having,
+    "q17_correlated" -> q17_correlated,
+    "q18_in_subquery" -> q18_in_subquery,
+    "q19_complex_pred" -> q19_complex_pred,
+    "q20_running_sum" -> q20_running_sum,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 2) AS avg_qty,
+        |  round(avg(l_extendedprice), 2) AS avg_price,
+        |  count(*)::BIGINT AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q02_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-03-31'
+        |  AND l_discount >= 0.08 AND l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_join_agg" ->
+      """SELECT c_custkey, c_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1, 2 ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin,
+    "q04_semijoin" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "q05_multijoin" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    "q06_selective" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        |  count(*)::BIGINT AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q07_window_rank" ->
+      """SELECT c_nationkey, rn, c_custkey, c_name, c_acctbal FROM (
+        |  SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |                       ORDER BY c_acctbal DESC, c_custkey)::INT AS rn
+        |  FROM customer) t
+        |WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin,
+    "q08_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q09_count_distinct" ->
+      """SELECT o_orderstatus,
+        |  count(DISTINCT o_custkey)::BIGINT AS n_cust,
+        |  count(*)::BIGINT AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q10_antijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+    "q11_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region_name,
+        |  coalesce(n_name, 'ALL') AS nation_name,
+        |  count(*)::BIGINT AS n_cust,
+        |  round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY region_name, nation_name""".stripMargin,
+    "q12_case_agg" ->
+      """SELECT month(l_shipdate)::INT AS ship_month,
+        |  round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0.0 END), 2) AS returned_price,
+        |  round(sum(CASE WHEN l_returnflag <> 'R' THEN l_extendedprice ELSE 0.0 END), 2) AS kept_price,
+        |  count(*)::BIGINT AS n_items
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_outer_join_agg" ->
+      """SELECT c_custkey,
+        |  count(o_orderkey)::BIGINT AS n_orders,
+        |  round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q14_union" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |UNION
+        |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000.0
+        |ORDER BY custkey""".stripMargin,
+    "q15_scalar_subquery" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+        |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+        |ORDER BY p_partkey""".stripMargin,
+    "q16_having" ->
+      """SELECT c_nationkey, count(*)::BIGINT AS n_cust,
+        |  round(avg(c_acctbal), 2) AS avg_bal
+        |FROM customer GROUP BY 1 HAVING count(*) >= 5
+        |ORDER BY 1""".stripMargin,
+    "q17_correlated" ->
+      """SELECT count(*)::BIGINT AS n_items,
+        |  round(sum(l_extendedprice), 2) AS total_price
+        |FROM lineitem l
+        |WHERE l_quantity > 1.5 * (SELECT avg(l_quantity) FROM lineitem l2
+        |                          WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
+    "q18_in_subquery" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_orders FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q19_complex_pred" ->
+      """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*)::BIGINT AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 20 AND p_size BETWEEN 1 AND 15)
+        |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 30 AND p_size BETWEEN 1 AND 25)
+        |   OR (p_type = 'PROMO' AND l_discount >= 0.05)""".stripMargin,
+    "q20_running_sum" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+  )
+}
