@@ -1,0 +1,288 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Lsn
+import Envelope.{sqlEnv, sqlFlat, sqlLsnStr}
+
+/** CDC / creek surface (SURVEY.md §2, c01–c12): the WAL envelope, LSN
+  * codec, resume-from, apply/replay, snapshots, and schema registry —
+  * re-expressed as declarative Spark plans over the deterministic
+  * envelope lift so every semantic is DuckDB-verifiable.
+  */
+object CdcQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def flatEnv(s: SparkSession, d: String): DataFrame =
+    Envelope.flat(Tables.events(s, d))
+
+  // c01: LSN text ↔ uint64 roundtrip through the native Catalyst
+  // expressions (client.go:784-800 semantics), on 64-bit values with a
+  // populated upper half.
+  val c01_lsn_roundtrip: Q = (s, d) => {
+    Tables.events(s, d)
+      .filter(col("event_id") % 97 === 0)
+      .select(col("event_id"), ((col("event_id") + 1) * 5000000000L).as("big_lsn"))
+      .withColumn("lsn_str", Lsn.long_to_lsn(col("big_lsn")))
+      .withColumn("parsed", Lsn.lsn_to_long(col("lsn_str")))
+      .orderBy("event_id")
+  }
+
+  // c02: events → WAL envelope, emitted via the nested struct form then
+  // flattened (proves the envelope schema, messages.go:38-45).
+  val c02_wal_envelope: Q = (s, d) => {
+    val fp = AvroSchemaGen.fingerprintHex(
+      AvroSchemaGen.fingerprint64(Tables.events(s, d).schema, "events"))
+    Envelope.envelope(Tables.events(s, d), fp)
+      .select(
+        col("lsn_long"),
+        col("source.lsn").as("lsn"),
+        col("op"),
+        concat(col("source.schema"), lit("."), col("source.table")).as("tbl"),
+        col("before.user_id").as("pk_before"),
+        col("after.user_id").as("pk_after"),
+        col("after.value").as("after_value"),
+        unix_micros(col("source.tx_at")).as("tx_at_us"),
+        col("source.tx_id").as("tx_id"))
+      .orderBy("lsn_long")
+  }
+
+  // c03: resume from (timestamp, LSN): position = max lsn before the
+  // timestamp, then DropWhile lsn <= position (client.go:288-291).
+  val c03_stream_from: Q = (s, d) => {
+    val flat = flatEnv(s, d)
+    val from = flat.filter(col("tx_at") < lit("2024-01-15").cast("timestamp"))
+      .agg(coalesce(max("lsn_long"), lit(-1L)).as("from_lsn"))
+    flat.crossJoin(broadcast(from))
+      .filter(col("lsn_long") > col("from_lsn"))
+      .groupBy("op")
+      .agg(count(lit(1)).as("n"),
+        min("lsn_long").as("min_lsn_long"),
+        max("lsn_long").as("max_lsn_long"))
+      .withColumn("min_lsn", Lsn.long_to_lsn(col("min_lsn_long")))
+      .orderBy("op")
+  }
+
+  // c04: materialize the latest replica state per key (single shuffle).
+  val c04_apply_latest: Q = (s, d) => {
+    Apply.latest(flatEnv(s, d))
+      .select(col("pk"), round(col("last_value"), 2).as("value"), col("last_ord"))
+      .orderBy("pk")
+  }
+
+  // c05: pk-change semantics — keys that exist only because a u_pk moved
+  // a row there (delete old key + insert new key).
+  val c05_apply_upk: Q = (s, d) => {
+    Apply.latest(flatEnv(s, d))
+      .filter(col("pk") >= Envelope.UpkShift)
+      .select(col("pk"), round(col("last_value"), 2).as("value"), col("last_ord"))
+      .orderBy("pk")
+  }
+
+  // c06: truncate resets state; replay after the cut. Scalar summary of
+  // the cut position and what survives it.
+  val c06_truncate_replay: Q = (s, d) => {
+    val flat = flatEnv(s, d)
+    val cut = flat.filter(col("op") === "t")
+      .agg(coalesce(max(col("lsn_long") * 2 + 1), lit(-1L)).as("trunc_ord"))
+    val liveAgg = Apply.liveEvents(flat)
+      .agg(count(lit(1)).as("n_ops_after"),
+        countDistinct(col("pk")).as("n_keys_after"))
+    val finalAgg = Apply.latest(flat).agg(count(lit(1)).as("n_rows_final"))
+    cut.crossJoin(liveAgg).crossJoin(finalAgg)
+  }
+
+  // c07: snapshot stats header per shard-table at a cut timestamp
+  // (messages.go:106-118: fingerprint/schema omitted here — covered by
+  // c11 — rows/lsn/at are the data-plane fields).
+  val c07_snapshot_header: Q = (s, d) => {
+    flatEnv(s, d)
+      .filter(col("tx_at") < lit("2024-01-20").cast("timestamp"))
+      .groupBy(concat(lit("t"), (col("user_id") % 4).cast("string")).as("tbl"))
+      .agg(count(lit(1)).as("approx_rows"),
+        max("lsn_long").as("max_lsn_long"),
+        unix_micros(max("tx_at")).as("at_us"))
+      .withColumn("lsn", Lsn.long_to_lsn(col("max_lsn_long")))
+      .orderBy("tbl")
+  }
+
+  // c08: snapshot at LSN S ⊕ WAL after S replays to exactly the full
+  // state (internal/dao/snapshots.go contract).
+  val c08_snapshot_plus_wal: Q = (s, d) => {
+    val flat = flatEnv(s, d)
+    val snapLsn = flat.filter(col("tx_at") < lit("2024-01-20").cast("timestamp"))
+      .agg(coalesce(max("lsn_long"), lit(-1L)).as("s"))
+    Apply.snapshotPlusWal(flat, snapLsn)
+      .select(col("pk"), round(col("last_value"), 2).as("value"))
+      .orderBy("pk")
+  }
+
+  // c09: snapshot catalog sorted by name — `YYYYMMDDHHMMSS_ffffff` suffix
+  // parse/format (client.go:543-579; messages = rows + 2 framing msgs).
+  val c09_list_snapshots: Q = (s, d) => {
+    Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(max("ts").as("snap_at"), count(lit(1)).as("n_rows"))
+      .select(
+        concat(lit("CREEK_SNAP.public.events."),
+          date_format(col("snap_at"), "yyyyMMddHHmmss_SSSSSS")).as("snap_name"),
+        unix_micros(col("snap_at")).as("at_us"),
+        col("n_rows"),
+        (col("n_rows") + 2).as("n_messages"))
+      .orderBy("snap_name")
+  }
+
+  // c10: per-op changelog throughput stats.
+  val c10_changelog_stats: Q = (s, d) => {
+    flatEnv(s, d)
+      .groupBy("op")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        min("lsn_long").as("min_lsn"),
+        max("lsn_long").as("max_lsn"),
+        round(sum("value"), 2).as("sum_value"))
+      .orderBy("op")
+  }
+
+  // c11 (rows-only): StructType → Avro schema JSON + CRC-64-AVRO Rabin
+  // fingerprint for every table (pgtype-avro/schema.go analogue).
+  val c11_schema_fingerprint: Q = (s, d) => {
+    val rows = Tables.names.map { t =>
+      val st = Tables.load(s, d, t).schema
+      val json = AvroSchemaGen.record(st, t, "graft")
+      val fp = AvroSchemaGen.fingerprint64(AvroSchemaGen.parse(json))
+      (t, AvroSchemaGen.fingerprintHex(fp), AvroSchemaGen.fingerprintB64(fp),
+        st.fields.length, json.length)
+    }
+    s.createDataFrame(rows)
+      .toDF("tbl", "fingerprint_hex", "fingerprint_b64", "n_fields", "schema_len")
+      .orderBy("tbl")
+  }
+
+  // c12 (rows-only): schema registry — latest schema per subject +
+  // fingerprint lookup (client.go:169-219). Two versions are registered
+  // per even-indexed table (v2 adds a column); latest must win.
+  val c12_schema_registry: Q = (s, d) => {
+    val reg = new SchemaRegistry(s)
+    Tables.names.zipWithIndex.foreach { case (t, i) =>
+      val st = Tables.load(s, d, t).schema
+      reg.register(s"testdb.public.$t", st, createdAtMicros = 1000000L * (i + 1))
+      if (i % 2 == 0) {
+        val v2 = org.apache.spark.sql.types.StructType(
+          st.fields :+ org.apache.spark.sql.types.StructField(
+            "added_v2", org.apache.spark.sql.types.StringType, nullable = true))
+        reg.register(s"testdb.public.$t", v2, createdAtMicros = 1000000L * (i + 100))
+      }
+    }
+    reg.latestBySubject().orderBy("subject")
+  }
+
+  // c13 (rows-only): Structured Streaming apply — spec asserts equality
+  // with the batch apply on the same input.
+  val c13_stream_apply: Q = (s, d) =>
+    StreamApply.run(s, d, queryName = s"graft_stream_apply_${System.nanoTime()}")
+
+  // c14 (rows-only): Avro single-object encode/decode roundtrip.
+  val c14_avro_roundtrip: Q = (s, d) => {
+    implicit val spark: SparkSession = s
+    AvroWal.roundtrip(flatEnv(s, d)).toDF().orderBy("lsn_long")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "c01_lsn_roundtrip" -> c01_lsn_roundtrip,
+    "c02_wal_envelope" -> c02_wal_envelope,
+    "c03_stream_from" -> c03_stream_from,
+    "c04_apply_latest" -> c04_apply_latest,
+    "c05_apply_upk" -> c05_apply_upk,
+    "c06_truncate_replay" -> c06_truncate_replay,
+    "c07_snapshot_header" -> c07_snapshot_header,
+    "c08_snapshot_plus_wal" -> c08_snapshot_plus_wal,
+    "c09_list_snapshots" -> c09_list_snapshots,
+    "c10_changelog_stats" -> c10_changelog_stats,
+    "c11_schema_fingerprint" -> c11_schema_fingerprint,
+    "c12_schema_registry" -> c12_schema_registry,
+    "c13_stream_apply" -> c13_stream_apply,
+    "c14_avro_roundtrip" -> c14_avro_roundtrip,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "c01_lsn_roundtrip" ->
+      s"""SELECT event_id, (event_id + 1) * 5000000000 AS big_lsn,
+         |  ${sqlLsnStr("(event_id + 1) * 5000000000")} AS lsn_str,
+         |  ('0x' || split_part(${sqlLsnStr("(event_id + 1) * 5000000000")}, '/', 1))::BIGINT * 4294967296
+         |    + ('0x' || split_part(${sqlLsnStr("(event_id + 1) * 5000000000")}, '/', 2))::BIGINT AS parsed
+         |FROM events WHERE event_id % 97 = 0 ORDER BY event_id""".stripMargin,
+    "c02_wal_envelope" ->
+      s"""WITH $sqlEnv, $sqlFlat
+         |SELECT lsn_long, ${sqlLsnStr("lsn_long")} AS lsn, op,
+         |  'public.events' AS tbl, pk_before, pk_after, after_value,
+         |  epoch_us(tx_at) AS tx_at_us, lsn_long AS tx_id
+         |FROM flat ORDER BY lsn_long""".stripMargin,
+    "c03_stream_from" ->
+      s"""WITH $sqlEnv, $sqlFlat,
+         |f AS (SELECT coalesce(max(lsn_long), -1) AS from_lsn FROM flat
+         |      WHERE tx_at < TIMESTAMP '2024-01-15')
+         |SELECT op, count(*)::BIGINT AS n,
+         |  min(lsn_long) AS min_lsn_long, max(lsn_long) AS max_lsn_long,
+         |  ${sqlLsnStr("min(lsn_long)")} AS min_lsn
+         |FROM flat WHERE lsn_long > (SELECT from_lsn FROM f)
+         |GROUP BY op ORDER BY op""".stripMargin,
+    "c04_apply_latest" ->
+      s"""WITH $sqlEnv, $sqlFlat, ${Apply.sqlApply("", "")}
+         |SELECT pk, round(last_value, 2) AS value, last_ord
+         |FROM state WHERE last_op <> 'd' ORDER BY pk""".stripMargin,
+    "c05_apply_upk" ->
+      s"""WITH $sqlEnv, $sqlFlat, ${Apply.sqlApply("", "")}
+         |SELECT pk, round(last_value, 2) AS value, last_ord
+         |FROM state WHERE last_op <> 'd' AND pk >= 100000 ORDER BY pk""".stripMargin,
+    "c06_truncate_replay" ->
+      s"""WITH $sqlEnv, $sqlFlat, ${Apply.sqlApply("", "")}
+         |SELECT (SELECT tmax FROM cut) AS trunc_ord,
+         |  (SELECT count(*) FROM live)::BIGINT AS n_ops_after,
+         |  (SELECT count(DISTINCT pk) FROM live)::BIGINT AS n_keys_after,
+         |  (SELECT count(*) FROM state WHERE last_op <> 'd')::BIGINT AS n_rows_final""".stripMargin,
+    "c07_snapshot_header" ->
+      s"""WITH $sqlEnv, $sqlFlat
+         |SELECT 't' || (user_id % 4)::VARCHAR AS tbl,
+         |  count(*)::BIGINT AS approx_rows,
+         |  max(lsn_long) AS max_lsn_long,
+         |  epoch_us(max(tx_at)) AS at_us,
+         |  ${sqlLsnStr("max(lsn_long)")} AS lsn
+         |FROM flat WHERE tx_at < TIMESTAMP '2024-01-20'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "c08_snapshot_plus_wal" ->
+      s"""WITH $sqlEnv, $sqlFlat,
+         |sc AS (SELECT coalesce(max(lsn_long), -1) AS s FROM flat
+         |       WHERE tx_at < TIMESTAMP '2024-01-20'),
+         |${Apply.sqlApply("snap_", "lsn_long <= (SELECT s FROM sc)")},
+         |snaprows AS (
+         |  SELECT (SELECT s FROM sc) * 2 + 1 AS ord, 'c' AS eff_op, pk,
+         |         last_value AS value
+         |  FROM snap_state WHERE last_op <> 'd'),
+         |${Apply.sqlApply("wal_", "lsn_long > (SELECT s FROM sc)")},
+         |merged AS (SELECT ord, eff_op, pk, value FROM snaprows
+         |           UNION ALL SELECT ord, eff_op, pk, value FROM wal_half),
+         |mlive AS (SELECT * FROM merged WHERE ord > (SELECT tmax FROM wal_cut)),
+         |mstate AS (
+         |  SELECT pk, max_by(eff_op, ord) AS last_op,
+         |         max_by(value, ord) AS last_value
+         |  FROM mlive GROUP BY pk)
+         |SELECT pk, round(last_value, 2) AS value
+         |FROM mstate WHERE last_op <> 'd' ORDER BY pk""".stripMargin,
+    "c09_list_snapshots" ->
+      """SELECT 'CREEK_SNAP.public.events.'
+        |    || strftime(max(ts::TIMESTAMP), '%Y%m%d%H%M%S_%f') AS snap_name,
+        |  epoch_us(max(ts::TIMESTAMP)) AS at_us,
+        |  count(*)::BIGINT AS n_rows,
+        |  count(*)::BIGINT + 2 AS n_messages
+        |FROM events GROUP BY ts::DATE ORDER BY snap_name""".stripMargin,
+    "c10_changelog_stats" ->
+      s"""WITH $sqlEnv
+         |SELECT op, count(*)::BIGINT AS n,
+         |  count(DISTINCT user_id)::BIGINT AS n_users,
+         |  min(lsn_long) AS min_lsn, max(lsn_long) AS max_lsn,
+         |  round(sum(value), 2) AS sum_value
+         |FROM env GROUP BY op ORDER BY op""".stripMargin,
+  )
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cdc._
+import graft.functions.Lsn
+import org.apache.spark.unsafe.types.UTF8String
+
+class CdcSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("LSN parse/format matches pglogrepl semantics") {
+    assert(Lsn.parse(UTF8String.fromString("16/B374D848")) == 0x16B374D848L)
+    assert(Lsn.format(0x16B374D848L).toString == "16/B374D848")
+    assert(Lsn.format(0L).toString == "0/0")
+    val vals = Seq(1L, 0xFFFFFFFFL, 0x100000000L, 0x7FFFFFFFFFFFFFFFL)
+    vals.foreach(v => assert(Lsn.parse(Lsn.format(v)) == v))
+  }
+
+  test("apply: u_pk moves rows, deletes tombstone, truncate cuts") {
+    val flat = Envelope.flat(Tables.events(spark, sf))
+    val live = Apply.latest(flat).collect()
+    assert(live.nonEmpty)
+    // every surviving key's last op is an upsert
+    assert(live.forall(_.getAs[String]("last_op") != "d"))
+    // u_pk-created keys exist above the shift
+    assert(live.exists(_.getAs[Long]("pk") >= Envelope.UpkShift))
+  }
+
+  test("snapshot+wal equals full replay") {
+    val flat = Envelope.flat(Tables.events(spark, sf))
+    val snapLsn = flat.filter(col("tx_at") < lit("2024-01-20").cast("timestamp"))
+      .agg(coalesce(max("lsn_long"), lit(-1L)).as("s"))
+    val merged = Apply.snapshotPlusWal(flat, snapLsn)
+      .select("pk", "last_value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val full = Apply.latest(flat)
+      .select("pk", "last_value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(merged == full)
+  }
+
+  test("avro schema fingerprint is deterministic and discriminating") {
+    val s1 = Tables.customer(spark, sf).schema
+    val s2 = Tables.orders(spark, sf).schema
+    val f1a = AvroSchemaGen.fingerprint64(s1, "customer")
+    val f1b = AvroSchemaGen.fingerprint64(s1, "customer")
+    val f2 = AvroSchemaGen.fingerprint64(s2, "orders")
+    assert(f1a == f1b)
+    assert(f1a != f2)
+    // known Avro spec CRC-64-AVRO fingerprint of "int" canonical form
+    val intFp = AvroSchemaGen.fingerprint64(AvroSchemaGen.parse("\"int\""))
+    assert(AvroSchemaGen.fingerprintHex(intFp) == "7275d51a3f395c8f")
+  }
+
+  test("avro roundtrip preserves every record and the framing") {
+    implicit val s = spark
+    val flat = Envelope.flat(Tables.events(spark, sf))
+    val decoded = AvroWal.roundtrip(flat).collect()
+    assert(decoded.nonEmpty)
+    assert(decoded.forall(d => d.magic_ok && d.fp_ok))
+    val orig = AvroWal.walRecords(flat).collect()
+      .map(r => (r.lsn_long, r.op, r.pk, r.value, r.tx_at_us)).toSet
+    val got = decoded.map(d => (d.lsn_long, d.op, d.pk, d.value, d.tx_at_us)).toSet
+    assert(got == orig)
+  }
+
+  test("streaming apply equals batch apply (modulo truncate)") {
+    val batch = Apply.latest(
+      Envelope.flat(Tables.events(spark, sf)).filter(col("op") =!= "t"))
+      .select(col("pk"), round(col("last_value"), 2).as("value"), col("last_ord"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val streamed = StreamApply.run(spark, sf, s"apply_spec_${System.nanoTime()}")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+
+  test("schema registry returns latest by subject and looks up by fingerprint") {
+    val reg = new SchemaRegistry(spark)
+    val st = Tables.region(spark, sf).schema
+    val fp1 = reg.register("db.public.region", st, 1L)
+    val st2 = org.apache.spark.sql.types.StructType(
+      st.fields :+ org.apache.spark.sql.types.StructField("x",
+        org.apache.spark.sql.types.StringType, nullable = true))
+    val fp2 = reg.register("db.public.region", st2, 2L)
+    assert(fp1 != fp2)
+    assert(reg.byFingerprint(AvroSchemaGen.fingerprintHex(fp1)).isDefined)
+    val latest = reg.latestBySubject().collect()
+    assert(latest.length == 1)
+    assert(latest.head.getAs[String]("latest_fingerprint") == AvroSchemaGen.fingerprintHex(fp2))
+    assert(latest.head.getAs[Long]("n_versions") == 2L)
+  }
+}
