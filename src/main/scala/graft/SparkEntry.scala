@@ -10,10 +10,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Relational.queries ++ cdc.CdcQueries.queries
+    ops.Relational.queries ++ cdc.CdcQueries.queries ++
+      streaming.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ops.Relational.oracle ++ cdc.CdcQueries.oracle
+    ops.Relational.oracle ++ cdc.CdcQueries.oracle ++
+      streaming.StreamingQueries.oracle
 }

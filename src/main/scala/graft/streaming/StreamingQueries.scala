@@ -1,0 +1,144 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Streaming / event-time surface (SURVEY.md §2, s01–s05). s01–s04 are
+  * event-time operators expressed as batch plans (identical semantics at
+  * any scale — one shuffle each); s05 runs the same tumbling aggregation
+  * through a real Structured Streaming query with a watermark and is
+  * spec-checked equal to s01.
+  */
+object StreamingQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private val SixHoursUs = 6L * 3600 * 1000000
+
+  /** Tumbling-window aggregate plan shared by s01 (batch) and s05
+    * (streaming): 6-hour event-time windows, epoch-aligned like Spark's
+    * `window()` with origin 1970-01-01 UTC.
+    */
+  def tumblingAgg(events: DataFrame, distinctUsers: Boolean = true): DataFrame = {
+    val aggs =
+      Seq(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value")) ++
+        // exact count-distinct is batch-only (unsupported on streams)
+        (if (distinctUsers) Seq(countDistinct(col("user_id")).as("n_users")) else Nil)
+    val outCols =
+      Seq(unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("sum_value")) ++
+        (if (distinctUsers) Seq(col("n_users")) else Nil)
+    events
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(outCols: _*)
+  }
+
+  // s01: event-time tumbling window aggregation.
+  val s01_tumbling_window: Q = (s, d) =>
+    tumblingAgg(Tables.events(s, d)).orderBy("window_start_us", "event_type")
+
+  // s02: sessionization with a 30-minute inactivity gap — lag to flag
+  // session starts, running sum to number sessions, one aggregate per
+  // (user, session). Two shuffles total (both on user_id; the second
+  // reuses the first's partitioning).
+  val s02_sessionize: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 30L * 60 * 1000000, 1)
+          .otherwise(0))
+      .withColumn("session_idx", sum("new_sess").over(run))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"),
+        round(sum("value"), 2).as("sum_value"))
+      .withColumn("dur_us", col("end_us") - col("start_us"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  // s03: keep-first dedup by (user_id, event_type) — deterministic
+  // min_by instead of dropDuplicates (whose survivor is partition-order
+  // dependent), single shuffle with map-side partials.
+  val s03_stream_dedup: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min("event_id").as("first_event_id"),
+        min_by(col("value"), col("event_id")).as("first_value"),
+        count(lit(1)).as("n_dups"))
+      .orderBy("user_id", "event_type")
+
+  // s04: event_type × hour-of-day activity matrix (long form).
+  val s04_hourly_rollup: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"), hour(col("ts")).as("hour_of_day"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("event_type", "hour_of_day")
+
+  // s05 (rows-only): the s01 aggregation through an actual streaming
+  // query with a 1-hour watermark; update-mode memory sink. Spec asserts
+  // equality with s01.
+  val s05_watermark_agg: Q = (s, d) => {
+    val raw = Tables.load(s, d, "events")
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val name = s"graft_watermark_agg_${System.nanoTime()}"
+    val q = tumblingAgg(stream.withWatermark("ts", "1 hour"), distinctUsers = false)
+      .writeStream.outputMode("update").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+      .groupBy(col("window_start_us"), col("event_type"))
+      .agg(max_by(col("n"), col("n")).as("n"),
+        max_by(col("sum_value"), col("n")).as("sum_value"))
+      .orderBy("window_start_us", "event_type")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "s01_tumbling_window" -> s01_tumbling_window,
+    "s02_sessionize" -> s02_sessionize,
+    "s03_stream_dedup" -> s03_stream_dedup,
+    "s04_hourly_rollup" -> s04_hourly_rollup,
+    "s05_watermark_agg" -> s05_watermark_agg,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "s01_tumbling_window" ->
+      """SELECT (epoch_us(ts::TIMESTAMP) // 21600000000) * 21600000000 AS window_start_us,
+        |  event_type, count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value,
+        |  count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "s02_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts::TIMESTAMP) AS us,
+        |    lag(epoch_us(ts::TIMESTAMP)) OVER w AS prev_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |numbered AS (
+        |  SELECT user_id, event_id, value, us,
+        |    sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, session_idx, count(*)::BIGINT AS n_events,
+        |  min(us) AS start_us, max(us) AS end_us,
+        |  round(sum(value), 2) AS sum_value,
+        |  max(us) - min(us) AS dur_us
+        |FROM numbered GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "s03_stream_dedup" ->
+      """SELECT user_id, event_type, min(event_id) AS first_event_id,
+        |  arg_min(value, event_id) AS first_value, count(*)::BIGINT AS n_dups
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "s04_hourly_rollup" ->
+      """SELECT event_type, hour(ts::TIMESTAMP)::INT AS hour_of_day,
+        |  count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  )
+}
