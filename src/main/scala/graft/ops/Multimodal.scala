@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** One multimodal record: opaque binary payload + typed metadata. */
+case class MediaRecord(doc_id: Long, content_type: String, payload: Array[Byte])
+
+/** Extracted features for one record (decode STUBBED deterministically). */
+case class MediaFeatures(doc_id: Long, content_type: String, payload_len: Int,
+  magic_ok: Boolean, feat: Array[Double])
+
+/** Multimodal plumbing (SURVEY.md §2, m01–m02): image/audio/video as
+  * opaque `binary` columns with typed metadata. The Spark-side pipeline —
+  * schema, partition-batched extraction, feature shape — is real; the
+  * codec itself is STUBBED with a deterministic byte-histogram "decoder"
+  * (media libraries aren't in this container).
+  */
+object Multimodal {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Magic prefixes per content type (real file signatures). */
+  val Magics: Map[String, Array[Byte]] = Map(
+    "image/png" -> Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte),
+    "image/jpeg" -> Array(0xFF, 0xD8, 0xFF).map(_.toByte),
+    "audio/wav" -> "RIFF0000WAVE".getBytes("UTF-8"),
+    "video/mp4" -> "0000ftypmp42".getBytes("UTF-8"),
+    "application/octet-stream" -> Array.empty[Byte])
+
+  /** source → content type (deterministic round-robin over the 5 types). */
+  def contentType(source: Column): Column = {
+    val idx = pmod(substring(source, 4, 10).cast("int"), lit(5))
+    when(idx === 0, "image/png")
+      .when(idx === 1, "image/jpeg")
+      .when(idx === 2, "audio/wav")
+      .when(idx === 3, "video/mp4")
+      .otherwise("application/octet-stream")
+  }
+
+  private def magicLen(ct: Column): Column =
+    when(ct === "image/png", 8).when(ct === "image/jpeg", 3)
+      .when(ct === "audio/wav", 12).when(ct === "video/mp4", 12)
+      .otherwise(0)
+
+  // m01: binary payload size/magic stats per source — the metadata scan a
+  // media-curation pipeline runs before any decode (pure pushdown-friendly
+  // column math; payload bytes = magic + utf8 body here).
+  val m01_binary_meta: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("source"), contentType(col("source")).as("content_type"),
+        (octet_length(col("text")) + magicLen(contentType(col("source")))).as("payload_bytes"))
+      .groupBy(col("source"), col("content_type"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("payload_bytes").as("total_bytes"),
+        max("payload_bytes").as("max_bytes"),
+        round(avg("payload_bytes"), 4).as("avg_bytes"))
+      .orderBy("source")
+
+  /** documents → binary media records (magic prefix + utf-8 body). */
+  def mediaRecords(s: SparkSession, d: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), contentType(col("source")).as("content_type"),
+        col("text"))
+      .as[(Long, String, String)]
+      .map { case (id, ct, text) =>
+        MediaRecord(id, ct, Magics(ct) ++ text.getBytes("UTF-8"))
+      }
+  }
+
+  /** STUB decoder: a real implementation would decode the media and
+    * extract model features; here it is a deterministic 8-bin byte
+    * histogram (normalized), preserving the exact batching/shape
+    * contract a real decoder would have.
+    */
+  def stubDecode(r: MediaRecord): MediaFeatures = {
+    val magic = Magics(r.content_type)
+    val magicOk = r.payload.take(magic.length).sameElements(magic)
+    val hist = new Array[Double](8)
+    r.payload.foreach(b => hist((b & 0xFF) % 8) += 1.0)
+    val n = math.max(r.payload.length, 1)
+    MediaFeatures(r.doc_id, r.content_type, r.payload.length, magicOk,
+      hist.map(h => math.rint(h / n * 10000) / 10000))
+  }
+
+  // m02 (rows-only): partition-batched feature extraction over binary
+  // payloads — mapPartitions so a real decoder would amortize model/codec
+  // init per partition, exactly as a Pandas-UDF/mapInPandas batch would.
+  val m02_feature_extract: Q = (s, d) => {
+    import s.implicits._
+    mediaRecords(s, d)
+      .mapPartitions(_.map(stubDecode))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "m01_binary_meta" -> m01_binary_meta,
+    "m02_feature_extract" -> m02_feature_extract,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "m01_binary_meta" ->
+      """WITH m AS (
+        |  SELECT source,
+        |    CASE substr(source, 4)::INT % 5
+        |      WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+        |      WHEN 2 THEN 'audio/wav' WHEN 3 THEN 'video/mp4'
+        |      ELSE 'application/octet-stream' END AS content_type,
+        |    octet_length(encode(text))
+        |      + CASE substr(source, 4)::INT % 5
+        |          WHEN 0 THEN 8 WHEN 1 THEN 3 WHEN 2 THEN 12 WHEN 3 THEN 12
+        |          ELSE 0 END AS payload_bytes
+        |  FROM documents)
+        |SELECT source, content_type, count(*)::BIGINT AS n_docs,
+        |  sum(payload_bytes)::BIGINT AS total_bytes,
+        |  max(payload_bytes)::BIGINT AS max_bytes,
+        |  round(avg(payload_bytes), 4) AS avg_bytes
+        |FROM m GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+  )
+}

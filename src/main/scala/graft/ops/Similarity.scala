@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2, v01–v03):
+  * brute-force cosine top-k as the exact baseline, IVF-style probed ANN as
+  * the scale path, and per-label centroid/distance aggregates.
+  *
+  * Scale design: the query vector and centroid table are broadcast (bytes,
+  * not a shuffle); the scan side stays a single pass. For the ANN path the
+  * probed cells bound the scanned fraction — at 100 TB with k cells and
+  * p probes, the scan shrinks to ~p/k of the corpus; candidate scoring is
+  * the same codegen'd cosine as the exact path.
+  */
+object Similarity {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** The benchmark query vector (vec_id 0), as a 1-row broadcastable df. */
+  private def queryVec(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"))
+
+  // v01: exact brute-force cosine top-10 — the ANN recall baseline.
+  val v01_knn_brute: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(queryVec(s, d)))
+      .select(col("vec_id"),
+        round(Vec.cosine(col("embedding"), col("qe")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+
+  /** Per-label centroids as (label, centroid array) — k-means-lite with
+    * label-seeded cells (deterministic; a kmeans iteration would slot in
+    * here unchanged). Two small shuffles over (label, pos).
+    */
+  def labelCentroids(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("v").cast("double")).as("c"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("centroid"))
+
+  // v02 (rows-only; spec: recall vs v01): IVF probe — rank cells by
+  // centroid cosine, probe the 3 nearest, exact-score only those members.
+  val v02_knn_ivf: Q = (s, d) => {
+    val probed = labelCentroids(s, d)
+      .crossJoin(broadcast(queryVec(s, d)))
+      .select(col("label"), Vec.cosine(col("centroid"), col("qe")).as("ccos"))
+      .orderBy(col("ccos").desc, col("label"))
+      .limit(3)
+      .select("label")
+    Tables.embeddings(s, d)
+      .join(broadcast(probed), "label")
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(queryVec(s, d)))
+      .select(col("vec_id"),
+        round(Vec.cosine(col("embedding"), col("qe")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  // v03: per-label centroid + member-distance aggregates (cluster
+  // tightness profile). One narrow (label, pos) shuffle for centroids,
+  // one for distances.
+  val v03_pairwise_label: Q = (s, d) => {
+    val dims = Tables.embeddings(s, d)
+      .select(col("label"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("v", col("v").cast("double"))
+    val cent = dims.groupBy(col("label"), col("pos")).agg(avg("v").as("c"))
+    val dist = dims.join(cent, Seq("label", "pos"))
+      .groupBy(col("label"), col("vec_id"))
+      .agg(sqrt(sum((col("v") - col("c")) * (col("v") - col("c")))).as("dist"))
+    dist.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg("dist"), 4).as("avg_dist"),
+        round(max("dist"), 4).as("max_dist"))
+      .orderBy("label")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "v01_knn_brute" -> v01_knn_brute,
+    "v02_knn_ivf" -> v02_knn_ivf,
+    "v03_pairwise_label" -> v03_pairwise_label,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "v01_knn_brute" ->
+      """SELECT b.vec_id,
+        |  round(list_cosine_similarity(b.embedding::DOUBLE[],
+        |    (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 6) AS cos
+        |FROM embeddings b WHERE b.vec_id <> 0
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "v03_pairwise_label" ->
+      """WITH dims AS (
+        |  SELECT label, vec_id, i AS pos, embedding[i]::DOUBLE AS v
+        |  FROM embeddings, range(1, 65) t(i)),
+        |cent AS (SELECT label, pos, avg(v) AS c FROM dims GROUP BY 1, 2),
+        |dist AS (
+        |  SELECT d.label, d.vec_id, sqrt(sum((v - c) * (v - c))) AS dist
+        |  FROM dims d JOIN cent ON d.label = cent.label AND d.pos = cent.pos
+        |  GROUP BY 1, 2)
+        |SELECT label, count(*)::BIGINT AS n_vecs,
+        |  round(avg(dist), 4) AS avg_dist, round(max(dist), 4) AS max_dist
+        |FROM dist GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+}

@@ -1,0 +1,171 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.FnvHash
+
+/** Text analysis over `documents` (SURVEY.md §2, t01–t05): language ID,
+  * quality scoring, token counting, content fingerprinting, corpus n-gram
+  * profiling. All single-pass, codegen'd column expressions — the shapes
+  * a 100 TB pre-training filter pipeline runs per document.
+  */
+object TextAnalysis {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def norm(c: Column): Column = trim(regexp_replace(c, "\\s+", " "))
+  private def toks(c: Column): Column = split(lower(norm(c)), " ")
+
+  /** Stopword-profile hit count. */
+  private def hits(t: Column, words: Seq[String]): Column =
+    size(filter(t, w => w.isin(words.map(lit(_)): _*)))
+
+  // language marker profiles over the corpus vocabulary (synthetic text;
+  // with a real corpus these are per-language stopword lists)
+  private val Profiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("data", "group", "hash"),
+    "en" -> Seq("the", "a", "fast"),
+    "es" -> Seq("query", "row", "scan"),
+    "fr" -> Seq("join", "merge", "sort"),
+    "zh" -> Seq("table", "column", "stream"))
+
+  // t01: n-gram/stopword-profile language ID — argmax profile hits with
+  // deterministic lexicographic tie-break.
+  val t01_langid: Q = (s, d) => {
+    val withHits = Profiles.foldLeft(
+      Tables.documents(s, d).select(col("doc_id"), col("lang"), toks(col("text")).as("t"))) {
+      case (df, (l, ws)) => df.withColumn(s"n_$l", hits(col("t"), ws))
+    }
+    val langs = Profiles.map(_._1)
+    val predicted = langs.init.foldRight(lit(langs.last)) { (l, rest) =>
+      val isMax = langs.filter(_ != l)
+        .map(o => col(s"n_$l") >= col(s"n_$o")).reduce(_ && _)
+      when(isMax, lit(l)).otherwise(rest)
+    }
+    withHits
+      .withColumn("predicted_lang", predicted)
+      .withColumn("correct", (col("predicted_lang") === col("lang")).cast("int"))
+      .select(Seq(col("doc_id"), col("lang")) ++
+        langs.map(l => col(s"n_$l")) ++
+        Seq(col("predicted_lang"), col("correct")): _*)
+      .orderBy("doc_id")
+  }
+
+  // t02: quality scoring from length/stopword/punctuation ratios.
+  val t02_quality: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .withColumn("len_chars", length(col("text")))
+      .withColumn("n_tokens", size(toks(col("text"))))
+      .withColumn("stop_hits", hits(toks(col("text")), Seq("the", "a", "of")))
+      .withColumn("punct_chars",
+        length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
+      .withColumn("score", round(
+        least(col("n_tokens") / 100.0, lit(1.0)) * 0.5 +
+          (col("stop_hits") / col("n_tokens")) * 0.3 +
+          (lit(1.0) - col("punct_chars") / col("len_chars")) * 0.2, 4))
+      .drop("text")
+      .orderBy("doc_id")
+
+  // t03: token counting per source — whitespace tokens plus a BPE-ish
+  // regex segmentation (letter runs / digit runs / single symbols).
+  val t03_token_count: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("source"),
+        size(toks(col("text"))).as("n_ws"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))).as("n_bpe"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_ws").as("total_ws_tokens"),
+        sum("n_bpe").as("total_bpe_tokens"),
+        round(avg("n_ws"), 4).as("avg_ws_tokens"))
+      .orderBy("source")
+
+  // t04 (rows-only): FNV-1a 64-bit content fingerprint via the custom
+  // codegen'd Catalyst expression.
+  val t04_doc_fingerprint: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        FnvHash.fnv_fingerprint(norm(col("text"))).as("fingerprint"),
+        length(col("text")).as("n_chars"))
+      .orderBy("doc_id")
+
+  // t05: corpus character-3-gram frequency profile, top 50.
+  val t05_ngram_profile: Q = (s, d) => {
+    val n = norm(lower(col("text")))
+    Tables.documents(s, d)
+      .select(explode(
+        when(length(n) >= 3,
+          transform(sequence(lit(1), length(n) - 2), i => n.substr(i, lit(3))))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram"))
+      .limit(50)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "t01_langid" -> t01_langid,
+    "t02_quality" -> t02_quality,
+    "t03_token_count" -> t03_token_count,
+    "t04_doc_fingerprint" -> t04_doc_fingerprint,
+    "t05_ngram_profile" -> t05_ngram_profile,
+  )
+
+  private val sqlToks =
+    "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
+
+  private def sqlHits(words: Seq[String]): String =
+    s"len(list_filter($sqlToks, w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  val oracle: Map[String, String] = Map(
+    "t01_langid" -> {
+      val hitCols = Profiles.map { case (l, ws) => s"${sqlHits(ws)} AS n_$l" }
+      val langs = Profiles.map(_._1)
+      val caseArms = langs.init.map { l =>
+        val cond = langs.filter(_ != l).map(o => s"n_$l >= n_$o").mkString(" AND ")
+        s"WHEN $cond THEN '$l'"
+      }.mkString(" ")
+      s"""WITH h AS (
+         |  SELECT doc_id, lang, ${hitCols.mkString(", ")} FROM documents)
+         |SELECT doc_id, lang, ${langs.map(l => s"n_$l").mkString(", ")},
+         |  CASE $caseArms ELSE '${langs.last}' END AS predicted_lang,
+         |  (CASE $caseArms ELSE '${langs.last}' END = lang)::INT AS correct
+         |FROM h ORDER BY doc_id""".stripMargin
+    },
+    "t02_quality" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, length(text) AS len_chars,
+         |    len($sqlToks) AS n_tokens,
+         |    ${sqlHits(Seq("the", "a", "of"))} AS stop_hits,
+         |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct_chars
+         |  FROM documents)
+         |SELECT doc_id, len_chars, n_tokens, stop_hits, punct_chars,
+         |  round(least(n_tokens / 100.0, 1.0) * 0.5
+         |    + (stop_hits / n_tokens) * 0.3
+         |    + (1.0 - punct_chars / len_chars) * 0.2, 4) AS score
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "t03_token_count" ->
+      s"""WITH m AS (
+         |  SELECT source, len($sqlToks) AS n_ws,
+         |    len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_bpe
+         |  FROM documents)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  sum(n_ws)::BIGINT AS total_ws_tokens,
+         |  sum(n_bpe)::BIGINT AS total_bpe_tokens,
+         |  round(avg(n_ws), 4) AS avg_ws_tokens
+         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t05_ngram_profile" ->
+      """WITH n AS (
+        |  SELECT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
+        |  FROM documents),
+        |grams AS (
+        |  SELECT unnest(CASE WHEN len(s) >= 3
+        |    THEN [substr(s, i, 3) for i in range(1, len(s) - 1)]
+        |    ELSE [] END) AS gram
+        |  FROM n)
+        |SELECT gram, count(*)::BIGINT AS n FROM grams
+        |GROUP BY 1 ORDER BY n DESC, gram LIMIT 50""".stripMargin,
+  )
+}

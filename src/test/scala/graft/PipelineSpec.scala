@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.unsafe.types.UTF8String
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.functions.FnvHash
+
+/** Specs for the rows-only (non-SQL-expressible) pipeline operators:
+  * recall gates for the approximate methods against their exact twins,
+  * known-vector checks for the hash primitives, determinism for the
+  * stubbed multimodal decode.
+  */
+class PipelineSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("d03 minhash-LSH recovers the exact-Jaccard near-dup pairs") {
+    val exact = pairSet(Dedup.d02_ngram_jaccard(spark, sf))
+    val approx = pairSet(Dedup.d03_minhash_lsh(spark, sf))
+    assert(exact.nonEmpty)
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"minhash recall $recall, exact=${exact.size}, got=${approx.size}")
+  }
+
+  test("d04 simhash finds most planted near-dups with bounded extras") {
+    val exact = pairSet(Dedup.d02_ngram_jaccard(spark, sf))
+    val sim = pairSet(Dedup.d04_simhash(spark, sf))
+    assert(sim.nonEmpty)
+    val recall = (exact & sim).size.toDouble / exact.size
+    assert(recall >= 0.5, s"simhash recall $recall")
+    assert(sim.size <= exact.size * 4, s"simhash too loose: ${sim.size} pairs")
+  }
+
+  test("d05 embedding near-dup pairs are a subset of brute-force pairs") {
+    val lsh = Dedup.d05_embed_neardup(spark, sf)
+      .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force at the same threshold
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"))
+    val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"))
+    val brute = a.crossJoin(b).filter(col("v1") < col("v2"))
+      .withColumn("cos", round(ops.Vec.cosine(col("e1"), col("e2")), 4))
+      .filter(col("cos") >= 0.45)
+      .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute))
+    assert(brute.isEmpty || lsh.nonEmpty)
+    val recall = if (brute.isEmpty) 1.0 else (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.3, s"embed-LSH recall $recall (brute=${brute.size}, lsh=${lsh.size})")
+  }
+
+  test("v02 IVF top-k recall against brute-force top-k") {
+    val exact = Similarity.v01_knn_brute(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.v02_knn_ivf(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ivf recall@10 = $recall")
+  }
+
+  test("FNV-1a matches public reference vectors") {
+    assert(FnvHash.fnv1a(UTF8String.fromString("")) == -3750763034362895579L) // 0xcbf29ce484222325
+    assert(FnvHash.fnv1a(UTF8String.fromString("a")) == -5808556873153909620L) // 0xaf63dc4c8601ec8c
+    assert(FnvHash.fnv1a(UTF8String.fromString("foobar")) == -8821353812377114648L) // 0x85944171f73967e8
+  }
+
+  test("t04 fingerprints are unique per distinct doc and stable") {
+    val fps = TextAnalysis.t04_doc_fingerprint(spark, sf)
+      .select("fingerprint").collect().map(_.getLong(0))
+    assert(fps.length == fps.distinct.length)
+    val again = TextAnalysis.t04_doc_fingerprint(spark, sf)
+      .select("fingerprint").collect().map(_.getLong(0))
+    assert(fps.sameElements(again))
+  }
+
+  test("m02 stubbed feature extraction is deterministic with valid shape") {
+    val rows = ops.Multimodal.m02_feature_extract(spark, sf).collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("magic_ok"))
+      val feat: Seq[Double] = r.getSeq[Double](r.fieldIndex("feat"))
+      assert(feat.length == 8)
+      assert(math.abs(feat.sum - 1.0) < 0.01) // normalized histogram
+    }
+    val again = ops.Multimodal.m02_feature_extract(spark, sf).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
+  test("minhash signature estimates true jaccard within tolerance") {
+    val exact = Dedup.d02_ngram_jaccard(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val est = Dedup.d03_minhash_lsh(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val common = exact.keySet & est.keySet
+    assert(common.nonEmpty)
+    common.foreach { k =>
+      assert(math.abs(exact(k) - est(k)) < 0.15,
+        s"pair $k exact=${exact(k)} est=${est(k)}")
+    }
+  }
+}
