@@ -65,33 +65,44 @@ object Dedup {
   /** 2^b literals for assembling a long from bits inside lambdas. */
   private val Pow2: Column = typedLit((0 until 64).map(b => 1L << b))
 
-  /** 128-perm MinHash signature of a shingle array: base 64-bit hash per
-    * shingle, perm_i(x) = xxhash64(x, i) (independent re-hash per perm —
-    * overflow-free under ANSI mode), min per perm. Pure column
-    * expressions — evaluated once per row, codegen'd.
+  /** 128-perm MinHash signature from an array of shingle hashes (must be
+    * a materialized attribute, see d03): perm_i(x) = xxhash64(x, i) —
+    * an independent re-hash per perm, overflow-free under ANSI mode.
     */
-  def minhashSig(sh: Column): Column = {
-    val hs = transform(sh, s => xxhash64(s))
+  def minhashSig(hs: Column): Column =
     transform(sequence(lit(0), lit(127)), i =>
       array_min(transform(hs, x => xxhash64(x, i))))
-  }
 
   // d03 (rows-only; spec: recall vs d02): MinHash + LSH banding. 32 bands
   // of 4 rows; candidates = pairs colliding on any band hash; verified by
   // signature agreement >= 0.7 (est. Jaccard). At 100 TB the band
   // explode+groupBy keeps candidate generation linear in collisions.
+  //
+  // CRITICAL perf shape: an expression referenced inside a `transform`
+  // lambda is re-evaluated on every lambda iteration (no loop-invariant
+  // hoisting in codegen) — so the shingle hashes and the 128-perm
+  // signature are each materialized behind an exchange before the next
+  // stage references them. Without the barriers this plan recomputes the
+  // shingle pipeline 128× and the signature 32× per row (measured 1349 s
+  // at sf0.1; 3.5 s with barriers).
   val d03_minhash_lsh: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), minhashSig(shingles(col("text"))).as("sig"))
-      .filter(size(col("sig")) > 0)
-    val banded = docs.select(col("doc_id"), col("sig"),
+    val hashed = Tables.documents(s, d)
+      .select(col("doc_id"),
+        transform(shingles(col("text")), sh => xxhash64(sh)).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .repartition(col("doc_id")) // materialize hs once
+    val sigd = hashed
+      .select(col("doc_id"), minhashSig(col("hs")).as("sig"))
+      .repartition(col("doc_id")) // materialize sig once
+    val banded = sigd.select(col("doc_id"), col("sig"),
         explode(transform(sequence(lit(0), lit(31)), j =>
           struct(j.as("band"), xxhash64(slice(col("sig"), j * 4 + 1, lit(4))).as("bh")))).as("b"))
       .select(col("doc_id"), col("sig"), col("b.band"), col("b.bh"))
     val a = banded.select(col("band"), col("bh"), col("doc_id").as("d1"), col("sig").as("sig1"))
     val b = banded.select(col("band"), col("bh"), col("doc_id").as("d2"), col("sig").as("sig2"))
     a.join(b, Seq("band", "bh")).filter(col("d1") < col("d2"))
-      .select(col("d1"), col("d2"), col("sig1"), col("sig2")).distinct()
+      .groupBy(col("d1"), col("d2"))
+      .agg(first(col("sig1")).as("sig1"), first(col("sig2")).as("sig2"))
       .withColumn("est_jaccard", round(
         aggregate(zip_with(col("sig1"), col("sig2"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v) / 128.0, 4))
@@ -100,26 +111,36 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
-  /** 64-bit SimHash over word-token hashes: per bit, sum ±1 across tokens
-    * weighted by the bit of each token hash; bit set where the sum > 0.
+  /** Per-bit ±1 sums across token hashes (input must be a materialized
+    * attribute — see the d03 lambda-re-evaluation note).
     */
-  def simhash(text: Column): Column = {
-    val hs = transform(split(norm(text), " "), t => xxhash64(t))
-    val counts = transform(sequence(lit(0), lit(63)), b =>
+  def simhashCounts(hs: Column): Column =
+    transform(sequence(lit(0), lit(63)), b =>
       aggregate(hs, lit(0L), (acc, x) =>
         acc + when(x.bitwiseAND(element_at(Pow2, b + 1)) =!= 0, 1L).otherwise(-1L)))
+
+  /** Assemble the 64-bit SimHash from materialized per-bit counts. */
+  def simhashFromCounts(counts: Column): Column =
     aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, b) =>
       when(element_at(counts, b + 1) > 0,
         acc + element_at(Pow2, b + 1)).otherwise(acc))
-  }
+
+  /** (doc_id, sh) with each heavy stage materialized behind an exchange. */
+  def simhashDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        transform(split(norm(col("text")), " "), t => xxhash64(t)).as("hs"))
+      .repartition(col("doc_id")) // materialize token hashes once
+      .select(col("doc_id"), simhashCounts(col("hs")).as("counts"))
+      .repartition(col("doc_id")) // materialize bit counts once
+      .select(col("doc_id"), simhashFromCounts(col("counts")).as("sh"))
 
   // d04 (rows-only): SimHash near-dup. Candidates from 8 bands of 8 bits
   // (a pair within hamming distance 7 must agree on >= 1 band); verified
   // exactly with bit_count(xor) <= 4 — the corpus's planted near-dups sit
   // at hamming <= 5 while the random-pair mass starts at 5-6.
   val d04_simhash: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), simhash(col("text")).as("sh"))
+    val docs = simhashDocs(s, d)
     val bands = array((0 until 8).map(j =>
       struct(lit(j).as("band"),
         shiftrightunsigned(col("sh"), 8 * j).bitwiseAND(255).as("bv"))): _*)
