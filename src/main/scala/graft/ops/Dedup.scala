@@ -21,15 +21,20 @@ object Dedup {
   private def norm(c: Column): Column =
     trim(regexp_replace(c, "\\s+", " "))
 
-  /** Word 5-gram shingle set (distinct), [] for docs under 5 tokens. */
-  def shingles(text: Column): Column = {
+  /** Word 5-gram shingle list (with duplicates), [] for docs under 5
+    * tokens. Set semantics (array_distinct) cost O(n²) string compares —
+    * apply only where set cardinality matters (d02).
+    */
+  def shingleList(text: Column): Column = {
     val toks = split(norm(text), " ")
-    array_distinct(
-      when(size(toks) >= 5,
-        transform(sequence(lit(0), size(toks) - 5),
-          i => concat_ws(" ", slice(toks, i + 1, lit(5)))))
-        .otherwise(array().cast("array<string>")))
+    when(size(toks) >= 5,
+      transform(sequence(lit(0), size(toks) - 5),
+        i => concat_ws(" ", slice(toks, i + 1, lit(5)))))
+      .otherwise(array().cast("array<string>"))
   }
+
+  /** Word 5-gram shingle set (distinct). */
+  def shingles(text: Column): Column = array_distinct(shingleList(text))
 
   // d01: exact dedup by content hash of normalized text; keeper = min id.
   val d01_exact_dedup: Q = (s, d) =>
@@ -38,11 +43,18 @@ object Dedup {
       .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_docs"))
       .orderBy("content_hash")
 
-  /** (doc_id, n_sh, shingle) exploded shingle table. */
+  /** (doc_id, n_sh, shingle) exploded shingle table, materialized behind
+    * the join-key exchange so the shingle pipeline runs once and both
+    * self-join sides read the same shuffle output (ReusedExchange).
+    */
   private def explodedShingles(s: SparkSession, d: String): DataFrame = {
+    // round-robin spread first: the testdata table is one small parquet
+    // file = one input partition, which would serialize the shingle build
     Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
+      .repartition(col("s"))
   }
 
   // d02: exact n-gram Jaccard near-dup pairs. Candidates = docs sharing at
@@ -87,13 +99,18 @@ object Dedup {
   // at sf0.1; 3.5 s with barriers).
   val d03_minhash_lsh: Q = (s, d) => {
     val hashed = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism) // spread the 1-file scan
       .select(col("doc_id"),
-        transform(shingles(col("text")), sh => xxhash64(sh)).as("hs"))
+        transform(shingleList(col("text")), sh => xxhash64(sh)).as("hs"))
       .filter(size(col("hs")) > 0)
-      .repartition(col("doc_id")) // materialize hs once
+      .repartition(col("doc_id")) // materialize hs once (round-robin→hash: real exchange)
+    // persist, not a second repartition: CollapseRepartition would merge
+    // adjacent repartitions and re-inline the signature into the band
+    // explode (32x recompute). At cluster scale this is the signature
+    // store you would checkpoint anyway.
     val sigd = hashed
       .select(col("doc_id"), minhashSig(col("hs")).as("sig"))
-      .repartition(col("doc_id")) // materialize sig once
+      .persist()
     val banded = sigd.select(col("doc_id"), col("sig"),
         explode(transform(sequence(lit(0), lit(31)), j =>
           struct(j.as("band"), xxhash64(slice(col("sig"), j * 4 + 1, lit(4))).as("bh")))).as("b"))
@@ -125,15 +142,16 @@ object Dedup {
       when(element_at(counts, b + 1) > 0,
         acc + element_at(Pow2, b + 1)).otherwise(acc))
 
-  /** (doc_id, sh) with each heavy stage materialized behind an exchange. */
+  /** (doc_id, sh) with each heavy stage materialized behind a barrier. */
   def simhashDocs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism) // spread the 1-file scan
       .select(col("doc_id"),
         transform(split(norm(col("text")), " "), t => xxhash64(t)).as("hs"))
       .repartition(col("doc_id")) // materialize token hashes once
       .select(col("doc_id"), simhashCounts(col("hs")).as("counts"))
-      .repartition(col("doc_id")) // materialize bit counts once
       .select(col("doc_id"), simhashFromCounts(col("counts")).as("sh"))
+      .persist() // hard barrier: counts must not inline into band exprs
 
   // d04 (rows-only): SimHash near-dup. Candidates from 8 bands of 8 bits
   // (a pair within hamming distance 7 must agree on >= 1 band); verified
