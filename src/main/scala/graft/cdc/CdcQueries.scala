@@ -189,6 +189,12 @@ object CdcQueries {
     AvroWal.roundtrip(flatEnv(s, d)).toDF().orderBy("lsn_long")
   }
 
+  // c15 (rows-only): seq/len wire framing split + distributed reassembly.
+  val c15_chunking: Q = (s, d) => {
+    implicit val spark: SparkSession = s
+    Chunking.roundtrip(flatEnv(s, d))
+  }
+
   val queries: Map[String, Q] = Map(
     "c01_lsn_roundtrip" -> c01_lsn_roundtrip,
     "c02_wal_envelope" -> c02_wal_envelope,
@@ -204,6 +210,7 @@ object CdcQueries {
     "c12_schema_registry" -> c12_schema_registry,
     "c13_stream_apply" -> c13_stream_apply,
     "c14_avro_roundtrip" -> c14_avro_roundtrip,
+    "c15_chunking" -> c15_chunking,
   )
 
   val oracle: Map[String, String] = Map(

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cdc.{AvroWal, Chunking, Envelope}
+
+class ChunkingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("split/frame/parse roundtrips bytes exactly") {
+    val bytes = (0 until 1000).map(_.toByte).toArray
+    val frames = Chunking.split(42L, bytes, chunkSize = 64)
+    assert(frames.length == 16) // ceil(1000/64)
+    assert(frames.head.seq == 0 && frames.head.total_len == 1000)
+    val wire = frames.map(f => Chunking.parseFrame(42L, Chunking.frameBytes(f)))
+    assert(wire.map(_.seq) == frames.map(_.seq))
+    assert(wire.flatMap(_.chunk).toArray.sameElements(bytes))
+  }
+
+  test("c15 distributed chunk-reassembly decodes every message") {
+    implicit val s: SparkSession = spark
+    val flat = Envelope.flat(Tables.events(spark, sf))
+    val rows = Chunking.roundtrip(flat).collect()
+    val expected = AvroWal.walRecords(flat).count()
+    assert(rows.length == expected)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("len_ok"), s"len mismatch for ${r.getAs[Long]("msg_id")}")
+      assert(r.getAs[Boolean]("codec_ok"))
+    }
+  }
+
+  test("SQL extension functions resolve through GraftExtensions") {
+    val old = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder().master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try testExtensionFns(s2) finally {
+      s2.stop()
+      old.foreach { o =>
+        SparkSession.setDefaultSession(o)
+        SparkSession.setActiveSession(o)
+      }
+    }
+  }
+
+  private def testExtensionFns(s2: SparkSession): Unit = {
+    val r = s2.sql(
+      "SELECT lsn_to_long('16/B374D848') AS l, long_to_lsn(97500059720) AS s, fnv_fingerprint('foobar') AS f")
+      .collect().head
+    assert(r.getAs[Long]("l") == 0x16B374D848L)
+    assert(r.getAs[String]("s") == "16/B374D848")
+    assert(r.getAs[Long]("f") == -8821353812377114648L)
+  }
+}
