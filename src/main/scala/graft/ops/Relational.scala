@@ -239,6 +239,40 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  // q21: as-of join — for each purchase, the most recent strictly-prior
+  // click of the same user (funnel attribution). Spark lacks a native
+  // as-of join; composed as union + one window pass per user: purchases
+  // sort before clicks at equal ts, so `last(click, ignoreNulls)` over
+  // the running frame yields exactly the strict-predecessor click. ONE
+  // shuffle on user_id — the same cost as a plain window, vs the naive
+  // range-join's quadratic blowup. Oracle: DuckDB's native ASOF JOIN.
+  val q21_asof_join: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    // one click per (user, ts) keeps the as-of target deterministic
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max("event_id").as("click_id"))
+      .select(col("user_id"), col("ts"), lit(1).as("kind"),
+        lit(null).cast("long").as("event_id"), col("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(0).as("kind"),
+        col("event_id"), lit(null).cast("long").as("click_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.union(purchases)
+      .withColumn("last_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("last_click_us", last(
+        when(col("click_id").isNotNull, unix_micros(col("ts"))),
+        ignoreNulls = true).over(w))
+      .filter(col("kind") === 0)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("last_click_id").as("click_id"),
+        (unix_micros(col("ts")) - col("last_click_us")).as("gap_us"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_agg" -> q01_pricing_agg,
     "q02_filter_pushdown" -> q02_filter_pushdown,
@@ -260,6 +294,7 @@ object Relational {
     "q18_in_subquery" -> q18_in_subquery,
     "q19_complex_pred" -> q19_complex_pred,
     "q20_running_sum" -> q20_running_sum,
+    "q21_asof_join" -> q21_asof_join,
   )
 
   val oracle: Map[String, String] = Map(
@@ -388,5 +423,19 @@ object Relational {
         |    ORDER BY o_orderdate, o_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q21_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts::TIMESTAMP AS cts, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |purchases AS (
+        |  SELECT event_id, user_id, ts::TIMESTAMP AS pts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, epoch_us(p.pts) AS ts_us,
+        |  c.click_id,
+        |  epoch_us(p.pts) - epoch_us(c.cts) AS gap_us
+        |FROM purchases p
+        |ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND c.cts < p.pts
+        |ORDER BY p.event_id""".stripMargin,
   )
 }

@@ -32,30 +32,68 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(10)
 
-  /** Per-label centroids as (label, centroid array) — k-means-lite with
-    * label-seeded cells (deterministic; a kmeans iteration would slot in
-    * here unchanged). Two small shuffles over (label, pos).
+  /** Centroids of an assignment (cell, embedding): mean per dimension,
+    * rebuilt into arrays. Two narrow shuffles over (cell, pos).
     */
-  def labelCentroids(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("label"), col("pos"))
+  private def centroidsOf(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
       .agg(avg(col("v").cast("double")).as("c"))
-      .groupBy(col("label"))
+      .groupBy(col("cell"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         x => x.getField("c")).as("centroid"))
 
-  // v02 (rows-only; spec: recall vs v01): IVF probe — rank cells by
-  // centroid cosine, probe the 3 nearest, exact-score only those members.
+  /** IVF cell centroids: label-seeded k-means with one Lloyd's iteration —
+    * seed cells from the label column, recompute means, re-assign each
+    * vector to its nearest centroid (broadcast: k centroids are bytes),
+    * recompute means once more. Deterministic; further iterations are the
+    * same two lines. Returns (cell, centroid).
+    */
+  def ivfCentroids(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val seed = centroidsOf(e.select(col("label").as("cell"), col("embedding")))
+    val reassigned = e.crossJoin(broadcast(seed))
+      .withColumn("dist2", aggregate(
+        zip_with(col("embedding"), col("centroid"),
+          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+        lit(0.0), (acc, v) => acc + v))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cell"), struct(col("dist2"), col("cell"))).as("cell"),
+        first(col("embedding")).as("embedding"))
+    centroidsOf(reassigned)
+  }
+
+  /** Per-label centroids (kept for v03's cluster-tightness profile). */
+  def labelCentroids(s: SparkSession, d: String): DataFrame =
+    centroidsOf(Tables.embeddings(s, d)
+      .select(col("label").as("cell"), col("embedding")))
+      .withColumnRenamed("cell", "label")
+
+  // v02 (rows-only; spec: recall vs v01): IVF probe — k-means cells
+  // (label-seeded + one Lloyd's iteration), rank cells by centroid
+  // cosine, probe the 3 nearest, exact-score only those members. At
+  // 100 TB with k cells / p probes the scan shrinks to ~p/k of the
+  // corpus; the assignment table is what an IVF index materializes.
   val v02_knn_ivf: Q = (s, d) => {
-    val probed = labelCentroids(s, d)
+    val cents = ivfCentroids(s, d).persist()
+    val probed = cents
       .crossJoin(broadcast(queryVec(s, d)))
-      .select(col("label"), Vec.cosine(col("centroid"), col("qe")).as("ccos"))
-      .orderBy(col("ccos").desc, col("label"))
+      .select(col("cell"), Vec.cosine(col("centroid"), col("qe")).as("ccos"))
+      .orderBy(col("ccos").desc, col("cell"))
       .limit(3)
-      .select("label")
-    Tables.embeddings(s, d)
-      .join(broadcast(probed), "label")
+      .select("cell")
+    val assigned = Tables.embeddings(s, d)
+      .crossJoin(broadcast(cents))
+      .withColumn("dist2", aggregate(
+        zip_with(col("embedding"), col("centroid"),
+          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+        lit(0.0), (acc, v) => acc + v))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cell"), struct(col("dist2"), col("cell"))).as("cell"),
+        first(col("embedding")).as("embedding"))
+    assigned
+      .join(broadcast(probed), "cell")
       .filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(queryVec(s, d)))
       .select(col("vec_id"),

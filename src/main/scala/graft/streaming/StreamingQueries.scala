@@ -100,8 +100,21 @@ object StreamingQueries {
       .orderBy("window_start_us", "event_type")
   }
 
+  // s06: sessionization via Spark's NATIVE session_window operator —
+  // same 30-minute gap semantics as s02's lag+cumsum formulation, so the
+  // oracle reuses that CTE; proves the built-in merging-window path
+  // (which also runs incrementally under Structured Streaming).
+  val s06_session_window: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "start_us")
+
   val queries: Map[String, Q] = Map(
     "s01_tumbling_window" -> s01_tumbling_window,
+    "s06_session_window" -> s06_session_window,
     "s02_sessionize" -> s02_sessionize,
     "s03_stream_dedup" -> s03_stream_dedup,
     "s04_hourly_rollup" -> s04_hourly_rollup,
@@ -136,6 +149,23 @@ object StreamingQueries {
       """SELECT user_id, event_type, min(event_id) AS first_event_id,
         |  arg_min(value, event_id) AS first_value, count(*)::BIGINT AS n_dups
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "s06_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts::TIMESTAMP) AS us,
+        |    lag(epoch_us(ts::TIMESTAMP)) OVER w AS prev_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |numbered AS (
+        |  SELECT user_id, value, us,
+        |    sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, min(us) AS start_us, count(*)::BIGINT AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM numbered GROUP BY user_id, session_idx
+        |ORDER BY user_id, start_us""".stripMargin,
     "s04_hourly_rollup" ->
       """SELECT event_type, hour(ts::TIMESTAMP)::INT AS hour_of_day,
         |  count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value

@@ -37,8 +37,9 @@ class ChunkingSpec extends AnyFunSuite {
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
+    // do NOT stop s2 — it shares the JVM-wide SparkContext with the
+    // other suites' session; just restore the session registry
     try testExtensionFns(s2) finally {
-      s2.stop()
       old.foreach { o =>
         SparkSession.setDefaultSession(o)
         SparkSession.setActiveSession(o)
