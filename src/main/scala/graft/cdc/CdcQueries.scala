@@ -195,6 +195,51 @@ object CdcQueries {
     Chunking.roundtrip(flatEnv(s, d))
   }
 
+  // c16: WAL segment compaction — within each 1000-LSN segment keep only
+  // the last half-event per key (what a log-compacting store retains);
+  // reports per-segment input/output sizes. One shuffle on (segment, pk)
+  // with map-side partial max_by, then a narrow re-agg per segment.
+  val c16_wal_compaction: Q = (s, d) => {
+    Apply.halfEvents(flatEnv(s, d))
+      .withColumn("segment", floor(col("ord") / 2000).cast("bigint"))
+      .groupBy(col("segment"), col("pk"))
+      .agg(count(lit(1)).as("n_key"), max("ord").as("last_ord"))
+      .groupBy(col("segment"))
+      .agg(sum("n_key").as("n_in"),
+        count(lit(1)).as("n_out"),
+        round(count(lit(1)) / sum("n_key").cast("double"), 4).as("keep_ratio"))
+      .orderBy("segment")
+  }
+
+  // c17 (rows-only; spec: even-indexed tables gained exactly added_v2):
+  // schema evolution detection — per subject, diff the first vs latest
+  // registered Avro schema's field set. The field names are extracted
+  // from the schema JSON with from_json (distributed, no driver parse).
+  val c17_schema_evolution: Q = (s, d) => {
+    val reg = new SchemaRegistry(s)
+    Tables.names.zipWithIndex.foreach { case (t, i) =>
+      val st = Tables.load(s, d, t).schema
+      reg.register(s"testdb.public.$t", st, createdAtMicros = 1000000L * (i + 1))
+      if (i % 2 == 0) {
+        val v2 = org.apache.spark.sql.types.StructType(
+          st.fields :+ org.apache.spark.sql.types.StructField(
+            "added_v2", org.apache.spark.sql.types.StringType, nullable = true))
+        reg.register(s"testdb.public.$t", v2, createdAtMicros = 1000000L * (i + 100))
+      }
+    }
+    reg.all()
+      .withColumn("fields", expr(
+        "from_json(schemaJson, 'STRUCT<fields: ARRAY<STRUCT<name: STRING>>>').fields.name"))
+      .groupBy(col("subject"))
+      .agg(count(lit(1)).as("n_versions"),
+        min_by(col("fields"), col("createdAtMicros")).as("first_fields"),
+        max_by(col("fields"), col("createdAtMicros")).as("latest_fields"))
+      .select(col("subject"), col("n_versions"),
+        array_join(array_sort(array_except(col("latest_fields"), col("first_fields"))), ",").as("added_cols"),
+        array_join(array_sort(array_except(col("first_fields"), col("latest_fields"))), ",").as("removed_cols"))
+      .orderBy("subject")
+  }
+
   val queries: Map[String, Q] = Map(
     "c01_lsn_roundtrip" -> c01_lsn_roundtrip,
     "c02_wal_envelope" -> c02_wal_envelope,
@@ -211,6 +256,8 @@ object CdcQueries {
     "c13_stream_apply" -> c13_stream_apply,
     "c14_avro_roundtrip" -> c14_avro_roundtrip,
     "c15_chunking" -> c15_chunking,
+    "c16_wal_compaction" -> c16_wal_compaction,
+    "c17_schema_evolution" -> c17_schema_evolution,
   )
 
   val oracle: Map[String, String] = Map(
@@ -291,5 +338,13 @@ object CdcQueries {
          |  min(lsn_long) AS min_lsn, max(lsn_long) AS max_lsn,
          |  round(sum(value), 2) AS sum_value
          |FROM env GROUP BY op ORDER BY op""".stripMargin,
+    "c16_wal_compaction" ->
+      s"""WITH $sqlEnv, $sqlFlat, ${Apply.sqlApply("", "")},
+         |seg AS (
+         |  SELECT ord // 2000 AS segment, pk, count(*) AS n_key
+         |  FROM half GROUP BY 1, 2)
+         |SELECT segment, sum(n_key)::BIGINT AS n_in, count(*)::BIGINT AS n_out,
+         |  round(count(*) / sum(n_key)::DOUBLE, 4) AS keep_ratio
+         |FROM seg GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -273,6 +273,140 @@ object Relational {
       .orderBy("event_id")
   }
 
+  // q22: CUBE over (status, priority) — all four grouping levels in one
+  // pass (Catalyst expands to a single Expand + one shuffle, not four
+  // scans). NULL markers coalesced to 'ALL' for engine-stable ordering.
+  val q22_grouping_sets: Q = (s, d) => {
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_price"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("total_price"))
+      .orderBy("status", "priority")
+  }
+
+  // q23: exact interpolated percentiles per priority class — Spark's
+  // `percentile` ≡ DuckDB's `quantile_cont` (linear interpolation). At
+  // 100 TB you'd switch to approx_percentile (t-digest) and drop oracle
+  // exactness; the plan shape (one partial+final agg) is identical.
+  val q23_percentile: Q = (s, d) => {
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 2).as("p99"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  // q24: pivot month × order-status revenue matrix. The pivot values are
+  // declared (no extra distinct-collect job); each cell is a conditional
+  // sum in ONE aggregation pass.
+  val q24_pivot: Q = (s, d) => {
+    Tables.orders(s, d)
+      .groupBy(month(col("o_orderdate")).as("order_month"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum("o_totalprice"), 2))
+      .select(col("order_month"),
+        coalesce(col("F"), lit(0.0)).as("f_total"),
+        coalesce(col("O"), lit(0.0)).as("o_total"),
+        coalesce(col("P"), lit(0.0)).as("p_total"))
+      .orderBy("order_month")
+  }
+
+  // q25: set ops — customers active in 1996 ∩ 1997 (loyal) and 1996 \ 1997
+  // (churned). INTERSECT/EXCEPT plan as hash-distinct joins on the same
+  // key partitioning; the union of the two tagged legs reuses it.
+  val q25_setops: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    def yr(y: Int) = o.filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey").as("custkey"))
+    yr(1996).intersect(yr(1997)).withColumn("cohort", lit("loyal"))
+      .union(yr(1996).except(yr(1997)).withColumn("cohort", lit("churned")))
+      .orderBy("cohort", "custkey")
+  }
+
+  // q26: lead/lag — inter-order gap per customer (one window shuffle on
+  // o_custkey, agg reuses the partitioning).
+  val q26_lead_lag: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("gap_days",
+        datediff(to_date(col("o_orderdate")), to_date(lag(col("o_orderdate"), 1).over(w))))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(avg("gap_days"), 2).as("avg_gap_days"),
+        max("gap_days").as("max_gap_days"))
+      .filter(col("n_orders") >= 2)
+      .orderBy("o_custkey")
+  }
+
+  // q27: decile profile of order values. ntile needs a total order →
+  // single-partition window; acceptable for rank-style output. At 100 TB
+  // the same result comes from approx_percentile boundaries + a map-side
+  // bucket assign — no global sort (noted, not needed at test scale).
+  val q27_ntile: Q = (s, d) => {
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(min("o_totalprice"), 2).as("min_price"),
+        round(max("o_totalprice"), 2).as("max_price"),
+        round(avg("o_totalprice"), 2).as("avg_price"))
+      .orderBy("decile")
+  }
+
+  // q28: ordered string aggregation — premium-customer roster per nation.
+  // collect_list + array_sort + array_join ≡ string_agg(... ORDER BY):
+  // the sort happens inside the aggregated cell, deterministic on ties.
+  val q28_string_agg: Q = (s, d) => {
+    Tables.customer(s, d)
+      .filter(col("c_acctbal") > 9000.0)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_premium"),
+        array_join(array_sort(collect_list(col("c_name"))), "|").as("roster"))
+      .orderBy("c_nationkey")
+  }
+
+  // q29: JSON extraction from the events.props payload — get_json_object
+  // is codegen'd (Jackson streaming parse, no UDF); grouped stats per key.
+  val q29_json_extract: Q = (s, d) => {
+    Tables.events(s, d)
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"),
+        col("value"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("k")
+  }
+
+  // q30: skew-mitigated (salted) join — the fact side gets a deterministic
+  // salt in [0,8), the dim side replicates 8×, and the join key becomes
+  // (key, salt): a single hot key's rows now land on 8 reducers instead
+  // of one. This is the manual form of what AQE skew-join does adaptively;
+  // kept explicit because pre-salting also fixes skew in the downstream
+  // aggregation, which AQE can't re-key. Result provably equals the plain
+  // join (the oracle runs the unsalted SQL).
+  val q30_salted_join: Q = (s, d) => {
+    val SaltN = 8
+    val ev = Tables.events(s, d)
+    val dim = ev.groupBy(col("user_id")).agg(min("ts").as("first_ts"))
+    val fact = ev.withColumn("salt", pmod(col("event_id"), lit(SaltN)).cast("int"))
+    val dimRep = dim
+      .withColumn("salt", explode(sequence(lit(0), lit(SaltN - 1))))
+      .withColumn("salt", col("salt").cast("int"))
+    fact.join(dimRep, Seq("user_id", "salt"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"),
+        unix_micros(min("first_ts")).as("first_ts_us"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_agg" -> q01_pricing_agg,
     "q02_filter_pushdown" -> q02_filter_pushdown,
@@ -295,6 +429,15 @@ object Relational {
     "q19_complex_pred" -> q19_complex_pred,
     "q20_running_sum" -> q20_running_sum,
     "q21_asof_join" -> q21_asof_join,
+    "q22_grouping_sets" -> q22_grouping_sets,
+    "q23_percentile" -> q23_percentile,
+    "q24_pivot" -> q24_pivot,
+    "q25_setops" -> q25_setops,
+    "q26_lead_lag" -> q26_lead_lag,
+    "q27_ntile" -> q27_ntile,
+    "q28_string_agg" -> q28_string_agg,
+    "q29_json_extract" -> q29_json_extract,
+    "q30_salted_join" -> q30_salted_join,
   )
 
   val oracle: Map[String, String] = Map(
@@ -437,5 +580,74 @@ object Relational {
         |ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND c.cts < p.pts
         |ORDER BY p.event_id""".stripMargin,
+    "q22_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*)::BIGINT AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q23_percentile" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+        |  round(quantile_cont(o_totalprice, 0.99), 2) AS p99,
+        |  count(*)::BIGINT AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q24_pivot" ->
+      """SELECT month(o_orderdate)::INT AS order_month,
+        |  coalesce(round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2), 0.0) AS f_total,
+        |  coalesce(round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2), 0.0) AS o_total,
+        |  coalesce(round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2), 0.0) AS p_total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q25_setops" ->
+      """SELECT custkey, 'loyal' AS cohort FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+        |UNION ALL
+        |SELECT custkey, 'churned' AS cohort FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+        |ORDER BY cohort, custkey""".stripMargin,
+    "q26_lead_lag" ->
+      """WITH g AS (
+        |  SELECT o_custkey,
+        |    date_diff('day',
+        |      lag(o_orderdate::DATE) OVER (PARTITION BY o_custkey
+        |                                   ORDER BY o_orderdate, o_orderkey),
+        |      o_orderdate::DATE)::INT AS gap_days
+        |  FROM orders)
+        |SELECT o_custkey, count(*)::BIGINT AS n_orders,
+        |  round(avg(gap_days), 2) AS avg_gap_days, max(gap_days) AS max_gap_days
+        |FROM g GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""".stripMargin,
+    "q27_ntile" ->
+      """WITH t AS (
+        |  SELECT o_totalprice,
+        |    ntile(10) OVER (ORDER BY o_totalprice, o_orderkey)::INT AS decile
+        |  FROM orders)
+        |SELECT decile, count(*)::BIGINT AS n_orders,
+        |  round(min(o_totalprice), 2) AS min_price,
+        |  round(max(o_totalprice), 2) AS max_price,
+        |  round(avg(o_totalprice), 2) AS avg_price
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q28_string_agg" ->
+      """SELECT c_nationkey, count(*)::BIGINT AS n_premium,
+        |  string_agg(c_name, '|' ORDER BY c_name) AS roster
+        |FROM customer WHERE c_acctbal > 9000.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q29_json_extract" ->
+      """SELECT json_extract_string(props, '$.k')::INT AS k,
+        |  count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q30_salted_join" ->
+      """WITH dim AS (
+        |  SELECT user_id, min(ts::TIMESTAMP) AS first_ts FROM events GROUP BY 1)
+        |SELECT e.user_id, count(*)::BIGINT AS n_events,
+        |  round(sum(e.value), 2) AS sum_value,
+        |  epoch_us(min(d.first_ts)) AS first_ts_us
+        |FROM events e JOIN dim d ON e.user_id = d.user_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

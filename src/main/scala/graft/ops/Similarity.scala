@@ -121,10 +121,51 @@ object Similarity {
       .orderBy("label")
   }
 
+  // v04 (rows-only; spec: recall vs exact on sampled vectors): ANN
+  // self-join — top-3 neighbors for EVERY vector, candidates limited to
+  // IVF cell co-members (plus the exact scorer only inside the cell).
+  // At 100 TB this is the all-pairs-knn building block for embedding
+  // near-dup clustering: work is Σ|cell|², bounded by cell sizing, never
+  // the corpus square.
+  val v04_knn_join: Q = (s, d) => {
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("dist2"), col("cell"))
+    // (vec_id, embedding, cell, prk): each vector ranked against every
+    // centroid; prk=1 is its home cell, prk<=3 its probe set.
+    val ranked = Tables.embeddings(s, d)
+      .crossJoin(broadcast(ivfCentroids(s, d)))
+      .withColumn("dist2", aggregate(
+        zip_with(col("embedding"), col("centroid"),
+          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+        lit(0.0), (acc, v) => acc + v))
+      .withColumn("prk", row_number().over(wq))
+      .filter(col("prk") <= 3)
+      .withColumn("nrm", Vec.norm(col("embedding")))
+      .persist() // one pass feeds both join sides
+    // query side probes its 3 nearest cells; candidates live in their
+    // single home cell — candidate volume is 3×Σ|cell|, never corpus².
+    val probes = ranked.select(col("cell"), col("vec_id").as("v1"),
+      col("embedding").as("e1"), col("nrm").as("n1"))
+    val members = ranked.filter(col("prk") === 1)
+      .select(col("cell"), col("vec_id").as("v2"),
+        col("embedding").as("e2"), col("nrm").as("n2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("v1")).orderBy(col("cos").desc, col("v2"))
+    probes.join(members, Seq("cell")).filter(col("v1") =!= col("v2"))
+      .withColumn("cos", round(Vec.cosineWithNorms(
+        Vec.dot(col("e1"), col("e2")), col("n1"), col("n2")), 6))
+      .groupBy(col("v1"), col("v2")).agg(max("cos").as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("v1"), col("rk"), col("v2"), col("cos"))
+      .orderBy("v1", "rk")
+  }
+
   val queries: Map[String, Q] = Map(
     "v01_knn_brute" -> v01_knn_brute,
     "v02_knn_ivf" -> v02_knn_ivf,
     "v03_pairwise_label" -> v03_pairwise_label,
+    "v04_knn_join" -> v04_knn_join,
   )
 
   val oracle: Map[String, String] = Map(

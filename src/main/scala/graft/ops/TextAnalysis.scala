@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.FnvHash
 
@@ -105,12 +106,49 @@ object TextAnalysis {
       .limit(50)
   }
 
+  // t06: fixed-size token chunking with overlap (window 50, stride 40) —
+  // the LLM-training prep step that splits documents into training
+  // sequences. One row per chunk with a content hash; chunk count is
+  // ceil((n-50)/40)+1. The token array is materialized behind an
+  // exchange before the per-chunk lambdas reference it (lambda
+  // re-evaluation discipline, see Dedup d03).
+  val t06_chunking: Q = (s, d) => {
+    val W = 50; val S = 40
+    val nChunks = when(size(col("t")) <= W, lit(1))
+      .otherwise(ceil((size(col("t")) - W).cast("double") / S).cast("int") + 1)
+    Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .repartition(col("doc_id")) // materialize tokens once
+      .select(col("doc_id"), size(col("t")).as("n"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"), col("t"))
+      .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+        least(lit(W), col("n") - col("chunk_idx") * S).cast("bigint").as("n_toks"),
+        md5(concat_ws(" ", slice(col("t"), col("chunk_idx") * S + 1, lit(W)))).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  // t07: corpus vocabulary profile — token frequencies with Zipf rank,
+  // top 30. Explode→agg is the one shuffle; the rank is a TakeOrdered.
+  val t07_vocab: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(toks(col("text"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(30)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("tok"))).cast("int"))
+      .select("rank", "tok", "n")
+
   val queries: Map[String, Q] = Map(
     "t01_langid" -> t01_langid,
     "t02_quality" -> t02_quality,
     "t03_token_count" -> t03_token_count,
     "t04_doc_fingerprint" -> t04_doc_fingerprint,
     "t05_ngram_profile" -> t05_ngram_profile,
+    "t06_chunking" -> t06_chunking,
+    "t07_vocab" -> t07_vocab,
   )
 
   private val sqlToks =
@@ -167,5 +205,23 @@ object TextAnalysis {
         |  FROM n)
         |SELECT gram, count(*)::BIGINT AS n FROM grams
         |GROUP BY 1 ORDER BY n DESC, gram LIMIT 50""".stripMargin,
+    "t06_chunking" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $sqlToks AS t FROM documents),
+         |ch AS (
+         |  SELECT doc_id, len(t) AS n, t,
+         |    unnest(range(0, CASE WHEN len(t) <= 50 THEN 1
+         |      ELSE ((len(t) - 50 + 39) // 40) + 1 END)) AS chunk_idx
+         |  FROM toks)
+         |SELECT doc_id, chunk_idx::INT AS chunk_idx,
+         |  least(50, n - chunk_idx * 40)::BIGINT AS n_toks,
+         |  md5(array_to_string(t[chunk_idx * 40 + 1 : chunk_idx * 40 + 50], ' ')) AS chunk_hash
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+    "t07_vocab" ->
+      s"""WITH f AS (
+         |  SELECT unnest($sqlToks) AS tok FROM documents),
+         |c AS (SELECT tok, count(*)::BIGINT AS n FROM f GROUP BY 1)
+         |SELECT row_number() OVER (ORDER BY n DESC, tok)::INT AS rank, tok, n
+         |FROM c ORDER BY n DESC, tok LIMIT 30""".stripMargin,
   )
 }

@@ -1,0 +1,93 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import java.nio.file.Files
+
+/** Source/sink format coverage (SURVEY.md §2, x01–x03): the WAL flat-event
+  * stream written to and read back from each built-in columnar/text format
+  * (ORC, JSON-lines, CSV), then aggregated. The oracle recomputes the same
+  * aggregate from the original parquet — so a hash match proves the
+  * roundtrip is lossless, types included (timestamps survive as micros,
+  * doubles bit-exact via the writers' round-trip representations).
+  *
+  * The reference's ingest edge is NATS bytes (internal/mq/wal.go); a Spark
+  * deployment lands the same envelope in files/object storage — these are
+  * the read paths a consumer would actually use. Binary Avro framing is
+  * covered separately (c14, single-object encoding).
+  */
+object SourceSinks {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** The roundtripped payload: flat change events (see graft.cdc.Envelope). */
+  private def payload(s: SparkSession, d: String): DataFrame =
+    graft.cdc.Envelope.flat(Tables.events(s, d))
+
+  /** Write payload as `format`, read it back, aggregate per op. The stats
+    * are chosen to be type-sensitive: micros of max tx_at catches timestamp
+    * precision loss, sum(value) catches double mangling, the pk sums catch
+    * null handling (CSV/JSON null vs empty).
+    */
+  private def roundtrip(s: SparkSession, d: String, format: String,
+      writeOpts: Map[String, String] = Map.empty,
+      readOpts: Map[String, String] = Map.empty): DataFrame = {
+    val df = payload(s, d)
+    val dir = Files.createTempDirectory(s"graft_$format").toString
+    df.write.options(writeOpts).mode("overwrite").format(format).save(dir)
+    val back = s.read.options(readOpts).schema(df.schema).format(format).load(dir)
+    back
+      .groupBy(col("op"))
+      .agg(count(lit(1)).as("n"),
+        max("lsn_long").as("max_lsn"),
+        unix_micros(max("tx_at")).as("max_tx_at_us"),
+        round(sum("value"), 2).as("sum_value"),
+        sum("pk_before").as("sum_pk_before"),
+        sum("pk_after").as("sum_pk_after"),
+        count(col("after_value")).as("n_after"))
+      .orderBy("op")
+  }
+
+  // x01: ORC sink + source (columnar twin of parquet — same predicate
+  // pushdown and column pruning at the scan).
+  val x01_orc_roundtrip: Q = (s, d) => roundtrip(s, d, "orc")
+
+  // x02: JSON-lines sink + source. Timestamps carried as ISO-8601 with
+  // explicit micros; the read supplies the schema (no inference pass,
+  // which would double-scan at 100 TB).
+  val x02_json_roundtrip: Q = (s, d) => roundtrip(s, d, "json",
+    writeOpts = Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"),
+    readOpts = Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"))
+
+  // x03: CSV sink + source, header on, explicit timestamp format and
+  // empty-string ↔ null discipline.
+  val x03_csv_roundtrip: Q = (s, d) => roundtrip(s, d, "csv",
+    writeOpts = Map("header" -> "true",
+      "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"),
+    readOpts = Map("header" -> "true",
+      "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"))
+
+  val queries: Map[String, Q] = Map(
+    "x01_orc_roundtrip" -> x01_orc_roundtrip,
+    "x02_json_roundtrip" -> x02_json_roundtrip,
+    "x03_csv_roundtrip" -> x03_csv_roundtrip,
+  )
+
+  /** One oracle body for all three: recompute from the parquet original. */
+  private val sqlStats: String =
+    s"""WITH ${graft.cdc.Envelope.sqlEnv}, ${graft.cdc.Envelope.sqlFlat}
+       |SELECT op, count(*)::BIGINT AS n,
+       |  max(lsn_long) AS max_lsn,
+       |  epoch_us(max(tx_at)) AS max_tx_at_us,
+       |  round(sum(value), 2) AS sum_value,
+       |  sum(pk_before)::BIGINT AS sum_pk_before,
+       |  sum(pk_after)::BIGINT AS sum_pk_after,
+       |  count(after_value)::BIGINT AS n_after
+       |FROM flat GROUP BY op ORDER BY op""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "x01_orc_roundtrip" -> sqlStats,
+    "x02_json_roundtrip" -> sqlStats,
+    "x03_csv_roundtrip" -> sqlStats,
+  )
+}

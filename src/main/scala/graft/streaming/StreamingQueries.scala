@@ -112,6 +112,55 @@ object StreamingQueries {
         col("n_events"), col("sum_value"))
       .orderBy("user_id", "start_us")
 
+  /** Attribution join shared by s07 (batch) and s08 (streaming): clicks
+    * within the 30 minutes strictly before each purchase, same user.
+    * Equi-join on user_id + a time-interval predicate — exactly the shape
+    * Structured Streaming's stream-stream join supports with watermarks.
+    */
+  def attributionPairs(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+      col("value").as("c_value"))
+    val p = purchases.select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
+    p.join(c, col("user_id") === col("c_user") &&
+      col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+      col("c_ts") < col("p_ts"))
+  }
+
+  private def attributionAgg(pairs: DataFrame): DataFrame =
+    pairs.groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_clicks_30m"),
+        round(sum("c_value"), 2).as("click_value"))
+      .orderBy("event_id")
+
+  // s07: interval-join attribution (batch twin of s08) — purchases with
+  // the clicks in their trailing 30-minute window. One shuffle on
+  // user_id; the interval predicate filters inside the sort-merge join.
+  val s07_interval_join: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    attributionAgg(attributionPairs(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase")))
+  }
+
+  // s08 (rows-only; spec: == s07): the same join as a real stream-stream
+  // inner join. Both sides carry 1-hour watermarks; the time-interval
+  // condition lets Spark bound join state eviction on both sides —
+  // exactly how a 100 TB/day CDC attribution pipeline stays finite-state.
+  val s08_stream_stream_join: Q = (s, d) => {
+    val raw = Tables.load(s, d, "events")
+    def stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+    val name = s"graft_ssj_${System.nanoTime()}"
+    val q = attributionPairs(
+      stream.filter(col("event_type") === "click"),
+      stream.filter(col("event_type") === "purchase"))
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    attributionAgg(s.table(name))
+  }
+
   val queries: Map[String, Q] = Map(
     "s01_tumbling_window" -> s01_tumbling_window,
     "s06_session_window" -> s06_session_window,
@@ -119,6 +168,8 @@ object StreamingQueries {
     "s03_stream_dedup" -> s03_stream_dedup,
     "s04_hourly_rollup" -> s04_hourly_rollup,
     "s05_watermark_agg" -> s05_watermark_agg,
+    "s07_interval_join" -> s07_interval_join,
+    "s08_stream_stream_join" -> s08_stream_stream_join,
   )
 
   val oracle: Map[String, String] = Map(
@@ -170,5 +221,16 @@ object StreamingQueries {
       """SELECT event_type, hour(ts::TIMESTAMP)::INT AS hour_of_day,
         |  count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "s07_interval_join" ->
+      """SELECT p.event_id, count(*)::BIGINT AS n_clicks_30m,
+        |  round(sum(c.value), 2) AS click_value
+        |FROM (SELECT event_id, user_id, ts::TIMESTAMP AS p_ts
+        |      FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT user_id, ts::TIMESTAMP AS c_ts, value
+        |      FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE
+        | AND c.c_ts < p.p_ts
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

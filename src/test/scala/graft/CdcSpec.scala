@@ -90,4 +90,16 @@ class CdcSpec extends AnyFunSuite {
     assert(latest.head.getAs[String]("latest_fingerprint") == AvroSchemaGen.fingerprintHex(fp2))
     assert(latest.head.getAs[Long]("n_versions") == 2L)
   }
+
+  test("schema evolution diff flags exactly the v2-added column") {
+    val rows = CdcQueries.c17_schema_evolution(spark, sf).collect()
+    assert(rows.length == Tables.names.length)
+    rows.foreach { r =>
+      val t = r.getAs[String]("subject").split('.').last
+      val evolved = Tables.names.zipWithIndex.toMap.apply(t) % 2 == 0
+      assert(r.getAs[String]("added_cols") == (if (evolved) "added_v2" else ""))
+      assert(r.getAs[String]("removed_cols") == "")
+      assert(r.getAs[Long]("n_versions") == (if (evolved) 2L else 1L))
+    }
+  }
 }

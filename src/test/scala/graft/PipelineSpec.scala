@@ -88,6 +88,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("v04 knn-join recall against exact top-3 neighbors") {
+    val got = Similarity.v04_knn_join(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .map { case (v, a) => v -> a.map(_._2).toSet }
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"))
+    val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("v1")).orderBy(col("cos").desc, col("v2"))
+    val exact = a.crossJoin(b).filter(col("v1") =!= col("v2"))
+      .withColumn("cos", round(ops.Vec.cosine(col("e1"), col("e2")), 6))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select("v1", "v2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (v, arr) => v -> arr.map(_._2).toSet }
+    assert(exact.keySet == got.keySet) // top-3 emitted for every vector
+    val recalls = exact.map { case (v, ex) =>
+      (ex & got.getOrElse(v, Set.empty)).size.toDouble / ex.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"knn-join mean recall@3 = $mean")
+  }
+
+  test("t06 chunking covers every doc with contiguous bounded chunks") {
+    val rows = TextAnalysis.t06_chunking(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val nDocs = Tables.documents(spark, sf).count()
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc.size == nDocs)
+    byDoc.foreach { case (doc, cs) =>
+      val idxs = cs.map(_._2).sorted
+      assert(idxs.sameElements(idxs.indices), s"doc $doc chunk idx gap")
+      cs.foreach { case (_, _, n) => assert(n >= 1 && n <= 50) }
+      // every chunk except possibly the last is full
+      assert(cs.sortBy(_._2).dropRight(1).forall(_._3 == 50), s"doc $doc short mid-chunk")
+    }
+  }
+
   test("minhash signature estimates true jaccard within tolerance") {
     val exact = Dedup.d02_ngram_jaccard(spark, sf).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap

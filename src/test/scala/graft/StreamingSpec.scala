@@ -15,6 +15,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val batch = StreamingQueries.s07_interval_join(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val streamed = StreamingQueries.s08_stream_stream_join(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("sessions are disjoint and ordered") {
     val rows = StreamingQueries.s02_sessionize(spark, sf).collect()
     assert(rows.nonEmpty)
