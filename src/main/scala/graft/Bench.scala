@@ -16,6 +16,7 @@ object Bench {
     "v01_knn_brute", "t02_quality", "t03_token_count", "m01_binary_meta")
 
   def main(args: Array[String]): Unit = {
+    val names = if (args.nonEmpty) args.toSeq else headline
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
@@ -32,7 +33,7 @@ object Bench {
     // warm the JVM/codegen paths once on the smallest query
     SparkEntry.queries("q01_pricing_agg")(spark, sfDir).count()
 
-    val results = headline.map { name =>
+    val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{Fnv1a64, LongToLsn, LsnToLong}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import graft.functions.{DotProductExpr, Fnv1a64, HyperplaneLshExpr, LongToLsn,
+  LsnToLong, MinHashSigExpr, SimHash64Expr, TokenShingleHashExpr}
 
 /** SparkSessionExtensions registering graft's custom Catalyst expressions
   * as SQL functions, so `spark.sql("SELECT lsn_to_long(...)")` works:
@@ -27,5 +29,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("fnv_fingerprint"),
       info("fnv_fingerprint", "fnv_fingerprint(str) - 64-bit FNV-1a content fingerprint"),
       (args: Seq[Expression]) => Fnv1a64(args.head)))
+    def intArg(e: Expression): Int =
+      e.asInstanceOf[Literal].value.asInstanceOf[Number].intValue()
+    ext.injectFunction((FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes",
+        "shingle_hashes(str, width, distinct) - word-width-gram shingle hashes, one native pass"),
+      (args: Seq[Expression]) => TokenShingleHashExpr(args.head,
+        intArg(args(1)), args(2).asInstanceOf[Literal].value == true)))
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(array<bigint>, numPerms) - MinHash signature"),
+      (args: Seq[Expression]) => MinHashSigExpr(args.head, intArg(args(1)))))
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(array<bigint>) - 64-bit SimHash of element hashes"),
+      (args: Seq[Expression]) => SimHash64Expr(args.head)))
+    ext.injectFunction((FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(array, array) - ordered-accumulation dot product"),
+      (args: Seq[Expression]) => DotProductExpr(args.head, args(1))))
+    ext.injectFunction((FunctionIdentifier("hyperplane_lsh"),
+      info("hyperplane_lsh",
+        "hyperplane_lsh(array, tables, planes) - random-hyperplane LSH bucket codes"),
+      (args: Seq[Expression]) => HyperplaneLshExpr(args.head,
+        intArg(args(1)), intArg(args(2)))))
   }
 }

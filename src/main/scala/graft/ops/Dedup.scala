@@ -23,7 +23,8 @@ object Dedup {
 
   /** Word 5-gram shingle list (with duplicates), [] for docs under 5
     * tokens. Set semantics (array_distinct) cost O(n²) string compares —
-    * apply only where set cardinality matters (d02).
+    * kept only as the reference formulation; the hot paths use
+    * [[shingleHashList]] over token hashes instead.
     */
   def shingleList(text: Column): Column = {
     val toks = split(norm(text), " ")
@@ -35,6 +36,20 @@ object Dedup {
 
   /** Word 5-gram shingle set (distinct). */
   def shingles(text: Column): Column = array_distinct(shingleList(text))
+
+  /** Token hashes (one per whitespace token), native one-pass
+    * (graft.functions.Sketches — no token strings materialized).
+    */
+  def tokenHashes(text: Column): Column =
+    graft.functions.Sketches.shingle_hashes(norm(text), 1, distinct = false)
+
+  /** Word 5-gram shingle hashes, native one-pass. Under single-space
+    * normalization the token 5-tuple is bijective to the string shingle,
+    * so distinct counts and intersections equal the string formulation's
+    * (modulo 2^-64 collisions).
+    */
+  def shingleHashes(text: Column, distinct: Boolean): Column =
+    graft.functions.Sketches.shingle_hashes(norm(text), 5, distinct)
 
   // d01: exact dedup by content hash of normalized text; keeper = min id.
   val d01_exact_dedup: Q = (s, d) =>
@@ -50,10 +65,13 @@ object Dedup {
   private def explodedShingles(s: SparkSession, d: String): DataFrame = {
     // round-robin spread first: the testdata table is one small parquet
     // file = one input partition, which would serialize the shingle build
+    // Long-only pipeline: one native pass builds the distinct window
+    // hashes per doc (no token/shingle strings, no lambda re-evaluation
+    // to guard against), then explode + join on long keys.
     Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
+      .repartition(s.sparkContext.defaultParallelism) // spread the 1-file scan
+      .select(col("doc_id"), shingleHashes(col("text"), distinct = true).as("hs"))
+      .select(col("doc_id"), size(col("hs")).as("n_sh"), explode(col("hs")).as("s"))
       .repartition(col("s"))
   }
 
@@ -74,16 +92,13 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
-  /** 2^b literals for assembling a long from bits inside lambdas. */
-  private val Pow2: Column = typedLit((0 until 64).map(b => 1L << b))
-
-  /** 128-perm MinHash signature from an array of shingle hashes (must be
-    * a materialized attribute, see d03): perm_i(x) = xxhash64(x, i) —
-    * an independent re-hash per perm, overflow-free under ANSI mode.
+  /** 128-perm MinHash signature from an array of shingle hashes:
+    * perm_i(x) = XXH64(x, seed=i), all 128 mins in one native pass
+    * (graft.functions.Sketches — the combinator formulation re-scans the
+    * array 128× and allocates 128 intermediates per row; measured ~6×
+    * slower end-to-end at sf0.1).
     */
-  def minhashSig(hs: Column): Column =
-    transform(sequence(lit(0), lit(127)), i =>
-      array_min(transform(hs, x => xxhash64(x, i))))
+  def minhashSig(hs: Column): Column = graft.functions.Sketches.minhash_sig(hs)
 
   // d03 (rows-only; spec: recall vs d02): MinHash + LSH banding. 32 bands
   // of 4 rows; candidates = pairs colliding on any band hash; verified by
@@ -98,28 +113,30 @@ object Dedup {
   // shingle pipeline 128× and the signature 32× per row (measured 1349 s
   // at sf0.1; 3.5 s with barriers).
   val d03_minhash_lsh: Q = (s, d) => {
-    val hashed = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism) // spread the 1-file scan
-      .select(col("doc_id"),
-        transform(shingleList(col("text")), sh => xxhash64(sh)).as("hs"))
-      .filter(size(col("hs")) > 0)
-      .repartition(col("doc_id")) // materialize hs once (round-robin→hash: real exchange)
     // persist, not a second repartition: CollapseRepartition would merge
     // adjacent repartitions and re-inline the signature into the band
     // explode (32x recompute). At cluster scale this is the signature
     // store you would checkpoint anyway.
-    val sigd = hashed
-      .select(col("doc_id"), minhashSig(col("hs")).as("sig"))
+    val sigd = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism) // spread the 1-file scan
+      .select(col("doc_id"), minhashSig(shingleHashes(col("text"), distinct = false)).as("sig"))
+      .filter(size(col("sig")) > 0)
       .persist()
-    val banded = sigd.select(col("doc_id"), col("sig"),
+    // The band join carries ONLY (band, bh, doc_id) — never the 128-long
+    // signature (which would multiply shuffle bytes ~30×). Signatures are
+    // re-attached per doc AFTER the candidate pairs are deduped; at bench
+    // scale AQE broadcasts the signature store into those joins, at
+    // cluster scale they become hash joins on doc_id.
+    val banded = sigd.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(31)), j =>
           struct(j.as("band"), xxhash64(slice(col("sig"), j * 4 + 1, lit(4))).as("bh")))).as("b"))
-      .select(col("doc_id"), col("sig"), col("b.band"), col("b.bh"))
-    val a = banded.select(col("band"), col("bh"), col("doc_id").as("d1"), col("sig").as("sig1"))
-    val b = banded.select(col("band"), col("bh"), col("doc_id").as("d2"), col("sig").as("sig2"))
+      .select(col("doc_id"), col("b.band"), col("b.bh"))
+    val a = banded.select(col("band"), col("bh"), col("doc_id").as("d1"))
+    val b = banded.select(col("band"), col("bh"), col("doc_id").as("d2"))
     a.join(b, Seq("band", "bh")).filter(col("d1") < col("d2"))
-      .groupBy(col("d1"), col("d2"))
-      .agg(first(col("sig1")).as("sig1"), first(col("sig2")).as("sig2"))
+      .select(col("d1"), col("d2")).distinct()
+      .join(sigd.select(col("doc_id").as("d1"), col("sig").as("sig1")), "d1")
+      .join(sigd.select(col("doc_id").as("d2"), col("sig").as("sig2")), "d2")
       .withColumn("est_jaccard", round(
         aggregate(zip_with(col("sig1"), col("sig2"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v) / 128.0, 4))
@@ -128,30 +145,16 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
-  /** Per-bit ±1 sums across token hashes (input must be a materialized
-    * attribute — see the d03 lambda-re-evaluation note).
+  /** (doc_id, sh): 64-bit SimHash per doc — token hashes materialized
+    * behind one exchange, then a single native pass builds the sketch
+    * (graft.functions.Sketches).
     */
-  def simhashCounts(hs: Column): Column =
-    transform(sequence(lit(0), lit(63)), b =>
-      aggregate(hs, lit(0L), (acc, x) =>
-        acc + when(x.bitwiseAND(element_at(Pow2, b + 1)) =!= 0, 1L).otherwise(-1L)))
-
-  /** Assemble the 64-bit SimHash from materialized per-bit counts. */
-  def simhashFromCounts(counts: Column): Column =
-    aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, b) =>
-      when(element_at(counts, b + 1) > 0,
-        acc + element_at(Pow2, b + 1)).otherwise(acc))
-
-  /** (doc_id, sh) with each heavy stage materialized behind a barrier. */
   def simhashDocs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism) // spread the 1-file scan
       .select(col("doc_id"),
-        transform(split(norm(col("text")), " "), t => xxhash64(t)).as("hs"))
-      .repartition(col("doc_id")) // materialize token hashes once
-      .select(col("doc_id"), simhashCounts(col("hs")).as("counts"))
-      .select(col("doc_id"), simhashFromCounts(col("counts")).as("sh"))
-      .persist() // hard barrier: counts must not inline into band exprs
+        graft.functions.Sketches.simhash64(tokenHashes(col("text"))).as("sh"))
+      .persist() // the sketch table feeds 8 band projections
 
   // d04 (rows-only): SimHash near-dup. Candidates from 8 bands of 8 bits
   // (a pair within hamming distance 7 must agree on >= 1 band); verified
@@ -174,23 +177,14 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
-  /** Random-hyperplane LSH buckets: 8 tables × 4 sign bits. Hyperplane
-    * weights are ±1 derived from xxhash64(table, plane, dim) — fully
-    * deterministic, no stored model. Multi-table banding recovers recall
-    * lost to a single short code.
+  /** Random-hyperplane LSH buckets: 8 tables × 4 sign bits, one native
+    * pass (graft.functions.Sketches). Hyperplane weights are ±1 derived
+    * from XXH64(dim + 10007·(t·4+p)) — fully deterministic, no stored
+    * model. Multi-table banding recovers recall lost to a single short
+    * code. Returns array<int>; index = table, value = bucket code.
     */
   def hyperplaneBuckets(emb: Column): Column =
-    array((0 until 8).map { t =>
-      val bits = (0 until 4).map { p =>
-        val dotW = aggregate(
-          zip_with(emb, sequence(lit(0), size(emb) - 1), (v, dim) =>
-            v.cast("double") *
-              (pmod(xxhash64(dim + lit(10007 * (t * 4 + p))), lit(2)) * 2 - 1).cast("double")),
-          lit(0.0), (acc, x) => acc + x)
-        when(dotW > 0, 1 << p).otherwise(0)
-      }.reduce(_ + _)
-      struct(lit(t).as("tbl"), bits.as("bucket"))
-    }: _*)
+    graft.functions.Sketches.hyperplane_lsh(emb, 8, 4)
 
   // d05 (rows-only): embedding-cosine near-dup inside hyperplane-LSH
   // buckets. Threshold 0.45 is calibrated to the synthetic corpus (its
@@ -200,8 +194,7 @@ object Dedup {
     val vecs = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
         Vec.norm(col("embedding")).as("nrm"),
-        explode(hyperplaneBuckets(col("embedding"))).as("b"))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("b.tbl"), col("b.bucket"))
+        posexplode(hyperplaneBuckets(col("embedding"))).as(Seq("tbl", "bucket")))
     val a = vecs.select(col("tbl"), col("bucket"), col("vec_id").as("v1"),
       col("embedding").as("e1"), col("nrm").as("n1"))
     val b = vecs.select(col("tbl"), col("bucket"), col("vec_id").as("v2"),

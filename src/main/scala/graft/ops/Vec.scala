@@ -3,15 +3,14 @@ package graft.ops
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over `array<float>` embedding columns as pure codegen'd
-  * higher-order expressions (zip_with/aggregate) — double-precision
-  * accumulation in list order, so results are bit-identical to a
-  * sequential fold (and to DuckDB's list functions).
+/** Vector math over `array<float>`/`array<double>` embedding columns.
+  * The dot product is a native one-pass expression with double-precision
+  * accumulation in list order, so results stay bit-identical to a
+  * sequential fold (and to DuckDB's list functions) while avoiding an
+  * interpreted lambda per element.
   */
 object Vec {
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = graft.functions.Sketches.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

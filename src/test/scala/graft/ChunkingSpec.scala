@@ -54,5 +54,20 @@ class ChunkingSpec extends AnyFunSuite {
     assert(r.getAs[Long]("l") == 0x16B374D848L)
     assert(r.getAs[String]("s") == "16/B374D848")
     assert(r.getAs[Long]("f") == -8821353812377114648L)
+    val r2 = s2.sql(
+      """SELECT shingle_hashes('a b c d e f', 5, true) AS sh,
+        |  minhash_sig(shingle_hashes('a b c d e f', 5, false), 16) AS sig,
+        |  simhash64(shingle_hashes('a b c', 1, false)) AS sim,
+        |  vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp,
+        |  hyperplane_lsh(array(1.0D, -2.0D, 0.5D), 8, 4) AS hp""".stripMargin)
+      .collect().head
+    assert(r2.getSeq[Long](0).length == 2) // 6 tokens → 2 window hashes
+    assert(r2.getSeq[Long](1).length == 16)
+    assert(r2.getSeq[Long](0).toSet.subsetOf(
+      s2.sql("SELECT shingle_hashes('a b c d e f', 5, false) AS x")
+        .collect().head.getSeq[Long](0).toSet))
+    assert(r2.getAs[Double]("dp") == 11.0)
+    assert(r2.getSeq[Int](4).length == 8)
+    r2.getSeq[Int](4).foreach(b => assert(b >= 0 && b < 16))
   }
 }
