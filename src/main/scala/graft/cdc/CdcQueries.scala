@@ -240,6 +240,22 @@ object CdcQueries {
       .orderBy("subject")
   }
 
+  // c18: MQ topic routing — WAL events fan out to per-table topics
+  // `[creek-ns].[db].wal.[ns].[table]` (README + internal/mq/wal.go
+  // naming); per-topic publish stats. Table sharding reuses the c07
+  // user_id%4 lift so the oracle sees identical routing.
+  val c18_topic_routing: Q = (s, d) => {
+    flatEnv(s, d)
+      .groupBy(concat(lit("CREEK.testdb.wal.public.t"),
+        (col("user_id") % 4).cast("string")).as("topic"))
+      .agg(count(lit(1)).as("n_msgs"),
+        min("lsn_long").as("min_lsn_long"),
+        max("lsn_long").as("max_lsn_long"),
+        unix_micros(max("tx_at")).as("last_sent_us"))
+      .withColumn("first_lsn", Lsn.long_to_lsn(col("min_lsn_long")))
+      .orderBy("topic")
+  }
+
   val queries: Map[String, Q] = Map(
     "c01_lsn_roundtrip" -> c01_lsn_roundtrip,
     "c02_wal_envelope" -> c02_wal_envelope,
@@ -258,6 +274,7 @@ object CdcQueries {
     "c15_chunking" -> c15_chunking,
     "c16_wal_compaction" -> c16_wal_compaction,
     "c17_schema_evolution" -> c17_schema_evolution,
+    "c18_topic_routing" -> c18_topic_routing,
   )
 
   val oracle: Map[String, String] = Map(
@@ -346,5 +363,14 @@ object CdcQueries {
          |SELECT segment, sum(n_key)::BIGINT AS n_in, count(*)::BIGINT AS n_out,
          |  round(count(*) / sum(n_key)::DOUBLE, 4) AS keep_ratio
          |FROM seg GROUP BY 1 ORDER BY 1""".stripMargin,
+    "c18_topic_routing" ->
+      s"""WITH $sqlEnv
+         |SELECT 'CREEK.testdb.wal.public.t' || (user_id % 4)::VARCHAR AS topic,
+         |  count(*)::BIGINT AS n_msgs,
+         |  min(lsn_long) AS min_lsn_long,
+         |  max(lsn_long) AS max_lsn_long,
+         |  epoch_us(max(tx_at)) AS last_sent_us,
+         |  ${sqlLsnStr("min(lsn_long)")} AS first_lsn
+         |FROM env GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -208,12 +208,45 @@ object Dedup {
       .orderBy("v1", "v2")
   }
 
+  // d06: duplicate-cluster materialization — connected components over
+  // the exact near-dup pairs (d02), i.e. the table a dedup job actually
+  // joins against to drop all-but-one copy per cluster. Min-label
+  // propagation to fixpoint: components here are near-dup clusters
+  // (diameter ≤ a few hops), so 2–4 rounds converge; each round is one
+  // join + one min-agg on the same key partitioning. At 100 TB-scale
+  // graphs you'd switch to pointer-jumping (large-star/small-star) for
+  // O(log n) rounds — same per-round plan shape. Oracle: DuckDB
+  // recursive CTE over the identical pair set.
+  val d06_dup_clusters: Q = (s, d) => {
+    val pairs = d02_ngram_jaccard(s, d).select(col("d1"), col("d2")).persist()
+    val edges = pairs.union(pairs.select(col("d2"), col("d1")))
+      .toDF("src", "dst").persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("rep", col("node")).persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val prop = edges.join(labels, edges("src") === labels("node"))
+        .select(col("dst").as("node"), col("rep"))
+      val next = labels.select("node", "rep").union(prop)
+        .groupBy("node").agg(min("rep").as("rep")).persist()
+      changed = next.join(labels.withColumnRenamed("rep", "old"), "node")
+        .filter(col("rep") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("rep").as("cluster"), col("node").as("doc_id"))
+      .orderBy("cluster", "doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "d01_exact_dedup" -> d01_exact_dedup,
     "d02_ngram_jaccard" -> d02_ngram_jaccard,
     "d03_minhash_lsh" -> d03_minhash_lsh,
     "d04_simhash" -> d04_simhash,
     "d05_embed_neardup" -> d05_embed_neardup,
+    "d06_dup_clusters" -> d06_dup_clusters,
   )
 
   val oracle: Map[String, String] = Map(
@@ -241,5 +274,30 @@ object Dedup {
         |  round(inter / (n1 + n2 - inter), 6) AS jaccard
         |FROM pairs WHERE round(inter / (n1 + n2 - inter), 6) >= 0.8
         |ORDER BY d1, d2""".stripMargin,
+    "d06_dup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(t) >= 5 THEN
+        |    list_distinct([array_to_string(t[i:i+4], ' ') for i in range(1, len(t)-3)])
+        |    ELSE [] END AS shingles
+        |  FROM toks),
+        |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter,
+        |    a.n_sh AS n1, b.n_sh AS n2
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 4, 5
+        |  HAVING round(count(*) / (a.n_sh + b.n_sh - count(*)), 6) >= 0.8),
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+        |          UNION SELECT d2, d1 FROM pairs),
+        |cc(node, rep) AS (
+        |  SELECT DISTINCT src AS node, src AS rep FROM edges
+        |  UNION
+        |  SELECT e.dst, least(c.rep, e.dst) FROM cc c JOIN edges e ON c.node = e.src)
+        |SELECT min(rep) AS cluster, node AS doc_id
+        |FROM cc GROUP BY node ORDER BY cluster, doc_id""".stripMargin,
   )
 }

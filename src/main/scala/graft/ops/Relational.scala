@@ -407,6 +407,34 @@ object Relational {
       .orderBy("user_id")
   }
 
+  // q31: trailing 30-day range-frame window — per order, that customer's
+  // order count/spend in the preceding 30 days (inclusive). RANGE frame
+  // over an epoch-day ordering key: tie days all enter the frame, so the
+  // result is deterministic without a tiebreak. One shuffle on custkey.
+  val q31_trailing_window: Q = (s, d) => {
+    val dayN = datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day_n"))
+      .rangeBetween(-30, 0)
+    Tables.orders(s, d)
+      .withColumn("day_n", dayN)
+      .withColumn("n_orders_30d", count(lit(1)).over(w))
+      .withColumn("spend_30d", round(sum("o_totalprice").over(w), 2))
+      .select("o_orderkey", "o_custkey", "day_n", "n_orders_30d", "spend_30d")
+      .orderBy("o_orderkey")
+  }
+
+  // q32 (rows-only; spec: per-group relative error ≤ 5%): HyperLogLog++
+  // approximate count-distinct next to the exact count — the sketch you
+  // actually run at 100 TB where exact two-phase distinct is a full
+  // re-shuffle of the key universe. rsd 0.02 ≈ 2% typical error.
+  val q32_approx_distinct: Q = (s, d) => {
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n_exact"),
+        approx_count_distinct(col("o_custkey"), rsd = 0.02).as("n_approx"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_agg" -> q01_pricing_agg,
     "q02_filter_pushdown" -> q02_filter_pushdown,
@@ -438,6 +466,8 @@ object Relational {
     "q28_string_agg" -> q28_string_agg,
     "q29_json_extract" -> q29_json_extract,
     "q30_salted_join" -> q30_salted_join,
+    "q31_trailing_window" -> q31_trailing_window,
+    "q32_approx_distinct" -> q32_approx_distinct,
   )
 
   val oracle: Map[String, String] = Map(
@@ -641,6 +671,16 @@ object Relational {
       """SELECT json_extract_string(props, '$.k')::INT AS k,
         |  count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q31_trailing_window" ->
+      """SELECT o_orderkey, o_custkey,
+        |  date_diff('day', DATE '1970-01-01', o_orderdate::DATE)::INT AS day_n,
+        |  count(*) OVER w AS n_orders_30d,
+        |  round(sum(o_totalprice) OVER w, 2) AS spend_30d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate::DATE)
+        |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
     "q30_salted_join" ->
       """WITH dim AS (
         |  SELECT user_id, min(ts::TIMESTAMP) AS first_ts FROM events GROUP BY 1)

@@ -48,6 +48,15 @@ class RelationalSpec extends AnyFunSuite {
     assert(prices.sameElements(prices.sorted(Ordering[Double].reverse)))
   }
 
+  test("q32 approx count-distinct within 5% of exact per group") {
+    ops.Relational.q32_approx_distinct(spark, sf).collect().foreach { r =>
+      val exact = r.getAs[Long]("n_exact")
+      val approx = r.getAs[Long]("n_approx")
+      assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+        s"${r.getAs[String]("o_orderpriority")}: exact=$exact approx=$approx")
+    }
+  }
+
   test("q07 rank bounded per partition") {
     val rns = ops.Relational.q07_window_rank(spark, sf)
       .collect().map(_.getAs[Int]("rn"))
