@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import graft.functions.{DotProductExpr, Fnv1a64, HyperplaneLshExpr, LongToLsn,
-  LsnToLong, MinHashSigExpr, SimHash64Expr, TokenShingleHashExpr}
+  LsnToLong, MinHashSigExpr, SimHash64Expr, TokenShingleHashExpr, TopKByAgg}
 
 /** SparkSessionExtensions registering graft's custom Catalyst expressions
   * as SQL functions, so `spark.sql("SELECT lsn_to_long(...)")` works:
@@ -50,5 +50,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "hyperplane_lsh(array, tables, planes) - random-hyperplane LSH bucket codes"),
       (args: Seq[Expression]) => HyperplaneLshExpr(args.head,
         intArg(args(1)), intArg(args(2)))))
+    ext.injectFunction((FunctionIdentifier("topk_by"),
+      info("topk_by",
+        "topk_by(payload, ord, tie, k) - top-k rows per group via bounded heaps (no sort)"),
+      (args: Seq[Expression]) => TopKByAgg(args.head, args(1), args(2),
+        intArg(args(3))).toAggregateExpression()))
   }
 }

@@ -435,6 +435,24 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  // q33: top-3 per nation via the custom bounded-heap aggregate
+  // (graft.functions.TopK) instead of a window sort — a hash aggregation
+  // whose map-side partial state is ≤ k rows per key per partition: at
+  // 100 TB the shuffle carries k·keys·partitions rows, not the table,
+  // and nothing is ever sorted. Same rows as the q07 window formulation
+  // (the oracle is the identical SQL).
+  val q33_topk_per_key: Q = (s, d) => {
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey"))
+      .agg(graft.functions.TopK.topk_by(
+        struct(col("c_custkey"), col("c_name"), col("c_acctbal")),
+        col("c_acctbal"), col("c_custkey"), 3).as("top"))
+      .select(col("c_nationkey"), posexplode(col("top")).as(Seq("pos", "r")))
+      .select(col("c_nationkey"), (col("pos") + 1).cast("int").as("rn"),
+        col("r.c_custkey"), col("r.c_name"), col("r.c_acctbal"))
+      .orderBy("c_nationkey", "rn")
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_agg" -> q01_pricing_agg,
     "q02_filter_pushdown" -> q02_filter_pushdown,
@@ -468,6 +486,7 @@ object Relational {
     "q30_salted_join" -> q30_salted_join,
     "q31_trailing_window" -> q31_trailing_window,
     "q32_approx_distinct" -> q32_approx_distinct,
+    "q33_topk_per_key" -> q33_topk_per_key,
   )
 
   val oracle: Map[String, String] = Map(
@@ -671,6 +690,13 @@ object Relational {
       """SELECT json_extract_string(props, '$.k')::INT AS k,
         |  count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q33_topk_per_key" ->
+      """SELECT c_nationkey, rn, c_custkey, c_name, c_acctbal FROM (
+        |  SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |                       ORDER BY c_acctbal DESC, c_custkey)::INT AS rn
+        |  FROM customer) t
+        |WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin,
     "q31_trailing_window" ->
       """SELECT o_orderkey, o_custkey,
         |  date_diff('day', DATE '1970-01-01', o_orderdate::DATE)::INT AS day_n,

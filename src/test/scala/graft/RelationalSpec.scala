@@ -57,6 +57,15 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q33 heap top-k equals the q07 window formulation") {
+    val win = ops.Relational.q07_window_rank(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val heap = ops.Relational.q33_topk_per_key(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(win.nonEmpty)
+    assert(heap == win)
+  }
+
   test("q07 rank bounded per partition") {
     val rns = ops.Relational.q07_window_rank(spark, sf)
       .collect().map(_.getAs[Int]("rn"))
