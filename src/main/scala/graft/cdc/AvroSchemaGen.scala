@@ -41,12 +41,68 @@ object AvroSchemaGen {
     if (nullable) s"""["null",$base]""" else base
   }
 
-  /** Avro record schema JSON for a StructType. */
-  def record(st: StructType, name: String, namespace: String): String = {
+  /** Postgres type name for a Catalyst type — the reverse of the
+    * reference's pg→Avro map (pgtype-avro/type_map.go), emitted as the
+    * per-field `pgType` property like the reference's schemas.
+    */
+  def pgTypeName(dt: DataType): String = dt match {
+    case BooleanType => "bool"
+    case ByteType | ShortType => "int2"
+    case IntegerType => "int4"
+    case LongType => "int8"
+    case FloatType => "float4"
+    case DoubleType => "float8"
+    case StringType => "text"
+    case BinaryType => "bytea"
+    case TimestampType => "timestamptz"
+    case TimestampNTZType => "timestamp"
+    case DateType => "date"
+    case _: DecimalType => "numeric"
+    case ArrayType(et, _) => "_" + pgTypeName(et)
+    case _: StructType => "record"
+    case other => throw new IllegalArgumentException(s"unsupported type $other")
+  }
+
+  /** Avro record schema JSON for a StructType. `keys` marks primary-key
+    * fields with the `pgKey` property (README schema; pgtype-avro
+    * emits pgKey/pgType on every field). Extra props are stripped by the
+    * parsing canonical form, so fingerprints don't depend on them.
+    */
+  def record(st: StructType, name: String, namespace: String,
+      keys: Set[String] = Set.empty): String = {
     val fields = st.fields.map { f =>
-      s"""{"name":"${f.name}","type":${avroType(f.dataType, f.nullable, f.name, namespace)}}"""
+      s"""{"name":"${f.name}","type":${avroType(f.dataType, f.nullable, f.name, namespace)},""" +
+        s""""pgKey":${keys.contains(f.name)},"pgType":"${pgTypeName(f.dataType)}"}"""
     }.mkString(",")
     s"""{"type":"record","name":"$name","namespace":"$namespace","fields":[$fields]}"""
+  }
+
+  /** Full WAL envelope schema for one replicated table — mirrors the
+    * reference's `AvroSchema` (messages.go:58-91): source record, op enum
+    * c|u|u_pk|d|t|r, timestamp-micros sent_at, and nullable before/after
+    * row records disambiguated by namespace ("before"/"after") exactly as
+    * the reference does. `before` carries only the replica-identity (key)
+    * columns; `after` the full row.
+    */
+  def publishMessage(tableSchema: StructType, tableName: String,
+      keys: Set[String]): String = {
+    val beforeSchema = StructType(tableSchema.fields.filter(f => keys.contains(f.name)))
+    val before = record(beforeSchema, tableName, "before", keys)
+    val after = record(tableSchema, tableName, "after", keys)
+    s"""{"type":"record","name":"publish_message","fields":[
+       |{"name":"fingerprint","type":"string"},
+       |{"name":"source","type":{"type":"record","name":"source","fields":[
+       |{"name":"name","type":"string"},
+       |{"name":"tx_at","type":{"type":"long","logicalType":"timestamp-micros"}},
+       |{"name":"db","type":"string"},
+       |{"name":"schema","type":"string"},
+       |{"name":"table","type":"string"},
+       |{"name":"tx_id","type":"long"},
+       |{"name":"lsn","type":"string"}]}},
+       |{"name":"op","type":{"type":"enum","name":"op","symbols":["c","u","u_pk","d","t","r"]}},
+       |{"name":"sent_at","type":{"type":"long","logicalType":"timestamp-micros"}},
+       |{"name":"before","type":["null",$before]},
+       |{"name":"after","type":["null",$after]}]}""".stripMargin.replace("\n", "")
   }
 
   def parse(json: String): Schema = new Schema.Parser().parse(json)

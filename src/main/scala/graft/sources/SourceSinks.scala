@@ -29,15 +29,12 @@ object SourceSinks {
     * precision loss, sum(value) catches double mangling, the pk sums catch
     * null handling (CSV/JSON null vs empty).
     */
-  private def roundtrip(s: SparkSession, d: String, format: String,
-      writeOpts: Map[String, String] = Map.empty,
-      readOpts: Map[String, String] = Map.empty): DataFrame = {
-    val df = payload(s, d)
-    val dir = Files.createTempDirectory(s"graft_$format").toString
-    df.write.options(writeOpts).mode("overwrite").format(format).save(dir)
-    val back = s.read.options(readOpts).schema(df.schema).format(format).load(dir)
-    back
-      .groupBy(col("op"))
+  /** Type-sensitive per-op stats: micros of max tx_at catches timestamp
+    * precision loss, sum(value) catches double mangling, the pk sums
+    * catch null handling (CSV/JSON null vs empty).
+    */
+  private def stats(df: DataFrame): DataFrame =
+    df.groupBy(col("op"))
       .agg(count(lit(1)).as("n"),
         max("lsn_long").as("max_lsn"),
         unix_micros(max("tx_at")).as("max_tx_at_us"),
@@ -46,6 +43,14 @@ object SourceSinks {
         sum("pk_after").as("sum_pk_after"),
         count(col("after_value")).as("n_after"))
       .orderBy("op")
+
+  private def roundtrip(s: SparkSession, d: String, format: String,
+      writeOpts: Map[String, String] = Map.empty,
+      readOpts: Map[String, String] = Map.empty): DataFrame = {
+    val df = payload(s, d)
+    val dir = Files.createTempDirectory(s"graft_$format").toString
+    df.write.options(writeOpts).mode("overwrite").format(format).save(dir)
+    stats(s.read.options(readOpts).schema(df.schema).format(format).load(dir))
   }
 
   // x01: ORC sink + source (columnar twin of parquet — same predicate
@@ -67,10 +72,32 @@ object SourceSinks {
     readOpts = Map("header" -> "true",
       "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"))
 
+  // x04: STREAMING parquet sink — the WAL stream written by a real
+  // Structured Streaming query (append mode, checkpointed, exactly-once
+  // file commit protocol), then the sink directory read back and
+  // aggregated. Same lossless-stats oracle as the batch roundtrips:
+  // a hash match proves the streaming file sink loses nothing. This is
+  // the landing-zone edge of a production CDC pipeline (NATS → files).
+  val x04_stream_parquet_sink: Q = (s, d) => {
+    val raw = graft.Tables.load(s, d, "events")
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val flat = graft.cdc.Envelope.flat(stream)
+    val dir = Files.createTempDirectory("graft_ssink").toString
+    val q = flat.writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/chk")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    stats(s.read.schema(flat.schema).parquet(s"$dir/out"))
+  }
+
   val queries: Map[String, Q] = Map(
     "x01_orc_roundtrip" -> x01_orc_roundtrip,
     "x02_json_roundtrip" -> x02_json_roundtrip,
     "x03_csv_roundtrip" -> x03_csv_roundtrip,
+    "x04_stream_parquet_sink" -> x04_stream_parquet_sink,
   )
 
   /** One oracle body for all three: recompute from the parquet original. */
@@ -89,5 +116,6 @@ object SourceSinks {
     "x01_orc_roundtrip" -> sqlStats,
     "x02_json_roundtrip" -> sqlStats,
     "x03_csv_roundtrip" -> sqlStats,
+    "x04_stream_parquet_sink" -> sqlStats,
   )
 }

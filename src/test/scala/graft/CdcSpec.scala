@@ -91,6 +91,60 @@ class CdcSpec extends AnyFunSuite {
     assert(latest.head.getAs[Long]("n_versions") == 2L)
   }
 
+  test("publish_message schema mirrors the reference envelope exactly") {
+    import org.apache.spark.sql.types._
+    val tbl = StructType(Seq(
+      StructField("id", StringType, nullable = false),
+      StructField("data", StringType, nullable = true)))
+    val json = AvroSchemaGen.publishMessage(tbl, "integration_tests", Set("id"))
+    val schema = AvroSchemaGen.parse(json) // must be valid Avro
+    assert(schema.getName == "publish_message")
+    assert(schema.getFields.size == 6)
+    val names = (0 until 6).map(schema.getFields.get(_).name())
+    assert(names == Seq("fingerprint", "source", "op", "sent_at", "before", "after"))
+    val source = schema.getField("source").schema()
+    assert((0 until source.getFields.size).map(source.getFields.get(_).name()) ==
+      Seq("name", "tx_at", "db", "schema", "table", "tx_id", "lsn"))
+    val op = schema.getField("op").schema()
+    assert(op.getEnumSymbols.toString == "[c, u, u_pk, d, t, r]")
+    // before/after: nullable unions of the row record, disambiguated by
+    // namespace like the reference (messages.go:60-62)
+    val before = schema.getField("before").schema().getTypes.get(1)
+    val after = schema.getField("after").schema().getTypes.get(1)
+    assert(before.getNamespace == "before" && after.getNamespace == "after")
+    assert(before.getFields.size == 1) // replica identity only
+    assert(after.getFields.size == 2)
+    assert(after.getField("id").getObjectProp("pgKey") == true)
+    assert(after.getField("data").getObjectProp("pgKey") == false)
+    assert(after.getField("data").getObjectProp("pgType") == "text")
+  }
+
+  test("avro schema gen covers the full pg type matrix") {
+    import org.apache.spark.sql.types._
+    val all = StructType(Seq(
+      StructField("b", BooleanType), StructField("i2", ShortType),
+      StructField("i4", IntegerType), StructField("i8", LongType),
+      StructField("f4", FloatType), StructField("f8", DoubleType),
+      StructField("t", StringType), StructField("by", BinaryType),
+      StructField("ts", TimestampType), StructField("tsn", TimestampNTZType),
+      StructField("dt", DateType), StructField("num", DecimalType(18, 4)),
+      StructField("arr_i", ArrayType(IntegerType)),
+      StructField("arr_t", ArrayType(StringType)),
+      StructField("arr_ts", ArrayType(TimestampType))))
+    val json = AvroSchemaGen.record(all, "types", "graft", Set("i4"))
+    val schema = AvroSchemaGen.parse(json)
+    assert(schema.getFields.size == all.fields.length)
+    assert(schema.getField("num").schema().getTypes.get(1).getType.getName == "string")
+    assert(schema.getField("num").getObjectProp("pgType") == "numeric")
+    assert(schema.getField("arr_i").getObjectProp("pgType") == "_int4")
+    assert(schema.getField("ts").getObjectProp("pgType") == "timestamptz")
+    // fingerprint deterministic + prop-independent (canonical form)
+    val fp1 = AvroSchemaGen.fingerprint64(schema)
+    val noProps = AvroSchemaGen.fingerprint64(
+      AvroSchemaGen.parse(AvroSchemaGen.record(all, "types", "graft")))
+    assert(fp1 == noProps)
+  }
+
   test("schema evolution diff flags exactly the v2-added column") {
     val rows = CdcQueries.c17_schema_evolution(spark, sf).collect()
     assert(rows.length == Tables.names.length)
