@@ -256,6 +256,29 @@ object CdcQueries {
       .orderBy("topic")
   }
 
+  // c19: WAL continuity audit — per topic, detect LSN gaps and verify
+  // monotonic delivery (what a consumer checks after a reconnect; the
+  // reference's NATS-reconnection test exercises exactly this failure
+  // mode). Every 101st LSN is withheld to plant real gaps. One window
+  // pass per topic partition.
+  val c19_wal_gaps: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("topic")).orderBy(col("lsn_long"))
+    flatEnv(s, d)
+      .withColumn("topic", concat(lit("CREEK.testdb.wal.public.t"),
+        (col("user_id") % 4).cast("string")))
+      .filter(col("lsn_long") % 101 =!= 0) // plant gaps deterministically
+      .withColumn("prev_lsn", lag(col("lsn_long"), 1).over(w))
+      .withColumn("gap", col("lsn_long") - col("prev_lsn") - 1)
+      .groupBy(col("topic"))
+      .agg(count(lit(1)).as("n_msgs"),
+        sum(when(col("gap") > 0, 1).otherwise(0)).as("n_gaps"),
+        coalesce(sum(when(col("gap") > 0, col("gap"))), lit(0L)).as("missing_lsns"),
+        max("gap").as("max_gap"),
+        sum(when(col("gap") < 0, 1).otherwise(0)).as("n_out_of_order"))
+      .orderBy("topic")
+  }
+
   val queries: Map[String, Q] = Map(
     "c01_lsn_roundtrip" -> c01_lsn_roundtrip,
     "c02_wal_envelope" -> c02_wal_envelope,
@@ -275,6 +298,7 @@ object CdcQueries {
     "c16_wal_compaction" -> c16_wal_compaction,
     "c17_schema_evolution" -> c17_schema_evolution,
     "c18_topic_routing" -> c18_topic_routing,
+    "c19_wal_gaps" -> c19_wal_gaps,
   )
 
   val oracle: Map[String, String] = Map(
@@ -372,5 +396,19 @@ object CdcQueries {
          |  epoch_us(max(tx_at)) AS last_sent_us,
          |  ${sqlLsnStr("min(lsn_long)")} AS first_lsn
          |FROM env GROUP BY 1 ORDER BY 1""".stripMargin,
+    "c19_wal_gaps" ->
+      s"""WITH $sqlEnv,
+         |seq AS (
+         |  SELECT 'CREEK.testdb.wal.public.t' || (user_id % 4)::VARCHAR AS topic,
+         |    lsn_long,
+         |    lsn_long - lag(lsn_long) OVER (PARTITION BY 'CREEK.testdb.wal.public.t' || (user_id % 4)::VARCHAR
+         |                                   ORDER BY lsn_long) - 1 AS gap
+         |  FROM env WHERE lsn_long % 101 <> 0)
+         |SELECT topic, count(*)::BIGINT AS n_msgs,
+         |  sum(CASE WHEN gap > 0 THEN 1 ELSE 0 END)::BIGINT AS n_gaps,
+         |  coalesce(sum(CASE WHEN gap > 0 THEN gap END), 0)::BIGINT AS missing_lsns,
+         |  max(gap) AS max_gap,
+         |  sum(CASE WHEN gap < 0 THEN 1 ELSE 0 END)::BIGINT AS n_out_of_order
+         |FROM seq GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -453,6 +453,26 @@ object Relational {
       .orderBy("c_nationkey", "rn")
   }
 
+  // q34: combined semi+anti self-joins with aggregation (TPC-H Q21
+  // flavor) — orders shipped by ≥2 suppliers with zero returned items,
+  // counted per priority. Both the EXISTS (different supplier) and the
+  // NOT EXISTS (returned item) plan as one-pass hash semi/anti joins on
+  // l_orderkey; no row multiplication anywhere.
+  val q34_exists_agg: Q = (s, d) => {
+    val l = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_returnflag")
+    val l2 = l.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+    val multiSupp = l
+      .join(l2, col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"), "left_semi")
+    val clean = multiSupp
+      .join(l.filter(col("l_returnflag") === "R").select(col("l_orderkey").as("ro")),
+        col("l_orderkey") === col("ro"), "left_anti")
+    clean.select("l_orderkey").distinct()
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_agg" -> q01_pricing_agg,
     "q02_filter_pushdown" -> q02_filter_pushdown,
@@ -487,6 +507,7 @@ object Relational {
     "q31_trailing_window" -> q31_trailing_window,
     "q32_approx_distinct" -> q32_approx_distinct,
     "q33_topk_per_key" -> q33_topk_per_key,
+    "q34_exists_agg" -> q34_exists_agg,
   )
 
   val oracle: Map[String, String] = Map(
@@ -690,6 +711,17 @@ object Relational {
       """SELECT json_extract_string(props, '$.k')::INT AS k,
         |  count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q34_exists_agg" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_orders FROM orders
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem l1
+        |  WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |                WHERE l2.l_orderkey = l1.l_orderkey
+        |                  AND l2.l_suppkey <> l1.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                    WHERE l3.l_orderkey = l1.l_orderkey
+        |                      AND l3.l_returnflag = 'R'))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q33_topk_per_key" ->
       """SELECT c_nationkey, rn, c_custkey, c_name, c_acctbal FROM (
         |  SELECT c_nationkey, c_custkey, c_name, c_acctbal,

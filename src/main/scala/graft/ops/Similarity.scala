@@ -161,11 +161,34 @@ object Similarity {
       .orderBy("v1", "rk")
   }
 
+  // v05: batch multi-query kNN — top-3 per query vector for a query SET
+  // (the serving pattern: a broadcast batch of probes against the
+  // corpus). The per-query top-k uses the bounded-heap topk_by aggregate
+  // (graft.functions.TopK): one hash aggregation, ≤ k rows per query per
+  // partition map-side, no sort.
+  val v05_multi_query_knn: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    e.filter(col("vec_id") >= 5)
+      .crossJoin(broadcast(probes))
+      .select(col("qid"), col("vec_id"),
+        round(Vec.cosine(col("embedding"), col("qe")), 6).as("cos"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopK.topk_by(
+        struct(col("vec_id"), col("cos")), col("cos"), col("vec_id"), 3).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "r")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rn"),
+        col("r.vec_id").as("vec_id"), col("r.cos").as("cos"))
+      .orderBy("qid", "rn")
+  }
+
   val queries: Map[String, Q] = Map(
     "v01_knn_brute" -> v01_knn_brute,
     "v02_knn_ivf" -> v02_knn_ivf,
     "v03_pairwise_label" -> v03_pairwise_label,
     "v04_knn_join" -> v04_knn_join,
+    "v05_multi_query_knn" -> v05_multi_query_knn,
   )
 
   val oracle: Map[String, String] = Map(
@@ -187,5 +210,18 @@ object Similarity {
         |SELECT label, count(*)::BIGINT AS n_vecs,
         |  round(avg(dist), 4) AS avg_dist, round(max(dist), 4) AS max_dist
         |FROM dist GROUP BY 1 ORDER BY 1""".stripMargin,
+    "v05_multi_query_knn" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+        |s AS (
+        |  SELECT q.qid, c.vec_id,
+        |    round(list_cosine_similarity(c.embedding::DOUBLE[], q.qe::DOUBLE[]), 6) AS cos
+        |  FROM c, q),
+        |r AS (
+        |  SELECT qid, vec_id, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id)::INT AS rn
+        |  FROM s)
+        |SELECT qid, rn, vec_id, cos FROM r WHERE rn <= 3
+        |ORDER BY qid, rn""".stripMargin,
   )
 }
