@@ -11,6 +11,10 @@ case class MediaRecord(doc_id: Long, content_type: String, payload: Array[Byte])
 case class MediaFeatures(doc_id: Long, content_type: String, payload_len: Int,
   magic_ok: Boolean, feat: Array[Double])
 
+/** One sampled frame of a media payload (m03). */
+case class MediaFrame(doc_id: Long, frame_seq: Int, offset: Int, len: Int,
+  frame_hash: Long)
+
 /** Multimodal plumbing (SURVEY.md §2, m01–m02): image/audio/video as
   * opaque `binary` columns with typed metadata. The Spark-side pipeline —
   * schema, partition-batched extraction, feature shape — is real; the
@@ -95,9 +99,53 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Frame geometry for m03: fixed 256-byte frames, keep every 4th. A
+    * real video pipeline samples decoder keyframes; the byte-window stub
+    * keeps the exact partitioning/shape contract (one input row → N
+    * ordered frame rows, offsets monotone) with a deterministic hash
+    * standing in for the decoded frame.
+    */
+  val FrameLen = 256
+  val SampleEvery = 4
+
+  /** FNV-1a over a byte slice (frame content hash). */
+  private def fnvBytes(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = graft.functions.FnvHash.Offset
+    var i = from
+    while (i < until) {
+      h ^= (bytes(i) & 0xFFL)
+      h *= graft.functions.FnvHash.Prime
+      i += 1
+    }
+    h
+  }
+
+  // m03 (rows-only): frame sampling — split each binary payload into
+  // fixed-size frames, keep every 4th (the video frame-sampling shape:
+  // flatMap one payload → ordered frame rows, decode stubbed as a
+  // content hash). mapPartitions so a real demuxer would init once per
+  // partition; output is exactly what a downstream embed step consumes.
+  val m03_frame_sample: Q = (s, d) => {
+    import s.implicits._
+    mediaRecords(s, d)
+      .mapPartitions(_.flatMap { r =>
+        val n = r.payload.length
+        Iterator.range(0, (n + FrameLen - 1) / FrameLen)
+          .filter(_ % SampleEvery == 0)
+          .map { seq =>
+            val off = seq * FrameLen
+            val len = math.min(FrameLen, n - off)
+            MediaFrame(r.doc_id, seq, off, len, fnvBytes(r.payload, off, off + len))
+          }
+      })
+      .toDF()
+      .orderBy("doc_id", "frame_seq")
+  }
+
   val queries: Map[String, Q] = Map(
     "m01_binary_meta" -> m01_binary_meta,
     "m02_feature_extract" -> m02_feature_extract,
+    "m03_frame_sample" -> m03_frame_sample,
   )
 
   val oracle: Map[String, String] = Map(

@@ -125,6 +125,27 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("m03 frame sampling covers every doc with correct geometry") {
+    val frames = ops.Multimodal.m03_frame_sample(spark, sf).collect()
+    val sizes = ops.Multimodal.mediaRecords(spark, sf).collect()
+      .map(r => r.doc_id -> r.payload.length).toMap
+    val byDoc = frames.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet == sizes.keySet)
+    byDoc.foreach { case (doc, fs) =>
+      val n = sizes(doc)
+      val expected = (0 until (n + 255) / 256).count(_ % 4 == 0)
+      assert(fs.length == expected, s"doc $doc: ${fs.length} frames, want $expected")
+      fs.foreach { f =>
+        val off = f.getAs[Int]("offset")
+        val len = f.getAs[Int]("len")
+        assert(off == f.getAs[Int]("frame_seq") * 256)
+        assert(len > 0 && len <= 256 && off + len <= n)
+      }
+    }
+    val again = ops.Multimodal.m03_frame_sample(spark, sf).collect()
+    assert(frames.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
   test("minhash signature estimates true jaccard within tolerance") {
     val exact = Dedup.d02_ngram_jaccard(spark, sf).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
