@@ -141,6 +141,30 @@ object TextAnalysis {
         row_number().over(Window.orderBy(col("n").desc, col("tok"))).cast("int"))
       .select("rank", "tok", "n")
 
+  // t08: TF-IDF top-5 terms per document — the corpus term-weighting
+  // pass. tf and df are two aggregations over the exploded token table;
+  // the df side is vocabulary-sized (small) so Catalyst broadcasts it
+  // into the scoring join; the per-doc top-5 is one window on doc_id.
+  // Scores round(4) before ranking so both engines rank identical
+  // values (ln() may differ in the last ulp across libm impls).
+  val t08_tfidf: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val tokens = docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
+    val tf = tokens.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tokens.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") * log(col("n") / col("df")), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("doc_id"), col("rk"), col("term"), col("tfidf"))
+      .orderBy("doc_id", "rk")
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_langid" -> t01_langid,
     "t02_quality" -> t02_quality,
@@ -149,6 +173,7 @@ object TextAnalysis {
     "t05_ngram_profile" -> t05_ngram_profile,
     "t06_chunking" -> t06_chunking,
     "t07_vocab" -> t07_vocab,
+    "t08_tfidf" -> t08_tfidf,
   )
 
   private val sqlToks =
@@ -223,5 +248,20 @@ object TextAnalysis {
          |c AS (SELECT tok, count(*)::BIGINT AS n FROM f GROUP BY 1)
          |SELECT row_number() OVER (ORDER BY n DESC, tok)::INT AS rank, tok, n
          |FROM c ORDER BY n DESC, tok LIMIT 30""".stripMargin,
+    "t08_tfidf" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest($sqlToks) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tk GROUP BY 1, 2),
+         |df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tk GROUP BY 1),
+         |sc AS (
+         |  SELECT doc_id, term,
+         |    round(tf * ln((SELECT count(*)::DOUBLE FROM documents) / df), 4) AS tfidf
+         |  FROM tf JOIN df USING (term)),
+         |r AS (
+         |  SELECT doc_id, term, tfidf,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term)::INT AS rk
+         |  FROM sc)
+         |SELECT doc_id, rk, term, tfidf FROM r WHERE rk <= 5
+         |ORDER BY doc_id, rk""".stripMargin,
   )
 }
