@@ -161,6 +161,43 @@ object StreamingQueries {
     attributionAgg(s.table(name))
   }
 
+  // s09 (rows-only; spec: == batch groupBy): per-user lifetime stats via
+  // mapGroupsWithState — the exactly-one-output-per-group stateful API
+  // (complementing flatMapGroupsWithState in graft.cdc.StreamApply).
+  // State per user is one constant-size record regardless of stream
+  // length; NoTimeout because the aggregate is lifetime-scoped.
+  val s09_stateful_counter: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val raw = Tables.load(s, d, "events")
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select(col("user_id"), col("value"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Double, Long)]
+    val fn: (Long, Iterator[(Long, Double, Long)], GroupState[(Long, Double, Long)]) => (Long, Long, Double, Long) =
+      (uid, events, state) => {
+        var (n, sum, lastUs) = state.getOption.getOrElse((0L, 0.0, Long.MinValue))
+        events.foreach { case (_, v, us) =>
+          n += 1; sum += v; if (us > lastUs) lastUs = us
+        }
+        state.update((n, sum, lastUs))
+        (uid, n, sum, lastUs)
+      }
+    val name = s"graft_sc_${System.nanoTime()}"
+    val q = stream.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+      .toDF("user_id", "n_events", "sum_value", "last_us")
+      .writeStream.outputMode("update").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+      .groupBy(col("user_id"))
+      .agg(max("n_events").as("n_events"),
+        round(max_by(col("sum_value"), col("n_events")), 2).as("sum_value"),
+        max("last_us").as("last_us"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "s01_tumbling_window" -> s01_tumbling_window,
     "s06_session_window" -> s06_session_window,
@@ -170,6 +207,7 @@ object StreamingQueries {
     "s05_watermark_agg" -> s05_watermark_agg,
     "s07_interval_join" -> s07_interval_join,
     "s08_stream_stream_join" -> s08_stream_stream_join,
+    "s09_stateful_counter" -> s09_stateful_counter,
   )
 
   val oracle: Map[String, String] = Map(

@@ -24,6 +24,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stateful counter equals the batch lifetime aggregate") {
+    import org.apache.spark.sql.functions._
+    val batch = Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"),
+        max(unix_micros(col("ts"))).as("last_us"))
+      .collect().map(_.toSeq).toSet
+    val streamed = StreamingQueries.s09_stateful_counter(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("sessions are disjoint and ordered") {
     val rows = StreamingQueries.s02_sessionize(spark, sf).collect()
     assert(rows.nonEmpty)
