@@ -183,12 +183,34 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  // v06: symmetric int8 quantization audit — per-vector scale
+  // (max|x|/127), quantize, and reconstruction-error stats: the 4×
+  // storage-compression decision data for a 100 TB embedding store.
+  // Explode formulation (like v03) keeps everything attribute-based and
+  // codegen'd; the scale join reuses the (vec_id) partitioning of the
+  // scale aggregation.
+  val v06_quantize_int8: Q = (s, d) => {
+    val dims = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("v", col("v").cast("double"))
+    val sc = dims.groupBy(col("vec_id"))
+      .agg((greatest(max(abs(col("v"))), lit(1e-12)) / 127.0).as("scale"))
+    dims.join(sc, "vec_id")
+      .withColumn("err", abs(col("v") - round(col("v") / col("scale")) * col("scale")))
+      .groupBy(col("vec_id"))
+      .agg(round(first(col("scale")), 8).as("scale"),
+        round(max("err"), 8).as("max_err"),
+        round(avg("err"), 8).as("avg_err"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "v01_knn_brute" -> v01_knn_brute,
     "v02_knn_ivf" -> v02_knn_ivf,
     "v03_pairwise_label" -> v03_pairwise_label,
     "v04_knn_join" -> v04_knn_join,
     "v05_multi_query_knn" -> v05_multi_query_knn,
+    "v06_quantize_int8" -> v06_quantize_int8,
   )
 
   val oracle: Map[String, String] = Map(
@@ -223,5 +245,19 @@ object Similarity {
         |  FROM s)
         |SELECT qid, rn, vec_id, cos FROM r WHERE rn <= 3
         |ORDER BY qid, rn""".stripMargin,
+    "v06_quantize_int8" ->
+      """WITH dims AS (
+        |  SELECT vec_id, embedding[i]::DOUBLE AS v
+        |  FROM embeddings, range(1, 65) t(i)),
+        |sc AS (
+        |  SELECT vec_id, greatest(max(abs(v)), 1e-12) / 127.0 AS scale
+        |  FROM dims GROUP BY 1),
+        |e AS (
+        |  SELECT d.vec_id, sc.scale,
+        |    abs(v - round(v / sc.scale) * sc.scale) AS err
+        |  FROM dims d JOIN sc ON d.vec_id = sc.vec_id)
+        |SELECT vec_id, round(min(scale), 8) AS scale,
+        |  round(max(err), 8) AS max_err, round(avg(err), 8) AS avg_err
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
