@@ -473,6 +473,24 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  // q35: rolling 7-day distinct users per day. The cardinality-heavy work
+  // (dedup to per-day user sets) is ONE keyed aggregation over the fact
+  // table; the trailing-window distinct then runs on #days rows (tiny at
+  // any scale), merging the daily sets. At 100 TB you'd swap the exact
+  // sets for HLL sketches with the same two-level shape.
+  val q35_rolling_distinct: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy(col("day")).agg(collect_set(col("user_id")).as("us"))
+      .withColumn("day_n", datediff(col("day"), lit("1970-01-01").cast("date")))
+    val w = Window.orderBy(col("day_n")).rangeBetween(-6, 0)
+    daily
+      .withColumn("users_7d",
+        size(array_distinct(flatten(collect_list(col("us")).over(w)))).cast("bigint"))
+      .select(col("day"), col("users_7d"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_agg" -> q01_pricing_agg,
     "q02_filter_pushdown" -> q02_filter_pushdown,
@@ -508,6 +526,7 @@ object Relational {
     "q32_approx_distinct" -> q32_approx_distinct,
     "q33_topk_per_key" -> q33_topk_per_key,
     "q34_exists_agg" -> q34_exists_agg,
+    "q35_rolling_distinct" -> q35_rolling_distinct,
   )
 
   val oracle: Map[String, String] = Map(
@@ -711,6 +730,16 @@ object Relational {
       """SELECT json_extract_string(props, '$.k')::INT AS k,
         |  count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q35_rolling_distinct" ->
+      """WITH du AS (
+        |  SELECT DISTINCT ts::DATE AS day, user_id FROM events),
+        |r AS (
+        |  SELECT day, count(DISTINCT user_id) OVER (
+        |    ORDER BY date_diff('day', DATE '1970-01-01', day)
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS u7
+        |  FROM du)
+        |SELECT day, max(u7)::BIGINT AS users_7d
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q34_exists_agg" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS n_orders FROM orders
         |WHERE o_orderkey IN (
