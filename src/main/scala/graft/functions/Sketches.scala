@@ -26,7 +26,10 @@ object Sketches {
   /** Word-`width`-gram shingle hashes of a whitespace-normalized string,
     * in ONE native pass: split on ' ', XXH64 each token span in place,
     * chain-hash each `width`-token window; optional in-pass dedup.
-    * `width = 1, distinct = false` ≡ the token-hash array itself.
+    * `width = 1, distinct = false` yields one deterministic hash per token
+    * — note each window (even width 1) is chain-rehashed
+    * (`XXH64.hashLong(tokenHash, 2039)`), so the values are NOT the raw
+    * `xxhash64(token)` hashes.
     *
     * Exists because the combinator chain (split → transform(xxhash64) →
     * transform(window)) re-evaluates its non-attribute children per
@@ -111,8 +114,11 @@ object Sketches {
 
   /** Ordered-accumulation dot product of two numeric arrays (float or
     * double elements) — bit-identical to the `aggregate(zip_with(...))`
-    * sequential fold and to DuckDB's list functions, but one native pass
-    * instead of an interpreted lambda per element.
+    * sequential fold and to DuckDB's list functions on equal-length
+    * non-null-element inputs, but one native pass instead of an
+    * interpreted lambda per element. Unlike the zip_with formulation
+    * (which null-pads), mismatched lengths or null elements THROW — a
+    * malformed embedding should fail loudly, not truncate silently.
     */
   def dot(a: Column, b: Column): Column =
     Shim.column(DotProductExpr(Shim.expression(a), Shim.expression(b)))
@@ -127,10 +133,17 @@ object Sketches {
 
   /** Referenced from generated code. */
   def dotEval(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) {
+      throw new IllegalArgumentException(
+        s"vec_dot: array length mismatch (${n} vs ${b.numElements()})")
+    }
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) {
+        throw new IllegalArgumentException(s"vec_dot: null element at index $i")
+      }
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       s += x * y

@@ -2,11 +2,12 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.Shim
-import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, Decimal, IntegerType, LongType, NumericType, ShortType, StructType}
 import java.io.{ByteArrayOutputStream, DataOutputStream}
 import java.nio.ByteBuffer
 
@@ -49,6 +50,30 @@ case class TopKByAgg(
 
   private def payloadSchema: StructType = payload.dataType.asInstanceOf[StructType]
 
+  /** Analysis-time contract: struct payload, numeric ord (Decimal included,
+    * converted via [[toDouble]]), integral tie. Without this, a bad input
+    * type (e.g. string ord) would surface as a runtime ClassCastException
+    * inside the aggregation instead of an AnalysisException.
+    */
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (!payload.dataType.isInstanceOf[StructType])
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_by payload must be a struct, got ${payload.dataType.catalogString}")
+    else if (!ord.dataType.isInstanceOf[NumericType])
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_by ord must be numeric, got ${ord.dataType.catalogString}")
+    else if (!Seq(ByteType, ShortType, IntegerType, LongType).contains(tie.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_by tie must be an integral type, got ${tie.dataType.catalogString}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  /** Decimal-aware: Spark's Decimal is not a java.lang.Number. */
+  private def toDouble(v: Any): Double = v match {
+    case d: Decimal => d.toDouble
+    case n: Number => n.doubleValue()
+  }
+
   override def children: Seq[Expression] = Seq(payload, ord, tie)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(payload.dataType, containsNull = false)
@@ -74,9 +99,14 @@ case class TopKByAgg(
     val t = tie.eval(input)
     val p = payload.eval(input)
     if (o != null && t != null && p != null) {
-      offer(buf, TopKEntry(o.asInstanceOf[Number].doubleValue(),
-        t.asInstanceOf[Number].longValue(),
-        p.asInstanceOf[InternalRow].copy()))
+      val d = toDouble(o)
+      // NaN ord would compare false against every heap entry (silently
+      // dropped when the heap is full, kept when not) — skip it like null
+      // for consistent semantics.
+      if (!java.lang.Double.isNaN(d)) {
+        offer(buf, TopKEntry(d, t.asInstanceOf[Number].longValue(),
+          p.asInstanceOf[InternalRow].copy()))
+      }
     }
     buf
   }

@@ -236,6 +236,17 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // The final labels stay cached (the caller is about to consume them);
+    // the candidate pairs/edges are done — drop their cache so repeated
+    // invocations don't accumulate storage.
+    pairs.unpersist()
+    edges.unpersist()
+    if (changed > 0) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"d06_dup_clusters: min-label propagation did not converge in $iter rounds " +
+          "(component diameter exceeds the bound — switch to pointer-jumping d07)")
+    }
     labels.select(col("rep").as("cluster"), col("node").as("doc_id"))
       .orderBy("cluster", "doc_id")
   }

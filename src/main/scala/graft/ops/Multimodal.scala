@@ -91,11 +91,16 @@ object Multimodal {
   // m02 (rows-only): partition-batched feature extraction over binary
   // payloads — mapPartitions so a real decoder would amortize model/codec
   // init per partition, exactly as a Pandas-UDF/mapInPandas batch would.
+  // The fixed-width feature vector is unnested to scalar columns f0..f7 in
+  // the output (array columns aren't sortable in the driver's rows check;
+  // a downstream consumer would keep the array form).
   val m02_feature_extract: Q = (s, d) => {
     import s.implicits._
-    mediaRecords(s, d)
+    val feats = mediaRecords(s, d)
       .mapPartitions(_.map(stubDecode))
       .toDF()
+    feats.select(col("doc_id") +: col("content_type") +: col("payload_len") +:
+        col("magic_ok") +: (0 until 8).map(i => col("feat")(i).as(s"f$i")): _*)
       .orderBy("doc_id")
   }
 

@@ -3,7 +3,9 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import java.nio.file.Files
+import java.nio.file.{Files, Path}
+import java.util.Comparator
+import scala.jdk.CollectionConverters._
 
 /** Source/sink format coverage (SURVEY.md §2, x01–x03): the WAL flat-event
   * stream written to and read back from each built-in columnar/text format
@@ -44,13 +46,26 @@ object SourceSinks {
         count(col("after_value")).as("n_after"))
       .orderBy("op")
 
+  /** Materialize the (tiny: one row per op) stats aggregate eagerly, then
+    * delete `dir` — without this, every bench/verify run leaked a full
+    * copy of the roundtripped event stream in /tmp.
+    */
+  private def statsThenCleanup(s: SparkSession, read: DataFrame, dir: Path): DataFrame = {
+    val agg = stats(read)
+    val rows = agg.collect().toSeq.asJava
+    Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+      .forEach(p => Files.deleteIfExists(p))
+    s.createDataFrame(rows, agg.schema)
+  }
+
   private def roundtrip(s: SparkSession, d: String, format: String,
       writeOpts: Map[String, String] = Map.empty,
       readOpts: Map[String, String] = Map.empty): DataFrame = {
     val df = payload(s, d)
-    val dir = Files.createTempDirectory(s"graft_$format").toString
-    df.write.options(writeOpts).mode("overwrite").format(format).save(dir)
-    stats(s.read.options(readOpts).schema(df.schema).format(format).load(dir))
+    val dir = Files.createTempDirectory(s"graft_$format")
+    df.write.options(writeOpts).mode("overwrite").format(format).save(dir.toString)
+    statsThenCleanup(s,
+      s.read.options(readOpts).schema(df.schema).format(format).load(dir.toString), dir)
   }
 
   // x01: ORC sink + source (columnar twin of parquet — same predicate
@@ -84,13 +99,13 @@ object SourceSinks {
       .option("pathGlobFilter", "events.parquet").parquet(d)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     val flat = graft.cdc.Envelope.flat(stream)
-    val dir = Files.createTempDirectory("graft_ssink").toString
+    val dir = Files.createTempDirectory("graft_ssink")
     val q = flat.writeStream.format("parquet")
       .option("path", s"$dir/out")
       .option("checkpointLocation", s"$dir/chk")
       .outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
-    stats(s.read.schema(flat.schema).parquet(s"$dir/out"))
+    statsThenCleanup(s, s.read.schema(flat.schema).parquet(s"$dir/out"), dir)
   }
 
   val queries: Map[String, Q] = Map(

@@ -80,8 +80,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.length > 0)
     rows.foreach { r =>
       assert(r.getAs[Boolean]("magic_ok"))
-      val feat: Seq[Double] = r.getSeq[Double](r.fieldIndex("feat"))
-      assert(feat.length == 8)
+      val feat = (0 until 8).map(i => r.getAs[Double](s"f$i"))
       assert(math.abs(feat.sum - 1.0) < 0.01) // normalized histogram
     }
     val again = ops.Multimodal.m02_feature_extract(spark, sf).collect()
