@@ -251,6 +251,55 @@ object Dedup {
       .orderBy("cluster", "doc_id")
   }
 
+  // d07: connected components by min-label propagation + POINTER JUMPING —
+  // the web-scale path §4 promises. d06's pure propagation needs
+  // O(diameter) rounds (fine for near-dup clusters, fatal for a 100 TB
+  // link graph with long chains); adding a rep ← rep(rep) contraction per
+  // round halves pointer depth, giving O(log n) rounds. Invariant: rep(u)
+  // only ever decreases and always names a node of u's own component (both
+  // steps assign labels that arrived via edges or existing labels), so the
+  // fixpoint — where every edge has equal labels and rep(rep) = rep — is
+  // exactly the component minimum. Same output (and same recursive-CTE
+  // oracle) as d06, different round complexity.
+  val d07_cc_pointer_jumping: Q = (s, d) => {
+    val pairs = d02_ngram_jaccard(s, d).select(col("d1"), col("d2")).persist()
+    val edges = pairs.union(pairs.select(col("d2"), col("d1")))
+      .toDF("src", "dst").persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("rep", col("node")).persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 30) {
+      // (1) neighbor-min propagation: rep(u) ← min(rep(u), min_{v∈N(u)} rep(v))
+      val prop = edges.join(labels, edges("src") === labels("node"))
+        .select(col("dst").as("node"), col("rep"))
+      val l1 = labels.select("node", "rep").union(prop)
+        .groupBy("node").agg(min("rep").as("rep"))
+      // (2) pointer jump: rep(u) ← rep(rep(u)) — one self-join on the label
+      // table (reps are nodes, so every rep has a row); min() keeps the
+      // smaller of the two in the same pass.
+      val jump = l1.as("a")
+        .join(l1.select(col("node").as("jn"), col("rep").as("jrep")),
+          col("a.rep") === col("jn"))
+        .select(col("a.node").as("node"), least(col("a.rep"), col("jrep")).as("rep"))
+      val next = jump.persist()
+      changed = next.join(labels.withColumnRenamed("rep", "old"), "node")
+        .filter(col("rep") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    pairs.unpersist()
+    edges.unpersist()
+    if (changed > 0) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"d07_cc_pointer_jumping: not converged after $iter rounds")
+    }
+    labels.select(col("rep").as("cluster"), col("node").as("doc_id"))
+      .orderBy("cluster", "doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "d01_exact_dedup" -> d01_exact_dedup,
     "d02_ngram_jaccard" -> d02_ngram_jaccard,
@@ -258,6 +307,7 @@ object Dedup {
     "d04_simhash" -> d04_simhash,
     "d05_embed_neardup" -> d05_embed_neardup,
     "d06_dup_clusters" -> d06_dup_clusters,
+    "d07_cc_pointer_jumping" -> d07_cc_pointer_jumping,
   )
 
   val oracle: Map[String, String] = Map(
@@ -285,7 +335,16 @@ object Dedup {
         |  round(inter / (n1 + n2 - inter), 6) AS jaccard
         |FROM pairs WHERE round(inter / (n1 + n2 - inter), 6) >= 0.8
         |ORDER BY d1, d2""".stripMargin,
-    "d06_dup_clusters" ->
+    "d06_dup_clusters" -> ccOracleSql,
+    // d07 computes the identical clustering as d06, just in O(log n)
+    // rounds — same recursive-CTE ground truth.
+    "d07_cc_pointer_jumping" -> ccOracleSql,
+  )
+
+  /** Shared ground truth for d06/d07: recursive-CTE connected components
+    * over the exact near-dup pair set.
+    */
+  private lazy val ccOracleSql: String =
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id,
         |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
@@ -309,6 +368,5 @@ object Dedup {
         |  UNION
         |  SELECT e.dst, least(c.rep, e.dst) FROM cc c JOIN edges e ON c.node = e.src)
         |SELECT min(rep) AS cluster, node AS doc_id
-        |FROM cc GROUP BY node ORDER BY cluster, doc_id""".stripMargin,
-  )
+        |FROM cc GROUP BY node ORDER BY cluster, doc_id""".stripMargin
 }

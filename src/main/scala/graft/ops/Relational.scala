@@ -491,6 +491,21 @@ object Relational {
       .orderBy("day")
   }
 
+  // q36: distribution window functions — percent_rank / cume_dist of each
+  // customer's balance within its market segment (the percentile-placement
+  // shape behind quantile-bucketed sampling). One shuffle on the segment
+  // key; ordering ties broken on custkey so both engines rank identically.
+  val q36_percent_rank: Q = (s, d) => {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, d)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .filter(col("pct_rank") >= 0.95)
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_agg" -> q01_pricing_agg,
     "q02_filter_pushdown" -> q02_filter_pushdown,
@@ -527,6 +542,7 @@ object Relational {
     "q33_topk_per_key" -> q33_topk_per_key,
     "q34_exists_agg" -> q34_exists_agg,
     "q35_rolling_distinct" -> q35_rolling_distinct,
+    "q36_percent_rank" -> q36_percent_rank,
   )
 
   val oracle: Map[String, String] = Map(
@@ -740,6 +756,17 @@ object Relational {
         |  FROM du)
         |SELECT day, max(u7)::BIGINT AS users_7d
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q36_percent_rank" ->
+      """WITH r AS (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    round(percent_rank() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal, c_custkey), 6) AS pct_rank,
+        |    round(cume_dist() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal, c_custkey), 6) AS cume
+        |  FROM customer)
+        |SELECT c_mktsegment, c_custkey, c_acctbal, pct_rank, cume
+        |FROM r WHERE pct_rank >= 0.95
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
     "q34_exists_agg" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS n_orders FROM orders
         |WHERE o_orderkey IN (

@@ -204,6 +204,90 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Trained k-means (Lloyd's): deterministic init (the k vectors with the
+    * smallest xxhash64(vec_id) — a seedless pseudo-random sample), then
+    * `iters` rounds of assign + recompute. Mirrors the MLlib structure:
+    * centroids live on the DRIVER (k×dim doubles — bytes, not a shuffle)
+    * and ship into the assignment pass as broadcast literals; the argmin
+    * over k centroids is ONE codegen'd projection per row using the
+    * native dot (dist² = |e|² − 2e·c + |c|²), so each iteration is a
+    * single map pass + one narrow (cell,pos) shuffle for the means.
+    * Returns (per-round inertia trace, final centroids).
+    */
+  def kmeansTrain(s: SparkSession, d: String, k: Int = 10, iters: Int = 4)
+      : (Seq[Double], Array[Array[Double]]) = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding")).persist()
+    var cents: Array[Array[Double]] = e
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val inertia = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var round = 0
+    while (round < iters) {
+      val assigned = assignCells(e, cents)
+      val stats = assigned
+        .select(col("cell"), col("dist2"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("v").cast("double")).as("sv"), count(lit(1)).as("n"),
+          sum(col("dist2")).as("sd"))
+        .collect()
+      inertia += stats.filter(_.getAs[Int]("pos") == 0).map(_.getAs[Double]("sd")).sum
+      val byCell = stats.groupBy(_.getAs[Int]("cell"))
+      cents = cents.indices.map { c =>
+        byCell.get(c) match {
+          case Some(rows) => rows.sortBy(_.getAs[Int]("pos"))
+            .map(r => r.getAs[Double]("sv") / r.getAs[Long]("n")).toArray
+          case None => cents(c) // empty cell keeps its centroid
+        }
+      }.toArray
+      round += 1
+    }
+    e.unpersist()
+    (inertia.toSeq, cents)
+  }
+
+  /** (vec_id, embedding, cell, dist2): nearest-centroid assignment as ONE
+    * projection — an array of (dist², cell) structs over the broadcast
+    * centroid literals, array_min for the argmin. No join, no shuffle.
+    */
+  private def assignCells(e: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    val nrm2 = Vec.dot(col("embedding"), col("embedding"))
+    val best = array_min(array(cents.zipWithIndex.map { case (c, i) =>
+      val cl = typedLit(c.toSeq)
+      struct((nrm2 - lit(2.0) * Vec.dot(col("embedding"), cl)
+        + lit(c.map(x => x * x).sum)).as("dist2"), lit(i).as("cell"))
+    }: _*))
+    e.withColumn("b", best)
+      .select(col("vec_id"), col("embedding"),
+        col("b.cell").as("cell"), col("b.dist2").as("dist2"))
+  }
+
+  // v07 (rows-only; spec: recall vs v01 + monotone inertia): ANN top-10
+  // with TRAINED k-means cells (vs v02's label-seeded single iteration) —
+  // the §7 scale path. Probe the 3 cells whose centroids are nearest the
+  // query (ranked on the driver: k centroid cosines), exact-score only
+  // their members: the scan fraction is ~probes/k regardless of corpus
+  // size, and nothing beyond the assignment pass touches the full table.
+  val v07_knn_ivf_trained: Q = (s, d) => {
+    val (_, cents) = kmeansTrain(s, d)
+    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding")).collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dp / math.sqrt(na * nb)
+    }
+    val probes = cents.zipWithIndex.map { case (c, i) => (cos(c, q), i) }
+      .sortBy { case (cc, i) => (-cc, i) }.take(3).map(_._2).toSeq
+    assignCells(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")), cents)
+      .filter(col("cell").isin(probes: _*) && col("vec_id") =!= 0)
+      .crossJoin(broadcast(queryVec(s, d)))
+      .select(col("vec_id"),
+        round(Vec.cosine(col("embedding"), col("qe")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, Q] = Map(
     "v01_knn_brute" -> v01_knn_brute,
     "v02_knn_ivf" -> v02_knn_ivf,
@@ -211,6 +295,7 @@ object Similarity {
     "v04_knn_join" -> v04_knn_join,
     "v05_multi_query_knn" -> v05_multi_query_knn,
     "v06_quantize_int8" -> v06_quantize_int8,
+    "v07_knn_ivf_trained" -> v07_knn_ivf_trained,
   )
 
   val oracle: Map[String, String] = Map(

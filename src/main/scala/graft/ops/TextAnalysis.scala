@@ -165,6 +165,41 @@ object TextAnalysis {
       .orderBy("doc_id", "rk")
   }
 
+  // PII regexes — RE2-compatible (no backrefs/lookaround) so the same
+  // pattern string runs in Spark's java.util.regex and DuckDB's RE2.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  // t09: PII scrubbing — the redaction pass a training corpus runs before
+  // release (emails / phone numbers / IPv4s → fixed tokens). The synthetic
+  // corpus contains no PII, so each doc is first augmented with
+  // deterministic doc_id-derived PII (identically in the oracle SQL), which
+  // makes the redaction *observable*: counts are exact and the scrubbed
+  // hash proves byte-identical replacement. Single codegen'd projection —
+  // no shuffle at all until the final presentation sort.
+  val t09_pii_scrub: Q = (s, d) => {
+    val pii = concat(col("text"),
+      lit(" contact u"), col("doc_id"), lit("@example.com tel 555-"),
+      lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" ip 10."),
+      (col("doc_id") % 256).cast("string"), lit(".0."),
+      (col("doc_id") % 100).cast("string"))
+    val scrubbed = regexp_replace(regexp_replace(regexp_replace(
+      pii, EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]"), Ipv4Re, "[IP]")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(regexp_extract_all(pii, lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(pii, lit(PhoneRe), lit(0))).as("n_phones"),
+        size(regexp_extract_all(pii, lit(Ipv4Re), lit(0))).as("n_ips"),
+        (size(regexp_extract_all(scrubbed, lit(EmailRe), lit(0)))
+          + size(regexp_extract_all(scrubbed, lit(PhoneRe), lit(0)))
+          + size(regexp_extract_all(scrubbed, lit(Ipv4Re), lit(0)))).as("pii_left"),
+        (length(pii) - length(scrubbed)).as("chars_redacted"),
+        md5(scrubbed).as("clean_hash"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_langid" -> t01_langid,
     "t02_quality" -> t02_quality,
@@ -174,6 +209,7 @@ object TextAnalysis {
     "t06_chunking" -> t06_chunking,
     "t07_vocab" -> t07_vocab,
     "t08_tfidf" -> t08_tfidf,
+    "t09_pii_scrub" -> t09_pii_scrub,
   )
 
   private val sqlToks =
@@ -263,5 +299,30 @@ object TextAnalysis {
          |  FROM sc)
          |SELECT doc_id, rk, term, tfidf FROM r WHERE rk <= 5
          |ORDER BY doc_id, rk""".stripMargin,
+    "t09_pii_scrub" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, text || ' contact u' || doc_id::VARCHAR
+         |    || '@example.com tel 555-'
+         |    || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-'
+         |    || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+         |    || ' ip 10.' || (doc_id % 256)::VARCHAR || '.0.'
+         |    || (doc_id % 100)::VARCHAR AS pii
+         |  FROM documents),
+         |sc AS (
+         |  SELECT doc_id, pii, regexp_replace(regexp_replace(regexp_replace(
+         |    pii, '$EmailRe', '[EMAIL]', 'g'),
+         |    '$PhoneRe', '[PHONE]', 'g'),
+         |    '$Ipv4Re', '[IP]', 'g') AS scrubbed
+         |  FROM aug)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(pii, '$EmailRe'))::INT AS n_emails,
+         |  len(regexp_extract_all(pii, '$PhoneRe'))::INT AS n_phones,
+         |  len(regexp_extract_all(pii, '$Ipv4Re'))::INT AS n_ips,
+         |  (len(regexp_extract_all(scrubbed, '$EmailRe'))
+         |    + len(regexp_extract_all(scrubbed, '$PhoneRe'))
+         |    + len(regexp_extract_all(scrubbed, '$Ipv4Re')))::INT AS pii_left,
+         |  (length(pii) - length(scrubbed))::INT AS chars_redacted,
+         |  md5(scrubbed) AS clean_hash
+         |FROM sc ORDER BY doc_id""".stripMargin,
   )
 }

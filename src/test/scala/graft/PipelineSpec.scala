@@ -51,6 +51,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"embed-LSH recall $recall (brute=${brute.size}, lsh=${lsh.size})")
   }
 
+  test("v07 trained-IVF top-k recall and monotone k-means inertia") {
+    val (inertia, _) = Similarity.kmeansTrain(spark, sf)
+    assert(inertia.size == 4)
+    inertia.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a * 1.0000001, s"inertia increased: $inertia")
+    }
+    val exact = Similarity.v01_knn_brute(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.v07_knn_ivf_trained(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"trained-ivf recall@10 = $recall")
+    // two runs → identical result set (deterministic init, no RNG)
+    val again = Similarity.v07_knn_ivf_trained(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ivf == again)
+  }
+
   test("v02 IVF top-k recall against brute-force top-k") {
     val exact = Similarity.v01_knn_brute(spark, sf)
       .select("vec_id").collect().map(_.getLong(0)).toSet

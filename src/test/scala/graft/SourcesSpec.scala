@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Source/sink specs beyond the DuckDB-verified roundtrips: the bucketed
+  * join's PLAN SHAPE — the whole point of x05 is that the join runs with
+  * zero shuffle, which the result hash can't prove.
+  */
+class SourcesSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("x05 bucketed join plans with no exchange and no sort below the join") {
+    val dir = Files.createTempDirectory("graft_bucketed_spec")
+    try {
+      sources.SourceSinks.writeBucketed(spark, sf, dir)
+      // force the non-broadcast path: bucketing must carry the join alone
+      val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = spark.table("graft_lineitem_b")
+          .join(spark.table("graft_orders_b"),
+            org.apache.spark.sql.functions.col("l_orderkey") ===
+              org.apache.spark.sql.functions.col("o_orderkey"))
+        assert(joined.count() > 0)
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+        assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+        assert(!plan.contains("Sort ("), s"bucketed join still sorts:\n$plan")
+        // and the full x05 aggregate matches the plain (shuffled) join
+        val bucketed = sources.SourceSinks.bucketedJoin(spark).collect().map(_.toString)
+        val plain = Tables.lineitem(spark, sf)
+          .join(Tables.orders(spark, sf),
+            org.apache.spark.sql.functions.col("l_orderkey") ===
+              org.apache.spark.sql.functions.col("o_orderkey"))
+          .groupBy(org.apache.spark.sql.functions.col("o_orderpriority"))
+          .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("n_items"),
+            org.apache.spark.sql.functions.round(
+              org.apache.spark.sql.functions.sum(
+                org.apache.spark.sql.functions.col("l_extendedprice") *
+                  (org.apache.spark.sql.functions.lit(1.0) -
+                    org.apache.spark.sql.functions.col("l_discount"))), 2).as("revenue"))
+          .orderBy("o_orderpriority").collect().map(_.toString)
+        assert(bucketed.sameElements(plain))
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_orders_b")
+      spark.sql("DROP TABLE IF EXISTS graft_lineitem_b")
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+}
