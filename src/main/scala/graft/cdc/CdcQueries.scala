@@ -279,6 +279,44 @@ object CdcQueries {
       .orderBy("topic")
   }
 
+  // c20: FULL publish_message envelope Avro roundtrip — every WAL event
+  // (truncates included, with null before/after) encoded to the reference's
+  // actual wire format (nested source record, op enum, nullable before/
+  // after records, single-object framing + fingerprint header) and decoded
+  // back. The oracle recomputes every decoded field from the events table
+  // plus the schema fingerprint constant, so a hash match proves the codec
+  // is lossless field-by-field (messages.go:58-91, client.go:264-291).
+  val c20_envelope_avro_roundtrip: Q = (s, d) => {
+    implicit val spark: SparkSession = s
+    AvroEnvelope.roundtrip(flatEnv(s, d)).toDF().orderBy("lsn_long")
+  }
+
+  // c21: at-least-once redelivery — after a consumer reconnect the MQ
+  // re-delivers a suffix of the WAL (the reference's NATS redelivery
+  // contract, internal/mq/nats.go); idempotent apply = dedup on the wire
+  // identity (fingerprint, lsn) BEFORE the keyed aggregation. n_half makes
+  // duplicate delivery observable (it would double over the redelivered
+  // suffix); state must equal the exactly-once replay (c04's oracle).
+  val c21_redelivery_dedup: Q = (s, d) => {
+    val flat = flatEnv(s, d)
+    val redelivered = flat.union(
+      flat.filter(col("tx_at") >= lit("2024-01-20").cast("timestamp")))
+    val deduped = redelivered
+      .withColumn("fingerprint", lit(AvroEnvelope.fingerprintB64))
+      .dropDuplicates(Seq("fingerprint", "lsn_long"))
+      .drop("fingerprint")
+    Apply.liveEvents(deduped)
+      .groupBy(col("pk"))
+      .agg(max("ord").as("last_ord"),
+        max_by(col("eff_op"), col("ord")).as("last_op"),
+        max_by(col("value"), col("ord")).as("last_value"),
+        count(lit(1)).as("n_half"))
+      .filter(col("last_op") =!= "d")
+      .select(col("pk"), round(col("last_value"), 2).as("value"),
+        col("last_ord"), col("n_half"))
+      .orderBy("pk")
+  }
+
   val queries: Map[String, Q] = Map(
     "c01_lsn_roundtrip" -> c01_lsn_roundtrip,
     "c02_wal_envelope" -> c02_wal_envelope,
@@ -299,6 +337,8 @@ object CdcQueries {
     "c17_schema_evolution" -> c17_schema_evolution,
     "c18_topic_routing" -> c18_topic_routing,
     "c19_wal_gaps" -> c19_wal_gaps,
+    "c20_envelope_avro_roundtrip" -> c20_envelope_avro_roundtrip,
+    "c21_redelivery_dedup" -> c21_redelivery_dedup,
   )
 
   val oracle: Map[String, String] = Map(
@@ -396,6 +436,27 @@ object CdcQueries {
          |  epoch_us(max(tx_at)) AS last_sent_us,
          |  ${sqlLsnStr("min(lsn_long)")} AS first_lsn
          |FROM env GROUP BY 1 ORDER BY 1""".stripMargin,
+    "c20_envelope_avro_roundtrip" ->
+      s"""WITH $sqlEnv, $sqlFlat
+         |SELECT '${AvroEnvelope.fingerprintB64}' AS fingerprint, lsn_long,
+         |  ${sqlLsnStr("lsn_long")} AS lsn_str, op,
+         |  epoch_us(tx_at) AS tx_at_us, epoch_us(tx_at) AS sent_at_us,
+         |  lsn_long AS tx_id, 'graft' AS src_name, 'testdb' AS db,
+         |  'public' AS schema_name, 'events' AS table_name,
+         |  pk_before, pk_after, after_value,
+         |  CASE WHEN pk_after IS NOT NULL THEN epoch_us(tx_at) END AS after_ts_us,
+         |  true AS magic_ok, true AS fp_ok
+         |FROM flat ORDER BY lsn_long""".stripMargin,
+    "c21_redelivery_dedup" ->
+      s"""WITH $sqlEnv, $sqlFlat, ${Apply.sqlApply("", "")},
+         |state2 AS (
+         |  SELECT pk, max(ord) AS last_ord,
+         |         max_by(eff_op, ord) AS last_op,
+         |         max_by(value, ord) AS last_value,
+         |         count(*)::BIGINT AS n_half
+         |  FROM live GROUP BY pk)
+         |SELECT pk, round(last_value, 2) AS value, last_ord, n_half
+         |FROM state2 WHERE last_op <> 'd' ORDER BY pk""".stripMargin,
     "c19_wal_gaps" ->
       s"""WITH $sqlEnv,
          |seq AS (

@@ -190,17 +190,29 @@ object Dedup {
   // buckets. Threshold 0.45 is calibrated to the synthetic corpus (its
   // max off-diagonal cosine is ~0.51; a production corpus would use
   // ~0.99). Exact cosine verified only inside colliding buckets.
+  //
+  // Shuffle discipline (same as d03's band join): the 8-table candidate
+  // join and the pair `.distinct()` carry ONLY (tbl, bucket, vec_id) /
+  // (v1, v2) — never the 64-float embeddings, which would multiply
+  // shuffle bytes ~8× at scale. Embeddings re-attach AFTER the dedup via
+  // two id joins (AQE broadcasts them at bench scale; hash joins on
+  // vec_id at cluster scale). PipelineSpec asserts no shuffle exchange
+  // in the executed plan carries an embedding column.
   val d05_embed_neardup: Q = (s, d) => {
-    val vecs = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"),
-        Vec.norm(col("embedding")).as("nrm"),
+    val buckets = Tables.embeddings(s, d)
+      .select(col("vec_id"),
         posexplode(hyperplaneBuckets(col("embedding"))).as(Seq("tbl", "bucket")))
-    val a = vecs.select(col("tbl"), col("bucket"), col("vec_id").as("v1"),
-      col("embedding").as("e1"), col("nrm").as("n1"))
-    val b = vecs.select(col("tbl"), col("bucket"), col("vec_id").as("v2"),
-      col("embedding").as("e2"), col("nrm").as("n2"))
-    a.join(b, Seq("tbl", "bucket")).filter(col("v1") < col("v2"))
-      .select(col("v1"), col("v2"), col("e1"), col("e2"), col("n1"), col("n2")).distinct()
+    val a = buckets.select(col("tbl"), col("bucket"), col("vec_id").as("v1"))
+    val b = buckets.select(col("tbl"), col("bucket"), col("vec_id").as("v2"))
+    val cand = a.join(b, Seq("tbl", "bucket")).filter(col("v1") < col("v2"))
+      .select(col("v1"), col("v2")).distinct()
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), Vec.norm(col("embedding")).as("nrm"))
+    cand
+      .join(e.select(col("vec_id").as("v1"), col("embedding").as("e1"),
+        col("nrm").as("n1")), "v1")
+      .join(e.select(col("vec_id").as("v2"), col("embedding").as("e2"),
+        col("nrm").as("n2")), "v2")
       .withColumn("cos", round(Vec.cosineWithNorms(
         Vec.dot(col("e1"), col("e2")), col("n1"), col("n2")), 4))
       .filter(col("cos") >= 0.45)

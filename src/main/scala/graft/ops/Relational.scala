@@ -506,6 +506,57 @@ object Relational {
       .orderBy("c_mktsegment", "c_custkey")
   }
 
+  // q37: SCALE-SAFE decile profile — q27's semantics with no global-sort
+  // window anywhere in the plan. Decile boundaries come from one
+  // distributed `percentile` aggregation (ObjectHashAggregate with
+  // map-side partials; at 100 TB swap in approx_percentile(col, p, acc)
+  // for O(acc) memory — identical plan shape), broadcast to the fact
+  // scan; every row then buckets itself map-side by counting boundaries
+  // below its value. Boundaries are rounded to 4 decimals on BOTH sides
+  // so the Spark/DuckDB interpolation agrees bit-for-bit in the compare
+  // (Spark `percentile` ≡ DuckDB quantile_cont, proven by q23).
+  // RelationalSpec asserts the executed plan contains no Window and no
+  // single-partition exchange.
+  val q37_decile_profile: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val bnds = o.agg(
+      transform(
+        percentile(col("o_totalprice"),
+          array((1 to 9).map(i => lit(i / 10.0)): _*)),
+        b => round(b, 4)).as("bnds"))
+    o.crossJoin(broadcast(bnds))
+      .withColumn("decile",
+        (size(filter(col("bnds"), b => col("o_totalprice") > b)) + 1).cast("bigint"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(min("o_totalprice"), 2).as("min_price"),
+        round(max("o_totalprice"), 2).as("max_price"),
+        round(avg("o_totalprice"), 2).as("avg_price"))
+      .orderBy("decile")
+  }
+
+  // q38 (rows-only; spec: per-day relative error ≤ 5% vs exact q35):
+  // rolling 7-day distinct users via daily HLL sketches — the 100 TB
+  // shape q35's exact formulation can't take (its per-day collect_set
+  // rows grow with daily actives; a sketch row is ~2^lgK bytes flat).
+  // Phase 1: ONE keyed aggregation builds a fixed-size sketch per day
+  // (map-side partial merge — shuffle carries sketches, not user ids);
+  // phase 2: the 7-day union merge runs on #days rows (tiny at any
+  // scale), same two-level shape as q35.
+  val q38_rolling_distinct_approx: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+      .withColumn("day_n", datediff(col("day"), lit("1970-01-01").cast("date")))
+    val w = Window.orderBy(col("day_n")).rangeBetween(-6, 0)
+    daily
+      .withColumn("users_7d_approx",
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)).over(w)))
+      .select(col("day"), col("users_7d_approx"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_agg" -> q01_pricing_agg,
     "q02_filter_pushdown" -> q02_filter_pushdown,
@@ -543,6 +594,8 @@ object Relational {
     "q34_exists_agg" -> q34_exists_agg,
     "q35_rolling_distinct" -> q35_rolling_distinct,
     "q36_percent_rank" -> q36_percent_rank,
+    "q37_decile_profile" -> q37_decile_profile,
+    "q38_rolling_distinct_approx" -> q38_rolling_distinct_approx,
   )
 
   val oracle: Map[String, String] = Map(
@@ -756,6 +809,19 @@ object Relational {
         |  FROM du)
         |SELECT day, max(u7)::BIGINT AS users_7d
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q37_decile_profile" ->
+      """WITH b AS (
+        |  SELECT list_transform(
+        |    quantile_cont(o_totalprice, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+        |    x -> round(x, 4)) AS bnds
+        |  FROM orders)
+        |SELECT len(list_filter(b.bnds, x -> o.o_totalprice > x)) + 1 AS decile,
+        |  count(*)::BIGINT AS n_orders,
+        |  round(min(o_totalprice), 2) AS min_price,
+        |  round(max(o_totalprice), 2) AS max_price,
+        |  round(avg(o_totalprice), 2) AS avg_price
+        |FROM orders o, b
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q36_percent_rank" ->
       """WITH r AS (
         |  SELECT c_mktsegment, c_custkey, c_acctbal,

@@ -145,6 +145,54 @@ class CdcSpec extends AnyFunSuite {
     assert(fp1 == noProps)
   }
 
+  test("c20 full envelope roundtrips every field through the wire format") {
+    implicit val s = spark
+    val flat = Envelope.flat(Tables.events(spark, sf))
+    val decoded = AvroEnvelope.roundtrip(flat).collect()
+    assert(decoded.nonEmpty)
+    // framing + fingerprint dispatch held on every message
+    assert(decoded.forall(d => d.magic_ok && d.fp_ok))
+    // envelope fingerprint FIELD is the base64-url of the 8 wire bytes
+    assert(decoded.forall(_.fingerprint == AvroEnvelope.fingerprintB64))
+    // truncates flow through with null before/after, like the reference
+    val ts = decoded.filter(_.op == "t")
+    assert(ts.nonEmpty && ts.forall(d => d.pk_before.isEmpty && d.pk_after.isEmpty))
+    // before present iff the op has a before image; after iff an after image
+    assert(decoded.forall(d => d.pk_before.isDefined == Set("u", "u_pk", "d")(d.op)))
+    assert(decoded.forall(d => d.pk_after.isDefined == Set("c", "u", "r", "u_pk")(d.op)))
+    // field-by-field equality with the input envelope
+    val in = AvroEnvelope.envRecords(flat).collect()
+      .map(r => (r.lsn_long, r.op, r.tx_at_us, r.pk_before, r.pk_after, r.after_value)).toSet
+    val out = decoded
+      .map(d => (d.lsn_long, d.op, d.tx_at_us, d.pk_before, d.pk_after, d.after_value)).toSet
+    assert(out == in)
+    // source record fields round-trip (lsn string reparses to the long)
+    assert(decoded.forall(d => d.tx_id == d.lsn_long && d.sent_at_us == d.tx_at_us &&
+      d.db == "testdb" && d.schema_name == "public" && d.table_name == "events"))
+    // a message framed under a different schema fingerprint is rejected
+    val schema = AvroSchemaGen.parse(AvroEnvelope.schemaJson)
+    val one = AvroEnvelope.envRecords(flat).head()
+    val bytes = AvroEnvelope.encodeOne(schema, AvroEnvelope.fingerprint + 1,
+      AvroEnvelope.fingerprintB64, one)
+    assert(!AvroEnvelope.decodeOne(schema, AvroEnvelope.fingerprint, bytes).fp_ok)
+  }
+
+  test("c21 redelivery dedup restores exactly-once state (and is not vacuous)") {
+    val dedup = CdcQueries.c21_redelivery_dedup(spark, sf).collect()
+    val exact = CdcQueries.c04_apply_latest(spark, sf).collect()
+    // same keys, values, last ords as the exactly-once replay
+    assert(dedup.map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet ==
+      exact.map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet)
+    // anti-vacuity: WITHOUT the dedup the redelivered suffix double-counts
+    val flat = Envelope.flat(Tables.events(spark, sf))
+    val redelivered = flat.union(
+      flat.filter(col("tx_at") >= lit("2024-01-20").cast("timestamp")))
+    val noDedupHalf = Apply.liveEvents(redelivered).count()
+    val dedupHalf = dedup.map(_.getAs[Long]("n_half")).sum
+    assert(noDedupHalf > dedupHalf,
+      s"redelivery not observable: $noDedupHalf vs $dedupHalf")
+  }
+
   test("schema evolution diff flags exactly the v2-added column") {
     val rows = CdcQueries.c17_schema_evolution(spark, sf).collect()
     assert(rows.length == Tables.names.length)

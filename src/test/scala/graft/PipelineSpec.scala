@@ -51,6 +51,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"embed-LSH recall $recall (brute=${brute.size}, lsh=${lsh.size})")
   }
 
+  test("d05 shuffles carry only ids — no embedding column in any exchange") {
+    val df = Dedup.d05_embed_neardup(spark, sf)
+    df.collect() // materialize so AQE's final plan is available
+    val shuffles = PlanWalk.allNodes(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(shuffles.nonEmpty)
+    val offenders = shuffles.filter(_.output.exists(a =>
+      a.name == "embedding" || a.name.startsWith("e1") || a.name.startsWith("e2") ||
+        a.dataType.typeName == "array"))
+    assert(offenders.isEmpty,
+      s"embedding-carrying shuffle(s):\n${offenders.mkString("\n")}")
+  }
+
   test("v07 trained-IVF top-k recall and monotone k-means inertia") {
     val (inertia, _) = Similarity.kmeansTrain(spark, sf)
     assert(inertia.size == 4)

@@ -66,6 +66,41 @@ class RelationalSpec extends AnyFunSuite {
     assert(heap == win)
   }
 
+  test("q37 plans with no window and no single-partition exchange") {
+    val df = ops.Relational.q37_decile_profile(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getAs[Long]("n_orders")).sum ==
+      Tables.orders(spark, sf).count())
+    val nodes = PlanWalk.allNodes(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("Window")),
+      "q37 must not use a window")
+    // a single-partition exchange is only acceptable as the final merge of
+    // a scalar aggregation (constant-size partial buffers, one row per map
+    // partition — the percentile boundary agg); it must never carry table
+    // rows (the q27 ntile shape this query exists to avoid)
+    val singleParts = nodes.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+        if e.outputPartitioning.numPartitions == 1 => e
+    }
+    val rowCarrying = singleParts.filterNot(
+      _.children.head.getClass.getSimpleName.contains("Aggregate"))
+    assert(rowCarrying.isEmpty,
+      s"row-carrying single-partition exchange in q37: $rowCarrying")
+  }
+
+  test("q38 HLL rolling distinct within 5% of exact q35 per day") {
+    val exact = ops.Relational.q35_rolling_distinct(spark, sf).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString -> r.getAs[Long]("users_7d")).toMap
+    val approx = ops.Relational.q38_rolling_distinct_approx(spark, sf).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString -> r.getAs[Long]("users_7d_approx")).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (day, ex) =>
+      val ap = approx(day)
+      assert(math.abs(ap - ex).toDouble / ex <= 0.05, s"$day: exact=$ex approx=$ap")
+    }
+  }
+
   test("q07 rank bounded per partition") {
     val rns = ops.Relational.q07_window_rank(spark, sf)
       .collect().map(_.getAs[Int]("rn"))
