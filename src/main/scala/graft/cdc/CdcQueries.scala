@@ -317,6 +317,18 @@ object CdcQueries {
       .orderBy("pk")
   }
 
+  // c22: pg type-matrix roundtrip — a synthetic typed table covering every
+  // branch of the reference's pgtype-avro conversion (uuid, jsonb, scaled
+  // numeric, date/time/timestamptz with planted infinity modifiers, text +
+  // int arrays, null float8) encoded through the pg-faithful schema and
+  // the single-object codec, decoded back. The oracle recomputes every
+  // decoded field from `events`, so a hash match proves each conversion
+  // branch lossless (pgtype.go:158-236, conversion.go:29-98).
+  val c22_pg_type_matrix: Q = (s, d) => {
+    implicit val spark: SparkSession = s
+    PgTypeAvro.roundtrip(Tables.events(s, d)).toDF().orderBy("id")
+  }
+
   val queries: Map[String, Q] = Map(
     "c01_lsn_roundtrip" -> c01_lsn_roundtrip,
     "c02_wal_envelope" -> c02_wal_envelope,
@@ -339,6 +351,7 @@ object CdcQueries {
     "c19_wal_gaps" -> c19_wal_gaps,
     "c20_envelope_avro_roundtrip" -> c20_envelope_avro_roundtrip,
     "c21_redelivery_dedup" -> c21_redelivery_dedup,
+    "c22_pg_type_matrix" -> c22_pg_type_matrix,
   )
 
   val oracle: Map[String, String] = Map(
@@ -447,6 +460,35 @@ object CdcQueries {
          |  CASE WHEN pk_after IS NOT NULL THEN epoch_us(tx_at) END AS after_ts_us,
          |  true AS magic_ok, true AS fp_ok
          |FROM flat ORDER BY lsn_long""".stripMargin,
+    "c22_pg_type_matrix" ->
+      """SELECT event_id AS id,
+        |  event_id % 2 = 0 AS flag,
+        |  (event_id % 100)::INT AS small,
+        |  (event_id % 10000)::INT AS med,
+        |  ((event_id % 16) / 16.0)::DOUBLE AS ratio,
+        |  CASE WHEN event_id % 53 <> 0 THEN value END AS amount,
+        |  'u' || user_id::VARCHAR AS name,
+        |  substr(md5(event_id::VARCHAR), 1, 8) || '-'
+        |    || substr(md5(event_id::VARCHAR), 9, 4) || '-'
+        |    || substr(md5(event_id::VARCHAR), 13, 4) || '-'
+        |    || substr(md5(event_id::VARCHAR), 17, 4) || '-'
+        |    || substr(md5(event_id::VARCHAR), 21, 12) AS u,
+        |  '{"k":' || (event_id % 10)::VARCHAR || '}' AS doc,
+        |  ((event_id * 10007) % 1000000) * 100 AS num_unscaled,
+        |  CASE WHEN event_id % 97 <> 0 AND event_id % 89 <> 0
+        |    THEN (ts::TIMESTAMP::DATE - DATE '1970-01-01')::INT END AS d_days,
+        |  CASE WHEN event_id % 97 = 0 THEN 'infinity'
+        |       WHEN event_id % 89 = 0 THEN '-infinity' END AS d_inf,
+        |  epoch_us(ts::TIMESTAMP) - epoch_us(ts::TIMESTAMP::DATE::TIMESTAMP) AS t_us,
+        |  CASE WHEN event_id % 101 <> 0 AND event_id % 103 <> 0
+        |    THEN epoch_us(ts::TIMESTAMP) END AS ts_us,
+        |  CASE WHEN event_id % 101 = 0 THEN 'infinity'
+        |       WHEN event_id % 103 = 0 THEN '-infinity' END AS ts_inf,
+        |  'a' || (event_id % 3)::VARCHAR || ',b' || (event_id % 5)::VARCHAR AS tags_str,
+        |  (event_id % 7)::VARCHAR || ',' || (event_id % 11)::VARCHAR
+        |    || ',' || (event_id % 13)::VARCHAR AS nums_str,
+        |  true AS magic_ok, true AS fp_ok
+        |FROM events ORDER BY id""".stripMargin,
     "c21_redelivery_dedup" ->
       s"""WITH $sqlEnv, $sqlFlat, ${Apply.sqlApply("", "")},
          |state2 AS (

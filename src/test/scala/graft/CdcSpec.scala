@@ -193,6 +193,68 @@ class CdcSpec extends AnyFunSuite {
       s"redelivery not observable: $noDedupHalf vs $dedupHalf")
   }
 
+  test("c22 pg-faithful schema matches the reference type mapping") {
+    import org.apache.avro.Schema
+    val schema = AvroSchemaGen.parse(PgTypeAvro.schemaJson) // valid Avro
+    // uuid → string + logicalType uuid (pgtype.go:199-203)
+    val u = schema.getField("u").schema().getTypes.get(1)
+    assert(u.getType == Schema.Type.STRING && u.getProp("logicalType") == "uuid")
+    // jsonb → bytes (pgtype.go:204-205)
+    assert(schema.getField("doc").schema().getTypes.get(1).getType == Schema.Type.BYTES)
+    // numeric(18,4) → bytes decimal with precision/scale (pgtype.go:206-215)
+    val num = schema.getField("num").schema().getTypes.get(1)
+    assert(num.getType == Schema.Type.BYTES && num.getProp("logicalType") == "decimal")
+    assert(num.getObjectProp("precision") == 18 && num.getObjectProp("scale") == 4)
+    // date → ["null", date-int, infinity_modifier] with the reference's
+    // magic negative symbol (pgtype.go:10-12, 171-180)
+    val d = schema.getField("d").schema()
+    assert(d.getTypes.size == 3)
+    assert(d.getTypes.get(1).getProp("logicalType") == "date")
+    val infEnum = d.getTypes.get(2)
+    assert(infEnum.getType == Schema.Type.ENUM && infEnum.getName == "infinity_modifier")
+    assert(infEnum.getEnumSymbols.toString ==
+      s"[${PgTypeAvro.InfSym}, ${PgTypeAvro.NegInfSym}]")
+    // enum defined ONCE, referenced by name in later fields (getInf)
+    val ts = schema.getField("ts").schema()
+    assert(ts.getTypes.get(1).getProp("logicalType") == "timestamp-micros")
+    assert(ts.getTypes.get(2) eq infEnum) // same schema object after parse
+    assert(schema.getField("t").schema().getTypes.get(1).getProp("logicalType") == "time-micros")
+    // key column non-null, non-key nullable union (pgtype.go:108-131)
+    assert(schema.getField("id").schema().getType == Schema.Type.LONG)
+    assert(schema.getField("flag").schema().getType == Schema.Type.UNION)
+    assert(schema.getField("id").getObjectProp("pgKey") == true)
+    assert(schema.getField("nums").getObjectProp("pgType") == "_int4")
+  }
+
+  test("c22 roundtrip exercises every planted type branch losslessly") {
+    implicit val s = spark
+    val rows = PgTypeAvro.roundtrip(Tables.events(spark, sf)).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.magic_ok && r.fp_ok))
+    // planted branches all present: infinities both signs, null amount
+    assert(rows.exists(_.d_inf.contains("infinity")))
+    assert(rows.exists(_.d_inf.contains("-infinity")))
+    assert(rows.exists(_.ts_inf.contains("infinity")))
+    assert(rows.exists(_.ts_inf.contains("-infinity")))
+    assert(rows.exists(_.amount.isEmpty))
+    // infinity and finite are mutually exclusive per field
+    assert(rows.forall(r => r.d_inf.isEmpty != r.d_days.isEmpty))
+    assert(rows.forall(r => r.ts_inf.isEmpty != r.ts_us.isEmpty))
+    // decoded values equal the input lift field-by-field
+    val in = PgTypeAvro.typedRows(Tables.events(spark, sf)).collect()
+      .map(r => r.id -> r).toMap
+    rows.foreach { r =>
+      val i = in(r.id)
+      assert(r.flag == i.flag && r.small == i.small && r.med == i.med)
+      assert(r.ratio == i.ratio.toDouble && r.amount == i.amount)
+      assert(r.name == i.name && r.u == i.u && r.doc == i.doc)
+      assert(r.num_unscaled == i.num_unscaled)
+      assert(r.d_days == i.d_days && r.d_inf == i.d_inf && r.t_us == i.t_us)
+      assert(r.ts_us == i.ts_us && r.ts_inf == i.ts_inf)
+      assert(r.tags_str == i.tags.mkString(",") && r.nums_str == i.nums.mkString(","))
+    }
+  }
+
   test("schema evolution diff flags exactly the v2-added column") {
     val rows = CdcQueries.c17_schema_evolution(spark, sf).collect()
     assert(rows.length == Tables.names.length)
