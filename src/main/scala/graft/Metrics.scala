@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.{FileSourceScanExec, QueryExecution, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Operational metrics — the Spark analogue of the reference's per-table /
+  * per-op Prometheus counters and snapshot progress gauges
+  * (creek internal/metrics/metrics.go:1-149). Where creek counts rows and
+  * messages as they flow through the replication daemon, a Spark pipeline
+  * observes the same numbers through a [[QueryExecutionListener]]: after
+  * each action the EXECUTED plan carries the true row/record counters
+  * (scan output rows, shuffle records written, per-operator output rows)
+  * in its SQLMetric registry — measured, not estimated.
+  *
+  * [[profile]] registers a listener, drives each target query, waits for
+  * its QueryExecution to arrive on the listener bus (metrics are only
+  * final then), and emits one counter row per query — the table a
+  * monitoring pipeline would scrape.
+  */
+object Metrics {
+  private type Q = (SparkSession, String) => DataFrame
+
+  case class QueryMetrics(query: String, action: String, rows_out: Long,
+    scan_rows: Long, shuffle_records: Long, n_scans: Long, n_exchanges: Long)
+
+  /** Flatten the executed plan, descending through AQE wrappers and
+    * materialized query stages to the operators that actually ran.
+    */
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => a +: allNodes(a.executedPlan)
+    case q: QueryStageExec => q +: allNodes(q.plan)
+    case other => other +: other.children.flatMap(allNodes)
+  }
+
+  def profile(s: SparkSession, targets: Seq[(String, DataFrame)]): DataFrame = {
+    import s.implicits._
+    val captured = new java.util.concurrent.ConcurrentHashMap[QueryExecution, String]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        captured.put(qe, funcName)
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    s.listenerManager.register(listener)
+    try {
+      val rows = targets.map { case (name, df) =>
+        val nOut = df.collect().length.toLong
+        val qe = df.queryExecution
+        // the listener bus is async; metrics are final once THIS qe arrives
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (!captured.containsKey(qe) && System.nanoTime() < deadline)
+          Thread.sleep(10)
+        require(captured.containsKey(qe), s"listener never observed $name")
+        val nodes = allNodes(qe.executedPlan)
+        val scans = nodes.collect { case f: FileSourceScanExec => f }
+        val shuffles = nodes.collect { case e: ShuffleExchangeLike => e }
+        QueryMetrics(name, captured.get(qe), nOut,
+          scans.flatMap(_.metrics.get("numOutputRows")).map(_.value).sum,
+          shuffles.flatMap(_.metrics.get("shuffleRecordsWritten")).map(_.value).sum,
+          scans.size.toLong, shuffles.size.toLong)
+      }
+      s.createDataset(rows).toDF().orderBy("query")
+    } finally s.listenerManager.unregister(listener)
+  }
+
+  // x06 (rows-only; spec: counters positive, deterministic, rows_out
+  // cross-checked): per-query execution counters for three representative
+  // pipeline queries — an aggregation, the CDC apply, and a dedup.
+  val x06_query_metrics: Q = (s, d) =>
+    profile(s, Seq(
+      "q01_pricing_agg" -> ops.Relational.q01_pricing_agg(s, d),
+      "c04_apply_latest" -> cdc.CdcQueries.c04_apply_latest(s, d),
+      "d01_exact_dedup" -> ops.Dedup.d01_exact_dedup(s, d)))
+
+  val queries: Map[String, Q] = Map("x06_query_metrics" -> x06_query_metrics)
+  val oracle: Map[String, String] = Map.empty
+}

@@ -13,7 +13,8 @@ object SparkEntry {
     ops.Relational.queries ++ cdc.CdcQueries.queries ++
       streaming.StreamingQueries.queries ++ ops.Dedup.queries ++
       ops.Similarity.queries ++ ops.TextAnalysis.queries ++
-      ops.Multimodal.queries ++ sources.SourceSinks.queries
+      ops.Multimodal.queries ++ sources.SourceSinks.queries ++
+      Metrics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -21,5 +22,6 @@ object SparkEntry {
     ops.Relational.oracle ++ cdc.CdcQueries.oracle ++
       streaming.StreamingQueries.oracle ++ ops.Dedup.oracle ++
       ops.Similarity.oracle ++ ops.TextAnalysis.oracle ++
-      ops.Multimodal.oracle ++ sources.SourceSinks.oracle
+      ops.Multimodal.oracle ++ sources.SourceSinks.oracle ++
+      Metrics.oracle
 }

@@ -220,81 +220,43 @@ object Dedup {
       .orderBy("v1", "v2")
   }
 
-  // d06: duplicate-cluster materialization — connected components over
-  // the exact near-dup pairs (d02), i.e. the table a dedup job actually
-  // joins against to drop all-but-one copy per cluster. Min-label
-  // propagation to fixpoint: components here are near-dup clusters
-  // (diameter ≤ a few hops), so 2–4 rounds converge; each round is one
-  // join + one min-agg on the same key partitioning. At 100 TB-scale
-  // graphs you'd switch to pointer-jumping (large-star/small-star) for
-  // O(log n) rounds — same per-round plan shape. Oracle: DuckDB
-  // recursive CTE over the identical pair set.
-  val d06_dup_clusters: Q = (s, d) => {
-    val pairs = d02_ngram_jaccard(s, d).select(col("d1"), col("d2")).persist()
+  /** Min-label-propagation connected components over an undirected pair
+    * set (d1, d2) → (cluster, doc_id), cluster = component-min doc_id.
+    * `pointerJump = false` is pure propagation — O(diameter) rounds, each
+    * one join + one min-agg on the same key partitioning (fine for
+    * near-dup clusters, whose diameter is a few hops). `pointerJump =
+    * true` adds a rep ← rep(rep) contraction per round (one self-join on
+    * the label table; reps are nodes, so every rep has a row), halving
+    * pointer depth for O(log n) rounds — the large-star/small-star shape
+    * a 100 TB link graph needs. Invariant for both: rep(u) only ever
+    * decreases and always names a node of u's own component, so the
+    * fixpoint — every edge label-equal and rep(rep) = rep — is exactly
+    * the component minimum. Throws if the round bound is hit before the
+    * fixpoint. The final labels stay cached (the caller consumes them);
+    * pairs/edges caches are dropped on exit.
+    */
+  private def ccClusters(pairsIn: DataFrame, pointerJump: Boolean,
+      maxIter: Int): DataFrame = {
+    val pairs = pairsIn.persist()
     val edges = pairs.union(pairs.select(col("d2"), col("d1")))
       .toDF("src", "dst").persist()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("rep", col("node")).persist()
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
-      val prop = edges.join(labels, edges("src") === labels("node"))
-        .select(col("dst").as("node"), col("rep"))
-      val next = labels.select("node", "rep").union(prop)
-        .groupBy("node").agg(min("rep").as("rep")).persist()
-      changed = next.join(labels.withColumnRenamed("rep", "old"), "node")
-        .filter(col("rep") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
-      iter += 1
-    }
-    // The final labels stay cached (the caller is about to consume them);
-    // the candidate pairs/edges are done — drop their cache so repeated
-    // invocations don't accumulate storage.
-    pairs.unpersist()
-    edges.unpersist()
-    if (changed > 0) {
-      labels.unpersist()
-      throw new IllegalStateException(
-        s"d06_dup_clusters: min-label propagation did not converge in $iter rounds " +
-          "(component diameter exceeds the bound — switch to pointer-jumping d07)")
-    }
-    labels.select(col("rep").as("cluster"), col("node").as("doc_id"))
-      .orderBy("cluster", "doc_id")
-  }
-
-  // d07: connected components by min-label propagation + POINTER JUMPING —
-  // the web-scale path §4 promises. d06's pure propagation needs
-  // O(diameter) rounds (fine for near-dup clusters, fatal for a 100 TB
-  // link graph with long chains); adding a rep ← rep(rep) contraction per
-  // round halves pointer depth, giving O(log n) rounds. Invariant: rep(u)
-  // only ever decreases and always names a node of u's own component (both
-  // steps assign labels that arrived via edges or existing labels), so the
-  // fixpoint — where every edge has equal labels and rep(rep) = rep — is
-  // exactly the component minimum. Same output (and same recursive-CTE
-  // oracle) as d06, different round complexity.
-  val d07_cc_pointer_jumping: Q = (s, d) => {
-    val pairs = d02_ngram_jaccard(s, d).select(col("d1"), col("d2")).persist()
-    val edges = pairs.union(pairs.select(col("d2"), col("d1")))
-      .toDF("src", "dst").persist()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("rep", col("node")).persist()
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < 30) {
-      // (1) neighbor-min propagation: rep(u) ← min(rep(u), min_{v∈N(u)} rep(v))
+    while (changed > 0 && iter < maxIter) {
       val prop = edges.join(labels, edges("src") === labels("node"))
         .select(col("dst").as("node"), col("rep"))
       val l1 = labels.select("node", "rep").union(prop)
         .groupBy("node").agg(min("rep").as("rep"))
-      // (2) pointer jump: rep(u) ← rep(rep(u)) — one self-join on the label
-      // table (reps are nodes, so every rep has a row); min() keeps the
-      // smaller of the two in the same pass.
-      val jump = l1.as("a")
-        .join(l1.select(col("node").as("jn"), col("rep").as("jrep")),
-          col("a.rep") === col("jn"))
-        .select(col("a.node").as("node"), least(col("a.rep"), col("jrep")).as("rep"))
-      val next = jump.persist()
+      val stepped =
+        if (!pointerJump) l1
+        else l1.as("a")
+          .join(l1.select(col("node").as("jn"), col("rep").as("jrep")),
+            col("a.rep") === col("jn"))
+          .select(col("a.node").as("node"),
+            least(col("a.rep"), col("jrep")).as("rep"))
+      val next = stepped.persist()
       changed = next.join(labels.withColumnRenamed("rep", "old"), "node")
         .filter(col("rep") =!= col("old")).count()
       labels.unpersist()
@@ -306,11 +268,63 @@ object Dedup {
     if (changed > 0) {
       labels.unpersist()
       throw new IllegalStateException(
-        s"d07_cc_pointer_jumping: not converged after $iter rounds")
+        s"ccClusters(pointerJump=$pointerJump): not converged in $iter rounds" +
+          (if (pointerJump) "" else " — switch to pointer-jumping d07"))
     }
     labels.select(col("rep").as("cluster"), col("node").as("doc_id"))
-      .orderBy("cluster", "doc_id")
   }
+
+  // d06: duplicate-cluster materialization — connected components over
+  // the exact near-dup pairs (d02), i.e. the table a dedup job actually
+  // joins against to drop all-but-one copy per cluster. Pure min-label
+  // propagation: near-dup components have diameter ≤ a few hops, so 2–4
+  // rounds converge. Oracle: DuckDB recursive CTE over the identical
+  // pair set.
+  val d06_dup_clusters: Q = (s, d) =>
+    ccClusters(d02_ngram_jaccard(s, d).select(col("d1"), col("d2")),
+      pointerJump = false, maxIter = 20)
+      .orderBy("cluster", "doc_id")
+
+  // d07: the same clustering by min-label propagation + POINTER JUMPING —
+  // the web-scale path §4 promises (O(log n) rounds instead of
+  // O(diameter)). Same output, same recursive-CTE oracle as d06.
+  val d07_cc_pointer_jumping: Q = (s, d) =>
+    ccClusters(d02_ngram_jaccard(s, d).select(col("d1"), col("d2")),
+      pointerJump = true, maxIter = 30)
+      .orderBy("cluster", "doc_id")
+
+  // d08: END-TO-END dedup keep-list — the artifact a corpus dedup job
+  // actually ships: every document tagged with its duplicate cluster,
+  // keeper = the cluster's min doc_id (which IS the min-label rep), keep
+  // = this doc is its cluster's keeper (or was never near-duplicated).
+  // Composition: near-dup pairs → CC (pointer jumping) → left join back
+  // to documents. The pair generator here is the exact d02, so the
+  // recursive-CTE oracle verifies the WHOLE pipeline end-to-end; at
+  // 100 TB you swap in d03's MinHash-LSH pairs — identical (d1, d2)
+  // interface, identical downstream plan (PipelineSpec checks the d03
+  // variant agrees on ≥90% of drops).
+  val d08_dedup_keeplist: Q = (s, d) => {
+    val labels = ccClusters(d02_ngram_jaccard(s, d).select(col("d1"), col("d2")),
+      pointerJump = true, maxIter = 30)
+    keeplist(Tables.documents(s, d), labels)
+  }
+
+  /** (doc_id, cluster, keep) for every document given CC labels. */
+  def keeplist(documents: DataFrame, labels: DataFrame): DataFrame =
+    documents.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"),
+        (col("doc_id") === coalesce(col("cluster"), col("doc_id"))).as("keep"))
+      .orderBy("doc_id")
+
+  /** d08 over d03's MinHash-LSH pairs — the 100 TB formulation
+    * (spec-checked against the exact keep-list, not oracle'd).
+    */
+  def keeplistLsh(s: SparkSession, d: String): DataFrame =
+    keeplist(Tables.documents(s, d),
+      ccClusters(d03_minhash_lsh(s, d).select(col("d1"), col("d2")),
+        pointerJump = true, maxIter = 30))
 
   val queries: Map[String, Q] = Map(
     "d01_exact_dedup" -> d01_exact_dedup,
@@ -320,6 +334,7 @@ object Dedup {
     "d05_embed_neardup" -> d05_embed_neardup,
     "d06_dup_clusters" -> d06_dup_clusters,
     "d07_cc_pointer_jumping" -> d07_cc_pointer_jumping,
+    "d08_dedup_keeplist" -> d08_dedup_keeplist,
   )
 
   val oracle: Map[String, String] = Map(
@@ -351,12 +366,24 @@ object Dedup {
     // d07 computes the identical clustering as d06, just in O(log n)
     // rounds — same recursive-CTE ground truth.
     "d07_cc_pointer_jumping" -> ccOracleSql,
+    "d08_dedup_keeplist" ->
+      s"""$ccCtes,
+         |lab AS (SELECT node, min(rep) AS cluster FROM cc GROUP BY node)
+         |SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster,
+         |  d.doc_id = coalesce(l.cluster, d.doc_id) AS keep
+         |FROM documents d LEFT JOIN lab l ON d.doc_id = l.node
+         |ORDER BY d.doc_id""".stripMargin,
   )
 
-  /** Shared ground truth for d06/d07: recursive-CTE connected components
-    * over the exact near-dup pair set.
+  /** Shared ground truth for d06/d07/d08: recursive-CTE connected
+    * components over the exact near-dup pair set.
     */
   private lazy val ccOracleSql: String =
+    s"""$ccCtes
+       |SELECT min(rep) AS cluster, node AS doc_id
+       |FROM cc GROUP BY node ORDER BY cluster, doc_id""".stripMargin
+
+  private lazy val ccCtes: String =
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id,
         |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
@@ -378,7 +405,5 @@ object Dedup {
         |cc(node, rep) AS (
         |  SELECT DISTINCT src AS node, src AS rep FROM edges
         |  UNION
-        |  SELECT e.dst, least(c.rep, e.dst) FROM cc c JOIN edges e ON c.node = e.src)
-        |SELECT min(rep) AS cluster, node AS doc_id
-        |FROM cc GROUP BY node ORDER BY cluster, doc_id""".stripMargin
+        |  SELECT e.dst, least(c.rep, e.dst) FROM cc c JOIN edges e ON c.node = e.src)""".stripMargin
 }

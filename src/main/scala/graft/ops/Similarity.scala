@@ -288,6 +288,55 @@ object Similarity {
       .limit(10)
   }
 
+  // v08 (rows-only; spec: recall vs v01, final scores exactly equal v01's
+  // for shared ids, deterministic): trained IVF + int8 residual re-rank —
+  // the complete ANN STORAGE story (v06's quantization composed with
+  // v07's index). The corpus is materialized as an int8 code store
+  // (codes + per-vector scale: ~4× smaller than float32); the probe scan
+  // scores only reconstructed codes (code·scale), and the float table is
+  // touched solely by the top-30 candidate pool's re-rank join on vec_id.
+  // At 100 TB the hot scan path reads the compact codes; full-precision
+  // embeddings are random-accessed ~30 rows per query.
+  val v08_knn_ivf_rerank: Q = (s, d) => {
+    val (_, cents) = kmeansTrain(s, d)
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    // the quantized store an IVF index materializes: (vec_id, cell,
+    // scale, codes). persist = the store is a real table, and a hard
+    // barrier against CollapseProject re-inlining the scale aggregate
+    // into the codes lambda (the §4 lambda re-evaluation trap).
+    val store = assignCells(e, cents)
+      .withColumn("scale",
+        aggregate(col("embedding"), lit(0.0),
+          (a, x) => greatest(a, abs(x.cast("double")))) / 127.0)
+      .withColumn("codes",
+        transform(col("embedding"), x => round(x.cast("double") / col("scale")).cast("int")))
+      .select("vec_id", "cell", "scale", "codes")
+      .persist()
+    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding")).collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dp / math.sqrt(na * nb)
+    }
+    val probes = cents.zipWithIndex.map { case (c, i) => (cos(c, q), i) }
+      .sortBy { case (cc, i) => (-cc, i) }.take(3).map(_._2).toSeq
+    val cand30 = store
+      .filter(col("cell").isin(probes: _*) && col("vec_id") =!= 0)
+      .crossJoin(broadcast(queryVec(s, d)))
+      .withColumn("recon", transform(col("codes"), c => c.cast("double") * col("scale")))
+      .select(col("vec_id"), Vec.cosine(col("recon"), col("qe")).as("approx_cos"))
+      .orderBy(col("approx_cos").desc, col("vec_id"))
+      .limit(30)
+    e.join(broadcast(cand30), "vec_id")
+      .crossJoin(broadcast(queryVec(s, d)))
+      .select(col("vec_id"),
+        round(Vec.cosine(col("embedding"), col("qe")), 6).as("cos"),
+        round(col("approx_cos"), 6).as("approx_cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, Q] = Map(
     "v01_knn_brute" -> v01_knn_brute,
     "v02_knn_ivf" -> v02_knn_ivf,
@@ -296,6 +345,7 @@ object Similarity {
     "v05_multi_query_knn" -> v05_multi_query_knn,
     "v06_quantize_int8" -> v06_quantize_int8,
     "v07_knn_ivf_trained" -> v07_knn_ivf_trained,
+    "v08_knn_ivf_rerank" -> v08_knn_ivf_rerank,
   )
 
   val oracle: Map[String, String] = Map(

@@ -83,6 +83,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(ivf == again)
   }
 
+  test("v08 int8-rerank IVF: recall, exact re-ranked scores, determinism") {
+    val exact = Similarity.v01_knn_brute(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = Similarity.v08_knn_ivf_rerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    val recall = got.map(_._1).count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"ivf+rerank recall@10 = $recall")
+    // the final scores are FULL precision — must equal v01's exactly
+    got.filter(g => exact.contains(g._1)).foreach { case (v, cos, _) =>
+      assert(cos == exact(v), s"vec $v: rerank $cos != exact ${exact(v)}")
+    }
+    // the quantized pre-score is close but not the exact one (i.e. the
+    // int8 path was actually exercised)
+    assert(got.forall { case (_, cos, approx) => math.abs(cos - approx) < 0.05 })
+    assert(got.exists { case (_, cos, approx) => cos != approx })
+    val again = Similarity.v08_knn_ivf_rerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.sameElements(again))
+  }
+
+  test("d08 keep-list over LSH pairs agrees with the exact keep-list") {
+    val exact = Dedup.d08_dedup_keeplist(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val lsh = Dedup.keeplistLsh(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(exact.keySet == lsh.keySet) // every doc gets a verdict in both
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(exact.size.toLong == nDocs)
+    // exact path must actually drop something at this sf
+    val dropped = exact.count(!_._2)
+    assert(dropped > 0)
+    // LSH keep-list recovers ≥90% of the exact drops, and never drops
+    // more than the exact pair set justifies by a wide margin
+    val agree = exact.count { case (id, k) => lsh(id) == k }
+    assert(agree.toDouble / exact.size >= 0.98,
+      s"keep-list agreement ${agree.toDouble / exact.size}")
+    val lshDropped = lsh.count(!_._2)
+    assert(lshDropped.toDouble >= 0.9 * dropped && lshDropped <= dropped * 1.2,
+      s"drops: exact=$dropped lsh=$lshDropped")
+  }
+
   test("v02 IVF top-k recall against brute-force top-k") {
     val exact = Similarity.v01_knn_brute(spark, sf)
       .select("vec_id").collect().map(_.getLong(0)).toSet

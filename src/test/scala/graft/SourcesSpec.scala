@@ -10,6 +10,30 @@ import java.nio.file.Files
 class SourcesSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("x06 metrics listener reports true executed-plan counters") {
+    val rows = Metrics.x06_query_metrics(spark, sf).collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[String]("query")).toSet ==
+      Set("q01_pricing_agg", "c04_apply_latest", "d01_exact_dedup"))
+    rows.foreach { r =>
+      assert(r.getAs[String]("action") == "collect")
+      assert(r.getAs[Long]("rows_out") > 0)
+      assert(r.getAs[Long]("scan_rows") >= r.getAs[Long]("rows_out"))
+      assert(r.getAs[Long]("shuffle_records") > 0)
+      assert(r.getAs[Long]("n_scans") >= 1 && r.getAs[Long]("n_exchanges") >= 1)
+    }
+    // rows_out is the true result cardinality, cross-checked per query
+    val byName = rows.map(r => r.getAs[String]("query") -> r.getAs[Long]("rows_out")).toMap
+    assert(byName("q01_pricing_agg") == ops.Relational.q01_pricing_agg(spark, sf).count())
+    assert(byName("d01_exact_dedup") == ops.Dedup.d01_exact_dedup(spark, sf).count())
+    // plan-derived counters are deterministic run-to-run
+    val again = Metrics.x06_query_metrics(spark, sf).collect()
+    assert(rows.map(r => (r.getAs[String]("query"), r.getAs[Long]("rows_out"),
+      r.getAs[Long]("scan_rows"), r.getAs[Long]("n_scans"))).toSeq ==
+      again.map(r => (r.getAs[String]("query"), r.getAs[Long]("rows_out"),
+        r.getAs[Long]("scan_rows"), r.getAs[Long]("n_scans"))).toSeq)
+  }
+
   test("x05 bucketed join plans with no exchange and no sort below the join") {
     val dir = Files.createTempDirectory("graft_bucketed_spec")
     try {
