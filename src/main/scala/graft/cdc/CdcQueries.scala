@@ -329,6 +329,65 @@ object CdcQueries {
     PgTypeAvro.roundtrip(Tables.events(s, d)).toDF().orderBy("id")
   }
 
+  // c23: snapshot consumption END-TO-END over the wire — the full client
+  // read path composed from the real pieces: snapshot state at LSN S is
+  // emitted as op='r' envelope messages (what the snapshot stream
+  // carries, internal/dao/snapshots.go + messages.go op enum), the
+  // subsequent WAL as its own messages; BOTH streams are Avro-encoded
+  // (c20 codec), split into seq/len wire frames (c15 framing), shuffled,
+  // reassembled, decoded, and applied — and the result must equal c08's
+  // in-memory snapshot ⊕ WAL merge (same oracle). Proves codec + chunking
+  // + apply compose losslessly, not just roundtrip in isolation.
+  val c23_snapshot_wire_replay: Q = (s, d) => {
+    implicit val spark: SparkSession = s
+    import spark.implicits._
+    val flat = flatEnv(s, d)
+    val snapLsnDf = flat.filter(col("tx_at") < lit("2024-01-20").cast("timestamp"))
+      .agg(coalesce(max("lsn_long"), lit(-1L)).as("s"))
+    val sVal = snapLsnDf.head().getLong(0) // one scalar, the snapshot cut
+    val snapState = Apply.latest(flat.filter(col("lsn_long") <= sVal))
+    val snapRecs = snapState.select(
+      lit(sVal).as("lsn_long"), lit("r").as("op"), lit(0L).as("tx_at_us"),
+      lit(null).cast("long").as("pk_before"),
+      col("pk").as("pk_after"), col("last_value").as("after_value")).as[EnvRecord]
+    val walRecs = flat.filter(col("lsn_long") > sVal)
+      .select(col("lsn_long"), col("op"), unix_micros(col("tx_at")).as("tx_at_us"),
+        col("pk_before"), col("pk_after"), col("after_value")).as[EnvRecord]
+    val json = AvroEnvelope.schemaJson
+    val fp = AvroEnvelope.fingerprint
+    val fpB64 = AvroEnvelope.fingerprintB64
+    // encode + frame per partition; snapshot rows share lsn S, so their
+    // wire message id is keyed by pk (odd) vs WAL by lsn (even)
+    val frames = snapRecs.union(walRecs).mapPartitions { it =>
+      val schema = new org.apache.avro.Schema.Parser().parse(json)
+      it.flatMap { r =>
+        val msgId =
+          if (r.lsn_long == sVal && r.op == "r" && r.pk_before.isEmpty)
+            r.pk_after.get * 2 + 1
+          else r.lsn_long * 2
+        Chunking.split(msgId, AvroEnvelope.encodeOne(schema, fp, fpB64, r))
+      }
+    }
+    val reassembled = frames.toDF()
+      .groupBy(col("msg_id"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("seq"), col("chunk")))),
+          x => x.getField("chunk")),
+        lit(Array.emptyByteArray),
+        (acc, c) => concat(acc, c)).as("bytes"))
+      .as[(Long, Array[Byte])]
+    val decoded = reassembled.mapPartitions { it =>
+      val schema = new org.apache.avro.Schema.Parser().parse(json)
+      it.map { case (_, bytes) => AvroEnvelope.decodeOne(schema, fp, bytes) }
+    }
+    val flatBack = decoded.toDF()
+      .select(col("lsn_long"), col("op"), col("pk_before"), col("pk_after"),
+        col("after_value"))
+    Apply.latest(flatBack)
+      .select(col("pk"), round(col("last_value"), 2).as("value"))
+      .orderBy("pk")
+  }
+
   val queries: Map[String, Q] = Map(
     "c01_lsn_roundtrip" -> c01_lsn_roundtrip,
     "c02_wal_envelope" -> c02_wal_envelope,
@@ -352,7 +411,32 @@ object CdcQueries {
     "c20_envelope_avro_roundtrip" -> c20_envelope_avro_roundtrip,
     "c21_redelivery_dedup" -> c21_redelivery_dedup,
     "c22_pg_type_matrix" -> c22_pg_type_matrix,
+    "c23_snapshot_wire_replay" -> c23_snapshot_wire_replay,
   )
+
+  /** Ground truth for c08 AND c23 (the wire trip is lossless, so the
+    * snapshot ⊕ WAL merge replayed from decoded messages must hash-match
+    * the in-memory merge).
+    */
+  private lazy val snapshotPlusWalOracle: String =
+    s"""WITH $sqlEnv, $sqlFlat,
+       |sc AS (SELECT coalesce(max(lsn_long), -1) AS s FROM flat
+       |       WHERE tx_at < TIMESTAMP '2024-01-20'),
+       |${Apply.sqlApply("snap_", "lsn_long <= (SELECT s FROM sc)")},
+       |snaprows AS (
+       |  SELECT (SELECT s FROM sc) * 2 + 1 AS ord, 'c' AS eff_op, pk,
+       |         last_value AS value
+       |  FROM snap_state WHERE last_op <> 'd'),
+       |${Apply.sqlApply("wal_", "lsn_long > (SELECT s FROM sc)")},
+       |merged AS (SELECT ord, eff_op, pk, value FROM snaprows
+       |           UNION ALL SELECT ord, eff_op, pk, value FROM wal_half),
+       |mlive AS (SELECT * FROM merged WHERE ord > (SELECT tmax FROM wal_cut)),
+       |mstate AS (
+       |  SELECT pk, max_by(eff_op, ord) AS last_op,
+       |         max_by(value, ord) AS last_value
+       |  FROM mlive GROUP BY pk)
+       |SELECT pk, round(last_value, 2) AS value
+       |FROM mstate WHERE last_op <> 'd' ORDER BY pk""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "c01_lsn_roundtrip" ->
@@ -399,25 +483,8 @@ object CdcQueries {
          |  ${sqlLsnStr("max(lsn_long)")} AS lsn
          |FROM flat WHERE tx_at < TIMESTAMP '2024-01-20'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "c08_snapshot_plus_wal" ->
-      s"""WITH $sqlEnv, $sqlFlat,
-         |sc AS (SELECT coalesce(max(lsn_long), -1) AS s FROM flat
-         |       WHERE tx_at < TIMESTAMP '2024-01-20'),
-         |${Apply.sqlApply("snap_", "lsn_long <= (SELECT s FROM sc)")},
-         |snaprows AS (
-         |  SELECT (SELECT s FROM sc) * 2 + 1 AS ord, 'c' AS eff_op, pk,
-         |         last_value AS value
-         |  FROM snap_state WHERE last_op <> 'd'),
-         |${Apply.sqlApply("wal_", "lsn_long > (SELECT s FROM sc)")},
-         |merged AS (SELECT ord, eff_op, pk, value FROM snaprows
-         |           UNION ALL SELECT ord, eff_op, pk, value FROM wal_half),
-         |mlive AS (SELECT * FROM merged WHERE ord > (SELECT tmax FROM wal_cut)),
-         |mstate AS (
-         |  SELECT pk, max_by(eff_op, ord) AS last_op,
-         |         max_by(value, ord) AS last_value
-         |  FROM mlive GROUP BY pk)
-         |SELECT pk, round(last_value, 2) AS value
-         |FROM mstate WHERE last_op <> 'd' ORDER BY pk""".stripMargin,
+    "c08_snapshot_plus_wal" -> snapshotPlusWalOracle,
+    "c23_snapshot_wire_replay" -> snapshotPlusWalOracle,
     "c09_list_snapshots" ->
       """SELECT 'CREEK_SNAP.public.events.'
         |    || strftime(max(ts::TIMESTAMP), '%Y%m%d%H%M%S_%f') AS snap_name,

@@ -15,6 +15,12 @@ case class MediaFeatures(doc_id: Long, content_type: String, payload_len: Int,
 case class MediaFrame(doc_id: Long, frame_seq: Int, offset: Int, len: Int,
   frame_hash: Long)
 
+/** One resized (and possibly augmented) thumbnail of an image payload
+  * (m04): source/output geometry + content hash of the resampled bytes.
+  */
+case class MediaThumb(doc_id: Long, aug: String, src_w: Int, src_h: Int,
+  out_w: Int, out_h: Int, thumb_hash: Long)
+
 /** Multimodal plumbing (SURVEY.md §2, m01–m02): image/audio/video as
   * opaque `binary` columns with typed metadata. The Spark-side pipeline —
   * schema, partition-batched extraction, feature shape — is real; the
@@ -147,10 +153,76 @@ object Multimodal {
       .orderBy("doc_id", "frame_seq")
   }
 
+  /** Thumbnail geometry for m04. */
+  val ThumbDim = 8
+
+  /** Nearest-neighbor resample of a w×h byte grid to ow×oh — the exact
+    * index arithmetic of a real image resizer (out(y,x) = in(y·h/oh,
+    * x·w/ow)); only the pixel source is the stub (payload bytes as a
+    * square-ish grid instead of decoded RGB).
+    */
+  def resizeNN(payload: Array[Byte], w: Int, h: Int, ow: Int, oh: Int): Array[Byte] = {
+    val out = new Array[Byte](ow * oh)
+    var y = 0
+    while (y < oh) {
+      val sy = y * h / oh
+      var x = 0
+      while (x < ow) {
+        val idx = sy * w + x * w / ow
+        out(y * ow + x) = if (idx < payload.length) payload(idx) else 0
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Horizontal flip of a w×h byte image (each row reversed) — the
+    * standard training augmentation; involutive (flip ∘ flip = id).
+    */
+  def flipH(img: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](img.length)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { out(y * w + x) = img(y * w + (w - 1 - x)); x += 1 }
+      y += 1
+    }
+    out
+  }
+
+  // m04 (rows-only; spec: 2 rows per image doc, flip involution,
+  // determinism): resize + augment — the image-preprocessing step of a
+  // training-data pipeline as partition-batched binary transforms. Each
+  // image payload becomes a w×h grid (w = ⌈√n⌉), is NN-resampled to an
+  // 8×8 thumbnail, and emitted twice: original and horizontally flipped
+  // (what an augmenting data loader materializes). Geometry and index
+  // math are real; only the pixel decode is the declared stub.
+  val m04_resize_augment: Q = (s, d) => {
+    import s.implicits._
+    mediaRecords(s, d)
+      .filter(r => r.content_type.startsWith("image/"))
+      .mapPartitions(_.flatMap { r =>
+        val n = r.payload.length
+        val w = math.ceil(math.sqrt(n.toDouble)).toInt.max(1)
+        val h = (n + w - 1) / w
+        val thumb = resizeNN(r.payload, w, h, ThumbDim, ThumbDim)
+        val flipped = flipH(thumb, ThumbDim, ThumbDim)
+        Seq(
+          MediaThumb(r.doc_id, "orig", w, h, ThumbDim, ThumbDim,
+            fnvBytes(thumb, 0, thumb.length)),
+          MediaThumb(r.doc_id, "flip", w, h, ThumbDim, ThumbDim,
+            fnvBytes(flipped, 0, flipped.length)))
+      })
+      .toDF()
+      .orderBy("doc_id", "aug")
+  }
+
   val queries: Map[String, Q] = Map(
     "m01_binary_meta" -> m01_binary_meta,
     "m02_feature_extract" -> m02_feature_extract,
     "m03_frame_sample" -> m03_frame_sample,
+    "m04_resize_augment" -> m04_resize_augment,
   )
 
   val oracle: Map[String, String] = Map(

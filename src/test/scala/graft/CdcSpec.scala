@@ -193,6 +193,15 @@ class CdcSpec extends AnyFunSuite {
       s"redelivery not observable: $noDedupHalf vs $dedupHalf")
   }
 
+  test("c23 snapshot-over-the-wire replay equals the in-memory merge") {
+    val wire = CdcQueries.c23_snapshot_wire_replay(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val mem = CdcQueries.c08_snapshot_plus_wal(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(wire.nonEmpty)
+    assert(wire == mem)
+  }
+
   test("c22 pg-faithful schema matches the reference type mapping") {
     import org.apache.avro.Schema
     val schema = AvroSchemaGen.parse(PgTypeAvro.schemaJson) // valid Avro

@@ -198,6 +198,32 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("m04 resize+augment: per-image pair, real geometry, flip involution") {
+    val rows = ops.Multimodal.m04_resize_augment(spark, sf).collect()
+    val images = ops.Multimodal.mediaRecords(spark, sf).collect()
+      .filter(_.content_type.startsWith("image/"))
+    assert(rows.length == images.length * 2)
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet == images.map(_.doc_id).toSet)
+    byDoc.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[String]("aug")).sorted.sameElements(Array("flip", "orig")))
+      rs.foreach { r =>
+        val (w, h, n) = (r.getAs[Int]("src_w"), r.getAs[Int]("src_h"),
+          images.find(_.doc_id == r.getAs[Long]("doc_id")).get.payload.length)
+        assert(w.toLong * h >= n && w.toLong * (h - 1) < n, s"geometry $w x $h for $n bytes")
+        assert(r.getAs[Int]("out_w") == 8 && r.getAs[Int]("out_h") == 8)
+      }
+    }
+    // flip is an involution and (generically) changes the thumbnail
+    val img = Array.tabulate(64)(_.toByte)
+    assert(ops.Multimodal.flipH(ops.Multimodal.flipH(img, 8, 8), 8, 8).sameElements(img))
+    assert(!ops.Multimodal.flipH(img, 8, 8).sameElements(img))
+    assert(rows.groupBy(_.getAs[Long]("doc_id")).values
+      .exists(rs => rs.map(_.getAs[Long]("thumb_hash")).distinct.length == 2))
+    val again = ops.Multimodal.m04_resize_augment(spark, sf).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
   test("m03 frame sampling covers every doc with correct geometry") {
     val frames = ops.Multimodal.m03_frame_sample(spark, sf).collect()
     val sizes = ops.Multimodal.mediaRecords(spark, sf).collect()
