@@ -388,6 +388,17 @@ object CdcQueries {
       .orderBy("pk")
   }
 
+  // c24: schema-evolution-aware decode — a mixed stream (writers on v1
+  // and v2 of the same table schema, each message framed with its own
+  // fingerprint) decoded by a consumer holding the LATEST schema, via
+  // Avro writer→reader resolution: v1-written records surface the added
+  // column's null default. c17 detects evolution in the registry; this
+  // decodes across it (the ALTER TABLE survival path).
+  val c24_evolution_decode: Q = (s, d) => {
+    implicit val spark: SparkSession = s
+    EvolutionDecode.roundtrip(flatEnv(s, d)).toDF().orderBy("lsn_long")
+  }
+
   val queries: Map[String, Q] = Map(
     "c01_lsn_roundtrip" -> c01_lsn_roundtrip,
     "c02_wal_envelope" -> c02_wal_envelope,
@@ -412,6 +423,7 @@ object CdcQueries {
     "c21_redelivery_dedup" -> c21_redelivery_dedup,
     "c22_pg_type_matrix" -> c22_pg_type_matrix,
     "c23_snapshot_wire_replay" -> c23_snapshot_wire_replay,
+    "c24_evolution_decode" -> c24_evolution_decode,
   )
 
   /** Ground truth for c08 AND c23 (the wire trip is lossless, so the
@@ -556,6 +568,15 @@ object CdcQueries {
         |    || ',' || (event_id % 13)::VARCHAR AS nums_str,
         |  true AS magic_ok, true AS fp_ok
         |FROM events ORDER BY id""".stripMargin,
+    "c24_evolution_decode" ->
+      s"""WITH $sqlEnv, $sqlFlat
+         |SELECT lsn_long, coalesce(pk_after, pk_before) AS pk,
+         |  after_value AS value,
+         |  CASE WHEN lsn_long % 3 = 0
+         |    THEN 'v2:' || coalesce(pk_after, pk_before)::VARCHAR END AS src,
+         |  CASE WHEN lsn_long % 3 = 0 THEN 2 ELSE 1 END::INT AS writer_version,
+         |  true AS fp_ok
+         |FROM flat WHERE op <> 't' ORDER BY lsn_long""".stripMargin,
     "c21_redelivery_dedup" ->
       s"""WITH $sqlEnv, $sqlFlat, ${Apply.sqlApply("", "")},
          |state2 AS (

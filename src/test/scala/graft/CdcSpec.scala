@@ -202,6 +202,31 @@ class CdcSpec extends AnyFunSuite {
     assert(wire == mem)
   }
 
+  test("c24 writer/reader schema resolution across an added column") {
+    implicit val s = spark
+    val rows = EvolutionDecode.roundtrip(
+      Envelope.flat(Tables.events(spark, sf))).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.fp_ok))
+    // the two schema versions fingerprint differently (registry keys)
+    assert(EvolutionDecode.fpV1 != EvolutionDecode.fpV2)
+    val (v2w, v1w) = rows.partition(_.writer_version == 2)
+    assert(v2w.nonEmpty && v1w.nonEmpty)
+    // v1-written records gain the added column's null default
+    assert(v1w.forall(_.src.isEmpty))
+    // v2-written records carry their payload through resolution
+    assert(v2w.forall(r => r.src.contains(s"v2:${r.pk}")))
+    // reverse resolution: a v1 READER drops the v2-only field
+    val s1 = AvroSchemaGen.parse(EvolutionDecode.v1Json)
+    val s2 = AvroSchemaGen.parse(EvolutionDecode.v2Json)
+    val reg = Map(EvolutionDecode.fpV1 -> s1, EvolutionDecode.fpV2 -> s2)
+    val bytes = EvolutionDecode.encodeOne(s2, EvolutionDecode.fpV2,
+      99L, 7L, Some(1.5), Some("v2:7"))
+    val down = EvolutionDecode.decodeOne(reg, reader = s1, bytes)
+    assert(down.lsn_long == 99L && down.pk == 7L &&
+      down.value.contains(1.5) && down.src.isEmpty)
+  }
+
   test("c22 pg-faithful schema matches the reference type mapping") {
     import org.apache.avro.Schema
     val schema = AvroSchemaGen.parse(PgTypeAvro.schemaJson) // valid Avro
