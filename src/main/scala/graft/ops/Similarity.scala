@@ -246,11 +246,26 @@ object Similarity {
     (inertia.toSeq, cents)
   }
 
-  /** (vec_id, embedding, cell, dist2): nearest-centroid assignment as ONE
-    * projection — an array of (dist², cell) structs over the broadcast
-    * centroid literals, array_min for the argmin. No join, no shuffle.
+  /** Above this k the literal-projection assignment's expression tree
+    * (linear in k) stops being worth it and the broadcast-join argmin
+    * takes over.
     */
-  private def assignCells(e: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+  private[graft] val AssignLiteralMaxK = 64
+
+  /** (vec_id, embedding, cell, dist2): nearest-centroid assignment.
+    * Dispatches on k: small centroid sets inline as ONE codegen'd
+    * projection (no join, no shuffle); large ones broadcast-join (the
+    * expression tree grows linearly in k, so at k in the hundreds+
+    * codegen'd plan size — not the data — becomes the bottleneck).
+    */
+  private[graft] def assignCells(e: DataFrame, cents: Array[Array[Double]]): DataFrame =
+    if (cents.length <= AssignLiteralMaxK) assignCellsLiteral(e, cents)
+    else assignCellsJoin(e, cents)
+
+  /** Literal-projection argmin: an array of (dist², cell) structs over
+    * the broadcast centroid literals, array_min for the argmin.
+    */
+  private[graft] def assignCellsLiteral(e: DataFrame, cents: Array[Array[Double]]): DataFrame = {
     val nrm2 = Vec.dot(col("embedding"), col("embedding"))
     val best = array_min(array(cents.zipWithIndex.map { case (c, i) =>
       val cl = typedLit(c.toSeq)
@@ -258,6 +273,28 @@ object Similarity {
         + lit(c.map(x => x * x).sum)).as("dist2"), lit(i).as("cell"))
     }: _*))
     e.withColumn("b", best)
+      .select(col("vec_id"), col("embedding"),
+        col("b.cell").as("cell"), col("b.dist2").as("dist2"))
+  }
+
+  /** Broadcast-join argmin (the v02 shape): centroids as a broadcast
+    * k-row table, one min_by aggregation per vector. Constant plan size;
+    * costs one shuffle of k candidate rows per vector.
+    */
+  private[graft] def assignCellsJoin(e: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val centDf = cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq, c.map(x => x * x).sum) }.toSeq
+      .toDF("cell", "centroid", "cnorm2")
+    e.withColumn("nrm2", Vec.dot(col("embedding"), col("embedding")))
+      .crossJoin(broadcast(centDf))
+      .withColumn("dist2",
+        col("nrm2") - lit(2.0) * Vec.dot(col("embedding"), col("centroid")) + col("cnorm2"))
+      .groupBy(col("vec_id"))
+      .agg(
+        min_by(struct(col("cell"), col("dist2")), struct(col("dist2"), col("cell"))).as("b"),
+        first(col("embedding")).as("embedding"))
       .select(col("vec_id"), col("embedding"),
         col("b.cell").as("cell"), col("b.dist2").as("dist2"))
   }

@@ -125,6 +125,20 @@ class PipelineSpec extends AnyFunSuite {
       s"drops: exact=$dropped lsh=$lshDropped")
   }
 
+  test("assignCells literal and broadcast-join paths agree exactly") {
+    val (_, cents) = Similarity.kmeansTrain(spark, sf)
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cell").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val lit = asMap(Similarity.assignCellsLiteral(e, cents))
+    val join = asMap(Similarity.assignCellsJoin(e, cents))
+    assert(lit.nonEmpty)
+    assert(lit == join)
+    // the dispatcher flips to the join path past the k threshold
+    assert(Similarity.AssignLiteralMaxK == 64)
+  }
+
   test("v02 IVF top-k recall against brute-force top-k") {
     val exact = Similarity.v01_knn_brute(spark, sf)
       .select("vec_id").collect().map(_.getLong(0)).toSet
