@@ -156,12 +156,62 @@ object SourceSinks {
     s.createDataFrame(rows, agg.schema)
   }
 
+  /** Write the flat event stream day-partitioned under `dir` and return
+    * the partitioned reader — the 100 TB landing layout (one directory
+    * per day, partition column recovered from the path).
+    */
+  def writeDayPartitioned(s: SparkSession, d: String, dir: Path): DataFrame = {
+    payload(s, d).withColumn("day", to_date(col("tx_at")))
+      .write.partitionBy("day").mode("overwrite").parquet(s"$dir/events_by_day")
+    s.read.parquet(s"$dir/events_by_day")
+  }
+
+  /** The DPP join: fact (partitioned by day) ⋈ a runtime-computed dim of
+    * the days in the stream's first window (the "reprocess a date range
+    * discovered from a watermark" pattern). The dim's plain comparison
+    * predicate is what lets Catalyst plant the DynamicPruningSubquery on
+    * the partitioned scan — `isLikelySelective` accepts BinaryComparison
+    * but NOT the CASE WHEN an op-derivation filter would optimize into,
+    * and an aggregate alone never qualifies. Only the matching
+    * day-directories are read — asserted in SourcesSpec.
+    */
+  def dppJoin(s: SparkSession, d: String, fact: DataFrame): DataFrame = {
+    val dim = payload(s, d)
+      .filter(col("tx_at") < lit("2024-01-06").cast("timestamp"))
+      .select(to_date(col("tx_at")).as("day"))
+      .distinct()
+    fact.join(dim, "day")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"),
+        max("lsn_long").as("max_lsn"))
+      .orderBy("day")
+  }
+
+  // x07: day-partitioned layout + DYNAMIC partition pruning — at 100 TB
+  // the fact table lives partitioned by day, and a join against a
+  // selective runtime-computed dim must scan ONLY the matching
+  // partitions (partition filter discovered from the dim side at
+  // execution, not analysis). Result verified against the plain oracle
+  // (pruning must not change the answer); the plan shape — a
+  // dynamicpruning partition filter on the scan and ≤3 partitions read
+  // — is asserted in SourcesSpec.
+  val x07_partition_pruning: Q = (s, d) => {
+    val dir = Files.createTempDirectory("graft_dpp")
+    val agg = dppJoin(s, d, writeDayPartitioned(s, d, dir))
+    val rows = agg.collect().toSeq.asJava
+    Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+      .forEach(p => Files.deleteIfExists(p))
+    s.createDataFrame(rows, agg.schema)
+  }
+
   val queries: Map[String, Q] = Map(
     "x01_orc_roundtrip" -> x01_orc_roundtrip,
     "x02_json_roundtrip" -> x02_json_roundtrip,
     "x03_csv_roundtrip" -> x03_csv_roundtrip,
     "x04_stream_parquet_sink" -> x04_stream_parquet_sink,
     "x05_bucketed_join" -> x05_bucketed_join,
+    "x07_partition_pruning" -> x07_partition_pruning,
   )
 
   /** One oracle body for all three: recompute from the parquet original. */
@@ -186,5 +236,16 @@ object SourceSinks {
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x07_partition_pruning" ->
+      s"""WITH ${graft.cdc.Envelope.sqlEnv}, ${graft.cdc.Envelope.sqlFlat},
+         |byday AS (
+         |  SELECT tx_at::DATE AS day, count(*)::BIGINT AS n_events,
+         |    round(sum(value), 2) AS sum_value, max(lsn_long) AS max_lsn
+         |  FROM flat GROUP BY 1),
+         |tdays AS (SELECT DISTINCT tx_at::DATE AS day FROM flat
+         |          WHERE tx_at < TIMESTAMP '2024-01-06')
+         |SELECT day, n_events, sum_value, max_lsn
+         |FROM byday WHERE day IN (SELECT day FROM tdays)
+         |ORDER BY day""".stripMargin,
   )
 }

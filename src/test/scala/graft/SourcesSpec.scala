@@ -34,6 +34,36 @@ class SourcesSpec extends AnyFunSuite {
         r.getAs[Long]("scan_rows"), r.getAs[Long]("n_scans"))).toSeq)
   }
 
+  test("x07 DPP prunes the day-partitioned scan to the dim's days") {
+    val dir = Files.createTempDirectory("graft_dpp_spec")
+    try {
+      val fact = sources.SourceSinks.writeDayPartitioned(spark, sf, dir)
+      val totalDays = fact.select("day").distinct().count()
+      val selDays = sources.SourceSinks.dppJoin(spark, sf, fact).collect().length
+      assert(selDays > 0 && selDays < totalDays / 2,
+        s"dim not selective: $selDays of $totalDays days")
+      val agg = sources.SourceSinks.dppJoin(spark, sf, fact)
+      assert(agg.collect().length == selDays)
+      val scans = PlanWalk.allNodes(agg.queryExecution.executedPlan).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.partitionFilters.nonEmpty => f
+      }
+      val dynamic = scans.filter(_.partitionFilters.exists(
+        _.toString.toLowerCase.contains("dynamicpruning")))
+      assert(dynamic.nonEmpty, s"no dynamic-pruning scan among ${scans.size} scans")
+      // the pruned scan touched only the selected day partitions
+      val p = dynamic.head
+      val nParts = p.metrics.get("numPartitions").map(_.value)
+      val nFiles = p.metrics.get("numFiles").map(_.value)
+      assert(nParts.forall(n => n > 0 && n <= selDays), s"numPartitions=$nParts")
+      assert(nFiles.forall(n => n > 0 && n < totalDays), s"numFiles=$nFiles")
+      assert(nParts.isDefined || nFiles.isDefined)
+    } finally {
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+
   test("x05 bucketed join plans with no exchange and no sort below the join") {
     val dir = Files.createTempDirectory("graft_bucketed_spec")
     try {
