@@ -68,6 +68,34 @@ object TextAnalysis {
       .drop("text")
       .orderBy("doc_id")
 
+  // t10: quality-stratified corpus sampling — the curation step that
+  // downsamples low-quality documents into a training mix. The keep
+  // decision is a pure hash of doc_id (md5 hex → percent), NOT an RNG
+  // sample: the same rows are kept on any cluster, any partition layout,
+  // any rerun — shuffle-free, trivially resumable, and exactly
+  // reproducible by the DuckDB oracle (a seeded sampleBy would be none
+  // of those). Buckets from the t02 score: high keeps all, mid 50%,
+  // low 20%.
+  val t10_quality_sample: Q = (s, d) => {
+    val pct = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+      .cast("long"), lit(100L))
+    t02_quality(s, d)
+      .withColumn("bucket",
+        when(col("score") >= 0.8, "high")
+          .when(col("score") >= 0.6, "mid")
+          .otherwise("low"))
+      .withColumn("rate",
+        when(col("bucket") === "high", 100L)
+          .when(col("bucket") === "mid", 50L).otherwise(20L))
+      .withColumn("keep", pct < col("rate"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        round(avg("score"), 4).as("avg_score"),
+        sum(when(col("keep"), col("n_tokens"))).as("kept_tokens"))
+      .orderBy("bucket")
+  }
+
   // t03: token counting per source — whitespace tokens plus a BPE-ish
   // regex segmentation (letter runs / digit runs / single symbols).
   val t03_token_count: Q = (s, d) =>
@@ -210,6 +238,7 @@ object TextAnalysis {
     "t07_vocab" -> t07_vocab,
     "t08_tfidf" -> t08_tfidf,
     "t09_pii_scrub" -> t09_pii_scrub,
+    "t10_quality_sample" -> t10_quality_sample,
   )
 
   private val sqlToks =
@@ -233,6 +262,32 @@ object TextAnalysis {
          |  (CASE $caseArms ELSE '${langs.last}' END = lang)::INT AS correct
          |FROM h ORDER BY doc_id""".stripMargin
     },
+    "t10_quality_sample" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, length(text) AS len_chars,
+         |    len($sqlToks) AS n_tokens,
+         |    ${sqlHits(Seq("the", "a", "of"))} AS stop_hits,
+         |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct_chars
+         |  FROM documents),
+         |sc AS (
+         |  SELECT doc_id, n_tokens,
+         |    round(least(n_tokens / 100.0, 1.0) * 0.5
+         |      + (stop_hits / n_tokens) * 0.3
+         |      + (1.0 - punct_chars / len_chars) * 0.2, 4) AS score,
+         |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT % 100 AS pct
+         |  FROM m),
+         |b AS (
+         |  SELECT score, n_tokens,
+         |    CASE WHEN score >= 0.8 THEN 'high'
+         |         WHEN score >= 0.6 THEN 'mid' ELSE 'low' END AS bucket,
+         |    CASE WHEN score >= 0.8 THEN 100
+         |         WHEN score >= 0.6 THEN 50 ELSE 20 END AS rate, pct
+         |  FROM sc)
+         |SELECT bucket, count(*)::BIGINT AS n_docs,
+         |  sum((pct < rate)::INT)::BIGINT AS n_kept,
+         |  round(avg(score), 4) AS avg_score,
+         |  sum(CASE WHEN pct < rate THEN n_tokens END)::BIGINT AS kept_tokens
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "t02_quality" ->
       s"""WITH m AS (
          |  SELECT doc_id, length(text) AS len_chars,

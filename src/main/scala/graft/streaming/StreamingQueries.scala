@@ -198,6 +198,36 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
+  // s10: streaming WAL CONSUMPTION through the wire codec — the NATS-
+  // consumer shape: a stream of change events is lifted to the envelope,
+  // every micro-batch pushed through the full publish_message Avro codec
+  // (encode → single-object frame → decode, c20's path), and the decoded
+  // stream aggregated per op in complete mode. The oracle recomputes the
+  // same per-op stats from the batch table, so a hash match proves the
+  // codec is transparent under streaming execution too (mapPartitions
+  // runs per micro-batch exactly as it would per NATS delivery).
+  val s10_stream_envelope_decode: Q = (s, d) => {
+    implicit val spark: SparkSession = s
+    val raw = Tables.load(s, d, "events")
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val decoded = graft.cdc.AvroEnvelope.roundtrip(graft.cdc.Envelope.flat(stream))
+    val name = s"graft_stream_envelope_${System.nanoTime()}"
+    val q = decoded.toDF()
+      .groupBy(col("op"))
+      .agg(count(lit(1)).as("n"),
+        max("lsn_long").as("max_lsn"),
+        sum((col("fp_ok") && col("magic_ok")).cast("long")).as("n_ok"),
+        round(sum("after_value"), 2).as("sum_after"))
+      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+      .select(col("op"), col("n"), col("max_lsn"), col("n_ok"), col("sum_after"))
+      .orderBy("op")
+  }
+
   val queries: Map[String, Q] = Map(
     "s01_tumbling_window" -> s01_tumbling_window,
     "s06_session_window" -> s06_session_window,
@@ -208,9 +238,16 @@ object StreamingQueries {
     "s07_interval_join" -> s07_interval_join,
     "s08_stream_stream_join" -> s08_stream_stream_join,
     "s09_stateful_counter" -> s09_stateful_counter,
+    "s10_stream_envelope_decode" -> s10_stream_envelope_decode,
   )
 
   val oracle: Map[String, String] = Map(
+    "s10_stream_envelope_decode" ->
+      s"""WITH ${graft.cdc.Envelope.sqlEnv}, ${graft.cdc.Envelope.sqlFlat}
+         |SELECT op, count(*)::BIGINT AS n, max(lsn_long) AS max_lsn,
+         |  count(*)::BIGINT AS n_ok,
+         |  round(sum(after_value), 2) AS sum_after
+         |FROM flat GROUP BY op ORDER BY op""".stripMargin,
     "s01_tumbling_window" ->
       """SELECT (epoch_us(ts::TIMESTAMP) // 21600000000) * 21600000000 AS window_start_us,
         |  event_type, count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value,

@@ -259,6 +259,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(frames.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("t10 hash-stratified sampling hits bucket rates and is deterministic") {
+    val rows = TextAnalysis.t10_quality_sample(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val rates = Map("high" -> 1.0, "mid" -> 0.5, "low" -> 0.2)
+    rows.foreach { r =>
+      val (b, n, k) = (r.getAs[String]("bucket"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"))
+      assert(k <= n)
+      if (n >= 50)
+        assert(math.abs(k.toDouble / n - rates(b)) <= 0.15,
+          s"bucket $b kept $k of $n (target ${rates(b)})")
+    }
+    // at least one bucket is genuinely downsampled
+    assert(rows.exists(r => r.getAs[Long]("n_kept") < r.getAs[Long]("n_docs")))
+    val again = TextAnalysis.t10_quality_sample(spark, sf).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
   test("minhash signature estimates true jaccard within tolerance") {
     val exact = Dedup.d02_ngram_jaccard(spark, sf).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap

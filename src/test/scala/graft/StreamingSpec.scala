@@ -6,6 +6,26 @@ import graft.streaming.StreamingQueries
 class StreamingSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("s10 streaming envelope decode equals the batch per-op stats") {
+    import org.apache.spark.sql.functions._
+    val streamed = streaming.StreamingQueries
+      .s10_stream_envelope_decode(spark, sf).collect()
+    assert(streamed.nonEmpty)
+    // every decoded message passed the framing + fingerprint check
+    streamed.foreach(r =>
+      assert(r.getAs[Long]("n_ok") == r.getAs[Long]("n")))
+    val batch = cdc.Envelope.flat(Tables.events(spark, sf))
+      .groupBy(col("op"))
+      .agg(count(lit(1)).as("n"), max("lsn_long").as("max_lsn"),
+        round(sum("after_value"), 2).as("sum_after"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)))).toSet
+    val got = streamed.map(r => (r.getString(0), r.getAs[Long]("n"),
+      r.getAs[Long]("max_lsn"), Option(r.get(4)))).toSet
+    assert(got == batch)
+  }
+
   test("watermarked streaming agg equals batch tumbling agg") {
     val batch = StreamingQueries.s01_tumbling_window(spark, sf)
       .drop("n_users")
