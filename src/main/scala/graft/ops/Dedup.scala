@@ -326,6 +326,70 @@ object Dedup {
       ccClusters(d03_minhash_lsh(s, d).select(col("d1"), col("d2")),
         pointerJump = true, maxIter = 30))
 
+  /** Exploded shingle table of an arbitrary document set. */
+  private def explodedShinglesOf(docs: DataFrame, spread: Int): DataFrame =
+    docs.repartition(spread)
+      .select(col("doc_id"), shingleHashes(col("text"), distinct = true).as("hs"))
+      .select(col("doc_id"), size(col("hs")).as("n_sh"), explode(col("hs")).as("s"))
+
+  // d09: INCREMENTAL keep-list maintenance — the continuous-ingestion
+  // shape of d08: documents arrive in batches; each batch's candidate
+  // pairs come from ONE new-vs-accumulated shingle join (never a full
+  // corpus self-join), and the existing cluster assignment enters the
+  // next CC round as pseudo-edges (rep ↔ node preserves connectivity),
+  // so components merge across batches without recomputing history. The
+  // join condition admits each ≥1-new pair exactly once: old–new pairs
+  // in their only orientation, new–new pairs only as (lo, hi). After the
+  // last batch the keep-list must equal the batch d08 — same recursive-
+  // CTE oracle, which is the equivalence proof incremental = batch.
+  val d09_incremental_keeplist: Q = (s, d) => {
+    val B = 3
+    val docs = Tables.documents(s, d).persist()
+    val spread = s.sparkContext.defaultParallelism
+    var labels: DataFrame = null
+    for (batch <- 0 until B) {
+      val isNewCol = col("doc_id") % B === batch
+      val seenEx = explodedShinglesOf(docs.filter(col("doc_id") % B <= batch), spread)
+        .withColumn("is_new", isNewCol)
+      val newEx = explodedShinglesOf(docs.filter(isNewCol), spread)
+      // both sides descend from `docs` (self-join lineage): alias every
+      // column apart so the shingle equi-join keys get distinct exprIds
+      // (a("s") === b("s") would collapse to a trivially-true predicate)
+      val a = seenEx.select(col("doc_id").as("da"), col("n_sh").as("na"),
+        col("s").as("sa"), col("is_new").as("an"))
+      val b = newEx.select(col("doc_id").as("db"), col("n_sh").as("nb"),
+        col("s").as("sb"))
+      val newPairs = a.join(b,
+          col("sa") === col("sb") && col("da") =!= col("db") &&
+            !(col("an") && col("da") > col("db")))
+        .groupBy(
+          least(col("da"), col("db")).as("d1"),
+          greatest(col("da"), col("db")).as("d2"),
+          when(col("da") < col("db"), col("na")).otherwise(col("nb")).as("n1"),
+          when(col("da") < col("db"), col("nb")).otherwise(col("na")).as("n2"))
+        .agg(count(lit(1)).as("inter"))
+        .filter(round(col("inter") / (col("n1") + col("n2") - col("inter")), 6) >= 0.8)
+        .select(col("d1"), col("d2"))
+      val allPairs =
+        if (labels == null) newPairs
+        else newPairs.union(
+          labels.select(col("cluster").as("d1"), col("doc_id").as("d2"))
+            .filter(col("d1") =!= col("d2")))
+      val prev = labels
+      // localCheckpoint truncates the logical plan at the batch boundary:
+      // without it each batch's CC nests the previous batch's full
+      // round-by-round plan tree and ANALYSIS time compounds — the
+      // checkpointed label table is also exactly what a production
+      // incremental job persists between runs.
+      labels = ccClusters(allPairs, pointerJump = true, maxIter = 30)
+        .localCheckpoint()
+      if (prev != null) prev.unpersist()
+    }
+    val out = keeplist(docs, labels)
+    docs.unpersist()
+    out
+  }
+
   val queries: Map[String, Q] = Map(
     "d01_exact_dedup" -> d01_exact_dedup,
     "d02_ngram_jaccard" -> d02_ngram_jaccard,
@@ -335,6 +399,7 @@ object Dedup {
     "d06_dup_clusters" -> d06_dup_clusters,
     "d07_cc_pointer_jumping" -> d07_cc_pointer_jumping,
     "d08_dedup_keeplist" -> d08_dedup_keeplist,
+    "d09_incremental_keeplist" -> d09_incremental_keeplist,
   )
 
   val oracle: Map[String, String] = Map(
@@ -366,14 +431,19 @@ object Dedup {
     // d07 computes the identical clustering as d06, just in O(log n)
     // rounds — same recursive-CTE ground truth.
     "d07_cc_pointer_jumping" -> ccOracleSql,
-    "d08_dedup_keeplist" ->
-      s"""$ccCtes,
-         |lab AS (SELECT node, min(rep) AS cluster FROM cc GROUP BY node)
-         |SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster,
-         |  d.doc_id = coalesce(l.cluster, d.doc_id) AS keep
-         |FROM documents d LEFT JOIN lab l ON d.doc_id = l.node
-         |ORDER BY d.doc_id""".stripMargin,
+    "d08_dedup_keeplist" -> keeplistOracleSql,
+    // d09 maintains the same keep-list incrementally — equality with the
+    // batch ground truth IS the incremental-correctness proof.
+    "d09_incremental_keeplist" -> keeplistOracleSql,
   )
+
+  private lazy val keeplistOracleSql: String =
+    s"""$ccCtes,
+       |lab AS (SELECT node, min(rep) AS cluster FROM cc GROUP BY node)
+       |SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster,
+       |  d.doc_id = coalesce(l.cluster, d.doc_id) AS keep
+       |FROM documents d LEFT JOIN lab l ON d.doc_id = l.node
+       |ORDER BY d.doc_id""".stripMargin
 
   /** Shared ground truth for d06/d07/d08: recursive-CTE connected
     * components over the exact near-dup pair set.

@@ -104,6 +104,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.sameElements(again))
   }
 
+  test("d09 incremental keep-list equals the batch d08 keep-list") {
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val batch = asSet(Dedup.d08_dedup_keeplist(spark, sf))
+    val incr = asSet(Dedup.d09_incremental_keeplist(spark, sf))
+    assert(batch.nonEmpty)
+    assert(incr == batch)
+  }
+
   test("d08 keep-list over LSH pairs agrees with the exact keep-list") {
     val exact = Dedup.d08_dedup_keeplist(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
