@@ -28,8 +28,9 @@ object Metrics {
 
   /** Flatten the executed plan, descending through AQE wrappers and
     * materialized query stages to the operators that actually ran.
+    * (Also the plan walker behind every plan-shape test assertion.)
     */
-  private def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+  def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => a +: allNodes(a.executedPlan)
     case q: QueryStageExec => q +: allNodes(q.plan)
     case other => other +: other.children.flatMap(allNodes)

@@ -64,22 +64,29 @@ object EvolutionDecode {
   /** Resolve the frame's writer fingerprint against the registry map and
     * decode into `reader` (latest). Returns null-default for fields the
     * writer didn't know; silently drops fields the reader doesn't have.
+    * An UNKNOWN fingerprint yields a sentinel row with fp_ok = false
+    * (the consumer skips/queues it, as the reference client does when
+    * its schema lookup fails, client.go:272-276) — never a task failure.
     */
   def decodeOne(registry: Map[Long, Schema], reader: Schema,
       bytes: Array[Byte]): EvolvedDecoded = {
     val gotFp = java.nio.ByteBuffer.wrap(bytes, 2, 8)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
-    val writer = registry(gotFp)
-    val dec = DecoderFactory.get.binaryDecoder(bytes, 10, bytes.length - 10, null)
-    val rec = new GenericDatumReader[GenericRecord](writer, reader).read(null, dec)
-    EvolvedDecoded(
-      lsn_long = rec.get("lsn").asInstanceOf[Long],
-      pk = rec.get("pk").asInstanceOf[Long],
-      value = Option(rec.get("value")).map(_.asInstanceOf[Double]),
-      src = if (reader.getField("src") == null) None
-            else Option(rec.get("src")).map(_.toString),
-      writer_version = if (gotFp == fpV2) 2 else 1,
-      fp_ok = registry.contains(gotFp))
+    registry.get(gotFp) match {
+      case None =>
+        EvolvedDecoded(-1L, -1L, None, None, writer_version = 0, fp_ok = false)
+      case Some(writer) =>
+        val dec = DecoderFactory.get.binaryDecoder(bytes, 10, bytes.length - 10, null)
+        val rec = new GenericDatumReader[GenericRecord](writer, reader).read(null, dec)
+        EvolvedDecoded(
+          lsn_long = rec.get("lsn").asInstanceOf[Long],
+          pk = rec.get("pk").asInstanceOf[Long],
+          value = Option(rec.get("value")).map(_.asInstanceOf[Double]),
+          src = if (reader.getField("src") == null) None
+                else Option(rec.get("src")).map(_.toString),
+          writer_version = if (gotFp == fpV2) 2 else 1,
+          fp_ok = true)
+    }
   }
 
   /** Mixed-writer stream (v2 every 3rd lsn) decoded with the LATEST (v2)

@@ -236,7 +236,16 @@ object Dedup {
     * pairs/edges caches are dropped on exit.
     */
   private def ccClusters(pairsIn: DataFrame, pointerJump: Boolean,
-      maxIter: Int): DataFrame = {
+      maxIter: Int): DataFrame =
+    ccClustersWithCache(pairsIn, pointerJump, maxIter)._1
+
+  /** ccClusters plus the underlying cached label table, for callers that
+    * re-materialize the output (d09's localCheckpoint) and must release
+    * the cache themselves — unpersisting the returned SELECT would not
+    * drop the cached plan beneath it.
+    */
+  private def ccClustersWithCache(pairsIn: DataFrame, pointerJump: Boolean,
+      maxIter: Int): (DataFrame, DataFrame) = {
     val pairs = pairsIn.persist()
     val edges = pairs.union(pairs.select(col("d2"), col("d1")))
       .toDF("src", "dst").persist()
@@ -271,7 +280,7 @@ object Dedup {
         s"ccClusters(pointerJump=$pointerJump): not converged in $iter rounds" +
           (if (pointerJump) "" else " — switch to pointer-jumping d07"))
     }
-    labels.select(col("rep").as("cluster"), col("node").as("doc_id"))
+    (labels.select(col("rep").as("cluster"), col("node").as("doc_id")), labels)
   }
 
   // d06: duplicate-cluster materialization — connected components over
@@ -375,15 +384,15 @@ object Dedup {
         else newPairs.union(
           labels.select(col("cluster").as("d1"), col("doc_id").as("d2"))
             .filter(col("d1") =!= col("d2")))
-      val prev = labels
       // localCheckpoint truncates the logical plan at the batch boundary:
       // without it each batch's CC nests the previous batch's full
       // round-by-round plan tree and ANALYSIS time compounds — the
       // checkpointed label table is also exactly what a production
-      // incremental job persists between runs.
-      labels = ccClusters(allPairs, pointerJump = true, maxIter = 30)
-        .localCheckpoint()
-      if (prev != null) prev.unpersist()
+      // incremental job persists between runs. The CC-internal cache is
+      // released once the checkpoint has materialized from it.
+      val (out, cached) = ccClustersWithCache(allPairs, pointerJump = true, maxIter = 30)
+      labels = out.localCheckpoint()
+      cached.unpersist()
     }
     val out = keeplist(docs, labels)
     docs.unpersist()

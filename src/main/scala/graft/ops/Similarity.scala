@@ -358,13 +358,19 @@ object Similarity {
     }
     val probes = cents.zipWithIndex.map { case (c, i) => (cos(c, q), i) }
       .sortBy { case (cc, i) => (-cc, i) }.take(3).map(_._2).toSeq
-    val cand30 = store
+    // materialize the 30-row candidate pool (the serving hop), then drop
+    // the code store's cache so repeated invocations don't accumulate it
+    val pool = store
       .filter(col("cell").isin(probes: _*) && col("vec_id") =!= 0)
       .crossJoin(broadcast(queryVec(s, d)))
       .withColumn("recon", transform(col("codes"), c => c.cast("double") * col("scale")))
       .select(col("vec_id"), Vec.cosine(col("recon"), col("qe")).as("approx_cos"))
       .orderBy(col("approx_cos").desc, col("vec_id"))
       .limit(30)
+    val poolRows = pool.collect().toSeq
+    store.unpersist()
+    val cand30 = s.createDataFrame(
+      s.sparkContext.parallelize(poolRows, 1), pool.schema)
     e.join(broadcast(cand30), "vec_id")
       .crossJoin(broadcast(queryVec(s, d)))
       .select(col("vec_id"),

@@ -46,6 +46,16 @@ object SourceSinks {
         count(col("after_value")).as("n_after"))
       .orderBy("op")
 
+  /** Recursive delete with the walk stream closed (Files.walk leaks a
+    * directory handle per call otherwise).
+    */
+  private def deleteDir(dir: Path): Unit = {
+    val walk = Files.walk(dir)
+    try walk.sorted(Comparator.reverseOrder[Path]())
+      .forEach(p => Files.deleteIfExists(p))
+    finally walk.close()
+  }
+
   /** Materialize the (tiny: one row per op) stats aggregate eagerly, then
     * delete `dir` — without this, every bench/verify run leaked a full
     * copy of the roundtripped event stream in /tmp.
@@ -53,8 +63,7 @@ object SourceSinks {
   private def statsThenCleanup(s: SparkSession, read: DataFrame, dir: Path): DataFrame = {
     val agg = stats(read)
     val rows = agg.collect().toSeq.asJava
-    Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
-      .forEach(p => Files.deleteIfExists(p))
+    deleteDir(dir)
     s.createDataFrame(rows, agg.schema)
   }
 
@@ -147,13 +156,15 @@ object SourceSinks {
   val x05_bucketed_join: Q = (s, d) => {
     val dir = Files.createTempDirectory("graft_bucketed")
     writeBucketed(s, d, dir)
-    val agg = bucketedJoin(s)
-    val rows = agg.collect().toSeq.asJava
-    s.sql("DROP TABLE IF EXISTS graft_orders_b")
-    s.sql("DROP TABLE IF EXISTS graft_lineitem_b")
-    Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
-      .forEach(p => Files.deleteIfExists(p))
-    s.createDataFrame(rows, agg.schema)
+    try {
+      val agg = bucketedJoin(s)
+      val rows = agg.collect().toSeq.asJava
+      s.createDataFrame(rows, agg.schema)
+    } finally {
+      s.sql("DROP TABLE IF EXISTS graft_orders_b")
+      s.sql("DROP TABLE IF EXISTS graft_lineitem_b")
+      deleteDir(dir)
+    }
   }
 
   /** Write the flat event stream day-partitioned under `dir` and return
@@ -198,11 +209,11 @@ object SourceSinks {
   // — is asserted in SourcesSpec.
   val x07_partition_pruning: Q = (s, d) => {
     val dir = Files.createTempDirectory("graft_dpp")
-    val agg = dppJoin(s, d, writeDayPartitioned(s, d, dir))
-    val rows = agg.collect().toSeq.asJava
-    Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
-      .forEach(p => Files.deleteIfExists(p))
-    s.createDataFrame(rows, agg.schema)
+    try {
+      val agg = dppJoin(s, d, writeDayPartitioned(s, d, dir))
+      val rows = agg.collect().toSeq.asJava
+      s.createDataFrame(rows, agg.schema)
+    } finally deleteDir(dir)
   }
 
   val queries: Map[String, Q] = Map(

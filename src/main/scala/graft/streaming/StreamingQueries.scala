@@ -223,9 +223,14 @@ object StreamingQueries {
         round(sum("after_value"), 2).as("sum_after"))
       .writeStream.outputMode("complete").format("memory").queryName(name).start()
     try q.processAllAvailable() finally q.stop()
-    s.table(name)
+    // materialize, then drop the memory-sink view so repeated runs don't
+    // accumulate catalog entries + driver-held result rows
+    val out = s.table(name)
       .select(col("op"), col("n"), col("max_lsn"), col("n_ok"), col("sum_after"))
       .orderBy("op")
+    val rows = out.collect().toSeq
+    s.catalog.dropTempView(name)
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
   }
 
   val queries: Map[String, Q] = Map(

@@ -225,6 +225,10 @@ class CdcSpec extends AnyFunSuite {
     val down = EvolutionDecode.decodeOne(reg, reader = s1, bytes)
     assert(down.lsn_long == 99L && down.pk == 7L &&
       down.value.contains(1.5) && down.src.isEmpty)
+    // an unknown writer fingerprint surfaces fp_ok=false, not a crash
+    val unknown = EvolutionDecode.decodeOne(
+      Map(EvolutionDecode.fpV1 -> s1), reader = s1, bytes)
+    assert(!unknown.fp_ok && unknown.writer_version == 0)
   }
 
   test("c22 pg-faithful schema matches the reference type mapping") {

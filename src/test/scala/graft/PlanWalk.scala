@@ -1,16 +1,8 @@
 package graft
 
 import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 
-/** Test helper: flatten an executed plan tree, descending through AQE
-  * wrappers and materialized query stages so plan-shape assertions see
-  * the plan that actually ran.
-  */
+/** Test alias for the executed-plan flattener ([[Metrics.allNodes]]). */
 object PlanWalk {
-  def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
-    case a: AdaptiveSparkPlanExec => a +: allNodes(a.executedPlan)
-    case q: QueryStageExec => q +: allNodes(q.plan)
-    case other => other +: other.children.flatMap(allNodes)
-  }
+  def allNodes(p: SparkPlan): Seq[SparkPlan] = Metrics.allNodes(p)
 }
