@@ -96,6 +96,36 @@ object TextAnalysis {
       .orderBy("bucket")
   }
 
+  // t11 (rows-only; spec: CMS one-sided error bound + determinism):
+  // heavy hitters via Count-Min Sketch — frequent-token counts WITHOUT
+  // an exact token groupBy. At 100 TB the exact vocabulary aggregation
+  // shuffles the full token universe; the CMS is a fixed-size mergeable
+  // sketch (map-side partials, bytes through the shuffle) probed for
+  // the candidates. The exact counts ride along as the ground truth
+  // column (this corpus is small enough), mirroring the q09/q32 and
+  // q35/q38 exact/approx twin pattern.
+  val t11_heavy_hitters: Q = (s, d) => {
+    import s.implicits._
+    val tokens = Tables.documents(s, d)
+      .select(explode(toks(col("text"))).as("tok"))
+    // ONE pass builds the sketch (eps=0.001, conf=0.99, fixed seed —
+    // fully deterministic); it lands on the driver as a few KB.
+    val cmsBytes = tokens
+      .agg(count_min_sketch(col("tok"), lit(0.001), lit(0.99), lit(42)).as("cms"))
+      .head().getAs[Array[Byte]]("cms")
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(cmsBytes))
+    val top = tokens.groupBy(col("tok"))
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("tok"))
+      .limit(20)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), cms.estimateCount(r.getString(0))))
+    s.createDataset(top.toSeq)
+      .toDF("tok", "n_exact", "n_est")
+      .orderBy(col("n_exact").desc, col("tok"))
+  }
+
   // t03: token counting per source — whitespace tokens plus a BPE-ish
   // regex segmentation (letter runs / digit runs / single symbols).
   val t03_token_count: Q = (s, d) =>
@@ -239,6 +269,7 @@ object TextAnalysis {
     "t08_tfidf" -> t08_tfidf,
     "t09_pii_scrub" -> t09_pii_scrub,
     "t10_quality_sample" -> t10_quality_sample,
+    "t11_heavy_hitters" -> t11_heavy_hitters,
   )
 
   private val sqlToks =

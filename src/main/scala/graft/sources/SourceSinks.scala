@@ -216,6 +216,69 @@ object SourceSinks {
     } finally deleteDir(dir)
   }
 
+  /** Skewed fact/dim pair: ~60% of fact rows share hot key 0, the rest
+    * spread over user ids; dim = one row per key.
+    */
+  def skewedSides(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    // spread the 1-file scan first: AQE splits a skewed partition at
+    // MAPPER-block granularity, so a single-map-task input is
+    // unsplittable no matter how skewed (at cluster scale the file
+    // count provides the mappers automatically)
+    val fact = Tables.events(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(when(col("event_id") % 10 < 6, 0L)
+        .otherwise(col("user_id")).as("k"), col("value"))
+    // identity rekey (pmod(k+P, P) ≡ k for these ids), opaque to Catalyst:
+    // a production dim comes from its own table and reaches the join
+    // through a plain exchange; this synthetic dim derives from the fact,
+    // and without the rekey the distinct's partitioning satisfies the
+    // join, leaving an AGGREGATE (not a shuffle stage) under the join —
+    // a shape OptimizeSkewedJoin cannot split.
+    val P = 1000003L
+    val dim = fact.select(col("k")).distinct()
+      .select(pmod(col("k") + P, lit(P)).as("k"))
+      .withColumn("tag", concat(lit("g"), (col("k") % 7).cast("string")))
+    (fact, dim)
+  }
+
+  /** The skewed aggregate join (shared by x08 and its spec). */
+  def skewJoinAgg(fact: DataFrame, dim: DataFrame): DataFrame =
+    fact.join(dim, "k")
+      .groupBy(col("tag"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("tag")
+
+  // x08: AQE SKEW-JOIN — a planted hot key (60% of the fact) through a
+  // sort-merge join with AQE's skew handling forced on at test-size
+  // thresholds: the runtime splits the oversized partition into chunks
+  // and replicates the matching dim rows, so one reducer no longer
+  // owns 60% of the data. This is what saves the q30-style salting at
+  // 100 TB when the skew is not known in advance. Result must equal the
+  // plain join (the oracle runs unsalted SQL); the split plan
+  // (skew=true) is asserted in SourcesSpec.
+  val x08_aqe_skew_join: Q = (s, d) => {
+    val conf = s.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+      val (fact, dim) = skewedSides(s, d)
+      val agg = skewJoinAgg(fact, dim)
+      val rows = agg.collect().toSeq.asJava
+      s.createDataFrame(rows, agg.schema)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     "x01_orc_roundtrip" -> x01_orc_roundtrip,
     "x02_json_roundtrip" -> x02_json_roundtrip,
@@ -223,6 +286,7 @@ object SourceSinks {
     "x04_stream_parquet_sink" -> x04_stream_parquet_sink,
     "x05_bucketed_join" -> x05_bucketed_join,
     "x07_partition_pruning" -> x07_partition_pruning,
+    "x08_aqe_skew_join" -> x08_aqe_skew_join,
   )
 
   /** One oracle body for all three: recompute from the parquet original. */
@@ -246,6 +310,14 @@ object SourceSinks {
       """SELECT o_orderpriority, count(*)::BIGINT AS n_items,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x08_aqe_skew_join" ->
+      """WITH f AS (
+        |  SELECT CASE WHEN event_id % 10 < 6 THEN 0 ELSE user_id END AS k, value
+        |  FROM events),
+        |dim AS (SELECT DISTINCT k, 'g' || (k % 7)::VARCHAR AS tag FROM f)
+        |SELECT tag, count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
+        |FROM f JOIN dim USING (k)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x07_partition_pruning" ->
       s"""WITH ${graft.cdc.Envelope.sqlEnv}, ${graft.cdc.Envelope.sqlFlat},

@@ -286,6 +286,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("t11 CMS heavy hitters obey the one-sided error bound") {
+    val rows = TextAnalysis.t11_heavy_hitters(spark, sf).collect()
+    assert(rows.length == 20)
+    val totalTokens = Tables.documents(spark, sf)
+      .select(explode(split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " ")))
+      .count()
+    rows.foreach { r =>
+      val (exact, est) = (r.getAs[Long]("n_exact"), r.getAs[Long]("n_est"))
+      // CMS never undercounts; overcount bounded by eps * stream size
+      assert(est >= exact, s"${r.getString(0)}: est $est < exact $exact")
+      assert(est - exact <= (0.001 * totalTokens).ceil.toLong,
+        s"${r.getString(0)}: est $est exceeds bound over $exact")
+    }
+    val again = TextAnalysis.t11_heavy_hitters(spark, sf).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
   test("minhash signature estimates true jaccard within tolerance") {
     val exact = Dedup.d02_ngram_jaccard(spark, sf).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap

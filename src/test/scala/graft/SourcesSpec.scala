@@ -34,6 +34,37 @@ class SourcesSpec extends AnyFunSuite {
         r.getAs[Long]("scan_rows"), r.getAs[Long]("n_scans"))).toSeq)
   }
 
+  test("x08 AQE splits the skewed join partition (skew=true in the plan)") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+      val (fact, dim) = sources.SourceSinks.skewedSides(spark, sf)
+      val agg = sources.SourceSinks.skewJoinAgg(fact, dim)
+      val got = agg.collect().map(_.toString).sorted
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"no skew split in plan:\n${plan.take(2000)}")
+      // and splitting must not change the answer
+      saved.keys.foreach(conf.unset)
+      val plain = sources.SourceSinks
+        .skewJoinAgg(sources.SourceSinks.skewedSides(spark, sf)._1,
+          sources.SourceSinks.skewedSides(spark, sf)._2)
+        .collect().map(_.toString).sorted
+      assert(got.sameElements(plain))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("x07 DPP prunes the day-partitioned scan to the dim's days") {
     val dir = Files.createTempDirectory("graft_dpp_spec")
     try {
