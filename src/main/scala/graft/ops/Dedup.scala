@@ -335,6 +335,26 @@ object Dedup {
       ccClusters(d03_minhash_lsh(s, d).select(col("d1"), col("d2")),
         pointerJump = true, maxIter = 30))
 
+  // d10 (rows-only; spec: keeper structure + agreement with brute-force
+  // pairs): SEMANTIC dedup keep-list — the embedding-space counterpart
+  // of d08 (SemDeDup shape): near-duplicate pairs from the bucketed
+  // cosine search (d05: hyperplane-LSH candidates, ids-only shuffles),
+  // connected components, keeper = min vec_id per cluster, joined back
+  // to every embedding row. At a real corpus threshold (~0.99) this
+  // drops paraphrase/translation duplicates exact text hashing misses.
+  val d10_semantic_keeplist: Q = (s, d) => {
+    val labels = ccClusters(
+      d05_embed_neardup(s, d).select(col("v1").as("d1"), col("v2").as("d2")),
+      pointerJump = true, maxIter = 30)
+    Tables.embeddings(s, d).select(col("vec_id"))
+      .join(labels.select(col("cluster"), col("doc_id").as("vec_id")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster"), col("vec_id")).as("cluster"),
+        (col("vec_id") === coalesce(col("cluster"), col("vec_id"))).as("keep"))
+      .orderBy("vec_id")
+  }
+
   /** Exploded shingle table of an arbitrary document set. */
   private def explodedShinglesOf(docs: DataFrame, spread: Int): DataFrame =
     docs.repartition(spread)
@@ -409,6 +429,7 @@ object Dedup {
     "d07_cc_pointer_jumping" -> d07_cc_pointer_jumping,
     "d08_dedup_keeplist" -> d08_dedup_keeplist,
     "d09_incremental_keeplist" -> d09_incremental_keeplist,
+    "d10_semantic_keeplist" -> d10_semantic_keeplist,
   )
 
   val oracle: Map[String, String] = Map(

@@ -113,6 +113,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(incr == batch)
   }
 
+  test("d10 semantic keep-list: keeper structure + brute-force agreement") {
+    val rows = Dedup.d10_semantic_keeplist(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.length == Tables.embeddings(spark, sf).count())
+    // keeper = min id of its cluster; keep ⟺ id is the keeper
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (c, members) =>
+      assert(members.map(_._1).min == c)
+      members.foreach { case (id, _, keep) => assert(keep == (id == c)) }
+    }
+    assert(rows.exists(!_._3)) // something was actually dropped
+    // dropped set ⊆ docs brute-force near-dup pairs would drop
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"))
+    val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"))
+    // (membership in ANY pair, not just as the larger side: a dropped id
+    // can be a chain-local minimum that only ever appears as v1)
+    val brutePaired = a.crossJoin(b).filter(col("v1") < col("v2"))
+      .withColumn("cos", round(ops.Vec.cosine(col("e1"), col("e2")), 4))
+      .filter(col("cos") >= 0.45)
+      .select("v1", "v2").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val dropped = rows.filter(!_._3).map(_._1).toSet
+    assert(dropped.forall(brutePaired.contains),
+      s"dropped ids not justified by brute pairs: ${dropped -- brutePaired}")
+  }
+
   test("d08 keep-list over LSH pairs agrees with the exact keep-list") {
     val exact = Dedup.d08_dedup_keeplist(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
