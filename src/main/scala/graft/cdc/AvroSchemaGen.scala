@@ -67,11 +67,18 @@ object AvroSchemaGen {
     * fields with the `pgKey` property (README schema; pgtype-avro
     * emits pgKey/pgType on every field). Extra props are stripped by the
     * parsing canonical form, so fingerprints don't depend on them.
+    *
+    * Nullability is driven by the keys set, like the reference: every
+    * non-key column becomes a null-prepended union REGARDLESS of declared
+    * nullability, and key columns keep their base type (pgtype.go:123-131,
+    * `col.Flags == 0`). Catalyst nullability only decides array-element
+    * nullability (a dimension pg replica identity doesn't reach).
     */
   def record(st: StructType, name: String, namespace: String,
       keys: Set[String] = Set.empty): String = {
     val fields = st.fields.map { f =>
-      s"""{"name":"${f.name}","type":${avroType(f.dataType, f.nullable, f.name, namespace)},""" +
+      val nullable = !keys.contains(f.name)
+      s"""{"name":"${f.name}","type":${avroType(f.dataType, nullable, f.name, namespace)},""" +
         s""""pgKey":${keys.contains(f.name)},"pgType":"${pgTypeName(f.dataType)}"}"""
     }.mkString(",")
     s"""{"type":"record","name":"$name","namespace":"$namespace","fields":[$fields]}"""
@@ -122,8 +129,12 @@ object AvroSchemaGen {
     java.nio.ByteBuffer.allocate(8)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(fp).array()
 
+  /** Padded base64-url, like Go's base64.URLEncoding (client.go:271):
+    * 8 bytes → 11 chars + '='. The reference producer rejects unpadded
+    * strings (wal.go:43-49), so padding is part of the registry-key format.
+    */
   def fingerprintB64(fp: Long): String =
-    Base64.getUrlEncoder.withoutPadding.encodeToString(fingerprintBytes(fp))
+    Base64.getUrlEncoder.encodeToString(fingerprintBytes(fp))
 
   def fingerprintHex(fp: Long): String = f"$fp%016x"
 }

@@ -7,9 +7,13 @@ import org.apache.avro.io.{DecoderFactory, EncoderFactory}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** One decoded record after writer→reader schema resolution. */
-case class EvolvedDecoded(lsn_long: Long, pk: Long, value: Option[Double],
-  src: Option[String], writer_version: Int, fp_ok: Boolean)
+/** One decoded record after writer→reader schema resolution. lsn_long/pk
+  * are Options so an unknown-writer row carries NO in-band data values —
+  * an aggregation that forgets the fp_ok filter sees nulls, not -1s.
+  */
+case class EvolvedDecoded(lsn_long: Option[Long], pk: Option[Long],
+  value: Option[Double], src: Option[String], writer_version: Int,
+  fp_ok: Boolean)
 
 /** Schema-evolution-aware decoding — the downstream-consumer side of the
   * reference's schema registry: each wire message is framed with its
@@ -64,9 +68,11 @@ object EvolutionDecode {
   /** Resolve the frame's writer fingerprint against the registry map and
     * decode into `reader` (latest). Returns null-default for fields the
     * writer didn't know; silently drops fields the reader doesn't have.
-    * An UNKNOWN fingerprint yields a sentinel row with fp_ok = false
-    * (the consumer skips/queues it, as the reference client does when
-    * its schema lookup fails, client.go:272-276) — never a task failure.
+    * An UNKNOWN fingerprint yields a row with every data field null and
+    * fp_ok = false (the consumer skips/queues it, as the reference client
+    * does when its schema lookup fails, client.go:272-276) — never a task
+    * failure, and never values a downstream aggregation could mistake for
+    * decoded data.
     */
   def decodeOne(registry: Map[Long, Schema], reader: Schema,
       bytes: Array[Byte]): EvolvedDecoded = {
@@ -74,13 +80,13 @@ object EvolutionDecode {
       .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
     registry.get(gotFp) match {
       case None =>
-        EvolvedDecoded(-1L, -1L, None, None, writer_version = 0, fp_ok = false)
+        EvolvedDecoded(None, None, None, None, writer_version = 0, fp_ok = false)
       case Some(writer) =>
         val dec = DecoderFactory.get.binaryDecoder(bytes, 10, bytes.length - 10, null)
         val rec = new GenericDatumReader[GenericRecord](writer, reader).read(null, dec)
         EvolvedDecoded(
-          lsn_long = rec.get("lsn").asInstanceOf[Long],
-          pk = rec.get("pk").asInstanceOf[Long],
+          lsn_long = Some(rec.get("lsn").asInstanceOf[Long]),
+          pk = Some(rec.get("pk").asInstanceOf[Long]),
           value = Option(rec.get("value")).map(_.asInstanceOf[Double]),
           src = if (reader.getField("src") == null) None
                 else Option(rec.get("src")).map(_.toString),

@@ -61,9 +61,9 @@ object PgTypeAvro {
       s"""[{"type":"int","logicalType":"date"},${inf()}]"""
     case "time" =>
       s"""[{"type":"long","logicalType":"time-micros"},${inf()}]"""
-    case "timestamp" =>
-      s"""[{"type":"long","logicalType":"local-timestamp-micros"},${inf()}]"""
-    case "timestamptz" =>
+    // the reference maps BOTH timestamp and timestamptz to timestamp-micros
+    // (pgtype.go:192-199, `case &Timestamp, &Timestamptz`)
+    case "timestamp" | "timestamptz" =>
       s"""[{"type":"long","logicalType":"timestamp-micros"},${inf()}]"""
     case t if t.startsWith("_") =>
       s"""{"type":"array","items":${pgAvroType(t.drop(1), inf)}}"""

@@ -47,9 +47,10 @@ object SourceSinks {
       .orderBy("op")
 
   /** Recursive delete with the walk stream closed (Files.walk leaks a
-    * directory handle per call otherwise).
+    * directory handle per call otherwise). Public so specs share the
+    * non-leaking cleanup instead of re-walking.
     */
-  private def deleteDir(dir: Path): Unit = {
+  def deleteDir(dir: Path): Unit = {
     val walk = Files.walk(dir)
     try walk.sorted(Comparator.reverseOrder[Path]())
       .forEach(p => Files.deleteIfExists(p))

@@ -138,11 +138,22 @@ class CdcSpec extends AnyFunSuite {
     assert(schema.getField("num").getObjectProp("pgType") == "numeric")
     assert(schema.getField("arr_i").getObjectProp("pgType") == "_int4")
     assert(schema.getField("ts").getObjectProp("pgType") == "timestamptz")
-    // fingerprint deterministic + prop-independent (canonical form)
+    // key column keeps its base type; non-key columns are null-prepended
+    // unions REGARDLESS of Catalyst nullability (pgtype.go:123-131)
+    assert(schema.getField("i4").schema().getType == org.apache.avro.Schema.Type.INT)
+    val declaredNonNull = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", LongType, nullable = false)))
+    val nnSchema = AvroSchemaGen.parse(
+      AvroSchemaGen.record(declaredNonNull, "nn", "graft", Set("k")))
+    assert(nnSchema.getField("k").schema().getType == org.apache.avro.Schema.Type.LONG)
+    assert(nnSchema.getField("v").schema().getType == org.apache.avro.Schema.Type.UNION)
+    // fingerprint deterministic + prop-independent (canonical form strips
+    // the pgKey/pgType props)
     val fp1 = AvroSchemaGen.fingerprint64(schema)
-    val noProps = AvroSchemaGen.fingerprint64(
-      AvroSchemaGen.parse(AvroSchemaGen.record(all, "types", "graft")))
-    assert(fp1 == noProps)
+    val stripped = AvroSchemaGen.record(all, "types", "graft", Set("i4"))
+      .replaceAll(""","pgKey":(true|false),"pgType":"[^"]*"""", "")
+    assert(fp1 == AvroSchemaGen.fingerprint64(AvroSchemaGen.parse(stripped)))
   }
 
   test("c20 full envelope roundtrips every field through the wire format") {
@@ -215,7 +226,7 @@ class CdcSpec extends AnyFunSuite {
     // v1-written records gain the added column's null default
     assert(v1w.forall(_.src.isEmpty))
     // v2-written records carry their payload through resolution
-    assert(v2w.forall(r => r.src.contains(s"v2:${r.pk}")))
+    assert(v2w.forall(r => r.src.contains(s"v2:${r.pk.get}")))
     // reverse resolution: a v1 READER drops the v2-only field
     val s1 = AvroSchemaGen.parse(EvolutionDecode.v1Json)
     val s2 = AvroSchemaGen.parse(EvolutionDecode.v2Json)
@@ -223,12 +234,15 @@ class CdcSpec extends AnyFunSuite {
     val bytes = EvolutionDecode.encodeOne(s2, EvolutionDecode.fpV2,
       99L, 7L, Some(1.5), Some("v2:7"))
     val down = EvolutionDecode.decodeOne(reg, reader = s1, bytes)
-    assert(down.lsn_long == 99L && down.pk == 7L &&
+    assert(down.lsn_long.contains(99L) && down.pk.contains(7L) &&
       down.value.contains(1.5) && down.src.isEmpty)
-    // an unknown writer fingerprint surfaces fp_ok=false, not a crash
+    // an unknown writer fingerprint surfaces fp_ok=false with every data
+    // field null (no in-band sentinel values), not a crash
     val unknown = EvolutionDecode.decodeOne(
       Map(EvolutionDecode.fpV1 -> s1), reader = s1, bytes)
     assert(!unknown.fp_ok && unknown.writer_version == 0)
+    assert(unknown.lsn_long.isEmpty && unknown.pk.isEmpty &&
+      unknown.value.isEmpty && unknown.src.isEmpty)
   }
 
   test("c22 pg-faithful schema matches the reference type mapping") {
@@ -257,6 +271,14 @@ class CdcSpec extends AnyFunSuite {
     assert(ts.getTypes.get(1).getProp("logicalType") == "timestamp-micros")
     assert(ts.getTypes.get(2) eq infEnum) // same schema object after parse
     assert(schema.getField("t").schema().getTypes.get(1).getProp("logicalType") == "time-micros")
+    // plain timestamp (without tz) ALSO maps to timestamp-micros — the
+    // reference handles both in one branch (pgtype.go:192-199)
+    val plainTs = AvroSchemaGen.parse(PgTypeAvro.record(
+      Seq(PgCol("k", "int8", key = true), PgCol("ts_plain", "timestamp"),
+        PgCol("ts_tz", "timestamptz")), "tsrec", "graft"))
+    for (f <- Seq("ts_plain", "ts_tz"))
+      assert(plainTs.getField(f).schema().getTypes.get(1)
+        .getProp("logicalType") == "timestamp-micros", f)
     // key column non-null, non-key nullable union (pgtype.go:108-131)
     assert(schema.getField("id").schema().getType == Schema.Type.LONG)
     assert(schema.getField("flag").schema().getType == Schema.Type.UNION)

@@ -89,10 +89,7 @@ class SourcesSpec extends AnyFunSuite {
       assert(nParts.forall(n => n > 0 && n <= selDays), s"numPartitions=$nParts")
       assert(nFiles.forall(n => n > 0 && n < totalDays), s"numFiles=$nFiles")
       assert(nParts.isDefined || nFiles.isDefined)
-    } finally {
-      Files.walk(dir).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => Files.deleteIfExists(p))
-    }
+    } finally graft.sources.SourceSinks.deleteDir(dir)
   }
 
   test("x05 bucketed join plans with no exchange and no sort below the join") {
@@ -132,8 +129,7 @@ class SourcesSpec extends AnyFunSuite {
     } finally {
       spark.sql("DROP TABLE IF EXISTS graft_orders_b")
       spark.sql("DROP TABLE IF EXISTS graft_lineitem_b")
-      Files.walk(dir).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => Files.deleteIfExists(p))
+      graft.sources.SourceSinks.deleteDir(dir)
     }
   }
 }
