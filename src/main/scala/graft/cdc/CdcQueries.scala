@@ -399,7 +399,21 @@ object CdcQueries {
     EvolutionDecode.roundtrip(flatEnv(s, d)).toDF().orderBy("lsn_long")
   }
 
+  // c25: pgoutput BYTE-STREAM decode — the reference producer's core: a
+  // planted logical-replication wire stream (XLogData/keepalive frames,
+  // Begin/Relation/Insert/Update/Delete/Truncate messages, text-format
+  // tuples, replica-identity key flags) synthesized from `events` and run
+  // through the full consumer loop (replication.go:205-583). The oracle
+  // recomputes every envelope field from events, so a hash match proves
+  // the binary decode (lsn/txid/commit-time state machine, key extraction,
+  // u-vs-u_pk dispatch, per-OID text decode) is faithful end-to-end.
+  val c25_pgoutput_decode: Q = (s, d) => {
+    implicit val spark: SparkSession = s
+    PgOutput.roundtrip(flatEnv(s, d)).toDF().orderBy("lsn_long")
+  }
+
   val queries: Map[String, Q] = Map(
+    "c25_pgoutput_decode" -> c25_pgoutput_decode,
     "c01_lsn_roundtrip" -> c01_lsn_roundtrip,
     "c02_wal_envelope" -> c02_wal_envelope,
     "c03_stream_from" -> c03_stream_from,
@@ -587,6 +601,16 @@ object CdcQueries {
          |  FROM live GROUP BY pk)
          |SELECT pk, round(last_value, 2) AS value, last_ord, n_half
          |FROM state2 WHERE last_op <> 'd' ORDER BY pk""".stripMargin,
+    "c25_pgoutput_decode" ->
+      s"""WITH $sqlEnv, $sqlFlat
+         |SELECT lsn_long, ${sqlLsnStr("lsn_long")} AS lsn_str, op,
+         |  lsn_long AS tx_id, epoch_us(tx_at) AS tx_at_us,
+         |  'public' AS schema_name, 'events' AS table_name,
+         |  pk_before,
+         |  (CASE WHEN op IN ('u','u_pk','d') THEN 1 END)::INT AS n_before_cols,
+         |  pk_after, after_value,
+         |  CASE WHEN pk_after IS NOT NULL THEN epoch_us(tx_at) END AS after_ts_us
+         |FROM flat WHERE op <> 'r' ORDER BY lsn_long""".stripMargin,
     "c19_wal_gaps" ->
       s"""WITH $sqlEnv,
          |seq AS (

@@ -326,4 +326,64 @@ class CdcSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_versions") == (if (evolved) 2L else 1L))
     }
   }
+
+  test("c25 pgoutput decode: replica-identity key extraction per op") {
+    implicit val s = spark
+    val rows = PgOutput.roundtrip(Envelope.flat(Tables.events(spark, sf))).collect()
+    assert(rows.nonEmpty && Set("c", "u", "u_pk", "d", "t").subsetOf(rows.map(_.op).toSet))
+    // u_pk: the old tuple is the replica-identity image — KEY COLUMNS ONLY
+    // (non-key slots are null), and the new tuple moved the pk
+    val upk = rows.filter(_.op == "u_pk")
+    assert(upk.nonEmpty)
+    assert(upk.forall(r => r.n_before_cols.contains(1) && r.pk_before.isDefined &&
+      r.pk_after.contains(r.pk_before.get + Envelope.UpkShift)))
+    // plain u: before derives from the NEW tuple's key columns
+    // (replication.go:434-441) — so pk_before == pk_after, still key-only
+    val u = rows.filter(_.op == "u")
+    assert(u.nonEmpty)
+    assert(u.forall(r => r.n_before_cols.contains(1) && r.pk_before == r.pk_after))
+    // inserts carry no before image; truncates carry neither image
+    assert(rows.filter(_.op == "c").forall(r =>
+      r.pk_before.isEmpty && r.n_before_cols.isEmpty && r.pk_after.isDefined))
+    assert(rows.filter(_.op == "t").forall(r =>
+      r.pk_before.isEmpty && r.pk_after.isEmpty && r.after_value.isEmpty))
+    // tx context from Begin: commit time is the event ts, xid = lsn
+    assert(rows.forall(r => r.tx_id == r.lsn_long && r.tx_at_us > 0))
+  }
+
+  test("c25 pgoutput wire state machine: toast, keepalive LSN, unknown rel") {
+    import PgOutput._
+    // 'u' (unchanged toast) cells are ABSENT from the value map; 'n' cells
+    // are present-and-null (replication.go:527-530)
+    val cols = eventsCols
+    val w = new W
+    writeTuple(w, Seq(TextCell("7"), ToastCell, NullCell))
+    val tuple = readTuple(new R(w.result()), cols)
+    assert(tuple.keySet == Set("user_id", "ts"))
+    assert(tuple("user_id") == 7L && tuple("ts") == null)
+    // keepalive ServerWALEnd advances CurrentLSN monotonically: a data
+    // message with a LOWER WALStart must not regress the envelope lsn
+    // (replication.go:219-221, 243-245)
+    val rel = relationMsg(RelId, "public", "events", cols)
+    val stream = framed(
+      xlog(10L, rel),
+      keepalive(999L, reply = false),
+      xlog(5L, beginMsg(5L, PgEpochMicros + 42L, 77L)),
+      xlog(5L, truncateMsg(Seq(RelId))),
+      xlog(5L, commitMsg(5L, PgEpochMicros + 42L)))
+    val decoded = decodeStream(stream)
+    assert(decoded.length == 1)
+    assert(decoded.head.lsn_long == 999L && decoded.head.op == "t")
+    // pg-epoch commit time converts back to unix micros; xid is the u32
+    assert(decoded.head.tx_at_us == PgEpochMicros + 42L && decoded.head.tx_id == 77L)
+    // a change for an unregistered relation id is skipped, not a failure
+    val orphan = framed(
+      xlog(5L, beginMsg(5L, PgEpochMicros, 1L)),
+      xlog(5L, insertMsg(RelId, Seq(TextCell("1"), NullCell, NullCell))),
+      xlog(5L, commitMsg(5L, PgEpochMicros)))
+    assert(decodeStream(orphan).isEmpty)
+    // float8/timestamptz text decode is lossless by OID
+    assert(decodeText(OidFloat8, 3.141592653589793d.toString) == 3.141592653589793d)
+    assert(parseTsTz(formatTsTz(1705312496123456L)) == 1705312496123456L)
+  }
 }
