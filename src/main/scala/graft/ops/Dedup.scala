@@ -371,19 +371,38 @@ object Dedup {
   // in their only orientation, new–new pairs only as (lo, hi). After the
   // last batch the keep-list must equal the batch d08 — same recursive-
   // CTE oracle, which is the equivalence proof incremental = batch.
-  val d09_incremental_keeplist: Q = (s, d) => {
-    val B = 3
+  val d09_incremental_keeplist: Q = (s, d) => incrementalKeeplist(s, d)
+
+  /** The d09 engine, with a per-batch hook so the spec can prove the
+    * incremental cost claim: each batch SHINGLES ONLY ITS OWN DOCUMENTS.
+    * The accumulated shingle store is carried across batches as a union
+    * of eagerly localCheckpoint-ed per-batch tables (exactly like the
+    * labels) — materialized RDD blocks whose lineage CANNOT re-derive
+    * shingles from the corpus — so total shingle work is O(N), not
+    * O(B·N). `onBatch(batch, newEx, newPairs)` receives the only shingle
+    * table computed that batch and the candidate-pair frame whose plan
+    * must be free of shingle computation and document scans.
+    */
+  def incrementalKeeplist(s: SparkSession, d: String, B: Int = 3,
+      onBatch: (Int, DataFrame, DataFrame) => Unit = (_, _, _) => ()): DataFrame = {
     val docs = Tables.documents(s, d).persist()
     val spread = s.sparkContext.defaultParallelism
     var labels: DataFrame = null
+    var accEx: DataFrame = null // union of checkpointed per-batch shingle stores
     for (batch <- 0 until B) {
       val isNewCol = col("doc_id") % B === batch
-      val seenEx = explodedShinglesOf(docs.filter(col("doc_id") % B <= batch), spread)
-        .withColumn("is_new", isNewCol)
-      val newEx = explodedShinglesOf(docs.filter(isNewCol), spread)
-      // both sides descend from `docs` (self-join lineage): alias every
-      // column apart so the shingle equi-join keys get distinct exprIds
-      // (a("s") === b("s") would collapse to a trivially-true predicate)
+      // the ONLY shingle computation this batch — the new documents,
+      // materialized once by the eager localCheckpoint (the persisted
+      // store a production incremental job carries between runs)
+      val newEx = explodedShinglesOf(docs.filter(isNewCol), spread).localCheckpoint()
+      val seenEx =
+        if (accEx == null) newEx.withColumn("is_new", lit(true))
+        else accEx.withColumn("is_new", lit(false))
+          .union(newEx.withColumn("is_new", lit(true)))
+      // both sides descend from the same checkpointed store (self-join
+      // lineage): alias every column apart so the shingle equi-join keys
+      // get distinct exprIds (a("s") === b("s") would collapse to a
+      // trivially-true predicate)
       val a = seenEx.select(col("doc_id").as("da"), col("n_sh").as("na"),
         col("s").as("sa"), col("is_new").as("an"))
       val b = newEx.select(col("doc_id").as("db"), col("n_sh").as("nb"),
@@ -399,6 +418,7 @@ object Dedup {
         .agg(count(lit(1)).as("inter"))
         .filter(round(col("inter") / (col("n1") + col("n2") - col("inter")), 6) >= 0.8)
         .select(col("d1"), col("d2"))
+      onBatch(batch, newEx, newPairs)
       val allPairs =
         if (labels == null) newPairs
         else newPairs.union(
@@ -413,6 +433,7 @@ object Dedup {
       val (out, cached) = ccClustersWithCache(allPairs, pointerJump = true, maxIter = 30)
       labels = out.localCheckpoint()
       cached.unpersist()
+      accEx = if (accEx == null) newEx else accEx.union(newEx)
     }
     val out = keeplist(docs, labels)
     docs.unpersist()

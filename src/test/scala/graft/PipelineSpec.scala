@@ -113,6 +113,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(incr == batch)
   }
 
+  test("d09 shingles each document exactly once (no per-batch history recompute)") {
+    val B = 3
+    var shingledDocs = Vector.empty[Set[Long]]
+    var shingleRows = 0L
+    Dedup.incrementalKeeplist(spark, sf, B, (batch, newEx, newPairs) => {
+      // the batch's only shingle table covers exactly the new documents
+      val ids = newEx.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(ids.nonEmpty && ids.forall(_ % B == batch), s"batch $batch shingled $ids")
+      shingledDocs :+= ids
+      shingleRows += newEx.count()
+      // the candidate join reads ONLY the materialized (checkpointed)
+      // shingle stores: its plan contains no shingle computation and no
+      // scan of the documents table / cache — history CANNOT be re-derived
+      val plan = newPairs.queryExecution.optimizedPlan
+      val shingleExprs = plan.collect { case n => n.expressions }.flatten
+        .flatMap(_.collect {
+          case e if e.getClass.getSimpleName == "TokenShingleHashExpr" => e
+        })
+      assert(shingleExprs.isEmpty, s"batch $batch recomputes shingles")
+      val sourceScans = plan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+        case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+      }
+      assert(sourceScans.isEmpty, s"batch $batch re-reads documents: $sourceScans")
+    })
+    // every document shingled in exactly one batch, never twice
+    assert(shingledDocs.map(_.size).sum == shingledDocs.flatten.toSet.size)
+    // and total shingle rows across all batches = one pass over the corpus
+    val corpusShingleRows = Tables.documents(spark, sf)
+      .select(explode(Dedup.shingleHashes(col("text"), distinct = true))).count()
+    assert(shingleRows == corpusShingleRows)
+  }
+
   test("d10 semantic keep-list: keeper structure + brute-force agreement") {
     val rows = Dedup.d10_semantic_keeplist(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
