@@ -3,9 +3,15 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times the headline queries on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line {"metric","value","unit","queries","sf"}.
+  * prints ONE JSON line {"metric","value","unit","queries","sf"[,"errors"]}.
   * Headline set spans every family: scan-agg, star join, window, CDC
   * apply/replay, near-dup (exact + LSH), ANN, text scoring, sessionize.
+  *
+  * Honesty rules (round-3 verdict): a failing query is REPORTED (per-query
+  * -1 + an "errors" map + non-zero exit), never silently timed as fast;
+  * each query runs twice and keeps the min, because this box's wall times
+  * vary ±50% under load — the min of 2 tracks plan cost, the mean tracks
+  * machine noise.
   */
 object Bench {
   val headline: Seq[String] = Seq(
@@ -14,6 +20,8 @@ object Bench {
     "s01_tumbling_window", "s02_sessionize",
     "d01_exact_dedup", "d02_ngram_jaccard", "d03_minhash_lsh",
     "v01_knn_brute", "t02_quality", "t03_token_count", "m01_binary_meta")
+
+  val Runs = 2
 
   def main(args: Array[String]): Unit = {
     val names = if (args.nonEmpty) args.toSeq else headline
@@ -33,16 +41,35 @@ object Bench {
     // warm the JVM/codegen paths once on the smallest query
     SparkEntry.queries("q01_pricing_agg")(spark, sfDir).count()
 
+    var errors = Map.empty[String, String]
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to Runs).flatMap { _ =>
+        if (errors.contains(name)) None // fail fast after the first error
+        else {
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).count()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+              None
+          }
+        }
+      }
+      name -> (if (times.isEmpty) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val errJson =
+      if (errors.isEmpty) ""
+      else errors.map { case (k, v) =>
+        "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      }.mkString(",\"errors\":{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }
