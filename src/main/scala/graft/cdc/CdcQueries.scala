@@ -393,10 +393,23 @@ object CdcQueries {
   // fingerprint) decoded by a consumer holding the LATEST schema, via
   // Avro writer→reader resolution: v1-written records surface the added
   // column's null default. c17 detects evolution in the registry; this
-  // decodes across it (the ALTER TABLE survival path).
+  // decodes across it (the ALTER TABLE survival path). The writer
+  // schemas are PERSISTED to the registry's parquet store and loaded
+  // back (a fresh consumer's view, dao/schemas.go); the consumer
+  // statically holds only its own v2 schema and resolves v1 writer
+  // fingerprints from that loaded snapshot.
   val c24_evolution_decode: Q = (s, d) => {
     implicit val spark: SparkSession = s
-    EvolutionDecode.roundtrip(flatEnv(s, d)).toDF().orderBy("lsn_long")
+    val dir = java.nio.file.Files.createTempDirectory("graft_registry_")
+    val snapshot =
+      try {
+        val reg = new SchemaRegistry(s)
+        reg.registerJson("testdb.public.acct", EvolutionDecode.v1Json, 1000000L)
+        reg.registerJson("testdb.public.acct", EvolutionDecode.v2Json, 2000000L)
+        reg.save(dir.toString)
+        SchemaRegistry.load(s, dir.toString).jsonByFingerprint
+      } finally graft.sources.SourceSinks.deleteDir(dir)
+    EvolutionDecode.roundtrip(flatEnv(s, d), snapshot).toDF().orderBy("lsn_long")
   }
 
   // c25: pgoutput BYTE-STREAM decode — the reference producer's core: a

@@ -95,10 +95,37 @@ object EvolutionDecode {
     }
   }
 
-  /** Mixed-writer stream (v2 every 3rd lsn) decoded with the LATEST (v2)
-    * reader: v1-written rows surface src = null via the default.
+  /** decodeOne against a mutable parsed-schema cache PLUS a registry
+    * lookup: an unknown writer fingerprint consults the (persisted,
+    * broadcast) registry snapshot, parses the schema once and caches it —
+    * the consumer-side analogue of the reference's LRU + request/reply
+    * lookup (dao/schemas.go:16-66, mq/schemas.go:50-71). Only a
+    * fingerprint absent from BOTH yields the null-field skip row.
     */
-  def roundtrip(flat: DataFrame)(implicit s: SparkSession): Dataset[EvolvedDecoded] = {
+  def decodeResolving(cache: scala.collection.mutable.Map[Long, Schema],
+      registryJson: Map[Long, String], reader: Schema,
+      bytes: Array[Byte]): EvolvedDecoded = {
+    val gotFp = java.nio.ByteBuffer.wrap(bytes, 2, 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+    val writer = cache.get(gotFp).orElse {
+      val parsed = registryJson.get(gotFp).map(new Schema.Parser().parse(_))
+      parsed.foreach(cache.put(gotFp, _))
+      parsed
+    }
+    writer match {
+      case None => EvolvedDecoded(None, None, None, None, 0, fp_ok = false)
+      case Some(w) => decodeOne(Map(gotFp -> w), reader, bytes)
+    }
+  }
+
+  /** Mixed-writer stream (v2 every 3rd lsn) decoded with the LATEST (v2)
+    * reader: v1-written rows surface src = null via the default. The
+    * consumer statically holds only its OWN (v2) schema; v1 writer
+    * fingerprints resolve through `registryJson` — the persisted
+    * registry's snapshot (c12/c17's store closes the loop with c24).
+    */
+  def roundtrip(flat: DataFrame, registryJson: Map[Long, String])(
+      implicit s: SparkSession): Dataset[EvolvedDecoded] = {
     import s.implicits._
     val (j1, j2, f1, f2) = (v1Json, v2Json, fpV1, fpV2)
     flat.filter(col("op") =!= "t")
@@ -109,14 +136,14 @@ object EvolutionDecode {
       .mapPartitions { it =>
         val s1 = new Schema.Parser().parse(j1)
         val s2 = new Schema.Parser().parse(j2)
-        val registry = Map(f1 -> s1, f2 -> s2)
+        val cache = scala.collection.mutable.Map(f2 -> s2)
         it.map { case (lsn, pk, value) =>
           val bytes =
             if (lsn % 3 == 0)
               encodeOne(s2, f2, lsn, pk, value, Some(s"v2:$pk"))
             else
               encodeOne(s1, f1, lsn, pk, value, None)
-          decodeOne(registry, reader = s2, bytes)
+          decodeResolving(cache, registryJson, reader = s2, bytes)
         }
       }
   }

@@ -215,8 +215,10 @@ class CdcSpec extends AnyFunSuite {
 
   test("c24 writer/reader schema resolution across an added column") {
     implicit val s = spark
+    val registry = Map(EvolutionDecode.fpV1 -> EvolutionDecode.v1Json,
+      EvolutionDecode.fpV2 -> EvolutionDecode.v2Json)
     val rows = EvolutionDecode.roundtrip(
-      Envelope.flat(Tables.events(spark, sf))).collect()
+      Envelope.flat(Tables.events(spark, sf)), registry).collect()
     assert(rows.nonEmpty)
     assert(rows.forall(_.fp_ok))
     // the two schema versions fingerprint differently (registry keys)
@@ -325,6 +327,39 @@ class CdcSpec extends AnyFunSuite {
       assert(r.getAs[String]("removed_cols") == "")
       assert(r.getAs[Long]("n_versions") == (if (evolved) 2L else 1L))
     }
+  }
+
+  test("schema registry persists across sessions through the parquet store") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_reg_spec_")
+    try {
+      val reg = new SchemaRegistry(spark)
+      val st1 = StructType(Seq(StructField("r_regionkey", LongType)))
+      val fp1 = reg.register("db.public.region", st1, 1L)
+      val fp2 = reg.registerJson("db.public.acct", EvolutionDecode.v2Json, 2L)
+      reg.save(dir.toString)
+      reg.save(dir.toString) // duplicate writes: ON CONFLICT DO NOTHING
+      // a BRAND-NEW session rebuilds the registry from disk
+      val fresh = spark.newSession()
+      val loaded = SchemaRegistry.load(fresh, dir.toString)
+      assert(loaded.all().count() == 2) // duplicates collapsed by fingerprint
+      assert(loaded.byFingerprint(AvroSchemaGen.fingerprintHex(fp1)).isDefined)
+      assert(loaded.jsonByFingerprint(fp2) == EvolutionDecode.v2Json)
+      assert(loaded.latestBySubject().count() == 2)
+      // the loaded snapshot resolves a writer the consumer doesn't hold
+      val s2 = AvroSchemaGen.parse(EvolutionDecode.v2Json)
+      val bytes = EvolutionDecode.encodeOne(s2, fp2, 42L, 9L, Some(2.5), Some("v2:9"))
+      val cache = scala.collection.mutable.Map.empty[Long, org.apache.avro.Schema]
+      val dec = EvolutionDecode.decodeResolving(
+        cache, loaded.jsonByFingerprint, reader = s2, bytes)
+      assert(dec.fp_ok && dec.lsn_long.contains(42L) && dec.src.contains("v2:9"))
+      assert(cache.contains(fp2)) // parsed once, cached for the partition
+      // absent from BOTH cache and registry → null-field skip row
+      val miss = EvolutionDecode.decodeResolving(
+        cache, Map.empty, reader = s2,
+        EvolutionDecode.encodeOne(s2, fp2 + 1, 1L, 1L, None, None))
+      assert(!miss.fp_ok && miss.lsn_long.isEmpty)
+    } finally graft.sources.SourceSinks.deleteDir(dir)
   }
 
   test("c25 pgoutput decode: replica-identity key extraction per op") {
