@@ -425,8 +425,41 @@ object CdcQueries {
     PgOutput.roundtrip(flatEnv(s, d)).toDF().orderBy("lsn_long")
   }
 
+  // c26: snapshot PRODUCER protocol with EOF framing — the snapshot stream
+  // as actually published (mq/snapshots.go:97-146): JSON header message
+  // (schema + fingerprint + lsn/txid/approx_rows), one plain-Avro message
+  // per row, the literal "EOF" sentinel last, all chunk-framed; consumed
+  // by parsing the row schema OUT OF THE HEADER and refusing un-terminated
+  // streams (client.go:581-583 isEof). The decoded rows + subsequent WAL
+  // replay to the same state as the in-memory merge — c08's oracle.
+  val c26_snapshot_producer_protocol: Q = (s, d) => {
+    implicit val spark: SparkSession = s
+    val flat = flatEnv(s, d)
+    val sVal = flat.filter(col("tx_at") < lit("2024-01-20").cast("timestamp"))
+      .agg(coalesce(max("lsn_long"), lit(-1L)).as("s")).head().getLong(0)
+    val snapState = Apply.latest(flat.filter(col("lsn_long") <= sVal))
+    val frames = SnapshotWire.produce(
+      snapState.select(col("pk"), col("last_value").as("value")),
+      snapLsn = sVal, txId = sVal, atUs = 0L)
+    val (header, rows) = SnapshotWire.consume(frames)
+    // the snapshot position comes from the WIRE header, not shared state
+    val wireLsn = graft.functions.Lsn.parse(
+      org.apache.spark.unsafe.types.UTF8String.fromString(header.lsn))
+    val snapFlat = rows.select(
+      lit(wireLsn).as("lsn_long"), lit("r").as("op"),
+      lit(null).cast("long").as("pk_before"), col("pk").as("pk_after"),
+      col("value").as("after_value"))
+    val walFlat = flat.filter(col("lsn_long") > sVal)
+      .select(col("lsn_long"), col("op"), col("pk_before"), col("pk_after"),
+        col("after_value"))
+    Apply.latest(snapFlat.union(walFlat))
+      .select(col("pk"), round(col("last_value"), 2).as("value"))
+      .orderBy("pk")
+  }
+
   val queries: Map[String, Q] = Map(
     "c25_pgoutput_decode" -> c25_pgoutput_decode,
+    "c26_snapshot_producer_protocol" -> c26_snapshot_producer_protocol,
     "c01_lsn_roundtrip" -> c01_lsn_roundtrip,
     "c02_wal_envelope" -> c02_wal_envelope,
     "c03_stream_from" -> c03_stream_from,
@@ -524,6 +557,7 @@ object CdcQueries {
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "c08_snapshot_plus_wal" -> snapshotPlusWalOracle,
     "c23_snapshot_wire_replay" -> snapshotPlusWalOracle,
+    "c26_snapshot_producer_protocol" -> snapshotPlusWalOracle,
     "c09_list_snapshots" ->
       """SELECT 'CREEK_SNAP.public.events.'
         |    || strftime(max(ts::TIMESTAMP), '%Y%m%d%H%M%S_%f') AS snap_name,

@@ -362,6 +362,49 @@ class CdcSpec extends AnyFunSuite {
     } finally graft.sources.SourceSinks.deleteDir(dir)
   }
 
+  test("c26 snapshot producer protocol: header schema, EOF termination") {
+    implicit val s = spark
+    import spark.implicits._
+    val state = Seq((1L, Some(1.5)), (2L, None), (3L, Some(-0.25)))
+      .toDF("pk", "value")
+    val frames = SnapshotWire.produce(state, snapLsn = 0xAB00000010L,
+      txId = 42L, atUs = 1705312496000000L)
+    val (header, rows) = SnapshotWire.consume(frames)
+    // header carries the protocol metadata the consumer needs — including
+    // THE ROW SCHEMA ITSELF (the consumer holds nothing statically)
+    assert(header.lsn == "AB/10" && header.tx_id == 42L && header.approx_rows == 3L)
+    assert(header.schema == SnapshotWire.rowSchemaJson)
+    assert(header.fingerprint ==
+      AvroSchemaGen.fingerprintB64(SnapshotWire.rowFingerprint))
+    val got = rows.collect().map(r => (r.getLong(0),
+      Option(r.get(1)).map(_.asInstanceOf[Double]))).toSet
+    assert(got == Set(1L -> Some(1.5), 2L -> None, 3L -> Some(-0.25)))
+    // stream accounting: n_messages = rows + 2 (client.go:575 "First and
+    // last are not rows")
+    assert(frames.select("msg_id").distinct().count() == state.count() + 2)
+    // isEof matches the literal 3-byte sentinel, byte for byte
+    assert(SnapshotWire.isEof("EOF".getBytes("UTF-8")))
+    assert(!SnapshotWire.isEof("EOF ".getBytes("UTF-8")))
+    assert(!SnapshotWire.isEof("EOf".getBytes("UTF-8")))
+    // an un-terminated stream (no EOF sentinel) is REFUSED as incomplete
+    val truncated = frames.filter(col("msg_id") =!= SnapshotWire.EofMsgId)
+      .as[Frame]
+    val e = intercept[IllegalStateException](SnapshotWire.consume(truncated))
+    assert(e.getMessage.contains("EOF"))
+    // a headerless stream is refused too (nothing to parse the schema from)
+    val headerless = frames.filter(col("msg_id") =!= SnapshotWire.HeaderMsgId)
+      .as[Frame]
+    intercept[IllegalStateException](SnapshotWire.consume(headerless))
+  }
+
+  test("c26 equals the in-memory snapshot-plus-wal merge") {
+    val wire = CdcQueries.c26_snapshot_producer_protocol(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val mem = CdcQueries.c08_snapshot_plus_wal(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(wire.nonEmpty && wire == mem)
+  }
+
   test("c25 pgoutput decode: replica-identity key extraction per op") {
     implicit val s = spark
     val rows = PgOutput.roundtrip(Envelope.flat(Tables.events(spark, sf))).collect()
