@@ -75,6 +75,8 @@ object Metrics {
       "c04_apply_latest" -> cdc.CdcQueries.c04_apply_latest(s, d),
       "d01_exact_dedup" -> ops.Dedup.d01_exact_dedup(s, d)))
 
-  val queries: Map[String, Q] = Map("x06_query_metrics" -> x06_query_metrics)
+  val queries: Map[String, Q] = Map(
+    "x06_query_metrics" -> x06_query_metrics,
+    "x09_stream_progress" -> (streaming.StreamMetrics.x09_stream_progress _))
   val oracle: Map[String, String] = Map.empty
 }

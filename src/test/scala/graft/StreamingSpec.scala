@@ -71,4 +71,22 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("x09 stream progress gauges: input conservation, state, batch order") {
+    val rows = streaming.StreamMetrics.x09_stream_progress(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // every ingested row is accounted for across the batch series
+    val totalIn = rows.map(_.getAs[Long]("num_input_rows")).sum
+    assert(totalIn == Tables.events(spark, sf).count())
+    // the aggregation holds state, and some batch updated it
+    assert(rows.exists(_.getAs[Long]("state_rows_total") > 0))
+    assert(rows.exists(_.getAs[Long]("state_rows_updated") > 0))
+    assert(rows.forall(_.getAs[Int]("n_state_operators") >= 1))
+    // batch ids strictly increase (one progress row per micro-batch);
+    // note state_rows_total MAY shrink batch-over-batch — the watermark
+    // evicts windows it has closed, which is exactly the bounded-state
+    // behavior the gauge exists to observe
+    val ids = rows.map(_.getAs[Long]("batch_id"))
+    assert(ids.sameElements(ids.sorted) && ids.distinct.length == ids.length)
+  }
 }
