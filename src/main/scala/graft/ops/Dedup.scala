@@ -373,28 +373,28 @@ object Dedup {
   // CTE oracle, which is the equivalence proof incremental = batch.
   val d09_incremental_keeplist: Q = (s, d) => incrementalKeeplist(s, d)
 
-  /** The d09 engine, with a per-batch hook so the spec can prove the
-    * incremental cost claim: each batch SHINGLES ONLY ITS OWN DOCUMENTS.
-    * The accumulated shingle store is carried across batches as a union
-    * of eagerly localCheckpoint-ed per-batch tables (exactly like the
-    * labels) — materialized RDD blocks whose lineage CANNOT re-derive
-    * shingles from the corpus — so total shingle work is O(N), not
-    * O(B·N). `onBatch(batch, newEx, newPairs)` receives the only shingle
-    * table computed that batch and the candidate-pair frame whose plan
-    * must be free of shingle computation and document scans.
+  /** Driver-held incremental dedup state — the engine under d09 (batch
+    * loop) and d11 (Structured Streaming foreachBatch). Carries the CC
+    * labels AND the accumulated exploded-shingle store across batches as
+    * eagerly localCheckpoint-ed tables: materialized RDD blocks whose
+    * lineage CANNOT re-derive shingles from the corpus — so total shingle
+    * work is O(N), not O(B·N), and each batch SHINGLES ONLY ITS OWN
+    * DOCUMENTS. `onBatch(newEx, newPairs)` exposes the only shingle table
+    * computed in an advance and the candidate-pair frame (whose plan must
+    * be free of shingle computation and document scans — spec-asserted).
     */
-  def incrementalKeeplist(s: SparkSession, d: String, B: Int = 3,
-      onBatch: (Int, DataFrame, DataFrame) => Unit = (_, _, _) => ()): DataFrame = {
-    val docs = Tables.documents(s, d).persist()
-    val spread = s.sparkContext.defaultParallelism
-    var labels: DataFrame = null
-    var accEx: DataFrame = null // union of checkpointed per-batch shingle stores
-    for (batch <- 0 until B) {
-      val isNewCol = col("doc_id") % B === batch
+  final class IncrementalDedup(spread: Int) {
+    private[ops] var labels: DataFrame = null
+    private[ops] var accEx: DataFrame = null // union of checkpointed batch stores
+    var batchesSeen: Int = 0
+
+    def advance(newDocs: DataFrame,
+        onBatch: (DataFrame, DataFrame) => Unit = (_, _) => ()): Unit = {
+      batchesSeen += 1
       // the ONLY shingle computation this batch — the new documents,
       // materialized once by the eager localCheckpoint (the persisted
       // store a production incremental job carries between runs)
-      val newEx = explodedShinglesOf(docs.filter(isNewCol), spread).localCheckpoint()
+      val newEx = explodedShinglesOf(newDocs, spread).localCheckpoint()
       val seenEx =
         if (accEx == null) newEx.withColumn("is_new", lit(true))
         else accEx.withColumn("is_new", lit(false))
@@ -418,7 +418,9 @@ object Dedup {
         .agg(count(lit(1)).as("inter"))
         .filter(round(col("inter") / (col("n1") + col("n2") - col("inter")), 6) >= 0.8)
         .select(col("d1"), col("d2"))
-      onBatch(batch, newEx, newPairs)
+      onBatch(newEx, newPairs)
+      // the existing assignment enters the next CC as pseudo-edges
+      // (rep ↔ node preserves connectivity across batches)
       val allPairs =
         if (labels == null) newPairs
         else newPairs.union(
@@ -435,9 +437,69 @@ object Dedup {
       cached.unpersist()
       accEx = if (accEx == null) newEx else accEx.union(newEx)
     }
-    val out = keeplist(docs, labels)
+
+    def keeplistFor(documents: DataFrame): DataFrame = keeplist(documents, labels)
+  }
+
+  /** The d09 engine: drive [[IncrementalDedup]] over doc_id % B batches. */
+  def incrementalKeeplist(s: SparkSession, d: String, B: Int = 3,
+      onBatch: (Int, DataFrame, DataFrame) => Unit = (_, _, _) => ()): DataFrame = {
+    val docs = Tables.documents(s, d).persist()
+    val state = new IncrementalDedup(s.sparkContext.defaultParallelism)
+    for (batch <- 0 until B)
+      state.advance(docs.filter(col("doc_id") % B === batch),
+        (ex, pairs) => onBatch(batch, ex, pairs))
+    val out = state.keeplistFor(docs)
     docs.unpersist()
     out
+  }
+
+  // d11: STREAMING keep-list maintenance — d09's engine as a Structured
+  // Streaming job: the corpus lands as per-batch files (a continuous
+  // ingest's arrival layout, modification times ascending), a file stream
+  // with maxFilesPerTrigger=1 delivers one batch per micro-batch, and
+  // foreachBatch advances the SAME checkpointed-state engine (candidate
+  // join + CC label merge) the batch loop uses. The final keep-list must
+  // equal batch d08 — same recursive-CTE oracle as d08/d09.
+  val d11_streaming_keeplist: Q = (s, d) => streamingKeeplist(s, d)
+
+  def streamingKeeplist(s: SparkSession, d: String, B: Int = 3): DataFrame = {
+    val docs = Tables.documents(s, d).persist()
+    val dir = java.nio.file.Files.createTempDirectory("graft_d11_")
+    try {
+      // land batch b as one parquet file with ascending mtimes so the
+      // file source replays arrival order deterministically
+      val base = System.currentTimeMillis() - 3600L * 1000
+      for (b <- 0 until B) {
+        val sub = java.nio.file.Files.createTempDirectory(s"graft_d11_w$b")
+        try {
+          docs.filter(col("doc_id") % B === b).coalesce(1)
+            .write.mode("overwrite").parquet(sub.toString)
+          val listing = java.nio.file.Files.list(sub)
+          val parquet = try {
+            import scala.jdk.CollectionConverters._
+            listing.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+          } finally listing.close()
+          val dst = dir.resolve(f"batch_$b%02d.parquet")
+          java.nio.file.Files.move(parquet, dst)
+          dst.toFile.setLastModified(base + b * 60000L)
+        } finally graft.sources.SourceSinks.deleteDir(sub)
+      }
+      val state = new IncrementalDedup(s.sparkContext.defaultParallelism)
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      // explicit function value: foreachBatch has Scala/Java overloads
+      val onMicroBatch: (DataFrame, Long) => Unit =
+        (batchDf, _) => if (!batchDf.isEmpty) state.advance(batchDf)
+      val q = stream.writeStream.outputMode("append")
+        .foreachBatch(onMicroBatch)
+        .queryName(s"graft_d11_${System.nanoTime()}").start()
+      try q.processAllAvailable() finally q.stop()
+      state.keeplistFor(docs)
+    } finally {
+      graft.sources.SourceSinks.deleteDir(dir)
+      docs.unpersist()
+    }
   }
 
   val queries: Map[String, Q] = Map(
@@ -451,6 +513,7 @@ object Dedup {
     "d08_dedup_keeplist" -> d08_dedup_keeplist,
     "d09_incremental_keeplist" -> d09_incremental_keeplist,
     "d10_semantic_keeplist" -> d10_semantic_keeplist,
+    "d11_streaming_keeplist" -> d11_streaming_keeplist,
   )
 
   val oracle: Map[String, String] = Map(
@@ -486,6 +549,8 @@ object Dedup {
     // d09 maintains the same keep-list incrementally — equality with the
     // batch ground truth IS the incremental-correctness proof.
     "d09_incremental_keeplist" -> keeplistOracleSql,
+    // d11 maintains it under Structured Streaming — same proof obligation.
+    "d11_streaming_keeplist" -> keeplistOracleSql,
   )
 
   private lazy val keeplistOracleSql: String =

@@ -113,6 +113,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(incr == batch)
   }
 
+  test("d11 streaming keep-list state equals the batch d08 keep-list") {
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val batch = asSet(Dedup.d08_dedup_keeplist(spark, sf))
+    val streamed = asSet(Dedup.streamingKeeplist(spark, sf))
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("d09 shingles each document exactly once (no per-batch history recompute)") {
     val B = 3
     var shingledDocs = Vector.empty[Set[Long]]
