@@ -460,6 +460,7 @@ object CdcQueries {
   val queries: Map[String, Q] = Map(
     "c25_pgoutput_decode" -> c25_pgoutput_decode,
     "c26_snapshot_producer_protocol" -> c26_snapshot_producer_protocol,
+    "c27_publication_routing" -> (Publication.c27_publication_routing _),
     "c01_lsn_roundtrip" -> c01_lsn_roundtrip,
     "c02_wal_envelope" -> c02_wal_envelope,
     "c03_stream_from" -> c03_stream_from,
@@ -558,6 +559,7 @@ object CdcQueries {
     "c08_snapshot_plus_wal" -> snapshotPlusWalOracle,
     "c23_snapshot_wire_replay" -> snapshotPlusWalOracle,
     "c26_snapshot_producer_protocol" -> snapshotPlusWalOracle,
+    "c27_publication_routing" -> Publication.oracle,
     "c09_list_snapshots" ->
       """SELECT 'CREEK_SNAP.public.events.'
         |    || strftime(max(ts::TIMESTAMP), '%Y%m%d%H%M%S_%f') AS snap_name,

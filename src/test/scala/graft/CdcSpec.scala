@@ -362,6 +362,33 @@ class CdcSpec extends AnyFunSuite {
     } finally graft.sources.SourceSinks.deleteDir(dir)
   }
 
+  test("c27 publication manager: notify protocol, gauge, schema persist") {
+    val reg = new SchemaRegistry(spark)
+    val pub = new PublicationManager("p", Set("t0", "t1"), reg,
+      t => AvroSchemaGen.record(Tables.events(spark, sf).schema, t, "graft"))
+    // REMOVE carries the bare regclass name (init.go:96-98)...
+    pub.handle(10L, "REMOVE t1")
+    assert(!pub.isMember("t1") && pub.isMember("t0"))
+    // ...ADD is namespace-qualified (init.go:107-111) and persists the
+    // relation schema like initRelationSchema (api.go:84-88)
+    assert(reg.all().count() == 0)
+    pub.handle(20L, "ADD public.t1")
+    assert(pub.isMember("t1"))
+    assert(reg.all().count() == 1)
+    assert(reg.all().head().getAs[String]("subject") == "testdb.public.t1")
+    // malformed payloads are skipped, not fatal (api.go:78-81)
+    pub.handle(30L, "garbage")
+    pub.handle(31L, "NOPE t0")
+    assert(pub.skipped == 2 && pub.isMember("t0"))
+    // subscribed-tables gauge series follows the membership
+    assert(pub.gauge.toSeq == Seq(2, 1, 2))
+    // membership intervals: t1 subscribed on (0,10] and (20,inf]
+    val iv = pub.subscribedIntervals(spark).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(iv == Set(("t0", 0L, Long.MaxValue), ("t1", 0L, 10L),
+      ("t1", 20L, Long.MaxValue)))
+  }
+
   test("c26 snapshot producer protocol: header schema, EOF termination") {
     implicit val s = spark
     import spark.implicits._
