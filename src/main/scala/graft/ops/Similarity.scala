@@ -380,7 +380,117 @@ object Similarity {
       .limit(10)
   }
 
+  /** Product-quantization codebooks: M subspaces × K centroids, trained
+    * driver-side with plain Lloyd's on a DETERMINISTIC hash-ordered
+    * sample — the faiss shape (codebooks train on a sample; encoding runs
+    * distributed). M×K×(D/M) doubles — bytes, broadcastable. Init = first
+    * K distinct sample subvectors in hash order; empty cells keep their
+    * centroid (kmeansTrain's convention).
+    */
+  def pqTrain(s: SparkSession, d: String, M: Int = 8, K: Int = 16,
+      iters: Int = 8, sampleN: Int = 256): Array[Array[Array[Double]]] = {
+    val sample = Tables.embeddings(s, d)
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(sampleN)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val dim = sample.head.length
+    require(dim % M == 0, s"dim $dim not divisible into $M subspaces")
+    val dsub = dim / M
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var sum = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); sum += t * t; i += 1 }
+      sum
+    }
+    Array.tabulate(M) { m =>
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, m * dsub, (m + 1) * dsub))
+      var cents = pts.distinctBy(_.toSeq).take(K)
+      require(cents.length == K, s"subspace $m: only ${cents.length} distinct points")
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(K, dsub)(0.0)
+        val cnt = Array.fill(K)(0)
+        pts.foreach { p =>
+          var best = 0; var bd = Double.MaxValue; var k = 0
+          while (k < K) { val dd = l2(p, cents(k)); if (dd < bd) { bd = dd; best = k }; k += 1 }
+          cnt(best) += 1
+          var j = 0; while (j < dsub) { sums(best)(j) += p(j); j += 1 }
+        }
+        cents = Array.tabulate(K)(k =>
+          if (cnt(k) == 0) cents(k) else sums(k).map(_ / cnt(k)))
+        it += 1
+      }
+      cents
+    }
+  }
+
+  /** (vec_id, m, code) PQ code store: one broadcast join of the exploded
+    * subvectors against the M×K codebook + a keyed argmin — the encode
+    * pass is a single shuffle-free map + one (vec_id, m) aggregation.
+    * The store is M small ints (M bytes packed) per vector: 32×
+    * compression over float32 at M=8, D=64.
+    */
+  def pqCodes(e: DataFrame, books: Array[Array[Array[Double]]]): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val dsub = books(0)(0).length
+    val bookDf = books.zipWithIndex.flatMap { case (cb, m) =>
+      cb.zipWithIndex.map { case (c, k) => (m, k, c.toSeq, c.map(x => x * x).sum) }
+    }.toSeq.toDF("m", "code", "cent", "cnorm2")
+    e.withColumn("m", explode(sequence(lit(0), lit(books.length - 1))))
+      .withColumn("subvec", slice(col("embedding"), col("m") * dsub + 1, lit(dsub)))
+      .join(broadcast(bookDf), Seq("m"))
+      .withColumn("dist2", Vec.dot(col("subvec"), col("subvec"))
+        - lit(2.0) * Vec.dot(col("subvec"), col("cent")) + col("cnorm2"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(col("code"), struct(col("dist2"), col("code"))).as("code"))
+  }
+
+  // v09 (rows-only; spec: 8 codes/vector in [0,16), ADC recall vs v01,
+  // approx tracks exact): PRODUCT QUANTIZATION — the ANN compression
+  // story beyond v06's int8 (8 bytes/vector vs 256: 32×). Codebooks
+  // train on a deterministic sample; encoding is distributed; the query
+  // is answered with ASYMMETRIC DISTANCE COMPUTATION: a driver-built
+  // M×K lookup table of query·centroid dots joins the code store, so the
+  // scan touches ONLY codes — floats are read solely by the top-10
+  // re-rank join (v08's storage discipline, 4× smaller still).
+  val v09_product_quantization: Q = (s, d) => {
+    import s.implicits._
+    val books = pqTrain(s, d)
+    val dsub = books(0)(0).length
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val codes = pqCodes(e, books)
+    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding")).collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+    // ADC lookup table: qdot[m][k] = q_m · cent[m][k]; |recon|² = Σ cnorm2
+    val lut = books.zipWithIndex.flatMap { case (cb, m) =>
+      val qs = q.slice(m * dsub, (m + 1) * dsub)
+      cb.zipWithIndex.map { case (c, k) =>
+        (m, k, qs.zip(c).map(p => p._1 * p._2).sum, c.map(x => x * x).sum)
+      }
+    }.toSeq.toDF("m", "code", "qdot", "cn2")
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    // ADC shortlist pool (50) → exact re-rank to top-10: the serving
+    // pattern — PQ distortion reorders near-ties, so the shortlist is
+    // wider than k and full floats are read only for those ~50 rows
+    val pool = codes.join(broadcast(lut), Seq("m", "code"))
+      .groupBy(col("vec_id"))
+      .agg(sum("qdot").as("sdot"), sum("cn2").as("sn2"),
+        count(lit(1)).as("n_codes"))
+      .withColumn("approx_cos", col("sdot") / (lit(qn) * sqrt(col("sn2"))))
+      .filter(col("vec_id") =!= 0)
+      .orderBy(col("approx_cos").desc, col("vec_id"))
+      .limit(50)
+    e.join(broadcast(pool), "vec_id")
+      .crossJoin(broadcast(queryVec(s, d)))
+      .select(col("vec_id"),
+        round(Vec.cosine(col("embedding"), col("qe")), 6).as("cos"),
+        round(col("approx_cos"), 6).as("approx_cos"), col("n_codes"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, Q] = Map(
+    "v09_product_quantization" -> v09_product_quantization,
     "v01_knn_brute" -> v01_knn_brute,
     "v02_knn_ivf" -> v02_knn_ivf,
     "v03_pairwise_label" -> v03_pairwise_label,

@@ -258,7 +258,38 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // t12: repetition scoring (the Gopher/MassiveText repetition filters,
+  // adapted to single-line docs): duplicate word-2-gram fraction and the
+  // mass of the single most repeated 2-gram. Shape: posexplode tokens →
+  // lead() per doc for bigrams → two keyed aggregations — all codegen'd,
+  // ONE shuffle on doc_id (the window and both aggs share partitioning),
+  // no higher-order-function lambdas touching non-attribute children
+  // (the d03 re-evaluation trap).
+  val t12_repetition: Q = (s, d) => {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bigrams = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("next_tok", lead(col("tok"), 1).over(w))
+      .filter(col("next_tok").isNotNull)
+      .select(col("doc_id"), concat(col("tok"), lit(" "), col("next_tok")).as("bg"))
+    bigrams
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum("cnt").as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        max("cnt").as("top_count"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct_bigrams"),
+        round(lit(1) - col("n_distinct_bigrams") / col("n_bigrams").cast("double"), 4)
+          .as("dup_bigram_frac"),
+        round(col("top_count") / col("n_bigrams").cast("double"), 4)
+          .as("top_bigram_frac"))
+      .withColumn("repetitive", col("dup_bigram_frac") > 0.2)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t12_repetition" -> t12_repetition,
     "t01_langid" -> t01_langid,
     "t02_quality" -> t02_quality,
     "t03_token_count" -> t03_token_count,
@@ -279,6 +310,27 @@ object TextAnalysis {
     s"len(list_filter($sqlToks, w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
   val oracle: Map[String, String] = Map(
+    "t12_repetition" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($sqlToks) AS tok,
+         |    generate_subscripts($sqlToks, 1) AS pos
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id, tok || ' ' || lead(tok) OVER w AS bg
+         |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |cnts AS (
+         |  SELECT doc_id, bg, count(*) AS cnt FROM bg
+         |  WHERE bg IS NOT NULL GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT doc_id, sum(cnt)::BIGINT AS n_bigrams,
+         |    count(*)::BIGINT AS n_distinct_bigrams,
+         |    max(cnt) AS top_count
+         |  FROM cnts GROUP BY 1)
+         |SELECT doc_id, n_bigrams, n_distinct_bigrams,
+         |  round(1 - n_distinct_bigrams / n_bigrams::DOUBLE, 4) AS dup_bigram_frac,
+         |  round(top_count / n_bigrams::DOUBLE, 4) AS top_bigram_frac,
+         |  round(1 - n_distinct_bigrams / n_bigrams::DOUBLE, 4) > 0.2 AS repetitive
+         |FROM agg ORDER BY doc_id""".stripMargin,
     "t01_langid" -> {
       val hitCols = Profiles.map { case (l, ws) => s"${sqlHits(ws)} AS n_$l" }
       val langs = Profiles.map(_._1)

@@ -104,6 +104,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.sameElements(again))
   }
 
+  test("v09 product quantization: code store shape, ADC recall, tracking") {
+    val exact = Similarity.v01_knn_brute(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = Similarity.v09_product_quantization(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(got.length == 10)
+    // the code store really is M=8 codes per vector
+    assert(got.forall(_._4 == 8L))
+    // full code-store audit: every code in [0, 16), exactly 8 per vector
+    val books = Similarity.pqTrain(spark, sf)
+    val codes = Similarity.pqCodes(
+      Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding")), books)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val n = Tables.embeddings(spark, sf).count()
+    assert(codes.length == n * 8)
+    assert(codes.forall(c => c._3 >= 0 && c._3 < 16))
+    // ADC ranking finds most of the true top-10
+    val recall = got.map(_._1).count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"pq-adc recall@10 = $recall")
+    // re-ranked scores are full precision (equal v01's); ADC approximates
+    got.filter(g => exact.contains(g._1)).foreach { case (v, cos, _, _) =>
+      assert(cos == exact(v), s"vec $v: rerank $cos != exact ${exact(v)}")
+    }
+    assert(got.forall { case (_, cos, approx, _) => math.abs(cos - approx) < 0.2 })
+    assert(got.exists { case (_, cos, approx, _) => cos != approx })
+    // deterministic end to end (hash-ordered sample, no RNG)
+    val again = Similarity.v09_product_quantization(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(got.sameElements(again))
+  }
+
   test("d09 incremental keep-list equals the batch d08 keep-list") {
     def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
