@@ -288,8 +288,60 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // t13: training-mix construction — per-source sampling WEIGHTS with
+  // epoch upsampling (the data-mixture step of a pre-training run:
+  // high-quality sources repeat >1 epoch, low-quality ones subsample).
+  // rate% of 100 = full epochs for every doc; the fractional remainder
+  // keeps docs by the same deterministic md5 percentile as t10 — so the
+  // mix is reproducible on any cluster layout, no RNG. One narrow agg.
+  val t13_source_mix: Q = (s, d) => {
+    val idx = regexp_extract(col("source"), "(\\d+)", 1).cast("int")
+    val rate = when(idx % 4 === 0, 150L).when(idx % 4 === 1, 100L)
+      .when(idx % 4 === 2, 50L).otherwise(20L)
+    val pct = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+      .cast("long"), lit(100L))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), size(toks(col("text"))).as("n_tokens"))
+      .withColumn("rate", rate)
+      .withColumn("n_copies",
+        (col("rate") / 100L).cast("long") + (pct < col("rate") % 100).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("rate")).as("rate"), // constant per source; min = deterministic
+        sum("n_copies").as("n_emitted"),
+        round(sum("n_copies") / count(lit(1)).cast("double"), 4).as("achieved_epochs"),
+        sum(col("n_copies") * col("n_tokens")).as("emitted_tokens"))
+      .orderBy("source")
+  }
+
+  // t14: fixed-length sequence PACKING — greedy contiguous packing of
+  // documents into 2048-token training sequences, per source shard
+  // (windowed cumsum PARTITIONED BY source: no global window, so the
+  // shape survives 100×; global packing order is a non-goal — real
+  // packers work per shard exactly like this). Reports per-shard
+  // sequence counts and fill/waste — the tokens-per-step audit.
+  val t14_sequence_packing: Q = (s, d) => {
+    val SeqLen = 2048L
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), size(toks(col("text"))).as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("seq_idx", ((col("cum") - col("n_tokens")) / SeqLen).cast("long"))
+      .groupBy(col("source"), col("seq_idx"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_seqs"),
+        sum("n_docs").as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        round(avg(col("n_tokens") / lit(SeqLen.toDouble)), 4).as("avg_fill"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
     "t12_repetition" -> t12_repetition,
+    "t13_source_mix" -> t13_source_mix,
+    "t14_sequence_packing" -> t14_sequence_packing,
     "t01_langid" -> t01_langid,
     "t02_quality" -> t02_quality,
     "t03_token_count" -> t03_token_count,
@@ -310,6 +362,40 @@ object TextAnalysis {
     s"len(list_filter($sqlToks, w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
   val oracle: Map[String, String] = Map(
+    "t13_source_mix" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source, len($sqlToks) AS n_tokens,
+         |    CASE regexp_extract(source, '(\\d+)', 1)::INT % 4
+         |      WHEN 0 THEN 150 WHEN 1 THEN 100 WHEN 2 THEN 50
+         |      ELSE 20 END AS rate,
+         |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT % 100 AS pct
+         |  FROM documents),
+         |c AS (
+         |  SELECT *, (rate // 100)::BIGINT
+         |      + (CASE WHEN pct < rate % 100 THEN 1 ELSE 0 END)::BIGINT AS n_copies
+         |  FROM base)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  min(rate)::BIGINT AS rate,
+         |  sum(n_copies)::BIGINT AS n_emitted,
+         |  round(sum(n_copies) / count(*)::DOUBLE, 4) AS achieved_epochs,
+         |  sum(n_copies * n_tokens)::BIGINT AS emitted_tokens
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t14_sequence_packing" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source, len($sqlToks) AS n_tokens FROM documents),
+         |packed AS (
+         |  SELECT source, n_tokens,
+         |    (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |       ROWS UNBOUNDED PRECEDING) - n_tokens) // 2048 AS seq_idx
+         |  FROM base),
+         |seqs AS (
+         |  SELECT source, seq_idx, count(*) AS n_docs, sum(n_tokens) AS n_tokens
+         |  FROM packed GROUP BY 1, 2)
+         |SELECT source, count(*)::BIGINT AS n_seqs,
+         |  sum(n_docs)::BIGINT AS n_docs,
+         |  sum(n_tokens)::BIGINT AS total_tokens,
+         |  round(avg(n_tokens / 2048.0), 4) AS avg_fill
+         |FROM seqs GROUP BY 1 ORDER BY 1""".stripMargin,
     "t12_repetition" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest($sqlToks) AS tok,
