@@ -457,10 +457,54 @@ object CdcQueries {
       .orderBy("pk")
   }
 
+  // c28: chunk-stream RECOVERY — the client's readMessage/drainMessage
+  // contract (client.go:632-658): a message whose seq-0 frame (the one
+  // carrying the total length) is missing, or whose reassembled bytes
+  // don't reach the declared length, is DRAINED — dropped whole, stream
+  // continues, never a failure. Planted partial delivery: every 997th
+  // message loses its first frame; the distributed reassembly validates
+  // seq-0 presence + contiguity + declared length and decodes only the
+  // complete messages. The oracle is the flat stream minus the planted
+  // casualties.
+  val c28_chunk_recovery: Q = (s, d) => {
+    implicit val spark: SparkSession = s
+    import spark.implicits._
+    val json = AvroWal.schemaJson
+    val fp = AvroWal.fingerprint
+    val frames = AvroWal.walRecords(flatEnv(s, d)).mapPartitions { it =>
+      val schema = new org.apache.avro.Schema.Parser().parse(json)
+      it.flatMap { r =>
+        val fs = Chunking.split(r.lsn_long, AvroWal.encodeOne(schema, fp, r))
+        if (r.lsn_long % 997 == 0) fs.drop(1) else fs // partial delivery
+      }
+    }
+    val reassembled = frames.toDF()
+      .groupBy(col("msg_id"))
+      .agg(min("seq").as("min_seq"), max("seq").as("max_seq"),
+        count(lit(1)).as("n_frames"), max("total_len").as("total_len"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("seq"), col("chunk")))),
+            x => x.getField("chunk")),
+          lit(Array.emptyByteArray),
+          (acc, c) => concat(acc, c)).as("bytes"))
+      // readMessage validity: first frame present, sequence contiguous,
+      // reassembled bytes == declared total — else drain the message
+      .filter(col("min_seq") === 0 && col("n_frames") === col("max_seq") + 1 &&
+        length(col("bytes")) === col("total_len"))
+      .select(col("msg_id"), col("bytes")).as[(Long, Array[Byte])]
+    reassembled.mapPartitions { it =>
+      val schema = new org.apache.avro.Schema.Parser().parse(json)
+      it.map { case (_, bytes) => AvroWal.decodeOne(schema, fp, bytes) }
+    }.toDF()
+      .select(col("lsn_long"), col("op"), col("pk"), col("value"))
+      .orderBy("lsn_long")
+  }
+
   val queries: Map[String, Q] = Map(
     "c25_pgoutput_decode" -> c25_pgoutput_decode,
     "c26_snapshot_producer_protocol" -> c26_snapshot_producer_protocol,
     "c27_publication_routing" -> (Publication.c27_publication_routing _),
+    "c28_chunk_recovery" -> c28_chunk_recovery,
     "c01_lsn_roundtrip" -> c01_lsn_roundtrip,
     "c02_wal_envelope" -> c02_wal_envelope,
     "c03_stream_from" -> c03_stream_from,
@@ -560,6 +604,12 @@ object CdcQueries {
     "c23_snapshot_wire_replay" -> snapshotPlusWalOracle,
     "c26_snapshot_producer_protocol" -> snapshotPlusWalOracle,
     "c27_publication_routing" -> Publication.oracle,
+    "c28_chunk_recovery" ->
+      s"""WITH $sqlEnv, $sqlFlat
+         |SELECT lsn_long, op, coalesce(pk_after, pk_before) AS pk,
+         |  after_value AS value
+         |FROM flat WHERE op <> 't' AND lsn_long % 997 <> 0
+         |ORDER BY lsn_long""".stripMargin,
     "c09_list_snapshots" ->
       """SELECT 'CREEK_SNAP.public.events.'
         |    || strftime(max(ts::TIMESTAMP), '%Y%m%d%H%M%S_%f') AS snap_name,

@@ -389,6 +389,16 @@ class CdcSpec extends AnyFunSuite {
       ("t1", 20L, Long.MaxValue)))
   }
 
+  test("c28 chunk recovery drains exactly the partially-delivered messages") {
+    val got = CdcQueries.c28_chunk_recovery(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val all = Envelope.flat(Tables.events(spark, sf))
+      .filter(col("op") =!= "t").collect().map(_.getAs[Long]("lsn_long")).toSet
+    val planted = all.filter(_ % 997 == 0)
+    assert(planted.nonEmpty) // the corruption is actually exercised
+    assert(got == all -- planted) // drained exactly; everything else decodes
+  }
+
   test("c26 snapshot producer protocol: header schema, EOF termination") {
     implicit val s = spark
     import spark.implicits._
