@@ -466,6 +466,18 @@ class CdcSpec extends AnyFunSuite {
     assert(rows.forall(r => r.tx_id == r.lsn_long && r.tx_at_us > 0))
   }
 
+  test("c25 plans exactly one shuffle (the WAL-segment grouping)") {
+    implicit val s = spark
+    val df = PgOutput.roundtrip(Envelope.flat(Tables.events(spark, sf))).toDF()
+    df.collect()
+    val shuffles = PlanWalk.allNodes(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    // one exchange keys the rows into contiguous LSN segments; generate +
+    // decode then run inside the group — no further data movement
+    assert(shuffles.length == 1, s"c25 shuffles: $shuffles")
+  }
+
   test("c25 pgoutput wire state machine: toast, keepalive LSN, unknown rel") {
     import PgOutput._
     // 'u' (unchanged toast) cells are ABSENT from the value map; 'n' cells

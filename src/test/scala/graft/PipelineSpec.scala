@@ -104,6 +104,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.sameElements(again))
   }
 
+  test("t12/t14 windows are keyed — no global (single-partition) window") {
+    for (name <- Seq("t12_repetition", "t14_sequence_packing")) {
+      val df = TextAnalysis.queries(name)(spark, sf)
+      df.collect()
+      val nodes = PlanWalk.allNodes(df.queryExecution.executedPlan)
+      val windows = nodes.filter(_.getClass.getSimpleName == "WindowExec")
+      windows.foreach { w =>
+        val spec = w.asInstanceOf[org.apache.spark.sql.execution.window.WindowExec]
+        assert(spec.partitionSpec.nonEmpty, s"$name has a global window")
+      }
+      // and no single-partition exchange carries table rows
+      val singleParts = nodes.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+          if e.outputPartitioning.numPartitions == 1 => e
+      }
+      val rowCarrying = singleParts.filterNot(
+        _.children.head.getClass.getSimpleName.contains("Aggregate"))
+      assert(rowCarrying.isEmpty, s"$name single-partition exchange: $rowCarrying")
+    }
+  }
+
   test("v09 product quantization: code store shape, ADC recall, tracking") {
     val exact = Similarity.v01_knn_brute(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
