@@ -502,7 +502,34 @@ object Dedup {
     }
   }
 
+  // d12: benchmark DECONTAMINATION — the cross-set containment check a
+  // pre-training pipeline runs before dedup ships (GPT-3/Pile style):
+  // flag every training document sharing ≥1 distinct word-8-gram with
+  // any held-out eval document. NOT a self-join: the eval side is tiny
+  // (here doc_id % 17 == 0), so its exploded 8-gram table broadcasts /
+  // hash-joins against the training shingles — work is linear in the
+  // training corpus at any scale. Same native one-pass shingle hashes as
+  // d02 (8-token windows; the token-tuple ↔ string-shingle bijection
+  // argument from shingleHashes applies).
+  val d12_decontamination: Q = (s, d) => {
+    val spread = s.sparkContext.defaultParallelism
+    def shingled(df: DataFrame, idName: String): DataFrame =
+      df.repartition(spread)
+        .select(col("doc_id").as(idName),
+          explode(graft.functions.Sketches.shingle_hashes(
+            norm(col("text")), 8, distinct = true)).as("s8"))
+    val docs = Tables.documents(s, d)
+    val train = shingled(docs.filter(col("doc_id") % 17 =!= 0), "train_id")
+    val eval8 = shingled(docs.filter(col("doc_id") % 17 === 0), "eval_id")
+    train.join(eval8, "s8")
+      .groupBy(col("train_id"))
+      .agg(countDistinct(col("s8")).as("n_shared_8grams"),
+        countDistinct(col("eval_id")).as("n_eval_docs_hit"))
+      .orderBy("train_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "d12_decontamination" -> d12_decontamination,
     "d01_exact_dedup" -> d01_exact_dedup,
     "d02_ngram_jaccard" -> d02_ngram_jaccard,
     "d03_minhash_lsh" -> d03_minhash_lsh,
@@ -551,6 +578,23 @@ object Dedup {
     "d09_incremental_keeplist" -> keeplistOracleSql,
     // d11 maintains it under Structured Streaming — same proof obligation.
     "d11_streaming_keeplist" -> keeplistOracleSql,
+    "d12_decontamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(t) >= 8 THEN
+        |    list_distinct([array_to_string(t[i:i+7], ' ') for i in range(1, len(t)-6)])
+        |    ELSE [] END AS shingles
+        |  FROM toks),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s8 FROM sh)
+        |SELECT tr.doc_id AS train_id,
+        |  count(DISTINCT tr.s8)::BIGINT AS n_shared_8grams,
+        |  count(DISTINCT ev.doc_id)::BIGINT AS n_eval_docs_hit
+        |FROM ex tr JOIN ex ev ON tr.s8 = ev.s8
+        |WHERE tr.doc_id % 17 <> 0 AND ev.doc_id % 17 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   private lazy val keeplistOracleSql: String =
