@@ -466,6 +466,33 @@ class CdcSpec extends AnyFunSuite {
     assert(rows.forall(r => r.tx_id == r.lsn_long && r.tx_at_us > 0))
   }
 
+  test("c25 relations map dispatches interleaved tables independently") {
+    import PgOutput._
+    val colsB = Seq((1, "user_id", OidInt8), (0, "value", OidFloat8),
+      (0, "ts", OidTimestamptz))
+    val relA = RelId; val relB = RelId + 1
+    def tx(lsn: Long, body: Array[Byte]): Seq[Array[Byte]] = Seq(
+      xlog(lsn, beginMsg(lsn, PgEpochMicros + lsn, lsn)),
+      xlog(lsn, body),
+      xlog(lsn, commitMsg(lsn, PgEpochMicros + lsn)))
+    val stream = framed((Seq(
+      xlog(1L, relationMsg(relA, "public", "events", eventsCols)),
+      xlog(1L, relationMsg(relB, "audit", "trail", colsB))) ++
+      tx(10L, insertMsg(relA, Seq(TextCell("1"), NullCell, TextCell(formatTsTz(0L))))) ++
+      tx(11L, insertMsg(relB, Seq(TextCell("2"), NullCell, TextCell(formatTsTz(0L))))) ++
+      tx(12L, deleteMsg(relA, 'K', Seq(TextCell("1"), NullCell, NullCell))) ++
+      tx(13L, truncateMsg(Seq(relB, relA)))): _*)
+    val rows = decodeStream(stream)
+    // each change resolves through the relations map to ITS OWN table
+    assert(rows.map(r => (r.lsn_long, r.op, r.schema_name, r.table_name)) == Seq(
+      (10L, "c", "public", "events"),
+      (11L, "c", "audit", "trail"),
+      (12L, "d", "public", "events"),
+      (13L, "t", "audit", "trail"),   // one op t per relation id, in
+      (13L, "t", "public", "events"))) // message order (replication.go:500-517)
+    assert(rows.filter(_.op == "c").map(_.pk_after) == Seq(Some(1L), Some(2L)))
+  }
+
   test("c25 plans exactly one shuffle (the WAL-segment grouping)") {
     implicit val s = spark
     val df = PgOutput.roundtrip(Envelope.flat(Tables.events(spark, sf))).toDF()
