@@ -312,8 +312,8 @@ object PgOutput {
             case LRows(rows) => out ++= rows
             case LNoop => ()
           }
-        case other =>
-          throw new IllegalArgumentException(s"unknown replication frame $other")
+        case _ => () // unexpected frame type: log-and-continue in the
+                     // reference (replication.go:199-203) — skip here
       }
     }
     out.result()
@@ -407,8 +407,9 @@ object PgOutput {
           relations.get(r.u32()).map(rel => base(rel, "t", None, None))
         }
         LRows(rows)
-      case other =>
-        throw new IllegalArgumentException(s"unknown pgoutput message $other")
+      case _ => LNoop // Origin ('O'), logical Message ('M'), and any
+        // future tag fall through the reference's type switch with no
+        // case — ignored, never fatal (replication.go:257-301)
     }
   }
 

@@ -536,6 +536,20 @@ class CdcSpec extends AnyFunSuite {
       xlog(5L, insertMsg(RelId, Seq(TextCell("1"), NullCell, NullCell))),
       xlog(5L, commitMsg(5L, PgEpochMicros)))
     assert(decodeStream(orphan).isEmpty)
+    // unknown pgoutput tags (Origin 'O', logical Message 'M') and unknown
+    // frame types fall through the reference's type switches — skipped,
+    // never fatal; surrounding messages still decode
+    val withUnknowns = framed(
+      xlog(8L, rel),
+      Array[Byte]('q', 1, 2, 3), // unknown FRAME type
+      xlog(9L, Array[Byte]('O', 0, 0, 0, 0, 0, 0, 0, 9, 'x', 0)), // Origin
+      xlog(10L, beginMsg(10L, PgEpochMicros + 1L, 5L)),
+      xlog(10L, insertMsg(RelId, Seq(TextCell("3"), NullCell,
+        TextCell(formatTsTz(0L))))),
+      xlog(10L, commitMsg(10L, PgEpochMicros + 1L)))
+    val survived = decodeStream(withUnknowns)
+    assert(survived.map(r => (r.lsn_long, r.op, r.pk_after)) ==
+      Seq((10L, "c", Some(3L))))
     // float8/timestamptz text decode is lossless by OID
     assert(decodeText(OidFloat8, 3.141592653589793d.toString) == 3.141592653589793d)
     assert(parseTsTz(formatTsTz(1705312496123456L)) == 1705312496123456L)
