@@ -500,11 +500,49 @@ object CdcQueries {
       .orderBy("lsn_long")
   }
 
+  // c29: the snapshot REQUEST/REPLY handshake composed end-to-end — the
+  // client's `Snapshot(ns, table)` entry point (client.go:381-462): a
+  // request with a reply subject passes the CanSnapshot publication gate,
+  // the server replies a seeded per-snapshot topic and streams header +
+  // rows + EOF there (c26's producer), the client consumes FROM THE
+  // REPLIED TOPIC and replays WAL on top. End state ≡ c08, same oracle.
+  val c29_snapshot_request: Q = (s, d) => {
+    implicit val spark: SparkSession = s
+    val flat = flatEnv(s, d)
+    val sVal = flat.filter(col("tx_at") < lit("2024-01-20").cast("timestamp"))
+      .agg(coalesce(max("lsn_long"), lit(-1L)).as("s")).head().getLong(0)
+    val snapState = Apply.latest(flat.filter(col("lsn_long") <= sVal))
+    // CanSnapshot = membership in the c27 publication manager
+    val pub = new PublicationManager("creek_pub", Set("events"),
+      new SchemaRegistry(s),
+      t => AvroSchemaGen.record(Tables.events(s, d).schema, t, "graft"))
+    val Some((topic, frames)) = SnapshotApi.handle(
+      SnapshotRequest("public", "events"), replyTo = Some("_INBOX.graft"),
+      canSnapshot = pub.isMember, state =
+        snapState.select(col("pk"), col("last_value").as("value")),
+      snapLsn = sVal, txId = sVal, atUs = 0L, seed = 42L)
+    val (header, rows) = SnapshotWire.consume(frames)
+    require(header.topic == topic, "consumed stream must carry the replied topic")
+    val wireLsn = graft.functions.Lsn.parse(
+      org.apache.spark.unsafe.types.UTF8String.fromString(header.lsn))
+    val snapFlat = rows.select(
+      lit(wireLsn).as("lsn_long"), lit("r").as("op"),
+      lit(null).cast("long").as("pk_before"), col("pk").as("pk_after"),
+      col("value").as("after_value"))
+    val walFlat = flat.filter(col("lsn_long") > sVal)
+      .select(col("lsn_long"), col("op"), col("pk_before"), col("pk_after"),
+        col("after_value"))
+    Apply.latest(snapFlat.union(walFlat))
+      .select(col("pk"), round(col("last_value"), 2).as("value"))
+      .orderBy("pk")
+  }
+
   val queries: Map[String, Q] = Map(
     "c25_pgoutput_decode" -> c25_pgoutput_decode,
     "c26_snapshot_producer_protocol" -> c26_snapshot_producer_protocol,
     "c27_publication_routing" -> (Publication.c27_publication_routing _),
     "c28_chunk_recovery" -> c28_chunk_recovery,
+    "c29_snapshot_request" -> c29_snapshot_request,
     "c01_lsn_roundtrip" -> c01_lsn_roundtrip,
     "c02_wal_envelope" -> c02_wal_envelope,
     "c03_stream_from" -> c03_stream_from,
@@ -603,6 +641,7 @@ object CdcQueries {
     "c08_snapshot_plus_wal" -> snapshotPlusWalOracle,
     "c23_snapshot_wire_replay" -> snapshotPlusWalOracle,
     "c26_snapshot_producer_protocol" -> snapshotPlusWalOracle,
+    "c29_snapshot_request" -> snapshotPlusWalOracle,
     "c27_publication_routing" -> Publication.oracle,
     "c28_chunk_recovery" ->
       s"""WITH $sqlEnv, $sqlFlat

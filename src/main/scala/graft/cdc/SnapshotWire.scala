@@ -3,6 +3,8 @@ package graft.cdc
 import com.fasterxml.jackson.databind.ObjectMapper
 import java.io.ByteArrayOutputStream
 import java.nio.charset.StandardCharsets
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
 import org.apache.avro.Schema
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.avro.io.{DecoderFactory, EncoderFactory}
@@ -100,12 +102,12 @@ object SnapshotWire {
     * Avro rows, EOF — all chunk-framed. Header identifier = snapshot LSN,
     * rows keyed by pk, EOF last (mq/snapshots.go identifiers).
     */
-  def produce(state: DataFrame, snapLsn: Long, txId: Long, atUs: Long)(
-      implicit s: SparkSession): Dataset[Frame] = {
+  def produce(state: DataFrame, snapLsn: Long, txId: Long, atUs: Long,
+      topic: String = "")(implicit s: SparkSession): Dataset[Frame] = {
     import s.implicits._
     val nRows = state.count()
     val header = SnapHeader(
-      topic = s"CREEK_SNAP.public.events.${atUs}",
+      topic = if (topic.nonEmpty) topic else s"CREEK_SNAP.public.events.${atUs}",
       fingerprint = AvroSchemaGen.fingerprintB64(rowFingerprint),
       schema = rowSchemaJson,
       tx_id = txId, lsn = Lsn.format(snapLsn).toString,
@@ -161,5 +163,54 @@ object SnapshotWire {
       }
       .toDF("pk", "value", "ts_us")
     (header, rows)
+  }
+}
+
+/** One snapshot request (messages.go:91-96 SnapshotRequest). */
+case class SnapshotRequest(namespace: String, table: String)
+
+/** The snapshot REQUEST/REPLY API — mq/snapshots.go:57-95
+  * handleSnapShotMessage:
+  *
+  *   - a request WITHOUT a reply subject is ignored, not an error
+  *     (snapshots.go:58-60);
+  *   - `CanSnapshot` gates on publication membership — a table outside
+  *     the allow-list is refused (snapshots.go:69-76, the c27 manager is
+  *     the membership source);
+  *   - the server names a fresh per-snapshot topic
+  *     `SNAP_STREAM.<ns>.<table>.<yyyyMMddHHmmss_SSSSSS>_<4 hex>` from a
+  *     seeded rng + timestamp (genSnapTopic, snapshots.go:151-163; the
+  *     seeded-deterministic property is what matters — ListSnapshots
+  *     strips the last 5 chars when parsing, client.go:565), REPLIES the
+  *     topic to the caller, and streams header + rows + EOF there.
+  */
+object SnapshotApi {
+  private val TopicTimeFmt =
+    DateTimeFormatter.ofPattern("uuuuMMddHHmmss_SSSSSS").withZone(ZoneOffset.UTC)
+
+  /** Deterministic per-snapshot topic: timestamp + 2 seeded-rng bytes in
+    * hex (java.util.Random's algorithm is specified, so the name is
+    * reproducible across JVMs given the seed).
+    */
+  def genSnapTopic(seed: Long, atUs: Long, req: SnapshotRequest): String = {
+    val timeStr = TopicTimeFmt.format(Instant.ofEpochSecond(
+      Math.floorDiv(atUs, 1000000L), Math.floorMod(atUs, 1000000L) * 1000L))
+    val hex = f"${new java.util.Random(seed).nextInt(0x10000)}%04x"
+    s"CREEK_SNAP.${req.namespace}.${req.table}.${timeStr}_$hex"
+  }
+
+  /** Serve one request: None when there is no reply subject (ignored);
+    * IllegalStateException when the table is outside the publication;
+    * otherwise the replied topic + the full framed snapshot stream.
+    */
+  def handle(req: SnapshotRequest, replyTo: Option[String],
+      canSnapshot: String => Boolean, state: DataFrame, snapLsn: Long,
+      txId: Long, atUs: Long, seed: Long)(
+      implicit s: SparkSession): Option[(String, Dataset[Frame])] = {
+    if (replyTo.isEmpty) return None // no reply subject: drop silently
+    if (!canSnapshot(req.table))
+      throw new IllegalStateException(s"snapshot not allowed: ${req.namespace}.${req.table}")
+    val topic = genSnapTopic(seed, atUs, req)
+    Some((topic, SnapshotWire.produce(state, snapLsn, txId, atUs, topic)))
   }
 }

@@ -434,6 +434,36 @@ class CdcSpec extends AnyFunSuite {
     intercept[IllegalStateException](SnapshotWire.consume(headerless))
   }
 
+  test("c29 snapshot request/reply: gate, topic naming, ignored no-reply") {
+    implicit val s = spark
+    import spark.implicits._
+    val state = Seq((1L, Some(1.0))).toDF("pk", "value")
+    def can(t: String): Boolean = t == "events"
+    // no reply subject → silently ignored (snapshots.go:58-60)
+    assert(SnapshotApi.handle(SnapshotRequest("public", "events"), None,
+      can, state, 1L, 1L, 0L, 42L).isEmpty)
+    // table outside the publication → refused (CanSnapshot gate)
+    val e = intercept[IllegalStateException](SnapshotApi.handle(
+      SnapshotRequest("public", "secrets"), Some("_INBOX.x"),
+      can, state, 1L, 1L, 0L, 42L))
+    assert(e.getMessage.contains("not allowed"))
+    // topic: SNAP_STREAM.ns.table.<ts>_<4 hex>, seeded-deterministic;
+    // ListSnapshots strips the last 5 chars when parsing (client.go:565)
+    val t1 = SnapshotApi.genSnapTopic(42L, 1705312496123456L,
+      SnapshotRequest("public", "events"))
+    assert(t1.matches("""CREEK_SNAP\.public\.events\.\d{14}_\d{6}_[0-9a-f]{4}"""), t1)
+    assert(t1 == SnapshotApi.genSnapTopic(42L, 1705312496123456L,
+      SnapshotRequest("public", "events")))
+    assert(t1 != SnapshotApi.genSnapTopic(43L, 1705312496123456L,
+      SnapshotRequest("public", "events")))
+    // a granted request streams to the replied topic; header carries it
+    val Some((topic, frames)) = SnapshotApi.handle(
+      SnapshotRequest("public", "events"), Some("_INBOX.x"),
+      can, state, 7L, 7L, 0L, 42L)
+    val (header, rows) = SnapshotWire.consume(frames)
+    assert(header.topic == topic && rows.count() == 1L)
+  }
+
   test("c26 equals the in-memory snapshot-plus-wal merge") {
     val wire = CdcQueries.c26_snapshot_producer_protocol(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSet
