@@ -537,7 +537,42 @@ object CdcQueries {
       .orderBy("pk")
   }
 
+  // c30: MULTI-TABLE apply — the daemon replicates many tables at once
+  // (the relations map / per-table topics); materialize every replica in
+  // ONE pass: half-events carry their table, truncates cut ONLY their
+  // own table (per-table broadcast cuts, not a global scalar), and a
+  // single (tbl, pk) aggregation yields all replica states. Same
+  // shuffle-once discipline as c04, keyed by (table, pk).
+  val c30_multi_table_apply: Q = (s, d) => {
+    val f2 = flatEnv(s, d)
+      .withColumn("tbl", concat(lit("t"), (col("user_id") % 4).cast("string")))
+    val primary = f2.filter(col("op") =!= "t").select(col("tbl"),
+      (col("lsn_long") * 2).as("ord"),
+      when(col("op") === "u_pk", "d").otherwise(col("op")).as("eff_op"),
+      when(col("op").isin("d", "u_pk"), col("pk_before"))
+        .otherwise(col("pk_after")).as("pk"),
+      when(col("op").isin("d", "u_pk"), lit(null).cast("double"))
+        .otherwise(col("after_value")).as("value"))
+    val upkInsert = f2.filter(col("op") === "u_pk").select(col("tbl"),
+      (col("lsn_long") * 2 + 1).as("ord"), lit("c").as("eff_op"),
+      col("pk_after").as("pk"), col("after_value").as("value"))
+    val cuts = f2.filter(col("op") === "t").groupBy(col("tbl"))
+      .agg(max(col("lsn_long") * 2 + 1).as("tmax"))
+    primary.union(upkInsert)
+      .join(broadcast(cuts), Seq("tbl"), "left")
+      .filter(col("ord") > coalesce(col("tmax"), lit(-1L)))
+      .groupBy(col("tbl"), col("pk"))
+      .agg(max("ord").as("last_ord"),
+        max_by(col("eff_op"), col("ord")).as("last_op"),
+        max_by(col("value"), col("ord")).as("last_value"))
+      .filter(col("last_op") =!= "d")
+      .select(col("tbl"), col("pk"),
+        round(col("last_value"), 2).as("value"), col("last_ord"))
+      .orderBy("tbl", "pk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "c30_multi_table_apply" -> c30_multi_table_apply,
     "c25_pgoutput_decode" -> c25_pgoutput_decode,
     "c26_snapshot_producer_protocol" -> c26_snapshot_producer_protocol,
     "c27_publication_routing" -> (Publication.c27_publication_routing _),
@@ -642,6 +677,30 @@ object CdcQueries {
     "c23_snapshot_wire_replay" -> snapshotPlusWalOracle,
     "c26_snapshot_producer_protocol" -> snapshotPlusWalOracle,
     "c29_snapshot_request" -> snapshotPlusWalOracle,
+    "c30_multi_table_apply" ->
+      s"""WITH $sqlEnv, $sqlFlat,
+         |f2 AS (SELECT *, 't' || (user_id % 4)::VARCHAR AS tbl FROM flat),
+         |mhalf AS (
+         |  SELECT tbl, lsn_long * 2 AS ord,
+         |    CASE WHEN op = 'u_pk' THEN 'd' ELSE op END AS eff_op,
+         |    CASE WHEN op IN ('d','u_pk') THEN pk_before ELSE pk_after END AS pk,
+         |    CASE WHEN op IN ('d','u_pk') THEN NULL ELSE after_value END AS value
+         |  FROM f2 WHERE op <> 't'
+         |  UNION ALL
+         |  SELECT tbl, lsn_long * 2 + 1, 'c', pk_after, after_value
+         |  FROM f2 WHERE op = 'u_pk'),
+         |mcut AS (
+         |  SELECT tbl, max(lsn_long * 2 + 1) AS tmax FROM f2
+         |  WHERE op = 't' GROUP BY tbl),
+         |mlive AS (
+         |  SELECT h.* FROM mhalf h LEFT JOIN mcut c ON h.tbl = c.tbl
+         |  WHERE h.ord > coalesce(c.tmax, -1)),
+         |mstate AS (
+         |  SELECT tbl, pk, max(ord) AS last_ord,
+         |    max_by(eff_op, ord) AS last_op, max_by(value, ord) AS last_value
+         |  FROM mlive GROUP BY 1, 2)
+         |SELECT tbl, pk, round(last_value, 2) AS value, last_ord
+         |FROM mstate WHERE last_op <> 'd' ORDER BY tbl, pk""".stripMargin,
     "c27_publication_routing" -> Publication.oracle,
     "c28_chunk_recovery" ->
       s"""WITH $sqlEnv, $sqlFlat
