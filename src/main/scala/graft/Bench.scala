@@ -58,16 +58,23 @@ object Bench {
           }
         }
       }
-      name -> (if (times.isEmpty) -1.0 else times.min)
+      // ANY failed run marks the query failed — a flaky query's one good
+      // time is not trustworthy and must not enter the totals
+      name -> (if (times.isEmpty || errors.contains(name)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    def jsonEscape(s: String): String = s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c if c < ' ' => f"\\u${c.toInt}%04x" // control chars (RFC 8259)
+      case c => c.toString
+    }
     val errJson =
       if (errors.isEmpty) ""
-      else errors.map { case (k, v) =>
-        "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-      }.mkString(",\"errors\":{", ",", "}")
+      else errors.map { case (k, v) => "\"" + k + "\":\"" + jsonEscape(v) + "\"" }
+        .mkString(",\"errors\":{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

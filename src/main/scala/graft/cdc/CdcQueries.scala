@@ -368,13 +368,8 @@ object CdcQueries {
         Chunking.split(msgId, AvroEnvelope.encodeOne(schema, fp, fpB64, r))
       }
     }
-    val reassembled = frames.toDF()
-      .groupBy(col("msg_id"))
-      .agg(aggregate(
-        transform(array_sort(collect_list(struct(col("seq"), col("chunk")))),
-          x => x.getField("chunk")),
-        lit(Array.emptyByteArray),
-        (acc, c) => concat(acc, c)).as("bytes"))
+    val reassembled = Chunking.reassemble(frames.toDF())
+      .select(col("msg_id"), col("bytes"))
       .as[(Long, Array[Byte])]
     val decoded = reassembled.mapPartitions { it =>
       val schema = new org.apache.avro.Schema.Parser().parse(json)
@@ -432,17 +427,26 @@ object CdcQueries {
   // by parsing the row schema OUT OF THE HEADER and refusing un-terminated
   // streams (client.go:581-583 isEof). The decoded rows + subsequent WAL
   // replay to the same state as the in-memory merge — c08's oracle.
-  val c26_snapshot_producer_protocol: Q = (s, d) => {
-    implicit val spark: SparkSession = s
+  /** Snapshot cut for the wire-protocol queries (c26/c29): the LSN at the
+    * 2024-01-20 split and the replica state at that cut.
+    */
+  private def snapshotCut(s: SparkSession, d: String): (DataFrame, Long, DataFrame) = {
     val flat = flatEnv(s, d)
     val sVal = flat.filter(col("tx_at") < lit("2024-01-20").cast("timestamp"))
       .agg(coalesce(max("lsn_long"), lit(-1L)).as("s")).head().getLong(0)
-    val snapState = Apply.latest(flat.filter(col("lsn_long") <= sVal))
-    val frames = SnapshotWire.produce(
-      snapState.select(col("pk"), col("last_value").as("value")),
-      snapLsn = sVal, txId = sVal, atUs = 0L)
+    (flat, sVal, Apply.latest(flat.filter(col("lsn_long") <= sVal))
+      .select(col("pk"), col("last_value").as("value")))
+  }
+
+  /** Consume a produced snapshot stream and replay the post-cut WAL on
+    * top — the shared c26/c29 tail. The snapshot position comes from the
+    * WIRE header, not shared driver state; the end state must hash-match
+    * c08's in-memory merge.
+    */
+  private def replaySnapshotStream(flat: DataFrame, sVal: Long,
+      frames: org.apache.spark.sql.Dataset[Frame])(
+      implicit s: SparkSession): (SnapHeader, DataFrame) = {
     val (header, rows) = SnapshotWire.consume(frames)
-    // the snapshot position comes from the WIRE header, not shared state
     val wireLsn = graft.functions.Lsn.parse(
       org.apache.spark.unsafe.types.UTF8String.fromString(header.lsn))
     val snapFlat = rows.select(
@@ -452,20 +456,28 @@ object CdcQueries {
     val walFlat = flat.filter(col("lsn_long") > sVal)
       .select(col("lsn_long"), col("op"), col("pk_before"), col("pk_after"),
         col("after_value"))
-    Apply.latest(snapFlat.union(walFlat))
+    (header, Apply.latest(snapFlat.union(walFlat))
       .select(col("pk"), round(col("last_value"), 2).as("value"))
-      .orderBy("pk")
+      .orderBy("pk"))
+  }
+
+  val c26_snapshot_producer_protocol: Q = (s, d) => {
+    implicit val spark: SparkSession = s
+    val (flat, sVal, state) = snapshotCut(s, d)
+    val frames = SnapshotWire.produce(state, snapLsn = sVal, txId = sVal, atUs = 0L)
+    replaySnapshotStream(flat, sVal, frames)._2
   }
 
   // c28: chunk-stream RECOVERY — the client's readMessage/drainMessage
   // contract (client.go:632-658): a message whose seq-0 frame (the one
   // carrying the total length) is missing, or whose reassembled bytes
   // don't reach the declared length, is DRAINED — dropped whole, stream
-  // continues, never a failure. Planted partial delivery: every 997th
-  // message loses its first frame; the distributed reassembly validates
-  // seq-0 presence + contiguity + declared length and decodes only the
-  // complete messages. The oracle is the flat stream minus the planted
-  // casualties.
+  // continues, never a failure. A 16-byte chunk size splits every ~40-
+  // byte message into ≥3 frames so the corruption is genuinely PARTIAL
+  // delivery (frames do arrive): every 997th message loses its FIRST
+  // frame (seq-0/length check), every 991st an INTERIOR frame
+  // (contiguity + length check). The oracle is the flat stream minus
+  // exactly the planted casualties.
   val c28_chunk_recovery: Q = (s, d) => {
     implicit val spark: SparkSession = s
     import spark.implicits._
@@ -474,23 +486,15 @@ object CdcQueries {
     val frames = AvroWal.walRecords(flatEnv(s, d)).mapPartitions { it =>
       val schema = new org.apache.avro.Schema.Parser().parse(json)
       it.flatMap { r =>
-        val fs = Chunking.split(r.lsn_long, AvroWal.encodeOne(schema, fp, r))
-        if (r.lsn_long % 997 == 0) fs.drop(1) else fs // partial delivery
+        val fs = Chunking.split(r.lsn_long, AvroWal.encodeOne(schema, fp, r),
+          chunkSize = 16)
+        if (r.lsn_long % 997 == 0) fs.drop(1) // lost first frame
+        else if (r.lsn_long % 991 == 0) fs.patch(1, Nil, 1) // lost interior
+        else fs
       }
     }
-    val reassembled = frames.toDF()
-      .groupBy(col("msg_id"))
-      .agg(min("seq").as("min_seq"), max("seq").as("max_seq"),
-        count(lit(1)).as("n_frames"), max("total_len").as("total_len"),
-        aggregate(
-          transform(array_sort(collect_list(struct(col("seq"), col("chunk")))),
-            x => x.getField("chunk")),
-          lit(Array.emptyByteArray),
-          (acc, c) => concat(acc, c)).as("bytes"))
-      // readMessage validity: first frame present, sequence contiguous,
-      // reassembled bytes == declared total — else drain the message
-      .filter(col("min_seq") === 0 && col("n_frames") === col("max_seq") + 1 &&
-        length(col("bytes")) === col("total_len"))
+    val reassembled = Chunking.reassemble(frames.toDF())
+      .filter(Chunking.isCompleteMessage) // drain incomplete messages
       .select(col("msg_id"), col("bytes")).as[(Long, Array[Byte])]
     reassembled.mapPartitions { it =>
       val schema = new org.apache.avro.Schema.Parser().parse(json)
@@ -508,33 +512,18 @@ object CdcQueries {
   // REPLIED TOPIC and replays WAL on top. End state ≡ c08, same oracle.
   val c29_snapshot_request: Q = (s, d) => {
     implicit val spark: SparkSession = s
-    val flat = flatEnv(s, d)
-    val sVal = flat.filter(col("tx_at") < lit("2024-01-20").cast("timestamp"))
-      .agg(coalesce(max("lsn_long"), lit(-1L)).as("s")).head().getLong(0)
-    val snapState = Apply.latest(flat.filter(col("lsn_long") <= sVal))
+    val (flat, sVal, state) = snapshotCut(s, d)
     // CanSnapshot = membership in the c27 publication manager
     val pub = new PublicationManager("creek_pub", Set("events"),
       new SchemaRegistry(s),
       t => AvroSchemaGen.record(Tables.events(s, d).schema, t, "graft"))
     val Some((topic, frames)) = SnapshotApi.handle(
       SnapshotRequest("public", "events"), replyTo = Some("_INBOX.graft"),
-      canSnapshot = pub.isMember, state =
-        snapState.select(col("pk"), col("last_value").as("value")),
+      canSnapshot = pub.isMember, state = state,
       snapLsn = sVal, txId = sVal, atUs = 0L, seed = 42L)
-    val (header, rows) = SnapshotWire.consume(frames)
+    val (header, out) = replaySnapshotStream(flat, sVal, frames)
     require(header.topic == topic, "consumed stream must carry the replied topic")
-    val wireLsn = graft.functions.Lsn.parse(
-      org.apache.spark.unsafe.types.UTF8String.fromString(header.lsn))
-    val snapFlat = rows.select(
-      lit(wireLsn).as("lsn_long"), lit("r").as("op"),
-      lit(null).cast("long").as("pk_before"), col("pk").as("pk_after"),
-      col("value").as("after_value"))
-    val walFlat = flat.filter(col("lsn_long") > sVal)
-      .select(col("lsn_long"), col("op"), col("pk_before"), col("pk_after"),
-        col("after_value"))
-    Apply.latest(snapFlat.union(walFlat))
-      .select(col("pk"), round(col("last_value"), 2).as("value"))
-      .orderBy("pk")
+    out
   }
 
   // c30: MULTI-TABLE apply — the daemon replicates many tables at once
@@ -706,7 +695,8 @@ object CdcQueries {
       s"""WITH $sqlEnv, $sqlFlat
          |SELECT lsn_long, op, coalesce(pk_after, pk_before) AS pk,
          |  after_value AS value
-         |FROM flat WHERE op <> 't' AND lsn_long % 997 <> 0
+         |FROM flat WHERE op <> 't'
+         |  AND lsn_long % 997 <> 0 AND lsn_long % 991 <> 0
          |ORDER BY lsn_long""".stripMargin,
     "c09_list_snapshots" ->
       """SELECT 'CREEK_SNAP.public.events.'

@@ -35,6 +35,32 @@ object Chunking {
     Frame(msgId, bb.getShort.toInt, bb.getInt, java.util.Arrays.copyOfRange(packet, 6, packet.length))
   }
 
+  /** Reassemble a frame table into messages — ONE shuffle keyed by
+    * msg_id, frames concatenated in seq order inside the aggregation.
+    * Exposes the validity columns of the readMessage contract
+    * (client.go:642-686): seq-0 presence, contiguity, declared length.
+    * Columns: msg_id, min_seq, max_seq, n_frames, total_len, bytes.
+    * Shared by c15/c23/c28 and the snapshot wire consumer.
+    */
+  def reassemble(frames: DataFrame): DataFrame =
+    frames.groupBy(col("msg_id"))
+      .agg(min("seq").as("min_seq"), max("seq").as("max_seq"),
+        count(lit(1)).as("n_frames"),
+        max("total_len").as("total_len"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("seq"), col("chunk")))),
+            x => x.getField("chunk")),
+          lit(Array.emptyByteArray),
+          (acc, c) => concat(acc, c)).as("bytes"))
+
+  /** The readMessage validity predicate: first frame present, sequence
+    * contiguous, reassembled bytes reach the declared total — anything
+    * else is drained (dropped whole), never fatal (client.go:632-658).
+    */
+  val isCompleteMessage: org.apache.spark.sql.Column =
+    col("min_seq") === 0 && col("n_frames") === col("max_seq") + 1 &&
+      length(col("bytes")) === col("total_len")
+
   /** c15: encode WAL records to Avro single-object bytes, split into wire
     * frames, shuffle frames by message, reassemble in order, decode, and
     * verify (rows-only; spec asserts set equality with the input).
@@ -51,15 +77,9 @@ object Chunking {
         split(r.lsn_long, bytes).map(f => parseFrame(r.lsn_long, frameBytes(f)))
       }
     }
-    frames.toDF()
-      .groupBy(col("msg_id"))
-      .agg(count(lit(1)).as("n_chunks"),
-        max("total_len").as("total_len"),
-        aggregate(
-          transform(array_sort(collect_list(struct(col("seq"), col("chunk")))),
-            x => x.getField("chunk")),
-          lit(Array.emptyByteArray),
-          (acc, c) => concat(acc, c)).as("bytes"))
+    reassemble(frames.toDF())
+      .select(col("msg_id"), col("n_frames").as("n_chunks"),
+        col("total_len"), col("bytes"))
       .as[(Long, Long, Int, Array[Byte])]
       .mapPartitions { it =>
         val schema = new org.apache.avro.Schema.Parser().parse(json)

@@ -216,6 +216,11 @@ object PgOutput {
     frame(out, xlog(rows.head.lsn_long, relationMsg(RelId, "public", "events", eventsCols)))
     var n = 0
     rows.foreach { r =>
+      // the planted lift reuses lsn as the Begin Xid, but pgoutput xids
+      // are u32 on the wire — fail loudly instead of silently truncating
+      // (the decode side would diverge from the lsn-based oracle)
+      require(r.lsn_long <= 0xFFFFFFFFL,
+        s"planted xid = lsn ${r.lsn_long} exceeds the u32 pgoutput Xid")
       frame(out, xlog(r.lsn_long, beginMsg(r.lsn_long, r.tx_at_us, r.lsn_long)))
       val newTuple = r.pk_after.map { pk =>
         Seq[Cell](TextCell(pk.toString),

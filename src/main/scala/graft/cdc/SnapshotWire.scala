@@ -98,9 +98,13 @@ object SnapshotWire {
       rec.get("ts").asInstanceOf[Long])
   }
 
-  /** PRODUCE the snapshot stream for a state table (pk, value): header,
-    * Avro rows, EOF — all chunk-framed. Header identifier = snapshot LSN,
-    * rows keyed by pk, EOF last (mq/snapshots.go identifiers).
+  /** PRODUCE the snapshot stream for a state table (pk, value): header
+    * FIRST, Avro rows, EOF LAST — all chunk-framed, in protocol order
+    * (the union's partition order: an order-respecting consumer sees the
+    * stream the reference publishes, mq/snapshots.go:101-146). Row
+    * message ids are the pks, which must be non-negative — the negative
+    * ids are reserved for the header/EOF sentinels (checked loudly, not
+    * silently collided).
     */
   def produce(state: DataFrame, snapLsn: Long, txId: Long, atUs: Long,
       topic: String = "")(implicit s: SparkSession): Dataset[Frame] = {
@@ -120,10 +124,13 @@ object SnapshotWire {
       .mapPartitions { it =>
         val schema = new Schema.Parser().parse(json)
         it.flatMap { case (pk, value) =>
+          require(pk >= 0, s"row msg ids are pks and must be >= 0, got $pk " +
+            "(negative ids are reserved for the header/EOF sentinels)")
           Chunking.split(pk, encodeRow(schema, pk, value, atUs))
         }
       }
-    s.createDataset(headerFrames ++ eofFrames).union(rowFrames)
+    s.createDataset(headerFrames).union(rowFrames)
+      .union(s.createDataset(eofFrames))
   }
 
   /** CONSUME the stream: reassemble frames, parse the row schema OUT OF
@@ -136,16 +143,15 @@ object SnapshotWire {
     import s.implicits._
     // eager localCheckpoint: ONE materialization of the reassembly shuffle
     // feeds the header read, the EOF audit, and the (lazy, distributed)
-    // row decode — no cache to leak, no driver hop for row data
-    val reassembled = frames.toDF()
-      .groupBy(col("msg_id"))
-      .agg(aggregate(
-        transform(array_sort(collect_list(struct(col("seq"), col("chunk")))),
-          x => x.getField("chunk")),
-        lit(Array.emptyByteArray),
-        (acc, c) => concat(acc, c)).as("bytes"))
-      .as[(Long, Array[Byte])]
-      .localCheckpoint()
+    // row decode — no cache to leak, no driver hop for row data. Unlike
+    // the WAL path (c28 drains), an INCOMPLETE snapshot message is fatal:
+    // silently dropping replica rows would corrupt the snapshot.
+    val assembled = Chunking.reassemble(frames.toDF()).localCheckpoint()
+    val nIncomplete = assembled.filter(!Chunking.isCompleteMessage).count()
+    if (nIncomplete > 0) throw new IllegalStateException(
+      s"snapshot stream carries $nIncomplete incomplete messages")
+    val reassembled = assembled
+      .select(col("msg_id"), col("bytes")).as[(Long, Array[Byte])]
     val headerBytes = reassembled.filter(_._1 == HeaderMsgId).collect() match {
       case Array((_, b)) => b
       case other => throw new IllegalStateException(
@@ -178,7 +184,7 @@ case class SnapshotRequest(namespace: String, table: String)
   *     the allow-list is refused (snapshots.go:69-76, the c27 manager is
   *     the membership source);
   *   - the server names a fresh per-snapshot topic
-  *     `SNAP_STREAM.<ns>.<table>.<yyyyMMddHHmmss_SSSSSS>_<4 hex>` from a
+  *     `CREEK_SNAP.<ns>.<table>.<yyyyMMddHHmmss_SSSSSS>_<4 hex>` from a
   *     seeded rng + timestamp (genSnapTopic, snapshots.go:151-163; the
   *     seeded-deterministic property is what matters — ListSnapshots
   *     strips the last 5 chars when parsing, client.go:565), REPLIES the

@@ -394,9 +394,18 @@ class CdcSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet
     val all = Envelope.flat(Tables.events(spark, sf))
       .filter(col("op") =!= "t").collect().map(_.getAs[Long]("lsn_long")).toSet
-    val planted = all.filter(_ % 997 == 0)
-    assert(planted.nonEmpty) // the corruption is actually exercised
-    assert(got == all -- planted) // drained exactly; everything else decodes
+    val lostFirst = all.filter(_ % 997 == 0)
+    val lostInterior = all.filter(l => l % 991 == 0 && l % 997 != 0)
+    // both corruption classes are actually exercised...
+    assert(lostFirst.nonEmpty && lostInterior.nonEmpty)
+    // ...and are genuinely PARTIAL: at 16-byte chunks every encoded WAL
+    // message spans ≥2 frames, so a dropped frame still leaves frames
+    // arriving (the drain logic runs, it's not an absent message)
+    val one = graft.cdc.AvroWal.encodeOne(
+      AvroSchemaGen.parse(AvroWal.schemaJson), AvroWal.fingerprint,
+      WalRecord(1L, "c", 1L, Some(1.0), 0L))
+    assert(Chunking.split(1L, one, chunkSize = 16).length >= 2)
+    assert(got == all -- lostFirst -- lostInterior)
   }
 
   test("c26 snapshot producer protocol: header schema, EOF termination") {
