@@ -560,7 +560,20 @@ object CdcQueries {
       .orderBy("tbl", "pk")
   }
 
+  // c31: keepalive → standby-status REPLY roundtrip — the ack side of the
+  // replication loop: reply-requested keepalives make the client emit a
+  // Standby Status Update ('r') with its current XLog position, generated
+  // as wire bytes and re-parsed (replication.go:87-93, 230-233). The
+  // oracle recomputes each reply position from events (every 97th change
+  // per 2048-LSN segment), so a hash match pins the reply protocol AND
+  // the 'r' message byte layout.
+  val c31_standby_status: Q = (s, d) => {
+    implicit val spark: SparkSession = s
+    PgOutput.standbyRoundtrip(flatEnv(s, d)).toDF().orderBy("wal_write")
+  }
+
   val queries: Map[String, Q] = Map(
+    "c31_standby_status" -> c31_standby_status,
     "c30_multi_table_apply" -> c30_multi_table_apply,
     "c25_pgoutput_decode" -> c25_pgoutput_decode,
     "c26_snapshot_producer_protocol" -> c26_snapshot_producer_protocol,
@@ -788,6 +801,17 @@ object CdcQueries {
          |  FROM live GROUP BY pk)
          |SELECT pk, round(last_value, 2) AS value, last_ord, n_half
          |FROM state2 WHERE last_op <> 'd' ORDER BY pk""".stripMargin,
+    "c31_standby_status" ->
+      s"""WITH $sqlEnv, $sqlFlat,
+         |seg AS (
+         |  SELECT lsn_long,
+         |    row_number() OVER (PARTITION BY lsn_long // 2048
+         |                       ORDER BY lsn_long) AS rn
+         |  FROM flat WHERE op <> 'r')
+         |SELECT lsn_long AS wal_write, lsn_long AS wal_flush,
+         |  lsn_long AS wal_apply, ${sqlLsnStr("lsn_long")} AS lsn_str,
+         |  false AS reply_requested
+         |FROM seg WHERE rn % 97 = 0 ORDER BY wal_write""".stripMargin,
     "c25_pgoutput_decode" ->
       s"""WITH $sqlEnv, $sqlFlat
          |SELECT lsn_long, ${sqlLsnStr("lsn_long")} AS lsn_str, op,

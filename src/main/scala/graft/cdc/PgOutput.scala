@@ -22,6 +22,10 @@ case class PgoDecoded(lsn_long: Long, lsn_str: String, op: String,
   pk_before: Option[Long], n_before_cols: Option[Int], pk_after: Option[Long],
   after_value: Option[Double], after_ts_us: Option[Long])
 
+/** One parsed Standby Status Update reply (client→server 'r' message). */
+case class StandbyReply(wal_write: Long, wal_flush: Long, wal_apply: Long,
+  lsn_str: String, reply_requested: Boolean)
+
 /** pgoutput logical-replication BYTE-STREAM codec — the reference
   * producer's core message loop re-implemented from the public PostgreSQL
   * protocol ("Logical Replication Message Formats" + "Streaming Replication
@@ -187,6 +191,15 @@ object PgOutput {
   def keepalive(serverWalEnd: Long, reply: Boolean): Array[Byte] =
     new W().u8('k').u64(serverWalEnd).u64(0L).u8(if (reply) 1 else 0).result()
 
+  /** Standby Status Update 'r' (client→server): WALWrite/Flush/Apply
+    * positions, client time, reply-requested — the message the reference
+    * sends on keepalive reply requests (replication.go:87-93 posts
+    * CurrentLSN; pglogrepl defaults flush/apply to the write position).
+    */
+  def standbyStatus(walPos: Long, clientTimeUs: Long, reply: Boolean): Array[Byte] =
+    new W().u8('r').u64(walPos).u64(walPos).u64(walPos).u64(clientTimeUs)
+      .u8(if (reply) 1 else 0).result()
+
   /** Frame = 4-byte length + payload (the CopyData message boundary the
     * pg wire protocol provides around each replication frame).
     */
@@ -210,7 +223,7 @@ object PgOutput {
     * preamble, then Begin + change + Commit per transaction, keepalives
     * sprinkled every 97 messages (ServerWALEnd = last seen LSN).
     */
-  def encodeStream(rows: Seq[PgoRow]): Array[Byte] = {
+  def encodeStream(rows: Seq[PgoRow], keepaliveReply: Boolean = false): Array[Byte] = {
     val out = new ByteArrayOutputStream(rows.length * 96 + 256)
     if (rows.isEmpty) return out.toByteArray
     frame(out, xlog(rows.head.lsn_long, relationMsg(RelId, "public", "events", eventsCols)))
@@ -241,7 +254,7 @@ object PgOutput {
       frame(out, xlog(r.lsn_long, body))
       frame(out, xlog(r.lsn_long, commitMsg(r.lsn_long, r.tx_at_us)))
       n += 1
-      if (n % 97 == 0) frame(out, keepalive(r.lsn_long, reply = false))
+      if (n % 97 == 0) frame(out, keepalive(r.lsn_long, reply = keepaliveReply))
     }
     out.toByteArray
   }
@@ -319,6 +332,48 @@ object PgOutput {
           }
         case _ => () // unexpected frame type: log-and-continue in the
                      // reference (replication.go:199-203) — skip here
+      }
+    }
+    out.result()
+  }
+
+  /** Parse one standby-status reply (the server-side read of 'r'). */
+  def parseStandbyStatus(bytes: Array[Byte]): StandbyReply = {
+    val r = new R(bytes)
+    val tag = r.u8().toChar
+    require(tag == 'r', s"not a standby status message: $tag")
+    val w = r.u64(); val f = r.u64(); val a = r.u64()
+    r.i64() // client time
+    StandbyReply(w, f, a, Lsn.format(w).toString, r.u8() != 0)
+  }
+
+  /** The REPLY side of the keepalive protocol: walk a framed stream whose
+    * keepalives request replies; each one makes the client send a
+    * Standby Status Update carrying its current XLog position
+    * (replication.go:230-233 zeroes the send deadline, :87-93 posts
+    * CurrentLSN). Replies are emitted as wire bytes and re-parsed, so the
+    * oracle pins the full 'r' roundtrip: position = last LSN received
+    * before each reply-requested keepalive.
+    */
+  def decodeReplies(bytes: Array[Byte]): Seq[StandbyReply] = {
+    val out = Seq.newBuilder[StandbyReply]
+    var currentLsn = 0L
+    val top = new R(bytes)
+    while (top.remaining >= 4) {
+      val len = top.u32().toInt
+      val r = new R(top.bytes(len))
+      r.u8().toChar match {
+        case 'k' =>
+          val serverWalEnd = r.u64()
+          r.i64() // ServerTime
+          val reply = r.u8() != 0
+          if (serverWalEnd > currentLsn) currentLsn = serverWalEnd
+          if (reply)
+            out += parseStandbyStatus(standbyStatus(currentLsn, 0L, reply = false))
+        case 'w' =>
+          val walStart = r.u64()
+          if (walStart > currentLsn) currentLsn = walStart
+        case _ => ()
       }
     }
     out.result()
@@ -433,6 +488,23 @@ object PgOutput {
       .groupByKey(_.lsn_long / SegSize)
       .flatMapGroups { (_, it) =>
         decodeStream(encodeStream(it.toSeq.sortBy(_.lsn_long))).iterator
+      }
+  }
+
+  /** Plant + reply: the same segmented streams with reply-requesting
+    * keepalives, run through the reply loop — one shuffle, replies
+    * generated and parsed per segment.
+    */
+  def standbyRoundtrip(flat: DataFrame)(implicit s: SparkSession): Dataset[StandbyReply] = {
+    import s.implicits._
+    flat.filter(col("op") =!= "r")
+      .select(col("lsn_long"), col("op"), unix_micros(col("tx_at")).as("tx_at_us"),
+        col("user_id"), col("pk_before"), col("pk_after"), col("after_value"))
+      .as[PgoRow]
+      .groupByKey(_.lsn_long / SegSize)
+      .flatMapGroups { (_, it) =>
+        decodeReplies(
+          encodeStream(it.toSeq.sortBy(_.lsn_long), keepaliveReply = true)).iterator
       }
   }
 }

@@ -528,7 +528,47 @@ object Dedup {
       .orderBy("train_id")
   }
 
+  // d13: exact-substring CONTAINMENT dedup — documents whose entire
+  // (whitespace-normalized) text appears verbatim inside another document:
+  // the "page B = page A plus a footer" shape the suffix-array substring
+  // dedup family targets, bounded to whole-document containment so the
+  // answer is oracle-checkable. Candidates: if inner ⊆ outer then inner's
+  // FIRST 20-char gram occurs somewhere in outer, so ONE hash join of
+  // inner anchor hashes against the outer docs' distinct 20-gram hashes
+  // finds every candidate — ids and 64-bit hashes only through the
+  // shuffle (the d05 discipline); texts re-attach by id for the exact
+  // contains() verify, which also clears hash collisions. Dropped doc →
+  // its minimum-id container; equal texts keep the min id (d01's rule).
+  val d13_containment: Q = (s, d) => {
+    val n = Tables.documents(s, d)
+      .select(col("doc_id"), norm(col("text")).as("s"))
+    val anchors = n.filter(length(col("s")) >= 20)
+      .select(col("doc_id").as("inner_id"),
+        xxhash64(substring(col("s"), 1, 20)).as("gh"))
+    val outerGrams = n
+      .select(col("doc_id").as("outer_id"),
+        explode(when(length(col("s")) >= 20,
+          array_distinct(transform(sequence(lit(1), length(col("s")) - 19),
+            i => xxhash64(col("s").substr(i, lit(20))))))
+          .otherwise(array().cast("array<long>"))).as("gh"))
+    val cand = anchors.join(outerGrams, "gh")
+      .filter(col("inner_id") =!= col("outer_id"))
+      .select("inner_id", "outer_id").distinct()
+    val confirmed = cand
+      .join(n.select(col("doc_id").as("inner_id"), col("s").as("inner_s"),
+        length(col("s")).as("il")), "inner_id")
+      .join(n.select(col("doc_id").as("outer_id"), col("s").as("outer_s"),
+        length(col("s")).as("ol")), "outer_id")
+      .filter(col("outer_s").contains(col("inner_s")) &&
+        (col("il") < col("ol") ||
+          (col("il") === col("ol") && col("inner_id") > col("outer_id"))))
+    confirmed.groupBy(col("inner_id").as("doc_id"))
+      .agg(min("outer_id").as("container_id"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "d13_containment" -> d13_containment,
     "d12_decontamination" -> d12_decontamination,
     "d01_exact_dedup" -> d01_exact_dedup,
     "d02_ngram_jaccard" -> d02_ngram_jaccard,
@@ -544,6 +584,19 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "d13_containment" ->
+      """WITH n AS (
+        |  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS s
+        |  FROM documents),
+        |conf AS (
+        |  SELECT a.doc_id, b.doc_id AS outer_id
+        |  FROM n a JOIN n b ON a.doc_id <> b.doc_id
+        |  WHERE len(a.s) >= 20
+        |    AND (len(a.s) < len(b.s)
+        |         OR (len(a.s) = len(b.s) AND a.doc_id > b.doc_id))
+        |    AND contains(b.s, a.s))
+        |SELECT doc_id, min(outer_id) AS container_id
+        |FROM conf GROUP BY 1 ORDER BY 1""".stripMargin,
     "d01_exact_dedup" ->
       """SELECT md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS content_hash,
         |  min(doc_id) AS keeper_id, count(*)::BIGINT AS n_docs

@@ -489,8 +489,40 @@ object Similarity {
       .limit(10)
   }
 
+  // v10 (oracle: brute-force inner-product top-10): MAXIMUM-INNER-PRODUCT
+  // search via the norm-augmentation reduction (Shrivastava & Li, NeurIPS
+  // 2014 asymmetric LSH): append one dimension sqrt(φ² − |x|²) to every
+  // corpus vector (φ = max corpus norm, one scalar agg broadcast) and 0 to
+  // the query; every augmented vector then has norm exactly φ, so cosine
+  // in the augmented space is ip/(φ·|q|) — MONOTONE in the inner product.
+  // The payoff at 100 TB: MIPS has no direct LSH family, but after this
+  // map ANY of the shipped cosine-ANN indexes (v02/v07/v08) answers it;
+  // here the reduction is exercised end-to-end with the exact scan so the
+  // DuckDB oracle can pin the ranking (row set compared, order-free).
+  val v10_mips: Q = (s, d) => {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val phi2 = e.agg(max(Vec.dot(col("embedding"), col("embedding"))).as("phi2"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(queryVec(s, d)))
+      .crossJoin(broadcast(phi2))
+      // the explicit augmentation: x' = [x, sqrt(φ²−|x|²)], q' = [q, 0]
+      .withColumn("xa", concat(
+        transform(col("embedding"), x => x.cast("double")),
+        array(sqrt(greatest(
+          col("phi2") - Vec.dot(col("embedding"), col("embedding")),
+          lit(0.0))))))
+      .withColumn("qa", concat(
+        transform(col("qe"), x => x.cast("double")), array(lit(0.0))))
+      .withColumn("aug_cos", Vec.cosine(col("xa"), col("qa")))
+      .orderBy(col("aug_cos").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"),
+        round(Vec.dot(col("embedding"), col("qe")), 6).as("ip"))
+  }
+
   val queries: Map[String, Q] = Map(
     "v09_product_quantization" -> v09_product_quantization,
+    "v10_mips" -> v10_mips,
     "v01_knn_brute" -> v01_knn_brute,
     "v02_knn_ivf" -> v02_knn_ivf,
     "v03_pairwise_label" -> v03_pairwise_label,
@@ -502,6 +534,12 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "v10_mips" ->
+      """SELECT b.vec_id,
+        |  round(list_inner_product(b.embedding::DOUBLE[],
+        |    (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 6) AS ip
+        |FROM embeddings b WHERE b.vec_id <> 0
+        |ORDER BY ip DESC, vec_id LIMIT 10""".stripMargin,
     "v01_knn_brute" ->
       """SELECT b.vec_id,
         |  round(list_cosine_similarity(b.embedding::DOUBLE[],

@@ -338,7 +338,37 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  // t15: corpus-level BOILERPLATE detection (the CCNet/RefinedWeb shape:
+  // find segments repeated across many documents, then measure each
+  // source's contamination by them). Stage 1 ranks word-3-grams by
+  // DISTINCT-document frequency and keeps the top 50 — a (doc_id, gram)
+  // dedup + one keyed agg, both map-side-combinable; the 50-row result
+  // broadcasts. Stage 2 re-scans the grams and joins the broadcast top
+  // list — no shuffle carries text, and at 100 TB the gram instances
+  // would carry a 64-bit hash instead of the string (the d02 discipline);
+  // the string is kept here so the DuckDB oracle can pin the exact grams.
+  val t15_boilerplate: Q = (s, d) => {
+    val t = toks(col("text"))
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), col("source"),
+        explode(when(size(t) >= 3,
+          transform(sequence(lit(0), size(t) - 3),
+            i => concat_ws(" ", slice(t, i + 1, lit(3)))))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+    val docs = Tables.documents(s, d)
+    val top = grams(docs).select("doc_id", "gram").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("gram")).limit(50)
+    grams(docs).join(broadcast(top.select("gram")), "gram")
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("docs_hit"),
+        count(lit(1)).as("boiler_hits"),
+        countDistinct(col("gram")).as("grams_seen"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t15_boilerplate" -> t15_boilerplate,
     "t12_repetition" -> t12_repetition,
     "t13_source_mix" -> t13_source_mix,
     "t14_sequence_packing" -> t14_sequence_packing,
@@ -362,6 +392,22 @@ object TextAnalysis {
     s"len(list_filter($sqlToks, w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
   val oracle: Map[String, String] = Map(
+    "t15_boilerplate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, $sqlToks AS t FROM documents),
+         |grams AS (
+         |  SELECT doc_id, source, unnest(CASE WHEN len(t) >= 3
+         |    THEN [array_to_string(t[i+1:i+3], ' ') for i in range(0, len(t) - 2)]
+         |    ELSE [] END) AS gram
+         |  FROM toks),
+         |top AS (
+         |  SELECT gram, count(DISTINCT doc_id) AS df FROM grams GROUP BY 1
+         |  ORDER BY df DESC, gram LIMIT 50)
+         |SELECT g.source, count(DISTINCT g.doc_id)::BIGINT AS docs_hit,
+         |  count(*)::BIGINT AS boiler_hits,
+         |  count(DISTINCT g.gram)::BIGINT AS grams_seen
+         |FROM grams g JOIN top ON g.gram = top.gram
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "t13_source_mix" ->
       s"""WITH base AS (
          |  SELECT doc_id, source, len($sqlToks) AS n_tokens,

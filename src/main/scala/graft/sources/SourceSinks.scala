@@ -97,6 +97,20 @@ object SourceSinks {
     readOpts = Map("header" -> "true",
       "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"))
 
+  // x10: Avro OBJECT CONTAINER FILE sink + source (graft.sources.AvroFiles)
+  // — the batch-file twin of the single-object wire codec: self-describing
+  // header schema + snappy sync blocks, encoded one file per partition
+  // (distributed, per-partition DatumWriter), read back via a binaryFile
+  // scan driven by each file's EMBEDDED schema. Same lossless-stats oracle
+  // as x01–x03: a hash match proves the container roundtrip preserves
+  // timestamps (micros), doubles, and nulls exactly.
+  val x10_avro_roundtrip: Q = (s, d) => {
+    val df = payload(s, d)
+    val dir = Files.createTempDirectory("graft_avrofile")
+    AvroFiles.write(df, dir.toString, "flat_event")
+    statsThenCleanup(s, AvroFiles.read(s, dir.toString, df.schema), dir)
+  }
+
   // x04: STREAMING parquet sink — the WAL stream written by a real
   // Structured Streaming query (append mode, checkpointed, exactly-once
   // file commit protocol), then the sink directory read back and
@@ -282,6 +296,7 @@ object SourceSinks {
 
   val queries: Map[String, Q] = Map(
     "x01_orc_roundtrip" -> x01_orc_roundtrip,
+    "x10_avro_roundtrip" -> x10_avro_roundtrip,
     "x02_json_roundtrip" -> x02_json_roundtrip,
     "x03_csv_roundtrip" -> x03_csv_roundtrip,
     "x04_stream_parquet_sink" -> x04_stream_parquet_sink,
@@ -304,6 +319,7 @@ object SourceSinks {
 
   val oracle: Map[String, String] = Map(
     "x01_orc_roundtrip" -> sqlStats,
+    "x10_avro_roundtrip" -> sqlStats,
     "x02_json_roundtrip" -> sqlStats,
     "x03_csv_roundtrip" -> sqlStats,
     "x04_stream_parquet_sink" -> sqlStats,

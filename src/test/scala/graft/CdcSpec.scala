@@ -593,4 +593,29 @@ class CdcSpec extends AnyFunSuite {
     assert(decodeText(OidFloat8, 3.141592653589793d.toString) == 3.141592653589793d)
     assert(parseTsTz(formatTsTz(1705312496123456L)) == 1705312496123456L)
   }
+
+  test("c31 standby status: reply only when requested, position = max LSN seen") {
+    import PgOutput._
+    val rel = relationMsg(RelId, "public", "events", eventsCols)
+    // no reply bit → no status update, regardless of traffic
+    assert(decodeReplies(framed(
+      xlog(10L, rel), keepalive(999L, reply = false))).isEmpty)
+    // reply bit → one status update; position is the MAX of data WALStart
+    // and keepalive ServerWALEnd up to that point, and flush/apply default
+    // to the write position (pglogrepl semantics the reference relies on)
+    val replies = decodeReplies(framed(
+      xlog(10L, rel),
+      xlog(40L, beginMsg(40L, PgEpochMicros, 40L)),
+      keepalive(30L, reply = true), // stale ServerWALEnd must not regress
+      xlog(55L, beginMsg(55L, PgEpochMicros, 55L)),
+      keepalive(80L, reply = true)))
+    assert(replies.map(r => (r.wal_write, r.wal_flush, r.wal_apply)) ==
+      Seq((40L, 40L, 40L), (80L, 80L, 80L)))
+    assert(replies.forall(r => !r.reply_requested))
+    assert(replies.head.lsn_str == graft.functions.Lsn.format(40L).toString)
+    // the 'r' message byte layout roundtrips exactly
+    val one = parseStandbyStatus(standbyStatus(0x1234ABCDL, 42L, reply = true))
+    assert(one == StandbyReply(0x1234ABCDL, 0x1234ABCDL, 0x1234ABCDL,
+      graft.functions.Lsn.format(0x1234ABCDL).toString, reply_requested = true))
+  }
 }

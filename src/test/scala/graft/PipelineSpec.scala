@@ -156,6 +156,57 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.sameElements(again))
   }
 
+  test("v10 MIPS: augmented-cosine ranking equals the inner-product ranking") {
+    val got = Similarity.v10_mips(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length == 10)
+    // exact brute-force inner-product top-10, computed independently
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+    val exact = e.filter(col("vec_id") =!= 0)
+      .select("vec_id", "embedding").collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        (r.getLong(0), v.zip(q).map(p => p._1 * p._2).sum)
+      }
+      .sortBy { case (id, ip) => (-ip, id) }.take(10)
+      .map { case (id, ip) =>
+        (id, BigDecimal(ip).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    assert(got.toSeq == exact.toSeq,
+      s"MIPS reduction reordered the ip ranking: got=${got.toSeq} exact=${exact.toSeq}")
+  }
+
+  test("d13 containment equals driver-side brute force") {
+    val got = Dedup.d13_containment(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), regexp_replace(col("text"), "\\s+", " ").as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1).trim))
+    val brute = (for {
+      (ai, as) <- docs if as.length >= 20
+      (bi, bs) <- docs
+      if ai != bi && bs.contains(as) &&
+        (as.length < bs.length || (as.length == bs.length && ai > bi))
+    } yield (ai, bi)).groupBy(_._1).map { case (a, ps) => a -> ps.map(_._2).min }
+    assert(got == brute, s"containment mismatch: got=${got.size} brute=${brute.size}")
+    assert(got.nonEmpty) // exact duplicates exist (d01), so containment must
+  }
+
+  test("t15 boilerplate: hits bound grams, deterministic across runs") {
+    val rows = TextAnalysis.t15_boilerplate(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // a doc counted as hit contributes ≥1 hit; ≤50 grams can be seen
+    assert(rows.forall { case (_, docsHit, hits, seen) =>
+      hits >= docsHit && seen <= 50 && docsHit > 0
+    })
+    val again = TextAnalysis.t15_boilerplate(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.sameElements(again))
+  }
+
   test("d09 incremental keep-list equals the batch d08 keep-list") {
     def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet

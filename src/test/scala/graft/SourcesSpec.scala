@@ -132,4 +132,33 @@ class SourcesSpec extends AnyFunSuite {
       graft.sources.SourceSinks.deleteDir(dir)
     }
   }
+
+  test("x10 avro container files: per-partition files, embedded schema, exact roundtrip") {
+    import graft.sources.AvroFiles
+    val df = graft.cdc.Envelope.flat(Tables.events(spark, sf)).repartition(4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_x10_spec")
+    try {
+      AvroFiles.write(df, dir.toString, "flat_event")
+      // one container per non-empty partition, self-describing header
+      val files = dir.toFile.listFiles().filter(_.getName.endsWith(".avro"))
+      assert(files.length == 4)
+      val rd = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+        files.head,
+        new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+      try {
+        assert(rd.getMetaString("avro.codec") == "snappy")
+        val sch = rd.getSchema
+        assert(sch.getName == "flat_event")
+        // null unions exactly where Catalyst says nullable
+        df.schema.fields.foreach { f =>
+          val isUnion = sch.getField(f.name).schema().isUnion
+          assert(isUnion == f.nullable, s"${f.name}: union=$isUnion nullable=${f.nullable}")
+        }
+      } finally rd.close()
+      // row-exact roundtrip (timestamps to the micro, nulls preserved)
+      val back = AvroFiles.read(spark, dir.toString, df.schema)
+      assert(back.schema == df.schema)
+      assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+    } finally graft.sources.SourceSinks.deleteDir(dir)
+  }
 }
