@@ -21,6 +21,12 @@ case class MediaFrame(doc_id: Long, frame_seq: Int, offset: Int, len: Int,
 case class MediaThumb(doc_id: Long, aug: String, src_w: Int, src_h: Int,
   out_w: Int, out_h: Int, thumb_hash: Long)
 
+/** One overlapping PCM analysis frame of an audio payload (m05):
+  * per-frame energy (Σ s²), peak |s|, and zero-crossing count.
+  */
+case class AudioFrame(doc_id: Long, frame_idx: Int, start_sample: Int,
+  energy: Long, peak: Int, zero_crossings: Int)
+
 /** Multimodal plumbing (SURVEY.md §2, m01–m02): image/audio/video as
   * opaque `binary` columns with typed metadata. The Spark-side pipeline —
   * schema, partition-batched extraction, feature shape — is real; the
@@ -218,7 +224,57 @@ object Multimodal {
       .orderBy("doc_id", "aug")
   }
 
+  /** Audio framing geometry for m05: 64-sample frames, 32-sample hop
+    * (stand-ins for the usual 400/160 = 25 ms/10 ms @ 16 kHz — scaled to
+    * the synthetic payload sizes).
+    */
+  val AudioFrameLen = 64
+  val AudioHop = 32
+
+  // m05 (rows-only; spec: frame count formula, energy/peak/zc recomputed,
+  // determinism): AUDIO FRAMING — the STFT/feature front-end over PCM
+  // audio columns: each payload body as little-endian i16 samples, full
+  // pre-emphasis (y[i] = x[i] − x[i−1], the DC-removing high-pass every
+  // speech front end applies), then overlapping (frame, hop) windows with
+  // per-frame energy, peak, and zero-crossing count. PCM sample math
+  // needs no codec, so unlike m02/m03 the per-frame DSP is REAL; only the
+  // WAV container parse is reduced to the magic-prefix skip (12 bytes).
+  // mapPartitions keeps the one-decoder-init-per-partition shape.
+  val m05_audio_frames: Q = (s, d) => {
+    import s.implicits._
+    mediaRecords(s, d)
+      .filter(r => r.content_type == "audio/wav")
+      .mapPartitions(_.flatMap { r =>
+        val body = 12 // RIFF....WAVE magic prefix
+        val nRaw = (r.payload.length - body) / 2
+        def raw(i: Int): Int = {
+          val off = body + 2 * i
+          ((r.payload(off) & 0xFF) | (r.payload(off + 1) << 8)).toShort.toInt
+        }
+        def emph(i: Int): Int = raw(i + 1) - raw(i) // pre-emphasized signal
+        val nSamples = math.max(nRaw - 1, 0)
+        val nFrames = if (nSamples < AudioFrameLen) 0
+          else (nSamples - AudioFrameLen) / AudioHop + 1
+        Iterator.range(0, nFrames).map { f =>
+          val start = f * AudioHop
+          var energy = 0L; var peak = 0; var zc = 0
+          var i = 0
+          while (i < AudioFrameLen) {
+            val v = emph(start + i)
+            energy += v.toLong * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            if (i > 0 && (v < 0) != (emph(start + i - 1) < 0)) zc += 1
+            i += 1
+          }
+          AudioFrame(r.doc_id, f, start, energy, peak, zc)
+        }
+      })
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val queries: Map[String, Q] = Map(
+    "m05_audio_frames" -> m05_audio_frames,
     "m01_binary_meta" -> m01_binary_meta,
     "m02_feature_extract" -> m02_feature_extract,
     "m03_frame_sample" -> m03_frame_sample,

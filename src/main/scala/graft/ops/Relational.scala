@@ -302,6 +302,23 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  // q39 (rows-only; spec: tracks q23's exact values): approx_percentile
+  // SKETCH percentiles next to q23's exact — the 100 TB percentile path.
+  // Exact percentile() buffers every value per group; the sketch
+  // (Greenwald-Khanna summary, accuracy 10000 → rank error ≤ n/10000) is
+  // fixed-size, MERGEABLE map-side state — one pass, no global sort, no
+  // per-group value buffering. Same grouping/output shape as q23 so the
+  // spec can pin the error bound group by group.
+  val q39_approx_percentile: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("approx_percentile(o_totalprice, 0.5, 10000)"), 2).as("p50"),
+        round(expr("approx_percentile(o_totalprice, 0.9, 10000)"), 2).as("p90"),
+        round(expr("approx_percentile(o_totalprice, 0.99, 10000)"), 2).as("p99"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
   // q24: pivot month × order-status revenue matrix. The pivot values are
   // declared (no extra distinct-collect job); each cell is a conditional
   // sum in ONE aggregation pass.
@@ -596,6 +613,7 @@ object Relational {
     "q36_percent_rank" -> q36_percent_rank,
     "q37_decile_profile" -> q37_decile_profile,
     "q38_rolling_distinct_approx" -> q38_rolling_distinct_approx,
+    "q39_approx_percentile" -> q39_approx_percentile,
   )
 
   val oracle: Map[String, String] = Map(

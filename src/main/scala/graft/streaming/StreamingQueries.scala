@@ -233,7 +233,78 @@ object StreamingQueries {
     s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
   }
 
+  /** s11 engine: run the tumbling aggregation over a two-batch arrival —
+    * batch 1 = everything after the first calendar day, batch 2 = the
+    * first day's events arriving LATE, days beyond the 30-minute
+    * watermark. Returns (final result, rows dropped by the watermark) so
+    * the spec can pin the drop accounting; the query returns the result
+    * alone, whose oracle is simply the on-time aggregation.
+    */
+  def lateDataRun(s: SparkSession, d: String): (DataFrame, Long) = {
+    val evs = Tables.events(s, d)
+      .select(col("ts"), col("event_type"), col("value"))
+    val cutoff = evs
+      .agg((date_trunc("DAY", min(col("ts"))) + expr("INTERVAL 1 DAY")).as("c"))
+      .head().getTimestamp(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_s11_")
+    try {
+      // arrival is made explicit: the on-time file is drained to a
+      // completed batch BEFORE the late file even exists, so the second
+      // batch runs against the advanced watermark regardless of any
+      // file-listing order
+      def land(pred: org.apache.spark.sql.Column, name: String): Unit = {
+        val sub = java.nio.file.Files.createTempDirectory(s"graft_s11_w")
+        try {
+          evs.filter(pred).coalesce(1).write.mode("overwrite").parquet(sub.toString)
+          val listing = java.nio.file.Files.list(sub)
+          val parquet = try {
+            import scala.jdk.CollectionConverters._
+            listing.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+          } finally listing.close()
+          java.nio.file.Files.move(parquet, dir.resolve(name))
+        } finally graft.sources.SourceSinks.deleteDir(sub)
+      }
+      val stream = s.readStream.schema(evs.schema).parquet(dir.toString)
+      val name = s"graft_s11_${System.nanoTime()}"
+      land(col("ts") >= lit(cutoff), "ontime.parquet")
+      val q = tumblingAgg(stream.withWatermark("ts", "30 minutes"),
+          distinctUsers = false)
+        .writeStream.outputMode("update").format("memory").queryName(name).start()
+      try {
+        q.processAllAvailable() // batch 1: on-time only; watermark advances
+        land(col("ts") < lit(cutoff), "late.parquet")
+        q.processAllAvailable() // batch 2: the stragglers, now late
+      } finally q.stop()
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+      val out = s.table(name)
+        .groupBy(col("window_start_us"), col("event_type"))
+        .agg(max_by(col("n"), col("n")).as("n"),
+          max_by(col("sum_value"), col("n")).as("sum_value"))
+        .orderBy("window_start_us", "event_type")
+      // materialize before the temp dir disappears; drop the sink view
+      val rows = out.collect().toSeq
+      s.catalog.dropTempView(name)
+      (s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema), dropped)
+    } finally graft.sources.SourceSinks.deleteDir(dir)
+  }
+
+  // s11 (oracle = the on-time aggregation): WATERMARK LATE-DATA DROP —
+  // the correctness contract streaming pipelines actually rely on: rows
+  // arriving after the watermark has passed their window are DROPPED, not
+  // silently merged into closed windows. Deterministic arrival plan (two
+  // mtime-ordered files) makes the drop set exact: the first calendar
+  // day's events arrive in batch 2, days late against a 30-minute
+  // watermark, so the final state equals the batch aggregation over the
+  // on-time subset alone — which is exactly what the DuckDB oracle
+  // computes. The spec additionally pins numRowsDroppedByWatermark, which
+  // counts the state store's dropped INPUTS — the map-side partial
+  // aggregates of the late rows — between the distinct late (window,
+  // event_type) group count and the raw late-row count.
+  val s11_late_data: Q = (s, d) => lateDataRun(s, d)._1
+
   val queries: Map[String, Q] = Map(
+    "s11_late_data" -> s11_late_data,
     "s01_tumbling_window" -> s01_tumbling_window,
     "s06_session_window" -> s06_session_window,
     "s02_sessionize" -> s02_sessionize,
@@ -258,6 +329,14 @@ object StreamingQueries {
         |  event_type, count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value,
         |  count(DISTINCT user_id)::BIGINT AS n_users
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "s11_late_data" ->
+      """WITH c AS (
+        |  SELECT date_trunc('day', min(ts::TIMESTAMP)) + INTERVAL 1 DAY AS cut
+        |  FROM events)
+        |SELECT (epoch_us(ts::TIMESTAMP) // 21600000000) * 21600000000 AS window_start_us,
+        |  event_type, count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
+        |FROM events, c WHERE ts::TIMESTAMP >= cut
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "s02_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, event_id, value, epoch_us(ts::TIMESTAMP) AS us,

@@ -194,6 +194,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.nonEmpty) // exact duplicates exist (d01), so containment must
   }
 
+  test("m05 audio frames: DSP recomputed independently from payload bytes") {
+    val got = Multimodal.m05_audio_frames(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getInt(4), r.getInt(5))).toSet
+    assert(got.nonEmpty)
+    // independent reformulation: ByteBuffer LE decode + sliding windows
+    val recs = Multimodal.mediaRecords(spark, sf).collect()
+      .filter(_.content_type == "audio/wav")
+    assert(recs.nonEmpty)
+    val exp = recs.flatMap { r =>
+      val bb = java.nio.ByteBuffer.wrap(r.payload, 12, r.payload.length - 12)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val raw = Array.fill((r.payload.length - 12) / 2)(bb.getShort().toInt)
+      val y = raw.sliding(2).map(p => p(1) - p(0)).toArray
+      y.sliding(Multimodal.AudioFrameLen, Multimodal.AudioHop)
+        .filter(_.length == Multimodal.AudioFrameLen).zipWithIndex
+        .map { case (w, f) =>
+          (r.doc_id, f, f * Multimodal.AudioHop,
+            w.map(v => v.toLong * v).sum, w.map(math.abs).max,
+            w.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)))
+        }
+    }.toSet
+    assert(got == exp, s"audio frames diverge: got=${got.size} exp=${exp.size}")
+    // pre-emphasis makes the sign alternate — zero crossings are live
+    assert(got.exists(_._6 > 0))
+  }
+
   test("t15 boilerplate: hits bound grams, deterministic across runs") {
     val rows = TextAnalysis.t15_boilerplate(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -106,4 +106,20 @@ class RelationalSpec extends AnyFunSuite {
       .collect().map(_.getAs[Int]("rn"))
     assert(rns.forall(r => r >= 1 && r <= 3))
   }
+
+  test("q39 sketch percentiles track q23's exact percentiles per group") {
+    val exact = ops.Relational.q23_percentile(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    val approx = ops.Relational.q39_approx_percentile(spark, sf).collect()
+    assert(approx.length == exact.size)
+    approx.foreach { r =>
+      val (e50, e90, e99, n) = exact(r.getString(0))
+      assert(r.getLong(4) == n) // same groups, same membership
+      def rel(a: Double, e: Double): Double = math.abs(a - e) / math.abs(e)
+      assert(rel(r.getDouble(1), e50) < 0.05, s"${r.getString(0)} p50")
+      assert(rel(r.getDouble(2), e90) < 0.05, s"${r.getString(0)} p90")
+      assert(rel(r.getDouble(3), e99) < 0.05, s"${r.getString(0)} p99")
+    }
+  }
 }

@@ -89,4 +89,30 @@ class StreamingSpec extends AnyFunSuite {
     val ids = rows.map(_.getAs[Long]("batch_id"))
     assert(ids.sameElements(ids.sorted) && ids.distinct.length == ids.length)
   }
+
+  test("s11 watermark drops exactly the late batch; result = on-time agg") {
+    import org.apache.spark.sql.functions._
+    val (res, dropped) = StreamingQueries.lateDataRun(spark, sf)
+    val evs = Tables.events(spark, sf)
+    val cutoff = evs
+      .agg((date_trunc("DAY", min(col("ts"))) + expr("INTERVAL 1 DAY")).as("c"))
+      .head().getTimestamp(0)
+    val late = evs.filter(col("ts") < lit(cutoff)).count()
+    assert(late > 0, "no late rows planted — data span shrank?")
+    // numRowsDroppedByWatermark counts state-store inputs, i.e. the
+    // map-side PARTIAL aggregates of the late rows — bounded below by the
+    // distinct late (window, event_type) groups and above by the raw rows
+    val lateGroups = evs.filter(col("ts") < lit(cutoff))
+      .select((floor(unix_micros(col("ts")) / 21600000000L) * 21600000000L).as("w"),
+        col("event_type")).distinct().count()
+    assert(dropped >= lateGroups && dropped <= late,
+      s"dropped=$dropped lateGroups=$lateGroups late=$late")
+    val expected = StreamingQueries.tumblingAgg(
+      evs.filter(col("ts") >= lit(cutoff)), distinctUsers = false)
+    assert(res.exceptAll(expected).isEmpty && expected.exceptAll(res).isEmpty)
+    // and the dropped windows really are absent: nothing before the cutoff
+    // (the cutoff is a midnight, so it is 6-hour-window aligned)
+    assert(res.agg(min("window_start_us")).head().getLong(0) >=
+      cutoff.getTime * 1000L)
+  }
 }
