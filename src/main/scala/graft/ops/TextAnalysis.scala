@@ -367,7 +367,31 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  // t16: unigram-LM QUALITY scoring — the CCNet/RedPajama perplexity
+  // filter with the LM reduced to corpus unigram statistics: p(tok) =
+  // count/total over the corpus, per-doc score = avg −ln p(tok). Two
+  // keyed aggs (vocab, then per-doc) + one join; the vocab side is the
+  // small relation (distinct tokens ≪ token instances — Zipf), so the
+  // probability lookup broadcasts and the doc side stays one pass. At
+  // 100 TB the vocab becomes a top-K table + OOV floor probability —
+  // same plan, bounded broadcast.
+  val t16_lm_score: Q = (s, d) => {
+    val toksTable = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+    val vocab = toksTable.groupBy(col("tok"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    val total = vocab.agg(sum("c").as("t"))
+    toksTable
+      .join(broadcast(vocab), "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(-log(col("c") / col("t"))), 4).as("nll"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t16_lm_score" -> t16_lm_score,
     "t15_boilerplate" -> t15_boilerplate,
     "t12_repetition" -> t12_repetition,
     "t13_source_mix" -> t13_source_mix,
@@ -392,6 +416,15 @@ object TextAnalysis {
     s"len(list_filter($sqlToks, w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
   val oracle: Map[String, String] = Map(
+    "t16_lm_score" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
+         |v AS (SELECT tok, count(*)::DOUBLE AS c FROM toks GROUP BY 1),
+         |tot AS (SELECT sum(c) AS t FROM v)
+         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         |  round(avg(-ln(c / t)), 4) AS nll
+         |FROM toks JOIN v USING (tok), tot
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "t15_boilerplate" ->
       s"""WITH toks AS (
          |  SELECT doc_id, source, $sqlToks AS t FROM documents),
