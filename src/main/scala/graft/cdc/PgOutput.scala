@@ -479,16 +479,24 @@ object PgOutput {
     * op pgoutput never carries) segmented into contiguous LSN streams,
     * each generated and decoded independently after one shuffle.
     */
-  def roundtrip(flat: DataFrame)(implicit s: SparkSession): Dataset[PgoDecoded] = {
+  /** Shared plant-side plumbing: the flat envelope (minus snapshot op
+    * 'r') segmented into contiguous LSN streams, each handed to `f` as a
+    * sorted row sequence after ONE shuffle.
+    */
+  private def segmented[T: org.apache.spark.sql.Encoder](flat: DataFrame)(
+      f: Seq[PgoRow] => Iterator[T])(implicit s: SparkSession): Dataset[T] = {
     import s.implicits._
     flat.filter(col("op") =!= "r")
       .select(col("lsn_long"), col("op"), unix_micros(col("tx_at")).as("tx_at_us"),
         col("user_id"), col("pk_before"), col("pk_after"), col("after_value"))
       .as[PgoRow]
       .groupByKey(_.lsn_long / SegSize)
-      .flatMapGroups { (_, it) =>
-        decodeStream(encodeStream(it.toSeq.sortBy(_.lsn_long))).iterator
-      }
+      .flatMapGroups((_, it) => f(it.toSeq.sortBy(_.lsn_long)))
+  }
+
+  def roundtrip(flat: DataFrame)(implicit s: SparkSession): Dataset[PgoDecoded] = {
+    import s.implicits._
+    segmented(flat)(rows => decodeStream(encodeStream(rows)).iterator)
   }
 
   /** Plant + reply: the same segmented streams with reply-requesting
@@ -497,14 +505,7 @@ object PgOutput {
     */
   def standbyRoundtrip(flat: DataFrame)(implicit s: SparkSession): Dataset[StandbyReply] = {
     import s.implicits._
-    flat.filter(col("op") =!= "r")
-      .select(col("lsn_long"), col("op"), unix_micros(col("tx_at")).as("tx_at_us"),
-        col("user_id"), col("pk_before"), col("pk_after"), col("after_value"))
-      .as[PgoRow]
-      .groupByKey(_.lsn_long / SegSize)
-      .flatMapGroups { (_, it) =>
-        decodeReplies(
-          encodeStream(it.toSeq.sortBy(_.lsn_long), keepaliveReply = true)).iterator
-      }
+    segmented(flat)(rows =>
+      decodeReplies(encodeStream(rows, keepaliveReply = true)).iterator)
   }
 }

@@ -26,13 +26,18 @@ object Dedup {
     * kept only as the reference formulation; the hot paths use
     * [[shingleHashList]] over token hashes instead.
     */
-  def shingleList(text: Column): Column = {
-    val toks = split(norm(text), " ")
-    when(size(toks) >= 5,
-      transform(sequence(lit(0), size(toks) - 5),
-        i => concat_ws(" ", slice(toks, i + 1, lit(5)))))
+  def shingleList(text: Column): Column =
+    wordGrams(split(norm(text), " "), 5)
+
+  /** Word n-grams over a token array (with duplicates), [] under n
+    * tokens — shared by the shingle builders here and t15's boilerplate
+    * grams (which tokenize with their own lowercasing normalizer).
+    */
+  def wordGrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** Word 5-gram shingle set (distinct). */
   def shingles(text: Column): Column = array_distinct(shingleList(text))

@@ -251,19 +251,23 @@ object Multimodal {
           val off = body + 2 * i
           ((r.payload(off) & 0xFF) | (r.payload(off + 1) << 8)).toShort.toInt
         }
-        def emph(i: Int): Int = raw(i + 1) - raw(i) // pre-emphasized signal
-        val nSamples = math.max(nRaw - 1, 0)
-        val nFrames = if (nSamples < AudioFrameLen) 0
-          else (nSamples - AudioFrameLen) / AudioHop + 1
+        // decode + pre-emphasize ONCE per record; the frame loop below is
+        // then a plain array walk (frames overlap 2×, and energy/zc would
+        // otherwise re-decode every sample per frame)
+        val y = new Array[Int](math.max(nRaw - 1, 0))
+        var j = 0
+        while (j < y.length) { y(j) = raw(j + 1) - raw(j); j += 1 }
+        val nFrames = if (y.length < AudioFrameLen) 0
+          else (y.length - AudioFrameLen) / AudioHop + 1
         Iterator.range(0, nFrames).map { f =>
           val start = f * AudioHop
           var energy = 0L; var peak = 0; var zc = 0
           var i = 0
           while (i < AudioFrameLen) {
-            val v = emph(start + i)
+            val v = y(start + i)
             energy += v.toLong * v
             if (math.abs(v) > peak) peak = math.abs(v)
-            if (i > 0 && (v < 0) != (emph(start + i - 1) < 0)) zc += 1
+            if (i > 0 && (v < 0) != (y(start + i - 1) < 0)) zc += 1
             i += 1
           }
           AudioFrame(r.doc_id, f, start, energy, peak, zc)

@@ -351,10 +351,7 @@ object TextAnalysis {
     val t = toks(col("text"))
     def grams(df: DataFrame): DataFrame = df
       .select(col("doc_id"), col("source"),
-        explode(when(size(t) >= 3,
-          transform(sequence(lit(0), size(t) - 3),
-            i => concat_ws(" ", slice(t, i + 1, lit(3)))))
-          .otherwise(array().cast("array<string>"))).as("gram"))
+        explode(Dedup.wordGrams(t, 3)).as("gram"))
     val docs = Tables.documents(s, d)
     val top = grams(docs).select("doc_id", "gram").distinct()
       .groupBy("gram").agg(count(lit(1)).as("df"))

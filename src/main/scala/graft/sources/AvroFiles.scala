@@ -43,16 +43,27 @@ object AvroFiles {
       t.getTime * 1000L + (t.getNanos / 1000L) % 1000L)
     case i: java.time.Instant => java.lang.Long.valueOf(
       i.getEpochSecond * 1000000L + i.getNano / 1000L)
-    case other => other.asInstanceOf[AnyRef] // Long/Int/Double/Boolean/String/bytes
+    case b: Array[Byte] => java.nio.ByteBuffer.wrap(b) // avro bytes
+    case d: java.sql.Date => java.lang.Integer.valueOf(
+      d.toLocalDate.toEpochDay.toInt) // avro int/date
+    case d: java.time.LocalDate => java.lang.Integer.valueOf(d.toEpochDay.toInt)
+    case d: java.math.BigDecimal => d.toPlainString // decimal→string (pg map)
+    case d: BigDecimal => d.bigDecimal.toPlainString
+    case other => other.asInstanceOf[AnyRef] // Long/Int/Double/Boolean/String
   }
 
   private def fromAvro(v: Any, dt: DataType): Any = (v, dt) match {
     case (null, _) => null
-    case (u: Utf8, _) => u.toString
+    case (u: Utf8, dt) =>
+      if (dt.isInstanceOf[DecimalType]) new java.math.BigDecimal(u.toString)
+      else u.toString
+    case (s: String, _: DecimalType) => new java.math.BigDecimal(s)
     case (l: java.lang.Long, TimestampType) =>
       java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
         Math.floorDiv(l.longValue(), 1000000L),
         Math.floorMod(l.longValue(), 1000000L) * 1000L))
+    case (i: java.lang.Integer, DateType) =>
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.longValue()))
     case (b: java.nio.ByteBuffer, BinaryType) =>
       val out = new Array[Byte](b.remaining()); b.duplicate().get(out); out
     case (other, _) => other

@@ -283,9 +283,11 @@ object StreamingQueries {
           max_by(col("sum_value"), col("n")).as("sum_value"))
         .orderBy("window_start_us", "event_type")
       // materialize before the temp dir disappears; drop the sink view
-      val rows = out.collect().toSeq
-      s.catalog.dropTempView(name)
-      (s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema), dropped)
+      // even if the collect throws (it holds the update-mode rows)
+      try {
+        val rows = out.collect().toSeq
+        (s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema), dropped)
+      } finally s.catalog.dropTempView(name)
     } finally graft.sources.SourceSinks.deleteDir(dir)
   }
 

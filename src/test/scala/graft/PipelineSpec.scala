@@ -207,7 +207,10 @@ class PipelineSpec extends AnyFunSuite {
       val bb = java.nio.ByteBuffer.wrap(r.payload, 12, r.payload.length - 12)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       val raw = Array.fill((r.payload.length - 12) / 2)(bb.getShort().toInt)
-      val y = raw.sliding(2).map(p => p(1) - p(0)).toArray
+      // guard the degenerate <2-sample payload (sliding(2) emits a
+      // partial group there; the operator itself emits zero frames)
+      val y = if (raw.length < 2) Array.empty[Int]
+        else raw.sliding(2).map(p => p(1) - p(0)).toArray
       y.sliding(Multimodal.AudioFrameLen, Multimodal.AudioHop)
         .filter(_.length == Multimodal.AudioFrameLen).zipWithIndex
         .map { case (w, f) =>

@@ -161,4 +161,22 @@ class SourcesSpec extends AnyFunSuite {
       assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
     } finally graft.sources.SourceSinks.deleteDir(dir)
   }
+
+  test("x10 avro container roundtrips binary, date, and decimal columns") {
+    import graft.sources.AvroFiles
+    import org.apache.spark.sql.functions._
+    val df = Tables.events(spark, sf).limit(50)
+      .select(col("event_id"),
+        sha2(col("event_type"), 256).cast("binary").as("payload"),
+        to_date(col("ts")).as("day"),
+        col("value").cast("decimal(12,3)").as("dec"),
+        when(col("event_id") % 3 === 0, col("props")).as("maybe_null"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_x10b_spec")
+    try {
+      AvroFiles.write(df, dir.toString, "typed_row")
+      val back = AvroFiles.read(spark, dir.toString, df.schema)
+      assert(back.schema == df.schema)
+      assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+    } finally graft.sources.SourceSinks.deleteDir(dir)
+  }
 }
