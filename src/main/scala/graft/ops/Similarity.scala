@@ -520,9 +520,57 @@ object Similarity {
         round(Vec.dot(col("embedding"), col("qe")), 6).as("ip"))
   }
 
+  // v11 (rows-only; spec: ≡ v07 exactly): ANN INDEX PERSISTENCE — the
+  // index-as-a-table story a 100 TB deployment actually runs: the
+  // trained IVF index (k-row centroid table + (vec_id, cell) assignment)
+  // is WRITTEN to parquet by the index-build batch job, and the query is
+  // answered by a fresh consumer from the RELOADED artifacts alone — no
+  // re-train, no assignment re-scan; floats re-attach by vec_id join
+  // only for the probed cells' members (v08's storage discipline).
+  val v11_index_persist: Q = (s, d) => {
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_v11")
+    try {
+      // ---- index build (batch job) -----------------------------------
+      val (_, cents) = kmeansTrain(s, d)
+      cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid").coalesce(1)
+        .write.parquet(s"$dir/centroids")
+      assignCells(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+          cents)
+        .select("vec_id", "cell")
+        .write.parquet(s"$dir/cells")
+      // ---- fresh consumer: reads ONLY the persisted artifacts --------
+      val loaded = s.read.parquet(s"$dir/centroids").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1).map(_._2)
+      val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding")).collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        dp / math.sqrt(na * nb)
+      }
+      val probes = loaded.zipWithIndex.map { case (c, i) => (cos(c, q), i) }
+        .sortBy { case (cc, i) => (-cc, i) }.take(3).map(_._2).toSeq
+      val out = s.read.parquet(s"$dir/cells")
+        .filter(col("cell").isin(probes: _*) && col("vec_id") =!= 0)
+        .join(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")), "vec_id")
+        .crossJoin(broadcast(queryVec(s, d)))
+        .select(col("vec_id"),
+          round(Vec.cosine(col("embedding"), col("qe")), 6).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+      // materialize before the artifacts are deleted
+      val rows = out.collect().toSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+    } finally graft.sources.SourceSinks.deleteDir(dir)
+  }
+
   val queries: Map[String, Q] = Map(
     "v09_product_quantization" -> v09_product_quantization,
     "v10_mips" -> v10_mips,
+    "v11_index_persist" -> v11_index_persist,
     "v01_knn_brute" -> v01_knn_brute,
     "v02_knn_ivf" -> v02_knn_ivf,
     "v03_pairwise_label" -> v03_pairwise_label,

@@ -111,6 +111,45 @@ object SourceSinks {
     statsThenCleanup(s, AvroFiles.read(s, dir.toString, df.schema), dir)
   }
 
+  /** x11 engine: land `df` as a 64-file landing zone, compact it to
+    * size-targeted files, and return (compacted reader, files before,
+    * files after). Exposed so the spec can assert the file-count
+    * geometry; the query wraps it with the lossless-stats oracle.
+    */
+  def compactionRun(s: SparkSession, df: DataFrame, targetBytes: Long):
+      (DataFrame, Int, Int, Path) = {
+    val dir = Files.createTempDirectory("graft_compact")
+    val landing = dir.resolve("landing"); val compacted = dir.resolve("compacted")
+    df.repartition(64).write.parquet(landing.toString)
+    def parquetFiles(p: Path): Seq[Path] = {
+      val walk = Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
+      } finally walk.close()
+    }
+    val landed = parquetFiles(landing)
+    val totalBytes = landed.map(Files.size).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    s.read.parquet(landing.toString)
+      .repartition(nOut).write.parquet(compacted.toString)
+    (s.read.parquet(compacted.toString),
+      landed.size, parquetFiles(compacted).size, dir)
+  }
+
+  // x11: SMALL-FILE COMPACTION — the lakehouse maintenance pass a 100 TB
+  // streaming ingest cannot live without: a landing zone of many tiny
+  // files (one per micro-batch/partition writer) rewritten into
+  // size-targeted files. File count is computed from the ACTUAL landed
+  // bytes (ceil(total/target) — the bin-packing rule); content must
+  // survive byte-exactly, which is what the lossless-stats oracle
+  // checks. The spec pins the geometry: 64 files in, ceil-target out.
+  val x11_compaction: Q = (s, d) => {
+    val (compacted, _, _, dir) =
+      compactionRun(s, payload(s, d), targetBytes = 1L << 20)
+    statsThenCleanup(s, compacted, dir)
+  }
+
   // x04: STREAMING parquet sink — the WAL stream written by a real
   // Structured Streaming query (append mode, checkpointed, exactly-once
   // file commit protocol), then the sink directory read back and
@@ -297,6 +336,7 @@ object SourceSinks {
   val queries: Map[String, Q] = Map(
     "x01_orc_roundtrip" -> x01_orc_roundtrip,
     "x10_avro_roundtrip" -> x10_avro_roundtrip,
+    "x11_compaction" -> x11_compaction,
     "x02_json_roundtrip" -> x02_json_roundtrip,
     "x03_csv_roundtrip" -> x03_csv_roundtrip,
     "x04_stream_parquet_sink" -> x04_stream_parquet_sink,
@@ -320,6 +360,7 @@ object SourceSinks {
   val oracle: Map[String, String] = Map(
     "x01_orc_roundtrip" -> sqlStats,
     "x10_avro_roundtrip" -> sqlStats,
+    "x11_compaction" -> sqlStats,
     "x02_json_roundtrip" -> sqlStats,
     "x03_csv_roundtrip" -> sqlStats,
     "x04_stream_parquet_sink" -> sqlStats,

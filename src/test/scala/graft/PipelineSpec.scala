@@ -178,6 +178,16 @@ class PipelineSpec extends AnyFunSuite {
       s"MIPS reduction reordered the ip ranking: got=${got.toSeq} exact=${exact.toSeq}")
   }
 
+  test("v11 persisted-index query equals the fresh v07 IVF query") {
+    val fresh = Similarity.v07_knn_ivf_trained(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val loaded = Similarity.v11_index_persist(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(fresh.length == 10)
+    assert(loaded.toSeq == fresh.toSeq,
+      s"persisted index diverged: loaded=${loaded.toSeq} fresh=${fresh.toSeq}")
+  }
+
   test("d13 containment equals driver-side brute force") {
     val got = Dedup.d13_containment(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap

@@ -162,6 +162,20 @@ class SourcesSpec extends AnyFunSuite {
     } finally graft.sources.SourceSinks.deleteDir(dir)
   }
 
+  test("x11 compaction: 64-file landing zone → ceil(bytes/target) files, content intact") {
+    import org.apache.spark.sql.functions._
+    val df = graft.cdc.Envelope.flat(Tables.events(spark, sf))
+    val (compacted, before, after, dir) =
+      graft.sources.SourceSinks.compactionRun(spark, df, targetBytes = 64L * 1024)
+    try {
+      assert(before == 64)
+      assert(after < before, s"no compaction: $before -> $after")
+      // content survives exactly
+      assert(compacted.count() == df.count())
+      assert(compacted.exceptAll(df).isEmpty && df.exceptAll(compacted).isEmpty)
+    } finally graft.sources.SourceSinks.deleteDir(dir)
+  }
+
   test("x10 avro container roundtrips binary, date, and decimal columns") {
     import graft.sources.AvroFiles
     import org.apache.spark.sql.functions._
