@@ -490,6 +490,30 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  // q40: the TPC-H Q22 shape — "qualified but lapsed" customers:
+  // above-average balance within a market-segment set, no RECENT orders
+  // (left_anti against the date-filtered orders — the filter pushes to
+  // the orders scan), grouped by segment. The global-average threshold
+  // is a one-row scalar crossJoin broadcast (no per-row subquery); the
+  // anti-join shuffles only customer keys; at scale the orders side is
+  // the big relation and the date filter prunes it at the scan.
+  val q40_inactive_customers: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY", "AUTOMOBILE"))
+    val avgBal = c.filter(col("c_acctbal") > 0.0)
+      .agg(avg("c_acctbal").as("ab"))
+    val recent = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("date"))
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("ab"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum("c_acctbal"), 2).as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
   // q35: rolling 7-day distinct users per day. The cardinality-heavy work
   // (dedup to per-day user sets) is ONE keyed aggregation over the fact
   // table; the trailing-window distinct then runs on #days rows (tiny at
@@ -614,6 +638,7 @@ object Relational {
     "q37_decile_profile" -> q37_decile_profile,
     "q38_rolling_distinct_approx" -> q38_rolling_distinct_approx,
     "q39_approx_percentile" -> q39_approx_percentile,
+    "q40_inactive_customers" -> q40_inactive_customers,
   )
 
   val oracle: Map[String, String] = Map(
@@ -851,6 +876,18 @@ object Relational {
         |SELECT c_mktsegment, c_custkey, c_acctbal, pct_rank, cume
         |FROM r WHERE pct_rank >= 0.95
         |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    "q40_inactive_customers" ->
+      """SELECT c_mktsegment, count(*)::BIGINT AS n_customers,
+        |  round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer c
+        |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')
+        |  AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        |                   WHERE c_acctbal > 0.0
+        |                     AND c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE'))
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= DATE '2000-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q34_exists_agg" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS n_orders FROM orders
         |WHERE o_orderkey IN (

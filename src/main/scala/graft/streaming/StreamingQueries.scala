@@ -305,7 +305,35 @@ object StreamingQueries {
   // event_type) group count and the raw late-row count.
   val s11_late_data: Q = (s, d) => lateDataRun(s, d)._1
 
+  // s12: STREAM-STATIC enrichment join — the dimension-lookup every
+  // streaming pipeline runs (events enriched against a slowly-changing
+  // reference table): the event stream joins a STATIC 25-row dimension,
+  // stateless and broadcast per micro-batch (no watermark, no state
+  // store — the static side is not incremental), then aggregates in
+  // complete mode. The oracle recomputes the same enrichment as a batch
+  // join, so a hash match proves stream-side semantics add nothing.
+  val s12_stream_static_join: Q = (s, d) => {
+    val raw = Tables.load(s, d, "events")
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    val dim = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+    val name = s"graft_s12_${System.nanoTime()}"
+    val q = stream
+      .withColumn("n_nationkey", pmod(col("user_id"), lit(25)))
+      .join(broadcast(dim), "n_nationkey")
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    val out = s.table(name).orderBy("n_name")
+    try {
+      val rows = out.collect().toSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+    } finally s.catalog.dropTempView(name)
+  }
+
   val queries: Map[String, Q] = Map(
+    "s12_stream_static_join" -> s12_stream_static_join,
     "s11_late_data" -> s11_late_data,
     "s01_tumbling_window" -> s01_tumbling_window,
     "s06_session_window" -> s06_session_window,
@@ -331,6 +359,10 @@ object StreamingQueries {
         |  event_type, count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value,
         |  count(DISTINCT user_id)::BIGINT AS n_users
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "s12_stream_static_join" ->
+      """SELECT n_name, count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
+        |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "s11_late_data" ->
       """WITH c AS (
         |  SELECT date_trunc('day', min(ts::TIMESTAMP)) + INTERVAL 1 DAY AS cut

@@ -234,6 +234,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.exists(_._6 > 0))
   }
 
+  test("d13 shuffles never carry document text (ids+hashes only)") {
+    val df = Dedup.d13_containment(spark, sf)
+    df.collect() // materialize so AQE's final plan is available
+    val shuffles = PlanWalk.allNodes(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    val textCarriers = shuffles.filter(_.output.exists(a =>
+      Set("s", "inner_s", "outer_s", "text")(a.name)))
+    assert(textCarriers.isEmpty,
+      s"text through a shuffle: ${textCarriers.map(_.output.map(_.name))}")
+  }
+
+  test("t16 probability lookup joins broadcast (no shuffled vocab join)") {
+    val df = TextAnalysis.t16_lm_score(spark, sf)
+    df.collect()
+    val plan = PlanWalk.allNodes(df.queryExecution.executedPlan)
+    val bhj = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bhj.nonEmpty, "vocab join is not a broadcast hash join")
+    val smj = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.isEmpty, "unexpected sort-merge join in the t16 plan")
+  }
+
   test("t15 boilerplate: hits bound grams, deterministic across runs") {
     val rows = TextAnalysis.t15_boilerplate(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
