@@ -348,10 +348,20 @@ object TextAnalysis {
   // would carry a 64-bit hash instead of the string (the d02 discipline);
   // the string is kept here so the DuckDB oracle can pin the exact grams.
   val t15_boilerplate: Q = (s, d) => {
-    val t = toks(col("text"))
-    def grams(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), col("source"),
-        explode(Dedup.wordGrams(t, 3)).as("gram"))
+    // grams via posexplode + lead (t12's pattern): the token array is
+    // materialized ONCE per row and the 3-gram assembled from window
+    // leads — a wordGrams lambda here would re-split the text per gram
+    // position (the §4 lambda re-evaluation trap; measured 6× on this op)
+    def grams(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      df.select(col("doc_id"), col("source"),
+          posexplode(toks(col("text"))).as(Seq("pos", "tok")))
+        .withColumn("t1", lead(col("tok"), 1).over(w))
+        .withColumn("t2", lead(col("tok"), 2).over(w))
+        .filter(col("t2").isNotNull)
+        .select(col("doc_id"), col("source"),
+          concat_ws(" ", col("tok"), col("t1"), col("t2")).as("gram"))
+    }
     val docs = Tables.documents(s, d)
     val top = grams(docs).select("doc_id", "gram").distinct()
       .groupBy("gram").agg(count(lit(1)).as("df"))
