@@ -472,10 +472,11 @@ object Dedup {
     val docs = Tables.documents(s, d).persist()
     val dir = java.nio.file.Files.createTempDirectory("graft_d11_")
     try {
-      // land batch b as one parquet file with ascending mtimes so the
-      // file source replays arrival order deterministically
-      val base = System.currentTimeMillis() - 3600L * 1000
-      for (b <- 0 until B) {
+      // arrival is made explicit: each batch file is landed only after
+      // the previous one has drained to a completed micro-batch (mtime
+      // ordering is NOT a contract of the file source — s11 observed it
+      // breaking — so the loop below is the deterministic arrival plan)
+      def land(b: Int): Unit = {
         val sub = java.nio.file.Files.createTempDirectory(s"graft_d11_w$b")
         try {
           docs.filter(col("doc_id") % B === b).coalesce(1)
@@ -485,21 +486,20 @@ object Dedup {
             import scala.jdk.CollectionConverters._
             listing.iterator().asScala.find(_.toString.endsWith(".parquet")).get
           } finally listing.close()
-          val dst = dir.resolve(f"batch_$b%02d.parquet")
-          java.nio.file.Files.move(parquet, dst)
-          dst.toFile.setLastModified(base + b * 60000L)
+          java.nio.file.Files.move(parquet, dir.resolve(f"batch_$b%02d.parquet"))
         } finally graft.sources.SourceSinks.deleteDir(sub)
       }
       val state = new IncrementalDedup(s.sparkContext.defaultParallelism)
-      val stream = s.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      val stream = s.readStream.schema(docs.schema).parquet(dir.toString)
       // explicit function value: foreachBatch has Scala/Java overloads
       val onMicroBatch: (DataFrame, Long) => Unit =
         (batchDf, _) => if (!batchDf.isEmpty) state.advance(batchDf)
       val q = stream.writeStream.outputMode("append")
         .foreachBatch(onMicroBatch)
         .queryName(s"graft_d11_${System.nanoTime()}").start()
-      try q.processAllAvailable() finally q.stop()
+      try {
+        for (b <- 0 until B) { land(b); q.processAllAvailable() }
+      } finally q.stop()
       state.keeplistFor(docs)
     } finally {
       graft.sources.SourceSinks.deleteDir(dir)
