@@ -1,0 +1,88 @@
+package graft.cdc
+
+/** The daemon's configuration surface — creek's Config struct parsed from
+  * its CLI-flag convention (internal/config/config.go: `cli:"..."` tags,
+  * nested structs via `cli-prefix:"pg-"`/`"nats-"`/`"retention-"`,
+  * Go-style durations). `creekd --tables a,b --pg-uri ... --nats-retention-
+  * max-age 10m` is the whole deployment contract of the reference daemon;
+  * c32 drives the c18/c27 topic gating from a parsed vector instead of
+  * constants, so the config layer is exercised end to end.
+  */
+case class RetentionConfig(
+  policy: String = "limits",
+  maxAgeMs: Long = 0L,
+  maxBytes: Long = -1L,
+  maxMsgs: Long = -1L)
+
+case class NatsConfig(
+  uri: String = "nats://localhost:4222",
+  timeoutMs: Long = 5000L,
+  namespace: String = "CREEK",
+  retention: RetentionConfig = RetentionConfig(),
+  replicas: Int = 1)
+
+case class PgConfig(
+  uri: String = "",
+  publicationName: String = "creek_publication",
+  publicationSlot: String = "creek_replication_slot",
+  messageTimeoutMs: Long = 30000L)
+
+case class DaemonConfig(
+  logLevel: String = "info",
+  tables: Seq[String] = Nil,
+  pg: PgConfig = PgConfig(),
+  nats: NatsConfig = NatsConfig(),
+  prometheusPort: Int = 7779)
+
+object DaemonConfig {
+
+  /** Go-style duration literal → millis ("100ms", "5s", "10m", "1.5h"). */
+  def parseDuration(s: String): Long = {
+    val m = "^([0-9]+(?:\\.[0-9]+)?)(ms|s|m|h)$".r.findFirstMatchIn(s.trim)
+      .getOrElse(throw new IllegalArgumentException(s"malformed duration: $s"))
+    val v = m.group(1).toDouble
+    val unit = m.group(2) match {
+      case "ms" => 1L; case "s" => 1000L; case "m" => 60000L; case "h" => 3600000L
+    }
+    (v * unit).toLong
+  }
+
+  /** Parse a `--flag value` vector into the config, mirroring the
+    * reference's tag scheme: top-level `cli` names, `pg-`/`nats-`
+    * prefixes, the nested `nats-retention-` prefix, comma-split lists.
+    * Unknown flags and missing values fail loudly (a daemon must not
+    * start on a typo'd flag).
+    */
+  def parse(args: Seq[String]): DaemonConfig = {
+    require(args.length % 2 == 0, s"dangling flag: ${args.lastOption.getOrElse("")}")
+    args.grouped(2).foldLeft(DaemonConfig()) { case (c, Seq(flag, v)) =>
+      require(flag.startsWith("--"), s"expected --flag, got: $flag")
+      flag.drop(2) match {
+        case "log-level" => c.copy(logLevel = v)
+        case "tables" => c.copy(tables = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        case "prometheus-port" => c.copy(prometheusPort = v.toInt)
+        case "pg-uri" => c.copy(pg = c.pg.copy(uri = v))
+        case "pg-publication-name" => c.copy(pg = c.pg.copy(publicationName = v))
+        case "pg-publication-slot" => c.copy(pg = c.pg.copy(publicationSlot = v))
+        case "pg-message-timeout" =>
+          c.copy(pg = c.pg.copy(messageTimeoutMs = parseDuration(v)))
+        case "nats-uri" => c.copy(nats = c.nats.copy(uri = v))
+        case "nats-timeout" => c.copy(nats = c.nats.copy(timeoutMs = parseDuration(v)))
+        case "nats-namespace" => c.copy(nats = c.nats.copy(namespace = v))
+        case "nats-replicas" => c.copy(nats = c.nats.copy(replicas = v.toInt))
+        case "nats-retention-policy" =>
+          c.copy(nats = c.nats.copy(retention = c.nats.retention.copy(policy = v)))
+        case "nats-retention-max-age" =>
+          c.copy(nats = c.nats.copy(retention =
+            c.nats.retention.copy(maxAgeMs = parseDuration(v))))
+        case "nats-retention-max-bytes" =>
+          c.copy(nats = c.nats.copy(retention =
+            c.nats.retention.copy(maxBytes = v.toLong)))
+        case "nats-retention-max-msgs" =>
+          c.copy(nats = c.nats.copy(retention =
+            c.nats.retention.copy(maxMsgs = v.toLong)))
+        case other => throw new IllegalArgumentException(s"unknown flag: --$other")
+      }
+    }
+  }
+}
