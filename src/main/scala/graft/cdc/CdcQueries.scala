@@ -572,7 +572,38 @@ object CdcQueries {
     PgOutput.standbyRoundtrip(flatEnv(s, d)).toDF().orderBy("wal_write")
   }
 
+  // c32: daemon CONFIG-DRIVEN topic gating — the creekd entry contract:
+  // a CLI flag vector (config.go's `cli` tags: nested pg-/nats-/
+  // nats-retention- prefixes, Go durations, comma lists) is parsed into
+  // the Config and its `tables` allow-list + `nats-namespace` drive
+  // which WAL topics exist (cmd/creekd.go wires cfg.Tables into
+  // StartReplication; c18's naming). The oracle recomputes the gated
+  // routing with the same constants, so a hash match proves the parsed
+  // config — not code constants — shaped the data plane.
+  val c32_config_gating: Q = (s, d) => {
+    val cfg = DaemonConfig.parse(Seq(
+      "--log-level", "debug",
+      "--tables", "public.t0,public.t1,public.t3",
+      "--pg-uri", "postgres://creek@localhost:5432/testdb",
+      "--pg-message-timeout", "30s",
+      "--nats-uri", "nats://localhost:4222",
+      "--nats-namespace", "CREEK",
+      "--nats-retention-max-age", "24h",
+      "--prometheus-port", "7779"))
+    val allowed = cfg.tables.map(_.stripPrefix("public.")).toSeq
+    flatEnv(s, d)
+      .withColumn("tbl", concat(lit("t"), (col("user_id") % 4).cast("string")))
+      .filter(col("tbl").isin(allowed: _*))
+      .groupBy(concat(lit(cfg.nats.namespace + ".testdb.wal.public."),
+        col("tbl")).as("topic"))
+      .agg(count(lit(1)).as("n_msgs"),
+        max("lsn_long").as("max_lsn_long"),
+        unix_micros(max("tx_at")).as("last_sent_us"))
+      .orderBy("topic")
+  }
+
   val queries: Map[String, Q] = Map(
+    "c32_config_gating" -> c32_config_gating,
     "c31_standby_status" -> c31_standby_status,
     "c30_multi_table_apply" -> c30_multi_table_apply,
     "c25_pgoutput_decode" -> c25_pgoutput_decode,
@@ -801,6 +832,14 @@ object CdcQueries {
          |  FROM live GROUP BY pk)
          |SELECT pk, round(last_value, 2) AS value, last_ord, n_half
          |FROM state2 WHERE last_op <> 'd' ORDER BY pk""".stripMargin,
+    "c32_config_gating" ->
+      s"""WITH $sqlEnv
+         |SELECT 'CREEK.testdb.wal.public.t' || (user_id % 4)::VARCHAR AS topic,
+         |  count(*)::BIGINT AS n_msgs,
+         |  max(lsn_long) AS max_lsn_long,
+         |  epoch_us(max(tx_at)) AS last_sent_us
+         |FROM env WHERE user_id % 4 IN (0, 1, 3)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "c31_standby_status" ->
       s"""WITH $sqlEnv, $sqlFlat,
          |seg AS (

@@ -618,4 +618,33 @@ class CdcSpec extends AnyFunSuite {
     assert(one == StandbyReply(0x1234ABCDL, 0x1234ABCDL, 0x1234ABCDL,
       graft.functions.Lsn.format(0x1234ABCDL).toString, reply_requested = true))
   }
+
+  test("c32 daemon config: prefixes, durations, lists, defaults, bad flags") {
+    val c = DaemonConfig.parse(Seq(
+      "--tables", "public.a, public.b,,public.c",
+      "--pg-uri", "postgres://u@h:5432/db",
+      "--pg-message-timeout", "1.5m",
+      "--nats-timeout", "250ms",
+      "--nats-retention-policy", "interest",
+      "--nats-retention-max-bytes", "1048576",
+      "--nats-replicas", "3"))
+    assert(c.tables == Seq("public.a", "public.b", "public.c"))
+    assert(c.pg.uri == "postgres://u@h:5432/db")
+    assert(c.pg.messageTimeoutMs == 90000L)
+    assert(c.nats.timeoutMs == 250L)
+    assert(c.nats.retention.policy == "interest")
+    assert(c.nats.retention.maxBytes == 1048576L)
+    assert(c.nats.replicas == 3)
+    // untouched fields keep the reference defaults
+    assert(c.logLevel == "info" && c.prometheusPort == 7779)
+    assert(c.pg.publicationName == "creek_publication")
+    assert(c.nats.namespace == "CREEK" && c.nats.retention.maxMsgs == -1L)
+    // Go duration forms
+    assert(DaemonConfig.parseDuration("100ms") == 100L)
+    assert(DaemonConfig.parseDuration("24h") == 86400000L)
+    intercept[IllegalArgumentException](DaemonConfig.parseDuration("10"))
+    // a typo'd flag or dangling value must not start the daemon
+    intercept[IllegalArgumentException](DaemonConfig.parse(Seq("--tabels", "x")))
+    intercept[IllegalArgumentException](DaemonConfig.parse(Seq("--tables")))
+  }
 }
