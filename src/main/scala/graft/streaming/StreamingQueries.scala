@@ -332,7 +332,68 @@ object StreamingQueries {
     } finally s.catalog.dropTempView(name)
   }
 
+  /** s13 engine: run the per-type aggregation as TWO query incarnations
+    * sharing one checkpoint — land half the data, stop, restart, land
+    * the rest. Returns (final complete-mode result, per-incarnation
+    * input-row counts) so the spec can pin exactly-once: incarnation 2
+    * reads ONLY the new file while its output covers ALL rows (state
+    * restored from the checkpoint, files never reprocessed).
+    */
+  def checkpointResumeRun(s: SparkSession, d: String): (DataFrame, Seq[Long]) = {
+    val evs = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_s13_")
+    val data = dir.resolve("data"); val cp = dir.resolve("checkpoint")
+    java.nio.file.Files.createDirectories(data)
+    def land(b: Int): Unit = {
+      val sub = java.nio.file.Files.createTempDirectory(s"graft_s13_w$b")
+      try {
+        evs.filter(col("event_id") % 2 === b).coalesce(1)
+          .write.mode("overwrite").parquet(sub.toString)
+        val listing = java.nio.file.Files.list(sub)
+        val parquet = try {
+          import scala.jdk.CollectionConverters._
+          listing.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+        } finally listing.close()
+        java.nio.file.Files.move(parquet, data.resolve(f"batch_$b%02d.parquet"))
+      } finally graft.sources.SourceSinks.deleteDir(sub)
+    }
+    def incarnation(name: String): org.apache.spark.sql.streaming.StreamingQuery =
+      s.readStream.schema(evs.schema).parquet(data.toString)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .writeStream.outputMode("complete").format("memory")
+        .option("checkpointLocation", cp.toString)
+        .queryName(name).start()
+    try {
+      val n1 = s"graft_s13a_${System.nanoTime()}"
+      val q1 = incarnation(n1)
+      try { land(0); q1.processAllAvailable() } finally q1.stop()
+      val in1 = q1.recentProgress.map(_.numInputRows).sum
+      s.catalog.dropTempView(n1)
+      val n2 = s"graft_s13b_${System.nanoTime()}"
+      val q2 = incarnation(n2) // SAME checkpoint: state restores, offsets resume
+      try { land(1); q2.processAllAvailable() } finally q2.stop()
+      val in2 = q2.recentProgress.map(_.numInputRows).sum
+      val out = s.table(n2).orderBy("event_type")
+      try {
+        val rows = out.collect().toSeq
+        (s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema),
+          Seq(in1, in2))
+      } finally s.catalog.dropTempView(n2)
+    } finally graft.sources.SourceSinks.deleteDir(dir)
+  }
+
+  // s13 (oracle = the full batch aggregation): CHECKPOINT RECOVERY —
+  // exactly-once across query RESTARTS: two incarnations share one
+  // checkpoint; the second restores aggregation state and resumes file
+  // offsets, so it reads only the new arrivals yet its complete-mode
+  // output covers everything. If the restart reprocessed the first file,
+  // every count would double and the oracle hash would catch it.
+  val s13_checkpoint_resume: Q = (s, d) => checkpointResumeRun(s, d)._1
+
   val queries: Map[String, Q] = Map(
+    "s13_checkpoint_resume" -> s13_checkpoint_resume,
     "s12_stream_static_join" -> s12_stream_static_join,
     "s11_late_data" -> s11_late_data,
     "s01_tumbling_window" -> s01_tumbling_window,
@@ -363,6 +424,10 @@ object StreamingQueries {
       """SELECT n_name, count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
         |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s13_checkpoint_resume" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "s11_late_data" ->
       """WITH c AS (
         |  SELECT date_trunc('day', min(ts::TIMESTAMP)) + INTERVAL 1 DAY AS cut

@@ -90,6 +90,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.sameElements(ids.sorted) && ids.distinct.length == ids.length)
   }
 
+  test("s13 restart resumes from the checkpoint: second run reads only new files") {
+    import org.apache.spark.sql.functions._
+    val (res, inputs) = StreamingQueries.checkpointResumeRun(spark, sf)
+    val evs = Tables.events(spark, sf)
+    val half0 = evs.filter(col("event_id") % 2 === 0).count()
+    val half1 = evs.filter(col("event_id") % 2 === 1).count()
+    assert(inputs == Seq(half0, half1),
+      s"exactly-once violated: inputs=$inputs halves=($half0, $half1)")
+    // the restored state + second half = the full aggregation
+    val expected = evs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    assert(res.exceptAll(expected).isEmpty && expected.exceptAll(res).isEmpty)
+  }
+
   test("s11 watermark drops exactly the late batch; result = on-time agg") {
     import org.apache.spark.sql.functions._
     val (res, dropped) = StreamingQueries.lateDataRun(spark, sf)
