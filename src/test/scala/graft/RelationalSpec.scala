@@ -107,6 +107,19 @@ class RelationalSpec extends AnyFunSuite {
     assert(rns.forall(r => r >= 1 && r <= 3))
   }
 
+  test("q40 pushes the order-date filter into the orders scan") {
+    val df = ops.Relational.q40_inactive_customers(spark, sf)
+    df.collect()
+    val scans = PlanWalk.allNodes(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val ordersScan = scans.filter(_.metadata.get("Location").exists(_.contains("orders")))
+    assert(ordersScan.nonEmpty, "no orders scan in the q40 plan")
+    assert(ordersScan.exists(_.metadata.get("PushedFilters")
+      .exists(p => p.contains("GreaterThanOrEqual(o_orderdate"))),
+      s"date filter not pushed: ${ordersScan.map(_.metadata.get("PushedFilters"))}")
+  }
+
   test("q39 sketch percentiles track q23's exact percentiles per group") {
     val exact = ops.Relational.q23_percentile(spark, sf).collect()
       .map(r => r.getString(0) ->
