@@ -572,7 +572,57 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** d14 engine: returns (flagged batch, (flagged, truly, falsePos))
+    * — exposed so the spec can pin the error structure.
+    */
+  def bloomDedupRun(s: SparkSession, d: String): (DataFrame, (Long, Long, Long)) = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), xxhash64(norm(col("text"))).as("h"))
+    // "history" = docs before the batch boundary; "batch" = the rest
+    val history = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val n = history.count()
+    // the compact membership sketch: a distributed bloom_filter aggregate
+    // collected to one bitset (a few GB at 100 TB corpus scale vs a join
+    // against the full history), broadcast to the batch-side executors
+    val bloom = history.stat.bloomFilter("h", math.max(n, 1), 0.01)
+    val bc = s.sparkContext.broadcast(bloom)
+    import s.implicits._
+    val flagged = batch.select(col("doc_id"), col("h")).as[(Long, Long)]
+      .mapPartitions { it =>
+        val f = bc.value
+        it.map { case (id, h) => (id, h, f.mightContain(h)) }
+      }
+      .toDF("doc_id", "h", "maybe_seen")
+    // ground truth for the stats: which batch hashes truly are in history
+    val truth = flagged.join(
+      history.select(col("h"), lit(true).as("truly_seen")).distinct(),
+      Seq("h"), "left")
+      .na.fill(false, Seq("truly_seen"))
+    val agg = truth.agg(
+      sum(col("maybe_seen").cast("long")).as("flagged"),
+      sum(col("truly_seen").cast("long")).as("truly"),
+      sum((col("maybe_seen") && !col("truly_seen")).cast("long")).as("false_pos"),
+      sum((!col("maybe_seen") && col("truly_seen")).cast("long")).as("false_neg"))
+      .head()
+    require(agg.getLong(3) == 0, "bloom filter produced a false negative")
+    (truth.select("doc_id", "maybe_seen", "truly_seen").orderBy("doc_id"),
+      (agg.getLong(0), agg.getLong(1), agg.getLong(2)))
+  }
+
+  // d14 (rows-only; spec: zero false negatives, bounded false positives):
+  // BLOOM-FILTER dedup membership — the incremental-ingest primitive at
+  // 100 TB: instead of joining each arriving batch against the full
+  // accumulated corpus (d09's shingle store), carry a fixed-size bloom
+  // sketch of the history's content hashes and test membership MAP-SIDE.
+  // No false negatives ever (every true duplicate is flagged); false
+  // positives bounded by the configured fpp and resolved by a join only
+  // for the flagged sliver. The sketch is built by Spark's distributed
+  // bloom aggregate and broadcast once.
+  val d14_bloom_membership: Q = (s, d) => bloomDedupRun(s, d)._1
+
   val queries: Map[String, Q] = Map(
+    "d14_bloom_membership" -> d14_bloom_membership,
     "d13_containment" -> d13_containment,
     "d12_decontamination" -> d12_decontamination,
     "d01_exact_dedup" -> d01_exact_dedup,

@@ -150,6 +150,36 @@ object SourceSinks {
     statsThenCleanup(s, compacted, dir)
   }
 
+  // x12: SCHEMA EVOLUTION ON READ — the file-side twin of c17/c24's Avro
+  // evolution: a landing zone whose early files were written by a v1
+  // writer (no `region` column) and later files by a v2 writer (with
+  // it), read back as ONE table via parquet mergeSchema — v1 rows
+  // surface the evolved column as null, exactly the Avro null-default
+  // resolution rule. The oracle recomputes the same union from the
+  // original table, so the hash match pins the merge semantics.
+  val x12_schema_merge: Q = (s, d) => {
+    val df = payload(s, d)
+    val v2col = when(col("pk_after").isNotNull,
+      concat(lit("r"), (col("pk_after") % 4).cast("string")))
+    val dir = Files.createTempDirectory("graft_merge")
+    // v1 writer: the first WAL half, pre-evolution schema
+    df.filter(col("lsn_long") % 2 === 0)
+      .write.parquet(dir.resolve("w1").toString)
+    // v2 writer: the rest, with the evolved `region` column
+    df.filter(col("lsn_long") % 2 =!= 0).withColumn("region", v2col)
+      .write.parquet(dir.resolve("w2").toString)
+    val merged = s.read.option("mergeSchema", "true")
+      .parquet(dir.resolve("w1").toString, dir.resolve("w2").toString)
+    val agg = merged.groupBy(col("op"), col("region"))
+      .agg(count(lit(1)).as("n"),
+        max("lsn_long").as("max_lsn"),
+        round(sum("value"), 2).as("sum_value"))
+      .orderBy("op", "region")
+    val rows = agg.collect().toSeq.asJava
+    deleteDir(dir)
+    s.createDataFrame(rows, agg.schema)
+  }
+
   // x04: STREAMING parquet sink — the WAL stream written by a real
   // Structured Streaming query (append mode, checkpointed, exactly-once
   // file commit protocol), then the sink directory read back and
@@ -337,6 +367,7 @@ object SourceSinks {
     "x01_orc_roundtrip" -> x01_orc_roundtrip,
     "x10_avro_roundtrip" -> x10_avro_roundtrip,
     "x11_compaction" -> x11_compaction,
+    "x12_schema_merge" -> x12_schema_merge,
     "x02_json_roundtrip" -> x02_json_roundtrip,
     "x03_csv_roundtrip" -> x03_csv_roundtrip,
     "x04_stream_parquet_sink" -> x04_stream_parquet_sink,
@@ -361,6 +392,15 @@ object SourceSinks {
     "x01_orc_roundtrip" -> sqlStats,
     "x10_avro_roundtrip" -> sqlStats,
     "x11_compaction" -> sqlStats,
+    "x12_schema_merge" ->
+      s"""WITH ${graft.cdc.Envelope.sqlEnv}, ${graft.cdc.Envelope.sqlFlat}
+         |SELECT op,
+         |  CASE WHEN lsn_long % 2 <> 0 AND pk_after IS NOT NULL
+         |       THEN 'r' || (pk_after % 4)::VARCHAR END AS region,
+         |  count(*)::BIGINT AS n,
+         |  max(lsn_long) AS max_lsn,
+         |  round(sum(value), 2) AS sum_value
+         |FROM flat GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "x02_json_roundtrip" -> sqlStats,
     "x03_csv_roundtrip" -> sqlStats,
     "x04_stream_parquet_sink" -> sqlStats,

@@ -188,6 +188,23 @@ class PipelineSpec extends AnyFunSuite {
       s"persisted index diverged: loaded=${loaded.toSeq} fresh=${fresh.toSeq}")
   }
 
+  test("d14 bloom membership: no false negatives, bounded false positives") {
+    val (flagged, (nFlagged, nTruly, nFalsePos)) = Dedup.bloomDedupRun(spark, sf)
+    val rows = flagged.collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    assert(rows.nonEmpty)
+    // the engine require()s zero false negatives; re-assert on the rows
+    assert(rows.forall { case (_, maybe, truly) => !truly || maybe })
+    assert(nFlagged == nTruly + nFalsePos)
+    // fpp = 0.01 with generous slack for the small batch
+    val bound = math.max(3L, math.ceil(rows.length * 0.05).toLong)
+    assert(nFalsePos <= bound, s"false positives $nFalsePos > $bound")
+    // the sketch is deterministic: same data → same bits → same flags
+    val again = Dedup.bloomDedupRun(spark, sf)._1.collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    assert(rows.sameElements(again))
+  }
+
   test("d13 containment equals driver-side brute force") {
     val got = Dedup.d13_containment(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
