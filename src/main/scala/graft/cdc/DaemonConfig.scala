@@ -44,7 +44,9 @@ object DaemonConfig {
     val unit = m.group(2) match {
       case "ms" => 1L; case "s" => 1000L; case "m" => 60000L; case "h" => 3600000L
     }
-    (v * unit).toLong
+    // round, don't truncate: 4.35s is 4349.999… in binary fp, and Go's
+    // time.ParseDuration yields exactly 4350ms
+    math.round(v * unit)
   }
 
   /** Parse a `--flag value` vector into the config, mirroring the
@@ -57,6 +59,7 @@ object DaemonConfig {
     require(args.length % 2 == 0, s"dangling flag: ${args.lastOption.getOrElse("")}")
     args.grouped(2).foldLeft(DaemonConfig()) { case (c, Seq(flag, v)) =>
       require(flag.startsWith("--"), s"expected --flag, got: $flag")
+      require(!v.startsWith("--"), s"flag $flag is missing its value (got $v)")
       flag.drop(2) match {
         case "log-level" => c.copy(logLevel = v)
         case "tables" => c.copy(tables = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq)

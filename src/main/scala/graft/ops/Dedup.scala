@@ -576,8 +576,12 @@ object Dedup {
     * — exposed so the spec can pin the error structure.
     */
   def bloomDedupRun(s: SparkSession, d: String): (DataFrame, (Long, Long, Long)) = {
+    // persist the normalized-hash projection: it feeds the count, the
+    // bloom aggregate, the ground-truth join, AND the returned frame —
+    // without the barrier each consumer re-normalizes the corpus
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), xxhash64(norm(col("text"))).as("h"))
+      .persist()
     // "history" = docs before the batch boundary; "batch" = the rest
     val history = docs.filter(col("doc_id") % 5 =!= 0)
     val batch = docs.filter(col("doc_id") % 5 === 0)
@@ -606,7 +610,11 @@ object Dedup {
       sum((!col("maybe_seen") && col("truly_seen")).cast("long")).as("false_neg"))
       .head()
     require(agg.getLong(3) == 0, "bloom filter produced a false negative")
-    (truth.select("doc_id", "maybe_seen", "truly_seen").orderBy("doc_id"),
+    // materialize the (tiny) flagged frame before releasing the cache
+    val out = truth.select("doc_id", "maybe_seen", "truly_seen").orderBy("doc_id")
+    val rows = out.collect().toSeq
+    docs.unpersist()
+    (s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema),
       (agg.getLong(0), agg.getLong(1), agg.getLong(2)))
   }
 

@@ -57,16 +57,19 @@ object SourceSinks {
     finally walk.close()
   }
 
-  /** Materialize the (tiny: one row per op) stats aggregate eagerly, then
-    * delete `dir` — without this, every bench/verify run leaked a full
-    * copy of the roundtripped event stream in /tmp.
+  /** Materialize a (tiny) final aggregate eagerly, then delete `dir` —
+    * without this, every bench/verify run leaked a full copy of the
+    * roundtripped event stream in /tmp. The delete runs even when the
+    * collect throws.
     */
-  private def statsThenCleanup(s: SparkSession, read: DataFrame, dir: Path): DataFrame = {
-    val agg = stats(read)
-    val rows = agg.collect().toSeq.asJava
-    deleteDir(dir)
-    s.createDataFrame(rows, agg.schema)
-  }
+  private def materializeThenCleanup(s: SparkSession, agg: DataFrame, dir: Path): DataFrame =
+    try {
+      val rows = agg.collect().toSeq.asJava
+      s.createDataFrame(rows, agg.schema)
+    } finally deleteDir(dir)
+
+  private def statsThenCleanup(s: SparkSession, read: DataFrame, dir: Path): DataFrame =
+    materializeThenCleanup(s, stats(read), dir)
 
   private def roundtrip(s: SparkSession, d: String, format: String,
       writeOpts: Map[String, String] = Map.empty,
@@ -175,9 +178,7 @@ object SourceSinks {
         max("lsn_long").as("max_lsn"),
         round(sum("value"), 2).as("sum_value"))
       .orderBy("op", "region")
-    val rows = agg.collect().toSeq.asJava
-    deleteDir(dir)
-    s.createDataFrame(rows, agg.schema)
+    materializeThenCleanup(s, agg, dir)
   }
 
   // x04: STREAMING parquet sink — the WAL stream written by a real

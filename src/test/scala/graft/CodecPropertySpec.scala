@@ -62,7 +62,7 @@ object CodecPropertySpec extends Properties("codecs") {
 
   // -- timestamptz text form -------------------------------------------
   property("timestamptz format∘parse = id over four digit years") =
-    Prop.forAll(Gen.choose(0L, 250000000000000000L / 1000)) { (us: Long) =>
+    Prop.forAll(Gen.choose(0L, 250000000000000000L)) { (us: Long) =>
       PgOutput.parseTsTz(PgOutput.formatTsTz(us)) == us
     }
 }
