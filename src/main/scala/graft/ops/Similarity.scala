@@ -567,7 +567,39 @@ object Similarity {
     } finally graft.sources.SourceSinks.deleteDir(dir)
   }
 
+  // v12 (rows-only; spec: predicate holds, recall vs exact-filtered,
+  // exact scores): FILTERED ANN — top-k under a metadata predicate
+  // (label sliver), the retrieval-with-attributes query every vector
+  // store serves. Pre-filtering shrinks each probed cell, so the index
+  // compensates by probing MORE cells (5 vs v07's 3 — the standard
+  // selectivity ↔ probe-width trade); the filter applies before scoring,
+  // never after the top-k cut (post-filtering silently returns < k).
+  val v12_filtered_knn: Q = (s, d) => {
+    val (_, cents) = kmeansTrain(s, d)
+    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding")).collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dp / math.sqrt(na * nb)
+    }
+    val probes = cents.zipWithIndex.map { case (c, i) => (cos(c, q), i) }
+      .sortBy { case (cc, i) => (-cc, i) }.take(5).map(_._2).toSeq
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    assignCells(e.select(col("vec_id"), col("embedding")), cents)
+      .join(e.select(col("vec_id"), col("label")), "vec_id")
+      .filter(col("cell").isin(probes: _*) && col("vec_id") =!= 0 &&
+        col("label") % 3 === 1)
+      .crossJoin(broadcast(queryVec(s, d)))
+      .select(col("vec_id"), col("label"),
+        round(Vec.cosine(col("embedding"), col("qe")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, Q] = Map(
+    "v12_filtered_knn" -> v12_filtered_knn,
     "v09_product_quantization" -> v09_product_quantization,
     "v10_mips" -> v10_mips,
     "v11_index_persist" -> v11_index_persist,

@@ -205,6 +205,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.sameElements(again))
   }
 
+  test("v12 filtered ANN: predicate holds, recall vs exact-filtered, exact scores") {
+    val got = Similarity.v12_filtered_knn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(got.length == 10)
+    assert(got.forall(_._2 % 3 == 1), "a result violates the label predicate")
+    // exact filtered baseline
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+    val exact = e.filter(col("vec_id") =!= 0 && col("label") % 3 === 1)
+      .select("vec_id", "embedding").collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        val dp = v.zip(q).map(p => p._1 * p._2).sum
+        val cosv = dp / math.sqrt(v.map(x => x * x).sum * q.map(x => x * x).sum)
+        (r.getLong(0), cosv)
+      }.sortBy { case (id, c) => (-c, id) }.take(10)
+    val recall = got.map(_._1).count(exact.map(_._1).contains).toDouble / exact.length
+    assert(recall >= 0.7, s"filtered-ANN recall@10 = $recall")
+    // scores are full precision: equal the exact cosine for shared ids
+    val exactMap = exact.map { case (id, c) =>
+      id -> BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    got.filter(g => exactMap.contains(g._1)).foreach { case (id, _, c) =>
+      assert(c == exactMap(id), s"vec $id: $c != ${exactMap(id)}")
+    }
+  }
+
   test("d13 containment equals driver-side brute force") {
     val got = Dedup.d13_containment(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
