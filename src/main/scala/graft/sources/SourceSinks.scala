@@ -181,6 +181,64 @@ object SourceSinks {
     materializeThenCleanup(s, agg, dir)
   }
 
+  /** Per-row-group [min, max] day spans of `dateCol` across every parquet
+    * footer under `dir` — the statistics a scan's row-group skipping
+    * reads. Footer-only: no data pages are touched.
+    */
+  def rowGroupDateSpans(s: SparkSession, dir: Path, dateCol: String): Seq[Int] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val walk = Files.walk(dir)
+    val files = try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
+    } finally walk.close()
+    files.flatMap { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(p.toString), conf)
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        rd.getFooter.getBlocks.asScala.toSeq.map { b =>
+          val c = b.getColumns.asScala
+            .find(_.getPath.toDotString == dateCol)
+            .getOrElse(throw new IllegalArgumentException(s"no column $dateCol"))
+          val st = c.getStatistics
+          st.genericGetMax.asInstanceOf[Integer] -
+            st.genericGetMin.asInstanceOf[Integer]
+        }
+      } finally rd.close()
+    }
+  }
+
+  // x13 (rows-only; spec: sorted spans ≪ natural spans): SORTED DATA
+  // LAYOUT — the data-clustering pass behind row-group skipping at
+  // 100 TB: the same rows written in natural order vs range-partitioned
+  // + sorted by ship date, then judged by the parquet FOOTER statistics
+  // a date-filtered scan would prune with. Narrow per-row-group [min,
+  // max] spans are what turn a predicate into skipped I/O; the operator
+  // reports the span profile of both layouts side by side.
+  val x13_sorted_layout: Q = (s, d) => {
+    import s.implicits._
+    // ship date as date32 so the footer statistics are epoch-day ints
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("l_shipdate"),
+        col("l_quantity"))
+    val dir = Files.createTempDirectory("graft_layout")
+    try {
+      li.write.parquet(dir.resolve("natural").toString)
+      li.repartitionByRange(8, col("l_shipdate"))
+        .sortWithinPartitions(col("l_shipdate"))
+        .write.parquet(dir.resolve("sorted").toString)
+      Seq("natural", "sorted").flatMap { layout =>
+        val spans = rowGroupDateSpans(s, dir.resolve(layout), "l_shipdate")
+        Seq((layout, spans.length.toLong, spans.sum.toDouble / spans.length,
+          spans.max.toLong))
+      }.toDF("layout", "n_rowgroups", "avg_span_days", "max_span_days")
+        .withColumn("avg_span_days", round(col("avg_span_days"), 2))
+        .orderBy("layout")
+    } finally deleteDir(dir)
+  }
+
   // x04: STREAMING parquet sink — the WAL stream written by a real
   // Structured Streaming query (append mode, checkpointed, exactly-once
   // file commit protocol), then the sink directory read back and
@@ -369,6 +427,7 @@ object SourceSinks {
     "x10_avro_roundtrip" -> x10_avro_roundtrip,
     "x11_compaction" -> x11_compaction,
     "x12_schema_merge" -> x12_schema_merge,
+    "x13_sorted_layout" -> x13_sorted_layout,
     "x02_json_roundtrip" -> x02_json_roundtrip,
     "x03_csv_roundtrip" -> x03_csv_roundtrip,
     "x04_stream_parquet_sink" -> x04_stream_parquet_sink,

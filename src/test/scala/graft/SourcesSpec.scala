@@ -176,6 +176,19 @@ class SourcesSpec extends AnyFunSuite {
     } finally graft.sources.SourceSinks.deleteDir(dir)
   }
 
+  test("x13 sorted layout tightens row-group date spans for skipping") {
+    val rows = graft.sources.SourceSinks.x13_sorted_layout(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(rows.keySet == Set("natural", "sorted"))
+    val (natural, sorted) = (rows("natural"), rows("sorted"))
+    // natural order interleaves dates: spans near the full range;
+    // range-partition + sort: each row group covers a narrow slice
+    assert(sorted._2 < natural._2 / 4,
+      s"sorted avg span ${sorted._2} not ≪ natural ${natural._2}")
+    assert(sorted._3 < natural._3, "sorted max span did not shrink")
+    assert(natural._1 > 0 && sorted._1 > 0)
+  }
+
   test("x10 avro container roundtrips binary, date, and decimal columns") {
     import graft.sources.AvroFiles
     import org.apache.spark.sql.functions._
