@@ -47,17 +47,29 @@ object Metrics {
     s.listenerManager.register(listener)
     try {
       val rows = targets.map { case (name, df) =>
-        val nOut = df.collect().length.toLong
-        val qe = df.queryExecution
-        // the listener bus is async; metrics are final once THIS qe arrives
+        captured.clear()
+        // distributed count — the result cardinality without shipping one
+        // row to the driver (at 100 TB the result of a profiled query can
+        // itself be huge); the count's own executed plan carries the full
+        // child pipeline, so every scan/shuffle counter is still observed
+        val nOut = df.count()
+        // the listener bus is async; metrics are final once the count's
+        // QueryExecution arrives (the only action run since clear())
         val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-        while (!captured.containsKey(qe) && System.nanoTime() < deadline)
-          Thread.sleep(10)
-        require(captured.containsKey(qe), s"listener never observed $name")
+        var qe: QueryExecution = null
+        while (qe == null && System.nanoTime() < deadline) {
+          val it = captured.entrySet().iterator()
+          while (qe == null && it.hasNext) {
+            val e = it.next()
+            if (e.getValue == "count") qe = e.getKey
+          }
+          if (qe == null) Thread.sleep(10)
+        }
+        require(qe != null, s"listener never observed $name")
         val nodes = allNodes(qe.executedPlan)
         val scans = nodes.collect { case f: FileSourceScanExec => f }
         val shuffles = nodes.collect { case e: ShuffleExchangeLike => e }
-        QueryMetrics(name, captured.get(qe), nOut,
+        QueryMetrics(name, "count", nOut,
           scans.flatMap(_.metrics.get("numOutputRows")).map(_.value).sum,
           shuffles.flatMap(_.metrics.get("shuffleRecordsWritten")).map(_.value).sum,
           scans.size.toLong, shuffles.size.toLong)

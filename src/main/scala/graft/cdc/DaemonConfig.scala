@@ -36,17 +36,34 @@ case class DaemonConfig(
 
 object DaemonConfig {
 
-  /** Go-style duration literal → millis ("100ms", "5s", "10m", "1.5h"). */
+  /** Go-style duration literal → millis. Matches time.ParseDuration's
+    * grammar as the reference daemon's flags use it: a SEQUENCE of
+    * value+unit terms ("1h30m", "2m45s500ms"), the full unit set
+    * ns/us(µs)/ms/s/m/h, fractional values ("1.5h"), and the bare "0".
+    * The config stores millis, so sub-ms terms round into the total.
+    */
   def parseDuration(s: String): Long = {
-    val m = "^([0-9]+(?:\\.[0-9]+)?)(ms|s|m|h)$".r.findFirstMatchIn(s.trim)
-      .getOrElse(throw new IllegalArgumentException(s"malformed duration: $s"))
-    val v = m.group(1).toDouble
-    val unit = m.group(2) match {
-      case "ms" => 1L; case "s" => 1000L; case "m" => 60000L; case "h" => 3600000L
-    }
-    // round, don't truncate: 4.35s is 4349.999… in binary fp, and Go's
+    val t = s.trim
+    if (t == "0") return 0L // Go: zero is the one unit-less literal
+    val term = "([0-9]+(?:\\.[0-9]+)?)(ns|us|µs|μs|ms|s|m|h)".r
+    val terms = term.findAllMatchIn(t).toSeq
+    require(terms.nonEmpty && terms.map(_.matched).mkString == t,
+      s"malformed duration: $s")
+    val nanos = terms.map { m =>
+      val v = m.group(1).toDouble
+      val unit = m.group(2) match {
+        case "ns" => 1L
+        case "us" | "µs" | "μs" => 1000L
+        case "ms" => 1000000L
+        case "s" => 1000000000L
+        case "m" => 60L * 1000000000L
+        case "h" => 3600L * 1000000000L
+      }
+      v * unit
+    }.sum
+    // round, don't truncate: 4.35s is 4349.999…ms in binary fp, and Go's
     // time.ParseDuration yields exactly 4350ms
-    math.round(v * unit)
+    math.round(nanos / 1e6)
   }
 
   /** Parse a `--flag value` vector into the config, mirroring the

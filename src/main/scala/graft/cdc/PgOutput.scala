@@ -116,6 +116,10 @@ object PgOutput {
       s
     }
     def bytes(n: Int): Array[Byte] = {
+      // copyOfRange zero-pads past the end — a truncated frame would parse
+      // silently; fail loudly instead (consistent with c28's drain contract)
+      require(n >= 0 && pos + n <= buf.length,
+        s"truncated frame: need $n bytes at offset $pos of ${buf.length}")
       val b = java.util.Arrays.copyOfRange(buf, pos, pos + n); pos += n; b
     }
     def remaining: Int = buf.length - pos

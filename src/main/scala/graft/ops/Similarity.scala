@@ -514,10 +514,16 @@ object Similarity {
       .withColumn("qa", concat(
         transform(col("qe"), x => x.cast("double")), array(lit(0.0))))
       .withColumn("aug_cos", Vec.cosine(col("xa"), col("qa")))
+      // the reduction generates the shortlist (top-50 by augmented cosine —
+      // monotone in ip, so it provably contains the ip top-10); the FINAL
+      // cut orders by the same 6-dp-rounded ip the projection (and the
+      // oracle) uses, so near-boundary fp past 6 dp can't flip the ranking
       .orderBy(col("aug_cos").desc, col("vec_id"))
-      .limit(10)
+      .limit(50)
       .select(col("vec_id"),
         round(Vec.dot(col("embedding"), col("qe")), 6).as("ip"))
+      .orderBy(col("ip").desc, col("vec_id"))
+      .limit(10)
   }
 
   // v11 (rows-only; spec: ≡ v07 exactly): ANN INDEX PERSISTENCE — the

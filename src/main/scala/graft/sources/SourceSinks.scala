@@ -186,15 +186,21 @@ object SourceSinks {
     * reads. Footer-only: no data pages are touched.
     */
   def rowGroupDateSpans(s: SparkSession, dir: Path, dateCol: String): Seq[Int] = {
-    val conf = s.sparkContext.hadoopConfiguration
+    // the driver only LISTS; the footer reads fan out over the executors —
+    // at 100 TB a table is O(10⁵) files and a sequential driver-side footer
+    // sweep is the audit's own bottleneck. Only one int per row group comes
+    // back. (Executors open the local/dfs path with a fresh Configuration.)
     val walk = Files.walk(dir)
     val files = try {
       import scala.jdk.CollectionConverters._
-      walk.iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
+      walk.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toSeq
     } finally walk.close()
-    files.flatMap { p =>
+    val nSlices = math.max(1, math.min(files.length, 32))
+    s.sparkContext.parallelize(files, nSlices).flatMap { p =>
+      val conf = new org.apache.hadoop.conf.Configuration()
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
-        .fromPath(new org.apache.hadoop.fs.Path(p.toString), conf)
+        .fromPath(new org.apache.hadoop.fs.Path(p), conf)
       val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try {
         import scala.jdk.CollectionConverters._
@@ -207,7 +213,7 @@ object SourceSinks {
             st.genericGetMin.asInstanceOf[Integer]
         }
       } finally rd.close()
-    }
+    }.collect().toSeq
   }
 
   // x13 (rows-only; spec: sorted spans ≪ natural spans): SORTED DATA

@@ -319,7 +319,9 @@ object StreamingQueries {
     val dim = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
     val name = s"graft_s12_${System.nanoTime()}"
     val q = stream
-      .withColumn("n_nationkey", pmod(col("user_id"), lit(25)))
+      // sign-preserving % (not pmod) — the oracle's `user_id % 25`; they
+      // agree on the non-negative testdata ids but must also agree by law
+      .withColumn("n_nationkey", col("user_id") % 25)
       .join(broadcast(dim), "n_nationkey")
       .groupBy(col("n_name"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))

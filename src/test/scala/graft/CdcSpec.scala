@@ -639,12 +639,36 @@ class CdcSpec extends AnyFunSuite {
     assert(c.logLevel == "info" && c.prometheusPort == 7779)
     assert(c.pg.publicationName == "creek_publication")
     assert(c.nats.namespace == "CREEK" && c.nats.retention.maxMsgs == -1L)
-    // Go duration forms
+    // Go duration forms — including compound terms and the full unit set,
+    // exactly what time.ParseDuration (the reference's config parser) takes
     assert(DaemonConfig.parseDuration("100ms") == 100L)
     assert(DaemonConfig.parseDuration("24h") == 86400000L)
+    assert(DaemonConfig.parseDuration("1h30m") == 5400000L)
+    assert(DaemonConfig.parseDuration("2m45s500ms") == 165500L)
+    assert(DaemonConfig.parseDuration("1.5h") == 5400000L)
+    assert(DaemonConfig.parseDuration("4.35s") == 4350L)
+    assert(DaemonConfig.parseDuration("1500us") == 2L) // sub-ms rounds
+    assert(DaemonConfig.parseDuration("1500µs") == 2L)
+    assert(DaemonConfig.parseDuration("100ns") == 0L)
+    assert(DaemonConfig.parseDuration("0") == 0L)
     intercept[IllegalArgumentException](DaemonConfig.parseDuration("10"))
+    intercept[IllegalArgumentException](DaemonConfig.parseDuration("1h30"))
+    intercept[IllegalArgumentException](DaemonConfig.parseDuration("5s3x"))
     // a typo'd flag or dangling value must not start the daemon
     intercept[IllegalArgumentException](DaemonConfig.parse(Seq("--tabels", "x")))
     intercept[IllegalArgumentException](DaemonConfig.parse(Seq("--tables")))
+  }
+
+  test("pgoutput reader fails loudly on a truncated frame") {
+    // a length prefix pointing past the buffer must raise, not zero-pad
+    val buf = new PgOutput.W().u32(10L).bytes(Array[Byte](1, 2, 3)).result()
+    val r = new PgOutput.R(buf)
+    val n = r.u32().toInt
+    val e = intercept[IllegalArgumentException](r.bytes(n))
+    assert(e.getMessage.contains("truncated"))
+    // an in-bounds read of the same buffer still succeeds
+    val r2 = new PgOutput.R(buf)
+    r2.u32()
+    assert(r2.bytes(3).toSeq == Seq[Byte](1, 2, 3))
   }
 }

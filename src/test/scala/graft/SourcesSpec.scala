@@ -16,7 +16,7 @@ class SourcesSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[String]("query")).toSet ==
       Set("q01_pricing_agg", "c04_apply_latest", "d01_exact_dedup"))
     rows.foreach { r =>
-      assert(r.getAs[String]("action") == "collect")
+      assert(r.getAs[String]("action") == "count")
       assert(r.getAs[Long]("rows_out") > 0)
       assert(r.getAs[Long]("scan_rows") >= r.getAs[Long]("rows_out"))
       assert(r.getAs[Long]("shuffle_records") > 0)
