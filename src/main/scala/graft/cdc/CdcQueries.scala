@@ -635,12 +635,21 @@ object CdcQueries {
     "c22_pg_type_matrix" -> c22_pg_type_matrix,
     "c23_snapshot_wire_replay" -> c23_snapshot_wire_replay,
     "c24_evolution_decode" -> c24_evolution_decode,
+    "c33_jdbc_source" -> JdbcSource.c33_jdbc_source,
   )
 
   /** Ground truth for c08 AND c23 (the wire trip is lossless, so the
     * snapshot ⊕ WAL merge replayed from decoded messages must hash-match
     * the in-memory merge).
     */
+  /** Ground truth for c04 AND c33 (the JDBC ingest edge lands the same
+    * rows, so its replayed replica must hash-match the direct apply).
+    */
+  private lazy val applyLatestOracle: String =
+    s"""WITH $sqlEnv, $sqlFlat, ${Apply.sqlApply("", "")}
+       |SELECT pk, round(last_value, 2) AS value, last_ord
+       |FROM state WHERE last_op <> 'd' ORDER BY pk""".stripMargin
+
   private lazy val snapshotPlusWalOracle: String =
     s"""WITH $sqlEnv, $sqlFlat,
        |sc AS (SELECT coalesce(max(lsn_long), -1) AS s FROM flat
@@ -683,10 +692,10 @@ object CdcQueries {
          |  ${sqlLsnStr("min(lsn_long)")} AS min_lsn
          |FROM flat WHERE lsn_long > (SELECT from_lsn FROM f)
          |GROUP BY op ORDER BY op""".stripMargin,
-    "c04_apply_latest" ->
-      s"""WITH $sqlEnv, $sqlFlat, ${Apply.sqlApply("", "")}
-         |SELECT pk, round(last_value, 2) AS value, last_ord
-         |FROM state WHERE last_op <> 'd' ORDER BY pk""".stripMargin,
+    "c04_apply_latest" -> applyLatestOracle,
+    // c33 replays the SAME rows through the JDBC edge, so full-replay
+    // equivalence is the contract: its oracle IS c04's
+    "c33_jdbc_source" -> applyLatestOracle,
     "c05_apply_upk" ->
       s"""WITH $sqlEnv, $sqlFlat, ${Apply.sqlApply("", "")}
          |SELECT pk, round(last_value, 2) AS value, last_ord

@@ -1,0 +1,143 @@
+package graft.cdc
+
+import java.nio.file.{Files, Path}
+import java.sql.DriverManager
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** JDBC/Postgres ingest edge — the reference daemon's database side lifted
+  * to Spark's JDBC source against an EMBEDDED Derby database (ships with
+  * the Spark distribution; no network), exercising the exact access
+  * pattern creek runs against live Postgres:
+  *
+  *   - the initial snapshot is a plain `SELECT * FROM schema.table`
+  *     (creek internal/dao/snapshots.go:127) — here issued as a
+  *     PARTITIONED `spark.read.jdbc` scan (partitionColumn/lowerBound/
+  *     upperBound/numPartitions on the WAL position), because at 100 TB a
+  *     single-connection snapshot read is the ingest bottleneck: N
+  *     executors each pull an LSN stripe through their own connection;
+  *   - the tail after the snapshot LSN arrives INCREMENTALLY, as the
+  *     lsn-poll micro-batch loop the daemon's replication stream drives
+  *     (internal/dao/replication.go Next/Stream; daemon wiring
+  *     internal/dao/init.go:91-145): each poll reads only
+  *     `lsn > last_applied` and merges into the evolving replica state
+  *     exactly like c13's streaming apply — state enters the next merge
+  *     as pseudo-inserts at its own ord, so a truncate inside a batch
+  *     still wipes prior state (Apply's ord discipline).
+  *
+  * The replayed result is therefore ≡ c04's full-replay apply on the same
+  * rows, which is what the DuckDB oracle pins.
+  */
+object JdbcSource {
+
+  /** Columns of the WAL changelog table as landed in the database.
+    * Uppercase on the Derby side (unquoted SQL-92 identifiers) so raw
+    * subquery pushdown needs no quoting; renamed back to the envelope's
+    * lowercase on read.
+    */
+  private val walCols = Seq("LSN_LONG", "OP", "PK_BEFORE", "PK_AFTER", "AFTER_VALUE")
+  private val flatCols = Seq("lsn_long", "op", "pk_before", "pk_after", "after_value")
+
+  private def props: Properties = {
+    val p = new Properties()
+    p.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    p
+  }
+
+  /** Land the flat WAL envelope into the embedded DB's WAL table.
+    * Returns (url, min lsn, max lsn). Single-connection write: the load
+    * is fixture setup standing in for the upstream OLTP database, not
+    * the operator under test.
+    */
+  private def loadDb(s: SparkSession, d: String, dir: Path): (String, Long, Long) = {
+    // keep derby.log out of the working tree (read at engine boot)
+    System.setProperty("derby.stream.error.file", s"$dir/derby.log")
+    val url = s"jdbc:derby:$dir/waldb;create=true"
+    val flat = Envelope.flat(Tables.events(s, d))
+      .select(flatCols.map(col): _*)
+      .toDF(walCols: _*)
+    flat.coalesce(1).write
+      .option("createTableColumnTypes", "OP VARCHAR(8)") // default CLOB can't be compared
+      .jdbc(url, "WAL", props)
+    val b = flat.agg(min("LSN_LONG"), max("LSN_LONG")).head()
+    (url, b.getLong(0), b.getLong(1))
+  }
+
+  /** Shut down the embedded database so its files can be deleted. */
+  private def shutdown(url: String): Unit =
+    try DriverManager.getConnection(url.replace(";create=true", ";shutdown=true"))
+    catch { case _: java.sql.SQLException => () } // 08006 = clean shutdown
+
+  private def lower(df: DataFrame): DataFrame = df.toDF(flatCols: _*)
+
+  /** One incremental apply step: current state (tombstones included, as
+    * pseudo half-events at their own ord) merged with a poll batch.
+    * A truncate inside the batch cuts everything below it — state rows'
+    * ords predate the batch, so they fall too, matching full replay.
+    */
+  private def applyBatch(state: DataFrame, batchFlat: DataFrame): DataFrame = {
+    val pseudo = state.select(
+      col("last_ord").as("ord"), col("last_op").as("eff_op"),
+      col("pk"), col("last_value").as("value"))
+    val cut = batchFlat.filter(col("op") === "t")
+      .agg(coalesce(max(col("lsn_long") * 2 + 1), lit(-1L)).as("tmax"))
+    pseudo.union(Apply.halfEvents(batchFlat))
+      .crossJoin(broadcast(cut)).filter(col("ord") > col("tmax"))
+      .groupBy(col("pk"))
+      .agg(
+        max("ord").as("last_ord"),
+        max_by(col("eff_op"), col("ord")).as("last_op"),
+        max_by(col("value"), col("ord")).as("last_value"))
+  }
+
+  /** Run the full ingest edge. Returns (materialized replica result,
+    * #partitions of the snapshot jdbc scan, #poll batches issued) so the
+    * spec can pin the parallel-snapshot and incremental-poll shapes.
+    */
+  def c33run(s: SparkSession, d: String): (DataFrame, Int, Int) = {
+    val dir = Files.createTempDirectory("graft_c33")
+    val (url, minL, maxL) = loadDb(s, d, dir)
+    try {
+      // snapshot cut at the 60% LSN point — deterministic from the data,
+      // leaving a meaningful tail for the poll loop at every sf
+      val snapLsn = minL + (maxL - minL) * 3 / 5
+      // ---- initial snapshot: ONE logical SELECT *, N physical stripes --
+      val snapshot = s.read.jdbc(
+        url, s"(SELECT * FROM WAL WHERE LSN_LONG <= $snapLsn) AS SNAP",
+        "LSN_LONG", minL, snapLsn, 8, props)
+      var state = Apply.state(lower(snapshot))
+      // ---- lsn-poll micro-batch loop: WHERE lsn > last_applied ---------
+      val step = math.max(1L, (maxL - snapLsn + 3) / 4)
+      var from = snapLsn
+      var nBatches = 0
+      while (from < maxL) {
+        val hi = math.min(from + step, maxL)
+        val batch = s.read.jdbc(
+          url, s"(SELECT * FROM WAL WHERE LSN_LONG > $from AND LSN_LONG <= $hi) AS W",
+          props)
+        state = applyBatch(state, lower(batch))
+        from = hi
+        nBatches += 1
+      }
+      val out = state.filter(col("last_op") =!= "d")
+        .select(col("pk"), round(col("last_value"), 2).as("value"), col("last_ord"))
+        .orderBy("pk")
+      // materialize before the database files are deleted
+      val rows = out.collect().toSeq
+      (s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema),
+        snapshot.rdd.getNumPartitions, nBatches)
+    } finally {
+      shutdown(url)
+      graft.sources.SourceSinks.deleteDir(dir)
+    }
+  }
+
+  /** c33 (oracle: ≡ c04 full-replay apply): partitioned JDBC snapshot ⊕
+    * incremental lsn-poll micro-batches, replayed through the apply.
+    */
+  val c33_jdbc_source: (SparkSession, String) => DataFrame =
+    (s, d) => c33run(s, d)._1
+}

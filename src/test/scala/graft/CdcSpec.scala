@@ -659,6 +659,19 @@ class CdcSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](DaemonConfig.parse(Seq("--tables")))
   }
 
+  test("c33 jdbc ingest: 8-way partitioned snapshot + lsn-poll loop ≡ c04") {
+    val (df, nParts, nBatches) = JdbcSource.c33run(spark, sf)
+    // the snapshot is ONE logical SELECT * split into 8 stripe queries —
+    // the connection-parallel read a 100 TB initial sync depends on
+    assert(nParts == 8, s"snapshot jdbc scan has $nParts partitions, want 8")
+    // the tail must actually arrive over multiple poll micro-batches
+    assert(nBatches >= 2, s"poll loop ran once ($nBatches); not incremental")
+    val got = df.collect().map(_.toString).toSeq
+    val want = CdcQueries.c04_apply_latest(spark, sf).collect().map(_.toString).toSeq
+    assert(got == want, s"jdbc replay diverged from direct apply " +
+      s"(got ${got.length} rows, want ${want.length})")
+  }
+
   test("pgoutput reader fails loudly on a truncated frame") {
     // a length prefix pointing past the buffer must raise, not zero-pad
     val buf = new PgOutput.W().u32(10L).bytes(Array[Byte](1, 2, 3)).result()
