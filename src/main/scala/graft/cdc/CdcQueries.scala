@@ -572,6 +572,19 @@ object CdcQueries {
     PgOutput.standbyRoundtrip(flatEnv(s, d)).toDF().orderBy("wal_write")
   }
 
+  // x14: REPLICATION-LAG GAUGES — the consumer-health triple the daemon
+  // exports per keepalive (metrics.go:71-85, fed from the keepalive arm
+  // of the consumer loop, replication.go:219-237): wal-LSN (stream
+  // position), behind-LSN (server head − position, clamped), behind-time
+  // (clock − ServerTime). Planted streams carry real ServerTime in their
+  // keepalives; the oracle recomputes all three gauges from events
+  // (every 97th change per 2048-LSN segment — c31's cadence), so a hash
+  // match pins the keepalive time codec AND the gauge arithmetic.
+  val x14_replication_lag: Q = (s, d) => {
+    implicit val spark: SparkSession = s
+    PgOutput.replicationLag(flatEnv(s, d)).toDF().orderBy("wal_lsn")
+  }
+
   // c32: daemon CONFIG-DRIVEN topic gating — the creekd entry contract:
   // a CLI flag vector (config.go's `cli` tags: nested pg-/nats-/
   // nats-retention- prefixes, Go durations, comma lists) is parsed into
@@ -636,6 +649,7 @@ object CdcQueries {
     "c23_snapshot_wire_replay" -> c23_snapshot_wire_replay,
     "c24_evolution_decode" -> c24_evolution_decode,
     "c33_jdbc_source" -> JdbcSource.c33_jdbc_source,
+    "x14_replication_lag" -> x14_replication_lag,
   )
 
   /** Ground truth for c08 AND c23 (the wire trip is lossless, so the
@@ -860,6 +874,20 @@ object CdcQueries {
          |  lsn_long AS wal_apply, ${sqlLsnStr("lsn_long")} AS lsn_str,
          |  false AS reply_requested
          |FROM seg WHERE rn % 97 = 0 ORDER BY wal_write""".stripMargin,
+    "x14_replication_lag" ->
+      s"""WITH $sqlEnv, $sqlFlat,
+         |nr AS (
+         |  SELECT lsn_long, epoch_us(tx_at) AS t_us,
+         |    row_number() OVER (PARTITION BY lsn_long // 2048
+         |                       ORDER BY lsn_long) AS rn
+         |  FROM flat WHERE op <> 'r'),
+         |head AS (
+         |  SELECT max(lsn_long) AS h_lsn, max(epoch_us(tx_at)) AS h_us
+         |  FROM flat WHERE op <> 'r')
+         |SELECT lsn_long AS wal_lsn, ${sqlLsnStr("lsn_long")} AS wal_lsn_str,
+         |  h_lsn - lsn_long AS behind_lsn,
+         |  (h_us - t_us) // 1000 AS behind_time_ms
+         |FROM nr, head WHERE rn % 97 = 0 ORDER BY wal_lsn""".stripMargin,
     "c25_pgoutput_decode" ->
       s"""WITH $sqlEnv, $sqlFlat
          |SELECT lsn_long, ${sqlLsnStr("lsn_long")} AS lsn_str, op,

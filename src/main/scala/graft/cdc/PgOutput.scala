@@ -191,9 +191,15 @@ object PgOutput {
   def xlog(walStart: Long, body: Array[Byte]): Array[Byte] =
     new W().u8('w').u64(walStart).u64(walStart).u64(0L).bytes(body).result()
 
-  /** Primary keepalive frame 'k': ServerWALEnd, ServerTime, ReplyRequested. */
-  def keepalive(serverWalEnd: Long, reply: Boolean): Array[Byte] =
-    new W().u8('k').u64(serverWalEnd).u64(0L).u8(if (reply) 1 else 0).result()
+  /** Primary keepalive frame 'k': ServerWALEnd, ServerTime, ReplyRequested.
+    * ServerTime is on the wire as micros since the pg epoch (like Begin/
+    * Commit times); the default writes 0 — "time unknown" — keeping every
+    * pre-existing planted stream byte-identical.
+    */
+  def keepalive(serverWalEnd: Long, reply: Boolean,
+      serverTimeUs: Long = PgEpochMicros): Array[Byte] =
+    new W().u8('k').u64(serverWalEnd).u64(serverTimeUs - PgEpochMicros)
+      .u8(if (reply) 1 else 0).result()
 
   /** Standby Status Update 'r' (client→server): WALWrite/Flush/Apply
     * positions, client time, reply-requested — the message the reference
@@ -258,7 +264,9 @@ object PgOutput {
       frame(out, xlog(r.lsn_long, body))
       frame(out, xlog(r.lsn_long, commitMsg(r.lsn_long, r.tx_at_us)))
       n += 1
-      if (n % 97 == 0) frame(out, keepalive(r.lsn_long, reply = keepaliveReply))
+      if (n % 97 == 0)
+        frame(out, keepalive(r.lsn_long, reply = keepaliveReply,
+          serverTimeUs = r.tx_at_us))
     }
     out.toByteArray
   }
@@ -511,5 +519,57 @@ object PgOutput {
     import s.implicits._
     segmented(flat)(rows =>
       decodeReplies(encodeStream(rows, keepaliveReply = true)).iterator)
+  }
+
+  /** One replication-lag observation — the three gauges the reference
+    * exports per keepalive (metrics.go:71-85): wal_lsn (ServerWALEnd),
+    * behind_lsn (server head − stream position, clamped ≥ 0) and
+    * behind_time_ms (consumer clock − ServerTime).
+    */
+  case class LagGauge(wal_lsn: Long, wal_lsn_str: String, behind_lsn: Long,
+    behind_time_ms: Long)
+
+  /** Walk a framed stream and emit the gauge triple at every keepalive,
+    * exactly as the keepalive arm of the consumer loop feeds metrics
+    * (replication.go:219-237): SetWalLSN(ServerWALEnd),
+    * SetBehindLSN(head, ServerWALEnd) with the negative diff clamped,
+    * SetBehindTime(now − ServerTime) in millis. `headLsn`/`headTimeUs`
+    * stand in for GetCurrLSN() / time.Now() — the server's WAL head and
+    * the observation clock, which in the planted world are known exactly.
+    */
+  def lagObservations(bytes: Array[Byte], headLsn: Long,
+      headTimeUs: Long): Seq[LagGauge] = {
+    val out = Seq.newBuilder[LagGauge]
+    val top = new R(bytes)
+    while (top.remaining >= 4) {
+      val len = top.u32().toInt
+      val r = new R(top.bytes(len))
+      r.u8().toChar match {
+        case 'k' =>
+          val serverWalEnd = r.u64()
+          val serverTimeUs = r.i64() + PgEpochMicros
+          out += LagGauge(
+            wal_lsn = serverWalEnd,
+            wal_lsn_str = Lsn.format(serverWalEnd).toString,
+            behind_lsn = math.max(0L, headLsn - serverWalEnd),
+            behind_time_ms = math.max(0L, (headTimeUs - serverTimeUs) / 1000))
+        case _ => () // XLogData advances position but only keepalives
+                     // drive the lag gauges in the reference loop
+      }
+    }
+    out.result()
+  }
+
+  /** Plant + observe: segmented streams (keepalives every 97 messages,
+    * ServerTime = the row's commit time) walked for lag gauges against
+    * the global WAL head — one shuffle, gauges computed per segment.
+    */
+  def replicationLag(flat: DataFrame)(implicit s: SparkSession): Dataset[LagGauge] = {
+    import s.implicits._
+    val head = flat.filter(col("op") =!= "r")
+      .agg(max("lsn_long"), unix_micros(max("tx_at"))).head()
+    val (headLsn, headTimeUs) = (head.getLong(0), head.getLong(1))
+    segmented(flat)(rows =>
+      lagObservations(encodeStream(rows), headLsn, headTimeUs).iterator)
   }
 }

@@ -619,6 +619,38 @@ class CdcSpec extends AnyFunSuite {
       graft.functions.Lsn.format(0x1234ABCDL).toString, reply_requested = true))
   }
 
+  test("x14 replication lag: gauges pinned on a stream with known positions") {
+    import PgOutput._
+    val rel = relationMsg(RelId, "public", "events", eventsCols)
+    val t0 = 1705312000000000L // planted ServerTimes (unix micros)
+    val t1 = 1705312400000000L
+    // server head at LSN 1000; observation clock 2.5 s after t1
+    val (headLsn, nowUs) = (1000L, t1 + 2500000L)
+    val stream = framed(
+      xlog(10L, rel),
+      keepalive(100L, reply = false, serverTimeUs = t0),
+      xlog(600L, beginMsg(600L, PgEpochMicros, 600L)),
+      keepalive(600L, reply = false, serverTimeUs = t1),
+      // a keepalive AHEAD of the recorded head clamps behind to 0
+      keepalive(1200L, reply = false, serverTimeUs = nowUs))
+    val g = lagObservations(stream, headLsn, nowUs)
+    assert(g.map(x => (x.wal_lsn, x.behind_lsn, x.behind_time_ms)) == Seq(
+      (100L, 900L, (nowUs - t0) / 1000),
+      (600L, 400L, 2500L),
+      (1200L, 0L, 0L)))
+    assert(g.head.wal_lsn_str == graft.functions.Lsn.format(100L).toString)
+    // XLogData frames advance position but never emit gauges (reference:
+    // only the keepalive arm calls SetBehind*)
+    assert(lagObservations(framed(xlog(999L, rel)), headLsn, nowUs).isEmpty)
+    // keepalive ServerTime roundtrips through the pg-epoch wire encoding
+    // and the distributed plant produces one gauge row per 97-row cadence
+    val df = CdcQueries.queries("x14_replication_lag")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("behind_lsn") >= 0))
+    assert(rows.forall(_.getAs[Long]("behind_time_ms") >= 0))
+  }
+
   test("c32 daemon config: prefixes, durations, lists, defaults, bad flags") {
     val c = DaemonConfig.parse(Seq(
       "--tables", "public.a, public.b,,public.c",
