@@ -650,6 +650,7 @@ object CdcQueries {
     "c24_evolution_decode" -> c24_evolution_decode,
     "c33_jdbc_source" -> JdbcSource.c33_jdbc_source,
     "x14_replication_lag" -> x14_replication_lag,
+    "c34_retention" -> (Retention.c34_retention),
   )
 
   /** Ground truth for c08 AND c23 (the wire trip is lossless, so the
@@ -874,6 +875,42 @@ object CdcQueries {
          |  lsn_long AS wal_apply, ${sqlLsnStr("lsn_long")} AS lsn_str,
          |  false AS reply_requested
          |FROM seg WHERE rn % 97 = 0 ORDER BY wal_write""".stripMargin,
+    // c34: each retention setting must land on the identical replica —
+    // the oracle computes the three floors (age arithmetic on the publish
+    // clock; msgs/bytes as suffix order statistics), derives the gap flag
+    // against the stale consumer position, and crosses them with the
+    // FULL-replay state: a hash match proves retained-store replay ≡ full
+    // replay for every setting that keeps the snapshot LSN.
+    "c34_retention" ->
+      s"""WITH $sqlEnv, $sqlFlat,
+         |m AS (SELECT min(lsn_long) AS mn, max(lsn_long) AS mx FROM flat),
+         |sc AS (SELECT max(lsn_long) AS s FROM flat
+         |       WHERE tx_at < TIMESTAMP '2024-01-20'),
+         |ob AS (
+         |  SELECT lsn_long,
+         |    row_number() OVER (ORDER BY lsn_long DESC) AS rnd,
+         |    sum(64 + length(op)) OVER (ORDER BY lsn_long DESC) AS cumb
+         |  FROM flat),
+         |floors AS (
+         |  SELECT 'max_age_150m' AS setting,
+         |    (SELECT min(lsn_long) FROM flat
+         |     WHERE lsn_long >= (SELECT mx FROM m) - 9000) AS fl
+         |  UNION ALL
+         |  SELECT 'max_msgs_5000',
+         |    coalesce((SELECT min(lsn_long) FROM ob WHERE rnd <= 5000),
+         |             (SELECT mx + 1 FROM m))
+         |  UNION ALL
+         |  SELECT 'max_bytes_400k',
+         |    coalesce((SELECT min(lsn_long) FROM ob WHERE cumb <= 400000),
+         |             (SELECT mx + 1 FROM m))),
+         |${Apply.sqlApply("", "")}
+         |SELECT f.setting,
+         |  f.fl > (SELECT s FROM sc) // 2 + 1 AS gap_detected,
+         |  st.pk, st.value
+         |FROM floors f CROSS JOIN (
+         |  SELECT pk, round(last_value, 2) AS value
+         |  FROM state WHERE last_op <> 'd') st
+         |ORDER BY setting, pk""".stripMargin,
     "x14_replication_lag" ->
       s"""WITH $sqlEnv, $sqlFlat,
          |nr AS (

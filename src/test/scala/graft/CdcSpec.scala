@@ -704,6 +704,39 @@ class CdcSpec extends AnyFunSuite {
       s"(got ${got.length} rows, want ${want.length})")
   }
 
+  test("c34 retention: exact floors, gap detection, replay equivalence") {
+    // pinned floors on a planted dense 100-message store
+    val store = spark.range(1, 101).select(col("id").as("lsn_long"),
+      lit("c").as("op"), lit(null).cast("long").as("pk_before"),
+      col("id").as("pk_after"), lit(1.0).as("after_value"))
+    assert(Retention.ageFloor(store, 10) == 90L)
+    assert(Retention.suffixFloor(store, lit(1L), 30) == 71L)
+    // 65 bytes/message (op 'c'): budget 200 keeps exactly 3
+    assert(Retention.suffixFloor(store, Retention.sizeBytes, 200) == 98L)
+    // budget below one message: nothing retained → floor = max + 1
+    assert(Retention.suffixFloor(store, Retention.sizeBytes, 64) == 101L)
+    // range ≫ cell count: the refinement loop actually narrows
+    val big = spark.range(1, 10001)
+      .select(col("id").as("lsn_long"), lit("c").as("op"))
+    assert(Retention.suffixFloor(big, lit(1L), 5000) == 5001L)
+    // resume-after-expiry: consumer parked at 40, floor 71 → its position
+    // expired; fallback from snapshot cut 80 ⊕ retained WAL ≡ full replay
+    assert(71L > 40L + 1) // the c19 continuity check fires
+    val fb = Retention.resumeReplay(store, retainedFloor = 71L, from = 80L)
+      .orderBy("pk").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(fb.length == 100 && fb.head == ((1L, 1.0)) && fb.last == ((100L, 1.0)))
+    // end-to-end: every setting lands on the identical replica (≡ c04)
+    val rows = CdcQueries.queries("c34_retention")(spark, sf).collect()
+    val bySetting = rows.groupBy(_.getString(0))
+    assert(bySetting.keySet ==
+      Set("max_age_150m", "max_msgs_5000", "max_bytes_400k"))
+    val want = CdcQueries.c04_apply_latest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    bySetting.values.foreach { g =>
+      assert(g.map(r => (r.getLong(2), r.getDouble(3))).toSeq == want)
+    }
+  }
+
   test("pgoutput reader fails loudly on a truncated frame") {
     // a length prefix pointing past the buffer must raise, not zero-pad
     val buf = new PgOutput.W().u32(10L).bytes(Array[Byte](1, 2, 3)).result()
