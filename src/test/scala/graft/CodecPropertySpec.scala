@@ -2,7 +2,7 @@ package graft
 
 import org.scalacheck.{Gen, Prop, Properties}
 import org.apache.spark.unsafe.types.UTF8String
-import graft.cdc.{Chunking, PgOutput, StandbyReply}
+import graft.cdc.{Chunking, PgOutput, PgoDecoded, PgoRow, StandbyReply}
 import graft.functions.Lsn
 
 /** Property-based checks for the driver-side codec primitives — the byte
@@ -64,5 +64,112 @@ object CodecPropertySpec extends Properties("codecs") {
   property("timestamptz format∘parse = id over four digit years") =
     Prop.forAll(Gen.choose(0L, 250000000000000000L)) { (us: Long) =>
       PgOutput.parseTsTz(PgOutput.formatTsTz(us)) == us
+    }
+
+  // -- whole-stream pgoutput codec --------------------------------------
+  // Random op sequences (ops, nullable values, pk moves, truncates)
+  // through encodeStream∘decodeStream, compared against the planted-row
+  // MODEL of what the consumer loop must emit — the property-sweep twin
+  // of c25's testdata oracle.
+
+  private val genValue: Gen[Option[Double]] = Gen.frequency(
+    (1, Gen.const(None)),
+    (5, Gen.choose(-1e12, 1e12).map(v => Some(v)))) // finite: text decode is total
+
+  private val genRows: Gen[Seq[PgoRow]] = for {
+    n <- Gen.chooseNum(1, 120)
+    specs <- Gen.listOfN(n, for {
+      op <- Gen.frequency((4, "c"), (4, "u"), (2, "u_pk"), (2, "d"), (1, "t"))
+      pk <- Gen.choose(0L, 1000000L)
+      pkNew <- Gen.choose(0L, 1000000L)
+      ts <- Gen.choose(1000000000000000L, 2000000000000000L)
+      v <- genValue
+    } yield (op, pk, pkNew, ts, v))
+  } yield specs.zipWithIndex.map { case ((op, pk, pkNew, ts, v), i) =>
+    val lsn = (i + 1).toLong * 3 // strictly increasing, u32-safe
+    PgoRow(lsn, op, ts, pk,
+      pk_before = if (op == "u_pk" || op == "d") Some(pk) else None,
+      pk_after = op match {
+        case "c" | "u" => Some(pk)
+        case "u_pk" => Some(pkNew)
+        case _ => None
+      },
+      after_value = if (op == "d" || op == "t") None else v)
+  }
+
+  /** The consumer-loop model: what decodeStream must emit for one planted
+    * row (c25's oracle semantics — plain u derives its before image from
+    * the NEW tuple's key, u_pk/d carry key-only old tuples, t has no
+    * images; every after image carries the commit ts column).
+    */
+  private def model(r: PgoRow): PgoDecoded = {
+    val hasAfter = r.pk_after.isDefined
+    PgoDecoded(
+      lsn_long = r.lsn_long, lsn_str = Lsn.format(r.lsn_long).toString,
+      op = r.op, tx_id = r.lsn_long, tx_at_us = r.tx_at_us,
+      schema_name = "public", table_name = "events",
+      pk_before = r.op match {
+        case "u" => r.pk_after // key of the new tuple
+        case "u_pk" | "d" => r.pk_before
+        case _ => None
+      },
+      n_before_cols = if (r.op == "u" || r.op == "u_pk" || r.op == "d") Some(1) else None,
+      pk_after = r.pk_after,
+      after_value = if (hasAfter) r.after_value else None,
+      after_ts_us = if (hasAfter) Some(r.tx_at_us) else None)
+  }
+
+  property("encodeStream∘decodeStream = planted-row model over random ops") =
+    Prop.forAll(genRows) { rows =>
+      PgOutput.decodeStream(PgOutput.encodeStream(rows)) == rows.map(model)
+    }
+
+  property("keepalive placement is invariant for rows, exact for gauges") =
+    Prop.forAll(genRows, Gen.chooseNum(1L, 1000L), Gen.chooseNum(0L, 5000000L)) {
+      (rows, headSlack, clockSkewUs) =>
+        import PgOutput._
+        // interleave a STALE keepalive after EVERY message (worst-case
+        // placement vs the every-97 production cadence): a keepalive whose
+        // ServerWALEnd does not lead the stream must never perturb the
+        // decoded rows (an AHEAD one legitimately advances CurrentLSN —
+        // pinned separately in CdcSpec's monotonicity test)
+        val rel = relationMsg(RelId, "public", "events", eventsCols)
+        val plain = encodeStream(rows)
+        val dense = {
+          val out = new java.io.ByteArrayOutputStream()
+          val top = new R(plain)
+          while (top.remaining >= 4) {
+            val len = top.u32().toInt
+            val msg = top.bytes(len)
+            out.write(framed(msg))
+            out.write(framed(keepalive(0L, reply = false,
+              serverTimeUs = rows.head.tx_at_us)))
+          }
+          out.toByteArray
+        }
+        val sameRows = decodeStream(dense) == decodeStream(plain)
+        // gauges: one observation per planted keepalive, clamped at zero
+        val head = rows.last.lsn_long + headSlack
+        val now = rows.head.tx_at_us + clockSkewUs
+        val gauges = lagObservations(framed(
+          rel,
+          keepalive(head - 1, reply = false, serverTimeUs = rows.head.tx_at_us),
+          keepalive(head + 7, reply = false, serverTimeUs = now)), head, now)
+        val gaugesOk = gauges == Seq(
+          LagGauge(head - 1, Lsn.format(head - 1).toString, 1L, clockSkewUs / 1000),
+          LagGauge(head + 7, Lsn.format(head + 7).toString, 0L, 0L))
+        sameRows && gaugesOk
+    }
+
+  property("truncating a stream yields a decoded prefix or fails loudly") =
+    Prop.forAll(genRows, Gen.chooseNum(0.0, 1.0)) { (rows, frac) =>
+      val bytes = PgOutput.encodeStream(rows)
+      val cut = (bytes.length * frac).toInt
+      val full = PgOutput.decodeStream(bytes)
+      scala.util.Try(PgOutput.decodeStream(bytes.take(cut))) match {
+        case scala.util.Success(prefix) => full.startsWith(prefix)
+        case scala.util.Failure(_: IllegalArgumentException) => true // loud
+        case scala.util.Failure(_) => false
+      }
     }
 }
