@@ -530,6 +530,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("m04 PNG lane: a real PNG roundtrip decodes the exact planted pixels") {
+    // the codec pass is real: javax.imageio deflate/inflate + filtering,
+    // not a byte-grid stub — lossless, so pixels == plant exactly
+    val payload = Array.tabulate(37)(i => (i * 7 + 3).toByte)
+    val (w, h) = (7, 6)
+    val png = ops.Multimodal.encodePng(payload, w, h)
+    assert(png.take(8).sameElements(ops.Multimodal.Magics("image/png")),
+      "encoded bytes don't carry the real PNG signature")
+    assert(!png.sameElements(payload), "no codec ran")
+    val (pix, pw, ph) = ops.Multimodal.decodePng(png)
+    assert(pw == w && ph == h)
+    val expected = Array.tabulate(w * h)(i =>
+      if (i < payload.length) payload(i) else 0.toByte)
+    assert(pix.sameElements(expected), "decoded pixels diverge from plant")
+    // non-image bytes must fail loudly, not decode as garbage
+    intercept[IllegalArgumentException](
+      ops.Multimodal.decodePng("not a png".getBytes("UTF-8")))
+  }
+
   test("m03 frame sampling covers every doc with correct geometry") {
     val frames = ops.Multimodal.m03_frame_sample(spark, sf).collect()
     val sizes = ops.Multimodal.mediaRecords(spark, sf).collect()
