@@ -604,7 +604,103 @@ object Similarity {
       .limit(10)
   }
 
+  // v13 (rows-only; spec: ≡ v12 on the same predicate, exact scores,
+  // codes-only probe scan plan-asserted): THE SERVING LANE — the full
+  // vector-store read path as one composition: the index PERSISTED as
+  // tables (v11), the probe scan reading only PQ CODES (v09's ADC), the
+  // metadata predicate applied BEFORE scoring inside widened probes
+  // (v12), and full-precision floats touched only by the shortlist
+  // re-rank (v08). A fresh consumer answers the query from the reloaded
+  // artifacts alone. Shortlist width 64 covers the filtered candidate
+  // pool at the verified scales; production tunes it to the recall
+  // target exactly like nprobe.
+  def v13run(s: SparkSession, d: String): (DataFrame, Seq[String], Long) = {
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_v13")
+    try {
+      // ---- index build (batch job): IVF cells + PQ codes, persisted ----
+      val (_, cents) = kmeansTrain(s, d)
+      val books = pqTrain(s, d)
+      cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid").coalesce(1)
+        .write.parquet(s"$dir/centroids")
+      books.zipWithIndex.flatMap { case (cb, m) =>
+        cb.zipWithIndex.map { case (c, k) => (m, k, c.toSeq, c.map(x => x * x).sum) }
+      }.toSeq.toDF("m", "code", "cent", "cn2").coalesce(1)
+        .write.parquet(s"$dir/codebooks")
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding"))
+      pqCodes(e.select(col("vec_id"), col("embedding")), books)
+        .groupBy(col("vec_id"))
+        .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+          x => x.getField("code")).as("codes"))
+        .join(assignCells(e.select(col("vec_id"), col("embedding")), cents)
+          .select("vec_id", "cell"), "vec_id")
+        .join(e.select(col("vec_id"), col("label")), "vec_id")
+        .select("vec_id", "cell", "label", "codes")
+        .write.parquet(s"$dir/vectors")
+      // ---- fresh consumer: persisted artifacts ONLY -------------------
+      val loadedCents = s.read.parquet(s"$dir/centroids").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1).map(_._2)
+      val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding")).collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        dp / math.sqrt(na * nb)
+      }
+      // v12's widened probes: the predicate shrinks each cell, probe 5
+      val probes = loadedCents.zipWithIndex.map { case (c, i) => (cos(c, q), i) }
+        .sortBy { case (cc, i) => (-cc, i) }.take(5).map(_._2).toSeq
+      // ADC LUT from the PERSISTED codebooks (M×K rows — broadcast size)
+      val nSub = s.read.parquet(s"$dir/codebooks")
+        .agg(max("m")).head().getInt(0) + 1
+      val dsub = q.length / nSub
+      val lut = s.read.parquet(s"$dir/codebooks").collect().map { r =>
+        val (m, k) = (r.getInt(0), r.getInt(1))
+        val c = r.getSeq[Double](2).toArray
+        val qs = q.slice(m * dsub, (m + 1) * dsub)
+        (m, k, qs.zip(c).map(p => p._1 * p._2).sum, r.getDouble(3))
+      }.toSeq.toDF("m", "code", "qdot", "cn2")
+      val qn = math.sqrt(q.map(x => x * x).sum)
+      // the probe scan: persisted codes only — filter BEFORE scoring
+      val pool = s.read.parquet(s"$dir/vectors")
+        .filter(col("cell").isin(probes: _*) && col("vec_id") =!= 0 &&
+          col("label") % 3 === 1)
+        .select(col("vec_id"), posexplode(col("codes")))
+        .withColumnRenamed("pos", "m").withColumnRenamed("col", "code")
+        .join(broadcast(lut), Seq("m", "code"))
+        .groupBy(col("vec_id"))
+        .agg(sum("qdot").as("sdot"), sum("cn2").as("sn2"))
+        .withColumn("approx_cos", col("sdot") / (lit(qn) * sqrt(col("sn2"))))
+        .orderBy(col("approx_cos").desc, col("vec_id"))
+        .limit(64)
+      val poolRows = pool.collect().toSeq
+      // plan evidence for the spec: every scan feeding the pool reads
+      // codes/metadata — never the float embedding column
+      val poolScanCols = graft.Metrics.allNodes(pool.queryExecution.executedPlan)
+        .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        .flatMap(_.schema.fieldNames)
+      val cand64 = s.createDataFrame(
+        s.sparkContext.parallelize(poolRows, 1), pool.schema)
+      // exact re-rank: floats random-accessed for ≤64 rows only
+      val out = e.join(broadcast(cand64.select("vec_id")), "vec_id")
+        .crossJoin(broadcast(queryVec(s, d)))
+        .select(col("vec_id"), col("label"),
+          round(Vec.cosine(col("embedding"), col("qe")), 6).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+      val rows = out.collect().toSeq
+      (s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema),
+        poolScanCols, poolRows.length.toLong)
+    } finally graft.sources.SourceSinks.deleteDir(dir)
+  }
+
+  val v13_ann_serving: Q = (s, d) => v13run(s, d)._1
+
   val queries: Map[String, Q] = Map(
+    "v13_ann_serving" -> v13_ann_serving,
     "v12_filtered_knn" -> v12_filtered_knn,
     "v09_product_quantization" -> v09_product_quantization,
     "v10_mips" -> v10_mips,

@@ -530,6 +530,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("v13 serving lane: persisted index, codes-only probe scan, ≡ v12") {
+    val (df, poolScanCols, nPool) = Similarity.v13run(spark, sf)
+    // the ADC probe never touches the float column: every file scan
+    // feeding the shortlist reads codes + metadata only
+    assert(poolScanCols.nonEmpty && poolScanCols.contains("codes"))
+    assert(!poolScanCols.contains("embedding"),
+      s"probe scan read embeddings: $poolScanCols")
+    assert(nPool <= 64)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getAs[Number]("label").longValue, r.getDouble(2))).toSeq
+    // predicate holds on every answer
+    assert(got.forall { case (_, label, _) => label % 3 == 1 })
+    // same probes + same predicate + exact re-rank ⇒ identical to v12's
+    // exact-scored filtered ANN (the shortlist covers the filtered
+    // candidates at this scale)
+    val want = Similarity.v12_filtered_knn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Number]("label").longValue, r.getDouble(2))).toSeq
+    assert(got == want, s"serving lane diverged:\n got=$got\nwant=$want")
+  }
+
   test("m04 PNG lane: a real PNG roundtrip decodes the exact planted pixels") {
     // the codec pass is real: javax.imageio deflate/inflate + filtering,
     // not a byte-grid stub — lossless, so pixels == plant exactly
