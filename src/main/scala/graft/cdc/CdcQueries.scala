@@ -533,8 +533,31 @@ object CdcQueries {
   // single (tbl, pk) aggregation yields all replica states. Same
   // shuffle-once discipline as c04, keyed by (table, pk).
   val c30_multi_table_apply: Q = (s, d) => {
-    val f2 = flatEnv(s, d)
-      .withColumn("tbl", concat(lit("t"), (col("user_id") % 4).cast("string")))
+    multiTableApply(flatEnv(s, d)
+      .withColumn("tbl", concat(lit("t"), (col("user_id") % 4).cast("string"))))
+  }
+
+  // c35: multi-table pgoutput END-TO-END — c25's interleaved-relations
+  // byte-stream decode composed with c30's one-pass multi-table apply:
+  // the planted wire stream registers each table's Relation lazily on
+  // first use (live relations-map dispatch), truncates carry only their
+  // own relation id, and the decoded envelope rows — table identity from
+  // the WIRE, not from user_id — replay to every replica in one (tbl,
+  // pk) aggregation. The oracle is c30's: a hash match proves the
+  // multi-relation decode loses nothing the apply needs.
+  val c35_multi_table_stream: Q = (s, d) => {
+    implicit val spark: SparkSession = s
+    val decoded = PgOutput.multiRoundtrip(flatEnv(s, d)).toDF()
+    multiTableApply(decoded.select(
+      col("table_name").as("tbl"), col("lsn_long"), col("op"),
+      col("pk_before"), col("pk_after"), col("after_value")))
+  }
+
+  /** One-pass multi-table apply over a flat stream carrying `tbl`:
+    * half-events keep their table, truncates cut only their own table
+    * (per-table broadcast cuts), one (tbl, pk) aggregation total.
+    */
+  private def multiTableApply(f2: DataFrame): DataFrame = {
     val primary = f2.filter(col("op") =!= "t").select(col("tbl"),
       (col("lsn_long") * 2).as("ord"),
       when(col("op") === "u_pk", "d").otherwise(col("op")).as("eff_op"),
@@ -651,6 +674,7 @@ object CdcQueries {
     "c33_jdbc_source" -> JdbcSource.c33_jdbc_source,
     "x14_replication_lag" -> x14_replication_lag,
     "c34_retention" -> (Retention.c34_retention),
+    "c35_multi_table_stream" -> c35_multi_table_stream,
   )
 
   /** Ground truth for c08 AND c23 (the wire trip is lossless, so the
@@ -664,6 +688,36 @@ object CdcQueries {
     s"""WITH $sqlEnv, $sqlFlat, ${Apply.sqlApply("", "")}
        |SELECT pk, round(last_value, 2) AS value, last_ord
        |FROM state WHERE last_op <> 'd' ORDER BY pk""".stripMargin
+
+  /** Ground truth for c30 AND c35 (the wire trip is lossless per table,
+    * so the multi-relation decode replayed must hash-match the direct
+    * multi-table apply). c35's stream carries no snapshot 'r' ops —
+    * pgoutput never does — so its variant filters them from the input.
+    */
+  private def multiTableOracle(where: String): String =
+    s"""WITH $sqlEnv, $sqlFlat,
+       |f2 AS (SELECT *, 't' || (user_id % 4)::VARCHAR AS tbl FROM flat $where),
+       |mhalf AS (
+       |  SELECT tbl, lsn_long * 2 AS ord,
+       |    CASE WHEN op = 'u_pk' THEN 'd' ELSE op END AS eff_op,
+       |    CASE WHEN op IN ('d','u_pk') THEN pk_before ELSE pk_after END AS pk,
+       |    CASE WHEN op IN ('d','u_pk') THEN NULL ELSE after_value END AS value
+       |  FROM f2 WHERE op <> 't'
+       |  UNION ALL
+       |  SELECT tbl, lsn_long * 2 + 1, 'c', pk_after, after_value
+       |  FROM f2 WHERE op = 'u_pk'),
+       |mcut AS (
+       |  SELECT tbl, max(lsn_long * 2 + 1) AS tmax FROM f2
+       |  WHERE op = 't' GROUP BY tbl),
+       |mlive AS (
+       |  SELECT h.* FROM mhalf h LEFT JOIN mcut c ON h.tbl = c.tbl
+       |  WHERE h.ord > coalesce(c.tmax, -1)),
+       |mstate AS (
+       |  SELECT tbl, pk, max(ord) AS last_ord,
+       |    max_by(eff_op, ord) AS last_op, max_by(value, ord) AS last_value
+       |  FROM mlive GROUP BY 1, 2)
+       |SELECT tbl, pk, round(last_value, 2) AS value, last_ord
+       |FROM mstate WHERE last_op <> 'd' ORDER BY tbl, pk""".stripMargin
 
   private lazy val snapshotPlusWalOracle: String =
     s"""WITH $sqlEnv, $sqlFlat,
@@ -734,30 +788,10 @@ object CdcQueries {
     "c23_snapshot_wire_replay" -> snapshotPlusWalOracle,
     "c26_snapshot_producer_protocol" -> snapshotPlusWalOracle,
     "c29_snapshot_request" -> snapshotPlusWalOracle,
-    "c30_multi_table_apply" ->
-      s"""WITH $sqlEnv, $sqlFlat,
-         |f2 AS (SELECT *, 't' || (user_id % 4)::VARCHAR AS tbl FROM flat),
-         |mhalf AS (
-         |  SELECT tbl, lsn_long * 2 AS ord,
-         |    CASE WHEN op = 'u_pk' THEN 'd' ELSE op END AS eff_op,
-         |    CASE WHEN op IN ('d','u_pk') THEN pk_before ELSE pk_after END AS pk,
-         |    CASE WHEN op IN ('d','u_pk') THEN NULL ELSE after_value END AS value
-         |  FROM f2 WHERE op <> 't'
-         |  UNION ALL
-         |  SELECT tbl, lsn_long * 2 + 1, 'c', pk_after, after_value
-         |  FROM f2 WHERE op = 'u_pk'),
-         |mcut AS (
-         |  SELECT tbl, max(lsn_long * 2 + 1) AS tmax FROM f2
-         |  WHERE op = 't' GROUP BY tbl),
-         |mlive AS (
-         |  SELECT h.* FROM mhalf h LEFT JOIN mcut c ON h.tbl = c.tbl
-         |  WHERE h.ord > coalesce(c.tmax, -1)),
-         |mstate AS (
-         |  SELECT tbl, pk, max(ord) AS last_ord,
-         |    max_by(eff_op, ord) AS last_op, max_by(value, ord) AS last_value
-         |  FROM mlive GROUP BY 1, 2)
-         |SELECT tbl, pk, round(last_value, 2) AS value, last_ord
-         |FROM mstate WHERE last_op <> 'd' ORDER BY tbl, pk""".stripMargin,
+    // c35 replays the SAME rows through the multi-table wire stream, so
+    // its oracle is c30's over the pgoutput-carriable ops (no 'r')
+    "c30_multi_table_apply" -> multiTableOracle(""),
+    "c35_multi_table_stream" -> multiTableOracle("WHERE op <> 'r'"),
     "c27_publication_routing" -> Publication.oracle,
     "c28_chunk_recovery" ->
       s"""WITH $sqlEnv, $sqlFlat

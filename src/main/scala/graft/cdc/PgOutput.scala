@@ -245,28 +245,62 @@ object PgOutput {
       require(r.lsn_long <= 0xFFFFFFFFL,
         s"planted xid = lsn ${r.lsn_long} exceeds the u32 pgoutput Xid")
       frame(out, xlog(r.lsn_long, beginMsg(r.lsn_long, r.tx_at_us, r.lsn_long)))
-      val newTuple = r.pk_after.map { pk =>
-        Seq[Cell](TextCell(pk.toString),
-          r.after_value.map(v => TextCell(v.toString): Cell).getOrElse(NullCell),
-          TextCell(formatTsTz(r.tx_at_us)))
-      }
-      val body = r.op match {
-        case "c" => insertMsg(RelId, newTuple.get)
-        case "u" => updateMsg(RelId, None, newTuple.get)
-        case "u_pk" =>
-          val oldKey = Seq[Cell](TextCell(r.pk_before.get.toString), NullCell, NullCell)
-          updateMsg(RelId, Some(('K', oldKey)), newTuple.get)
-        case "d" =>
-          deleteMsg(RelId, 'K', Seq(TextCell(r.pk_before.get.toString), NullCell, NullCell))
-        case "t" => truncateMsg(Seq(RelId))
-        case other => throw new IllegalArgumentException(s"not a pgoutput op: $other")
-      }
-      frame(out, xlog(r.lsn_long, body))
+      frame(out, xlog(r.lsn_long, bodyFor(r, RelId)))
       frame(out, xlog(r.lsn_long, commitMsg(r.lsn_long, r.tx_at_us)))
       n += 1
       if (n % 97 == 0)
         frame(out, keepalive(r.lsn_long, reply = keepaliveReply,
           serverTimeUs = r.tx_at_us))
+    }
+    out.toByteArray
+  }
+
+  /** The pgoutput body for one planted change, against a given relation. */
+  private def bodyFor(r: PgoRow, relId: Int): Array[Byte] = {
+    val newTuple = r.pk_after.map { pk =>
+      Seq[Cell](TextCell(pk.toString),
+        r.after_value.map(v => TextCell(v.toString): Cell).getOrElse(NullCell),
+        TextCell(formatTsTz(r.tx_at_us)))
+    }
+    r.op match {
+      case "c" => insertMsg(relId, newTuple.get)
+      case "u" => updateMsg(relId, None, newTuple.get)
+      case "u_pk" =>
+        val oldKey = Seq[Cell](TextCell(r.pk_before.get.toString), NullCell, NullCell)
+        updateMsg(relId, Some(('K', oldKey)), newTuple.get)
+      case "d" =>
+        deleteMsg(relId, 'K', Seq(TextCell(r.pk_before.get.toString), NullCell, NullCell))
+      case "t" => truncateMsg(Seq(relId))
+      case other => throw new IllegalArgumentException(s"not a pgoutput op: $other")
+    }
+  }
+
+  /** Plant a MULTI-TABLE stream: rows route to `t{user_id % 4}` (the c18/
+    * c30 sharding); each table's Relation message is emitted lazily on
+    * FIRST use, interleaved with data frames — exactly how a pg session
+    * registers relations — so the consumer's relations map is exercised
+    * with live dispatch, and a truncate cuts only its own relation.
+    */
+  def encodeMultiStream(rows: Seq[PgoRow]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(rows.length * 96 + 1024)
+    var registered = Set.empty[Int]
+    var n = 0
+    rows.foreach { r =>
+      require(r.lsn_long <= 0xFFFFFFFFL,
+        s"planted xid = lsn ${r.lsn_long} exceeds the u32 pgoutput Xid")
+      val shard = (r.user_id % 4).toInt
+      val relId = RelId + shard
+      if (!registered(shard)) {
+        frame(out, xlog(r.lsn_long,
+          relationMsg(relId, "public", s"t$shard", eventsCols)))
+        registered += shard
+      }
+      frame(out, xlog(r.lsn_long, beginMsg(r.lsn_long, r.tx_at_us, r.lsn_long)))
+      frame(out, xlog(r.lsn_long, bodyFor(r, relId)))
+      frame(out, xlog(r.lsn_long, commitMsg(r.lsn_long, r.tx_at_us)))
+      n += 1
+      if (n % 97 == 0)
+        frame(out, keepalive(r.lsn_long, reply = false, serverTimeUs = r.tx_at_us))
     }
     out.toByteArray
   }
@@ -509,6 +543,14 @@ object PgOutput {
   def roundtrip(flat: DataFrame)(implicit s: SparkSession): Dataset[PgoDecoded] = {
     import s.implicits._
     segmented(flat)(rows => decodeStream(encodeStream(rows)).iterator)
+  }
+
+  /** Plant + decode the multi-table stream (one shuffle, per-segment
+    * self-contained streams with interleaved relation registration).
+    */
+  def multiRoundtrip(flat: DataFrame)(implicit s: SparkSession): Dataset[PgoDecoded] = {
+    import s.implicits._
+    segmented(flat)(rows => decodeStream(encodeMultiStream(rows)).iterator)
   }
 
   /** Plant + reply: the same segmented streams with reply-requesting

@@ -704,6 +704,28 @@ class CdcSpec extends AnyFunSuite {
       s"(got ${got.length} rows, want ${want.length})")
   }
 
+  test("c35 multi-table stream: lazy relation registration, per-table truncate") {
+    import PgOutput._
+    // two shards (user_id%4: 0 → t0, 1 → t1), truncate on t0 only; the
+    // t1 relation registers mid-stream, first time t1 data appears
+    val rows = Seq(
+      PgoRow(10L, "c", PgEpochMicros + 1, 0L, None, Some(0L), Some(1.0)),
+      PgoRow(11L, "c", PgEpochMicros + 2, 1L, None, Some(1L), Some(2.0)),
+      PgoRow(12L, "t", PgEpochMicros + 3, 0L, None, None, None),
+      PgoRow(13L, "c", PgEpochMicros + 4, 4L, None, Some(4L), Some(3.0)))
+    val dec = decodeStream(encodeMultiStream(rows))
+    assert(dec.map(r => (r.lsn_long, r.op, r.table_name)) == Seq(
+      (10L, "c", "t0"), (11L, "c", "t1"), (12L, "t", "t0"), (13L, "c", "t0")))
+    // the truncate message carries ONLY t0's relation id
+    assert(dec.filter(_.op == "t").map(_.table_name) == Seq("t0"))
+    // end-to-end at sf: table identity comes from the wire; every table's
+    // replica materializes, and t-truncates never leak across tables
+    val got = CdcQueries.queries("c35_multi_table_stream")(spark, sf).collect()
+    assert(got.nonEmpty)
+    assert(got.map(_.getString(0)).distinct.sorted.sameElements(
+      Array("t0", "t1", "t2", "t3")))
+  }
+
   test("c34 retention: exact floors, gap detection, replay equivalence") {
     // pinned floors on a planted dense 100-message store
     val store = spark.range(1, 101).select(col("id").as("lsn_long"),
