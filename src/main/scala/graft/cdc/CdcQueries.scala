@@ -675,6 +675,7 @@ object CdcQueries {
     "x14_replication_lag" -> x14_replication_lag,
     "c34_retention" -> (Retention.c34_retention),
     "c35_multi_table_stream" -> c35_multi_table_stream,
+    "c36_incremental_view" -> (ViewMaintenance.c36_incremental_view),
   )
 
   /** Ground truth for c08 AND c23 (the wire trip is lossless, so the
@@ -792,6 +793,15 @@ object CdcQueries {
     // its oracle is c30's over the pgoutput-carriable ops (no 'r')
     "c30_multi_table_apply" -> multiTableOracle(""),
     "c35_multi_table_stream" -> multiTableOracle("WHERE op <> 'r'"),
+    // c36: the delta-maintained view must equal the same GROUP BY
+    // recomputed over the fully-replayed replica — cents are integers,
+    // so any drift in the incremental ± accumulation breaks the hash
+    "c36_incremental_view" ->
+      s"""WITH $sqlEnv, $sqlFlat, ${Apply.sqlApply("", "")}
+         |SELECT pk % 10 AS grp, count(*)::BIGINT AS n_rows,
+         |  sum(CAST(round(last_value * 100) AS BIGINT))::BIGINT AS sum_cents
+         |FROM state WHERE last_op <> 'd'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "c27_publication_routing" -> Publication.oracle,
     "c28_chunk_recovery" ->
       s"""WITH $sqlEnv, $sqlFlat

@@ -704,6 +704,28 @@ class CdcSpec extends AnyFunSuite {
       s"(got ${got.length} rows, want ${want.length})")
   }
 
+  test("c36 incremental view: delta-only maintenance ≡ recompute") {
+    var log = Vector.empty[(Boolean, Long)]
+    val df = ViewMaintenance.c36run(spark, sf,
+      onBatch = (inv, t) => log :+= ((inv, t)))
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the delta-maintained view equals the GROUP BY recomputed over the
+    // fully-replayed replica — integer cents, so exact equality
+    val want = ViewMaintenance.viewOf(
+        Apply.latest(Envelope.flat(graft.Tables.events(spark, sf)))
+          .select(col("pk"), col("last_value")))
+      .orderBy("grp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.sameElements(want), s"view drifted:\n got=${got.toSeq}\nwant=${want.toSeq}")
+    // incremental discipline: batch 1 bootstraps (and carries this sf's
+    // only truncate); every later batch takes the delta path, touching
+    // a bounded, non-empty key set — never rebuilding from the replica
+    assert(log.length == 4)
+    assert(log.head._1, "bootstrap batch must build the view")
+    assert(log.tail.forall(!_._1), s"a later batch rebuilt the view: $log")
+    assert(log.tail.forall(_._2 > 0))
+  }
+
   test("c35 multi-table stream: lazy relation registration, per-table truncate") {
     import PgOutput._
     // two shards (user_id%4: 0 → t0, 1 → t1), truncate on t0 only; the
