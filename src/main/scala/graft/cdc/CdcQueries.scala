@@ -676,6 +676,7 @@ object CdcQueries {
     "c34_retention" -> (Retention.c34_retention),
     "c35_multi_table_stream" -> c35_multi_table_stream,
     "c36_incremental_view" -> (ViewMaintenance.c36_incremental_view),
+    "s14_streaming_view" -> (ViewMaintenance.s14_streaming_view),
   )
 
   /** Ground truth for c08 AND c23 (the wire trip is lossless, so the
@@ -719,6 +720,18 @@ object CdcQueries {
        |  FROM mlive GROUP BY 1, 2)
        |SELECT tbl, pk, round(last_value, 2) AS value, last_ord
        |FROM mstate WHERE last_op <> 'd' ORDER BY tbl, pk""".stripMargin
+
+  /** Ground truth for c36 AND s14: the delta-maintained view must equal
+    * the same GROUP BY recomputed over the fully-replayed replica —
+    * cents are integers, so any drift in the incremental ± accumulation
+    * breaks the hash.
+    */
+  private lazy val incrementalViewOracle: String =
+    s"""WITH $sqlEnv, $sqlFlat, ${Apply.sqlApply("", "")}
+       |SELECT pk % 10 AS grp, count(*)::BIGINT AS n_rows,
+       |  sum(CAST(round(last_value * 100) AS BIGINT))::BIGINT AS sum_cents
+       |FROM state WHERE last_op <> 'd'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   private lazy val snapshotPlusWalOracle: String =
     s"""WITH $sqlEnv, $sqlFlat,
@@ -796,12 +809,9 @@ object CdcQueries {
     // c36: the delta-maintained view must equal the same GROUP BY
     // recomputed over the fully-replayed replica — cents are integers,
     // so any drift in the incremental ± accumulation breaks the hash
-    "c36_incremental_view" ->
-      s"""WITH $sqlEnv, $sqlFlat, ${Apply.sqlApply("", "")}
-         |SELECT pk % 10 AS grp, count(*)::BIGINT AS n_rows,
-         |  sum(CAST(round(last_value * 100) AS BIGINT))::BIGINT AS sum_cents
-         |FROM state WHERE last_op <> 'd'
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "c36_incremental_view" -> incrementalViewOracle,
+    // s14 runs the same engine under foreachBatch on the same rows
+    "s14_streaming_view" -> incrementalViewOracle,
     "c27_publication_routing" -> Publication.oracle,
     "c28_chunk_recovery" ->
       s"""WITH $sqlEnv, $sqlFlat

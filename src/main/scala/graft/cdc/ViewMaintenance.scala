@@ -51,24 +51,18 @@ object ViewMaintenance {
       .select(col("pk"), col("last_ord"), col("last_value"))
   }
 
-  /** Drive the view over the WAL in `nChunks` poll batches. `onBatch`
-    * receives (invalidated, touchedKeys) per batch so the spec can pin
-    * the incremental discipline: delta batches touch only their own
-    * keys; only truncate-carrying batches (and the bootstrap) rebuild.
+  /** The engine: carries (state, view) across batches as checkpointed
+    * tables — what a production IVM job persists between runs. Shared by
+    * c36 (batch poll loop) and s14 (Structured Streaming foreachBatch).
+    * Batches MUST arrive in ascending WAL order (the resume contract any
+    * CDC consumer already holds); `onBatch` reports (invalidated,
+    * touchedKeys) so specs can pin the incremental discipline.
     */
-  def c36run(s: SparkSession, d: String, nChunks: Int = 4,
-      onBatch: (Boolean, Long) => Unit = (_, _) => ()): DataFrame = {
-    val flat = Envelope.flat(Tables.events(s, d))
-      .select("lsn_long", "op", "pk_before", "pk_after", "after_value")
-    val b = flat.agg(min("lsn_long"), max("lsn_long")).head()
-    val (mn, mx) = (b.getLong(0), b.getLong(1))
-    val step = math.max(1L, (mx - mn + nChunks) / nChunks)
-    var state: DataFrame = null
-    var view: DataFrame = null
-    var lo = mn - 1
-    while (lo < mx) {
-      val hi = math.min(lo + step, mx)
-      val chunk = flat.filter(col("lsn_long") > lo && col("lsn_long") <= hi)
+  final class IncrementalView(onBatch: (Boolean, Long) => Unit = (_, _) => ()) {
+    private[cdc] var state: DataFrame = null
+    private[cdc] var view: DataFrame = null
+
+    def advance(chunk: DataFrame): Unit = {
       val tmax = chunk.filter(col("op") === "t")
         .agg(coalesce(max(col("lsn_long") * 2 + 1), lit(-1L))).head().getLong(0)
       val half = Apply.halfEvents(chunk)
@@ -97,11 +91,86 @@ object ViewMaintenance {
           .union(newT).localCheckpoint()
         onBatch(false, touched.count())
       }
+    }
+
+    /** The maintained view (groups that netted to zero rows drop out,
+      * matching the recompute's GROUP BY).
+      */
+    def current: DataFrame = view.filter(col("n_rows") > 0).orderBy("grp")
+  }
+
+  private def walFlat(s: SparkSession, d: String): DataFrame =
+    Envelope.flat(Tables.events(s, d))
+      .select("lsn_long", "op", "pk_before", "pk_after", "after_value")
+
+  /** Drive the view over the WAL in `nChunks` poll batches. */
+  def c36run(s: SparkSession, d: String, nChunks: Int = 4,
+      onBatch: (Boolean, Long) => Unit = (_, _) => ()): DataFrame = {
+    val flat = walFlat(s, d)
+    val b = flat.agg(min("lsn_long"), max("lsn_long")).head()
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    val step = math.max(1L, (mx - mn + nChunks) / nChunks)
+    val engine = new IncrementalView(onBatch)
+    var lo = mn - 1
+    while (lo < mx) {
+      val hi = math.min(lo + step, mx)
+      engine.advance(flat.filter(col("lsn_long") > lo && col("lsn_long") <= hi))
       lo = hi
     }
-    view.filter(col("n_rows") > 0).orderBy("grp")
+    engine.current
   }
 
   /** c36 (oracle: view ≡ GROUP BY over the fully-replayed replica). */
   val c36_incremental_view: Q = (s, d) => c36run(s, d)
+
+  // s14: the SAME engine as a Structured Streaming job — the WAL lands
+  // as per-batch files (ascending LSN ranges, d11's explicit-arrival
+  // plan: each file lands only after the previous micro-batch drains,
+  // since mtime ordering is not a file-source contract) and foreachBatch
+  // advances the checkpointed (state, view) pair. The final view must
+  // hash-match c36's oracle: streaming adds nothing the batch loop
+  // didn't already prove.
+  def streamingView(s: SparkSession, d: String, nChunks: Int = 4): DataFrame = {
+    val flat = walFlat(s, d).persist()
+    val dir = java.nio.file.Files.createTempDirectory("graft_s14_")
+    try {
+      val b = flat.agg(min("lsn_long"), max("lsn_long")).head()
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val step = math.max(1L, (mx - mn + nChunks) / nChunks)
+      def land(i: Int): Unit = {
+        val lo = mn - 1 + i * step
+        val sub = java.nio.file.Files.createTempDirectory(s"graft_s14_w$i")
+        try {
+          flat.filter(col("lsn_long") > lo &&
+              col("lsn_long") <= math.min(lo + step, mx))
+            .coalesce(1).write.mode("overwrite").parquet(sub.toString)
+          val listing = java.nio.file.Files.list(sub)
+          val parquet = try {
+            import scala.jdk.CollectionConverters._
+            listing.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+          } finally listing.close()
+          java.nio.file.Files.move(parquet, dir.resolve(f"batch_$i%02d.parquet"))
+        } finally graft.sources.SourceSinks.deleteDir(sub)
+      }
+      val engine = new IncrementalView()
+      val stream = s.readStream.schema(flat.schema).parquet(dir.toString)
+      val onMicroBatch: (DataFrame, Long) => Unit =
+        (batchDf, _) => if (!batchDf.isEmpty) engine.advance(batchDf)
+      val q = stream.writeStream.outputMode("append")
+        .foreachBatch(onMicroBatch)
+        .queryName(s"graft_s14_${System.nanoTime()}").start()
+      try {
+        var i = 0
+        while (mn - 1 + i * step < mx) { land(i); q.processAllAvailable(); i += 1 }
+      } finally q.stop()
+      val rows = engine.current.collect().toSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        engine.current.schema)
+    } finally {
+      graft.sources.SourceSinks.deleteDir(dir)
+      flat.unpersist()
+    }
+  }
+
+  val s14_streaming_view: Q = (s, d) => streamingView(s, d)
 }

@@ -726,6 +726,15 @@ class CdcSpec extends AnyFunSuite {
     assert(log.tail.forall(_._2 > 0))
   }
 
+  test("s14 streaming view ≡ batch c36 ≡ recompute") {
+    val streamed = ViewMaintenance.s14_streaming_view(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val batch = ViewMaintenance.c36run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(streamed.sameElements(batch),
+      s"foreachBatch diverged from the poll loop:\n s=${streamed.toSeq}\n b=${batch.toSeq}")
+  }
+
   test("c35 multi-table stream: lazy relation registration, per-table truncate") {
     import PgOutput._
     // two shards (user_id%4: 0 → t0, 1 → t1), truncate on t0 only; the
