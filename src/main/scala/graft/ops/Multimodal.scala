@@ -138,24 +138,100 @@ object Multimodal {
     h
   }
 
+  /** Encode a sequence of 256-byte frames (16×16 grayscale grids,
+    * zero-padded) as a REAL animated GIF via the JDK's multi-frame
+    * writer — the fixture container the video lane demuxes.
+    */
+  def encodeGif(frames: Seq[Array[Byte]], w: Int = 16, h: Int = 16): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { f =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var i = 0
+        while (i < w * h) {
+          raster.setSample(i % w, i / w, 0, if (i < f.length) f(i) & 0xFF else 0)
+          i += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** REAL container demux via the JDK's multi-frame GIF reader: one
+    * row-major grayscale byte array per frame, in stream order. The
+    * grayscale palette roundtrips 8-bit values losslessly, so decoded
+    * pixels equal the planted frame bytes exactly.
+    */
+  def demuxGif(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    try {
+      reader.setInput(iis)
+      (0 until reader.getNumImages(true)).map { i =>
+        val img = reader.read(i)
+        val (w, h) = (img.getWidth, img.getHeight)
+        val out = new Array[Byte](w * h)
+        var p = 0
+        // getRGB is color-model-aware: indexed GIF pixels come back as
+        // their palette color, not the palette index
+        while (p < out.length) {
+          out(p) = (img.getRGB(p % w, p / w) & 0xFF).toByte; p += 1
+        }
+        out
+      }
+    } finally { reader.dispose(); iis.close() }
+  }
+
   // m03 (rows-only): frame sampling — split each binary payload into
   // fixed-size frames, keep every 4th (the video frame-sampling shape:
-  // flatMap one payload → ordered frame rows, decode stubbed as a
-  // content hash). mapPartitions so a real demuxer would init once per
-  // partition; output is exactly what a downstream embed step consumes.
+  // flatMap one payload → ordered frame rows). The VIDEO lane runs a
+  // REAL demux: its frames round through an animated GIF (the JDK's one
+  // true multi-frame container codec) and the content hash is computed
+  // over the DECODED frame pixels — lossless, so identical to the
+  // planted bytes; other lanes keep the byte-window stub. mapPartitions
+  // keeps the one-demuxer-init-per-partition shape; output is exactly
+  // what a downstream embed step consumes.
   val m03_frame_sample: Q = (s, d) => {
     import s.implicits._
     mediaRecords(s, d)
-      .mapPartitions(_.flatMap { r =>
-        val n = r.payload.length
-        Iterator.range(0, (n + FrameLen - 1) / FrameLen)
-          .filter(_ % SampleEvery == 0)
-          .map { seq =>
-            val off = seq * FrameLen
-            val len = math.min(FrameLen, n - off)
-            MediaFrame(r.doc_id, seq, off, len, fnvBytes(r.payload, off, off + len))
-          }
-      })
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { r =>
+          val n = r.payload.length
+          val nFrames = (n + FrameLen - 1) / FrameLen
+          val decoded: Int => Array[Byte] =
+            if (r.content_type == "video/mp4") {
+              val slices = (0 until nFrames).map { seq =>
+                java.util.Arrays.copyOfRange(r.payload, seq * FrameLen,
+                  math.min((seq + 1) * FrameLen, n))
+              }
+              val frames = demuxGif(encodeGif(slices))
+              require(frames.length == nFrames,
+                s"demux returned ${frames.length} of $nFrames frames")
+              frames
+            } else { seq =>
+              java.util.Arrays.copyOfRange(r.payload, seq * FrameLen,
+                math.min((seq + 1) * FrameLen, n))
+            }
+          Iterator.range(0, nFrames)
+            .filter(_ % SampleEvery == 0)
+            .map { seq =>
+              val off = seq * FrameLen
+              val len = math.min(FrameLen, n - off)
+              MediaFrame(r.doc_id, seq, off, len,
+                fnvBytes(decoded(seq), 0, len))
+            }
+        }
+      }
       .toDF()
       .orderBy("doc_id", "frame_seq")
   }

@@ -569,6 +569,25 @@ class PipelineSpec extends AnyFunSuite {
       ops.Multimodal.decodePng("not a png".getBytes("UTF-8")))
   }
 
+  test("m03 video lane: animated-GIF demux returns the exact planted frames") {
+    // three frames of distinct deterministic bytes through the REAL
+    // multi-frame codec: encode → demux must be pixel-exact per frame
+    val frames = Seq(
+      Array.tabulate(256)(i => i.toByte),
+      Array.tabulate(256)(i => (255 - i).toByte),
+      Array.tabulate(100)(i => (i * 3 + 7).toByte)) // short last frame
+    val gif = ops.Multimodal.encodeGif(frames)
+    assert(gif.take(6).map(_.toChar).mkString.startsWith("GIF8"),
+      "encoded bytes don't carry the real GIF signature")
+    val out = ops.Multimodal.demuxGif(gif)
+    assert(out.length == 3)
+    assert(out(0).sameElements(frames(0)))
+    assert(out(1).sameElements(frames(1)))
+    // the short frame comes back zero-padded to the full grid
+    assert(out(2).take(100).sameElements(frames(2)))
+    assert(out(2).drop(100).forall(_ == 0))
+  }
+
   test("m03 frame sampling covers every doc with correct geometry") {
     val frames = ops.Multimodal.m03_frame_sample(spark, sf).collect()
     val sizes = ops.Multimodal.mediaRecords(spark, sf).collect()
