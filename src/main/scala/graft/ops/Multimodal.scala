@@ -101,16 +101,39 @@ object Multimodal {
       hist.map(h => math.rint(h / n * 10000) / 10000))
   }
 
+  /** Per-record features: the PNG lane histograms REAL decoded pixels
+    * (the planted grid round through javax.imageio — m04's codec pass);
+    * every other content type keeps the declared byte-histogram stub.
+    */
+  def decodeFeatures(r: MediaRecord): MediaFeatures = {
+    if (r.content_type == "image/png") {
+      val n = r.payload.length
+      val w = math.ceil(math.sqrt(n.toDouble)).toInt.max(1)
+      val h = (n + w - 1) / w
+      val (pix, _, _) = decodePng(encodePng(r.payload, w, h))
+      val magic = Magics(r.content_type)
+      val hist = new Array[Double](8)
+      pix.foreach(b => hist((b & 0xFF) % 8) += 1.0)
+      MediaFeatures(r.doc_id, r.content_type, n,
+        magic_ok = r.payload.take(magic.length).sameElements(magic),
+        feat = hist.map(x => math.rint(x / pix.length * 10000) / 10000))
+    } else stubDecode(r)
+  }
+
   // m02 (rows-only): partition-batched feature extraction over binary
-  // payloads — mapPartitions so a real decoder would amortize model/codec
-  // init per partition, exactly as a Pandas-UDF/mapInPandas batch would.
+  // payloads — mapPartitions so the codec init amortizes per partition,
+  // exactly as a Pandas-UDF/mapInPandas batch would; the PNG lane's
+  // features come from REAL decoded pixels (decodeFeatures).
   // The fixed-width feature vector is unnested to scalar columns f0..f7 in
   // the output (array columns aren't sortable in the driver's rows check;
   // a downstream consumer would keep the array form).
   val m02_feature_extract: Q = (s, d) => {
     import s.implicits._
     val feats = mediaRecords(s, d)
-      .mapPartitions(_.map(stubDecode))
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map(decodeFeatures)
+      }
       .toDF()
     feats.select(col("doc_id") +: col("content_type") +: col("payload_len") +:
         col("magic_ok") +: (0 until 8).map(i => col("feat")(i).as(s"f$i")): _*)

@@ -465,6 +465,20 @@ class PipelineSpec extends AnyFunSuite {
     }
     val again = ops.Multimodal.m02_feature_extract(spark, sf).collect()
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+    // the PNG lane's features come from REAL decoded pixels: equal to the
+    // histogram of the zero-padded planted grid (PNG is lossless)
+    val png = ops.MediaRecord(42L, "image/png",
+      ops.Multimodal.Magics("image/png") ++ Array.tabulate(29)(i => (i * 11).toByte))
+    val got = ops.Multimodal.decodeFeatures(png)
+    assert(got.magic_ok && got.payload_len == png.payload.length)
+    val w = math.ceil(math.sqrt(png.payload.length.toDouble)).toInt
+    val h = (png.payload.length + w - 1) / w
+    val grid = Array.tabulate(w * h)(i =>
+      if (i < png.payload.length) png.payload(i) else 0.toByte)
+    val hist = new Array[Double](8)
+    grid.foreach(b => hist((b & 0xFF) % 8) += 1.0)
+    val want = hist.map(x => math.rint(x / grid.length * 10000) / 10000)
+    assert(got.feat.sameElements(want))
   }
 
   test("v04 knn-join recall against exact top-3 neighbors") {
