@@ -135,8 +135,13 @@ object Retention {
       // message must be the consumer's next LSN, else data was expired
       val gapDetected = floor > applied + 1
       // gap ⇒ the consumer's position is unservable: fall back to the
-      // snapshot store (cut S) ⊕ the retained WAL after S
-      val from = if (gapDetected) sVal else applied
+      // snapshot store (cut S) ⊕ the retained WAL after S. If retention
+      // has expired past even the newest STORED snapshot (floor > S+1),
+      // the consumer requests a FRESH snapshot at the floor (c29's
+      // request path) — the snapshot producer reads the live table, so
+      // its cut always covers the evicted range. Without this, replay
+      // silently loses the (S, floor) window.
+      val from = if (gapDetected) math.max(sVal, floor - 1) else applied
       resumeReplay(flat, floor, from)
         .select(lit(name).as("setting"), lit(gapDetected).as("gap_detected"),
           col("pk"), col("value"))

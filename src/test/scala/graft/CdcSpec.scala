@@ -778,6 +778,12 @@ class CdcSpec extends AnyFunSuite {
     val fb = Retention.resumeReplay(store, retainedFloor = 71L, from = 80L)
       .orderBy("pk").collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(fb.length == 100 && fb.head == ((1L, 1.0)) && fb.last == ((100L, 1.0)))
+    // retention expired past even the stored snapshot (floor 95 > 80+1):
+    // the consumer takes a FRESH snapshot at the floor; replay still ≡ full
+    val fresh = Retention.resumeReplay(store, retainedFloor = 95L, from = 94L)
+      .orderBy("pk").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(fresh.sameElements(fb),
+      "fresh-snapshot fallback diverged from full replay")
     // end-to-end: every setting lands on the identical replica (≡ c04)
     val rows = CdcQueries.queries("c34_retention")(spark, sf).collect()
     val bySetting = rows.groupBy(_.getString(0))
