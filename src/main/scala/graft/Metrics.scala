@@ -48,24 +48,21 @@ object Metrics {
     try {
       val rows = targets.map { case (name, df) =>
         captured.clear()
-        // distributed count — the result cardinality without shipping one
-        // row to the driver (at 100 TB the result of a profiled query can
-        // itself be huge); the count's own executed plan carries the full
-        // child pipeline, so every scan/shuffle counter is still observed
-        val nOut = df.count()
-        // the listener bus is async; metrics are final once the count's
-        // QueryExecution arrives (the only action run since clear())
+        // a single global-count row — the result cardinality without
+        // shipping result rows to the driver (at 100 TB the profiled
+        // query's own result can be huge); the count's executed plan still
+        // carries the full child pipeline, so every scan/shuffle counter
+        // is observed. collect() runs on THIS dataset's QueryExecution, so
+        // the listener wait below matches by object identity — a stale
+        // event from an earlier action on the async bus cannot be
+        // misattributed the way a funcName scan could.
+        val cnt = df.groupBy().count()
+        val qe = cnt.queryExecution
+        val nOut = cnt.collect().head.getLong(0)
         val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-        var qe: QueryExecution = null
-        while (qe == null && System.nanoTime() < deadline) {
-          val it = captured.entrySet().iterator()
-          while (qe == null && it.hasNext) {
-            val e = it.next()
-            if (e.getValue == "count") qe = e.getKey
-          }
-          if (qe == null) Thread.sleep(10)
-        }
-        require(qe != null, s"listener never observed $name")
+        while (!captured.containsKey(qe) && System.nanoTime() < deadline)
+          Thread.sleep(10)
+        require(captured.containsKey(qe), s"listener never observed $name")
         val nodes = allNodes(qe.executedPlan)
         val scans = nodes.collect { case f: FileSourceScanExec => f }
         val shuffles = nodes.collect { case e: ShuffleExchangeLike => e }

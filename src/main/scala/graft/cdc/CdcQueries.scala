@@ -938,7 +938,7 @@ object CdcQueries {
     "c34_retention" ->
       s"""WITH $sqlEnv, $sqlFlat,
          |m AS (SELECT min(lsn_long) AS mn, max(lsn_long) AS mx FROM flat),
-         |sc AS (SELECT max(lsn_long) AS s FROM flat
+         |sc AS (SELECT coalesce(max(lsn_long), -1) AS s FROM flat
          |       WHERE tx_at < TIMESTAMP '2024-01-20'),
          |ob AS (
          |  SELECT lsn_long,
@@ -959,7 +959,7 @@ object CdcQueries {
          |             (SELECT mx + 1 FROM m))),
          |${Apply.sqlApply("", "")}
          |SELECT f.setting,
-         |  f.fl > (SELECT s FROM sc) // 2 + 1 AS gap_detected,
+         |  f.fl > greatest((SELECT s FROM sc), 0) // 2 + 1 AS gap_detected,
          |  st.pk, st.value
          |FROM floors f CROSS JOIN (
          |  SELECT pk, round(last_value, 2) AS value

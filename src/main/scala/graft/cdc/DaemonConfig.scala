@@ -37,15 +37,21 @@ case class DaemonConfig(
 object DaemonConfig {
 
   /** Go-style duration literal → millis. Matches time.ParseDuration's
-    * grammar as the reference daemon's flags use it: a SEQUENCE of
-    * value+unit terms ("1h30m", "2m45s500ms"), the full unit set
-    * ns/us(µs)/ms/s/m/h, fractional values ("1.5h"), and the bare "0".
-    * The config stores millis, so sub-ms terms round into the total.
+    * grammar as the reference daemon's flags use it: an optional leading
+    * sign ("-1.5h", "+2s"), a SEQUENCE of value+unit terms ("1h30m",
+    * "2m45s500ms"), the full unit set ns/us(µs)/ms/s/m/h, fractional
+    * values in Go's three decimal shapes ("1.5h", ".5s", "1.h"), and the
+    * bare (signed) "0". The config stores millis, so sub-ms terms round
+    * into the total.
     */
   def parseDuration(s: String): Long = {
-    val t = s.trim
+    val t0 = s.trim
+    val (sign, t) =
+      if (t0.startsWith("-")) (-1L, t0.drop(1))
+      else if (t0.startsWith("+")) (1L, t0.drop(1))
+      else (1L, t0)
     if (t == "0") return 0L // Go: zero is the one unit-less literal
-    val term = "([0-9]+(?:\\.[0-9]+)?)(ns|us|µs|μs|ms|s|m|h)".r
+    val term = "([0-9]*\\.[0-9]+|[0-9]+(?:\\.[0-9]*)?)(ns|us|µs|μs|ms|s|m|h)".r
     val terms = term.findAllMatchIn(t).toSeq
     require(terms.nonEmpty && terms.map(_.matched).mkString == t,
       s"malformed duration: $s")
@@ -63,7 +69,7 @@ object DaemonConfig {
     }.sum
     // round, don't truncate: 4.35s is 4349.999…ms in binary fp, and Go's
     // time.ParseDuration yields exactly 4350ms
-    math.round(nanos / 1e6)
+    sign * math.round(nanos / 1e6)
   }
 
   /** Parse a `--flag value` vector into the config, mirroring the

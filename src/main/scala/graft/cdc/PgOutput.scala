@@ -193,8 +193,10 @@ object PgOutput {
 
   /** Primary keepalive frame 'k': ServerWALEnd, ServerTime, ReplyRequested.
     * ServerTime is on the wire as micros since the pg epoch (like Begin/
-    * Commit times); the default writes 0 — "time unknown" — keeping every
-    * pre-existing planted stream byte-identical.
+    * Commit times); the default writes 0 — "time unknown" — for callers
+    * that omit serverTimeUs. encodeStream deliberately passes the commit
+    * clock (r.tx_at_us) instead, so its planted keepalives carry a real
+    * ServerTime for the x14 lag gauges; decoders accept both.
     */
   def keepalive(serverWalEnd: Long, reply: Boolean,
       serverTimeUs: Long = PgEpochMicros): Array[Byte] =

@@ -121,7 +121,10 @@ object Retention {
       .select("lsn_long", "op", "pk_before", "pk_after", "after_value", "tx_at")
     val sVal = flat.filter(col("tx_at") < lit("2024-01-20").cast("timestamp"))
       .agg(coalesce(max("lsn_long"), lit(-1L)).as("s")).head().getLong(0)
-    val applied = sVal / 2 // the stale consumer's durable position
+    // the stale consumer's durable position; clamped to ≥0 before halving
+    // so Scala truncation and the oracle's DuckDB floor-division (`//`)
+    // agree even on the empty-prefix sentinel sVal = -1
+    val applied = math.max(sVal, 0L) / 2
     val retention = (flags: Seq[String]) => DaemonConfig.parse(flags).nats.retention
     val settings = Seq(
       ("max_age_150m",

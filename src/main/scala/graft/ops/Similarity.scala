@@ -502,7 +502,7 @@ object Similarity {
   val v10_mips: Q = (s, d) => {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val phi2 = e.agg(max(Vec.dot(col("embedding"), col("embedding"))).as("phi2"))
-    e.filter(col("vec_id") =!= 0)
+    val scored = e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(queryVec(s, d)))
       .crossJoin(broadcast(phi2))
       // the explicit augmentation: x' = [x, sqrt(φ²−|x|²)], q' = [q, 0]
@@ -514,14 +514,20 @@ object Similarity {
       .withColumn("qa", concat(
         transform(col("qe"), x => x.cast("double")), array(lit(0.0))))
       .withColumn("aug_cos", Vec.cosine(col("xa"), col("qa")))
-      // the reduction generates the shortlist (top-50 by augmented cosine —
-      // monotone in ip, so it provably contains the ip top-10); the FINAL
-      // cut orders by the same 6-dp-rounded ip the projection (and the
-      // oracle) uses, so near-boundary fp past 6 dp can't flip the ranking
-      .orderBy(col("aug_cos").desc, col("vec_id"))
-      .limit(50)
-      .select(col("vec_id"),
-        round(Vec.dot(col("embedding"), col("qe")), 6).as("ip"))
+      .withColumn("ip", round(Vec.dot(col("embedding"), col("qe")), 6))
+    // the reduction generates the shortlist (top-50 by augmented cosine —
+    // monotone in ip, so it provably contains the ip top-10). The FINAL
+    // cut ranks by the same 6-dp-rounded ip the oracle orders by — and
+    // because rounding can tie a row OUTSIDE the shortlist with one
+    // inside (where the oracle's vec_id tiebreak would then prefer it),
+    // the candidate set is widened to every row whose rounded ip reaches
+    // the shortlist's floor: any row the oracle could place in its top-10
+    // has rounded ip ≥ the 10th's ≥ that floor, so no tie can flip a row.
+    val ipFloor = scored.orderBy(col("aug_cos").desc, col("vec_id")).limit(50)
+      .agg(min("ip").as("ip_floor"))
+    scored.crossJoin(broadcast(ipFloor))
+      .filter(col("ip") >= col("ip_floor"))
+      .select(col("vec_id"), col("ip"))
       .orderBy(col("ip").desc, col("vec_id"))
       .limit(10)
   }

@@ -683,6 +683,12 @@ class CdcSpec extends AnyFunSuite {
     assert(DaemonConfig.parseDuration("1500µs") == 2L)
     assert(DaemonConfig.parseDuration("100ns") == 0L)
     assert(DaemonConfig.parseDuration("0") == 0L)
+    // sign + Go's three decimal shapes (DecimalDigits ["." [digits]] | "." digits)
+    assert(DaemonConfig.parseDuration("-1.5h") == -5400000L)
+    assert(DaemonConfig.parseDuration("+2s") == 2000L)
+    assert(DaemonConfig.parseDuration(".5s") == 500L)
+    assert(DaemonConfig.parseDuration("1.s") == 1000L)
+    assert(DaemonConfig.parseDuration("-0") == 0L)
     intercept[IllegalArgumentException](DaemonConfig.parseDuration("10"))
     intercept[IllegalArgumentException](DaemonConfig.parseDuration("1h30"))
     intercept[IllegalArgumentException](DaemonConfig.parseDuration("5s3x"))
