@@ -124,10 +124,14 @@ object JdbcSource {
       }
       val out = state.filter(col("last_op") =!= "d")
         .select(col("pk"), round(col("last_value"), 2).as("value"), col("last_ord"))
-        .orderBy("pk")
-      // materialize before the database files are deleted
-      val rows = out.collect().toSeq
-      (s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema),
+      // materialize DISTRIBUTED — executors write the replica to parquet
+      // and the returned plan scans it back (at 100 TB the replica never
+      // fits on the driver, so a collect() here would be the lane's
+      // scale-killer). The parquet dir must outlive this call (the result
+      // is lazy), so only the database dir is deleted in the finally.
+      val pdir = Files.createTempDirectory("graft_c33_replica")
+      out.write.mode("overwrite").parquet(s"$pdir/replica")
+      (s.read.parquet(s"$pdir/replica").orderBy("pk"),
         snapshot.rdd.getNumPartitions, nBatches)
     } finally {
       shutdown(url)

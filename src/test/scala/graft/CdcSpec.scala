@@ -704,6 +704,17 @@ class CdcSpec extends AnyFunSuite {
     assert(nParts == 8, s"snapshot jdbc scan has $nParts partitions, want 8")
     // the tail must actually arrive over multiple poll micro-batches
     assert(nBatches >= 2, s"poll loop ran once ($nBatches); not incremental")
+    // the materialized replica must come back as a FILE scan — a
+    // LocalTableScan / ExistingRDD here would mean the lane collected the
+    // full replica through the driver (the 100 TB scale-killer)
+    val nodes = Metrics.allNodes(df.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.FileSourceScanExec]),
+      s"replica not file-backed:\n${df.queryExecution.executedPlan}")
+    assert(!nodes.exists(n =>
+      n.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec] ||
+      n.isInstanceOf[org.apache.spark.sql.execution.RDDScanExec]),
+      s"replica passed through the driver:\n${df.queryExecution.executedPlan}")
     val got = df.collect().map(_.toString).toSeq
     val want = CdcQueries.c04_apply_latest(spark, sf).collect().map(_.toString).toSeq
     assert(got == want, s"jdbc replay diverged from direct apply " +
