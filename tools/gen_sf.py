@@ -1,0 +1,218 @@
+#!/usr/bin/env python3
+"""Deterministic sf-scaled testdata generator (dev tooling, NOT library code).
+
+Usage: python3 tools/gen_sf.py <sf> <outDir>     e.g. gen_sf.py 1 testdata/sf1
+
+Replicates the driver-generated tables' observed schema and distributions
+(studied from /root/testdata/sf0.001-0.1) at a larger scale factor, so the
+CORRECTNESS protocol and bench can be exercised beyond sf0.1. The protocol
+is self-consistent (Spark and DuckDB read the SAME parquet), so exact
+driver-RNG reproduction is not required — but every distribution shape the
+operators' constants depend on is preserved:
+
+  region/nation     fixed 5/25 rows (TPC-H style)
+  customer          sf*150k, acctbal U(-1000,10000) 2dp, 5 mktsegments,
+                    nationkey U(0,24), name Customer#%09d
+  supplier          sf*10k, same style
+  part              sf*200k, name adj+noun (8x8), Brand#1..25, 6 types,
+                    size U(1,50), retailprice = 900 + (partkey % 1000)/10
+  orders            sf*1.5M, status/priority uniform, totalprice
+                    U(1000,500000) 2dp, orderdate day-uniform 1995..2001-08
+  lineitem          Poisson(4) lines per order (mean 4 => ~sf*6M),
+                    partkey/suppkey uniform, qty U{1..50}, extendedprice
+                    U(900,105000) 2dp, discount {0..0.10}, tax {0..0.08},
+                    returnflag A/N/R, linestatus O/F, shipdate day-uniform
+                    1995-01-02..2001-11-04 (independent of orderdate)
+  events            sf*1M rows over a FIXED 30-day window starting
+                    2024-01-01 (gap mean scales down), event_id = arrival
+                    order, user_id U(0, customers/10), 5 event types,
+                    value Exp(50) 2dp, props {"k": U(0,99)}
+  documents         sf*50k word-salad docs (30-word vocab, 10..100 tokens),
+                    lang en 40%/others 15%, source src0..19; 5% of docs are
+                    a copy of another doc + " dup" (the planted near-dup
+                    structure d01/d02/d03/d06/d08 exercise; jaccard vs the
+                    base ~0.9 > the 0.8 threshold)
+  embeddings        4*sf*2k unit-normalized 64-dim float vectors,
+                    label U(0,9) (no cluster structure, like the original)
+
+Multiple parquet row groups per file (unlike the single-row-group driver
+files) so executor-side scan parallelism at sf1 is realistic.
+"""
+import sys, os, json
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SEED = 4242
+
+REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+NATIONS = ["ALGERIA", "ARGENTINA", "BRAZIL", "CANADA", "EGYPT", "ETHIOPIA",
+           "FRANCE", "GERMANY", "INDIA", "INDONESIA", "IRAN", "IRAQ",
+           "JAPAN", "JORDAN", "KENYA", "MOROCCO", "MOZAMBIQUE", "PERU",
+           "CHINA", "ROMANIA", "SAUDI ARABIA", "VIETNAM", "RUSSIA",
+           "UNITED KINGDOM", "UNITED STATES"]
+MKTSEG = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+ADJ = ["blue", "cold", "hot", "large", "new", "old", "red", "small"]
+NOUN = ["anvil", "bolt", "gear", "gizmo", "plate", "ring", "rod", "widget"]
+PTYPE = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
+OSTATUS = ["O", "F", "P"]
+OPRIO = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+ETYPES = ["click", "error", "purchase", "signup", "view"]
+VOCAB = ["spark", "window", "merge", "table", "column", "vector", "stream",
+         "value", "data", "small", "join", "filter", "big", "group", "hash",
+         "customer", "sort", "order", "slow", "line", "part", "fast", "the",
+         "row", "agg", "key", "query", "a", "scan", "batch"]
+LANGS = ["en", "de", "es", "fr", "zh"]
+LANGW = [0.40, 0.15, 0.15, 0.15, 0.15]
+
+DAY_US = 86_400_000_000
+
+
+def write(outdir, name, table, row_group_rows):
+    pq.write_table(table, os.path.join(outdir, f"{name}.parquet"),
+                   row_group_size=row_group_rows, compression="snappy")
+    print(f"  {name}: {table.num_rows} rows")
+
+
+def ts_ms(us):
+    # driver files store orders/lineitem dates as timestamp[ms] (no tz)
+    return pa.array(np.asarray(us, dtype=np.int64) // 1000, pa.timestamp("ms"))
+
+
+def ts_ns(us):
+    # driver events.ts is TIMESTAMP(NANOS) — graft.Tables reads it as long
+    # (nanosAsLong) and floor-converts to micros, so the physical type
+    # must be nanos for the loader's `ts div 1000` path to resolve
+    return pa.array(np.asarray(us, dtype=np.int64) * 1000, pa.timestamp("ns"))
+
+
+def main():
+    sf = float(sys.argv[1])
+    outdir = sys.argv[2]
+    os.makedirs(outdir, exist_ok=True)
+    rng = np.random.default_rng(SEED)
+
+    n_cust = int(sf * 150_000)
+    n_supp = int(sf * 10_000)
+    n_part = int(sf * 200_000)
+    n_ord = int(sf * 1_500_000)
+    n_ev = int(sf * 1_000_000)
+    n_doc = int(sf * 50_000)
+    n_emb = int(sf * 8_000)
+
+    write(outdir, "region", pa.table({
+        "r_regionkey": pa.array(np.arange(5, dtype=np.int32)),
+        "r_name": pa.array(REGIONS)}), 5)
+    write(outdir, "nation", pa.table({
+        "n_nationkey": pa.array(np.arange(25, dtype=np.int32)),
+        "n_name": pa.array(NATIONS),
+        "n_regionkey": pa.array(np.arange(25, dtype=np.int32) % 5)}), 25)
+
+    ck = np.arange(n_cust, dtype=np.int64)
+    write(outdir, "customer", pa.table({
+        "c_custkey": pa.array(ck),
+        "c_name": pa.array([f"Customer#{i:09d}" for i in ck]),
+        "c_nationkey": pa.array(rng.integers(0, 25, n_cust).astype(np.int32)),
+        "c_acctbal": pa.array(np.round(rng.uniform(-1000, 10000, n_cust), 2)),
+        "c_mktsegment": pa.array(np.array(MKTSEG)[rng.integers(0, 5, n_cust)]),
+    }), 1 << 19)
+
+    sk = np.arange(n_supp, dtype=np.int64)
+    write(outdir, "supplier", pa.table({
+        "s_suppkey": pa.array(sk),
+        "s_name": pa.array([f"Supplier#{i:09d}" for i in sk]),
+        "s_nationkey": pa.array(rng.integers(0, 25, n_supp).astype(np.int32)),
+        "s_acctbal": pa.array(np.round(rng.uniform(-1000, 10000, n_supp), 2)),
+    }), 1 << 19)
+
+    pk = np.arange(n_part, dtype=np.int64)
+    names = np.char.add(np.char.add(
+        np.array(ADJ)[rng.integers(0, 8, n_part)], " "),
+        np.array(NOUN)[rng.integers(0, 8, n_part)])
+    write(outdir, "part", pa.table({
+        "p_partkey": pa.array(pk),
+        "p_name": pa.array(names),
+        "p_brand": pa.array([f"Brand#{b}" for b in rng.integers(1, 26, n_part)]),
+        "p_type": pa.array(np.array(PTYPE)[rng.integers(0, 6, n_part)]),
+        "p_size": pa.array(rng.integers(1, 51, n_part).astype(np.int32)),
+        "p_retailprice": pa.array(900.0 + (pk % 1000) / 10.0),
+    }), 1 << 19)
+
+    ok = np.arange(n_ord, dtype=np.int64)
+    od_base = np.datetime64("1995-01-01", "us").astype(np.int64)
+    od_days = rng.integers(0, 2405, n_ord)
+    write(outdir, "orders", pa.table({
+        "o_orderkey": pa.array(ok),
+        "o_custkey": pa.array(rng.integers(0, n_cust, n_ord)),
+        "o_orderstatus": pa.array(np.array(OSTATUS)[rng.integers(0, 3, n_ord)]),
+        "o_totalprice": pa.array(np.round(rng.uniform(1000, 500000, n_ord), 2)),
+        "o_orderdate": ts_ms(od_base + od_days * DAY_US),
+        "o_orderpriority": pa.array(np.array(OPRIO)[rng.integers(0, 5, n_ord)]),
+    }), 1 << 19)
+
+    nline = rng.poisson(4.0, n_ord)
+    lok = np.repeat(ok, nline)
+    n_li = lok.shape[0]
+    lno = np.concatenate([np.arange(1, k + 1) for k in nline]) \
+        if n_li else np.array([], dtype=np.int64)
+    sd_base = np.datetime64("1995-01-02", "us").astype(np.int64)
+    write(outdir, "lineitem", pa.table({
+        "l_orderkey": pa.array(lok),
+        "l_partkey": pa.array(rng.integers(0, n_part, n_li)),
+        "l_suppkey": pa.array(rng.integers(0, n_supp, n_li)),
+        "l_linenumber": pa.array(lno.astype(np.int32)),
+        "l_quantity": pa.array(rng.integers(1, 51, n_li).astype(np.float64)),
+        "l_extendedprice": pa.array(np.round(rng.uniform(900, 105000, n_li), 2)),
+        "l_discount": pa.array(rng.integers(0, 11, n_li) / 100.0),
+        "l_tax": pa.array(rng.integers(0, 9, n_li) / 100.0),
+        "l_returnflag": pa.array(np.array(["A", "N", "R"])[rng.integers(0, 3, n_li)]),
+        "l_linestatus": pa.array(np.array(["O", "F"])[rng.integers(0, 2, n_li)]),
+        "l_shipdate": ts_ms(sd_base + rng.integers(0, 2499, n_li) * DAY_US),
+    }), 1 << 19)
+
+    # events: fixed 30-day window, exponential inter-arrival gaps
+    ev_base = np.datetime64("2024-01-01", "us").astype(np.int64)
+    mean_gap_us = 30 * DAY_US / n_ev
+    gaps = rng.exponential(mean_gap_us, n_ev)
+    ts_us = ev_base + np.cumsum(gaps).astype(np.int64)
+    write(outdir, "events", pa.table({
+        "event_id": pa.array(np.arange(n_ev, dtype=np.int64)),
+        "ts": ts_ns(ts_us),
+        "user_id": pa.array(rng.integers(0, max(n_cust // 10, 1), n_ev)),
+        "event_type": pa.array(np.array(ETYPES)[rng.integers(0, 5, n_ev)]),
+        "value": pa.array(np.round(rng.exponential(50.0, n_ev), 2)),
+        "props": pa.array([f'{{"k": {k}}}' for k in rng.integers(0, 100, n_ev)]),
+    }), 1 << 19)
+
+    # documents: word salad + 5% planted near-dups (base doc + " dup")
+    vocab = np.array(VOCAB)
+    lens = rng.integers(10, 101, n_doc)
+    texts = [" ".join(vocab[rng.integers(0, len(vocab), k)]) for k in lens]
+    is_dup = rng.random(n_doc) < 0.05
+    for i in np.where(is_dup)[0]:
+        base = int(rng.integers(0, n_doc))
+        if base != i:
+            texts[i] = texts[base] + " dup"
+    write(outdir, "documents", pa.table({
+        "doc_id": pa.array(np.arange(n_doc, dtype=np.int64)),
+        "text": pa.array(texts),
+        "lang": pa.array(np.array(LANGS)[rng.choice(5, n_doc, p=LANGW)]),
+        "source": pa.array([f"src{k}" for k in rng.integers(0, 20, n_doc)]),
+        "n_chars": pa.array(np.array([len(t) for t in texts], dtype=np.int64)),
+    }), 1 << 17)
+
+    # embeddings: unit-normalized 64-dim, uniform labels
+    V = rng.standard_normal((n_emb, 64)).astype(np.float32)
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    write(outdir, "embeddings", pa.table({
+        "vec_id": pa.array(np.arange(n_emb, dtype=np.int64)),
+        "embedding": pa.array(list(V), pa.list_(pa.float32())),
+        "label": pa.array(rng.integers(0, 10, n_emb).astype(np.int32)),
+    }), 1 << 16)
+
+    with open(os.path.join(outdir, "GENERATED.json"), "w") as f:
+        json.dump({"sf": sf, "seed": SEED, "generator": "tools/gen_sf.py"}, f)
+
+
+if __name__ == "__main__":
+    main()
