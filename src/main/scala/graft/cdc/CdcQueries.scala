@@ -638,7 +638,72 @@ object CdcQueries {
       .orderBy("topic")
   }
 
+  // c37: the creekd MAIN LOOP as ONE lane — every daemon stage the
+  // reference composes at startup (cmd/creekd.go wiring;
+  // internal/dao/init.go:91-145) chained end to end from one planted
+  // wire stream: c32's CLI config parse → c27's publication allow-list
+  // gate → c35's multi-table pgoutput decode (lazy Relation
+  // registration) → c18's topic naming → c34's retention-bounded store
+  // (MaxMsgs, evict-oldest) → the snapshot-⊕-retained-WAL resume (c08's
+  // merge) → c30's one-pass (tbl, pk) apply. The oracle is the c35
+  // replica filtered by the config's allow-list: a hash match proves no
+  // composition seam (gate ordering, retention cut, snapshot handoff)
+  // loses or reorders anything the per-stage oracles verify in
+  // isolation.
+  /** c37's lane with its internals exposed for the spec: returns
+    * (replica, retention floor, retained-store min LSN) so the test can
+    * pin that eviction REALLY happened (floor above the stream's min —
+    * the snapshot-fallback path ran, not a degenerate keep-everything
+    * cut). The MaxMsgs budget is sized from the stream (3/5 of the gated
+    * message count) and handed through the FLAG VECTOR, so the binding
+    * constraint still arrives via the parsed config at every sf.
+    */
+  def c37run(s: SparkSession, d: String): (DataFrame, Long, Long) = {
+    implicit val spark: SparkSession = s
+    // -- decode (c35): interleaved multi-relation byte stream
+    val decoded = PgOutput.multiRoundtrip(flatEnv(s, d)).toDF().select(
+      col("table_name").as("tbl"), col("lsn_long"), col("op"),
+      col("pk_before"), col("pk_after"), col("after_value"))
+    val budget = math.max(1L, decoded.filter(col("tbl") =!= "t2").count() * 3 / 5)
+    // -- config (c32): the deployment contract, incl. retention flags
+    val cfg = DaemonConfig.parse(Seq(
+      "--log-level", "info",
+      "--tables", "public.t0,public.t1,public.t3",
+      "--pg-uri", "postgres://creek@localhost:5432/testdb",
+      "--nats-namespace", "CREEK",
+      "--nats-retention-policy", "limits",
+      "--nats-retention-max-msgs", budget.toString))
+    val allowed = cfg.tables.map(_.stripPrefix("public."))
+    // -- publication gate (c27/c32): only allow-listed tables publish
+    val gated = decoded.filter(col("tbl").isin(allowed: _*))
+    // -- retention (c34): the JetStream MaxMsgs bound on the WAL stream;
+    //    evict-oldest ⇒ the store keeps the maximal LSN suffix
+    val floor = Retention.suffixFloor(gated, lit(1L), cfg.nats.retention.maxMsgs)
+    val minLsn = gated.agg(min("lsn_long")).head().getLong(0)
+    // -- resume (c08): history below the floor is unservable from the
+    //    stream — the snapshot producer's cut (the live replica just
+    //    below the floor) re-enters as pseudo-inserts at floor−1, the
+    //    retained suffix replays on top. Per-table truncate cuts inside
+    //    the suffix still wipe snapshot rows (their ords are lower).
+    val snapFlat = multiTableApply(gated.filter(col("lsn_long") < floor))
+      .select(col("tbl"), lit(floor - 1).as("lsn_long"), lit("c").as("op"),
+        lit(null).cast("long").as("pk_before"), col("pk").as("pk_after"),
+        col("value").as("after_value"))
+    val store = snapFlat.union(gated.filter(col("lsn_long") >= floor))
+    // -- apply (c30) + route (c18): the replica, labeled with the topic
+    //    its WAL arrived on
+    val replica = multiTableApply(store)
+      .select(concat(lit(cfg.nats.namespace + ".testdb.wal.public."),
+          col("tbl")).as("topic"),
+        col("tbl"), col("pk"), col("value"))
+      .orderBy("tbl", "pk")
+    (replica, floor, minLsn)
+  }
+
+  val c37_daemon_e2e: Q = (s, d) => c37run(s, d)._1
+
   val queries: Map[String, Q] = Map(
+    "c37_daemon_e2e" -> c37_daemon_e2e,
     "c32_config_gating" -> c32_config_gating,
     "c31_standby_status" -> c31_standby_status,
     "c30_multi_table_apply" -> c30_multi_table_apply,
@@ -719,6 +784,38 @@ object CdcQueries {
        |    max_by(eff_op, ord) AS last_op, max_by(value, ord) AS last_value
        |  FROM mlive GROUP BY 1, 2)
        |SELECT tbl, pk, round(last_value, 2) AS value, last_ord
+       |FROM mstate WHERE last_op <> 'd' ORDER BY tbl, pk""".stripMargin
+
+  /** c37's ground truth: the c35 multi-table replica restricted to the
+    * config allow-list — retention + snapshot resume must be invisible
+    * in the final state, so the oracle needs no floor arithmetic.
+    */
+  private lazy val daemonE2eOracle: String =
+    s"""WITH $sqlEnv, $sqlFlat,
+       |f2 AS (SELECT *, 't' || (user_id % 4)::VARCHAR AS tbl FROM flat
+       |       WHERE op <> 'r'),
+       |f3 AS (SELECT * FROM f2 WHERE tbl IN ('t0', 't1', 't3')),
+       |mhalf AS (
+       |  SELECT tbl, lsn_long * 2 AS ord,
+       |    CASE WHEN op = 'u_pk' THEN 'd' ELSE op END AS eff_op,
+       |    CASE WHEN op IN ('d','u_pk') THEN pk_before ELSE pk_after END AS pk,
+       |    CASE WHEN op IN ('d','u_pk') THEN NULL ELSE after_value END AS value
+       |  FROM f3 WHERE op <> 't'
+       |  UNION ALL
+       |  SELECT tbl, lsn_long * 2 + 1, 'c', pk_after, after_value
+       |  FROM f3 WHERE op = 'u_pk'),
+       |mcut AS (
+       |  SELECT tbl, max(lsn_long * 2 + 1) AS tmax FROM f3
+       |  WHERE op = 't' GROUP BY tbl),
+       |mlive AS (
+       |  SELECT h.* FROM mhalf h LEFT JOIN mcut c ON h.tbl = c.tbl
+       |  WHERE h.ord > coalesce(c.tmax, -1)),
+       |mstate AS (
+       |  SELECT tbl, pk, max_by(eff_op, ord) AS last_op,
+       |    max_by(value, ord) AS last_value
+       |  FROM mlive GROUP BY 1, 2)
+       |SELECT 'CREEK.testdb.wal.public.' || tbl AS topic, tbl, pk,
+       |  round(last_value, 2) AS value
        |FROM mstate WHERE last_op <> 'd' ORDER BY tbl, pk""".stripMargin
 
   /** Ground truth for c36 AND s14: the delta-maintained view must equal
@@ -806,6 +903,7 @@ object CdcQueries {
     // its oracle is c30's over the pgoutput-carriable ops (no 'r')
     "c30_multi_table_apply" -> multiTableOracle(""),
     "c35_multi_table_stream" -> multiTableOracle("WHERE op <> 'r'"),
+    "c37_daemon_e2e" -> daemonE2eOracle,
     // c36: the delta-maintained view must equal the same GROUP BY
     // recomputed over the fully-replayed replica — cents are integers,
     // so any drift in the incremental ± accumulation breaks the hash

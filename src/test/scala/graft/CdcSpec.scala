@@ -721,6 +721,27 @@ class CdcSpec extends AnyFunSuite {
       s"(got ${got.length} rows, want ${want.length})")
   }
 
+  test("c37 daemon e2e: config→gate→decode→route→retain→apply ≡ gated c35") {
+    val (df, floor, minLsn) = CdcQueries.c37run(spark, sf)
+    val rows = df.collect()
+    // the retention cut really evicted history — the lane ran the
+    // snapshot-fallback resume, not a degenerate keep-everything path
+    assert(floor > minLsn, s"retention floor $floor did not evict (min $minLsn)")
+    // the publication gate: exactly the allow-listed topics, t2 absent
+    val topics = rows.map(_.getAs[String]("topic")).distinct.sorted
+    assert(topics.toSeq == Seq("t0", "t1", "t3")
+      .map("CREEK.testdb.wal.public." + _), s"topics: ${topics.toSeq}")
+    // the composed lane lands on the gated c35 replica exactly
+    val got = rows.map(r => (r.getAs[String]("tbl"), r.getAs[Long]("pk"),
+      r.getAs[Double]("value"))).toSeq
+    val want = CdcQueries.queries("c35_multi_table_stream")(spark, sf)
+      .filter(col("tbl") =!= "t2")
+      .select("tbl", "pk", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want, s"daemon lane diverged: got ${got.length} rows, " +
+      s"want ${want.length}")
+  }
+
   test("c36 incremental view: delta-only maintenance ≡ recompute") {
     var log = Vector.empty[(Boolean, Long)]
     val df = ViewMaintenance.c36run(spark, sf,
