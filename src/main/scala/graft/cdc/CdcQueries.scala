@@ -702,7 +702,69 @@ object CdcQueries {
 
   val c37_daemon_e2e: Q = (s, d) => c37run(s, d)._1
 
+  /** c38's leaf→root partition map — the daemon-side image of the
+    * pg_inherits catalog for a `prices` table partitioned by year, plus
+    * one plain table that maps to itself.
+    */
+  private val partitionRoots = Map(
+    "prices_p2022" -> "prices", "prices_p2023" -> "prices",
+    "prices_p2024" -> "prices")
+  private val leafOf: Long => String = uid => (uid % 4) match {
+    case 0 => "prices_p2022"
+    case 1 => "prices_p2023"
+    case 2 => "quotes"
+    case _ => "prices_p2024"
+  }
+
+  /** c38 with internals exposed for the spec: (replica, decoded leaf
+    * table names seen on the wire).
+    */
+  def c38run(s: SparkSession, d: String): (DataFrame, Seq[String]) = {
+    implicit val spark: SparkSession = s
+    // the wire carries LEAF relation identities (prices_p2022, ...) — a
+    // live pg session with publish_via_partition_root = true performs
+    // the collapse server-side; the daemon's publication layer must land
+    // on the same observable contract either way: events surface under
+    // the ROOT topic with source.table = the root
+    val decoded = PgOutput.multiRoundtripAs(flatEnv(s, d), leafOf).toDF()
+      .select(col("table_name"), col("lsn_long"), col("op"),
+        col("pk_before"), col("pk_after"), col("after_value"))
+    val leaves = decoded.select("table_name").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq // ≤ #tables rows
+    // the pg_inherits image as a broadcast catalog join (a real deploy
+    // reads it from pg_catalog as a table, so model it as a table; a
+    // leaf TRUNCATE collapses to the root too — with the flag on, pg
+    // only ever publishes the root's truncate)
+    import s.implicits._
+    val roots = partitionRoots.toSeq.toDF("leaf", "root")
+    val rerooted = decoded
+      .join(broadcast(roots), decoded("table_name") === roots("leaf"), "left")
+      .select(coalesce(col("root"), col("table_name")).as("tbl"),
+        col("lsn_long"), col("op"), col("pk_before"), col("pk_after"),
+        col("after_value"))
+    val replica = multiTableApply(rerooted)
+      .select(concat(lit("CREEK.testdb.wal.public."), col("tbl")).as("topic"),
+        col("tbl"), col("pk"), col("value"))
+      .orderBy("tbl", "pk")
+    (replica, leaves)
+  }
+
+  // c38: PARTITION-ROOT publication routing — the reference creates its
+  // publication WITH (publish_via_partition_root = true)
+  // (internal/dao/init.go:135) and integration-tests that writes landing
+  // in leaf partitions surface under the ROOT table
+  // (integration_tests/listen_test.go:772-795 TestPartitions: inserts
+  // into public.prices partitions stream back with Source.Table =
+  // "prices"). Here the planted wire stream registers the LEAF
+  // relations; the routing layer applies the leaf→root catalog map, so
+  // topics and the applied replica collapse to the root — the oracle
+  // recomputes the same collapse from events, pinning that no leaf
+  // leaks into the topic namespace and the root replica merges all
+  // leaves' rows.
+  val c38_partition_root: Q = (s, d) => c38run(s, d)._1
+
   val queries: Map[String, Q] = Map(
+    "c38_partition_root" -> c38_partition_root,
     "c37_daemon_e2e" -> c37_daemon_e2e,
     "c32_config_gating" -> c32_config_gating,
     "c31_standby_status" -> c31_standby_status,
@@ -818,6 +880,38 @@ object CdcQueries {
        |  round(last_value, 2) AS value
        |FROM mstate WHERE last_op <> 'd' ORDER BY tbl, pk""".stripMargin
 
+  /** c38's ground truth: the same leaf→root collapse recomputed from
+    * events — user_id mod 4 picks the leaf, leaves 0/1/3 are partitions
+    * of `prices`, 2 is the plain `quotes`; replica keyed by (root, pk).
+    */
+  private lazy val partitionRootOracle: String =
+    s"""WITH $sqlEnv, $sqlFlat,
+       |f2 AS (SELECT *, CASE WHEN user_id % 4 = 2 THEN 'quotes'
+       |                      ELSE 'prices' END AS tbl
+       |       FROM flat WHERE op <> 'r'),
+       |mhalf AS (
+       |  SELECT tbl, lsn_long * 2 AS ord,
+       |    CASE WHEN op = 'u_pk' THEN 'd' ELSE op END AS eff_op,
+       |    CASE WHEN op IN ('d','u_pk') THEN pk_before ELSE pk_after END AS pk,
+       |    CASE WHEN op IN ('d','u_pk') THEN NULL ELSE after_value END AS value
+       |  FROM f2 WHERE op <> 't'
+       |  UNION ALL
+       |  SELECT tbl, lsn_long * 2 + 1, 'c', pk_after, after_value
+       |  FROM f2 WHERE op = 'u_pk'),
+       |mcut AS (
+       |  SELECT tbl, max(lsn_long * 2 + 1) AS tmax FROM f2
+       |  WHERE op = 't' GROUP BY tbl),
+       |mlive AS (
+       |  SELECT h.* FROM mhalf h LEFT JOIN mcut c ON h.tbl = c.tbl
+       |  WHERE h.ord > coalesce(c.tmax, -1)),
+       |mstate AS (
+       |  SELECT tbl, pk, max_by(eff_op, ord) AS last_op,
+       |    max_by(value, ord) AS last_value
+       |  FROM mlive GROUP BY 1, 2)
+       |SELECT 'CREEK.testdb.wal.public.' || tbl AS topic, tbl, pk,
+       |  round(last_value, 2) AS value
+       |FROM mstate WHERE last_op <> 'd' ORDER BY tbl, pk""".stripMargin
+
   /** Ground truth for c36 AND s14: the delta-maintained view must equal
     * the same GROUP BY recomputed over the fully-replayed replica —
     * cents are integers, so any drift in the incremental ± accumulation
@@ -904,6 +998,7 @@ object CdcQueries {
     "c30_multi_table_apply" -> multiTableOracle(""),
     "c35_multi_table_stream" -> multiTableOracle("WHERE op <> 'r'"),
     "c37_daemon_e2e" -> daemonE2eOracle,
+    "c38_partition_root" -> partitionRootOracle,
     // c36: the delta-maintained view must equal the same GROUP BY
     // recomputed over the fully-replayed replica — cents are integers,
     // so any drift in the incremental ± accumulation breaks the hash

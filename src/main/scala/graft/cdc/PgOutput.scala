@@ -283,20 +283,21 @@ object PgOutput {
     * registers relations — so the consumer's relations map is exercised
     * with live dispatch, and a truncate cuts only its own relation.
     */
-  def encodeMultiStream(rows: Seq[PgoRow]): Array[Byte] = {
+  def encodeMultiStream(rows: Seq[PgoRow],
+      tableOf: Long => String = uid => s"t${(uid % 4).toInt}"): Array[Byte] = {
     val out = new ByteArrayOutputStream(rows.length * 96 + 1024)
-    var registered = Set.empty[Int]
+    var registered = Map.empty[String, Int]
     var n = 0
     rows.foreach { r =>
       require(r.lsn_long <= 0xFFFFFFFFL,
         s"planted xid = lsn ${r.lsn_long} exceeds the u32 pgoutput Xid")
-      val shard = (r.user_id % 4).toInt
-      val relId = RelId + shard
-      if (!registered(shard)) {
-        frame(out, xlog(r.lsn_long,
-          relationMsg(relId, "public", s"t$shard", eventsCols)))
-        registered += shard
-      }
+      val tname = tableOf(r.user_id)
+      val relId = registered.getOrElse(tname, {
+        val id = RelId + registered.size
+        frame(out, xlog(r.lsn_long, relationMsg(id, "public", tname, eventsCols)))
+        registered += tname -> id
+        id
+      })
       frame(out, xlog(r.lsn_long, beginMsg(r.lsn_long, r.tx_at_us, r.lsn_long)))
       frame(out, xlog(r.lsn_long, bodyFor(r, relId)))
       frame(out, xlog(r.lsn_long, commitMsg(r.lsn_long, r.tx_at_us)))
@@ -553,6 +554,15 @@ object PgOutput {
   def multiRoundtrip(flat: DataFrame)(implicit s: SparkSession): Dataset[PgoDecoded] = {
     import s.implicits._
     segmented(flat)(rows => decodeStream(encodeMultiStream(rows)).iterator)
+  }
+
+  /** multiRoundtrip with a caller-chosen user→table mapping (c38 plants
+    * leaf-partition relation names through this).
+    */
+  def multiRoundtripAs(flat: DataFrame, tableOf: Long => String)(
+      implicit s: SparkSession): Dataset[PgoDecoded] = {
+    import s.implicits._
+    segmented(flat)(rows => decodeStream(encodeMultiStream(rows, tableOf)).iterator)
   }
 
   /** Plant + reply: the same segmented streams with reply-requesting

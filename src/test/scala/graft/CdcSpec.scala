@@ -742,6 +742,27 @@ class CdcSpec extends AnyFunSuite {
       s"want ${want.length}")
   }
 
+  test("c38 partition-root: leaf relations decode, root topics publish") {
+    val (df, leaves) = CdcQueries.c38run(spark, sf)
+    // the WIRE carried the leaf identities — the decode really went
+    // through per-leaf Relation registration, not a pre-collapsed plant
+    assert(leaves == Seq("prices_p2022", "prices_p2023", "prices_p2024", "quotes"),
+      s"wire relations: $leaves")
+    val rows = df.collect()
+    // ...but nothing downstream ever sees a leaf: topics and table
+    // identities are the ROOT's (TestPartitions' observable contract)
+    val topics = rows.map(_.getAs[String]("topic")).distinct.sorted
+    assert(topics.toSeq == Seq("CREEK.testdb.wal.public.prices",
+      "CREEK.testdb.wal.public.quotes"), s"topics: ${topics.toSeq}")
+    // the root replica merged ALL the leaves: prices carries pks from
+    // every partition's residue class, quotes only its own
+    val pricesRes = rows.filter(_.getAs[String]("tbl") == "prices")
+      .map(_.getAs[Long]("pk") % 4).distinct.sorted
+    assert(pricesRes.toSeq == Seq(0L, 1L, 3L), s"prices residues: ${pricesRes.toSeq}")
+    assert(rows.filter(_.getAs[String]("tbl") == "quotes")
+      .forall(_.getAs[Long]("pk") % 4 == 2))
+  }
+
   test("c36 incremental view: delta-only maintenance ≡ recompute") {
     var log = Vector.empty[(Boolean, Long)]
     val df = ViewMaintenance.c36run(spark, sf,
