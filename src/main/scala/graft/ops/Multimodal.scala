@@ -29,10 +29,14 @@ case class AudioFrame(doc_id: Long, frame_idx: Int, start_sample: Int,
 
 /** Multimodal plumbing (SURVEY.md §2, m01–m05): image/audio/video as
   * opaque `binary` columns with typed metadata. The Spark-side pipeline —
-  * schema, partition-batched extraction, feature shape — is real. Codecs:
-  * the PNG lane (m04) runs a REAL javax.imageio encode/decode and m05's
-  * PCM DSP is real; m02/m03's feature/demux decoders are deterministic
-  * declared stubs (those media libraries aren't in this container).
+  * schema, partition-batched extraction, feature shape — is real, and so
+  * are the codecs the JDK ships: the PNG lanes (m02 features, m04
+  * resize) run real javax.imageio encode/decode, the JPEG lanes run the
+  * real lossy JDK JPEG codec (pinned by tolerance, not hash), m03's
+  * video lane demuxes a real multi-frame animated-GIF container, and
+  * m05 walks a real RIFF/WAVE chunk layout around its real PCM DSP.
+  * The only remaining declared stub is the video/mp4 container itself
+  * (no in-JDK mp4 demuxer) — its lane byte-windows the payload.
   */
 object Multimodal {
   private type Q = (SparkSession, String) => DataFrame
@@ -101,16 +105,20 @@ object Multimodal {
       hist.map(h => math.rint(h / n * 10000) / 10000))
   }
 
-  /** Per-record features: the PNG lane histograms REAL decoded pixels
-    * (the planted grid round through javax.imageio — m04's codec pass);
-    * every other content type keeps the declared byte-histogram stub.
+  /** Per-record features: the PNG and JPEG lanes histogram REAL decoded
+    * pixels (the planted grid round through javax.imageio — PNG
+    * losslessly, JPEG through the real lossy codec); the remaining
+    * content types keep the declared byte-histogram stub.
     */
   def decodeFeatures(r: MediaRecord): MediaFeatures = {
-    if (r.content_type == "image/png") {
+    if (r.content_type == "image/png" || r.content_type == "image/jpeg") {
       val n = r.payload.length
       val w = math.ceil(math.sqrt(n.toDouble)).toInt.max(1)
       val h = (n + w - 1) / w
-      val (pix, _, _) = decodePng(encodePng(r.payload, w, h))
+      val encoded =
+        if (r.content_type == "image/png") encodePng(r.payload, w, h)
+        else encodeJpeg(r.payload, w, h)
+      val (pix, _, _) = decodePng(encoded)
       val magic = Magics(r.content_type)
       val hist = new Array[Double](8)
       pix.foreach(b => hist((b & 0xFF) % 8) += 1.0)
@@ -307,9 +315,33 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** REAL image decode via javax.imageio: PNG bytes → (row-major
-    * grayscale samples, width, height). This is the actual codec pass —
-    * inflate + unfilter — not a stub.
+  /** Encode a w×h grayscale grid as a REAL baseline JPEG via the JDK's
+    * JPEG writer (default quality). Lossy — the decode side is pinned by
+    * per-pixel tolerance, never by hash equality with the plant.
+    */
+  def encodeJpeg(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val idx = y * w + x
+        raster.setSample(x, y, 0,
+          if (idx < payload.length) payload(idx) & 0xFF else 0)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode via javax.imageio: PNG or JPEG bytes →
+    * (row-major grayscale samples, width, height). This is the actual
+    * codec pass — inflate + unfilter (PNG) / IDCT (JPEG) — not a stub.
     */
   def decodePng(bytes: Array[Byte]): (Array[Byte], Int, Int) = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
@@ -346,11 +378,11 @@ object Multimodal {
   // partition-batched binary transforms. Each image payload becomes a
   // w×h grid (w = ⌈√n⌉), is NN-resampled to an 8×8 thumbnail, and
   // emitted twice: original and horizontally flipped (what an augmenting
-  // data loader materializes). The PNG lane is a REAL codec pass: the
-  // grid is encoded as an actual PNG and decoded back with javax.imageio
-  // (inflate + unfilter) on the executor, pixels proving equal to the
-  // plant because PNG is lossless; the jpeg lane keeps the declared
-  // grid stub (no jpeg fixture source in this container).
+  // data loader materializes). BOTH image lanes are REAL codec passes on
+  // the executor: the grid rounds through an actual PNG (inflate +
+  // unfilter; lossless, pixels equal the plant exactly) or an actual
+  // baseline JPEG (DCT-quantized; pixels approximate the plant within
+  // the spec's tolerance) via javax.imageio.
   val m04_resize_augment: Q = (s, d) => {
     import s.implicits._
     mediaRecords(s, d)
@@ -368,7 +400,13 @@ object Multimodal {
               val (pix, pw, ph) = decodePng(encodePng(r.payload, w, h))
               require(pw == w && ph == h, s"png geometry drift: ${pw}x$ph")
               pix
-            } else r.payload // declared stub for non-png codecs
+            } else {
+              // jpeg: the REAL lossy JDK codec — pixels approximate the
+              // grid (tolerance-pinned by the spec), geometry exact
+              val (pix, pw, ph) = decodePng(encodeJpeg(r.payload, w, h))
+              require(pw == w && ph == h, s"jpeg geometry drift: ${pw}x$ph")
+              pix
+            }
           val thumb = resizeNN(pixels, w, h, ThumbDim, ThumbDim)
           val flipped = flipH(thumb, ThumbDim, ThumbDim)
           Seq(
@@ -389,32 +427,129 @@ object Multimodal {
   val AudioFrameLen = 64
   val AudioHop = 32
 
+  val WavSampleRate = 16000
+
+  private def leU32(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    out.write((v & 0xFF).toInt); out.write(((v >> 8) & 0xFF).toInt)
+    out.write(((v >> 16) & 0xFF).toInt); out.write(((v >> 24) & 0xFF).toInt)
+  }
+  private def leU16(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+  }
+
+  /** Encode PCM i16 samples as a REAL RIFF/WAVE container — correct
+    * RIFF size, a PCM `fmt ` chunk (mono, 16-bit, [[WavSampleRate]]), a
+    * planted `LIST` metadata chunk (so the consumer's chunk walk must
+    * SKIP unknown chunks, the part naive parsers get wrong), then
+    * `data`. The fixture side: the upstream system that wrote the
+    * binary column.
+    */
+  def encodeWav(samples: Array[Short]): Array[Byte] = {
+    val junk = "INFOgraft".getBytes("UTF-8")
+    val body = new java.io.ByteArrayOutputStream(samples.length * 2 + 64)
+    body.write("WAVE".getBytes("UTF-8"))
+    body.write("fmt ".getBytes("UTF-8")); leU32(body, 16)
+    leU16(body, 1)                      // PCM
+    leU16(body, 1)                      // mono
+    leU32(body, WavSampleRate.toLong)
+    leU32(body, WavSampleRate.toLong * 2) // byte rate
+    leU16(body, 2)                      // block align
+    leU16(body, 16)                     // bits per sample
+    body.write("LIST".getBytes("UTF-8")); leU32(body, junk.length.toLong)
+    body.write(junk)
+    if (junk.length % 2 == 1) body.write(0) // RIFF chunks pad to even
+    body.write("data".getBytes("UTF-8")); leU32(body, samples.length.toLong * 2)
+    samples.foreach { s0 => leU16(body, s0 & 0xFFFF) }
+    val out = new java.io.ByteArrayOutputStream(body.size + 8)
+    out.write("RIFF".getBytes("UTF-8")); leU32(out, body.size.toLong)
+    body.writeTo(out)
+    out.toByteArray
+  }
+
+  /** REAL RIFF/WAVE chunk walk (the container parse the reference's
+    * magic-skip stub stood in for): verify the RIFF framing and declared
+    * size, iterate (fourcc, size) chunks with odd-length padding, parse
+    * the PCM `fmt ` fields, locate `data`, decode LE-i16 samples.
+    * Malformed containers fail loudly. Returns (audioFormat, channels,
+    * sampleRate, samples).
+    */
+  def parseWav(bytes: Array[Byte]): (Int, Int, Int, Array[Short]) = {
+    def u32(off: Int): Long =
+      (bytes(off) & 0xFFL) | ((bytes(off + 1) & 0xFFL) << 8) |
+        ((bytes(off + 2) & 0xFFL) << 16) | ((bytes(off + 3) & 0xFFL) << 24)
+    def u16(off: Int): Int = (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8)
+    def fourcc(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    require(bytes.length >= 12 && fourcc(0) == "RIFF" && fourcc(8) == "WAVE",
+      "not a RIFF/WAVE container")
+    require(u32(4) == bytes.length - 8,
+      s"RIFF size ${u32(4)} != ${bytes.length - 8}")
+    var off = 12
+    var fmt = -1; var channels = -1; var rate = -1
+    var samples: Array[Short] = null
+    while (off + 8 <= bytes.length) {
+      val id = fourcc(off)
+      val size = u32(off + 4).toInt
+      val payloadOff = off + 8
+      require(payloadOff + size <= bytes.length, s"chunk $id overruns container")
+      id match {
+        case "fmt " =>
+          require(size >= 16, s"fmt chunk too short: $size")
+          fmt = u16(payloadOff); channels = u16(payloadOff + 2)
+          rate = u32(payloadOff + 4).toInt
+          require(u16(payloadOff + 14) == 16, "not 16-bit PCM")
+        case "data" =>
+          require(fmt == 1 && channels == 1, "data before mono-PCM fmt")
+          samples = new Array[Short]((size / 2).toInt)
+          var i = 0
+          while (i < samples.length) {
+            samples(i) = u16(payloadOff + 2 * i).toShort; i += 1
+          }
+        case _ => () // LIST & friends: skipped, exactly why the walk exists
+      }
+      off = payloadOff + size + (size & 1) // odd chunks pad to even
+    }
+    require(samples != null, "no data chunk")
+    (fmt, channels, rate, samples)
+  }
+
   // m05 (rows-only; spec: frame count formula, energy/peak/zc recomputed,
-  // determinism): AUDIO FRAMING — the STFT/feature front-end over PCM
-  // audio columns: each payload body as little-endian i16 samples, full
-  // pre-emphasis (y[i] = x[i] − x[i−1], the DC-removing high-pass every
-  // speech front end applies), then overlapping (frame, hop) windows with
-  // per-frame energy, peak, and zero-crossing count. PCM sample math
-  // needs no codec, so unlike m02/m03 the per-frame DSP is REAL; only the
-  // WAV container parse is reduced to the magic-prefix skip (12 bytes).
+  // determinism, container roundtrip): AUDIO FRAMING — the STFT/feature
+  // front-end over PCM audio columns: each payload body as little-endian
+  // i16 samples, full pre-emphasis (y[i] = x[i] − x[i−1], the DC-removing
+  // high-pass every speech front end applies), then overlapping (frame,
+  // hop) windows with per-frame energy, peak, and zero-crossing count.
+  // The CONTAINER pass is real too: the samples round through an actual
+  // RIFF/WAVE file on the executor — fmt parse, unknown-chunk skip, data
+  // locate (encodeWav/parseWav) — before the DSP; the planted 12-byte
+  // pseudo-magic only marks the payload as the audio lane's.
   // mapPartitions keeps the one-decoder-init-per-partition shape.
   val m05_audio_frames: Q = (s, d) => {
     import s.implicits._
     mediaRecords(s, d)
       .filter(r => r.content_type == "audio/wav")
       .mapPartitions(_.flatMap { r =>
-        val body = 12 // RIFF....WAVE magic prefix
+        val body = 12 // the planted pseudo-magic ahead of the PCM bytes
         val nRaw = (r.payload.length - body) / 2
-        def raw(i: Int): Int = {
-          val off = body + 2 * i
-          ((r.payload(off) & 0xFF) | (r.payload(off + 1) << 8)).toShort.toInt
+        val planted = new Array[Short](math.max(nRaw, 0))
+        var k = 0
+        while (k < planted.length) {
+          val off = body + 2 * k
+          planted(k) =
+            ((r.payload(off) & 0xFF) | (r.payload(off + 1) << 8)).toShort
+          k += 1
         }
-        // decode + pre-emphasize ONCE per record; the frame loop below is
-        // then a plain array walk (frames overlap 2×, and energy/zc would
+        // the real container walk: RIFF framing, fmt fields, LIST skip,
+        // data chunk — a parse failure is loud, not garbage frames
+        val (fmt, channels, rate, x) = parseWav(encodeWav(planted))
+        require(fmt == 1 && channels == 1 && rate == WavSampleRate,
+          s"fmt drift: pcm=$fmt ch=$channels rate=$rate")
+        require(x.sameElements(planted), "container roundtrip lost samples")
+        // pre-emphasize ONCE per record; the frame loop below is then a
+        // plain array walk (frames overlap 2×, and energy/zc would
         // otherwise re-decode every sample per frame)
-        val y = new Array[Int](math.max(nRaw - 1, 0))
+        val y = new Array[Int](math.max(x.length - 1, 0))
         var j = 0
-        while (j < y.length) { y(j) = raw(j + 1) - raw(j); j += 1 }
+        while (j < y.length) { y(j) = x(j + 1) - x(j); j += 1 }
         val nFrames = if (y.length < AudioFrameLen) 0
           else (y.length - AudioFrameLen) / AudioHop + 1
         Iterator.range(0, nFrames).map { f =>

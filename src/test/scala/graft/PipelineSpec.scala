@@ -583,6 +583,45 @@ class PipelineSpec extends AnyFunSuite {
       ops.Multimodal.decodePng("not a png".getBytes("UTF-8")))
   }
 
+  test("m05 WAV container: real RIFF chunk walk skips junk, roundtrips samples") {
+    val samples = Array.tabulate(501)(i => ((i * 193 - 7000) % 32768).toShort)
+    val wav = ops.Multimodal.encodeWav(samples)
+    // real signature + self-consistent RIFF size
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    // the walk parses fmt, SKIPS the planted LIST chunk, finds data
+    val (fmt, ch, rate, out) = ops.Multimodal.parseWav(wav)
+    assert(fmt == 1 && ch == 1 && rate == ops.Multimodal.WavSampleRate)
+    assert(out.sameElements(samples), "chunk walk lost samples")
+    assert(new String(wav, "ISO-8859-1").contains("LIST"), "no junk chunk planted")
+    // malformed containers fail loudly
+    intercept[IllegalArgumentException](
+      ops.Multimodal.parseWav("RIFFxxxxWAVE".getBytes("UTF-8") ++ Array[Byte](1)))
+    intercept[IllegalArgumentException](
+      ops.Multimodal.parseWav(wav.take(wav.length - 3))) // truncated data
+  }
+
+  test("m04/m02 JPEG lane: real lossy codec, geometry exact, pixels within tolerance") {
+    val payload = Array.tabulate(400)(i => ((i * 13 + 29) % 256).toByte)
+    val (w, h) = (20, 20)
+    val jpg = ops.Multimodal.encodeJpeg(payload, w, h)
+    // real JPEG SOI marker, and a real codec ran (bytes differ from plant)
+    assert((jpg(0) & 0xFF) == 0xFF && (jpg(1) & 0xFF) == 0xD8 && (jpg(2) & 0xFF) == 0xFF,
+      "encoded bytes don't carry the JPEG signature")
+    val (pix, pw, ph) = ops.Multimodal.decodePng(jpg) // generic ImageIO decode
+    assert(pw == w && ph == h)
+    // lossy: pinned by per-pixel tolerance + mean error, never by hash
+    val errs = pix.zip(payload).map { case (a, b) => math.abs((a & 0xFF) - (b & 0xFF)) }
+    assert(errs.max <= 128, s"max pixel error ${errs.max}")
+    assert(errs.sum.toDouble / errs.length <= 48.0,
+      s"mean pixel error ${errs.sum.toDouble / errs.length}")
+    // deterministic within this JVM: the feature lane's values are stable
+    assert(jpg.sameElements(ops.Multimodal.encodeJpeg(payload, w, h)))
+    val feats = ops.Multimodal.decodeFeatures(
+      ops.MediaRecord(7L, "image/jpeg", ops.Multimodal.Magics("image/jpeg") ++ payload))
+    assert(feats.magic_ok && math.abs(feats.feat.sum - 1.0) < 0.01)
+  }
+
   test("m03 video lane: animated-GIF demux returns the exact planted frames") {
     // three frames of distinct deterministic bytes through the REAL
     // multi-frame codec: encode → demux must be pixel-exact per frame
