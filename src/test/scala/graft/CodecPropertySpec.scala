@@ -161,6 +161,51 @@ object CodecPropertySpec extends Properties("codecs") {
         sameRows && gaugesOk
     }
 
+  // -- multi-table whole-stream sweep ----------------------------------
+  // c35's lane under random conditions: arbitrary table SETS (1..6
+  // relations over random keys), lazy Relation registration in whatever
+  // order the rows happen to arrive, truncates carrying only their own
+  // relation — the property-sweep twin of c35's testdata oracle.
+
+  property("encodeMultiStream∘decodeStream = model over random table sets") =
+    Prop.forAll(genRows, Gen.chooseNum(1, 6)) { (rows, k) =>
+      // rows route by user_id mod k — registration order is then driven
+      // by the random key sequence, not a fixed table order
+      val tableOf: Long => String = uid => s"tb${(uid % k).toInt}"
+      val decoded = PgOutput.decodeStream(PgOutput.encodeMultiStream(rows, tableOf))
+      decoded == rows.map(r => model(r).copy(table_name = tableOf(r.user_id)))
+    }
+
+  /** The c30 consumer model as a pure fold: upserts/deletes per (table,
+    * pk), u_pk = delete old key + upsert new, truncate clears ONLY its
+    * own table. The reference replica semantics with no Spark involved.
+    */
+  private def applyFold(rows: Seq[PgoDecoded]): Map[(String, Long), Option[Double]] =
+    rows.sortBy(_.lsn_long).foldLeft(Map.empty[(String, Long), Option[Double]]) {
+      (st, r) => r.op match {
+        case "c" | "u" => st + ((r.table_name, r.pk_after.get) -> r.after_value)
+        case "u_pk" => st - ((r.table_name, r.pk_before.get)) +
+          ((r.table_name, r.pk_after.get) -> r.after_value)
+        case "d" => st - ((r.table_name, r.pk_before.get))
+        case "t" => st.filterNot { case ((t, _), _) => t == r.table_name }
+        case _ => st
+      }
+    }
+
+  property("interleaved multi-table apply ≡ per-table substream apply") =
+    Prop.forAll(genRows, Gen.chooseNum(1, 6)) { (rows, k) =>
+      val tableOf: Long => String = uid => s"tb${(uid % k).toInt}"
+      val decoded = PgOutput.decodeStream(PgOutput.encodeMultiStream(rows, tableOf))
+      // a truncate (or any op) on one table must be invisible to every
+      // other: folding the interleaved stream equals folding each
+      // table's isolated substream
+      val interleaved = applyFold(decoded)
+      val isolated = decoded.map(_.table_name).distinct
+        .flatMap(t => applyFold(decoded.filter(_.table_name == t)))
+        .toMap
+      interleaved == isolated
+    }
+
   property("truncating a stream yields a decoded prefix or fails loudly") =
     Prop.forAll(genRows, Gen.chooseNum(0.0, 1.0)) { (rows, frac) =>
       val bytes = PgOutput.encodeStream(rows)
