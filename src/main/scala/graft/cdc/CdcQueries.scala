@@ -799,6 +799,7 @@ object CdcQueries {
     "c23_snapshot_wire_replay" -> c23_snapshot_wire_replay,
     "c24_evolution_decode" -> c24_evolution_decode,
     "c33_jdbc_source" -> JdbcSource.c33_jdbc_source,
+    "s15_jdbc_stream" -> JdbcSource.s15_jdbc_stream,
     "x14_replication_lag" -> x14_replication_lag,
     "c34_retention" -> (Retention.c34_retention),
     "c35_multi_table_stream" -> c35_multi_table_stream,
@@ -970,6 +971,7 @@ object CdcQueries {
     // c33 replays the SAME rows through the JDBC edge, so full-replay
     // equivalence is the contract: its oracle IS c04's
     "c33_jdbc_source" -> applyLatestOracle,
+    "s15_jdbc_stream" -> applyLatestOracle,
     "c05_apply_upk" ->
       s"""WITH $sqlEnv, $sqlFlat, ${Apply.sqlApply("", "")}
          |SELECT pk, round(last_value, 2) AS value, last_ord

@@ -144,4 +144,133 @@ object JdbcSource {
     */
   val c33_jdbc_source: (SparkSession, String) => DataFrame =
     (s, d) => c33run(s, d)._1
+
+  /** One poll command for the s15 stream: pull WAL rows with
+    * `lsn ∈ (last_applied, hi]`.
+    */
+  case class PollCmd(poll_seq: Int, hi: Long)
+
+  /** The s15 durable offset: highest foreachBatch batch id committed,
+    * last LSN applied, and which state version holds the replica.
+    */
+  private case class Offset(batchId: Long, lastLsn: Long, version: Long)
+
+  private def readOffset(p: Path): Offset = {
+    val Array(b, l, v) = Files.readString(p).trim.split(",")
+    Offset(b.toLong, l.toLong, v.toLong)
+  }
+  private def writeOffset(p: Path, o: Offset): Unit = {
+    // write-then-move: the offset commit must be atomic — a torn offset
+    // after a crash would desynchronize batchId and state version
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    Files.writeString(tmp, s"${o.batchId},${o.lastLsn},${o.version}")
+    Files.move(tmp, p, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** s15 engine: c33's lsn-poll loop under Structured Streaming.
+    * Poll COMMANDS arrive as a file stream; foreachBatch executes each
+    * poll as a bounded JDBC pull merged into a VERSIONED parquet replica
+    * state, committing (batchId, lastLsn, version) to a durable offset
+    * with an idempotent batchId gate — the standard exactly-once
+    * foreachBatch sink contract. The query is STOPPED mid-tail and a
+    * second incarnation resumes from the shared checkpoint + offset:
+    * it must pull only `lsn > lastLsn` (no re-pull, no gap), and the
+    * final replica must equal the full-replay apply (c04's oracle).
+    *
+    * Returns (replica, snapshot LSN, incarnation-1 last applied LSN,
+    * resume-point LSN seen by incarnation 2, poll batches run).
+    */
+  def s15run(s: SparkSession, d: String): (DataFrame, Long, Long, Long, Int) = {
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_s15")
+    // replica + offset outlive this call (the result reads them lazily)
+    val durable = Files.createTempDirectory("graft_s15_replica")
+    val (url, minL, maxL) = loadDb(s, d, dir)
+    try {
+      val cmdDir = dir.resolve("polls"); Files.createDirectories(cmdDir)
+      val cp = dir.resolve("checkpoint")
+      val offsetPath = durable.resolve("offset")
+      val snapLsn = minL + (maxL - minL) * 3 / 5
+      // ---- initial snapshot (c33's striped scan), state version 0 ----
+      val snapshot = s.read.jdbc(
+        url, s"(SELECT * FROM WAL WHERE LSN_LONG <= $snapLsn) AS SNAP",
+        "LSN_LONG", minL, snapLsn, 8, props)
+      Apply.state(lower(snapshot))
+        .write.mode("overwrite").parquet(s"$durable/state_v0")
+      writeOffset(offsetPath, Offset(-1L, snapLsn, 0L))
+      val resumeFrom = new java.util.concurrent.atomic.AtomicLong(-1L)
+      // ---- the streaming poll loop --------------------------------------
+      val onBatch: (DataFrame, Long) => Unit = (cmdBatch, batchId) => {
+        // poll commands are bounded metadata (a few rows), never WAL data
+        val cmds = cmdBatch.select(col("poll_seq"), col("hi"))
+          .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+        val off = readOffset(offsetPath)
+        if (batchId > off.batchId && cmds.nonEmpty) { // idempotent gate
+          resumeFrom.compareAndSet(-1L, off.lastLsn)
+          var last = off.lastLsn
+          var state = s.read.parquet(s"$durable/state_v${off.version}")
+          cmds.foreach { case (_, hi) =>
+            if (hi > last) {
+              val batch = s.read.jdbc(
+                url, s"(SELECT * FROM WAL WHERE LSN_LONG > $last AND LSN_LONG <= $hi) AS W",
+                props)
+              state = applyBatch(state, lower(batch))
+              last = hi
+            }
+          }
+          val v = off.version + 1
+          state.write.mode("overwrite").parquet(s"$durable/state_v$v")
+          writeOffset(offsetPath, Offset(batchId, last, v))
+        }
+      }
+      def incarnation(): org.apache.spark.sql.streaming.StreamingQuery =
+        s.readStream.schema(implicitly[org.apache.spark.sql.Encoder[PollCmd]].schema)
+          .parquet(cmdDir.toString)
+          .writeStream.foreachBatch(onBatch)
+          .option("checkpointLocation", cp.toString)
+          .start()
+      def land(seq: Int, hi: Long): Unit = {
+        val sub = Files.createTempDirectory(s"graft_s15_w$seq")
+        try {
+          Seq(PollCmd(seq, hi)).toDF().coalesce(1)
+            .write.mode("overwrite").parquet(sub.toString)
+          val listing = Files.list(sub)
+          val parquet = try {
+            import scala.jdk.CollectionConverters._
+            listing.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+          } finally listing.close()
+          Files.move(parquet, cmdDir.resolve(f"poll_$seq%02d.parquet"))
+        } finally graft.sources.SourceSinks.deleteDir(sub)
+      }
+      val step = math.max(1L, (maxL - snapLsn + 3) / 4)
+      val his = (1 to 4).map(i => math.min(snapLsn + i * step, maxL))
+      // incarnation 1: two polls, then STOP mid-tail
+      val q1 = incarnation()
+      try { land(0, his(0)); land(1, his(1)); q1.processAllAvailable() }
+      finally q1.stop()
+      val inc1Last = readOffset(offsetPath).lastLsn
+      // incarnation 2: SAME checkpoint + offset — resumes, finishes the tail
+      resumeFrom.set(-1L)
+      val q2 = incarnation()
+      try { land(2, his(2)); land(3, his(3)); q2.processAllAvailable() }
+      finally q2.stop()
+      val fin = readOffset(offsetPath)
+      val replica = s.read.parquet(s"$durable/state_v${fin.version}")
+        .filter(col("last_op") =!= "d")
+        .select(col("pk"), round(col("last_value"), 2).as("value"), col("last_ord"))
+        .orderBy("pk")
+      (replica, snapLsn, inc1Last, resumeFrom.get(), fin.version.toInt)
+    } finally {
+      shutdown(url)
+      graft.sources.SourceSinks.deleteDir(dir)
+    }
+  }
+
+  /** s15 (oracle: ≡ c04 full-replay apply): the streaming-native JDBC
+    * tail — checkpointed offsets, kill + restart mid-stream, resume
+    * exactly once.
+    */
+  val s15_jdbc_stream: (SparkSession, String) => DataFrame =
+    (s, d) => s15run(s, d)._1
 }

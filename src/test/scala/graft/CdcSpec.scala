@@ -763,6 +763,23 @@ class CdcSpec extends AnyFunSuite {
       .forall(_.getAs[Long]("pk") % 4 == 2))
   }
 
+  test("s15 jdbc stream: restart resumes from the checkpointed offset exactly once") {
+    val (df, snapLsn, inc1Last, inc2From, nBatches) = JdbcSource.s15run(spark, sf)
+    // incarnation 1 really advanced the tail past the snapshot...
+    assert(inc1Last > snapLsn, s"inc1 never polled: last=$inc1Last snap=$snapLsn")
+    // ...and incarnation 2's FIRST pull started exactly where incarnation
+    // 1 durably stopped — no re-pull (would double-apply), no gap (would
+    // lose changes); this is the restart boundary
+    assert(inc2From == inc1Last,
+      s"resume boundary broken: inc2 resumed from $inc2From, inc1 stopped at $inc1Last")
+    assert(nBatches >= 2, s"expected ≥2 committed poll batches, got $nBatches")
+    // the restarted stream lands on the full-replay replica
+    val got = df.collect().map(_.toString).toSeq
+    val want = CdcQueries.c04_apply_latest(spark, sf).collect().map(_.toString).toSeq
+    assert(got == want, s"streamed replay diverged from direct apply " +
+      s"(got ${got.length} rows, want ${want.length})")
+  }
+
   test("c36 incremental view: delta-only maintenance ≡ recompute") {
     var log = Vector.empty[(Boolean, Long)]
     val df = ViewMaintenance.c36run(spark, sf,
