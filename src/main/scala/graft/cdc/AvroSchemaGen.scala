@@ -78,8 +78,14 @@ object AvroSchemaGen {
       keys: Set[String] = Set.empty): String = {
     val fields = st.fields.map { f =>
       val nullable = !keys.contains(f.name)
+      // nullable fields carry "default": null (matching the union's first
+      // branch) so a READER schema with an added column resolves old
+      // writers per Avro schema resolution — c24/c39's contract. The
+      // CRC-64-AVRO fingerprint is unchanged: parsing canonical form
+      // strips defaults.
+      val default = if (nullable) """"default":null,""" else ""
       s"""{"name":"${f.name}","type":${avroType(f.dataType, nullable, f.name, namespace)},""" +
-        s""""pgKey":${keys.contains(f.name)},"pgType":"${pgTypeName(f.dataType)}"}"""
+        default + s""""pgKey":${keys.contains(f.name)},"pgType":"${pgTypeName(f.dataType)}"}"""
     }.mkString(",")
     s"""{"type":"record","name":"$name","namespace":"$namespace","fields":[$fields]}"""
   }

@@ -800,6 +800,7 @@ object CdcQueries {
     "c24_evolution_decode" -> c24_evolution_decode,
     "c33_jdbc_source" -> JdbcSource.c33_jdbc_source,
     "s15_jdbc_stream" -> JdbcSource.s15_jdbc_stream,
+    "c39_jdbc_evolution" -> JdbcEvolution.c39_jdbc_evolution,
     "x14_replication_lag" -> x14_replication_lag,
     "c34_retention" -> (Retention.c34_retention),
     "c35_multi_table_stream" -> c35_multi_table_stream,
@@ -880,6 +881,42 @@ object CdcQueries {
        |SELECT 'CREEK.testdb.wal.public.' || tbl AS topic, tbl, pk,
        |  round(last_value, 2) AS value
        |FROM mstate WHERE last_op <> 'd' ORDER BY tbl, pk""".stripMargin
+
+  /** c39's ground truth: full replay over the EVOLVED schema — the added
+    * column is non-null exactly for rows whose LAST write carries an
+    * after image past the evolution cut (mn + (mx−mn)·3/5, the same
+    * arithmetic the Scala lane uses; both sides divide non-negatives).
+    */
+  private lazy val jdbcEvolutionOracle: String =
+    s"""WITH $sqlEnv, $sqlFlat,
+       |m AS (SELECT min(lsn_long) AS mn, max(lsn_long) AS mx FROM flat),
+       |f2 AS (SELECT *,
+       |  CASE WHEN lsn_long > (SELECT mn + (mx - mn) * 3 // 5 FROM m)
+       |        AND pk_after IS NOT NULL
+       |       THEN 's' || (pk_after % 3)::VARCHAR END AS src
+       |  FROM flat),
+       |ehalf AS (
+       |  SELECT lsn_long * 2 AS ord,
+       |    CASE WHEN op = 'u_pk' THEN 'd' ELSE op END AS eff_op,
+       |    CASE WHEN op IN ('d','u_pk') THEN pk_before ELSE pk_after END AS pk,
+       |    CASE WHEN op IN ('d','u_pk') THEN NULL ELSE after_value END AS value,
+       |    CASE WHEN op IN ('d','u_pk') THEN NULL ELSE src END AS src
+       |  FROM f2 WHERE op <> 't'
+       |  UNION ALL
+       |  SELECT lsn_long * 2 + 1, 'c', pk_after, after_value, src
+       |  FROM f2 WHERE op = 'u_pk'),
+       |ecut AS (
+       |  SELECT coalesce(max(lsn_long * 2 + 1), -1) AS tmax
+       |  FROM f2 WHERE op = 't'),
+       |elive AS (SELECT * FROM ehalf WHERE ord > (SELECT tmax FROM ecut)),
+       |estate AS (
+       |  SELECT pk, max(ord) AS last_ord,
+       |    max_by(eff_op, ord) AS last_op,
+       |    max_by(value, ord) AS last_value,
+       |    max_by(src, ord) AS last_src
+       |  FROM elive GROUP BY pk)
+       |SELECT pk, round(last_value, 2) AS value, last_ord, last_src AS src
+       |FROM estate WHERE last_op <> 'd' ORDER BY pk""".stripMargin
 
   /** c38's ground truth: the same leaf→root collapse recomputed from
     * events — user_id mod 4 picks the leaf, leaves 0/1/3 are partitions
@@ -972,6 +1009,7 @@ object CdcQueries {
     // equivalence is the contract: its oracle IS c04's
     "c33_jdbc_source" -> applyLatestOracle,
     "s15_jdbc_stream" -> applyLatestOracle,
+    "c39_jdbc_evolution" -> jdbcEvolutionOracle,
     "c05_apply_upk" ->
       s"""WITH $sqlEnv, $sqlFlat, ${Apply.sqlApply("", "")}
          |SELECT pk, round(last_value, 2) AS value, last_ord

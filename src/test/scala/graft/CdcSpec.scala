@@ -780,6 +780,43 @@ class CdcSpec extends AnyFunSuite {
       s"(got ${got.length} rows, want ${want.length})")
   }
 
+  test("c39 jdbc evolution: ALTER mid-stream, mixed writers resolve to latest") {
+    val (df, fp1, fp2, byWriter) = JdbcEvolution.c39run(spark, sf)
+    // the ALTER changed the table's Avro identity (c11's re-fingerprint)
+    assert(fp1 != fp2)
+    // the replayed stream really mixed writer generations
+    assert(byWriter.getOrElse(1, 0L) > 0, s"no v1-writer frames: $byWriter")
+    assert(byWriter.getOrElse(2, 0L) > 0, s"no v2-writer frames: $byWriter")
+    val rows = df.collect()
+    // populated values follow the upstream rule: src = 's' + pk % 3
+    rows.filter(r => !r.isNullAt(r.fieldIndex("src"))).foreach { r =>
+      assert(r.getAs[String]("src") == s"s${r.getAs[Long]("pk") % 3}",
+        s"src drift on pk ${r.getAs[Long]("pk")}: ${r.getAs[String]("src")}")
+    }
+    // the writer→reader resolution itself, pinned directly: a v1-writer
+    // frame read with the latest reader surfaces the added column's
+    // null default (every replica row's src at this sf happens to be
+    // post-evolution, so the lane alone can't exhibit it)
+    import org.apache.spark.sql.types._
+    val stV1 = StructType(Seq(StructField("lsn_long", LongType, nullable = false),
+      StructField("op", StringType, nullable = true),
+      StructField("pk_before", LongType, nullable = true),
+      StructField("pk_after", LongType, nullable = true),
+      StructField("after_value", DoubleType, nullable = true)))
+    val stV2 = stV1.add(StructField("src", StringType, nullable = true))
+    val (j1, j2) = (AvroSchemaGen.record(stV1, "wal", "graft"),
+      AvroSchemaGen.record(stV2, "wal", "graft"))
+    val (f1v, f2v) = (AvroSchemaGen.fingerprint64(stV1, "wal"),
+      AvroSchemaGen.fingerprint64(stV2, "wal"))
+    val frame = JdbcEvolution.encodeRow(AvroSchemaGen.parse(j1), f1v,
+      5L, "c", None, Some(7L), Some(1.25), None)
+    val dec = JdbcEvolution.decodeRow(scala.collection.mutable.Map.empty,
+      Map(f1v -> j1, f2v -> j2), AvroSchemaGen.parse(j2), f2v, frame)
+    assert(dec.writer_version == 1 && dec.src.isEmpty &&
+      dec.pk_after.contains(7L) && dec.value.contains(1.25),
+      s"v1→v2 resolution drift: $dec")
+  }
+
   test("c36 incremental view: delta-only maintenance ≡ recompute") {
     var log = Vector.empty[(Boolean, Long)]
     val df = ViewMaintenance.c36run(spark, sf,
