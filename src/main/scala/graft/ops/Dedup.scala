@@ -122,11 +122,19 @@ object Dedup {
     // adjacent repartitions and re-inline the signature into the band
     // explode (32x recompute). At cluster scale this is the signature
     // store you would checkpoint anyway.
+    //
+    // The size(sig) > 0 filter comes AFTER the persist: filtering the
+    // lazy plan would let the optimizer push `size(minhash(shingles(
+    // text)))` down into the parquet scan as a DataFilter, recomputing
+    // the whole 128-perm signature per doc inside the (single-row-group,
+    // one-task) scan — measured ~2 s of SERIAL work at sf1, the
+    // operator's worst scaling term before the fix. On the cached table
+    // the same filter costs one size() per row.
     val sigd = Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism) // spread the 1-file scan
       .select(col("doc_id"), minhashSig(shingleHashes(col("text"), distinct = false)).as("sig"))
-      .filter(size(col("sig")) > 0)
       .persist()
+      .filter(size(col("sig")) > 0)
     // The band join carries ONLY (band, bh, doc_id) — never the 128-long
     // signature (which would multiply shuffle bytes ~30×). Signatures are
     // re-attached per doc AFTER the candidate pairs are deduped; at bench
@@ -136,6 +144,12 @@ object Dedup {
         explode(transform(sequence(lit(0), lit(31)), j =>
           struct(j.as("band"), xxhash64(slice(col("sig"), j * 4 + 1, lit(4))).as("bh")))).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.bh"))
+    // Candidate pairs via the banded self-join: at bench scale AQE
+    // broadcast-joins the 3.8 MB banded side (measured faster than a
+    // groupBy+collect_list pair expansion, 0.82 s vs 1.11 s headline);
+    // past the broadcast threshold both degrade to one extra sorted
+    // exchange and the pair count stays bounded by band collisions
+    // either way.
     val a = banded.select(col("band"), col("bh"), col("doc_id").as("d1"))
     val b = banded.select(col("band"), col("bh"), col("doc_id").as("d2"))
     a.join(b, Seq("band", "bh")).filter(col("d1") < col("d2"))
