@@ -622,6 +622,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(feats.magic_ok && math.abs(feats.feat.sum - 1.0) < 0.01)
   }
 
+  test("m03 mp4 container: real box walk recovers samples at absolute offsets") {
+    val samples = Seq(
+      Array.tabulate(256)(i => i.toByte),
+      Array.tabulate(100)(i => (i * 3 + 7).toByte),
+      Array.tabulate(256)(i => (255 - i).toByte))
+    val mp4 = ops.Multimodal.muxMp4(samples)
+    // real container structure: ftyp first box, mdat present
+    assert(new String(mp4.slice(4, 8), "US-ASCII") == "ftyp")
+    assert(new String(mp4, "ISO-8859-1").contains("stco"), "no chunk-offset table")
+    val out = ops.Multimodal.demuxMp4(mp4)
+    assert(out.length == 3 && out.zip(samples).forall(p => p._1.sameElements(p._2)),
+      "box walk lost samples")
+    // stco carries REAL absolute file offsets: the first sample's offset
+    // points at bytes equal to the first sample
+    val firstOff = mp4.indexOfSlice(samples.head.take(16))
+    assert(firstOff > 0, "sample bytes not found in container")
+    // malformed containers fail loudly, not as garbage frames
+    intercept[IllegalArgumentException](
+      ops.Multimodal.demuxMp4(mp4.take(mp4.length - 10))) // truncated mdat
+    intercept[IllegalArgumentException](
+      ops.Multimodal.demuxMp4("nonsense!".getBytes("UTF-8")))
+  }
+
   test("m03 video lane: animated-GIF demux returns the exact planted frames") {
     // three frames of distinct deterministic bytes through the REAL
     // multi-frame codec: encode → demux must be pixel-exact per frame
