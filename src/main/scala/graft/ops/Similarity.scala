@@ -215,8 +215,15 @@ object Similarity {
     * Returns (per-round inertia trace, final centroids).
     */
   def kmeansTrain(s: SparkSession, d: String, k: Int = 10, iters: Int = 4)
+      : (Seq[Double], Array[Array[Double]]) =
+    kmeansTrainOn(Tables.embeddings(s, d), k, iters)
+
+  /** Lloyd's over an arbitrary (vec_id, embedding) corpus — v14 trains
+    * on the pre-arrival base this way.
+    */
+  def kmeansTrainOn(corpus: DataFrame, k: Int = 10, iters: Int = 4)
       : (Seq[Double], Array[Array[Double]]) = {
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding")).persist()
+    val e = corpus.select(col("vec_id"), col("embedding")).persist()
     var cents: Array[Array[Double]] = e
       .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
       .select(col("embedding")).collect()
@@ -705,7 +712,85 @@ object Similarity {
 
   val v13_ann_serving: Q = (s, d) => v13run(s, d)._1
 
+  /** v14 with internals exposed for the spec: (query result over the
+    * incrementally-updated index, the same query over a from-scratch
+    * union assignment, arrival count, updated-index rows, rebuild
+    * rows). */
+  def v14run(s: SparkSession, d: String)
+      : (DataFrame, Seq[(Long, Double)], Long, Long, Long) = {
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_v14")
+    try {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      // the corpus as the index first saw it, and a later arrival batch
+      val base = e.filter(col("vec_id") % 5 =!= 3)
+      val arrivals = e.filter(col("vec_id") % 5 === 3)
+      // ---- index build (v11's artifacts), trained on the BASE only ----
+      val (_, cents) = kmeansTrainOn(base)
+      cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid").coalesce(1)
+        .write.parquet(s"$dir/centroids")
+      assignCells(base, cents).select("vec_id", "cell")
+        .write.parquet(s"$dir/cells")
+      // ---- incremental UPDATE (the faiss add() path): a fresh writer
+      // loads the FROZEN centroids from the artifacts, assigns only the
+      // arrival batch, and APPENDS — no retrain, no base re-scan. Cell
+      // assignment is a pure function of the frozen centroids, so
+      // insert-then-query must equal assign-everything-from-scratch.
+      val loaded = s.read.parquet(s"$dir/centroids").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1).map(_._2)
+      val nArrivals = arrivals.count()
+      assignCells(arrivals, loaded).select("vec_id", "cell")
+        .write.mode("append").parquet(s"$dir/cells")
+      val nIndexed = s.read.parquet(s"$dir/cells").count()
+      val nRebuild = assignCells(e, loaded).count()
+      // ---- query the UPDATED artifacts (v07's probe discipline) -------
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        dp / math.sqrt(na * nb)
+      }
+      val probes = loaded.zipWithIndex.map { case (c, i) => (cos(c, q), i) }
+        .sortBy { case (cc, i) => (-cc, i) }.take(3).map(_._2).toSeq
+      def probeQuery(assigned: DataFrame): DataFrame = assigned
+        .filter(col("cell").isin(probes: _*) && col("vec_id") =!= 0)
+        .join(e, "vec_id")
+        .crossJoin(broadcast(queryVec(s, d)))
+        .select(col("vec_id"),
+          round(Vec.cosine(col("embedding"), col("qe")), 6).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+      val out = probeQuery(s.read.parquet(s"$dir/cells"))
+      // the ground truth the spec compares against: the SAME query over
+      // an assignment rebuilt from scratch on the union corpus under the
+      // frozen centroids — insert-then-query must equal it exactly
+      val rebuild = probeQuery(assignCells(e, loaded).select("vec_id", "cell"))
+      // bounded materialize (2 × 10 rows) before the artifacts are deleted
+      val rows = out.collect().toSeq
+      val rowsRebuild = rebuild.collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      (s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema),
+        rowsRebuild, nArrivals, nIndexed, nRebuild)
+    } finally graft.sources.SourceSinks.deleteDir(dir)
+  }
+
+  // v14 (rows-only; spec: ≡ a from-scratch assignment over the union
+  // under the SAME frozen centroids, and the update appended exactly the
+  // arrival batch): INCREMENTAL INDEX MAINTENANCE — the missing step
+  // between v11 (persist) and v13 (serve): new vectors enter the
+  // persisted IVF index without retraining or touching the base corpus,
+  // the standard vector-store insert path. At 100 TB this is why index
+  // updates are O(batch): assignment is map-side (broadcast centroids),
+  // the append writes only arrival rows, and queries see old + new
+  // uniformly because cell identity is a pure function of the frozen
+  // centroids.
+  val v14_index_update: Q = (s, d) => v14run(s, d)._1
+
   val queries: Map[String, Q] = Map(
+    "v14_index_update" -> v14_index_update,
     "v13_ann_serving" -> v13_ann_serving,
     "v12_filtered_knn" -> v12_filtered_knn,
     "v09_product_quantization" -> v09_product_quantization,

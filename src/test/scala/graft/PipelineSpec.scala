@@ -583,6 +583,26 @@ class PipelineSpec extends AnyFunSuite {
       ops.Multimodal.decodePng("not a png".getBytes("UTF-8")))
   }
 
+  test("v14 index update: incremental insert ≡ from-scratch assignment") {
+    val (df, rebuild, nArrivals, nIndexed, nRebuild) = Similarity.v14run(spark, sf)
+    // the update appended exactly the arrival batch — no base re-scan,
+    // no retrain: indexed rows = base + arrivals = what a full rebuild
+    // under the same frozen centroids assigns
+    assert(nArrivals > 0)
+    assert(nIndexed == nRebuild,
+      s"updated index has $nIndexed rows, rebuild assigns $nRebuild")
+    // insert-then-query equals rebuild-then-query EXACTLY (cell identity
+    // is a pure function of the frozen centroids) — the arrival batch is
+    // genuinely served, not merely stored
+    val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.length == 10)
+    assert(got == rebuild,
+      s"incremental index diverged from rebuild:\n got=$got\nreb=$rebuild")
+    import org.apache.spark.sql.functions._
+    assert(Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 5 === 3).count() == nArrivals)
+  }
+
   test("m05 WAV container: real RIFF chunk walk skips junk, roundtrips samples") {
     val samples = Array.tabulate(501)(i => ((i * 193 - 7000) % 32768).toShort)
     val wav = ops.Multimodal.encodeWav(samples)
