@@ -245,6 +245,112 @@ object SourceSinks {
     } finally deleteDir(dir)
   }
 
+  /** Per-row-group (colA span, colB span, colA min/max, colB min/max)
+    * from the parquet footers — x13's reader widened to two integer
+    * columns (stats surface as Integer or Long depending on the
+    * physical type; both are read as Long). Footer reads fan out over
+    * executors; only a few longs per row group come back.
+    */
+  def rowGroupSpans2(s: SparkSession, dir: Path, colA: String, colB: String)
+      : Seq[(Long, Long, Long, Long)] = {
+    val walk = Files.walk(dir)
+    val files = try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toSeq
+    } finally walk.close()
+    val nSlices = math.max(1, math.min(files.length, 32))
+    s.sparkContext.parallelize(files, nSlices).flatMap { p =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(p), conf)
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        rd.getFooter.getBlocks.asScala.toSeq.map { b =>
+          def mm(name: String): (Long, Long) = {
+            val c = b.getColumns.asScala.find(_.getPath.toDotString == name)
+              .getOrElse(throw new IllegalArgumentException(s"no column $name"))
+            (c.getStatistics.genericGetMin.asInstanceOf[Number].longValue,
+              c.getStatistics.genericGetMax.asInstanceOf[Number].longValue)
+          }
+          val (aMin, aMax) = mm(colA); val (bMin, bMax) = mm(colB)
+          (aMin, aMax, bMin, bMax)
+        }
+      } finally rd.close()
+    }.collect().toSeq
+  }
+
+  /** 32-bit Z-value (Morton code) of two 16-bit dimensions — bit i of
+    * each input lands at output bits 2i/2i+1. Pure shift/mask column
+    * arithmetic, fully codegen'd.
+    */
+  def zvalue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 16).map { i =>
+      (shiftrightunsigned(a.cast("long"), i).bitwiseAND(1) * lit(1L << (2 * i))) +
+        (shiftrightunsigned(b.cast("long"), i).bitwiseAND(1) * lit(1L << (2 * i + 1)))
+    }.reduce(_ + _)
+
+  // x15 (rows-only; spec: z-order prunes BOTH dimensions, single-sort
+  // prunes only one; content lossless): Z-ORDER DATA CLUSTERING — the
+  // multi-dimensional layout pass (Delta OPTIMIZE ZORDER BY / Iceberg
+  // sort-order shape) behind row-group skipping when scans filter on
+  // MORE than one column. The same events written (a) range-sorted by
+  // day only (x13's single-dimension discipline) and (b) ordered by the
+  // Morton interleave of (user_id, day). Judged by the parquet footer
+  // min/max stats: for each layout the operator reports, per dimension,
+  // the fraction of row groups a point predicate can prune (averaged
+  // over 16 deterministic probe values). Day-sorting prunes day
+  // predicates perfectly and user predicates NOT AT ALL; the z-layout
+  // prunes both — which is why a 100 TB table filtered on several
+  // columns is z-clustered, not sorted.
+  val x15_zorder_layout: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("day"))
+    val dir = Files.createTempDirectory("graft_zorder")
+    try {
+      val n = 8
+      val (uLo, uHi) = {
+        val r = ev.agg(min("user_id"), max("user_id")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      ev.repartitionByRange(n, col("day"), col("event_id"))
+        .sortWithinPartitions(col("day"))
+        .write.parquet(dir.resolve("sorted_day").toString)
+      // both dimensions NORMALIZED to a common 8-bit scale before the
+      // interleave (the rank/quantile step every production z-order
+      // runs): raw interleaving lets the wider-ranged column's high bits
+      // dominate the curve and the narrow column stops clustering at all
+      ev.withColumn("z", zvalue(
+          (col("user_id") - uLo) * 255 / math.max(uHi - uLo, 1L),
+          col("day") * 255 / 29))
+        .repartitionByRange(n, col("z"), col("event_id"))
+        .sortWithinPartitions(col("z"))
+        .drop("z")
+        .write.parquet(dir.resolve("zorder").toString)
+      val nRows = ev.count()
+      val probesU = (0 until 16).map(i => uLo + (uHi - uLo) * (2 * i + 1) / 32)
+      val probesD = (0 until 16).map(i => (i * 30L + 1) / 16)
+      Seq("sorted_day", "zorder").map { layout =>
+        val spans = rowGroupSpans2(s, dir.resolve(layout), "user_id", "day")
+        // a probe prunes a row group iff it falls outside [min, max]
+        def pruneFrac(probes: Seq[Long], mm: ((Long, Long, Long, Long)) => (Long, Long)) =
+          probes.map { p =>
+            spans.count { sp => val (lo, hi) = mm(sp); p < lo || p > hi }
+          }.sum.toDouble / (probes.length * spans.length)
+        val lossless = s.read.parquet(dir.resolve(layout).toString).count() == nRows
+        (layout, spans.length.toLong,
+          math.rint(pruneFrac(probesU, sp => (sp._1, sp._2)) * 1000) / 1000,
+          math.rint(pruneFrac(probesD, sp => (sp._3, sp._4)) * 1000) / 1000,
+          lossless)
+      }.toDF("layout", "n_rowgroups", "user_prune_frac", "day_prune_frac",
+        "lossless")
+        .orderBy("layout")
+    } finally deleteDir(dir)
+  }
+
   // x04: STREAMING parquet sink — the WAL stream written by a real
   // Structured Streaming query (append mode, checkpointed, exactly-once
   // file commit protocol), then the sink directory read back and
@@ -434,6 +540,7 @@ object SourceSinks {
     "x11_compaction" -> x11_compaction,
     "x12_schema_merge" -> x12_schema_merge,
     "x13_sorted_layout" -> x13_sorted_layout,
+    "x15_zorder_layout" -> x15_zorder_layout,
     "x02_json_roundtrip" -> x02_json_roundtrip,
     "x03_csv_roundtrip" -> x03_csv_roundtrip,
     "x04_stream_parquet_sink" -> x04_stream_parquet_sink,

@@ -162,6 +162,22 @@ class SourcesSpec extends AnyFunSuite {
     } finally graft.sources.SourceSinks.deleteDir(dir)
   }
 
+  test("x15 z-order layout: both dimensions prune; day-sort prunes one") {
+    val rows = graft.sources.SourceSinks.x15_zorder_layout(spark, sf).collect()
+      .map(r => r.getAs[String]("layout") ->
+        (r.getAs[Double]("user_prune_frac"), r.getAs[Double]("day_prune_frac"),
+          r.getAs[Boolean]("lossless"))).toMap
+    val (zU, zD, zOk) = rows("zorder")
+    val (sU, sD, sOk) = rows("sorted_day")
+    assert(zOk && sOk, "a layout lost rows")
+    // day-sorting: near-perfect day pruning, near-zero user pruning
+    assert(sD >= 0.7, s"day-sorted layout should prune day probes: $sD")
+    assert(sU <= 0.2, s"day-sorted layout cannot prune user probes: $sU")
+    // z-order: BOTH dimensions prune meaningfully
+    assert(zU >= 0.4, s"z-order should prune user probes: $zU")
+    assert(zD >= 0.3, s"z-order should prune day probes: $zD")
+  }
+
   test("x11 compaction: 64-file landing zone → ceil(bytes/target) files, content intact") {
     import org.apache.spark.sql.functions._
     val df = graft.cdc.Envelope.flat(Tables.events(spark, sf))
