@@ -643,7 +643,49 @@ object Dedup {
   // bloom aggregate and broadcast once.
   val d14_bloom_membership: Q = (s, d) => bloomDedupRun(s, d)._1
 
+  // t17 (oracle: d08's recursive-CTE keep-list ⊕ d12's contamination
+  // join ⊕ t13's sampling rule composed in ONE SQL query): CORPUS
+  // BUILD — the end-to-end training-corpus construction lane, the
+  // LLM-pipeline twin of c37's daemon composition: near-dup dedup
+  // keep-list (d08) → eval-split holdout + benchmark decontamination
+  // (d12) → per-source mix with epoch upsampling (t13), with per-source
+  // drop accounting at every stage. A hash match proves no composition
+  // seam (flag precedence, eval exclusion, sampling over survivors
+  // only) loses or double-counts a document.
+  val t17_corpus_build: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val kl = d08_dedup_keeplist(s, d).select(col("doc_id"), col("keep"))
+    val contam = d12_decontamination(s, d)
+      .select(col("train_id").as("doc_id")).distinct()
+      .withColumn("contam", lit(true))
+    val idx = regexp_extract(col("source"), "(\\d+)", 1).cast("int")
+    val rate = when(idx % 4 === 0, 150L).when(idx % 4 === 1, 100L)
+      .when(idx % 4 === 2, 50L).otherwise(20L)
+    val pct = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+      .cast("long"), lit(100L))
+    docs
+      .filter(col("doc_id") % 17 =!= 0) // the eval split never trains
+      .join(kl, "doc_id") // dedup verdict (computed over the FULL corpus)
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("contam", coalesce(col("contam"), lit(false)))
+      .withColumn("surv", col("keep") && !col("contam"))
+      .withColumn("n_tokens", size(split(lower(norm(col("text"))), " ")))
+      .withColumn("rate", rate)
+      .withColumn("n_copies", when(col("surv"),
+        (col("rate") / 100L).cast("long") + (pct < col("rate") % 100).cast("long"))
+        .otherwise(0L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum((!col("keep")).cast("long")).as("n_dup_dropped"),
+        sum((col("keep") && col("contam")).cast("long")).as("n_contam_dropped"),
+        sum(col("surv").cast("long")).as("n_docs"),
+        sum("n_copies").as("n_emitted"),
+        sum(col("n_copies") * col("n_tokens")).as("emitted_tokens"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t17_corpus_build" -> t17_corpus_build,
     "d14_bloom_membership" -> d14_bloom_membership,
     "d13_containment" -> d13_containment,
     "d12_decontamination" -> d12_decontamination,
@@ -708,6 +750,7 @@ object Dedup {
     "d09_incremental_keeplist" -> keeplistOracleSql,
     // d11 maintains it under Structured Streaming — same proof obligation.
     "d11_streaming_keeplist" -> keeplistOracleSql,
+    "t17_corpus_build" -> corpusBuildOracleSql,
     "d12_decontamination" ->
       """WITH toks AS (
         |  SELECT doc_id,
@@ -726,6 +769,47 @@ object Dedup {
         |WHERE tr.doc_id % 17 <> 0 AND ev.doc_id % 17 = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
+
+  /** t17's ground truth: keep-list CC ⊕ 8-gram contamination ⊕ mix rule
+    * in one recursive query (the 8-gram CTEs renamed to avoid clashing
+    * with ccCtes' 5-gram shingle names).
+    */
+  private lazy val corpusBuildOracleSql: String =
+    s"""$ccCtes,
+       |lab AS (SELECT node, min(rep) AS cluster FROM cc GROUP BY node),
+       |sh8 AS (
+       |  SELECT doc_id, CASE WHEN len(t) >= 8 THEN
+       |    list_distinct([array_to_string(t[i:i+7], ' ') for i in range(1, len(t)-6)])
+       |    ELSE [] END AS shingles
+       |  FROM toks),
+       |ex8 AS (SELECT doc_id, unnest(shingles) AS s8 FROM sh8),
+       |contam AS (
+       |  SELECT DISTINCT tr.doc_id FROM ex8 tr JOIN ex8 ev ON tr.s8 = ev.s8
+       |  WHERE tr.doc_id % 17 <> 0 AND ev.doc_id % 17 = 0),
+       |flags AS (
+       |  SELECT d.doc_id, d.source,
+       |    len(string_split(lower(trim(regexp_replace(d.text, '\\s+', ' ', 'g'))), ' ')) AS n_tokens,
+       |    d.doc_id = coalesce(l.cluster, d.doc_id) AS keep,
+       |    d.doc_id IN (SELECT doc_id FROM contam) AS contam,
+       |    CASE regexp_extract(d.source, '(\\d+)', 1)::INT % 4
+       |      WHEN 0 THEN 150 WHEN 1 THEN 100 WHEN 2 THEN 50
+       |      ELSE 20 END AS rate,
+       |    ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 6))::BIGINT % 100 AS pct
+       |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.node
+       |  WHERE d.doc_id % 17 <> 0),
+       |mix AS (
+       |  SELECT *, keep AND NOT contam AS surv,
+       |    CASE WHEN keep AND NOT contam THEN (rate // 100)::BIGINT
+       |      + (CASE WHEN pct < rate % 100 THEN 1 ELSE 0 END)::BIGINT
+       |      ELSE 0 END AS n_copies
+       |  FROM flags)
+       |SELECT source, count(*)::BIGINT AS n_candidates,
+       |  sum(CASE WHEN NOT keep THEN 1 ELSE 0 END)::BIGINT AS n_dup_dropped,
+       |  sum(CASE WHEN keep AND contam THEN 1 ELSE 0 END)::BIGINT AS n_contam_dropped,
+       |  sum(CASE WHEN surv THEN 1 ELSE 0 END)::BIGINT AS n_docs,
+       |  sum(n_copies)::BIGINT AS n_emitted,
+       |  sum(n_copies * n_tokens)::BIGINT AS emitted_tokens
+       |FROM mix GROUP BY 1 ORDER BY 1""".stripMargin
 
   private lazy val keeplistOracleSql: String =
     s"""$ccCtes,

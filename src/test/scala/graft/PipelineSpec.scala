@@ -583,6 +583,24 @@ class PipelineSpec extends AnyFunSuite {
       ops.Multimodal.decodePng("not a png".getBytes("UTF-8")))
   }
 
+  test("t17 corpus build: per-source accounting conserves every document") {
+    val rows = Dedup.t17_corpus_build(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cand, dup, contam, docs) = (r.getAs[Long]("n_candidates"),
+        r.getAs[Long]("n_dup_dropped"), r.getAs[Long]("n_contam_dropped"),
+        r.getAs[Long]("n_docs"))
+      // every candidate is dropped exactly once or survives — no
+      // double-count across the dedup/decontamination stages
+      assert(cand == dup + contam + docs,
+        s"${r.getAs[String]("source")}: $cand != $dup + $contam + $docs")
+      assert(r.getAs[Long]("n_emitted") >= 0 && docs >= 0)
+    }
+    // both drop stages really fired somewhere in the corpus
+    assert(rows.map(_.getAs[Long]("n_dup_dropped")).sum > 0, "no dups dropped")
+    assert(rows.map(_.getAs[Long]("n_contam_dropped")).sum > 0, "no contamination dropped")
+  }
+
   test("v14 index update: incremental insert ≡ from-scratch assignment") {
     val (df, rebuild, nArrivals, nIndexed, nRebuild) = Similarity.v14run(spark, sf)
     // the update appended exactly the arrival batch — no base re-scan,
