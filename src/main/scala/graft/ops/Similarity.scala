@@ -789,7 +789,99 @@ object Similarity {
   // centroids.
   val v14_index_update: Q = (s, d) => v14run(s, d)._1
 
+  /** s16 with internals for the spec: (query result over the streamed
+    * index, batch-v14 rebuild rows, number of streaming micro-batches
+    * that appended).
+    */
+  def s16run(s: SparkSession, d: String): (DataFrame, Seq[(Long, Double)], Long) = {
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_s16")
+    try {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val base = e.filter(col("vec_id") % 5 =!= 3)
+      // ---- index build on the base (v14's batch side) -----------------
+      val (_, cents) = kmeansTrainOn(base)
+      cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid").coalesce(1)
+        .write.parquet(s"$dir/centroids")
+      assignCells(base, cents).select("vec_id", "cell")
+        .write.parquet(s"$dir/cells")
+      val loaded = s.read.parquet(s"$dir/centroids").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1).map(_._2)
+      // ---- STREAMING ingest: arrivals land as files, each micro-batch
+      // assigns against the frozen centroids and APPENDS to the index —
+      // exactly-once via the file-source checkpoint (an appended batch
+      // is never redelivered), explicit arrival order like d11/s14
+      val arrDir = dir.resolve("arrivals"); java.nio.file.Files.createDirectories(arrDir)
+      val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+      val q = s.readStream.schema(e.schema).parquet(arrDir.toString)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            assignCells(batch, loaded).select("vec_id", "cell")
+              .write.mode("append").parquet(s"$dir/cells")
+            nBatches.incrementAndGet()
+          }
+          (): Unit
+        }
+        .option("checkpointLocation", s"$dir/chk")
+        .start()
+      try {
+        // two explicit arrival waves (vec_id mod 10 splits the arrivals)
+        Seq(3L, 8L).zipWithIndex.foreach { case (res, i) =>
+          val sub = java.nio.file.Files.createTempDirectory(s"graft_s16_w$i")
+          try {
+            e.filter(col("vec_id") % 10 === res).coalesce(1)
+              .write.mode("overwrite").parquet(sub.toString)
+            val listing = java.nio.file.Files.list(sub)
+            val pq = try {
+              import scala.jdk.CollectionConverters._
+              listing.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+            } finally listing.close()
+            java.nio.file.Files.move(pq, arrDir.resolve(f"wave_$i%02d.parquet"))
+          } finally graft.sources.SourceSinks.deleteDir(sub)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      // ---- query the streamed index; ground truth = batch rebuild -----
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        dp / math.sqrt(na * nb)
+      }
+      val probes = loaded.zipWithIndex.map { case (c, i) => (cos(c, qv), i) }
+        .sortBy { case (cc, i) => (-cc, i) }.take(3).map(_._2).toSeq
+      def probeQuery(assigned: DataFrame): DataFrame = assigned
+        .filter(col("cell").isin(probes: _*) && col("vec_id") =!= 0)
+        .join(e, "vec_id")
+        .crossJoin(broadcast(queryVec(s, d)))
+        .select(col("vec_id"),
+          round(Vec.cosine(col("embedding"), col("qe")), 6).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+      val out = probeQuery(s.read.parquet(s"$dir/cells"))
+      val rows = out.collect().toSeq // bounded: top-10
+      val rebuild = probeQuery(assignCells(e, loaded).select("vec_id", "cell"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      (s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema),
+        rebuild, nBatches.get())
+    } finally graft.sources.SourceSinks.deleteDir(dir)
+  }
+
+  // s16 (rows-only; spec: ≡ batch union rebuild, ≥2 appending
+  // micro-batches): STREAMING vector ingest — v14's incremental index
+  // update driven by Structured Streaming: arrival files become
+  // micro-batches, each assigned against the frozen centroids and
+  // appended to the persisted index under the file-source checkpoint's
+  // exactly-once contract. Completes the batch↔streaming twin pattern
+  // (apply/c13, keep-list/d11, view/s14, JDBC tail/s15 — index/s16).
+  val s16_streaming_index: Q = (s, d) => s16run(s, d)._1
+
   val queries: Map[String, Q] = Map(
+    "s16_streaming_index" -> s16_streaming_index,
     "v14_index_update" -> v14_index_update,
     "v13_ann_serving" -> v13_ann_serving,
     "v12_filtered_knn" -> v12_filtered_knn,

@@ -601,6 +601,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_contam_dropped")).sum > 0, "no contamination dropped")
   }
 
+  test("s16 streaming index: micro-batch ingest ≡ batch union rebuild") {
+    val (df, rebuild, nBatches) = Similarity.s16run(spark, sf)
+    // the arrivals really came in over multiple appending micro-batches
+    assert(nBatches >= 2, s"expected ≥2 appending micro-batches, got $nBatches")
+    val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.length == 10)
+    // streamed-in vectors are served identically to a from-scratch batch
+    // assignment under the same frozen centroids
+    assert(got == rebuild,
+      s"streamed index diverged from rebuild:\n got=$got\nreb=$rebuild")
+  }
+
   test("v14 index update: incremental insert ≡ from-scratch assignment") {
     val (df, rebuild, nArrivals, nIndexed, nRebuild) = Similarity.v14run(spark, sf)
     // the update appended exactly the arrival batch — no base re-scan,
