@@ -664,11 +664,16 @@ object CdcQueries {
     val decoded = PgOutput.multiRoundtrip(flatEnv(s, d)).toDF().select(
       col("table_name").as("tbl"), col("lsn_long"), col("op"),
       col("pk_before"), col("pk_after"), col("after_value"))
-    val budget = math.max(1L, decoded.filter(col("tbl") =!= "t2").count() * 3 / 5)
+    // ONE allow-list constant drives both the budget sizing and the
+    // config flag vector (a divergent pair here would make the budget
+    // binding against the wrong message population)
+    val allowedTables = Seq("t0", "t1", "t3")
+    val budget = math.max(1L,
+      decoded.filter(col("tbl").isin(allowedTables: _*)).count() * 3 / 5)
     // -- config (c32): the deployment contract, incl. retention flags
     val cfg = DaemonConfig.parse(Seq(
       "--log-level", "info",
-      "--tables", "public.t0,public.t1,public.t3",
+      "--tables", allowedTables.map("public." + _).mkString(","),
       "--pg-uri", "postgres://creek@localhost:5432/testdb",
       "--nats-namespace", "CREEK",
       "--nats-retention-policy", "limits",
