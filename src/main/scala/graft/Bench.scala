@@ -28,8 +28,13 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    // Dev-only override: SPARK_GRAFT_MASTER=local-cluster[4,8,16384] runs
+    // the same bench against separate executor JVMs (real serialized
+    // shuffles / broadcasts) — evidence for the multi-executor story that
+    // plain local[n] cannot give. Driver runs always use the default.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")

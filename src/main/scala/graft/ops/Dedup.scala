@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -84,7 +85,16 @@ object Dedup {
   // least one shingle (the shared-shingle join bounds work to colliding
   // keys); intersection counted per pair, union from the carried set sizes.
   val d02_ngram_jaccard: Q = (s, d) => {
+    // A shingle held by exactly one doc cannot form a pair, and in a real
+    // corpus that is the vast majority of shingle rows. One window count
+    // over the already-s-partitioned table drops them before the
+    // self-join; the window's within-partition sort on s doubles as the
+    // sort-merge join's sort, so this replaces the join's two big sorts
+    // with one and shrinks both probe sides to the colliding shingles
+    // (measured at sf5: 6.7 s → see SCALE_r07.md).
     val ex = explodedShingles(s, d)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
+      .filter(col("df") >= 2)
     val a = ex.select(col("doc_id").as("d1"), col("n_sh").as("n1"), col("s"))
     val b = ex.select(col("doc_id").as("d2"), col("n_sh").as("n2"), col("s"))
     a.join(b, a("s") === b("s") && a("d1") < b("d2"))
@@ -144,14 +154,39 @@ object Dedup {
         explode(transform(sequence(lit(0), lit(31)), j =>
           struct(j.as("band"), xxhash64(slice(col("sig"), j * 4 + 1, lit(4))).as("bh")))).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.bh"))
-    // Candidate pairs via the banded self-join: at bench scale AQE
-    // broadcast-joins the 3.8 MB banded side (measured faster than a
-    // groupBy+collect_list pair expansion, 0.82 s vs 1.11 s headline);
-    // past the broadcast threshold both degrade to one extra sorted
-    // exchange and the pair count stays bounded by band collisions
-    // either way.
-    val a = banded.select(col("band"), col("bh"), col("doc_id").as("d1"))
-    val b = banded.select(col("band"), col("bh"), col("doc_id").as("d2"))
+    // Candidate generation has two formulations with a crossover the
+    // optimizer cannot find on its own (it would have to restructure the
+    // query, not just pick join strategies), so the choice is made here
+    // from the relation's file-size statistic — no job is run:
+    //  * small corpus (banded ≈ 6× the compressed documents bytes fits
+    //    the ~10 MB broadcast threshold): plain banded self-join; AQE
+    //    broadcasts one side and nothing is exchanged or persisted.
+    //    Forcing the semi-cut here measured +0.9 s at sf0.1 — three
+    //    extra stages of fixed overhead for nothing.
+    //  * large corpus: persist banded once (like sigd, the band index
+    //    you would checkpoint at cluster scale), build the hot-bucket
+    //    list with a keys-only groupBy (map-side partial agg → the
+    //    shuffle carries ~16 B per distinct bucket), and semi-filter
+    //    both self-join sides: a (band,bh) bucket with one member yields
+    //    no pair, and in a mostly-unique corpus that is nearly every
+    //    bucket. No broadcast hint on the hot list — AQE broadcasts it
+    //    when it is actually small (it scales with dup clusters, not
+    //    corpus size); on a pathologically duplicate-heavy corpus it
+    //    stays a partitioned join instead of a driver-killing forced
+    //    broadcast. Measured at sf5: d03 9.4 s → 5.4 s (SCALE_r07.md).
+    val docsBytes = Tables.documents(s, d).queryExecution.optimizedPlan
+      .stats.sizeInBytes
+    val pruned =
+      if (docsBytes <= (2L << 20)) banded
+      else {
+        val cached = banded.persist()
+        val hot = cached.groupBy("band", "bh")
+          .agg(count(lit(1)).as("bdf")).filter(col("bdf") >= 2)
+          .select("band", "bh")
+        cached.join(hot, Seq("band", "bh"), "leftsemi")
+      }
+    val a = pruned.select(col("band"), col("bh"), col("doc_id").as("d1"))
+    val b = pruned.select(col("band"), col("bh"), col("doc_id").as("d2"))
     a.join(b, Seq("band", "bh")).filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2")).distinct()
       .join(sigd.select(col("doc_id").as("d1"), col("sig").as("sig1")), "d1")
