@@ -127,7 +127,21 @@ object Dedup {
   // stage references them. Without the barriers this plan recomputes the
   // shingle pipeline 128× and the signature 32× per row (measured 1349 s
   // at sf0.1; 3.5 s with barriers).
+  /** d03 with the candidate formulation chosen from the documents
+    * relation's file-size statistic (no job): under ~2 MB compressed the
+    * banded table (≈6× that, in-memory) fits the broadcast threshold and
+    * the plain self-join wins; past it the singleton-bucket semi-cut
+    * wins. See [[d03_lsh_with]] for the two formulations; the spec
+    * `d03 both candidate formulations produce identical pairs` pins
+    * their equivalence.
+    */
   val d03_minhash_lsh: Q = (s, d) => {
+    val docsBytes = Tables.documents(s, d).queryExecution.optimizedPlan
+      .stats.sizeInBytes
+    d03_lsh_with(semiCut = docsBytes > (2L << 20))(s, d)
+  }
+
+  private[graft] def d03_lsh_with(semiCut: Boolean): Q = (s, d) => {
     // persist, not a second repartition: CollapseRepartition would merge
     // adjacent repartitions and re-inline the signature into the band
     // explode (32x recompute). At cluster scale this is the signature
@@ -156,8 +170,8 @@ object Dedup {
       .select(col("doc_id"), col("b.band"), col("b.bh"))
     // Candidate generation has two formulations with a crossover the
     // optimizer cannot find on its own (it would have to restructure the
-    // query, not just pick join strategies), so the choice is made here
-    // from the relation's file-size statistic — no job is run:
+    // query, not just pick join strategies); `semiCut` picks one —
+    // [[d03_minhash_lsh]] decides from the relation's size statistic:
     //  * small corpus (banded ≈ 6× the compressed documents bytes fits
     //    the ~10 MB broadcast threshold): plain banded self-join; AQE
     //    broadcasts one side and nothing is exchanged or persisted.
@@ -174,10 +188,8 @@ object Dedup {
     //    corpus size); on a pathologically duplicate-heavy corpus it
     //    stays a partitioned join instead of a driver-killing forced
     //    broadcast. Measured at sf5: d03 9.4 s → 5.4 s (SCALE_r07.md).
-    val docsBytes = Tables.documents(s, d).queryExecution.optimizedPlan
-      .stats.sizeInBytes
     val pruned =
-      if (docsBytes <= (2L << 20)) banded
+      if (!semiCut) banded
       else {
         val cached = banded.persist()
         val hot = cached.groupBy("band", "bh")

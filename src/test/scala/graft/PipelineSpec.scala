@@ -25,6 +25,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"minhash recall $recall, exact=${exact.size}, got=${approx.size}")
   }
 
+  test("d03 both candidate formulations produce identical pairs") {
+    // d03_minhash_lsh picks the formulation from the relation's size
+    // statistic; this pins that the plain broadcast self-join and the
+    // singleton-bucket semi-cut are result-equivalent on the same corpus
+    // (the cut only removes buckets that cannot form a pair).
+    val plain = Dedup.d03_lsh_with(semiCut = false)(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val cut = Dedup.d03_lsh_with(semiCut = true)(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(plain.nonEmpty)
+    assert(plain == cut)
+  }
+
   test("d04 simhash finds most planted near-dups with bounded extras") {
     val exact = pairSet(Dedup.d02_ngram_jaccard(spark, sf))
     val sim = pairSet(Dedup.d04_simhash(spark, sf))
