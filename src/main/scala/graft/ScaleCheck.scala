@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-/** Ad-hoc sf1 quality gates for rows-only operators (recall/error bounds
+/** Ad-hoc quality gates (sfdir = args(0), default sf1) for rows-only operators (recall/error bounds
   * normally spec-checked at sf0.001) — run manually, results recorded in
   * SCALE_r07.md. Not part of the driver contract.
   */
@@ -13,41 +13,42 @@ object ScaleCheck {
       .config("spark.sql.session.timeZone","UTC")
       .config("spark.ui.enabled","false").getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
-    val d = "/root/repo/testdata/sf1"
+    val d = args.headOption.getOrElse("/root/repo/testdata/sf1")
+    val tag = d.split("/").last
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("d1","d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = pairs(ops.Dedup.d02_ngram_jaccard(s, d))
     val lsh = pairs(ops.Dedup.d03_minhash_lsh(s, d))
-    println(f"[scale] d03 recall vs d02 at sf1: ${(exact & lsh).size.toDouble / exact.size}%.4f (${exact.size} exact pairs)")
+    println(f"[scale] d03 recall vs d02 at $tag: ${(exact & lsh).size.toDouble / exact.size}%.4f (${exact.size} exact pairs)")
     val sim = pairs(ops.Dedup.d04_simhash(s, d))
-    println(f"[scale] d04 recall vs d02 at sf1: ${(exact & sim).size.toDouble / exact.size}%.4f")
+    println(f"[scale] d04 recall vs d02 at $tag: ${(exact & sim).size.toDouble / exact.size}%.4f")
     def top10(df: org.apache.spark.sql.DataFrame) =
       df.select("vec_id").collect().map(_.getLong(0)).toSet
     val brute = top10(ops.Similarity.v01_knn_brute(s, d))
     val ivf = top10(ops.Similarity.v02_knn_ivf(s, d))
     val trained = top10(ops.Similarity.v07_knn_ivf_trained(s, d))
     val serving = top10(ops.Similarity.v13_ann_serving(s, d))
-    println(f"[scale] v02 recall@10 vs v01 at sf1: ${(brute & ivf).size / 10.0}%.2f")
-    println(f"[scale] v07 recall@10 vs v01 at sf1: ${(brute & trained).size / 10.0}%.2f")
-    println(s"[scale] v13 rows at sf1: ${serving.size}")
-    // q38 approx rolling distinct vs q35 exact at sf1
+    println(f"[scale] v02 recall@10 vs v01 at $tag: ${(brute & ivf).size / 10.0}%.2f")
+    println(f"[scale] v07 recall@10 vs v01 at $tag: ${(brute & trained).size / 10.0}%.2f")
+    println(s"[scale] v13 rows at $tag: ${serving.size}")
+    // q38 approx rolling distinct vs q35 exact
     val ex35 = ops.Relational.queries("q35_rolling_distinct")(s, d)
       .collect().map(r => (r.get(0).toString, r.getAs[Number](1).longValue)).toMap
     val ap38 = ops.Relational.queries("q38_rolling_distinct_approx")(s, d)
       .collect().map(r => (r.get(0).toString, r.getAs[Number](1).longValue)).toMap
     val errs = ex35.map { case (k, v) => math.abs(ap38(k) - v).toDouble / math.max(v, 1) }
-    println(f"[scale] q38 max rel err vs q35 at sf1: ${errs.max}%.4f over ${ex35.size} days")
-    // t11 CMS heavy hitters vs exact at sf1 (one-sided overcount bound)
+    println(f"[scale] q38 max rel err vs q35 at $tag: ${errs.max}%.4f over ${ex35.size} days")
+    // t11 CMS heavy hitters vs exact at $tag (one-sided overcount bound)
     val hh = ops.TextAnalysis.queries("t11_heavy_hitters")(s, d).collect()
     val hhOk = hh.forall(r => r.getAs[Number](r.fieldIndex("n_est")).longValue
       >= r.getAs[Number](r.fieldIndex("n_exact")).longValue)
-    println(s"[scale] t11 CMS one-sided bound holds at sf1: $hhOk over ${hh.length} tokens")
-    // q32/q39 sketch accuracy at sf1
+    println(s"[scale] t11 CMS one-sided bound holds at $tag: $hhOk over ${hh.length} tokens")
+    // q32/q39 sketch accuracy
     val q32 = ops.Relational.queries("q32_approx_distinct")(s, d).collect()
     val q32err = q32.map(r => math.abs(r.getAs[Number](r.fieldIndex("n_approx")).doubleValue
       - r.getAs[Number](r.fieldIndex("n_exact")).doubleValue)
       / r.getAs[Number](r.fieldIndex("n_exact")).doubleValue).max
-    println(f"[scale] q32 HLL max rel err at sf1: $q32err%.4f")
+    println(f"[scale] q32 HLL max rel err at $tag: $q32err%.4f")
     s.stop()
   }
 }
