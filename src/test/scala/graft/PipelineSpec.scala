@@ -795,4 +795,120 @@ class PipelineSpec extends AnyFunSuite {
         s"pair $k exact=${exact(k)} est=${est(k)}")
     }
   }
+
+  // ---- t18/t19: real BPE tokenizer train + encode ----
+
+  /** Test-side tokenization mirroring TextAnalysis.toks for the plain
+    * ASCII corpus (lower, collapse whitespace, split on space).
+    */
+  private def refWords(text: String): Seq[String] =
+    text.toLowerCase.trim.replaceAll("\\s+", " ").split(" ").toSeq
+      .filter(_.nonEmpty)
+
+  private def refMergePass(syms: Vector[String], a: String, b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var j = 0
+    while (j < syms.length) {
+      if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) { out += a + b; j += 2 }
+      else { out += syms(j); j += 1 }
+    }
+    out.result()
+  }
+
+  /** Independent reference BPE trainer: driver-side Scala maps/loops over
+    * the collected word-frequency dict (fine at sf0.001). Same contract
+    * as the distributed trainer: argmax pair by (freq desc, lexicographic
+    * (l, r)), merge left-to-right non-overlapping, stop below freq 2.
+    */
+  private def refTrain(dict: Seq[(String, Long)], maxMerges: Int): Seq[(Int, String, String, Long)] = {
+    var words = dict.map { case (w, f) => (w.map(_.toString).toVector :+ "</w>", f) }
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= maxMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- words; i <- 0 until syms.length - 1) {
+        val k = (syms(i), syms(i + 1))
+        counts(k) = counts.getOrElse(k, 0L) + f
+      }
+      counts.toSeq.sortBy { case ((l, r), n) => (-n, l, r) }.headOption match {
+        case Some(((a, b), n)) if n >= 2L =>
+          merges += ((rank, a, b, n))
+          words = words.map { case (s2, f) => (refMergePass(s2, a, b), f) }
+        case _ => done = true
+      }
+      rank += 1
+    }
+    merges.result()
+  }
+
+  /** Independent reference encoder, deliberately different in style from
+    * the main-source loop: find the present pair with the lowest rank via
+    * zip/minBy, merge all its occurrences with a recursive pass, repeat.
+    */
+  private def refEncode(word: String, ranks: Map[(String, String), Int]): List[String] = {
+    var syms: List[String] = word.toList.map(_.toString) ::: List("</w>")
+    var go = true
+    while (go && syms.length > 1) {
+      val present = syms.zip(syms.tail).filter(ranks.contains)
+      if (present.isEmpty) go = false
+      else {
+        val (a, b) = present.minBy(ranks)
+        def pass(l: List[String]): List[String] = l match {
+          case x :: y :: rest if x == a && y == b => (a + b) :: pass(rest)
+          case x :: rest => x :: pass(rest)
+          case Nil => Nil
+        }
+        syms = pass(syms)
+      }
+    }
+    syms
+  }
+
+  private lazy val corpusTexts: Seq[String] =
+    Tables.documents(spark, sf).select("doc_id", "text").orderBy("doc_id")
+      .collect().map(_.getString(1)).toSeq
+
+  test("t18 equals an independent driver-side reference BPE trainer exactly") {
+    val dict = corpusTexts.flatMap(refWords)
+      .groupBy(identity).map { case (w, ws) => (w, ws.size.toLong) }.toSeq
+    val expected = refTrain(dict, TextAnalysis.BpeMerges)
+    assert(expected.nonEmpty)
+    val got = TextAnalysis.t18_bpe_train(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == expected,
+      s"merge tables differ: got=${got.take(5)}… exp=${expected.take(5)}…")
+  }
+
+  test("t19 per-doc counts equal the reference priority encoder") {
+    val ranks = TextAnalysis.bpeTrain(spark, sf)
+      .map { case (r, a, b, _) => ((a, b), r) }.toMap
+    val encLen = scala.collection.mutable.Map.empty[String, Long]
+    val expected = corpusTexts.zipWithIndex.map { case (text, _) =>
+      val ws = refWords(text)
+      val bpe = ws.map(w => encLen.getOrElseUpdate(w, refEncode(w, ranks).length.toLong)).sum
+      (ws.size.toLong, bpe, ws.map(_.length + 1).sum.toLong)
+    }
+    val got = TextAnalysis.t19_bpe_encode(spark, sf).orderBy("doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // doc_id in the parquet is 0..n-1 in order, so zip positionally
+    assert(got.size == expected.size)
+    assert(got == expected, {
+      val bad = got.zip(expected).zipWithIndex.find { case ((g, e), _) => g != e }
+      s"first mismatch: $bad"
+    })
+  }
+
+  test("t19 holds the token-count bounds and actually compresses") {
+    val rows = TextAnalysis.t19_bpe_encode(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, bpe, ch) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(w <= bpe && bpe <= ch, s"doc ${r.getLong(0)}: $w ≤ $bpe ≤ $ch violated")
+    }
+    val totBpe = rows.map(_.getLong(2)).sum.toDouble
+    val totCh = rows.map(_.getLong(3)).sum.toDouble
+    assert(totBpe / totCh < 0.9,
+      s"48 merges should compress the corpus: ${totBpe / totCh}")
+  }
 }
