@@ -598,7 +598,44 @@ object Relational {
       .orderBy("day")
   }
 
+  // q41: PURE range join (no equi key) — the IP-geolocation / price-band
+  // lookup shape. Spark's built-in plan for a join whose ONLY condition
+  // is a range predicate is a broadcast-nested-loop (every probe row
+  // compared against every range); the scalable formulation BINS the
+  // domain: each range row explodes to the fixed-width bins it overlaps,
+  // each probe computes its single bin, and the join becomes an EQUI
+  // join on bin + residual range filter — O(ranges × bins_per_range +
+  // matches), shuffle-partitionable on bin, no BNLJ/cartesian (the spec
+  // plan-asserts this). Bands are the irregular triangular lattice
+  // lo_k = 900 + k(k+1)/2 (widths 1,2,…,14 over [900,1005)) against bin
+  // width 8, so band and bin boundaries never align and every band/bin
+  // overlap case is exercised. The exploded range side here is ~40 rows
+  // → broadcast hint; at 100 TB with millions of ranges the same plan
+  // minus the hint shuffles both sides on bin, and a range spanning many
+  // bins salts naturally because each (bin, range) replica lands in its
+  // own partition. Oracle: DuckDB's native inequality join (IEJoin) over
+  // the quadratic formulation — same rows, different algorithm.
+  val q41_range_join: Q = (s, d) => {
+    val binW = 8L
+    val bands = s.range(0, 14).toDF("band")
+      .withColumn("lo", lit(900L) + col("band") * (col("band") + 1) / 2)
+      .withColumn("hi", lit(900L) + (col("band") + 1) * (col("band") + 2) / 2)
+    val binned = bands.withColumn("bin",
+      explode(sequence(floor(col("lo") / binW), floor((col("hi") - 1) / binW))))
+    Tables.part(s, d)
+      .select(col("p_partkey"), col("p_retailprice"))
+      .withColumn("bin", floor(col("p_retailprice") / binW).cast("long"))
+      .join(broadcast(binned), Seq("bin"))
+      .where(col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_parts"),
+        round(avg(col("p_retailprice")), 2).as("avg_price"),
+        round(sum(col("p_retailprice")), 2).as("sum_price"))
+      .orderBy("band")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q41_range_join" -> q41_range_join,
     "q01_pricing_agg" -> q01_pricing_agg,
     "q02_filter_pushdown" -> q02_filter_pushdown,
     "q03_join_agg" -> q03_join_agg,
@@ -642,6 +679,15 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q41_range_join" ->
+      """WITH bands AS (
+        |  SELECT i AS band, 900 + i*(i+1)//2 AS lo, 900 + (i+1)*(i+2)//2 AS hi
+        |  FROM range(0, 14) t(i))
+        |SELECT band, count(*)::BIGINT AS n_parts,
+        |  round(avg(p_retailprice), 2) AS avg_price,
+        |  round(sum(p_retailprice), 2) AS sum_price
+        |FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -135,4 +135,32 @@ class RelationalSpec extends AnyFunSuite {
       assert(rel(r.getDouble(3), e99) < 0.05, s"${r.getString(0)} p99")
     }
   }
+
+  test("q41 binned range join equals the naive non-equi join, BNLJ-free") {
+    import org.apache.spark.sql.functions._
+    val df = ops.Relational.q41_range_join(spark, sf)
+    val got = df.collect().map(_.toSeq).toSet
+    assert(got.nonEmpty)
+    // naive formulation: the range predicate IS the whole join condition
+    // (Spark plans this as a broadcast-nested-loop — the shape q41 avoids)
+    val bands = spark.range(0, 14).toDF("band")
+      .withColumn("lo", lit(900L) + col("band") * (col("band") + 1) / 2)
+      .withColumn("hi", lit(900L) + (col("band") + 1) * (col("band") + 2) / 2)
+    val naive = Tables.part(spark, sf)
+      .join(bands, col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_parts"),
+        round(avg(col("p_retailprice")), 2).as("avg_price"),
+        round(sum(col("p_retailprice")), 2).as("sum_price"))
+      .collect().map(_.toSeq).toSet
+    assert(got == naive)
+    val nodes = PlanWalk.allNodes(df.queryExecution.executedPlan)
+    val bad = nodes.filter(n =>
+      n.getClass.getSimpleName.contains("BroadcastNestedLoopJoin") ||
+        n.getClass.getSimpleName.contains("CartesianProduct"))
+    assert(bad.isEmpty, s"q41 must join on the bin equi-key, got: $bad")
+    // every part lands in exactly one band (bands partition [900, 1005))
+    assert(got.toSeq.map(_(1).asInstanceOf[Long]).sum ==
+      Tables.part(spark, sf).count())
+  }
 }
