@@ -699,9 +699,23 @@ object Dedup {
   // drop accounting at every stage. A hash match proves no composition
   // seam (flag precedence, eval exclusion, sampling over survivors
   // only) loses or double-counts a document.
-  val t17_corpus_build: Q = (s, d) => {
+  val t17_corpus_build: Q = (s, d) =>
+    corpusBuildFrom(s, d, d08_dedup_keeplist(s, d).select(col("doc_id"), col("keep")))
+
+  // s17: STREAMING corpus build — t17 with its dedup verdicts maintained
+  // by the d11 Structured-Streaming keep-list engine instead of the d08
+  // batch pass (keep verdicts are mutable while near-dups arrive — a
+  // cluster merge can flip an earlier keeper — so the composition runs
+  // over the FINAL streamed labels, exactly as a production pipeline
+  // closes its corpus snapshot after the ingest drains). Completes the
+  // batch↔streaming twin set: apply/c13, keep-list/d11, view/s14, JDBC
+  // tail/s15, index/s16, corpus/s17. Same oracle as t17: a hash match
+  // proves the streamed state composes seam-free.
+  val s17_streaming_corpus: Q = (s, d) =>
+    corpusBuildFrom(s, d, streamingKeeplist(s, d).select(col("doc_id"), col("keep")))
+
+  private def corpusBuildFrom(s: SparkSession, d: String, kl: DataFrame): DataFrame = {
     val docs = Tables.documents(s, d)
-    val kl = d08_dedup_keeplist(s, d).select(col("doc_id"), col("keep"))
     val contam = d12_decontamination(s, d)
       .select(col("train_id").as("doc_id")).distinct()
       .withColumn("contam", lit(true))
@@ -733,6 +747,7 @@ object Dedup {
 
   val queries: Map[String, Q] = Map(
     "t17_corpus_build" -> t17_corpus_build,
+    "s17_streaming_corpus" -> s17_streaming_corpus,
     "d14_bloom_membership" -> d14_bloom_membership,
     "d13_containment" -> d13_containment,
     "d12_decontamination" -> d12_decontamination,
@@ -798,6 +813,7 @@ object Dedup {
     // d11 maintains it under Structured Streaming — same proof obligation.
     "d11_streaming_keeplist" -> keeplistOracleSql,
     "t17_corpus_build" -> corpusBuildOracleSql,
+    "s17_streaming_corpus" -> corpusBuildOracleSql,
     "d12_decontamination" ->
       """WITH toks AS (
         |  SELECT doc_id,
