@@ -49,6 +49,12 @@ object ScaleCheck {
       - r.getAs[Number](r.fieldIndex("n_exact")).doubleValue)
       / r.getAs[Number](r.fieldIndex("n_exact")).doubleValue).max
     println(f"[scale] q32 HLL max rel err at $tag: $q32err%.4f")
+    // t18/t19 BPE: merge-table size, bound invariant, corpus compression
+    val merges = ops.TextAnalysis.bpeTrain(s, d)
+    val enc = ops.TextAnalysis.queries("t19_bpe_encode")(s, d).collect()
+    val bounds = enc.forall(r => r.getLong(1) <= r.getLong(2) && r.getLong(2) <= r.getLong(3))
+    val ratio = enc.map(_.getLong(2)).sum.toDouble / enc.map(_.getLong(3)).sum
+    println(f"[scale] t18 merges learned at $tag: ${merges.size}; t19 bounds hold: $bounds; compression: $ratio%.4f over ${enc.length} docs")
     s.stop()
   }
 }

@@ -671,12 +671,14 @@ object Dedup {
       sum((!col("maybe_seen") && col("truly_seen")).cast("long")).as("false_neg"))
       .head()
     require(agg.getLong(3) == 0, "bloom filter produced a false negative")
-    // materialize the (tiny) flagged frame before releasing the cache
-    val out = truth.select("doc_id", "maybe_seen", "truly_seen").orderBy("doc_id")
-    val rows = out.collect().toSeq
+    // materialize the flagged frame EXECUTOR-side before releasing the
+    // cache it descends from — the frame is per-document, so a driver
+    // collect here would be the c33 anti-pattern (O(batch) rows through
+    // the driver); the eager localCheckpoint keeps it distributed
+    val out = truth.select("doc_id", "maybe_seen", "truly_seen")
+      .orderBy("doc_id").localCheckpoint(true)
     docs.unpersist()
-    (s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema),
-      (agg.getLong(0), agg.getLong(1), agg.getLong(2)))
+    (out, (agg.getLong(0), agg.getLong(1), agg.getLong(2)))
   }
 
   // d14 (rows-only; spec: zero false negatives, bounded false positives):
