@@ -222,15 +222,27 @@ object Dedup {
         graft.functions.Sketches.simhash64(tokenHashes(col("text"))).as("sh"))
       .persist() // the sketch table feeds 8 band projections
 
-  // d04 (rows-only): SimHash near-dup. Candidates from 8 bands of 8 bits
-  // (a pair within hamming distance 7 must agree on >= 1 band); verified
-  // exactly with bit_count(xor) <= 4 — the corpus's planted near-dups sit
-  // at hamming <= 5 while the random-pair mass starts at 5-6.
+  // d04 (rows-only): SimHash near-dup. Candidates from 5 bands of ~13
+  // bits (a pair within hamming distance 4 must agree on >= 1 band);
+  // verified exactly with bit_count(xor) <= 4 — the corpus's planted
+  // near-dups sit at hamming <= 5 while the random-pair mass starts at
+  // 5-6.
   val d04_simhash: Q = (s, d) => {
     val docs = simhashDocs(s, d)
-    val bands = array((0 until 8).map(j =>
+    // 5 bands of 13/13/13/13/12 bits: a pair at hamming <= 4 differs in
+    // <= 4 bands (pigeonhole), so >= 1 band matches exactly — the same
+    // guarantee the h <= 4 verification cut needs, at 2^13 buckets per
+    // band. The previous 8 bands x 8 bits guaranteed h <= 7 (looser than
+    // the cut ever uses) at 32x the bucket occupancy: candidates per band
+    // are ~n^2/2^width for a random corpus, ~1e9 rows at sf5's 250k docs
+    // vs ~18M here. The output set is provably identical — both bandings
+    // collide every pair the h <= 4 filter keeps (BandingPigeonholeSpec).
+    val widths = Seq(13, 13, 13, 13, 12)
+    val offs = widths.scanLeft(0)(_ + _)
+    val bands = array(widths.indices.map(j =>
       struct(lit(j).as("band"),
-        shiftrightunsigned(col("sh"), 8 * j).bitwiseAND(255).as("bv"))): _*)
+        shiftrightunsigned(col("sh"), offs(j))
+          .bitwiseAND((1L << widths(j)) - 1).as("bv"))): _*)
     val banded = docs.select(col("doc_id"), col("sh"), explode(bands).as("b"))
       .select(col("doc_id"), col("sh"), col("b.band"), col("b.bv"))
     val a = banded.select(col("band"), col("bv"), col("doc_id").as("d1"), col("sh").as("sh1"))
@@ -243,14 +255,50 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
-  /** Random-hyperplane LSH buckets: 8 tables × 4 sign bits, one native
-    * pass (graft.functions.Sketches). Hyperplane weights are ±1 derived
-    * from XXH64(dim + 10007·(t·4+p)) — fully deterministic, no stored
+  /** Random-hyperplane LSH buckets: 8 tables × `planes` sign bits
+    * (default 4 — the spec-scale width; d05 widens it with corpus size
+    * via [[adaptivePlanes]]), one native pass
+    * (graft.functions.Sketches). Hyperplane weights are ±1 derived from
+    * XXH64(dim + 10007·(t·planes+p)) — fully deterministic, no stored
     * model. Multi-table banding recovers recall lost to a single short
     * code. Returns array<int>; index = table, value = bucket code.
     */
-  def hyperplaneBuckets(emb: Column): Column =
-    graft.functions.Sketches.hyperplane_lsh(emb, 8, 4)
+  def hyperplaneBuckets(emb: Column, planes: Int = 4): Column =
+    graft.functions.Sketches.hyperplane_lsh(emb, 8, planes)
+
+  /** Hyperplane code width for a corpus of ~`estRows` vectors:
+    * clamp(4, 28, ceil(log2(estRows / 64))) — holds MEAN bucket
+    * occupancy near 64 as the corpus grows. With a FIXED width the
+    * per-table bucket count is a constant, so occupancy — and the
+    * banded candidate self-join — grows as n²: measured as a transient
+    * ~70 GB shuffle spill at sf5 (40 k vectors into 16 buckets/table)
+    * inside d10. Adaptive width keeps candidates ≈ tables·n·32,
+    * linear in n.
+    *
+    * Recall under widening: at the production SemDeDup threshold
+    * (cos ≥ 0.99, per-plane collision p = 1 − θ/π ≈ 0.955) eight
+    * tables of 24 planes still recall ≈ 0.96 of true pairs; the
+    * synthetic corpus's 0.45–0.51 cosine tail (p ≈ 2/3) loses recall
+    * as planes grow — at θ ≈ 60° no hyperplane family is both
+    * sub-quadratic and high-recall. Hence the recall spec gates at the
+    * 4-plane scale (where behavior is byte-identical) and the scale
+    * evidence gates the candidate count.
+    */
+  private[graft] def planesForRows(estRows: Long): Int = {
+    val x = math.max(estRows / 64L, 1L)
+    val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(math.max(x - 1, 0L))
+    math.min(28, math.max(4, ceilLog2))
+  }
+
+  /** [[planesForRows]] driven by the embeddings relation's size
+    * statistic (no job — same idiom as d03's formulation choice) at
+    * ~300 B per compressed 64-float parquet row.
+    */
+  private[graft] def adaptivePlanes(s: SparkSession, d: String): Int = {
+    val bytes = Tables.embeddings(s, d).queryExecution.optimizedPlan
+      .stats.sizeInBytes
+    planesForRows(bytes.min(BigInt(Long.MaxValue)).toLong / 300L)
+  }
 
   // d05 (rows-only): embedding-cosine near-dup inside hyperplane-LSH
   // buckets. Threshold 0.45 is calibrated to the synthetic corpus (its
@@ -265,9 +313,10 @@ object Dedup {
   // vec_id at cluster scale). PipelineSpec asserts no shuffle exchange
   // in the executed plan carries an embedding column.
   val d05_embed_neardup: Q = (s, d) => {
+    val planes = adaptivePlanes(s, d)
     val buckets = Tables.embeddings(s, d)
       .select(col("vec_id"),
-        posexplode(hyperplaneBuckets(col("embedding"))).as(Seq("tbl", "bucket")))
+        posexplode(hyperplaneBuckets(col("embedding"), planes)).as(Seq("tbl", "bucket")))
     val a = buckets.select(col("tbl"), col("bucket"), col("vec_id").as("v1"))
     val b = buckets.select(col("tbl"), col("bucket"), col("vec_id").as("v2"))
     val cand = a.join(b, Seq("tbl", "bucket")).filter(col("v1") < col("v2"))
