@@ -21,7 +21,10 @@ object Bench {
     "d01_exact_dedup", "d02_ngram_jaccard", "d03_minhash_lsh",
     "v01_knn_brute", "t02_quality", "t03_token_count", "m01_binary_meta")
 
-  val Runs = 2
+  // min-of-3: round-7's driver run landed +29% over round-6 on byte-
+  // identical headline code — pure box noise; a third run tightens the
+  // min estimator at ~30s extra driver cost.
+  val Runs = 3
 
   def main(args: Array[String]): Unit = {
     val names = if (args.nonEmpty) args.toSeq else headline

@@ -28,12 +28,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) in parquet — surfaced as micros
-    * TimestampType (floor-truncated, matching DuckDB's ts::TIMESTAMP).
+  /** events.ts has shipped as TIMESTAMP(NANOS) (rounds 1–7) and as
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (round-8 regeneration) —
+    * surface either as micros TimestampType under the UTC session zone
+    * (identical instants; nanos floor-truncate, matching DuckDB's
+    * ts::TIMESTAMP).
     */
   def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    normalizeEventsTs(load(s, d, "events"))
+
+  /** The ts normalization above, as a transform — shared by every batch
+    * AND streaming events reader (`df.transform(Tables.normalizeEventsTs)`)
+    * so a testdata physical-type change lands in exactly one place.
+    */
+  def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // nanos read via nanosAsLong
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType => // micros, no zone
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => df
+    }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -48,7 +48,7 @@ object StreamApply {
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(graft.Tables.normalizeEventsTs)
     val flat = Envelope.flat(stream).filter(col("op") =!= "t")
     val halves = Apply.halfEvents(flat).as[HalfEvent]
     val updates = halves

@@ -796,7 +796,55 @@ object Dedup {
       .orderBy("source")
   }
 
+  // d15: URL canonicalization dedup — the step a crawl-derived corpus
+  // runs BEFORE content dedup (CommonCrawl-style pipelines drop >20% of
+  // fetches as URL-level re-crawls). Eight deterministic raw-URL variants
+  // are planted per logical page (doc_id/8): host/scheme case, http→https,
+  // default :80/:443 ports, trailing slash, utm_*/ref tracking params,
+  // fragments, and query-parameter order. Canonicalization is pure
+  // codegen'd string/array expressions — lowercase scheme+host, drop
+  // default ports, strip fragments, drop tracking params, sort surviving
+  // params, trim trailing slashes — then an exact groupBy on the
+  // canonical URL (d01's shuffle shape: one hash aggregation on a short
+  // key, map-side partials; at 100 TB this is the cheapest dedup pass
+  // and runs first to shrink everything downstream). Oracle: the same
+  // algorithm in DuckDB SQL (list_filter/list_sort over split params).
+  val d15_url_dedup: Q = (s, d) => {
+    val page = (col("doc_id") / 8).cast("long")
+    val v = pmod(col("doc_id"), lit(8))
+    val base = concat(lit("https://www.example.com/docs/"), page)
+    val raw = when(v === 0, base)
+      .when(v === 1, concat(lit("HTTPS://WWW.EXAMPLE.COM/docs/"), page))
+      .when(v === 2, concat(lit("http://www.example.com:80/docs/"), page))
+      .when(v === 3, concat(lit("https://www.example.com:443/docs/"), page, lit("/")))
+      .when(v === 4, concat(base, lit("?utm_source=feed&utm_campaign=mix")))
+      .when(v === 5, concat(base, lit("#section-2")))
+      .when(v === 6, concat(base, lit("?b=2&a=1")))
+      .otherwise(concat(base, lit("?a=1&b=2&ref=tw")))
+    val noFrag = regexp_replace(col("raw_url"), "#.*$", "")
+    val hostport = lower(regexp_extract(noFrag, "^[a-zA-Z]+://([^/?#]*)", 1))
+    val host = regexp_replace(hostport, ":(80|443)$", "")
+    val pathq = regexp_extract(noFrag, "^[a-zA-Z]+://[^/?#]*(.*)$", 1)
+    val path0 = regexp_replace(regexp_extract(pathq, "^([^?]*)", 1), "/+$", "")
+    val path = when(path0 === "", "/").otherwise(path0)
+    val query = regexp_extract(pathq, "\\?(.*)$", 1)
+    val params = array_join(
+      array_sort(filter(split(query, "&"),
+        p => !(p.rlike("^(utm_[^=]*|ref|fbclid)(=|$)") || (p === "")))), "&")
+    val canon = concat(lit("https://"), host, path,
+      when(params === "", "").otherwise(concat(lit("?"), params)))
+    Tables.documents(s, d)
+      .select(col("doc_id"), raw.as("raw_url"))
+      .withColumn("canonical_url", canon)
+      .groupBy(col("canonical_url"))
+      .agg(min("doc_id").as("keeper_id"),
+        count(lit(1)).as("n_fetches"),
+        countDistinct(col("raw_url")).as("n_raw_forms"))
+      .orderBy("canonical_url")
+  }
+
   val queries: Map[String, Q] = Map(
+    "d15_url_dedup" -> d15_url_dedup,
     "t17_corpus_build" -> t17_corpus_build,
     "s17_streaming_corpus" -> s17_streaming_corpus,
     "d14_bloom_membership" -> d14_bloom_membership,
@@ -816,6 +864,43 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    // DuckDB quirks handled below: regexp_extract/array_to_string return
+    // NULL (not '') on no-match/empty-list — coalesce everywhere.
+    "d15_url_dedup" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 8
+        |      WHEN 0 THEN 'https://www.example.com/docs/' || (doc_id // 8)
+        |      WHEN 1 THEN 'HTTPS://WWW.EXAMPLE.COM/docs/' || (doc_id // 8)
+        |      WHEN 2 THEN 'http://www.example.com:80/docs/' || (doc_id // 8)
+        |      WHEN 3 THEN 'https://www.example.com:443/docs/' || (doc_id // 8) || '/'
+        |      WHEN 4 THEN 'https://www.example.com/docs/' || (doc_id // 8) || '?utm_source=feed&utm_campaign=mix'
+        |      WHEN 5 THEN 'https://www.example.com/docs/' || (doc_id // 8) || '#section-2'
+        |      WHEN 6 THEN 'https://www.example.com/docs/' || (doc_id // 8) || '?b=2&a=1'
+        |      ELSE 'https://www.example.com/docs/' || (doc_id // 8) || '?a=1&b=2&ref=tw'
+        |    END AS raw_url
+        |  FROM documents),
+        |p2 AS (
+        |  SELECT doc_id, raw_url,
+        |    regexp_replace(lower(regexp_extract(regexp_replace(raw_url, '#.*$', ''), '^[a-zA-Z]+://([^/?#]*)', 1)), ':(80|443)$', '') AS host,
+        |    coalesce(regexp_extract(regexp_replace(raw_url, '#.*$', ''), '^[a-zA-Z]+://[^/?#]*(.*)$', 1), '') AS pathq
+        |  FROM raw),
+        |p3 AS (
+        |  SELECT doc_id, raw_url, host,
+        |    CASE WHEN regexp_replace(coalesce(regexp_extract(pathq, '^([^?]*)', 1), ''), '/+$', '') = '' THEN '/'
+        |         ELSE regexp_replace(coalesce(regexp_extract(pathq, '^([^?]*)', 1), ''), '/+$', '') END AS path,
+        |    coalesce(regexp_extract(pathq, '\?(.*)$', 1), '') AS query
+        |  FROM p2),
+        |p4 AS (
+        |  SELECT doc_id, raw_url, host, path,
+        |    coalesce(array_to_string(list_sort(list_filter(string_split(query, '&'),
+        |      p -> NOT (regexp_matches(p, '^(utm_[^=]*|ref|fbclid)(=|$)') OR p = ''))), '&'), '') AS params
+        |  FROM p3)
+        |SELECT 'https://' || host || path ||
+        |    CASE WHEN params = '' THEN '' ELSE '?' || params END AS canonical_url,
+        |  min(doc_id) AS keeper_id, count(*)::BIGINT AS n_fetches,
+        |  count(DISTINCT raw_url)::BIGINT AS n_raw_forms
+        |FROM p4 GROUP BY 1 ORDER BY 1""".stripMargin,
     "d13_containment" ->
       """WITH n AS (
         |  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS s

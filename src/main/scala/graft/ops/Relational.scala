@@ -634,8 +634,57 @@ object Relational {
       .orderBy("band")
   }
 
+  // q42: bivariate statistics per group — corr / covar / stddev / OLS
+  // regression (slope, intercept, r²) of extendedprice on quantity. All
+  // are one-pass co-moment aggregates (Pearson/Welford updates): a single
+  // hash aggregation with map-side partials, constant state per group —
+  // the same shuffle shape as q01 no matter how many rows feed it. The
+  // profiling pass a feature-engineering pipeline runs per segment.
+  val q42_stats_profile: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(corr(col("l_extendedprice"), col("l_quantity")), 4).as("corr_price_qty"),
+        round(covar_samp(col("l_extendedprice"), col("l_quantity")), 2).as("covar_price_qty"),
+        round(stddev_samp(col("l_quantity")), 4).as("std_qty"),
+        round(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("slope"),
+        round(expr("regr_intercept(l_extendedprice, l_quantity)"), 2).as("intercept"),
+        round(expr("regr_r2(l_extendedprice, l_quantity)"), 4).as("r2"))
+      .orderBy("l_returnflag")
+
+  // q43: deterministic k-per-stratum sampling — "reservoir sampling" as
+  // top-k by a content hash. Ordering every stratum member by
+  // md5(c_custkey) and keeping the first k is an exact uniform sample
+  // that is reproducible on any cluster, partition layout, or rerun (no
+  // RNG, no seed plumbing), and composes with resume: re-running over
+  // grown data keeps previously-sampled rows iff they still win on hash.
+  // Implementation is the q33 bounded-heap aggregate, NOT a window: the
+  // map-side partial state is ≤ k rows per stratum per partition, so at
+  // 100 TB the shuffle carries k·strata·partitions rows and nothing is
+  // globally sorted (a row_number window would shuffle and sort the
+  // whole table on 5 skewed stratum keys). Hash order is the numeric
+  // value of the first 12 md5 hex chars (48 bits — exact in a Double),
+  // negated because the heap keeps maxima; lexicographic hex order in
+  // the oracle is the same total order since the prefix is fixed-width.
+  val q43_stratified_sample: Q = (s, d) =>
+    Tables.customer(s, d)
+      .withColumn("h",
+        -conv(substring(md5(col("c_custkey").cast("string")), 1, 12), 16, 10)
+          .cast("double"))
+      .groupBy(col("c_mktsegment"))
+      .agg(graft.functions.TopK.topk_by(
+        struct(col("c_custkey"), col("c_name"), col("c_acctbal")),
+        col("h"), col("c_custkey"), 3).as("top"))
+      .select(col("c_mktsegment"), posexplode(col("top")).as(Seq("pos", "r")))
+      .select(col("c_mktsegment"), (col("pos") + 1).cast("int").as("rn"),
+        col("r.c_custkey"), col("r.c_name"), col("r.c_acctbal"))
+      .orderBy("c_mktsegment", "rn")
+
   val queries: Map[String, Q] = Map(
     "q41_range_join" -> q41_range_join,
+    "q42_stats_profile" -> q42_stats_profile,
+    "q43_stratified_sample" -> q43_stratified_sample,
     "q01_pricing_agg" -> q01_pricing_agg,
     "q02_filter_pushdown" -> q02_filter_pushdown,
     "q03_join_agg" -> q03_join_agg,
@@ -688,6 +737,24 @@ object Relational {
         |  round(sum(p_retailprice), 2) AS sum_price
         |FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q42_stats_profile" ->
+      """SELECT l_returnflag,
+        |  count(*)::BIGINT AS n,
+        |  round(corr(l_extendedprice, l_quantity), 4) AS corr_price_qty,
+        |  round(covar_samp(l_extendedprice, l_quantity), 2) AS covar_price_qty,
+        |  round(stddev_samp(l_quantity), 4) AS std_qty,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 4) AS r2
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q43_stratified_sample" ->
+      """WITH ranked AS (
+        |  SELECT c_mktsegment, c_custkey, c_name, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY substring(md5(c_custkey::VARCHAR), 1, 12), c_custkey) AS rn
+        |  FROM customer)
+        |SELECT c_mktsegment, rn::INT AS rn, c_custkey, c_name, c_acctbal
+        |FROM ranked WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

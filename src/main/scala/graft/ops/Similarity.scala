@@ -880,7 +880,70 @@ object Similarity {
   // (apply/c13, keep-list/d11, view/s14, JDBC tail/s15 — index/s16).
   val s16_streaming_index: Q = (s, d) => s16run(s, d)._1
 
+  // v15: hybrid retrieval — BM25 keyword scoring fused with dense-vector
+  // cosine ANN by reciprocal-rank fusion (RRF, Cormack et al. 2009: the
+  // standard fusion in production vector stores). Lexical lane: classic
+  // Robertson BM25 (k1=1.2, b=0.75) over the documents tokens — term
+  // tf/df/avgdl stats reduce to ONE broadcastable row, so the score is a
+  // map-side column expression and the top-100 cut is a TakeOrdered (no
+  // global sort). Dense lane: v01's broadcast-probe cosine, top-100
+  // TakeOrdered. Each 100-row cut gets ranks from a window over a
+  // BOUNDED input (≤100 rows — the only single-partition step, by
+  // construction constant-size at any corpus scale). RRF = Σ 1/(60+r)
+  // over the lists a doc appears in; final top-10. doc_id ≡ vec_id links
+  // the two lanes (the corpus keys its embeddings by document).
+  val v15_hybrid_search: Q = (s, d) => {
+    val K1 = 1.2; val B = 0.75
+    val terms = Seq("fast", "query", "scan", "merge")
+    val base = Tables.documents(s, d)
+      .filter(col("doc_id") =!= 0)
+      .select(col("doc_id"),
+        split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " ").as("t"))
+      .withColumn("dl", size(col("t")))
+    val withTf = terms.zipWithIndex.foldLeft(base) { case (df, (t, i)) =>
+      df.withColumn(s"tf_$i", size(filter(col("t"), x => x === lit(t))))
+    }.drop("t")
+    val aggCols = count(lit(1)).cast("double").as("n") :: avg("dl").as("avgdl") ::
+      terms.indices.map(i =>
+        sum((col(s"tf_$i") > 0).cast("long")).cast("double").as(s"df_$i")).toList
+    val stats = withTf.agg(aggCols.head, aggCols.tail: _*)
+    val bm25 = terms.indices.map { i =>
+      val idf = log(lit(1.0) + (col("n") - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5))
+      val tf = col(s"tf_$i").cast("double")
+      idf * tf * (K1 + 1.0) /
+        (tf + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    val lexTop = withTf.crossJoin(broadcast(stats))
+      .select(col("doc_id"), bm25.as("bm25"))
+      .filter(col("bm25") > 0)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(100)
+      .withColumn("r_bm25", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("bm25").desc, col("doc_id"))).cast("int"))
+      .select(col("doc_id"), col("r_bm25"))
+    val vecTop = Tables.embeddings(s, d)
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(queryVec(s, d)))
+      .select(col("vec_id").as("doc_id"),
+        Vec.cosine(col("embedding"), col("qe")).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id"))
+      .limit(100)
+      .withColumn("r_vec", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cos").desc, col("doc_id"))).cast("int"))
+      .select(col("doc_id"), col("r_vec"))
+    lexTop.join(vecTop, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60.0) + col("r_bm25")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("r_vec")), lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
+      .select(col("doc_id"), col("r_bm25"), col("r_vec"), col("rrf"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "v15_hybrid_search" -> v15_hybrid_search,
     "s16_streaming_index" -> s16_streaming_index,
     "v14_index_update" -> v14_index_update,
     "v13_ann_serving" -> v13_ann_serving,
@@ -899,6 +962,44 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "v15_hybrid_search" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))), ' ') AS t
+        |  FROM documents WHERE doc_id <> 0),
+        |tfs AS (
+        |  SELECT doc_id, len(t) AS dl,
+        |    len(list_filter(t, x -> x = 'fast')) AS tf_0,
+        |    len(list_filter(t, x -> x = 'query')) AS tf_1,
+        |    len(list_filter(t, x -> x = 'scan')) AS tf_2,
+        |    len(list_filter(t, x -> x = 'merge')) AS tf_3
+        |  FROM base),
+        |stats AS (
+        |  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl,
+        |    sum((tf_0 > 0)::INT)::DOUBLE AS df_0, sum((tf_1 > 0)::INT)::DOUBLE AS df_1,
+        |    sum((tf_2 > 0)::INT)::DOUBLE AS df_2, sum((tf_3 > 0)::INT)::DOUBLE AS df_3
+        |  FROM tfs),
+        |scored AS (
+        |  SELECT doc_id,
+        |    ln(1.0 + (n - df_0 + 0.5)/(df_0 + 0.5)) * tf_0 * 2.2 / (tf_0 + 1.2*(0.25 + 0.75*dl/avgdl)) +
+        |    ln(1.0 + (n - df_1 + 0.5)/(df_1 + 0.5)) * tf_1 * 2.2 / (tf_1 + 1.2*(0.25 + 0.75*dl/avgdl)) +
+        |    ln(1.0 + (n - df_2 + 0.5)/(df_2 + 0.5)) * tf_2 * 2.2 / (tf_2 + 1.2*(0.25 + 0.75*dl/avgdl)) +
+        |    ln(1.0 + (n - df_3 + 0.5)/(df_3 + 0.5)) * tf_3 * 2.2 / (tf_3 + 1.2*(0.25 + 0.75*dl/avgdl)) AS bm25
+        |  FROM tfs, stats),
+        |lex AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id)::INT AS r_bm25
+        |  FROM scored WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id LIMIT 100),
+        |vecs AS (
+        |  SELECT vec_id AS doc_id,
+        |    list_cosine_similarity(embedding::DOUBLE[],
+        |      (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]) AS cos
+        |  FROM embeddings WHERE vec_id <> 0),
+        |vec AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id)::INT AS r_vec
+        |  FROM vecs ORDER BY cos DESC, doc_id LIMIT 100)
+        |SELECT doc_id, r_bm25, r_vec,
+        |  round(coalesce(1.0/(60.0 + r_bm25), 0) + coalesce(1.0/(60.0 + r_vec), 0), 6) AS rrf
+        |FROM lex FULL JOIN vec USING (doc_id)
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     "v10_mips" ->
       """SELECT b.vec_id,
         |  round(list_inner_product(b.embedding::DOUBLE[],

@@ -553,7 +553,74 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // t20: Unicode NFC canonicalization — the zeroth pass of a cleaning
+  // pipeline (decomposed combining sequences → precomposed, so hashing /
+  // dedup / tokenization see one spelling of café). The corpus is ASCII,
+  // so non-NFC content is planted deterministically: doc_id%3==1 prefixes
+  // a DECOMPOSED form (e + U+0301, A + U+030A), doc_id%3==2 the
+  // PRECOMPOSED equivalent (é, Å) — after NFC both spell the identical
+  // prefix, which the oracle (DuckDB's nfc_normalize) must agree on
+  // char-for-char. Normalization runs in the native codegen'd
+  // NfcNormalize expression (graft.functions.Normalize — a static JDK
+  // Normalizer call inside whole-stage codegen, no UDF); everything else
+  // is stock column arithmetic. One scan, no shuffle before the ordered
+  // output.
+  val t20_normalize: Q = (s, d) => {
+    val v = pmod(col("doc_id"), lit(3))
+    val decomposed = "Cafe\u0301 A\u030Arhus \u2014 " // e+U+0301, A+U+030A
+    val precomposed = "Caf\u00e9 \u00c5rhus \u2014 "  // U+00E9, U+00C5
+    val raw = when(v === 1, concat(lit(decomposed), col("text")))
+      .when(v === 2, concat(lit(precomposed), col("text")))
+      .otherwise(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), raw.as("raw"))
+      .withColumn("nfc", graft.functions.Normalize.nfc_normalize(col("raw")))
+      .select(col("doc_id"),
+        length(col("raw")).as("len_raw"),
+        length(col("nfc")).as("len_nfc"),
+        (col("nfc") =!= col("raw")).cast("int").as("changed"),
+        substring(col("nfc"), 1, 10).as("nfc_prefix"))
+      .orderBy("doc_id")
+  }
+
+  // t21: DSIR-style importance weighting (Xie et al. 2023, "Data
+  // Selection for Language Models via Importance Resampling"): score
+  // every document by how target-like its hashed-n-gram profile is.
+  // Target = the en slice of the corpus, source = the rest; features =
+  // unigrams hashed into 64 buckets (md5-prefix bucketing — engine-
+  // portable and deterministic); per-doc weight = Σ_tok log of the
+  // smoothed target/source bucket-probability ratio. Plan shape: one
+  // explode→groupBy builds the 64-row bucket table (map-side partials,
+  // bytes through the shuffle), which broadcasts back onto the token
+  // stream — at 100 TB the model is still 64 rows, the corpus is
+  // touched twice, and nothing wide shuffles (the per-doc re-agg keys
+  // on doc_id, pre-partitioned by the explode's parent).
+  val t21_dsir: Q = (s, d) => {
+    val hex = "0123456789abcdef"
+    def bucket(tok: Column): Column =
+      ((instr(lit(hex), substring(md5(tok), 1, 1)) - 1) * 16 +
+        (instr(lit(hex), substring(md5(tok), 2, 1)) - 1)) % 64
+    val tokTbl = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("tok"))
+      .withColumn("b", bucket(col("tok")))
+    val stats = tokTbl.groupBy(col("b")).agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tgt"),
+      sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("src"))
+    val tot = stats.agg(sum("tgt").as("tgt_tot"), sum("src").as("src_tot"))
+    val lam = stats.crossJoin(broadcast(tot))
+      .withColumn("lam",
+        log((col("tgt") + 0.5) / (col("tgt_tot") + 32.0)) -
+          log((col("src") + 0.5) / (col("src_tot") + 32.0)))
+      .select(col("b"), col("lam"))
+    tokTbl.join(broadcast(lam), Seq("b"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_toks"), round(sum("lam"), 4).as("w"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t20_normalize" -> t20_normalize,
+    "t21_dsir" -> t21_dsir,
     "t18_bpe_train" -> t18_bpe_train,
     "t19_bpe_encode" -> t19_bpe_encode,
     "t16_lm_score" -> t16_lm_score,
@@ -581,6 +648,36 @@ object TextAnalysis {
     s"len(list_filter($sqlToks, w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
   val oracle: Map[String, String] = Map(
+    "t20_normalize" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3
+        |      WHEN 1 THEN 'Cafe' || chr(769) || ' A' || chr(778) || 'rhus ' || chr(8212) || ' ' || text
+        |      WHEN 2 THEN 'Caf' || chr(233) || ' ' || chr(197) || 'rhus ' || chr(8212) || ' ' || text
+        |      ELSE text END AS raw
+        |  FROM documents)
+        |SELECT doc_id, length(raw) AS len_raw, length(nfc_normalize(raw)) AS len_nfc,
+        |  (nfc_normalize(raw) <> raw)::INT AS changed,
+        |  substring(nfc_normalize(raw), 1, 10) AS nfc_prefix
+        |FROM raw ORDER BY doc_id""".stripMargin,
+    "t21_dsir" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))), ' ')) AS tok
+        |  FROM documents),
+        |tb AS (
+        |  SELECT doc_id, lang, tok,
+        |    ((strpos('0123456789abcdef', substring(md5(tok),1,1))-1)*16 +
+        |     (strpos('0123456789abcdef', substring(md5(tok),2,1))-1)) % 64 AS b
+        |  FROM toks),
+        |stats AS (
+        |  SELECT b, sum(CASE WHEN lang='en' THEN 1 ELSE 0 END)::BIGINT AS tgt,
+        |         sum(CASE WHEN lang<>'en' THEN 1 ELSE 0 END)::BIGINT AS src
+        |  FROM tb GROUP BY 1),
+        |tot AS (SELECT sum(tgt) AS tgt_tot, sum(src) AS src_tot FROM stats),
+        |lam AS (SELECT b, ln((tgt+0.5)/(tgt_tot+32.0)) - ln((src+0.5)/(src_tot+32.0)) AS lam FROM stats, tot)
+        |SELECT t.doc_id, t.lang, count(*)::BIGINT AS n_toks, round(sum(l.lam), 4) AS w
+        |FROM tb t JOIN lam l USING (b)
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "t16_lm_score" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest($sqlToks) AS tok FROM documents),

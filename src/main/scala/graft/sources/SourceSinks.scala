@@ -361,7 +361,7 @@ object SourceSinks {
     val raw = graft.Tables.load(s, d, "events")
     val stream = s.readStream.schema(raw.schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(graft.Tables.normalizeEventsTs)
     val flat = graft.cdc.Envelope.flat(stream)
     val dir = Files.createTempDirectory("graft_ssink")
     val q = flat.writeStream.format("parquet")
@@ -534,7 +534,84 @@ object SourceSinks {
     }
   }
 
+  // x16: snapshot time travel — the lakehouse table-format contract
+  // (Iceberg/Delta shape) on plain parquet: immutable data files + a
+  // versioned MANIFEST (itself parquet) listing which files each
+  // snapshot comprises. Commit 2 "updates" the odd-key half via
+  // copy-on-write: its fileset is replaced by a rewritten one, nothing
+  // is mutated, and version 1 stays readable forever. read-as-of(v) =
+  // scan exactly the manifest's files for v — the only driver-side step
+  // is reading the manifest (bounded metadata: file paths, not rows),
+  // exactly as real table formats do. At 100 TB the same layout holds:
+  // snapshots share unchanged files, a commit touches only rewritten
+  // filesets, and old versions are GC'd by dropping unreferenced paths.
+  // Oracle: v1 ≡ orders; v2 ≡ orders with the odd-key copy-on-write
+  // transform applied — both recomputable in SQL from the source table.
+  val x16_time_travel: Q = (s, d) => {
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_ttravel")
+    val orders = Tables.orders(s, d)
+    orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .write.mode("overwrite").parquet(s"$dir/A")
+    orders.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+      .write.mode("overwrite").parquet(s"$dir/B")
+    // commit 2: copy-on-write rewrite of fileset B (+10.00 surcharge —
+    // a 2-decimal-exact adjustment, so no per-row rounding whose
+    // half-even/half-up mode the oracle engine could disagree on)
+    s.read.parquet(s"$dir/B")
+      .withColumn("o_totalprice", col("o_totalprice") + 10.0)
+      .write.mode("overwrite").parquet(s"$dir/C")
+    Seq((1, "A"), (1, "B"), (2, "A"), (2, "C")).toDF("version", "fileset")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/_manifest")
+    def readAsOf(v: Int): DataFrame = {
+      val filesets = s.read.parquet(s"$dir/_manifest")
+        .filter(col("version") === v).select("fileset")
+        .collect().map(_.getString(0)).sorted // bounded: manifest metadata
+      s.read.parquet(filesets.map(f => s"$dir/$f"): _*)
+    }
+    val out = Seq(1, 2).map { v =>
+      readAsOf(v).agg(
+        count(lit(1)).as("n_rows"),
+        round(sum("o_totalprice"), 2).as("sum_price"),
+        sum((col("o_orderstatus") === "O").cast("long")).as("n_open"))
+        .select(lit(v).as("version"), col("n_rows"), col("sum_price"), col("n_open"))
+    }.reduce(_ union _).orderBy("version")
+    materializeThenCleanup(s, out, dir)
+  }
+
+  // x17: MERGE INTO (upsert) as a batch copy-on-write operator — the
+  // standard warehouse maintenance statement: WHEN MATCHED update the
+  // balance, WHEN NOT MATCHED insert the new account, unmatched target
+  // rows carry over unchanged. The plan is ONE full-outer shuffle join
+  // on the key (source aggregated first, so both sides are keyed and
+  // skew-free); at 100 TB this is the canonical CDC-merge shape and
+  // composes with x16's manifest for transactional visibility. Source =
+  // 1997 order activity; keys ≡ o_custkey for updates plus a shifted
+  // key range (+1,000,000) standing in for accounts that don't exist in
+  // the target yet.
+  val x17_merge_upsert: Q = (s, d) => {
+    val src0 = Tables.orders(s, d)
+      .filter(year(col("o_orderdate")) === 1997)
+      .groupBy(col("o_custkey"))
+      .agg(round(sum("o_totalprice") * 0.01, 2).as("amt"))
+    val src = src0.select(col("o_custkey").as("key"), col("amt"))
+      .union(src0.filter(pmod(col("o_custkey"), lit(7)) === 0)
+        .select((col("o_custkey") + 1000000L).as("key"), col("amt")))
+    Tables.customer(s, d)
+      .join(src, col("c_custkey") === col("key"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("key")).as("c_custkey"),
+        coalesce(col("c_name"),
+          concat(lit("Customer#new#"), col("key") - 1000000L)).as("c_name"),
+        coalesce(col("c_mktsegment"), lit("NEW")).as("c_mktsegment"),
+        round(coalesce(col("c_acctbal"), lit(0.0)) +
+          coalesce(col("amt"), lit(0.0)), 2).as("c_acctbal"))
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "x16_time_travel" -> x16_time_travel,
+    "x17_merge_upsert" -> x17_merge_upsert,
     "x01_orc_roundtrip" -> x01_orc_roundtrip,
     "x10_avro_roundtrip" -> x10_avro_roundtrip,
     "x11_compaction" -> x11_compaction,
@@ -562,6 +639,30 @@ object SourceSinks {
        |FROM flat GROUP BY op ORDER BY op""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "x16_time_travel" ->
+      """SELECT 1 AS version, count(*)::BIGINT AS n_rows,
+        |  round(sum(o_totalprice), 2) AS sum_price,
+        |  sum((o_orderstatus = 'O')::INT)::BIGINT AS n_open FROM orders
+        |UNION ALL
+        |SELECT 2, count(*)::BIGINT,
+        |  round(sum(CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice + 10.0
+        |                 ELSE o_totalprice END), 2),
+        |  sum((o_orderstatus = 'O')::INT)::BIGINT FROM orders
+        |ORDER BY version""".stripMargin,
+    "x17_merge_upsert" ->
+      """WITH src0 AS (
+        |  SELECT o_custkey, round(sum(o_totalprice) * 0.01, 2) AS amt
+        |  FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1),
+        |src AS (
+        |  SELECT o_custkey AS key, amt FROM src0
+        |  UNION ALL
+        |  SELECT o_custkey + 1000000, amt FROM src0 WHERE o_custkey % 7 = 0)
+        |SELECT coalesce(c_custkey, key) AS c_custkey,
+        |  coalesce(c_name, 'Customer#new#' || (key - 1000000)) AS c_name,
+        |  coalesce(c_mktsegment, 'NEW') AS c_mktsegment,
+        |  round(coalesce(c_acctbal, 0) + coalesce(amt, 0), 2) AS c_acctbal
+        |FROM customer FULL JOIN src ON c_custkey = key
+        |ORDER BY c_custkey""".stripMargin,
     "x01_orc_roundtrip" -> sqlStats,
     "x10_avro_roundtrip" -> sqlStats,
     "x11_compaction" -> sqlStats,

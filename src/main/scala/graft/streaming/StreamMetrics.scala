@@ -65,7 +65,7 @@ object StreamMetrics {
         .option("pathGlobFilter", "events.parquet")
         .option("maxFilesPerTrigger", "1")
         .parquet(d)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .transform(graft.Tables.normalizeEventsTs)
       val q = StreamingQueries.tumblingAgg(
           stream.withWatermark("ts", "1 hour"), distinctUsers = false)
         .writeStream.outputMode("update").format("memory").queryName(name).start()

@@ -88,7 +88,7 @@ object StreamingQueries {
     val stream = s.readStream.schema(raw.schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(graft.Tables.normalizeEventsTs)
     val name = s"graft_watermark_agg_${System.nanoTime()}"
     val q = tumblingAgg(stream.withWatermark("ts", "1 hour"), distinctUsers = false)
       .writeStream.outputMode("update").format("memory").queryName(name).start()
@@ -150,7 +150,7 @@ object StreamingQueries {
     val raw = Tables.load(s, d, "events")
     def stream = s.readStream.schema(raw.schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(graft.Tables.normalizeEventsTs)
       .withWatermark("ts", "1 hour")
     val name = s"graft_ssj_${System.nanoTime()}"
     val q = attributionPairs(
@@ -172,7 +172,7 @@ object StreamingQueries {
     val raw = Tables.load(s, d, "events")
     val stream = s.readStream.schema(raw.schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(graft.Tables.normalizeEventsTs)
       .select(col("user_id"), col("value"), unix_micros(col("ts")).as("us"))
       .as[(Long, Double, Long)]
     val fn: (Long, Iterator[(Long, Double, Long)], GroupState[(Long, Double, Long)]) => (Long, Long, Double, Long) =
@@ -212,7 +212,7 @@ object StreamingQueries {
     val stream = s.readStream.schema(raw.schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(graft.Tables.normalizeEventsTs)
     val decoded = graft.cdc.AvroEnvelope.roundtrip(graft.cdc.Envelope.flat(stream))
     val name = s"graft_stream_envelope_${System.nanoTime()}"
     val q = decoded.toDF()

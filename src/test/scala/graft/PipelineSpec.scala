@@ -911,4 +911,84 @@ class PipelineSpec extends AnyFunSuite {
     assert(totBpe / totCh < 0.9,
       s"48 merges should compress the corpus: ${totBpe / totCh}")
   }
+
+  test("d15 URL canonicalization collapses every planted variant class") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Dedup.d15_url_dedup(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_fetches")).sum == nDocs,
+      "every fetch lands in exactly one canonical group")
+    // plain-form groups hold the 6 collapsing variants (scheme/host case,
+    // http+:80, :443+trailing slash, utm params, fragment); query-form
+    // groups hold the 2 param-order variants — full pages only
+    val (plain, query) = rows.partition(r => !r.getAs[String]("canonical_url").contains("?"))
+    assert(plain.nonEmpty && query.nonEmpty)
+    assert(plain.filter(_.getAs[Long]("n_fetches") == 6).length >= plain.length - 1)
+    assert(query.forall(r => r.getAs[Long]("n_fetches") <= 2))
+    // canonical urls are themselves canonical: lowercase scheme+host, no
+    // default port, no fragment, no tracking params
+    rows.map(_.getAs[String]("canonical_url")).foreach { u =>
+      assert(u.startsWith("https://www.example.com/"), u)
+      assert(!u.contains(":80") && !u.contains(":443") && !u.contains("#"), u)
+      assert(!u.contains("utm_") && !u.contains("ref="), u)
+    }
+  }
+
+  test("t20 NFC: idempotent, and both planted spellings converge") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.TextAnalysis.t20_normalize(spark, sf).collect()
+    val byV = rows.groupBy(r => (r.getAs[Long]("doc_id") % 3).toInt)
+    // decomposed docs change (2 combining marks dropped), precomposed and
+    // plain-ascii docs are already NFC
+    byV(1).foreach { r =>
+      assert(r.getAs[Int]("changed") == 1)
+      assert(r.getAs[Int]("len_raw") - r.getAs[Int]("len_nfc") == 2)
+    }
+    (byV(0) ++ byV(2)).foreach { r =>
+      assert(r.getAs[Int]("changed") == 0)
+      assert(r.getAs[Int]("len_raw") == r.getAs[Int]("len_nfc"))
+    }
+    // v1 and v2 prefixes converge to the same precomposed spelling
+    val p1 = byV(1).map(_.getAs[String]("nfc_prefix")).toSet
+    val p2 = byV(2).map(_.getAs[String]("nfc_prefix")).toSet
+    assert(p1 == p2 && p1.size == 1, s"$p1 vs $p2")
+    // idempotence of the native expression itself
+    val again = Tables.documents(spark, sf).select(
+      graft.functions.Normalize.nfc_normalize(
+        graft.functions.Normalize.nfc_normalize(concat(lit("Café "), col("text")))).as("a"),
+      graft.functions.Normalize.nfc_normalize(concat(lit("Café "), col("text"))).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(again == 0, "nfc(nfc(x)) must equal nfc(x)")
+  }
+
+  test("t21 DSIR: target-language docs score highest on average") {
+    val rows = ops.TextAnalysis.t21_dsir(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    val meanByLang = rows.groupBy(_.getAs[String]("lang"))
+      .view.mapValues(rs => rs.map(_.getAs[Double]("w")).sum / rs.length).toMap
+    val en = meanByLang("en")
+    meanByLang.filter(_._1 != "en").foreach { case (l, m) =>
+      assert(en > m, s"en mean $en must beat $l mean $m")
+    }
+  }
+
+  test("v15 hybrid fusion: rrf consistent with ranks, both lanes contribute") {
+    val rows = ops.Similarity.v15_hybrid_search(spark, sf).collect()
+    assert(rows.length == 10)
+    // rrf must equal the sum of reciprocal ranks it claims
+    rows.foreach { r =>
+      val rb = Option(r.getAs[Integer]("r_bm25")).map(_.toInt)
+      val rv = Option(r.getAs[Integer]("r_vec")).map(_.toInt)
+      val expect = rb.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        rv.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(math.abs(r.getAs[Double]("rrf") - expect) < 1e-6)
+      assert(rb.nonEmpty || rv.nonEmpty)
+    }
+    // output is sorted by fused score
+    val rrfs = rows.map(_.getAs[Double]("rrf"))
+    assert(rrfs.sameElements(rrfs.sorted(Ordering[Double].reverse)))
+    // fusion actually fused: the winner appears in BOTH lane top-100s
+    assert(rows.head.getAs[Integer]("r_bm25") != null &&
+      rows.head.getAs[Integer]("r_vec") != null)
+  }
 }

@@ -163,4 +163,40 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.toSeq.map(_(1).asInstanceOf[Long]).sum ==
       Tables.part(spark, sf).count())
   }
+
+  test("q42 co-moment aggregates: one pass, r² consistent with corr") {
+    import org.apache.spark.sql.functions._
+    val df = ops.Relational.q42_stats_profile(spark, sf)
+    val rows = df.collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == Tables.lineitem(spark, sf).count())
+    // r² = corr² for simple OLS — recompute unrounded and compare
+    val raw = Tables.lineitem(spark, sf).groupBy(col("l_returnflag"))
+      .agg(corr(col("l_extendedprice"), col("l_quantity")).as("c"),
+        expr("regr_r2(l_extendedprice, l_quantity)").as("r2"))
+      .collect()
+    raw.foreach { r =>
+      assert(math.abs(r.getDouble(1) * r.getDouble(1) - r.getDouble(2)) < 1e-9,
+        s"${r.getString(0)}: r2 != corr^2")
+    }
+    val nodes = PlanWalk.allNodes(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("Window")))
+  }
+
+  test("q43 hash sample: exactly k per stratum, window-free, rerun-stable") {
+    val df = ops.Relational.q43_stratified_sample(spark, sf)
+    val rows = df.collect()
+    val bySeg = rows.groupBy(_.getAs[String]("c_mktsegment"))
+    bySeg.foreach { case (seg, rs) =>
+      assert(rs.map(_.getAs[Int]("rn")).sorted.sameElements(1 to rs.length))
+      assert(rs.length <= 3, s"$seg oversampled")
+    }
+    // deterministic: a second run (fresh plan) returns identical rows
+    val again = ops.Relational.q43_stratified_sample(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(again == rows.map(_.toSeq).toSet)
+    // the heap aggregate, not a window, must carry the sample
+    val nodes = PlanWalk.allNodes(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("Window")),
+      "q43 must not use a window sort")
+  }
 }

@@ -222,4 +222,44 @@ class SourcesSpec extends AnyFunSuite {
       assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
     } finally graft.sources.SourceSinks.deleteDir(dir)
   }
+
+  test("x16 time travel: v1 is byte-stable under the v2 commit") {
+    val rows = graft.sources.SourceSinks.x16_time_travel(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("version")).toSeq == Seq(1, 2))
+    val Seq(v1, v2) = rows.toSeq
+    // both snapshots see every row; the commit rewrote, never deleted
+    assert(v1.getAs[Long]("n_rows") == v2.getAs[Long]("n_rows"))
+    assert(v1.getAs[Long]("n_rows") == Tables.orders(spark, sf).count())
+    // v2 = v1 + 10.00 per odd-key order, exactly
+    val nOdd = Tables.orders(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("o_orderkey") % 2 === 1).count()
+    assert(math.abs(v2.getAs[Double]("sum_price") -
+      (v1.getAs[Double]("sum_price") + 10.0 * nOdd)) < 0.01)
+  }
+
+  test("x17 merge upsert: matched update + unmatched insert + carry-over") {
+    import org.apache.spark.sql.functions._
+    val merged = graft.sources.SourceSinks.x17_merge_upsert(spark, sf)
+    val customers = Tables.customer(spark, sf)
+    val nCust = customers.count()
+    val inserted = merged.filter(col("c_mktsegment") === "NEW")
+    val nIns = inserted.count()
+    assert(merged.count() == nCust + nIns, "merge never drops target rows")
+    assert(nIns > 0, "the shifted key range must insert")
+    inserted.collect().foreach { r =>
+      assert(r.getAs[Long]("c_custkey") >= 1000000L)
+      assert(r.getAs[String]("c_name").startsWith("Customer#new#"))
+    }
+    // carry-over rows (no 1997 activity) keep their balance bit-exactly
+    val untouched = merged.as("m")
+      .join(customers.as("c"), col("m.c_custkey") === col("c.c_custkey"))
+      .filter(col("m.c_acctbal") =!= round(col("c.c_acctbal"), 2))
+    // every changed row must correspond to a 1997-active customer
+    val active = Tables.orders(spark, sf)
+      .filter(year(col("o_orderdate")) === 1997)
+      .select(col("o_custkey")).distinct()
+    val badChanged = untouched.join(active,
+      col("m.c_custkey") === col("o_custkey"), "left_anti").count()
+    assert(badChanged == 0, "only 1997-active customers may change balance")
+  }
 }
