@@ -394,7 +394,44 @@ object StreamingQueries {
   // every count would double and the oracle hash would catch it.
   val s13_checkpoint_resume: Q = (s, d) => checkpointResumeRun(s, d)._1
 
+  // s18: streaming anomaly detection — the monitoring shape every
+  // production pipeline runs: an offline-trained baseline profile (per
+  // event_type mean/σ of per-window counts — a tiny model, computed
+  // batch-side exactly like a real system trains on history) BROADCAST
+  // against a live windowed aggregation, z-scored per closing window.
+  // The stream is s05's real Structured-Streaming tumbling aggregation
+  // (1-hour watermark, update-mode memory sink, final-update per window);
+  // the baseline join is stream-static-broadcast (s12's shape), so state
+  // stays bounded by open windows and the model never shuffles. The
+  // anomaly predicate fires on the ROUNDED z (both engines agree on the
+  // rounded value; an unrounded threshold could disagree in the last
+  // ulp). Fully SQL-expressible → full oracle.
+  val s18_stream_anomaly: Q = (s, d) => {
+    val baseline = tumblingAgg(Tables.events(s, d), distinctUsers = false)
+      .groupBy(col("event_type"))
+      .agg(avg(col("n")).as("mu"), stddev_samp(col("n")).as("sigma"))
+    val raw = Tables.load(s, d, "events")
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .transform(graft.Tables.normalizeEventsTs)
+    val name = s"graft_anomaly_${System.nanoTime()}"
+    val q = tumblingAgg(stream.withWatermark("ts", "1 hour"), distinctUsers = false)
+      .writeStream.outputMode("update").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+      .groupBy(col("window_start_us"), col("event_type"))
+      .agg(max_by(col("n"), col("n")).as("n"))
+      .join(broadcast(baseline), Seq("event_type"))
+      .withColumn("z", round((col("n") - col("mu")) / col("sigma"), 4))
+      .withColumn("is_anomaly", (abs(col("z")) > 2.0).cast("int"))
+      .select(col("window_start_us"), col("event_type"), col("n"),
+        col("z"), col("is_anomaly"))
+      .orderBy("window_start_us", "event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "s18_stream_anomaly" -> s18_stream_anomaly,
     "s13_checkpoint_resume" -> s13_checkpoint_resume,
     "s12_stream_static_join" -> s12_stream_static_join,
     "s11_late_data" -> s11_late_data,
@@ -417,6 +454,17 @@ object StreamingQueries {
          |  count(*)::BIGINT AS n_ok,
          |  round(sum(after_value), 2) AS sum_after
          |FROM flat GROUP BY op ORDER BY op""".stripMargin,
+    "s18_stream_anomaly" ->
+      """WITH w AS (
+        |  SELECT (epoch_us(ts::TIMESTAMP) // 21600000000) * 21600000000 AS window_start_us,
+        |    event_type, count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sigma FROM w GROUP BY 1)
+        |SELECT w.window_start_us, w.event_type, w.n,
+        |  round((w.n - b.mu) / b.sigma, 4) AS z,
+        |  (abs(round((w.n - b.mu) / b.sigma, 4)) > 2.0)::INT AS is_anomaly
+        |FROM w JOIN b USING (event_type)
+        |ORDER BY 1, 2""".stripMargin,
     "s01_tumbling_window" ->
       """SELECT (epoch_us(ts::TIMESTAMP) // 21600000000) * 21600000000 AS window_start_us,
         |  event_type, count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value,

@@ -129,4 +129,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(res.agg(min("window_start_us")).head().getLong(0) >=
       cutoff.getTime * 1000L)
   }
+
+  test("s18 streaming anomaly windows equal the batch recompute; flags track z") {
+    val rows = StreamingQueries.s18_stream_anomaly(spark, sf).collect()
+    val nWindows = StreamingQueries.tumblingAgg(
+      Tables.events(spark, sf), distinctUsers = false).count()
+    assert(rows.length == nWindows, "one scored row per closed window")
+    rows.foreach { r =>
+      val z = r.getAs[Double]("z")
+      assert(r.getAs[Int]("is_anomaly") == (if (math.abs(z) > 2.0) 1 else 0))
+    }
+    val nAnom = rows.map(_.getAs[Int]("is_anomaly")).sum
+    // the synthetic stream has real outlier windows, but z>2 must stay a
+    // minority — a baseline that flags everything (or nothing its own
+    // history produced) is miscalibrated
+    assert(nAnom > 0 && nAnom < rows.length / 5, s"$nAnom of ${rows.length}")
+  }
 }
