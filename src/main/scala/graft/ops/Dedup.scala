@@ -796,6 +796,28 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** URL canonicalization (pure codegen'd string/array expressions):
+    * lowercase scheme+host, http→https, drop default :80/:443 ports,
+    * strip fragments, trim trailing slashes (bare root → "/"), drop
+    * utm_* / ref / fbclid tracking params, sort surviving params.
+    * Exposed so the d15 operator and the perturbation-sweep spec share
+    * one definition.
+    */
+  def canonicalizeUrl(rawUrl: Column): Column = {
+    val noFrag = regexp_replace(rawUrl, "#.*$", "")
+    val hostport = lower(regexp_extract(noFrag, "^[a-zA-Z]+://([^/?#]*)", 1))
+    val host = regexp_replace(hostport, ":(80|443)$", "")
+    val pathq = regexp_extract(noFrag, "^[a-zA-Z]+://[^/?#]*(.*)$", 1)
+    val path0 = regexp_replace(regexp_extract(pathq, "^([^?]*)", 1), "/+$", "")
+    val path = when(path0 === "", "/").otherwise(path0)
+    val query = regexp_extract(pathq, "\\?(.*)$", 1)
+    val params = array_join(
+      array_sort(filter(split(query, "&"),
+        p => !(p.rlike("^(utm_[^=]*|ref|fbclid)(=|$)") || (p === "")))), "&")
+    concat(lit("https://"), host, path,
+      when(params === "", "").otherwise(concat(lit("?"), params)))
+  }
+
   // d15: URL canonicalization dedup — the step a crawl-derived corpus
   // runs BEFORE content dedup (CommonCrawl-style pipelines drop >20% of
   // fetches as URL-level re-crawls). Eight deterministic raw-URL variants
@@ -821,21 +843,9 @@ object Dedup {
       .when(v === 5, concat(base, lit("#section-2")))
       .when(v === 6, concat(base, lit("?b=2&a=1")))
       .otherwise(concat(base, lit("?a=1&b=2&ref=tw")))
-    val noFrag = regexp_replace(col("raw_url"), "#.*$", "")
-    val hostport = lower(regexp_extract(noFrag, "^[a-zA-Z]+://([^/?#]*)", 1))
-    val host = regexp_replace(hostport, ":(80|443)$", "")
-    val pathq = regexp_extract(noFrag, "^[a-zA-Z]+://[^/?#]*(.*)$", 1)
-    val path0 = regexp_replace(regexp_extract(pathq, "^([^?]*)", 1), "/+$", "")
-    val path = when(path0 === "", "/").otherwise(path0)
-    val query = regexp_extract(pathq, "\\?(.*)$", 1)
-    val params = array_join(
-      array_sort(filter(split(query, "&"),
-        p => !(p.rlike("^(utm_[^=]*|ref|fbclid)(=|$)") || (p === "")))), "&")
-    val canon = concat(lit("https://"), host, path,
-      when(params === "", "").otherwise(concat(lit("?"), params)))
     Tables.documents(s, d)
       .select(col("doc_id"), raw.as("raw_url"))
-      .withColumn("canonical_url", canon)
+      .withColumn("canonical_url", canonicalizeUrl(col("raw_url")))
       .groupBy(col("canonical_url"))
       .agg(min("doc_id").as("keeper_id"),
         count(lit(1)).as("n_fetches"),

@@ -699,7 +699,37 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  // m06: caption↔media pair alignment + training-batch packing — the
+  // step that turns a curated multimodal corpus into dataloader-ready
+  // batches: each document is an aligned (caption tokens, media payload)
+  // pair; pairs pack into batches under a 256-caption-token budget.
+  // Packing is PER (content_type, 64-doc shard) — t14's discipline: the
+  // running-sum window sorts only within a bounded shard, so at 100 TB
+  // no global (or per-type, which skews 5 ways) sort exists and shards
+  // pack in parallel. Batch id = floor(tokens-before / budget): a pure
+  // function of the shard prefix, reproducible on any cluster. Fully
+  // SQL-expressible → full oracle (the m-family's second).
+  val m06_pair_pack: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ct = contentType(col("source"))
+    val w = Window.partitionBy(col("content_type"), col("shard"))
+      .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), ct.as("content_type"),
+        size(split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " ")).as("cap_toks"),
+        (octet_length(col("text")) + magicLen(ct)).as("media_bytes"))
+      .withColumn("shard", (col("doc_id") / 64).cast("long"))
+      .withColumn("cum", coalesce(sum(col("cap_toks")).over(w), lit(0L)))
+      .withColumn("batch", floor(col("cum") / 256).cast("int"))
+      .groupBy(col("content_type"), col("shard"), col("batch"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("cap_toks").as("caption_tokens"),
+        sum("media_bytes").as("media_bytes"))
+      .orderBy("content_type", "shard", "batch")
+  }
+
   val queries: Map[String, Q] = Map(
+    "m06_pair_pack" -> m06_pair_pack,
     "m05_audio_frames" -> m05_audio_frames,
     "m01_binary_meta" -> m01_binary_meta,
     "m02_feature_extract" -> m02_feature_extract,
@@ -708,6 +738,30 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    "m06_pair_pack" ->
+      """WITH pairs AS (
+        |  SELECT doc_id,
+        |    CASE substr(source, 4)::INT % 5
+        |      WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+        |      WHEN 2 THEN 'audio/wav' WHEN 3 THEN 'video/mp4'
+        |      ELSE 'application/octet-stream' END AS content_type,
+        |    len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS cap_toks,
+        |    octet_length(encode(text))
+        |      + CASE substr(source, 4)::INT % 5
+        |          WHEN 0 THEN 8 WHEN 1 THEN 3 WHEN 2 THEN 12 WHEN 3 THEN 12
+        |          ELSE 0 END AS media_bytes,
+        |    doc_id // 64 AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, coalesce(sum(cap_toks) OVER (
+        |    PARTITION BY content_type, shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM pairs)
+        |SELECT content_type, shard, (cum // 256)::INT AS batch,
+        |  count(*)::BIGINT AS n_pairs,
+        |  sum(cap_toks)::BIGINT AS caption_tokens,
+        |  sum(media_bytes)::BIGINT AS media_bytes
+        |FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "m01_binary_meta" ->
       """WITH m AS (
         |  SELECT source,

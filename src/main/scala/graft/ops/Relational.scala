@@ -681,7 +681,46 @@ object Relational {
         col("r.c_custkey"), col("r.c_name"), col("r.c_acctbal"))
       .orderBy("c_mktsegment", "rn")
 
+  // q44: ordered funnel analysis (view → click → purchase) — the product
+  // -analytics operator: how deep does each user get, with stage order
+  // enforced by STRICT timestamp succession under a 6-hour conversion
+  // window (a click only counts within 6 h after that user's first
+  // view, a purchase within 6 h of the qualifying click — unwindowed,
+  // everyone in a months-long stream eventually converts and the funnel
+  // is vacuous). Three keyed min-aggregations chained by equi-joins on
+  // user_id — every stage is one shuffle on the same key (no windows,
+  // no per-user sort), so the chain re-uses co-partitioning and scales
+  // with users, not events. Depth distribution is the ≤4-row output.
+  val q44_funnel: Q = (s, d) => {
+    val W = 6L * 3600 * 1000000 // 6-hour conversion window, micros
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val tv = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min("us").as("tv"))
+    val tc = ev.filter(col("event_type") === "click")
+      .join(tv, Seq("user_id"))
+      .filter(col("us") > col("tv") && col("us") <= col("tv") + W)
+      .groupBy(col("user_id")).agg(min("us").as("tc"))
+    val tp = ev.filter(col("event_type") === "purchase")
+      .join(tc, Seq("user_id"))
+      .filter(col("us") > col("tc") && col("us") <= col("tc") + W)
+      .groupBy(col("user_id")).agg(min("us").as("tp"))
+    ev.select(col("user_id")).distinct()
+      .join(tv, Seq("user_id"), "left")
+      .join(tc, Seq("user_id"), "left")
+      .join(tp, Seq("user_id"), "left")
+      .withColumn("depth",
+        when(col("tp").isNotNull, 3)
+          .when(col("tc").isNotNull, 2)
+          .when(col("tv").isNotNull, 1)
+          .otherwise(0).cast("int"))
+      .groupBy(col("depth"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("depth")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q44_funnel" -> q44_funnel,
     "q41_range_join" -> q41_range_join,
     "q42_stats_profile" -> q42_stats_profile,
     "q43_stratified_sample" -> q43_stratified_sample,
@@ -737,6 +776,26 @@ object Relational {
         |  round(sum(p_retailprice), 2) AS sum_price
         |FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q44_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS us FROM events),
+        |tv AS (
+        |  SELECT user_id, min(us) AS tv FROM ev WHERE event_type = 'view' GROUP BY 1),
+        |tc AS (
+        |  SELECT e.user_id, min(us) AS tc FROM ev e JOIN tv USING (user_id)
+        |  WHERE event_type = 'click' AND us > tv AND us <= tv + 21600000000 GROUP BY 1),
+        |tp AS (
+        |  SELECT e.user_id, min(us) AS tp FROM ev e JOIN tc USING (user_id)
+        |  WHERE event_type = 'purchase' AND us > tc AND us <= tc + 21600000000 GROUP BY 1),
+        |depths AS (
+        |  SELECT u.user_id,
+        |    CASE WHEN tp IS NOT NULL THEN 3 WHEN tc IS NOT NULL THEN 2
+        |         WHEN tv IS NOT NULL THEN 1 ELSE 0 END AS depth
+        |  FROM (SELECT DISTINCT user_id FROM ev) u
+        |  LEFT JOIN tv USING (user_id) LEFT JOIN tc USING (user_id)
+        |  LEFT JOIN tp USING (user_id))
+        |SELECT depth::INT AS depth, count(*)::BIGINT AS n_users
+        |FROM depths GROUP BY 1 ORDER BY 1""".stripMargin,
     "q42_stats_profile" ->
       """SELECT l_returnflag,
         |  count(*)::BIGINT AS n,

@@ -618,7 +618,37 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // t23: temperature-scaled data mixing — the sampling-weight step of a
+  // multi-source training run (the Llama/mT5 recipe): source probability
+  // p_i = tokens_i/Σ, sampling weight w_i ∝ p_i^α with α=0.3 (upweights
+  // the tail, downweights the head), expected epochs over a declared
+  // token budget = B·w_i/tokens_i — the number every data-mixing design
+  // review asks for (how many times will the small source repeat?). The
+  // whole model is a 20-row per-source aggregate and two scalar
+  // normalizers; at 100 TB the corpus is scanned once for token counts
+  // and the rest is broadcast arithmetic.
+  val t23_mix_temperature: Q = (s, d) => {
+    val alpha = 0.3
+    val budget = 1000000.0
+    val perSrc = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(toks(col("text")))).as("n_tokens"))
+    val tot = perSrc.agg(sum(col("n_tokens")).cast("double").as("tot"))
+    val withP = perSrc.crossJoin(broadcast(tot))
+      .withColumn("p", col("n_tokens").cast("double") / col("tot"))
+    val z = withP.agg(sum(pow(col("p"), alpha)).as("z"))
+    withP.crossJoin(broadcast(z))
+      .withColumn("w", pow(col("p"), alpha) / col("z"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("p"), 6).as("p"),
+        round(col("w"), 6).as("w"),
+        round(lit(budget) * col("w") / col("n_tokens").cast("double"), 4).as("epochs"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t23_mix_temperature" -> t23_mix_temperature,
     "t20_normalize" -> t20_normalize,
     "t21_dsir" -> t21_dsir,
     "t18_bpe_train" -> t18_bpe_train,
@@ -648,6 +678,18 @@ object TextAnalysis {
     s"len(list_filter($sqlToks, w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
   val oracle: Map[String, String] = Map(
+    "t23_mix_temperature" ->
+      """WITH per AS (
+        |  SELECT source, count(*)::BIGINT AS n_docs,
+        |    sum(len(string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))), ' ')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(n_tokens)::DOUBLE AS tot FROM per),
+        |p AS (SELECT source, n_docs, n_tokens, n_tokens::DOUBLE / tot AS p FROM per, tot),
+        |z AS (SELECT sum(pow(p, 0.3)) AS z FROM p)
+        |SELECT source, n_docs, n_tokens, round(p, 6) AS p,
+        |  round(pow(p, 0.3) / z, 6) AS w,
+        |  round(1000000.0 * (pow(p, 0.3) / z) / n_tokens::DOUBLE, 4) AS epochs
+        |FROM p, z ORDER BY source""".stripMargin,
     "t20_normalize" ->
       """WITH raw AS (
         |  SELECT doc_id,

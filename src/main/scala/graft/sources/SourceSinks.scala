@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import java.nio.file.{Files, Path}
+import java.nio.file.{Files, Path, Paths}
 import java.util.Comparator
 import scala.jdk.CollectionConverters._
 
@@ -590,10 +590,16 @@ object SourceSinks {
   // key range (+1,000,000) standing in for accounts that don't exist in
   // the target yet.
   val x17_merge_upsert: Q = (s, d) => {
+    // 1% of the 1997 total, computed in INTEGER CENTS (c36's exactness
+    // discipline): round(sum·0.01, 2) on doubles hits half-even vs
+    // half-up disagreements with the oracle engine at scale (one row in
+    // 6M flipped a cent at sf1); truncating integer division cannot.
     val src0 = Tables.orders(s, d)
       .filter(year(col("o_orderdate")) === 1997)
       .groupBy(col("o_custkey"))
-      .agg(round(sum("o_totalprice") * 0.01, 2).as("amt"))
+      .agg(expr("sum(cast(round(o_totalprice * 100) as bigint)) div 100").as("amt_cents"))
+      .withColumn("amt", col("amt_cents") / 100.0)
+      .drop("amt_cents")
     val src = src0.select(col("o_custkey").as("key"), col("amt"))
       .union(src0.filter(pmod(col("o_custkey"), lit(7)) === 0)
         .select((col("o_custkey") + 1000000L).as("key"), col("amt")))
@@ -609,7 +615,62 @@ object SourceSinks {
       .orderBy("c_custkey")
   }
 
+  /** x18 engine: x16's layout plus an ORPHAN fileset (failed-commit
+    * leftover), then snapshot expiration (retain only v2) and vacuum
+    * (delete every top-level entry the live manifest doesn't reference).
+    * Returns (v2 stats row, deleted names, surviving names, dir) so the
+    * spec can assert the GC geometry while the query keeps the oracle
+    * shape.
+    */
+  def vacuumRun(s: SparkSession, d: String): (DataFrame, Seq[String], Seq[String], Path) = {
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_vacuum")
+    val orders = Tables.orders(s, d)
+    orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .write.mode("overwrite").parquet(s"$dir/A")
+    orders.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+      .write.mode("overwrite").parquet(s"$dir/B")
+    s.read.parquet(s"$dir/B")
+      .withColumn("o_totalprice", col("o_totalprice") + 10.0)
+      .write.mode("overwrite").parquet(s"$dir/C")
+    // a failed commit's leftover fileset: written, never referenced
+    orders.limit(100).write.mode("overwrite").parquet(s"$dir/D_orphan")
+    Seq((1, "A"), (1, "B"), (2, "A"), (2, "C")).toDF("version", "fileset")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/_manifest")
+    // EXPIRE v1: the manifest retains only the latest snapshot...
+    val retained = s.read.parquet(s"$dir/_manifest").filter(col("version") === 2)
+    val live = retained.select("fileset").collect().map(_.getString(0)).toSet
+    retained.repartition(1).write.mode("overwrite").parquet(s"$dir/_manifest2")
+    deleteDir(Paths.get(s"$dir/_manifest"))
+    Files.move(Paths.get(s"$dir/_manifest2"), Paths.get(s"$dir/_manifest"))
+    // ...VACUUM: GC every unreferenced top-level entry (B, D_orphan)
+    val entries = Files.list(dir)
+    val names = try entries.iterator().asScala.map(_.getFileName.toString).toSeq
+      finally entries.close()
+    val dead = names.filterNot(n => live(n) || n == "_manifest").sorted
+    dead.foreach(n => deleteDir(Paths.get(s"$dir/$n")))
+    val out = s.read.parquet(live.toSeq.sorted.map(f => s"$dir/$f"): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum("o_totalprice"), 2).as("sum_price"),
+        sum((col("o_orderstatus") === "O").cast("long")).as("n_open"))
+      .select(lit(2).as("version"), col("n_rows"), col("sum_price"), col("n_open"))
+    (out, dead, names.filterNot(dead.contains).sorted, dir)
+  }
+
+  // x18: SNAPSHOT EXPIRATION + VACUUM — the GC half of x16's table
+  // format (Delta VACUUM / Iceberg expire_snapshots + remove_orphan_files):
+  // dropping v1 from the manifest makes its exclusive files unreferenced;
+  // the vacuum deletes them plus the orphan from a failed commit — and
+  // the surviving snapshot must still read EXACTLY right afterwards,
+  // which is what the oracle checks (v2 ≡ the declared rewrite of
+  // orders). Driver-side work is path metadata only, like x16.
+  val x18_snapshot_expire: Q = (s, d) => {
+    val (out, _, _, dir) = vacuumRun(s, d)
+    materializeThenCleanup(s, out, dir)
+  }
+
   val queries: Map[String, Q] = Map(
+    "x18_snapshot_expire" -> x18_snapshot_expire,
     "x16_time_travel" -> x16_time_travel,
     "x17_merge_upsert" -> x17_merge_upsert,
     "x01_orc_roundtrip" -> x01_orc_roundtrip,
@@ -649,9 +710,15 @@ object SourceSinks {
         |                 ELSE o_totalprice END), 2),
         |  sum((o_orderstatus = 'O')::INT)::BIGINT FROM orders
         |ORDER BY version""".stripMargin,
+    "x18_snapshot_expire" ->
+      """SELECT 2 AS version, count(*)::BIGINT AS n_rows,
+        |  round(sum(CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice + 10.0
+        |                 ELSE o_totalprice END), 2) AS sum_price,
+        |  sum((o_orderstatus = 'O')::INT)::BIGINT AS n_open FROM orders""".stripMargin,
     "x17_merge_upsert" ->
       """WITH src0 AS (
-        |  SELECT o_custkey, round(sum(o_totalprice) * 0.01, 2) AS amt
+        |  SELECT o_custkey,
+        |    (sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100) / 100.0 AS amt
         |  FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1),
         |src AS (
         |  SELECT o_custkey AS key, amt FROM src0

@@ -972,6 +972,71 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("d15 canonicalizer: a perturbation sweep collapses to one URL each") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 64 deterministic perturbations of each of 3 canonical pages:
+    // scheme/host case × default port × trailing slash × fragment ×
+    // tracking-param insertion × real-param order
+    val cases = for {
+      page <- Seq("alpha", "beta/gamma", "x")
+      hostCase <- Seq("www.example.com", "WWW.EXAMPLE.COM")
+      scheme <- Seq("https://", "HTTPS://", "http://")
+      port <- Seq("", ":443")
+      slash <- Seq("", "/")
+      frag <- Seq("", "#frag")
+      qs <- Seq("", "?b=2&a=1", "?a=1&utm_source=x&b=2", "?utm_campaign=y&ref=z&b=2&a=1")
+    } yield {
+      val p = if (scheme == "http://" && port == ":443") ":80" else port
+      (s"$scheme$hostCase$p/docs/$page$slash$qs$frag", page, qs.nonEmpty && qs.contains("a=1"))
+    }
+    val got = cases.toDF("raw", "page", "hasQ")
+      .withColumn("canon", ops.Dedup.canonicalizeUrl(col("raw")))
+      .select("page", "hasQ", "canon").distinct().collect()
+    // every (page, has-real-params) class maps to exactly ONE canonical
+    val byClass = got.groupBy(r => (r.getString(0), r.getBoolean(1)))
+    byClass.foreach { case (k, rs) =>
+      assert(rs.length == 1, s"$k did not collapse: ${rs.map(_.getString(2)).toSeq}")
+    }
+    byClass.foreach { case ((page, hasQ), rs) =>
+      val expect = s"https://www.example.com/docs/$page" + (if (hasQ) "?a=1&b=2" else "")
+      assert(rs.head.getString(2) == expect, s"got ${rs.head.getString(2)} want $expect")
+    }
+  }
+
+  test("t23 temperature mixing: weights normalize and the tail is upweighted") {
+    val rows = ops.TextAnalysis.t23_mix_temperature(spark, sf).collect()
+    assert(math.abs(rows.map(_.getAs[Double]("p")).sum - 1.0) < 1e-3)
+    assert(math.abs(rows.map(_.getAs[Double]("w")).sum - 1.0) < 1e-3)
+    // α = 0.3 < 1 compresses the distribution: the smallest source's
+    // sampling boost w/p must exceed the largest source's
+    val byTokens = rows.sortBy(_.getAs[Long]("n_tokens"))
+    def boost(r: org.apache.spark.sql.Row) = r.getAs[Double]("w") / r.getAs[Double]("p")
+    assert(boost(byTokens.head) > boost(byTokens.last))
+    // epochs × tokens ≈ budget × w (definition closes)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("epochs") * r.getAs[Long]("n_tokens") -
+        1000000.0 * r.getAs[Double]("w")) < 1000.0)
+    }
+  }
+
+  test("m06 pair packing: batches cover all pairs, bounded by the budget") {
+    val rows = ops.Multimodal.m06_pair_pack(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum ==
+      Tables.documents(spark, sf).count())
+    // batch ids are contiguous from 0 within each (type, shard)
+    rows.groupBy(r => (r.getAs[String]("content_type"), r.getAs[Long]("shard")))
+      .foreach { case (_, rs) =>
+        val ids = rs.map(_.getAs[Int]("batch")).sorted
+        assert(ids.sameElements(ids.indices), s"non-contiguous: ${ids.toSeq}")
+      }
+    // greedy fractional packing overflows by at most one caption (≤100 tok)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("caption_tokens") <= 256 + 100,
+        s"batch too big: $r")
+    }
+  }
+
   test("v15 hybrid fusion: rrf consistent with ranks, both lanes contribute") {
     val rows = ops.Similarity.v15_hybrid_search(spark, sf).collect()
     assert(rows.length == 10)

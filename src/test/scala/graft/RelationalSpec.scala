@@ -182,6 +182,19 @@ class RelationalSpec extends AnyFunSuite {
     assert(!nodes.exists(_.getClass.getSimpleName.contains("Window")))
   }
 
+  test("q44 funnel: depths partition the users and stage reach is monotone") {
+    val rows = ops.Relational.q44_funnel(spark, sf).collect()
+    val byDepth = rows.map(r => r.getAs[Int]("depth") -> r.getAs[Long]("n_users")).toMap
+    val nUsers = Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(byDepth.values.sum == nUsers, "every user has exactly one depth")
+    // reach(k) = users at depth >= k must be non-increasing in k
+    val reach = (0 to 3).map(k =>
+      byDepth.filter(_._1 >= k).values.sum)
+    assert(reach.zip(reach.tail).forall { case (a, b) => a >= b })
+    assert(reach(1) > 0, "some users must enter the funnel")
+  }
+
   test("q43 hash sample: exactly k per stratum, window-free, rerun-stable") {
     val df = ops.Relational.q43_stratified_sample(spark, sf)
     val rows = df.collect()

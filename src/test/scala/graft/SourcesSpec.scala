@@ -237,6 +237,26 @@ class SourcesSpec extends AnyFunSuite {
       (v1.getAs[Double]("sum_price") + 10.0 * nOdd)) < 0.01)
   }
 
+  test("x18 vacuum deletes exactly the unreferenced filesets, v2 intact") {
+    val (out, deleted, remaining, dir) = graft.sources.SourceSinks.vacuumRun(spark, sf)
+    try {
+      assert(deleted == Seq("B", "D_orphan"),
+        s"vacuum must GC the expired fileset and the orphan: $deleted")
+      assert(remaining.contains("A") && remaining.contains("C") &&
+        remaining.contains("_manifest"))
+      // the expired version is gone from the manifest
+      val versions = spark.read.parquet(s"$dir/_manifest")
+        .select("version").distinct().collect().map(_.getInt(0)).toSet
+      assert(versions == Set(2))
+      // and the surviving snapshot reads exactly like x16's v2
+      val v2 = out.collect().head
+      val x16v2 = graft.sources.SourceSinks.x16_time_travel(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("version") === 2).collect().head
+      assert(v2.getAs[Long]("n_rows") == x16v2.getAs[Long]("n_rows"))
+      assert(math.abs(v2.getAs[Double]("sum_price") - x16v2.getAs[Double]("sum_price")) < 0.01)
+    } finally graft.sources.SourceSinks.deleteDir(dir)
+  }
+
   test("x17 merge upsert: matched update + unmatched insert + carry-over") {
     import org.apache.spark.sql.functions._
     val merged = graft.sources.SourceSinks.x17_merge_upsert(spark, sf)

@@ -75,15 +75,19 @@ def write(outdir, name, table, row_group_rows):
 
 
 def ts_ms(us):
-    # driver files store orders/lineitem dates as timestamp[ms] (no tz)
-    return pa.array(np.asarray(us, dtype=np.int64) // 1000, pa.timestamp("ms"))
+    # round-8 driver regeneration: orders/lineitem dates are
+    # TIMESTAMP(MICROS, isAdjustedToUTC=false) (rounds 1-7: ms). Keep
+    # ms-truncated VALUES (the generator's date math is day-granular
+    # anyway) but write the driver's current physical type.
+    return pa.array((np.asarray(us, dtype=np.int64) // 1000) * 1000,
+                    pa.timestamp("us"))
 
 
 def ts_ns(us):
-    # driver events.ts is TIMESTAMP(NANOS) — graft.Tables reads it as long
-    # (nanosAsLong) and floor-converts to micros, so the physical type
-    # must be nanos for the loader's `ts div 1000` path to resolve
-    return pa.array(np.asarray(us, dtype=np.int64) * 1000, pa.timestamp("ns"))
+    # round-8 driver regeneration: events.ts is TIMESTAMP(MICROS,
+    # isAdjustedToUTC=false) (rounds 1-7: TIMESTAMP(NANOS));
+    # graft.Tables.normalizeEventsTs adapts to either physical type.
+    return pa.array(np.asarray(us, dtype=np.int64), pa.timestamp("us"))
 
 
 def main():
