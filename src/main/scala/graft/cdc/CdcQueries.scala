@@ -768,7 +768,36 @@ object CdcQueries {
   // leaves' rows.
   val c38_partition_root: Q = (s, d) => c38run(s, d)._1
 
+  // c40: SNAPSHOT DIFF — reverse CDC (Debezium incremental-snapshot /
+  // DMS full-load-compare shape): given two replica states, emit the
+  // MINIMAL change set that turns v1 into v2 — 'c' for keys only in v2,
+  // 'd' for keys only in v1, 'u' where both exist and the payload
+  // differs; identical rows emit nothing. One keyed full-outer shuffle
+  // join, the same single-pass shape as the forward apply (c04) — at
+  // 100 TB this is how a consumer reconciles a replica against a fresh
+  // snapshot without replaying history. States here: v1 = customer;
+  // v2 = the x17 merge result minus negative-balance accounts (planted
+  // deletes, so all three op codes fire).
+  val c40_snapshot_diff: Q = (s, d) => {
+    import org.apache.spark.sql.functions._
+    val v1 = graft.Tables.customer(s, d)
+      .select(col("c_custkey").as("key"), col("c_acctbal").as("bal_before"))
+    val v2 = graft.sources.SourceSinks.x17_merge_upsert(s, d)
+      .filter(col("c_acctbal") >= 0)
+      .select(col("c_custkey").as("key"), col("c_acctbal").as("bal_after"))
+    v1.join(v2, Seq("key"), "full_outer")
+      .withColumn("op",
+        when(col("bal_before").isNull, "c")
+          .when(col("bal_after").isNull, "d")
+          .otherwise("u"))
+      .filter(col("op") =!= "u" || col("bal_before") =!= col("bal_after"))
+      .select(col("op"), col("key").as("c_custkey"),
+        col("bal_before"), col("bal_after"))
+      .orderBy("op", "c_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "c40_snapshot_diff" -> c40_snapshot_diff,
     "c38_partition_root" -> c38_partition_root,
     "c37_daemon_e2e" -> c37_daemon_e2e,
     "c32_config_gating" -> c32_config_gating,
@@ -988,6 +1017,29 @@ object CdcQueries {
        |FROM mstate WHERE last_op <> 'd' ORDER BY pk""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "c40_snapshot_diff" ->
+      """WITH src0 AS (
+        |  SELECT o_custkey,
+        |    (sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100) / 100.0 AS amt
+        |  FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1),
+        |src AS (
+        |  SELECT o_custkey AS key, amt FROM src0
+        |  UNION ALL
+        |  SELECT o_custkey + 1000000, amt FROM src0 WHERE o_custkey % 7 = 0),
+        |v2 AS (
+        |  SELECT coalesce(c_custkey, key) AS key,
+        |    round(coalesce(c_acctbal, 0) + coalesce(amt, 0), 2) AS bal_after
+        |  FROM customer FULL JOIN src ON c_custkey = key),
+        |v2f AS (SELECT * FROM v2 WHERE bal_after >= 0),
+        |v1 AS (SELECT c_custkey AS key, c_acctbal AS bal_before FROM customer),
+        |j AS (
+        |  SELECT coalesce(v1.key, v2f.key) AS c_custkey, bal_before, bal_after,
+        |    CASE WHEN bal_before IS NULL THEN 'c'
+        |         WHEN bal_after IS NULL THEN 'd' ELSE 'u' END AS op
+        |  FROM v1 FULL JOIN v2f ON v1.key = v2f.key)
+        |SELECT op, c_custkey, bal_before, bal_after FROM j
+        |WHERE op <> 'u' OR bal_before <> bal_after
+        |ORDER BY op, c_custkey""".stripMargin,
     "c01_lsn_roundtrip" ->
       s"""SELECT event_id, (event_id + 1) * 5000000000 AS big_lsn,
          |  ${sqlLsnStr("(event_id + 1) * 5000000000")} AS lsn_str,

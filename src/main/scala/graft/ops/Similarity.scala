@@ -942,7 +942,38 @@ object Similarity {
       .select(col("doc_id"), col("r_bm25"), col("r_vec"), col("rrf"))
   }
 
+  // v16 (rows-only; spec: equality with an independent recompute +
+  // range bounds): IR evaluation metrics as a first-class operator —
+  // the quality scoreboard every ANN deployment keeps next to its
+  // index: recall@10 of the IVF lane against the exact baseline,
+  // reciprocal rank of the true top-1 in the approximate list, and
+  // nDCG@10 with binary relevance (exact top-10 = relevant). Both
+  // ranked lists are 10-row driver-side arrays (bounded metadata, like
+  // the centroid collects audited in v02–v13); the expensive parts —
+  // exact scan and probed IVF — are the already-verified distributed
+  // lanes this operator composes.
+  val v16_recall_eval: Q = (s, d) => {
+    import s.implicits._
+    val exact = v01_knn_brute(s, d).collect().map(_.getLong(0)).toSeq
+    val approx = v02_knn_ivf(s, d).collect().map(_.getLong(0)).toSeq
+    val k = exact.length
+    val rel = exact.toSet
+    val recall = approx.count(rel) .toDouble / k
+    val rr = approx.indexOf(exact.head) match {
+      case -1 => 0.0
+      case i => 1.0 / (i + 1)
+    }
+    def dcg(ids: Seq[Long]): Double = ids.zipWithIndex.collect {
+      case (id, i) if rel(id) => 1.0 / (math.log(i + 2) / math.log(2))
+    }.sum
+    val ndcg = dcg(approx) / dcg(exact)
+    Seq((k, math.rint(recall * 1e4) / 1e4, math.rint(rr * 1e4) / 1e4,
+      math.rint(ndcg * 1e4) / 1e4))
+      .toDF("k", "recall_at_k", "rr_top1", "ndcg_at_k")
+  }
+
   val queries: Map[String, Q] = Map(
+    "v16_recall_eval" -> v16_recall_eval,
     "v15_hybrid_search" -> v15_hybrid_search,
     "s16_streaming_index" -> s16_streaming_index,
     "v14_index_update" -> v14_index_update,

@@ -921,4 +921,29 @@ class CdcSpec extends AnyFunSuite {
     r2.u32()
     assert(r2.bytes(3).toSeq == Seq[Byte](1, 2, 3))
   }
+
+  test("c40 snapshot diff: applying the emitted change set reconstructs v2") {
+    import org.apache.spark.sql.functions._
+    val spark = SparkTestSession.spark; val sf = SparkTestSession.sf
+    val diff = cdc.CdcQueries.c40_snapshot_diff(spark, sf).collect()
+    assert(Set("c", "u", "d").subsetOf(diff.map(_.getString(0)).toSet),
+      "all three op codes must fire on the planted states")
+    // v1 ⊕ diff = v2: start from customer balances, apply d/u/c
+    val v1 = Tables.customer(spark, sf).collect()
+      .map(r => r.getAs[Long]("c_custkey") -> r.getAs[Double]("c_acctbal")).toMap
+    val applied = diff.foldLeft(v1) { (m, r) =>
+      val k = r.getAs[Long]("c_custkey")
+      r.getString(0) match {
+        case "d" => m - k
+        case _ => m + (k -> r.getAs[Double]("bal_after"))
+      }
+    }
+    val v2 = graft.sources.SourceSinks.x17_merge_upsert(spark, sf)
+      .filter(col("c_acctbal") >= 0).collect()
+      .map(r => r.getAs[Long]("c_custkey") -> r.getAs[Double]("c_acctbal")).toMap
+    // rows the diff skipped were bit-identical (round(bal,2) == bal);
+    // normalize both sides through round-2 for the comparison
+    def r2d(m: Map[Long, Double]) = m.view.mapValues(v => math.rint(v * 100) / 100).toMap
+    assert(r2d(applied) == r2d(v2), "v1 + diff must equal v2")
+  }
 }

@@ -1037,6 +1037,22 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("v16 metrics equal an independent recompute and sit in range") {
+    val row = ops.Similarity.v16_recall_eval(spark, sf).collect().head
+    val exact = ops.Similarity.v01_knn_brute(spark, sf).collect().map(_.getLong(0)).toSeq
+    val approx = ops.Similarity.v02_knn_ivf(spark, sf).collect().map(_.getLong(0)).toSeq
+    val rel = exact.toSet
+    val recall = approx.count(rel).toDouble / exact.length
+    assert(math.abs(row.getAs[Double]("recall_at_k") - recall) < 1e-4)
+    Seq("recall_at_k", "rr_top1", "ndcg_at_k").foreach { c =>
+      val v = row.getAs[Double](c)
+      assert(v >= 0.0 && v <= 1.0, s"$c=$v out of range")
+    }
+    assert(row.getAs[Int]("k") == exact.length)
+    // the IVF lane is a usable index at spec scale, not a degenerate one
+    assert(row.getAs[Double]("recall_at_k") >= 0.5)
+  }
+
   test("v15 hybrid fusion: rrf consistent with ranks, both lanes contribute") {
     val rows = ops.Similarity.v15_hybrid_search(spark, sf).collect()
     assert(rows.length == 10)
