@@ -853,7 +853,32 @@ object Dedup {
       .orderBy("canonical_url")
   }
 
+  // d16 (rows-only; spec: ≡ independent recompute, recall gate): dedup
+  // pipeline evaluation report — precision/recall/F1 of the shipped
+  // MinHash-LSH candidate pairs (d03) against the exact Jaccard ground
+  // truth (d02), as a first-class operator (v16's twin for the dedup
+  // family: the scoreboard a curation pipeline keeps next to its dedup
+  // config). The pair sets are compared DISTRIBUTED — one inner join +
+  // three counts; only three scalars reach the driver, so the report
+  // costs the same at 100 TB as the lanes it audits.
+  val d16_dedup_eval: Q = (s, d) => {
+    import s.implicits._
+    val exact = d02_ngram_jaccard(s, d).select(col("d1"), col("d2"))
+    val approx = d03_minhash_lsh(s, d).select(col("d1"), col("d2"))
+    val nHit = exact.join(approx, Seq("d1", "d2")).count()
+    val nExact = exact.count()
+    val nApprox = approx.count()
+    val precision = if (nApprox == 0) 1.0 else nHit.toDouble / nApprox
+    val recall = if (nExact == 0) 1.0 else nHit.toDouble / nExact
+    val f1 = if (precision + recall == 0) 0.0
+      else 2 * precision * recall / (precision + recall)
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    Seq((nExact, nApprox, nHit, r4(precision), r4(recall), r4(f1)))
+      .toDF("n_exact", "n_approx", "n_hit", "precision", "recall", "f1")
+  }
+
   val queries: Map[String, Q] = Map(
+    "d16_dedup_eval" -> d16_dedup_eval,
     "d15_url_dedup" -> d15_url_dedup,
     "t17_corpus_build" -> t17_corpus_build,
     "s17_streaming_corpus" -> s17_streaming_corpus,

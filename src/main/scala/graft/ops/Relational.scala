@@ -719,7 +719,31 @@ object Relational {
       .orderBy("depth")
   }
 
+  // q45: time-weighted average (the irregular-time-series mean a
+  // metrics/finance pipeline computes when samples arrive at uneven
+  // intervals — a plain avg over-weights bursts): per (user, day), each
+  // value holds until the next observation; twa = Σ value·Δt / Σ Δt.
+  // One lead() window partitioned by (user_id, day) — high-cardinality
+  // keys, so the sort is per-small-partition — and the groupBy re-uses
+  // the window's partitioning (no second shuffle).
+  val q45_time_weighted_avg: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("day"))
+      .orderBy(col("us"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        unix_micros(col("ts")).as("us"), col("value"), col("event_id"))
+      .withColumn("next_us", lead(col("us"), 1).over(w))
+      .filter(col("next_us").isNotNull)
+      .withColumn("dt", col("next_us") - col("us"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_intervals"),
+        round(sum(col("value") * col("dt")) / sum(col("dt")), 4).as("twa"))
+      .orderBy("user_id", "day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q45_time_weighted_avg" -> q45_time_weighted_avg,
     "q44_funnel" -> q44_funnel,
     "q41_range_join" -> q41_range_join,
     "q42_stats_profile" -> q42_stats_profile,
@@ -776,6 +800,19 @@ object Relational {
         |  round(sum(p_retailprice), 2) AS sum_price
         |FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q45_time_weighted_avg" ->
+      """WITH e AS (
+        |  SELECT user_id, ts::DATE AS day, epoch_us(ts::TIMESTAMP) AS us,
+        |    value, event_id
+        |  FROM events),
+        |l AS (
+        |  SELECT *, lead(us) OVER (
+        |    PARTITION BY user_id, day ORDER BY us, event_id) AS next_us
+        |  FROM e)
+        |SELECT user_id, day, count(*)::BIGINT AS n_intervals,
+        |  round(sum(value * (next_us - us)) / sum(next_us - us), 4) AS twa
+        |FROM l WHERE next_us IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q44_funnel" ->
       """WITH ev AS (
         |  SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS us FROM events),

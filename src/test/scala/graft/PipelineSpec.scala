@@ -1037,6 +1037,22 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("d16 dedup report equals an independent pair-set recompute") {
+    val row = ops.Dedup.d16_dedup_eval(spark, sf).collect().head
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    val exact = pairs(ops.Dedup.d02_ngram_jaccard(spark, sf))
+    val approx = pairs(ops.Dedup.d03_minhash_lsh(spark, sf))
+    val hit = (exact intersect approx).size
+    assert(row.getAs[Long]("n_exact") == exact.size)
+    assert(row.getAs[Long]("n_approx") == approx.size)
+    assert(row.getAs[Long]("n_hit") == hit)
+    assert(math.abs(row.getAs[Double]("recall") -
+      (if (exact.isEmpty) 1.0 else hit.toDouble / exact.size)) < 1e-4)
+    // the shipped LSH config holds its recall gate at spec scale
+    assert(row.getAs[Double]("recall") >= 0.9)
+  }
+
   test("v16 metrics equal an independent recompute and sit in range") {
     val row = ops.Similarity.v16_recall_eval(spark, sf).collect().head
     val exact = ops.Similarity.v01_knn_brute(spark, sf).collect().map(_.getLong(0)).toSeq

@@ -195,6 +195,26 @@ class RelationalSpec extends AnyFunSuite {
     assert(reach(1) > 0, "some users must enter the funnel")
   }
 
+  test("q45 time-weighted average is a convex combination of the values") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Relational.q45_time_weighted_avg(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // twa must lie within [min, max] of the group's interval-opening values
+    val bounds = Tables.events(spark, sf)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(min("value").as("lo"), max("value").as("hi"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Date]("day").toString) ->
+        (r.getAs[Double]("lo"), r.getAs[Double]("hi"), r.getAs[Long]("n"))).toMap
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("user_id"), r.getAs[java.sql.Date]("day").toString)
+      val (lo, hi, n) = bounds(k)
+      val twa = r.getAs[Double]("twa")
+      assert(twa >= lo - 1e-9 && twa <= hi + 1e-9, s"$k: $twa outside [$lo, $hi]")
+      assert(r.getAs[Long]("n_intervals") == n - 1, s"$k interval count")
+    }
+  }
+
   test("q43 hash sample: exactly k per stratum, window-free, rerun-stable") {
     val df = ops.Relational.q43_stratified_sample(spark, sf)
     val rows = df.collect()
