@@ -849,7 +849,7 @@ object CdcQueries {
   /** Ground truth for c04 AND c33 (the JDBC ingest edge lands the same
     * rows, so its replayed replica must hash-match the direct apply).
     */
-  private lazy val applyLatestOracle: String =
+  private[graft] lazy val applyLatestOracle: String =
     s"""WITH $sqlEnv, $sqlFlat, ${Apply.sqlApply("", "")}
        |SELECT pk, round(last_value, 2) AS value, last_ord
        |FROM state WHERE last_op <> 'd' ORDER BY pk""".stripMargin

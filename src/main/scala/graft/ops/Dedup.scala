@@ -877,7 +877,29 @@ object Dedup {
       .toDF("n_exact", "n_approx", "n_hit", "precision", "recall", "f1")
   }
 
+  // d17: soft dedup weighting — the alternative to dropping duplicates a
+  // training pipeline increasingly prefers (repetition-aware sampling à
+  // la "Scaling Data-Constrained Language Models": keep every copy but
+  // down-weight it): every document gets weight 1/cluster_size from the
+  // same CC labels d08 ships, so total sampling mass per distinct
+  // content is exactly 1.0. Singletons (never near-duplicated) stay at
+  // weight 1. Cost shape ≡ d08 plus ONE count aggregation on the cluster
+  // key and an id-only join back — no payload in any shuffle.
+  val d17_soft_dedup: Q = (s, d) => {
+    val labels = ccClusters(d02_ngram_jaccard(s, d).select(col("d1"), col("d2")),
+      pointerJump = true, maxIter = 30)
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+    val sizes = docs.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+    docs.join(sizes, Seq("cluster"))
+      .select(col("doc_id"), col("cluster"), col("cluster_size"),
+        round(lit(1.0) / col("cluster_size"), 6).as("weight"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "d17_soft_dedup" -> d17_soft_dedup,
     "d16_dedup_eval" -> d16_dedup_eval,
     "d15_url_dedup" -> d15_url_dedup,
     "t17_corpus_build" -> t17_corpus_build,
@@ -973,6 +995,7 @@ object Dedup {
         |  round(inter / (n1 + n2 - inter), 6) AS jaccard
         |FROM pairs WHERE round(inter / (n1 + n2 - inter), 6) >= 0.8
         |ORDER BY d1, d2""".stripMargin,
+    "d17_soft_dedup" -> softDedupOracleSql,
     "d06_dup_clusters" -> ccOracleSql,
     // d07 computes the identical clustering as d06, just in O(log n)
     // rounds — same recursive-CTE ground truth.
@@ -1044,6 +1067,18 @@ object Dedup {
        |  sum(n_copies)::BIGINT AS n_emitted,
        |  sum(n_copies * n_tokens)::BIGINT AS emitted_tokens
        |FROM mix GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private lazy val softDedupOracleSql: String =
+    s"""$ccCtes,
+       |lab AS (SELECT node, min(rep) AS cluster FROM cc GROUP BY node),
+       |docs AS (
+       |  SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster
+       |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.node),
+       |sz AS (SELECT cluster, count(*)::BIGINT AS cluster_size
+       |       FROM docs GROUP BY 1)
+       |SELECT doc_id, cluster, cluster_size,
+       |  round(1.0::DOUBLE / cluster_size, 6) AS weight
+       |FROM docs JOIN sz USING (cluster) ORDER BY doc_id""".stripMargin
 
   private lazy val keeplistOracleSql: String =
     s"""$ccCtes,

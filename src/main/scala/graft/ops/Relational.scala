@@ -742,7 +742,29 @@ object Relational {
       .orderBy("user_id", "day")
   }
 
+  // q46: cohort retention — the growth-analytics staple: bucket customers
+  // by first-order month (the cohort), then measure how many of each
+  // cohort order again k months later. The fact table shuffles ONCE on
+  // o_custkey (first-order month), the cohort×offset rollup re-uses that
+  // derived frame, and the cohort-size join is a broadcast of ≤n_months
+  // rows — so the lane scales with customers, never customers×months.
+  val q46_cohort_retention: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"), trunc(col("o_orderdate"), "month").as("mon"))
+    val first = o.groupBy("o_custkey").agg(min("mon").as("cohort"))
+    val active = o.join(first, Seq("o_custkey"))
+      .withColumn("offset_m", months_between(col("mon"), col("cohort")).cast("int"))
+      .groupBy(col("cohort"), col("offset_m"))
+      .agg(countDistinct("o_custkey").as("n_active"))
+    val size = first.groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
+    active.join(broadcast(size), Seq("cohort"))
+      .select(col("cohort"), col("offset_m"), col("n_active"), col("cohort_size"),
+        round(col("n_active").cast("double") / col("cohort_size"), 4).as("retention"))
+      .orderBy("cohort", "offset_m")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q46_cohort_retention" -> q46_cohort_retention,
     "q45_time_weighted_avg" -> q45_time_weighted_avg,
     "q44_funnel" -> q44_funnel,
     "q41_range_join" -> q41_range_join,
@@ -791,6 +813,21 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q46_cohort_retention" ->
+      """WITH o AS (
+        |  SELECT o_custkey, date_trunc('month', o_orderdate)::DATE AS mon
+        |  FROM orders),
+        |f AS (
+        |  SELECT o_custkey, min(mon) AS cohort FROM o GROUP BY 1),
+        |act AS (
+        |  SELECT cohort, date_diff('month', cohort, mon)::INT AS offset_m,
+        |    count(DISTINCT o.o_custkey)::BIGINT AS n_active
+        |  FROM o JOIN f USING (o_custkey) GROUP BY 1, 2),
+        |sz AS (
+        |  SELECT cohort, count(*)::BIGINT AS cohort_size FROM f GROUP BY 1)
+        |SELECT cohort, offset_m, n_active, cohort_size,
+        |  round(n_active::DOUBLE / cohort_size, 4) AS retention
+        |FROM act JOIN sz USING (cohort) ORDER BY 1, 2""".stripMargin,
     "q41_range_join" ->
       """WITH bands AS (
         |  SELECT i AS band, 900 + i*(i+1)//2 AS lo, 900 + (i+1)*(i+2)//2 AS hi

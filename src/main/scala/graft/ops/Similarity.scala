@@ -972,7 +972,40 @@ object Similarity {
       .toDF("k", "recall_at_k", "rr_top1", "ndcg_at_k")
   }
 
+  // v17: hard-negative mining — the data-generation step of contrastive
+  // embedding training (DPR/ANCE): for each query vector, the top-k
+  // HIGHEST-cosine vectors whose label differs from the query's — the
+  // near-misses a model must learn to push away (random negatives are
+  // too easy; same-label hits are positives, not negatives). Plan shape
+  // ≡ v05: the ≤5-query side broadcasts, scoring is one codegen'd
+  // corpus pass, and the per-query cut is the bounded-heap aggregate —
+  // never a global window — so the mine scales linearly in corpus size.
+  // At 100 TB the brute-force pass swaps for the v13 ANN probe with the
+  // same label-exclusion filter; the output contract is unchanged.
+  val v17_hard_negatives: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("label").as("q_label"),
+        col("embedding").as("qe"))
+    e.filter(col("vec_id") >= 5)
+      .crossJoin(broadcast(probes))
+      .filter(col("label") =!= col("q_label"))
+      .select(col("qid"), col("q_label"), col("vec_id"),
+        col("label").as("neg_label"),
+        round(Vec.cosine(col("embedding"), col("qe")), 6).as("cos"))
+      .groupBy(col("qid"), col("q_label"))
+      .agg(graft.functions.TopK.topk_by(
+        struct(col("vec_id"), col("neg_label"), col("cos")),
+        col("cos"), col("vec_id"), 5).as("top"))
+      .select(col("qid"), col("q_label"), posexplode(col("top")).as(Seq("pos", "r")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rn"),
+        col("r.vec_id").as("vec_id"), col("r.neg_label").as("neg_label"),
+        col("q_label"), col("r.cos").as("cos"))
+      .orderBy("qid", "rn")
+  }
+
   val queries: Map[String, Q] = Map(
+    "v17_hard_negatives" -> v17_hard_negatives,
     "v16_recall_eval" -> v16_recall_eval,
     "v15_hybrid_search" -> v15_hybrid_search,
     "s16_streaming_index" -> s16_streaming_index,
@@ -993,6 +1026,22 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "v17_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, label AS q_label, embedding AS qe
+        |  FROM embeddings WHERE vec_id < 5),
+        |c AS (
+        |  SELECT vec_id, label, embedding FROM embeddings WHERE vec_id >= 5),
+        |s AS (
+        |  SELECT q.qid, q.q_label, c.vec_id, c.label AS neg_label,
+        |    round(list_cosine_similarity(c.embedding::DOUBLE[], q.qe::DOUBLE[]), 6) AS cos
+        |  FROM c, q WHERE c.label <> q.q_label),
+        |r AS (
+        |  SELECT qid, q_label, vec_id, neg_label, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id)::INT AS rn
+        |  FROM s)
+        |SELECT qid, rn, vec_id, neg_label, q_label, cos
+        |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
     "v15_hybrid_search" ->
       """WITH base AS (
         |  SELECT doc_id, string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))), ' ') AS t

@@ -382,7 +382,12 @@ object TextAnalysis {
   // probability lookup broadcasts and the doc side stays one pass. At
   // 100 TB the vocab becomes a top-K table + OOV floor probability —
   // same plan, bounded broadcast.
-  val t16_lm_score: Q = (s, d) => {
+  val t16_lm_score: Q = (s, d) => docNll(s, d).orderBy("doc_id")
+
+  /** t16's per-document (doc_id, n_tokens, nll) engine, shared with the
+    * t24 perplexity filter.
+    */
+  private def docNll(s: SparkSession, d: String): DataFrame = {
     val toksTable = Tables.documents(s, d)
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
     val vocab = toksTable.groupBy(col("tok"))
@@ -394,8 +399,33 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         round(avg(-log(col("c") / col("t"))), 4).as("nll"))
-      .orderBy("doc_id")
   }
+
+  /** t24's keep rule: documents whose unigram cross-entropy lands in a
+    * deci-nat bin strictly below this bound survive the filter (the
+    * CCNet "head/middle" cut; the synthetic corpus distributes over
+    * 3.3–3.7 nats, so 3.5 splits it).
+    */
+  val PerplexityKeepBelow = 3.5
+
+  // t24: perplexity-BUCKET quality filter — the decision layer CCNet
+  // stacks on t16's scoring: histogram the corpus by cross-entropy
+  // (deci-nat bins) and keep the low-perplexity buckets. The doc→bin
+  // assignment is pure column arithmetic over the t16 frame (no extra
+  // shuffle beyond its per-doc agg); the report is one ≤dozens-of-bins
+  // aggregation, so the filter costs t16 + ε at any corpus size. A
+  // production pipeline would swap the corpus-unigram LM for a trained
+  // KenLM — the plan shape (score → bin → bounded report) is identical.
+  val t24_perplexity_filter: Q = (s, d) =>
+    docNll(s, d)
+      .withColumn("nll_bin", floor(col("nll") * 10) / lit(10.0))
+      .groupBy(col("nll_bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        round(min("nll"), 4).as("min_nll"),
+        round(max("nll"), 4).as("max_nll"))
+      .withColumn("keep", col("nll_bin") < PerplexityKeepBelow)
+      .orderBy("nll_bin")
 
   // ---------------------------------------------------------------------
   // t18/t19: REAL byte-pair-encoding tokenizer training + encoding — the
@@ -648,6 +678,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, Q] = Map(
+    "t24_perplexity_filter" -> t24_perplexity_filter,
     "t23_mix_temperature" -> t23_mix_temperature,
     "t20_normalize" -> t20_normalize,
     "t21_dsir" -> t21_dsir,
@@ -720,6 +751,23 @@ object TextAnalysis {
         |SELECT t.doc_id, t.lang, count(*)::BIGINT AS n_toks, round(sum(l.lam), 4) AS w
         |FROM tb t JOIN lam l USING (b)
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "t24_perplexity_filter" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
+         |v AS (SELECT tok, count(*)::DOUBLE AS c FROM toks GROUP BY 1),
+         |tot AS (SELECT sum(c) AS t FROM v),
+         |nll AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         |    round(avg(-ln(c / t)), 4) AS nll
+         |  FROM toks JOIN v USING (tok), tot GROUP BY 1),
+         |bins AS (
+         |  SELECT (floor(nll * 10) / 10.0)::DOUBLE AS nll_bin, n_tokens, nll
+         |  FROM nll)
+         |SELECT nll_bin, count(*)::BIGINT AS n_docs,
+         |  sum(n_tokens)::BIGINT AS n_tokens,
+         |  round(min(nll), 4) AS min_nll, round(max(nll), 4) AS max_nll,
+         |  nll_bin < 3.5 AS keep
+         |FROM bins GROUP BY 1 ORDER BY 1""".stripMargin,
     "t16_lm_score" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest($sqlToks) AS tok FROM documents),

@@ -669,7 +669,63 @@ object SourceSinks {
     materializeThenCleanup(s, out, dir)
   }
 
+  // x19: CDC → TABLE-FORMAT ingestion — the composition a lakehouse
+  // ingestion service actually runs (creek's consumer feeding an
+  // Iceberg/Delta table): the WAL stream lands in two commits against
+  // x16's manifest layout. Commit 1 applies the first half of the
+  // stream into an immutable fileset; commit 2 MERGEs the second half's
+  // delta state (tombstones included) copy-on-write and swaps the
+  // manifest atomically. Carried rows die under a commit-2 truncate
+  // exactly as a full replay would kill them (ord > cut, broadcast
+  // scalar), so read-as-of(v2) must hash-match c04's full-replay
+  // replica — which IS the oracle. Scale: the replica never touches
+  // the driver (c33 discipline — the returned plan is a file scan over
+  // the committed fileset); the merge is ONE keyed full-outer join;
+  // manifest reads are bounded path metadata.
+  val x19_cdc_table_sink: Q = (s, d) => {
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_cdcsink")
+    val flat = graft.cdc.Envelope.flat(Tables.events(s, d))
+    // the commit boundary: one scalar of bounded metadata
+    val mid = flat.agg(((min(col("lsn_long")) + max(col("lsn_long"))) / 2)
+      .cast("long").as("m")).collect()(0).getLong(0)
+    val batch1 = flat.filter(col("lsn_long") <= mid)
+    val batch2 = flat.filter(col("lsn_long") > mid)
+    graft.cdc.Apply.state(batch1).filter(col("last_op") =!= "d")
+      .select(col("pk"), col("last_value"), col("last_ord"))
+      .write.mode("overwrite").parquet(s"$dir/A")
+    Seq((1, "A")).toDF("version", "fileset")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/_manifest")
+    val t2cut = batch2.filter(col("op") === "t")
+      .agg(coalesce(max(col("lsn_long") * 2 + 1), lit(-1L)).as("t2max"))
+    val delta = graft.cdc.Apply.state(batch2).select(
+      col("pk"), col("last_ord").as("d_ord"), col("last_op").as("d_op"),
+      col("last_value").as("d_value"))
+    s.read.parquet(s"$dir/A")
+      .crossJoin(broadcast(t2cut))
+      .filter(col("last_ord") > col("t2max")).drop("t2max")
+      .join(delta, Seq("pk"), "full_outer")
+      .filter(coalesce(col("d_op"), lit("c")) =!= "d")
+      .select(col("pk"),
+        coalesce(col("d_value"), col("last_value")).as("last_value"),
+        coalesce(col("d_ord"), col("last_ord")).as("last_ord"))
+      .write.mode("overwrite").parquet(s"$dir/B")
+    Seq((1, "A"), (2, "B")).toDF("version", "fileset")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/_manifest2")
+    deleteDir(Paths.get(s"$dir/_manifest"))
+    Files.move(Paths.get(s"$dir/_manifest2"), Paths.get(s"$dir/_manifest"))
+    val live = s.read.parquet(s"$dir/_manifest")
+      .filter(col("version") === 2).select("fileset")
+      .collect().map(_.getString(0)).sorted // bounded: manifest metadata
+    // the dir outlives the call — the returned plan lazily scans the
+    // committed fileset (deleting it here would race the driver compare)
+    s.read.parquet(live.map(f => s"$dir/$f"): _*)
+      .select(col("pk"), round(col("last_value"), 2).as("value"), col("last_ord"))
+      .orderBy("pk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "x19_cdc_table_sink" -> x19_cdc_table_sink,
     "x18_snapshot_expire" -> x18_snapshot_expire,
     "x16_time_travel" -> x16_time_travel,
     "x17_merge_upsert" -> x17_merge_upsert,
@@ -700,6 +756,9 @@ object SourceSinks {
        |FROM flat GROUP BY op ORDER BY op""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // x19's two-commit merge must reproduce the full-replay replica —
+    // c04's ground truth verifies the WHOLE composition end-to-end.
+    "x19_cdc_table_sink" -> graft.cdc.CdcQueries.applyLatestOracle,
     "x16_time_travel" ->
       """SELECT 1 AS version, count(*)::BIGINT AS n_rows,
         |  round(sum(o_totalprice), 2) AS sum_price,

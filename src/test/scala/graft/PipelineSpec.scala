@@ -304,6 +304,23 @@ class PipelineSpec extends AnyFunSuite {
       s"text through a shuffle: ${textCarriers.map(_.output.map(_.name))}")
   }
 
+  test("t24 perplexity bins partition the corpus with a consistent keep cut") {
+    val rows = TextAnalysis.t24_perplexity_filter(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val bin = r.getAs[Double]("nll_bin")
+      val lo = r.getAs[Double]("min_nll")
+      val hi = r.getAs[Double]("max_nll")
+      assert(lo >= bin - 1e-9 && hi < bin + 0.1 + 1e-9, s"bin $bin holds [$lo,$hi]")
+      assert(r.getAs[Boolean]("keep") == bin < TextAnalysis.PerplexityKeepBelow)
+    }
+    // at least one bin on each side would be ideal, but the cut must at
+    // minimum not keep everything vacuously at the extremes
+    assert(rows.map(_.getAs[Double]("nll_bin")).distinct.length == rows.length)
+  }
+
   test("t16 probability lookup joins broadcast (no shuffled vocab join)") {
     val df = TextAnalysis.t16_lm_score(spark, sf)
     df.collect()
@@ -338,6 +355,25 @@ class PipelineSpec extends AnyFunSuite {
     val incr = asSet(Dedup.d09_incremental_keeplist(spark, sf))
     assert(batch.nonEmpty)
     assert(incr == batch)
+  }
+
+  test("d17 soft weights: mass per cluster is 1, keepers match d08") {
+    val rows = Dedup.d17_soft_dedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.length == Tables.documents(spark, sf).count())
+    // per-cluster sampling mass sums to ~1 (rounding at 1e-6)
+    rows.groupBy(_.getAs[Long]("cluster")).foreach { case (c, rs) =>
+      val mass = rs.map(_.getAs[Double]("weight")).sum
+      assert(math.abs(mass - 1.0) < 1e-4, s"cluster $c mass $mass")
+      assert(rs.map(_.getAs[Long]("cluster_size")).distinct.length == 1)
+      assert(rs.length == rs.head.getAs[Long]("cluster_size"))
+    }
+    // docs d08 keeps are exactly the weight-1 singletons plus cluster mins
+    val kept = Dedup.d08_dedup_keeplist(spark, sf).collect()
+      .filter(_.getAs[Boolean]("keep")).map(_.getAs[Long]("doc_id")).toSet
+    val mins = rows.groupBy(_.getAs[Long]("cluster"))
+      .map { case (_, rs) => rs.map(_.getAs[Long]("doc_id")).min }.toSet
+    assert(mins == kept)
   }
 
   test("d11 streaming keep-list state equals the batch d08 keep-list") {
@@ -442,6 +478,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(lit == join)
     // the dispatcher flips to the join path past the k threshold
     assert(Similarity.AssignLiteralMaxK == 64)
+  }
+
+  test("v17 hard negatives: cross-label only, descending, brute-force exact") {
+    val rows = Similarity.v17_hard_negatives(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(
+      r.getAs[Int]("neg_label") != r.getAs[Int]("q_label"),
+      "a hard negative must come from a different label"))
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (qid, rs) =>
+      val byRn = rs.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("cos"))
+      assert(byRn.zip(byRn.tail).forall { case (a, b) => a >= b }, s"q$qid sorted")
+    }
+    // brute-force ground truth on the small sf
+    val e = Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[Seq[Float]](2).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      math.rint(dot / (na * nb) * 1e6) / 1e6
+    }
+    for ((qid, ql, qe) <- e.filter(_._1 < 5)) {
+      val expect = e.filter(c => c._1 >= 5 && c._2 != ql)
+        .map(c => (c._1, cos(qe, c._3)))
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSeq
+      val got = rows.filter(_.getAs[Long]("qid") == qid)
+        .sortBy(_.getAs[Int]("rn")).map(_.getAs[Long]("vec_id")).toSeq
+      assert(got == expect, s"q$qid mined set")
+    }
   }
 
   test("v02 IVF top-k recall against brute-force top-k") {

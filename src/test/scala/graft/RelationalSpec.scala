@@ -232,4 +232,24 @@ class RelationalSpec extends AnyFunSuite {
     assert(!nodes.exists(_.getClass.getSimpleName.contains("Window")),
       "q43 must not use a window sort")
   }
+
+  test("q46 cohort retention: offset-0 is full, rates bounded, sizes conserved") {
+    val rows = ops.Relational.q46_cohort_retention(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val active = r.getAs[Long]("n_active")
+      val size = r.getAs[Long]("cohort_size")
+      val rate = r.getAs[Double]("retention")
+      assert(active >= 1 && active <= size, "actives within cohort size")
+      assert(rate > 0.0 && rate <= 1.0, "retention is a rate")
+      if (r.getAs[Int]("offset_m") == 0)
+        assert(active == size, "every cohort member is active in month 0")
+    }
+    // cohort sizes must partition the customer base with >=1 order
+    val sizes = rows.filter(_.getAs[Int]("offset_m") == 0)
+      .map(r => r.getAs[java.sql.Date]("cohort").toString -> r.getAs[Long]("cohort_size"))
+    assert(sizes.map(_._1).distinct.length == sizes.length)
+    val nBuyers = Tables.orders(spark, sf).select("o_custkey").distinct().count()
+    assert(sizes.map(_._2).sum == nBuyers, "cohorts partition the buyers")
+  }
 }

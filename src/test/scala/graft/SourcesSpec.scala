@@ -237,6 +237,25 @@ class SourcesSpec extends AnyFunSuite {
       (v1.getAs[Double]("sum_price") + 10.0 * nOdd)) < 0.01)
   }
 
+  test("x19 CDC table sink: two-commit merge ≡ full replay, file-backed") {
+    val df = graft.sources.SourceSinks.x19_cdc_table_sink(spark, sf)
+    val got = df.collect().map(r =>
+      (r.getAs[Long]("pk"), r.getAs[Double]("value"), r.getAs[Long]("last_ord"))).toSet
+    val full = graft.cdc.CdcQueries.queries("c04_apply_latest")(spark, sf)
+      .collect().map(r =>
+        (r.getAs[Long]("pk"), r.getAs[Double]("value"), r.getAs[Long]("last_ord"))).toSet
+    assert(got == full, "merged table must equal the full-replay replica")
+    // the replica must come back as a FILE scan — a LocalTableScan here
+    // would mean the lane collected the replica through the driver
+    val nodes = Metrics.allNodes(df.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.FileSourceScanExec]),
+      s"replica not file-backed:\n${df.queryExecution.executedPlan}")
+    assert(!nodes.exists(n =>
+      n.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec] ||
+      n.isInstanceOf[org.apache.spark.sql.execution.RDDScanExec]))
+  }
+
   test("x18 vacuum deletes exactly the unreferenced filesets, v2 intact") {
     val (out, deleted, remaining, dir) = graft.sources.SourceSinks.vacuumRun(spark, sf)
     try {
