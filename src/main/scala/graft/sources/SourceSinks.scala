@@ -71,6 +71,18 @@ object SourceSinks {
   private def statsThenCleanup(s: SparkSession, read: DataFrame, dir: Path): DataFrame =
     materializeThenCleanup(s, stats(read), dir)
 
+  /** Scratch dirs that must outlive their call (a returned lazy plan
+    * scans them, so deleting eagerly would race the consumer) register
+    * here and are deleted by ONE JVM shutdown hook — repeated gate runs
+    * no longer accumulate `graft_cdcsink*` dirs (round-8 advice).
+    */
+  private val scratchAtExit = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    scratchAtExit.forEach { p =>
+      try deleteDir(p) catch { case _: Throwable => () }
+    }))
+  private def cleanupOnExit(dir: Path): Path = { scratchAtExit.add(dir); dir }
+
   private def roundtrip(s: SparkSession, d: String, format: String,
       writeOpts: Map[String, String] = Map.empty,
       readOpts: Map[String, String] = Map.empty): DataFrame = {
@@ -684,7 +696,22 @@ object SourceSinks {
   // manifest reads are bounded path metadata.
   val x19_cdc_table_sink: Q = (s, d) => {
     import s.implicits._
-    val dir = Files.createTempDirectory("graft_cdcsink")
+    val dir = cleanupOnExit(Files.createTempDirectory("graft_cdcsink"))
+    // Commit protocol (Iceberg version-hint shape): each commit writes a
+    // NEW immutable manifest directory, then ATOMIC_MOVEs a one-line
+    // pointer file onto `_current` — a reader always resolves a complete
+    // manifest (old or new), never a window with none (round-8 advice:
+    // the previous delete-then-move left exactly that window).
+    def commit(manifestDir: String): Unit = {
+      val tmp = Files.write(dir.resolve(s"_current.tmp"),
+        manifestDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Files.move(tmp, dir.resolve("_current"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    def currentManifest(): String = dir.resolve(
+      new String(Files.readAllBytes(dir.resolve("_current")),
+        java.nio.charset.StandardCharsets.UTF_8)).toString
     val flat = graft.cdc.Envelope.flat(Tables.events(s, d))
     // the commit boundary: one scalar of bounded metadata
     val mid = flat.agg(((min(col("lsn_long")) + max(col("lsn_long"))) / 2)
@@ -695,7 +722,8 @@ object SourceSinks {
       .select(col("pk"), col("last_value"), col("last_ord"))
       .write.mode("overwrite").parquet(s"$dir/A")
     Seq((1, "A")).toDF("version", "fileset")
-      .repartition(1).write.mode("overwrite").parquet(s"$dir/_manifest")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/_manifest_v1")
+    commit("_manifest_v1")
     val t2cut = batch2.filter(col("op") === "t")
       .agg(coalesce(max(col("lsn_long") * 2 + 1), lit(-1L)).as("t2max"))
     val delta = graft.cdc.Apply.state(batch2).select(
@@ -711,14 +739,14 @@ object SourceSinks {
         coalesce(col("d_ord"), col("last_ord")).as("last_ord"))
       .write.mode("overwrite").parquet(s"$dir/B")
     Seq((1, "A"), (2, "B")).toDF("version", "fileset")
-      .repartition(1).write.mode("overwrite").parquet(s"$dir/_manifest2")
-    deleteDir(Paths.get(s"$dir/_manifest"))
-    Files.move(Paths.get(s"$dir/_manifest2"), Paths.get(s"$dir/_manifest"))
-    val live = s.read.parquet(s"$dir/_manifest")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/_manifest_v2")
+    commit("_manifest_v2")
+    val live = s.read.parquet(currentManifest())
       .filter(col("version") === 2).select("fileset")
       .collect().map(_.getString(0)).sorted // bounded: manifest metadata
     // the dir outlives the call — the returned plan lazily scans the
-    // committed fileset (deleting it here would race the driver compare)
+    // committed fileset (deleting it here would race the driver compare);
+    // the shutdown hook reclaims it at JVM exit
     s.read.parquet(live.map(f => s"$dir/$f"): _*)
       .select(col("pk"), round(col("last_value"), 2).as("value"), col("last_ord"))
       .orderBy("pk")

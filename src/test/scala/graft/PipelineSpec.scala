@@ -316,9 +316,10 @@ class PipelineSpec extends AnyFunSuite {
       assert(lo >= bin - 1e-9 && hi < bin + 0.1 + 1e-9, s"bin $bin holds [$lo,$hi]")
       assert(r.getAs[Boolean]("keep") == bin < TextAnalysis.PerplexityKeepBelow)
     }
-    // at least one bin on each side would be ideal, but the cut must at
-    // minimum not keep everything vacuously at the extremes
-    assert(rows.map(_.getAs[Double]("nll_bin")).distinct.length == rows.length)
+    // the cut must not be degenerate: the synthetic corpus spans
+    // ~3.3–3.7 nats, so bins exist on BOTH sides of the 3.5 threshold
+    assert(rows.exists(_.getAs[Boolean]("keep")), "cut keeps nothing")
+    assert(rows.exists(!_.getAs[Boolean]("keep")), "cut drops nothing")
   }
 
   test("t16 probability lookup joins broadcast (no shuffled vocab join)") {
@@ -1118,6 +1119,46 @@ class PipelineSpec extends AnyFunSuite {
       (if (exact.isEmpty) 1.0 else hit.toDouble / exact.size)) < 1e-4)
     // the shipped LSH config holds its recall gate at spec scale
     assert(row.getAs[Double]("recall") >= 0.9)
+  }
+
+  test("d16 runs ONE distributed action (d02/d03 execute once each)") {
+    // Round-8 verdict: the previous three-action shape (join-count,
+    // count, count) executed the expensive d02/d03 DAGs twice. The fix
+    // folds all three counts into one full-outer-join aggregation; this
+    // spec pins it by counting QueryExecutions on the listener bus.
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    Thread.sleep(500) // drain in-flight events from earlier tests
+    val captured = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[QueryExecution]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, ns: Long): Unit = {
+        captured.add(qe); ()
+      }
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      ops.Dedup.d16_dedup_eval(spark, sf) // report built here: one head()
+      // the listener bus is async — poll until the captured set is stable
+      var last = -1; var stable = 0
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (stable < 10 && System.nanoTime() < deadline) {
+        if (captured.size == last) stable += 1
+        else { stable = 0; last = captured.size }
+        Thread.sleep(100)
+      }
+      import scala.jdk.CollectionConverters._
+      val heavy = captured.asScala.filter { qe =>
+        Metrics.allNodes(qe.executedPlan).exists {
+          case _: org.apache.spark.sql.execution.FileSourceScanExec => true
+          case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => true
+          case _ => false
+        }
+      }
+      assert(heavy.size == 1,
+        s"expected ONE distributed action from d16, observed ${heavy.size}")
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("v16 metrics equal an independent recompute and sit in range") {
