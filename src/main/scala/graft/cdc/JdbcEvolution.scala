@@ -2,8 +2,6 @@ package graft.cdc
 
 import java.io.ByteArrayOutputStream
 import java.nio.file.Files
-import java.sql.DriverManager
-import java.util.Properties
 
 import org.apache.avro.Schema
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
@@ -26,7 +24,9 @@ case class EvolvedWal(lsn_long: Long, op: String, pk_before: Option[Long],
   *      schema JSON via [[AvroSchemaGen.record]], identity via the
   *      CRC-64-AVRO Rabin fingerprint (c11's re-fingerprint contract,
   *      the producer side of creek's registry);
-  *   2. the ALTER lands on the embedded Derby mid-stream, so the
+  *   2. the ALTER lands on the upstream fixture database mid-stream
+  *      ([[JdbcFixture]]: embedded Derby, or the forked Thrift server
+  *      under multi-JVM masters), so the
   *      re-read StructType yields a NEW fingerprint — evolution detected
   *      exactly as c17 does from registry history;
   *   3. a consumer replays the retained frame stream with the LATEST
@@ -40,16 +40,6 @@ case class EvolvedWal(lsn_long: Long, op: String, pk_before: Option[Long],
 object JdbcEvolution {
   private val walColsV1 = Seq("LSN_LONG", "OP", "PK_BEFORE", "PK_AFTER", "AFTER_VALUE")
   private val flatColsV1 = Seq("lsn_long", "op", "pk_before", "pk_after", "after_value")
-
-  private def props: Properties = {
-    val p = new Properties()
-    p.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
-    p
-  }
-
-  private def shutdown(url: String): Unit =
-    try DriverManager.getConnection(url.replace(";create=true", ";shutdown=true"))
-    catch { case _: java.sql.SQLException => () }
 
   /** Avro single-object frame (0xC3 0x01 + LE fingerprint + body) for one
     * WAL row under `schema` — fields taken from the record by name, so
@@ -126,18 +116,15 @@ object JdbcEvolution {
     import s.implicits._
     val dir = Files.createTempDirectory("graft_c39")
     val durable = Files.createTempDirectory("graft_c39_replica")
-    System.setProperty("derby.stream.error.file", s"$dir/derby.log")
-    val url = s"jdbc:derby:$dir/waldb;create=true"
+    val fx = JdbcFixture(s, dir)
+    val (url, props) = (fx.url, fx.props)
     try {
       val flat = Envelope.flat(Tables.events(s, d)).select(flatColsV1.map(col): _*)
       val b = flat.agg(min("lsn_long"), max("lsn_long")).head()
       val (minL, maxL) = (b.getLong(0), b.getLong(1))
       val evoCut = minL + (maxL - minL) * 3 / 5
       // ---- land generation 1: the table BEFORE the ALTER ---------------
-      flat.filter(col("lsn_long") <= evoCut).toDF(walColsV1: _*)
-        .coalesce(1).write
-        .option("createTableColumnTypes", "OP VARCHAR(8)")
-        .jdbc(url, "WAL", props)
+      fx.landV1(flat.filter(col("lsn_long") <= evoCut).toDF(walColsV1: _*))
       // c11: writer identity from the CURRENT JDBC StructType
       val st1 = s.read.jdbc(url, "WAL", props).toDF(flatColsV1: _*).schema
       val jsonV1 = AvroSchemaGen.record(st1, "wal", "graft")
@@ -150,19 +137,12 @@ object JdbcEvolution {
           props).toDF(flatColsV1: _*), jsonV1, fpV1)
       }.reduce(_ union _)
       // ---- the upstream ALTER TABLE ADD COLUMN, mid-stream -------------
-      // CLOB, not VARCHAR: Spark's Derby dialect maps StringType→CLOB, so
-      // appended NULLs bind as setNull(Types.CLOB) — against a VARCHAR
-      // column Derby rejects that (22005). The column is only selected,
-      // never compared in pushed-down predicates, so CLOB costs nothing.
-      val conn = DriverManager.getConnection(url)
-      try conn.createStatement().execute("ALTER TABLE WAL ADD COLUMN SRC CLOB")
-      finally conn.close()
+      fx.evolve()
       // generation-2 rows land with the new column populated
-      flat.filter(col("lsn_long") > evoCut)
+      fx.landV2(flat.filter(col("lsn_long") > evoCut)
         .withColumn("src", when(col("pk_after").isNotNull,
           concat(lit("s"), (col("pk_after") % 3).cast("string"))))
-        .toDF(walColsV1 :+ "SRC": _*)
-        .coalesce(1).write.mode("append").jdbc(url, "WAL", props)
+        .toDF(walColsV1 :+ "SRC": _*))
       // c17: the re-read StructType re-fingerprints differently
       val st2 = s.read.jdbc(url, "WAL", props).toDF(flatColsV1 :+ "src": _*).schema
       val jsonV2 = AvroSchemaGen.record(st2, "wal", "graft")
@@ -215,7 +195,7 @@ object JdbcEvolution {
       out.write.mode("overwrite").parquet(s"$durable/replica")
       (s.read.parquet(s"$durable/replica").orderBy("pk"), fpV1, fpV2, byWriter)
     } finally {
-      shutdown(url)
+      fx.close()
       graft.sources.SourceSinks.deleteDir(dir)
     }
   }

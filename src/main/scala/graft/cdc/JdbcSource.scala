@@ -1,17 +1,16 @@
 package graft.cdc
 
 import java.nio.file.{Files, Path}
-import java.sql.DriverManager
-import java.util.Properties
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** JDBC/Postgres ingest edge — the reference daemon's database side lifted
-  * to Spark's JDBC source against an EMBEDDED Derby database (ships with
-  * the Spark distribution; no network), exercising the exact access
-  * pattern creek runs against live Postgres:
+  * to Spark's JDBC source against the session's [[JdbcFixture]] database
+  * (embedded Derby inside a single JVM; a forked Thrift-server process
+  * over TCP under multi-JVM masters — see [[JdbcNet]]), exercising the
+  * exact access pattern creek runs against live Postgres:
   *
   *   - the initial snapshot is a plain `SELECT * FROM schema.table`
   *     (creek internal/dao/snapshots.go:127) — here issued as a
@@ -41,35 +40,21 @@ object JdbcSource {
   private val walCols = Seq("LSN_LONG", "OP", "PK_BEFORE", "PK_AFTER", "AFTER_VALUE")
   private val flatCols = Seq("lsn_long", "op", "pk_before", "pk_after", "after_value")
 
-  private def props: Properties = {
-    val p = new Properties()
-    p.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
-    p
-  }
-
-  /** Land the flat WAL envelope into the embedded DB's WAL table.
-    * Returns (url, min lsn, max lsn). Single-connection write: the load
-    * is fixture setup standing in for the upstream OLTP database, not
-    * the operator under test.
+  /** Land the flat WAL envelope into the session's WAL fixture
+    * ([[JdbcFixture]]: embedded Derby single-JVM, forked Thrift server
+    * under multi-JVM masters). Returns (fixture, min lsn, max lsn).
+    * The load is fixture setup standing in for the upstream OLTP
+    * database, not the operator under test.
     */
-  private def loadDb(s: SparkSession, d: String, dir: Path): (String, Long, Long) = {
-    // keep derby.log out of the working tree (read at engine boot)
-    System.setProperty("derby.stream.error.file", s"$dir/derby.log")
-    val url = s"jdbc:derby:$dir/waldb;create=true"
+  private def loadDb(s: SparkSession, d: String, dir: Path): (WalFixture, Long, Long) = {
+    val fx = JdbcFixture(s, dir)
     val flat = Envelope.flat(Tables.events(s, d))
       .select(flatCols.map(col): _*)
       .toDF(walCols: _*)
-    flat.coalesce(1).write
-      .option("createTableColumnTypes", "OP VARCHAR(8)") // default CLOB can't be compared
-      .jdbc(url, "WAL", props)
+    fx.landV1(flat)
     val b = flat.agg(min("LSN_LONG"), max("LSN_LONG")).head()
-    (url, b.getLong(0), b.getLong(1))
+    (fx, b.getLong(0), b.getLong(1))
   }
-
-  /** Shut down the embedded database so its files can be deleted. */
-  private def shutdown(url: String): Unit =
-    try DriverManager.getConnection(url.replace(";create=true", ";shutdown=true"))
-    catch { case _: java.sql.SQLException => () } // 08006 = clean shutdown
 
   private def lower(df: DataFrame): DataFrame = df.toDF(flatCols: _*)
 
@@ -99,7 +84,8 @@ object JdbcSource {
     */
   def c33run(s: SparkSession, d: String): (DataFrame, Int, Int) = {
     val dir = Files.createTempDirectory("graft_c33")
-    val (url, minL, maxL) = loadDb(s, d, dir)
+    val (fx, minL, maxL) = loadDb(s, d, dir)
+    val (url, props) = (fx.url, fx.props)
     try {
       // snapshot cut at the 60% LSN point — deterministic from the data,
       // leaving a meaningful tail for the poll loop at every sf
@@ -134,7 +120,7 @@ object JdbcSource {
       (s.read.parquet(s"$pdir/replica").orderBy("pk"),
         snapshot.rdd.getNumPartitions, nBatches)
     } finally {
-      shutdown(url)
+      fx.close()
       graft.sources.SourceSinks.deleteDir(dir)
     }
   }
@@ -186,7 +172,8 @@ object JdbcSource {
     val dir = Files.createTempDirectory("graft_s15")
     // replica + offset outlive this call (the result reads them lazily)
     val durable = Files.createTempDirectory("graft_s15_replica")
-    val (url, minL, maxL) = loadDb(s, d, dir)
+    val (fx, minL, maxL) = loadDb(s, d, dir)
+    val (url, props) = (fx.url, fx.props)
     try {
       val cmdDir = dir.resolve("polls"); Files.createDirectories(cmdDir)
       val cp = dir.resolve("checkpoint")
@@ -262,7 +249,7 @@ object JdbcSource {
         .orderBy("pk")
       (replica, snapLsn, inc1Last, resumeFrom.get(), fin.version.toInt)
     } finally {
-      shutdown(url)
+      fx.close()
       graft.sources.SourceSinks.deleteDir(dir)
     }
   }

@@ -450,7 +450,7 @@ object TextAnalysis {
   /** (word, freq, syms) dictionary: corpus words with their frequency and
     * the initial symbol sequence (characters + end-of-word marker).
     */
-  private def bpeDict(s: SparkSession, d: String): DataFrame =
+  private[graft] def bpeDict(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(explode(toks(col("text"))).as("word"))
       .where(length(col("word")) > 0)
@@ -481,16 +481,120 @@ object TextAnalysis {
   private val trainedMerges =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, String, String, Long)]]
 
-  /** Trains the merge table over the word-frequency dict: per iteration,
-    * count adjacent-pair frequencies (dict-sized agg), pull the single
-    * argmax row (freq desc, then lexicographic — deterministic), apply
-    * the merge distributed, localCheckpoint to truncate the fold lineage.
-    * Stops early when no pair occurs twice. At cluster scale the
-    * checkpoint would go to a reliable dir with generation unpersist;
-    * the dict stays executor-resident throughout — never collected.
+  /** Corpus-size statistic (no job) above which training stays fully
+    * distributed; below it the Heaps-law-bounded dict collects to the
+    * driver and trains in memory ([[bpeTrainLocal]]).
+    */
+  private val BpeLocalDictMaxBytes = 256L << 20
+
+  /** Pick the training path from the relation's size statistic, the d03
+    * discipline: a production vocab needs 30–100k merges, and the
+    * distributed loop pays one dict-wide aggregation + driver round-trip
+    * PER MERGE — 30–100k Spark jobs. The dict itself is Heaps-law
+    * bounded (≪ corpus), so up to a corpus-bytes threshold the right
+    * design is v07's driver-resident-model shape: ONE distributed dict
+    * build, one bounded collect, in-memory exact training, merges
+    * broadcast back. Past the threshold the executor-resident loop
+    * remains the fallback. The spec pins local ≡ distributed ≡ the
+    * independent reference trainer.
     */
   private[graft] def bpeTrain(s: SparkSession, d: String): Seq[(Int, String, String, Long)] =
     trainedMerges.computeIfAbsent(d, _ => {
+      val docsBytes = Tables.documents(s, d).queryExecution.optimizedPlan
+        .stats.sizeInBytes
+      if (docsBytes <= BpeLocalDictMaxBytes) {
+        val dict = bpeDict(s, d).select("word", "freq").collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
+        bpeTrainLocal(dict, BpeMerges)
+      } else bpeTrainDistributed(s, d)
+    })
+
+  /** Driver-side EXACT trainer with incremental pair-count maintenance:
+    * counts build once, then each merge updates them by the delta of the
+    * words that actually contain the merged adjacency — identical output
+    * to recount-from-scratch (the delta is exact), which the spec pins
+    * against the independent reference trainer. Cost per merge is one
+    * symbol scan over the dict + an argmax over live pairs, so a 1k-merge
+    * vocab trains in seconds where the distributed loop would issue 1k
+    * aggregation jobs (measured in the scale spec).
+    */
+  private[graft] def bpeTrainLocal(dict: Seq[(String, Long)],
+      maxMerges: Int): Seq[(Int, String, String, Long)] = {
+    import scala.collection.mutable
+    var words: Array[(Vector[String], Long)] =
+      dict.map { case (w, f) => (w.map(_.toString).toVector :+ EndOfWord, f) }.toArray
+    val counts = mutable.Map.empty[(String, String), Long]
+    for ((syms, f) <- words; i <- 0 until syms.length - 1) {
+      val k = (syms(i), syms(i + 1))
+      counts(k) = counts.getOrElse(k, 0L) + f
+    }
+    def localMergePass(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var j = 0
+      while (j < syms.length) {
+        if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+          out += a + b; j += 2
+        } else { out += syms(j); j += 1 }
+      }
+      out.result()
+    }
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= maxMerges && !done) {
+      // argmax with the trainer's canonical tie-break: freq desc, then
+      // lexicographic (l, r) — same total order the distributed orderBy
+      // and the reference trainer use
+      var best: ((String, String), Long) = (("", ""), -1L)
+      counts.foreach { case (k, n) =>
+        if (n > best._2 || (n == best._2 &&
+            (k._1 < best._1._1 || (k._1 == best._1._1 && k._2 < best._1._2))))
+          best = (k, n)
+      }
+      if (best._2 < 2L) done = true
+      else {
+        val ((a, b), n) = best
+        merges += ((rank, a, b, n))
+        words = words.map { case (syms, f) =>
+          var has = false
+          var i = 0
+          while (!has && i < syms.length - 1) {
+            if (syms(i) == a && syms(i + 1) == b) has = true
+            i += 1
+          }
+          if (!has) (syms, f)
+          else {
+            def add(m: mutable.Map[(String, String), Long], v: Vector[String], sign: Long): Unit = {
+              var j = 0
+              while (j < v.length - 1) {
+                val k = (v(j), v(j + 1))
+                val nn = m.getOrElse(k, 0L) + sign * f
+                if (nn == 0L) m.remove(k) else m(k) = nn
+                j += 1
+              }
+            }
+            add(counts, syms, -1L)
+            val merged = localMergePass(syms, a, b)
+            add(counts, merged, 1L)
+            (merged, f)
+          }
+        }
+      }
+      rank += 1
+    }
+    merges.result()
+  }
+
+  /** The fully distributed loop — the unbounded-dict fallback. Per
+    * iteration: count adjacent-pair frequencies (dict-sized agg), pull
+    * the single argmax row (freq desc, then lexicographic —
+    * deterministic), apply the merge distributed, localCheckpoint to
+    * truncate the fold lineage. Stops early when no pair occurs twice.
+    * At cluster scale the checkpoint would go to a reliable dir with
+    * generation unpersist; the dict stays executor-resident throughout —
+    * never collected.
+    */
+  private[graft] def bpeTrainDistributed(s: SparkSession, d: String): Seq[(Int, String, String, Long)] = {
       var vocab = bpeDict(s, d).localCheckpoint(true)
       val merges = Seq.newBuilder[(Int, String, String, Long)]
       var rank = 1
@@ -512,7 +616,7 @@ object TextAnalysis {
         rank += 1
       }
       merges.result()
-    })
+  }
 
   // t18 (rows-only; spec: exact merge-table equality vs an independent
   // in-test reference trainer + determinism): distributed BPE TRAINING.
