@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.{FileSourceScanExec, QueryExecution, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
@@ -84,8 +85,56 @@ object Metrics {
       "c04_apply_latest" -> cdc.CdcQueries.c04_apply_latest(s, d),
       "d01_exact_dedup" -> ops.Dedup.d01_exact_dedup(s, d)))
 
+  /** Melt a wide gauge frame into Prometheus long format:
+    * (family, metric, instance, value) — one row per sample.
+    */
+  private def melt(df: DataFrame, family: String, instance: Column,
+      metrics: Seq[String]): DataFrame =
+    df.select(lit(family).as("family"), instance.cast("string").as("instance"),
+      explode(map(metrics.flatMap(m =>
+        Seq(lit(m), col(m).cast("long"))): _*)).as(Seq("metric", "value")))
+
+  // x20 (rows-only; spec: all three families present, lossless sink
+  // roundtrip, values conserved vs the source gauges): the unified
+  // operational-metrics SINK — the Spark-deployment analogue of creek's
+  // Prometheus registry (internal/metrics/metrics.go:20-60 registers
+  // producer/consumer counters and lag gauges on one HTTP endpoint;
+  // a zero-egress Spark pipeline lands the same samples as files a
+  // node-exporter textfile collector or scraper picks up). The three
+  // gauge families this library computes — x06 per-query execution
+  // counters, x09 per-micro-batch streaming progress, x14 replication
+  // lag — normalize into ONE long-format table
+  // (family, metric, instance, value), land as JSON-lines, and read
+  // back losslessly. Metric cardinality is bounded (queries×5 +
+  // micro-batches×4 + keepalives×2), so the sink costs nothing at any
+  // corpus size — like the registry it mirrors, it scales with the
+  // TOPOLOGY, not the data.
+  val x20_metrics_sink: Q = (s, d) => {
+    val samples =
+      melt(x06_query_metrics(s, d), "query", col("query"),
+        Seq("rows_out", "scan_rows", "shuffle_records", "n_scans", "n_exchanges"))
+      .unionByName(melt(streaming.StreamMetrics.x09_stream_progress(s, d),
+        "stream", col("batch_id"),
+        Seq("num_input_rows", "state_rows_total", "state_rows_updated",
+          "n_state_operators")))
+      .unionByName(melt(cdc.CdcQueries.x14_replication_lag(s, d),
+        "replication", col("wal_lsn_str"),
+        Seq("behind_lsn", "behind_time_ms")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_metrics")
+    try {
+      samples.write.mode("overwrite").json(s"$dir/scrape")
+      val back = s.read.schema(samples.schema).json(s"$dir/scrape")
+        .orderBy("family", "metric", "instance")
+      // bounded materialization (metric rows, not data rows), then the
+      // scratch dies with the call
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(back.collect().toSeq.asJava, back.schema)
+    } finally graft.sources.SourceSinks.deleteDir(dir)
+  }
+
   val queries: Map[String, Q] = Map(
     "x06_query_metrics" -> x06_query_metrics,
+    "x20_metrics_sink" -> x20_metrics_sink,
     "x09_stream_progress" -> (streaming.StreamMetrics.x09_stream_progress _))
   val oracle: Map[String, String] = Map.empty
 }

@@ -10,6 +10,31 @@ import java.nio.file.Files
 class SourcesSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("x20 unified metrics sink: all families, lossless, conserved") {
+    val rows = Metrics.x20_metrics_sink(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("family")).toSet ==
+      Set("query", "stream", "replication"))
+    // long-format contract: every sample fully labeled, no null values
+    rows.foreach { r =>
+      assert(r.getAs[String]("metric").nonEmpty)
+      assert(r.getAs[String]("instance") != null)
+      assert(!r.isNullAt(r.fieldIndex("value")))
+    }
+    // conservation vs the source gauges: per-query rows_out samples must
+    // equal x06's counters exactly (the sink may not mangle a value)
+    val sunk = rows.filter(r => r.getAs[String]("family") == "query" &&
+        r.getAs[String]("metric") == "rows_out")
+      .map(r => r.getAs[String]("instance") -> r.getAs[Long]("value")).toMap
+    val src = Metrics.x06_query_metrics(spark, sf).collect()
+      .map(r => r.getAs[String]("query") -> r.getAs[Long]("rows_out")).toMap
+    assert(sunk == src)
+    // replication gauges: one behind_lsn + one behind_time_ms per keepalive
+    val rep = rows.filter(_.getAs[String]("family") == "replication")
+    assert(rep.map(_.getAs[String]("metric")).toSet ==
+      Set("behind_lsn", "behind_time_ms"))
+    assert(rep.length % 2 == 0 && rep.nonEmpty)
+  }
+
   test("x06 metrics listener reports true executed-plan counters") {
     val rows = Metrics.x06_query_metrics(spark, sf).collect()
     assert(rows.length == 3)
