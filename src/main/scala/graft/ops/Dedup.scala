@@ -912,7 +912,75 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // d18: repeated-SPAN dedup (the C4 / RefinedWeb line-level pass):
+  // before whole-document near-dup, production pipelines remove text
+  // units repeated ACROSS documents — navigation chrome, disclaimers,
+  // boilerplate lines. The corpus has no newline structure, so the unit
+  // is a fixed 10-token span (the same windowing discipline as t06's
+  // chunking); a span appearing in ≥2 DISTINCT documents is boilerplate
+  // and is dropped from every document, and each doc's surviving spans
+  // reassemble in original order. Scale shape (d13's discipline): every
+  // corpus-wide hop carries the span's 64-bit hash + ids ONLY — the
+  // frequency groupBy and the flag join both move ~16 B rows; span TEXT
+  // crosses exactly one doc_id-keyed shuffle (the final reassembly
+  // join), where it is re-derived map-side from the document and
+  // selected by kept position. Within-doc repeats are kept (the pass
+  // targets cross-document boilerplate, not repetition — t12 scores
+  // that).
+  val d18_span_dedup: Q = (s, d) => {
+    val SpanTokens = 10
+    val t = split(norm(col("text")), " ")
+    val spanArr = transform(
+      sequence(lit(0), floor((size(t) - lit(1)) / lit(SpanTokens)).cast("int")),
+      i => concat_ws(" ", slice(t, i * SpanTokens + 1, lit(SpanTokens))))
+    val spanHashes = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(transform(spanArr, x => xxhash64(x))).as(Seq("pos", "h")))
+    val freq = spanHashes.groupBy("h").agg(countDistinct("doc_id").as("ndocs"))
+    val flags = spanHashes.join(freq, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        count(when(col("ndocs") >= 2, 1)).as("n_dropped"),
+        sort_array(collect_list(when(col("ndocs") < 2, col("pos"))))
+          .as("keep_pos"))
+    Tables.documents(s, d).select(col("doc_id"), spanArr.as("spans"))
+      .join(flags, Seq("doc_id"))
+      .select(col("doc_id"), col("n_spans"), col("n_dropped"),
+        concat_ws(" ", transform(col("keep_pos"),
+          p => element_at(col("spans"), p + 1))).as("kept_text"))
+      .orderBy("doc_id")
+  }
+
+  // d19: LSH band-configuration tuning — how a pipeline actually picks
+  // d03's (bands × rows-per-band) split of the 128-perm signature: the
+  // candidate probability of a pair with Jaccard s is the S-curve
+  // P(s) = 1 − (1 − s^r)^b (Leskovec/Rajaraman/Ullman, MMDS ch.3), so
+  // for each legal 128-perm config this reports the curve's midpoint
+  // s50 = (1/b)^(1/r), the false-positive mass P(0.5) below d02's 0.8
+  // near-dup threshold, and the EXPECTED RECALL over the corpus's
+  // OBSERVED true-pair similarity distribution (mean P(jaccard) over
+  // d02's ground-truth pairs) — the number that justifies the shipped
+  // 32×4 config. Cost: the d02 pair set (bounded: true near-dups)
+  // cross-joined with a 4-row broadcast config table.
+  val d19_lsh_tuning: Q = (s, d) => {
+    import s.implicits._
+    val cfg = Seq((64, 2), (32, 4), (16, 8), (8, 16)).toDF("bands", "rpb")
+    def scurve(sim: Column): Column =
+      lit(1.0) - pow(lit(1.0) - pow(sim, col("rpb")), col("bands"))
+    d02_ngram_jaccard(s, d).select(col("jaccard"))
+      .crossJoin(broadcast(cfg))
+      .groupBy(col("bands"), col("rpb"))
+      .agg(count(lit(1)).as("n_true_pairs"),
+        round(avg(scurve(col("jaccard"))), 6).as("exp_recall"))
+      .withColumn("s50",
+        round(pow(lit(1.0) / col("bands"), lit(1.0) / col("rpb")), 6))
+      .withColumn("p_at_05", round(scurve(lit(0.5)), 6))
+      .orderBy(desc("bands"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "d18_span_dedup" -> d18_span_dedup,
+    "d19_lsh_tuning" -> d19_lsh_tuning,
     "d17_soft_dedup" -> d17_soft_dedup,
     "d16_dedup_eval" -> d16_dedup_eval,
     "d15_url_dedup" -> d15_url_dedup,
@@ -937,6 +1005,52 @@ object Dedup {
   val oracle: Map[String, String] = Map(
     // DuckDB quirks handled below: regexp_extract/array_to_string return
     // NULL (not '') on no-match/empty-list — coalesce everywhere.
+    "d18_span_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
+        |  FROM documents),
+        |spans AS (
+        |  SELECT doc_id,
+        |    unnest([i for i in range(0, ((len(tk)-1)//10) + 1)]) AS pos,
+        |    unnest([array_to_string(tk[(i*10+1):(i*10+10)], ' ')
+        |            for i in range(0, ((len(tk)-1)//10) + 1)]) AS span
+        |  FROM t),
+        |freq AS (SELECT span, count(DISTINCT doc_id) AS ndocs
+        |         FROM spans GROUP BY 1),
+        |j AS (SELECT s.doc_id, s.pos, s.span, f.ndocs
+        |      FROM spans s JOIN freq f USING (span))
+        |SELECT doc_id, count(*)::BIGINT AS n_spans,
+        |  sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+        |  coalesce(string_agg(CASE WHEN ndocs < 2 THEN span END, ' '
+        |    ORDER BY pos), '') AS kept_text
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d19_lsh_tuning" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(t) >= 5 THEN
+        |    list_distinct([array_to_string(t[i:i+4], ' ') for i in range(1, len(t)-3)])
+        |    ELSE [] END AS shingles
+        |  FROM toks),
+        |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+        |p0 AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, a.n_sh AS n1, b.n_sh AS n2,
+        |    count(*) AS inter
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |pairs AS (
+        |  SELECT round(inter / (n1 + n2 - inter), 6) AS jaccard
+        |  FROM p0 WHERE round(inter / (n1 + n2 - inter), 6) >= 0.8),
+        |cfg AS (SELECT * FROM (VALUES (64, 2), (32, 4), (16, 8), (8, 16))
+        |        AS c(bands, rpb))
+        |SELECT bands, rpb, count(*)::BIGINT AS n_true_pairs,
+        |  round(avg(1 - pow(1 - pow(jaccard, rpb), bands)), 6) AS exp_recall,
+        |  round(pow(1.0 / bands, 1.0 / rpb), 6) AS s50,
+        |  round(1 - pow(1 - pow(0.5, rpb), bands), 6) AS p_at_05
+        |FROM pairs, cfg GROUP BY 1, 2, 5, 6 ORDER BY bands DESC""".stripMargin,
     "d15_url_dedup" ->
       """WITH raw AS (
         |  SELECT doc_id,
