@@ -1004,7 +1004,52 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  // v18 (rows-only; spec: recall/scan monotone in nprobe, exhaustive
+  // probe ≡ brute force): IVF PROBE-WIDTH tuning — d19's twin for the
+  // ANN family: the recall ↔ scan-fraction trade a deployment measures
+  // before fixing nprobe (faiss's nprobe sweep). One shared trained
+  // assignment (persisted once) serves every width; per width the probe
+  // set extends by centroid rank, members exact-score, and the report
+  // row carries scanned rows, scan fraction, and recall@10 vs the exact
+  // v01 baseline. Driver touches centroids, the 10-id exact baseline,
+  // and one 10-id list per width — bounded at any corpus size.
+  val v18_probe_tuning: Q = (s, d) => {
+    import s.implicits._
+    val (_, cents) = kmeansTrain(s, d)
+    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding")).collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dp / math.sqrt(na * nb)
+    }
+    val ranked = cents.zipWithIndex.map { case (c, i) => (cos(c, q), i) }
+      .sortBy { case (cc, i) => (-cc, i) }.map(_._2)
+    val assigned = assignCells(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")), cents)
+      .filter(col("vec_id") =!= 0).persist()
+    try {
+      val n = assigned.count()
+      val exact = v01_knn_brute(s, d).collect().map(_.getLong(0)).toSet
+      val rows = Seq(1, 2, 3, 5, cents.length).map { np =>
+        val probes = ranked.take(np).toSeq
+        val cand = assigned.filter(col("cell").isin(probes: _*))
+        val scanned = cand.count()
+        val top = cand.crossJoin(broadcast(queryVec(s, d)))
+          .select(col("vec_id"),
+            round(Vec.cosine(col("embedding"), col("qe")), 6).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id")).limit(10)
+          .collect().map(_.getLong(0))
+        (np, scanned, math.rint(scanned.toDouble / n * 1e4) / 1e4,
+          top.count(exact).toDouble / exact.size)
+      }
+      rows.toDF("nprobe", "n_scanned", "scan_frac", "recall_at_10")
+        .orderBy("nprobe")
+    } finally { assigned.unpersist(); () }
+  }
+
   val queries: Map[String, Q] = Map(
+    "v18_probe_tuning" -> v18_probe_tuning,
     "v17_hard_negatives" -> v17_hard_negatives,
     "v16_recall_eval" -> v16_recall_eval,
     "v15_hybrid_search" -> v15_hybrid_search,

@@ -781,7 +781,27 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  // t25 (rows-only; spec: ≡ recompute from the two verified lanes):
+  // TOKENIZER FERTILITY per predicted language — the metric teams read
+  // before fixing a vocab size/merge budget (multilingual fertility,
+  // XLM-R/BLOOM analyses): BPE tokens per word and characters per BPE
+  // token, grouped by t01's predicted language over t19's per-doc
+  // encoding counts. Composes two verified lanes with one doc_id join +
+  // one ≤n_langs aggregation — nothing new touches the corpus.
+  val t25_fertility: Q = (s, d) => {
+    val langs = t01_langid(s, d).select(col("doc_id"), col("predicted_lang"))
+    t19_bpe_encode(s, d).join(langs, "doc_id")
+      .groupBy(col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_words"),
+        sum("n_bpe_tokens").as("n_bpe_tokens"),
+        round(sum("n_bpe_tokens") / sum("n_words"), 4).as("fertility"),
+        round(sum("n_chars_eow") / sum("n_bpe_tokens"), 4).as("chars_per_token"))
+      .orderBy("predicted_lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t25_fertility" -> t25_fertility,
     "t24_perplexity_filter" -> t24_perplexity_filter,
     "t23_mix_temperature" -> t23_mix_temperature,
     "t20_normalize" -> t20_normalize,

@@ -1267,6 +1267,46 @@ class PipelineSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("v18 probe sweep: monotone trade, exhaustive probe = brute force") {
+    val rows = Similarity.v18_probe_tuning(spark, sf).collect()
+    assert(rows.length == 5)
+    val byNp = rows.sortBy(_.getAs[Int]("nprobe"))
+    // scan fraction strictly grows with probe width; recall never falls
+    val scans = byNp.map(_.getAs[Double]("scan_frac"))
+    assert(scans.zip(scans.tail).forall { case (a, b) => a < b }, scans.toSeq)
+    val recalls = byNp.map(_.getAs[Double]("recall_at_10"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b }, recalls.toSeq)
+    // probing every cell IS the brute-force scan: recall exactly 1
+    assert(byNp.last.getAs[Double]("recall_at_10") == 1.0)
+    assert(byNp.last.getAs[Double]("scan_frac") == 1.0)
+    // the shipped nprobe=3 (v07) must be on the useful part of the curve —
+    // v07's own recall gate at this spec scale (32 vectors over 10 cells)
+    val np3 = rows.find(_.getAs[Int]("nprobe") == 3).get
+    assert(np3.getAs[Double]("recall_at_10") >= 0.5)
+    assert(np3.getAs[Double]("scan_frac") < 1.0)
+  }
+
+  test("t25 fertility equals a recompute from the t19 and t01 lanes") {
+    val rows = TextAnalysis.t25_fertility(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val langOf = TextAnalysis.t01_langid(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted_lang")).toMap
+    val enc = TextAnalysis.t19_bpe_encode(spark, sf).collect()
+    val byLang = enc.groupBy(r => langOf(r.getAs[Long]("doc_id")))
+    assert(rows.map(_.getAs[String]("predicted_lang")).toSet == byLang.keySet)
+    rows.foreach { r =>
+      val g = byLang(r.getAs[String]("predicted_lang"))
+      val (w, b) = (g.map(_.getAs[Long]("n_words")).sum,
+        g.map(_.getAs[Long]("n_bpe_tokens")).sum)
+      assert(r.getAs[Long]("n_docs") == g.length)
+      assert(r.getAs[Long]("n_words") == w)
+      assert(r.getAs[Long]("n_bpe_tokens") == b)
+      assert(math.abs(r.getAs[Double]("fertility") - b.toDouble / w) < 1e-3)
+      // BPE can only split words further: fertility >= 1 token per word
+      assert(r.getAs[Double]("fertility") >= 1.0)
+    }
+  }
+
   test("v16 metrics equal an independent recompute and sit in range") {
     val row = ops.Similarity.v16_recall_eval(spark, sf).collect().head
     val exact = ops.Similarity.v01_knn_brute(spark, sf).collect().map(_.getLong(0)).toSeq
