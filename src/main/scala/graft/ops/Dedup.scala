@@ -927,28 +927,104 @@ object Dedup {
   // selected by kept position. Within-doc repeats are kept (the pass
   // targets cross-document boilerplate, not repetition — t12 scores
   // that).
-  val d18_span_dedup: Q = (s, d) => {
-    val SpanTokens = 10
+  private val SpanTokens = 10
+
+  /** Fixed 10-token span strings of `text`, in document order. */
+  private def spanArr: Column = {
     val t = split(norm(col("text")), " ")
-    val spanArr = transform(
+    transform(
       sequence(lit(0), floor((size(t) - lit(1)) / lit(SpanTokens)).cast("int")),
       i => concat_ws(" ", slice(t, i * SpanTokens + 1, lit(SpanTokens))))
-    val spanHashes = Tables.documents(s, d)
-      .select(col("doc_id"),
-        posexplode(transform(spanArr, x => xxhash64(x))).as(Seq("pos", "h")))
-    val freq = spanHashes.groupBy("h").agg(countDistinct("doc_id").as("ndocs"))
-    val flags = spanHashes.join(freq, Seq("h"))
+  }
+
+  /** (doc_id, pos, h): the 64-bit span hashes of a documents frame —
+    * the ONLY representation that crosses corpus-wide shuffles.
+    */
+  private def spanHashesOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(transform(spanArr, x => xxhash64(x))).as(Seq("pos", "h")))
+
+  /** d18's verdict + reassembly tail over a (h, ndocs) frequency table:
+    * flag each span by corpus frequency (ids-only join), regroup per
+    * doc, re-derive span text map-side after the single doc_id-keyed
+    * join. Shared by the batch lane and s19's streaming twin.
+    */
+  private def spanReassemble(docs: DataFrame, freq: DataFrame): DataFrame = {
+    val flags = spanHashesOf(docs).join(freq, Seq("h"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         count(when(col("ndocs") >= 2, 1)).as("n_dropped"),
         sort_array(collect_list(when(col("ndocs") < 2, col("pos"))))
           .as("keep_pos"))
-    Tables.documents(s, d).select(col("doc_id"), spanArr.as("spans"))
+    docs.select(col("doc_id"), spanArr.as("spans"))
       .join(flags, Seq("doc_id"))
       .select(col("doc_id"), col("n_spans"), col("n_dropped"),
         concat_ws(" ", transform(col("keep_pos"),
           p => element_at(col("spans"), p + 1))).as("kept_text"))
       .orderBy("doc_id")
+  }
+
+  val d18_span_dedup: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val freq = spanHashesOf(docs).groupBy("h")
+      .agg(countDistinct("doc_id").as("ndocs"))
+    spanReassemble(docs, freq)
+  }
+
+  // s19: STREAMING span-frequency dedup — d18's streaming twin (the
+  // batch↔streaming set grows to apply/c13, keep-list/d11, view/s14,
+  // JDBC tail/s15, index/s16, corpus/s17, spans/s19): the span-frequency
+  // state accumulates per micro-batch under Structured Streaming's file
+  // source. Because every document arrives exactly once, the per-batch
+  // DISTINCT-doc counts per hash SUM into the corpus-global frequency —
+  // 16-B rows through every streaming hop, localCheckpoint bounding the
+  // fold lineage (d11's discipline). Span verdicts are mutable while the
+  // stream runs (a later arrival flips an earlier doc's span to
+  // boilerplate — s17's label discipline), so the output snapshot closes
+  // over the FINAL drained state; the oracle is d18's batch SQL, and the
+  // hash match proves the accumulated state composes seam-free.
+  val s19_streaming_span_dedup: Q = (s, d) => {
+    val B = 3
+    val docs = Tables.documents(s, d).persist()
+    val dir = java.nio.file.Files.createTempDirectory("graft_s19_")
+    try {
+      def land(b: Int): Unit = {
+        val sub = java.nio.file.Files.createTempDirectory(s"graft_s19_w$b")
+        try {
+          docs.filter(col("doc_id") % B === b).coalesce(1)
+            .write.mode("overwrite").parquet(sub.toString)
+          val listing = java.nio.file.Files.list(sub)
+          val parquet = try {
+            import scala.jdk.CollectionConverters._
+            listing.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+          } finally listing.close()
+          java.nio.file.Files.move(parquet, dir.resolve(f"batch_$b%02d.parquet"))
+        } finally graft.sources.SourceSinks.deleteDir(sub)
+      }
+      var freq: DataFrame = null
+      val onMicroBatch: (DataFrame, Long) => Unit = (batchDf, _) =>
+        if (!batchDf.isEmpty) {
+          val bf = spanHashesOf(batchDf).groupBy("h")
+            .agg(countDistinct("doc_id").as("ndocs"))
+          freq = (if (freq == null) bf
+            else freq.unionByName(bf).groupBy("h")
+              .agg(sum("ndocs").as("ndocs")))
+            .localCheckpoint(true)
+        }
+      val stream = s.readStream.schema(docs.schema).parquet(dir.toString)
+      val q = stream.writeStream.outputMode("append")
+        .foreachBatch(onMicroBatch)
+        .queryName(s"graft_s19_${System.nanoTime()}").start()
+      try {
+        for (b <- 0 until B) { land(b); q.processAllAvailable() }
+      } finally q.stop()
+      require(freq != null, "stream delivered no batches")
+      spanReassemble(docs, freq)
+    } finally {
+      graft.sources.SourceSinks.deleteDir(dir)
+      docs.unpersist()
+      ()
+    }
   }
 
   // d19: LSH band-configuration tuning — how a pipeline actually picks
@@ -980,6 +1056,7 @@ object Dedup {
 
   val queries: Map[String, Q] = Map(
     "d18_span_dedup" -> d18_span_dedup,
+    "s19_streaming_span_dedup" -> s19_streaming_span_dedup,
     "d19_lsh_tuning" -> d19_lsh_tuning,
     "d17_soft_dedup" -> d17_soft_dedup,
     "d16_dedup_eval" -> d16_dedup_eval,
@@ -1002,29 +1079,35 @@ object Dedup {
     "d11_streaming_keeplist" -> d11_streaming_keeplist,
   )
 
+  /** d18's oracle, shared verbatim by s19's streaming twin — the
+    * streamed state must hash-match the batch formulation.
+    */
+  private val spanDedupOracleSql: String =
+    """WITH t AS (
+          |  SELECT doc_id,
+          |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
+          |  FROM documents),
+          |spans AS (
+          |  SELECT doc_id,
+          |    unnest([i for i in range(0, ((len(tk)-1)//10) + 1)]) AS pos,
+          |    unnest([array_to_string(tk[(i*10+1):(i*10+10)], ' ')
+          |            for i in range(0, ((len(tk)-1)//10) + 1)]) AS span
+          |  FROM t),
+          |freq AS (SELECT span, count(DISTINCT doc_id) AS ndocs
+          |         FROM spans GROUP BY 1),
+          |j AS (SELECT s.doc_id, s.pos, s.span, f.ndocs
+          |      FROM spans s JOIN freq f USING (span))
+          |SELECT doc_id, count(*)::BIGINT AS n_spans,
+          |  sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+          |  coalesce(string_agg(CASE WHEN ndocs < 2 THEN span END, ' '
+          |    ORDER BY pos), '') AS kept_text
+          |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // DuckDB quirks handled below: regexp_extract/array_to_string return
     // NULL (not '') on no-match/empty-list — coalesce everywhere.
-    "d18_span_dedup" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
-        |  FROM documents),
-        |spans AS (
-        |  SELECT doc_id,
-        |    unnest([i for i in range(0, ((len(tk)-1)//10) + 1)]) AS pos,
-        |    unnest([array_to_string(tk[(i*10+1):(i*10+10)], ' ')
-        |            for i in range(0, ((len(tk)-1)//10) + 1)]) AS span
-        |  FROM t),
-        |freq AS (SELECT span, count(DISTINCT doc_id) AS ndocs
-        |         FROM spans GROUP BY 1),
-        |j AS (SELECT s.doc_id, s.pos, s.span, f.ndocs
-        |      FROM spans s JOIN freq f USING (span))
-        |SELECT doc_id, count(*)::BIGINT AS n_spans,
-        |  sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
-        |  coalesce(string_agg(CASE WHEN ndocs < 2 THEN span END, ' '
-        |    ORDER BY pos), '') AS kept_text
-        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s19_streaming_span_dedup" -> spanDedupOracleSql,
+    "d18_span_dedup" -> spanDedupOracleSql,
     "d19_lsh_tuning" ->
       """WITH toks AS (
         |  SELECT doc_id,

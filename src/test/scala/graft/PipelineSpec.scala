@@ -1202,6 +1202,30 @@ class PipelineSpec extends AnyFunSuite {
       s"span text through a non-doc shuffle: ${textCarriers.map(_.output.map(_.name))}")
   }
 
+  test("s19 streaming span dedup equals batch d18 across arrival batches") {
+    val batch = Dedup.d18_span_dedup(spark, sf).collect().map(_.toSeq).toSeq
+    val streamed = Dedup.s19_streaming_span_dedup(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+    // the equivalence is non-trivial only if boilerplate span sharers
+    // actually straddle arrival batches (doc_id % 3) — i.e. a span's
+    // global count needs contributions from MORE than one micro-batch
+    val t = split(trim(regexp_replace(col("text"), "\\s+", " ")), " ")
+    val spanArr = transform(
+      sequence(lit(0), floor((size(t) - lit(1)) / lit(10)).cast("int")),
+      i => concat_ws(" ", slice(t, i * 10 + 1, lit(10))))
+    val straddlers = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(spanArr).as("span"))
+      .groupBy("span")
+      .agg(countDistinct("doc_id").as("nd"),
+        countDistinct(col("doc_id") % 3).as("nbatches"))
+      .filter(col("nd") >= 2 && col("nbatches") >= 2)
+      .count()
+    assert(straddlers > 0,
+      "no shared span straddles arrival batches — the twin test is vacuous")
+  }
+
   test("d19 S-curve tuning justifies the shipped 32x4 config") {
     val rows = Dedup.d19_lsh_tuning(spark, sf).collect()
     assert(rows.length == 4)
