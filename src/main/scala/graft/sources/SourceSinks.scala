@@ -752,7 +752,67 @@ object SourceSinks {
       .orderBy("pk")
   }
 
+  // x21: INCREMENTAL CHANGED-FILE scan — the Delta Change-Data-Feed /
+  // Iceberg incremental-read contract over x16's manifest layout: the
+  // row-level change set between two snapshots computed from ONLY the
+  // filesets the commit touched, never a full-snapshot diff (c40 is the
+  // state-diff twin that reads both snapshots; at 100 TB the whole
+  // point of a table format is that commit 2 touched 1 fileset of
+  // 10,000 and the CDF reader scans just it). Commit 2 rewrites fileset
+  // B copy-on-write into C (surcharge on surviving rows, a planted
+  // delete stripe, a planted insert stripe), so changed = {B removed,
+  // C added}; one keyed full-outer join of pre(B) vs post(C) emits
+  // insert / delete / update_preimage / update_postimage rows (Delta
+  // CDF vocabulary). The unchanged fileset A never appears in the plan
+  // (spec asserts the scan paths). Lazy result scans the table dirs —
+  // scratch reclaimed by the shutdown hook, x19's discipline.
+  val x21_incremental_scan: Q = (s, d) => {
+    import s.implicits._
+    val dir = cleanupOnExit(Files.createTempDirectory("graft_cdf"))
+    val orders = Tables.orders(s, d)
+    orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .write.mode("overwrite").parquet(s"$dir/A")
+    orders.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+      .write.mode("overwrite").parquet(s"$dir/B")
+    val b = s.read.parquet(s"$dir/B")
+    // commit 2 = copy-on-write of B: +10.00 surcharge on survivors,
+    // key%3==0 stripe deleted, key%5==0 stripe re-landed as new accounts
+    b.filter(pmod(col("o_orderkey"), lit(3)) =!= 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 10.0)
+      .unionByName(b.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000000L))
+      .write.mode("overwrite").parquet(s"$dir/C")
+    Seq((1, "A"), (1, "B"), (2, "A"), (2, "C")).toDF("version", "fileset")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/_manifest")
+    // manifest diff: bounded path metadata on the driver, like x16
+    def filesOf(v: Int): Set[String] = s.read.parquet(s"$dir/_manifest")
+      .filter(col("version") === v).select("fileset")
+      .collect().map(_.getString(0)).toSet
+    val (v1, v2) = (filesOf(1), filesOf(2))
+    val removed = (v1 -- v2).toSeq.sorted
+    val added = (v2 -- v1).toSeq.sorted
+    val pre = s.read.parquet(removed.map(f => s"$dir/$f"): _*)
+      .select(col("o_orderkey"), col("o_totalprice").as("pre_price"))
+    val post = s.read.parquet(added.map(f => s"$dir/$f"): _*)
+      .select(col("o_orderkey"), col("o_totalprice").as("post_price"))
+    pre.join(post, Seq("o_orderkey"), "full_outer")
+      .select(col("o_orderkey"), explode(
+        when(col("pre_price").isNull, array(struct(
+          lit("insert").as("change_type"), col("post_price").as("price"))))
+        .when(col("post_price").isNull, array(struct(
+          lit("delete").as("change_type"), col("pre_price").as("price"))))
+        .otherwise(array(
+          struct(lit("update_preimage").as("change_type"),
+            col("pre_price").as("price")),
+          struct(lit("update_postimage").as("change_type"),
+            col("post_price").as("price"))))).as("c"))
+      .select(col("o_orderkey"), col("c.change_type").as("change_type"),
+        round(col("c.price"), 2).as("o_totalprice"))
+      .orderBy("o_orderkey", "change_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "x21_incremental_scan" -> x21_incremental_scan,
     "x19_cdc_table_sink" -> x19_cdc_table_sink,
     "x18_snapshot_expire" -> x18_snapshot_expire,
     "x16_time_travel" -> x16_time_travel,
@@ -787,6 +847,22 @@ object SourceSinks {
     // x19's two-commit merge must reproduce the full-replay replica —
     // c04's ground truth verifies the WHOLE composition end-to-end.
     "x19_cdc_table_sink" -> graft.cdc.CdcQueries.applyLatestOracle,
+    "x21_incremental_scan" ->
+      """WITH odd AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 1)
+        |SELECT o_orderkey, 'update_preimage' AS change_type,
+        |  round(o_totalprice, 2) AS o_totalprice
+        |FROM odd WHERE o_orderkey % 3 <> 0
+        |UNION ALL
+        |SELECT o_orderkey, 'update_postimage', round(o_totalprice + 10.0, 2)
+        |FROM odd WHERE o_orderkey % 3 <> 0
+        |UNION ALL
+        |SELECT o_orderkey, 'delete', round(o_totalprice, 2)
+        |FROM odd WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT o_orderkey + 1000000000, 'insert', round(o_totalprice, 2)
+        |FROM odd WHERE o_orderkey % 5 = 0
+        |ORDER BY o_orderkey, change_type""".stripMargin,
     "x16_time_travel" ->
       """SELECT 1 AS version, count(*)::BIGINT AS n_rows,
         |  round(sum(o_totalprice), 2) AS sum_price,

@@ -10,6 +10,26 @@ import java.nio.file.Files
 class SourcesSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("x21 incremental scan reads ONLY the changed filesets, never A") {
+    val df = graft.sources.SourceSinks.x21_incremental_scan(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // all four CDF verbs present, update pre/post pairs balanced
+    val byType = rows.groupBy(_.getAs[String]("change_type")).view.mapValues(_.length).toMap
+    assert(byType.keySet == Set("insert", "delete", "update_preimage", "update_postimage"))
+    assert(byType("update_preimage") == byType("update_postimage"))
+    // the incremental reader's plan scans the changed filesets (B removed,
+    // C added) and NEVER the unchanged fileset A — the whole point of the
+    // CDF contract at 100 TB
+    val scans = Metrics.allNodes(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val roots = scans.flatMap(_.relation.location.rootPaths.map(_.toString))
+    assert(roots.nonEmpty)
+    assert(roots.forall(p => p.endsWith("/B") || p.endsWith("/C")),
+      s"scan touched a non-changed fileset: $roots")
+  }
+
   test("x20 unified metrics sink: all families, lossless, conserved") {
     val rows = Metrics.x20_metrics_sink(spark, sf).collect()
     assert(rows.map(_.getAs[String]("family")).toSet ==
