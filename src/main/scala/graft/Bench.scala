@@ -80,7 +80,10 @@ object Bench {
     // judge re-run to prove it was contention — the spread of three runs
     // would have shown it immediately).
     val runsJson = raw.map { case (k, ts) =>
-      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+      // NOT f"%.3f": String.format is locale-sensitive (a comma decimal
+      // separator would corrupt the JSON); Double.toString is not
+      "\"" + k + "\":" + ts.map(t => (math.rint(t * 1000) / 1000).toString)
+        .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     def jsonEscape(s: String): String = s.flatMap {

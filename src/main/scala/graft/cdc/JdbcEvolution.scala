@@ -115,7 +115,8 @@ object JdbcEvolution {
     implicit val spark: SparkSession = s
     import s.implicits._
     val dir = Files.createTempDirectory("graft_c39")
-    val durable = Files.createTempDirectory("graft_c39_replica")
+    val durable = graft.sources.SourceSinks.cleanupOnExit(
+      Files.createTempDirectory("graft_c39_replica"))
     val fx = JdbcFixture(s, dir)
     val (url, props) = (fx.url, fx.props)
     try {

@@ -118,13 +118,22 @@ final class NetWalFixture(s: SparkSession, scratch: Path) extends WalFixture {
     p
   }
   def landV1(flatUpper: DataFrame): Unit = {
+    // one lane owns the shared server's WAL view at a time: the lanes
+    // are sequential today, but a future parallel gate must serialize
+    // here rather than silently read another lane's rows
+    JdbcNet.viewLock.lock()
     val p = land("gen1", flatUpper)
     exec(s"CREATE OR REPLACE TEMPORARY VIEW WAL AS SELECT * FROM parquet.`$p`")
   }
-  // The ALTER materializes at the next landV2: the server's WAL view is
-  // swapped to the evolved two-generation union — old rows take the
-  // added column's NULL default, exactly Derby's ADD COLUMN semantics.
-  def evolve(): Unit = ()
+  // The ALTER swaps the view to the evolved 6-column shape immediately
+  // (existing rows take the added column's NULL default, exactly Derby's
+  // ADD COLUMN semantics) — a schema read between evolve() and landV2()
+  // must see the new column in BOTH fixture modes.
+  def evolve(): Unit =
+    exec(s"""CREATE OR REPLACE TEMPORARY VIEW WAL AS
+             |SELECT LSN_LONG, OP, PK_BEFORE, PK_AFTER, AFTER_VALUE,
+             |       CAST(NULL AS STRING) AS SRC
+             |FROM parquet.`$scratch/gen1`""".stripMargin)
   def landV2(flatUpperWithSrc: DataFrame): Unit = {
     val p2 = land("gen2", flatUpperWithSrc)
     exec(s"""CREATE OR REPLACE TEMPORARY VIEW WAL AS
@@ -134,10 +143,20 @@ final class NetWalFixture(s: SparkSession, scratch: Path) extends WalFixture {
              |UNION ALL
              |SELECT * FROM parquet.`$p2`""".stripMargin)
   }
-  def close(): Unit = () // server is shared; parquet dies with `scratch`
+  // drop the view before the caller deletes `scratch` (a dangling view
+  // over deleted parquet would FileNotFound until the next landV1),
+  // then release the serializing lock; the server itself is shared
+  def close(): Unit =
+    try exec("DROP VIEW IF EXISTS WAL")
+    finally if (JdbcNet.viewLock.isHeldByCurrentThread) JdbcNet.viewLock.unlock()
 }
 
 object JdbcNet {
+  /** Serializes lanes over the shared server's single WAL view
+    * (held landV1 → close by the owning fixture).
+    */
+  val viewLock = new java.util.concurrent.locks.ReentrantLock()
+
   /** hive-jdbc connection properties for `spark.read.jdbc`. */
   def props: Properties = {
     val p = new Properties()
@@ -224,11 +243,21 @@ object JdbcNet {
         .toArray.mkString("\n")
     } catch { case e: Throwable => s"<no log: $e>" }
     while (!up && System.nanoTime() < deadline) {
-      require(proc.isAlive, s"jdbc server died at boot; log tail:\n$logTail")
+      if (!proc.isAlive) {
+        val tail = logTail
+        proc.destroyForcibly()
+        throw new IllegalStateException(s"jdbc server died at boot; log tail:\n$tail")
+      }
       try { connect(url).close(); up = true }
       catch { case e: Throwable => lastErr = e; Thread.sleep(500) }
     }
-    require(up, s"jdbc server not up after 120s ($lastErr); log tail:\n$logTail")
+    if (!up) {
+      // reap the wedged 2 GB server NOW, not at JVM exit
+      val tail = logTail
+      proc.destroyForcibly()
+      throw new IllegalStateException(
+        s"jdbc server not up after 120s ($lastErr); log tail:\n$tail")
+    }
     (url, proc, work)
   }
 }

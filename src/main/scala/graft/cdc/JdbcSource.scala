@@ -115,7 +115,8 @@ object JdbcSource {
       // fits on the driver, so a collect() here would be the lane's
       // scale-killer). The parquet dir must outlive this call (the result
       // is lazy), so only the database dir is deleted in the finally.
-      val pdir = Files.createTempDirectory("graft_c33_replica")
+      val pdir = graft.sources.SourceSinks.cleanupOnExit(
+        Files.createTempDirectory("graft_c33_replica"))
       out.write.mode("overwrite").parquet(s"$pdir/replica")
       (s.read.parquet(s"$pdir/replica").orderBy("pk"),
         snapshot.rdd.getNumPartitions, nBatches)
@@ -171,7 +172,8 @@ object JdbcSource {
     import s.implicits._
     val dir = Files.createTempDirectory("graft_s15")
     // replica + offset outlive this call (the result reads them lazily)
-    val durable = Files.createTempDirectory("graft_s15_replica")
+    val durable = graft.sources.SourceSinks.cleanupOnExit(
+      Files.createTempDirectory("graft_s15_replica"))
     val (fx, minL, maxL) = loadDb(s, d, dir)
     val (url, props) = (fx.url, fx.props)
     try {
@@ -217,19 +219,9 @@ object JdbcSource {
           .writeStream.foreachBatch(onBatch)
           .option("checkpointLocation", cp.toString)
           .start()
-      def land(seq: Int, hi: Long): Unit = {
-        val sub = Files.createTempDirectory(s"graft_s15_w$seq")
-        try {
-          Seq(PollCmd(seq, hi)).toDF().coalesce(1)
-            .write.mode("overwrite").parquet(sub.toString)
-          val listing = Files.list(sub)
-          val parquet = try {
-            import scala.jdk.CollectionConverters._
-            listing.iterator().asScala.find(_.toString.endsWith(".parquet")).get
-          } finally listing.close()
-          Files.move(parquet, cmdDir.resolve(f"poll_$seq%02d.parquet"))
-        } finally graft.sources.SourceSinks.deleteDir(sub)
-      }
+      def land(seq: Int, hi: Long): Unit =
+        graft.sources.SourceSinks.landSingleParquet(
+          Seq(PollCmd(seq, hi)).toDF(), cmdDir.resolve(f"poll_$seq%02d.parquet"))
       val step = math.max(1L, (maxL - snapLsn + 3) / 4)
       val his = (1 to 4).map(i => math.min(snapLsn + i * step, maxL))
       // incarnation 1: two polls, then STOP mid-tail

@@ -586,19 +586,10 @@ object Dedup {
       // the previous one has drained to a completed micro-batch (mtime
       // ordering is NOT a contract of the file source — s11 observed it
       // breaking — so the loop below is the deterministic arrival plan)
-      def land(b: Int): Unit = {
-        val sub = java.nio.file.Files.createTempDirectory(s"graft_d11_w$b")
-        try {
-          docs.filter(col("doc_id") % B === b).coalesce(1)
-            .write.mode("overwrite").parquet(sub.toString)
-          val listing = java.nio.file.Files.list(sub)
-          val parquet = try {
-            import scala.jdk.CollectionConverters._
-            listing.iterator().asScala.find(_.toString.endsWith(".parquet")).get
-          } finally listing.close()
-          java.nio.file.Files.move(parquet, dir.resolve(f"batch_$b%02d.parquet"))
-        } finally graft.sources.SourceSinks.deleteDir(sub)
-      }
+      def land(b: Int): Unit =
+        graft.sources.SourceSinks.landSingleParquet(
+          docs.filter(col("doc_id") % B === b),
+          dir.resolve(f"batch_$b%02d.parquet"))
       val state = new IncrementalDedup(s.sparkContext.defaultParallelism)
       val stream = s.readStream.schema(docs.schema).parquet(dir.toString)
       // explicit function value: foreachBatch has Scala/Java overloads
@@ -988,19 +979,10 @@ object Dedup {
     val docs = Tables.documents(s, d).persist()
     val dir = java.nio.file.Files.createTempDirectory("graft_s19_")
     try {
-      def land(b: Int): Unit = {
-        val sub = java.nio.file.Files.createTempDirectory(s"graft_s19_w$b")
-        try {
-          docs.filter(col("doc_id") % B === b).coalesce(1)
-            .write.mode("overwrite").parquet(sub.toString)
-          val listing = java.nio.file.Files.list(sub)
-          val parquet = try {
-            import scala.jdk.CollectionConverters._
-            listing.iterator().asScala.find(_.toString.endsWith(".parquet")).get
-          } finally listing.close()
-          java.nio.file.Files.move(parquet, dir.resolve(f"batch_$b%02d.parquet"))
-        } finally graft.sources.SourceSinks.deleteDir(sub)
-      }
+      def land(b: Int): Unit =
+        graft.sources.SourceSinks.landSingleParquet(
+          docs.filter(col("doc_id") % B === b),
+          dir.resolve(f"batch_$b%02d.parquet"))
       var freq: DataFrame = null
       val onMicroBatch: (DataFrame, Long) => Unit = (batchDf, _) =>
         if (!batchDf.isEmpty) {

@@ -539,16 +539,33 @@ object TextAnalysis {
       out.result()
     }
     val merges = Seq.newBuilder[(Int, String, String, Long)]
+    // UTF-8 BYTE order, not Java String '<' (UTF-16 code units): the
+    // distributed trainer's orderBy compares UTF8String binary, and the
+    // two orders disagree for supplementary characters (U+10000+ sorts
+    // below U+E000..U+FFFF in UTF-16 units) — a same-dataset vocab split
+    // by the routing threshold must not depend on the path taken.
+    def utf8Lt(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
     var rank = 1
     var done = false
     while (rank <= maxMerges && !done) {
       // argmax with the trainer's canonical tie-break: freq desc, then
-      // lexicographic (l, r) — same total order the distributed orderBy
-      // and the reference trainer use
+      // lexicographic (l, r) in the distributed orderBy's binary order
       var best: ((String, String), Long) = (("", ""), -1L)
       counts.foreach { case (k, n) =>
         if (n > best._2 || (n == best._2 &&
-            (k._1 < best._1._1 || (k._1 == best._1._1 && k._2 < best._1._2))))
+            (utf8Lt(k._1, best._1._1) ||
+              (k._1 == best._1._1 && utf8Lt(k._2, best._1._2)))))
           best = (k, n)
       }
       if (best._2 < 2L) done = true

@@ -81,7 +81,25 @@ object SourceSinks {
     scratchAtExit.forEach { p =>
       try deleteDir(p) catch { case _: Throwable => () }
     }))
-  private def cleanupOnExit(dir: Path): Path = { scratchAtExit.add(dir); dir }
+  def cleanupOnExit(dir: Path): Path = { scratchAtExit.add(dir); dir }
+
+  /** Land a (small) frame as exactly ONE parquet file at `target` — the
+    * explicit-arrival step every file-source streaming fixture uses
+    * (d11/s15/s19: land only after the previous batch drained; mtime
+    * ordering is NOT a file-source contract — s11 observed it breaking).
+    * One definition so the single-file dance stays in one place.
+    */
+  def landSingleParquet(df: DataFrame, target: Path): Unit = {
+    val sub = Files.createTempDirectory(target.getFileName.toString + "_w")
+    try {
+      df.coalesce(1).write.mode("overwrite").parquet(sub.toString)
+      val listing = Files.list(sub)
+      val parquet = try {
+        listing.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+      } finally listing.close()
+      Files.move(parquet, target)
+    } finally deleteDir(sub)
+  }
 
   private def roundtrip(s: SparkSession, d: String, format: String,
       writeOpts: Map[String, String] = Map.empty,

@@ -14,8 +14,13 @@ class JdbcNetSpec extends AnyFunSuite {
   import SparkTestSession._
 
   private def withNet[T](body: => T): T = {
+    val prior = sys.props.get("graft.jdbc.mode")
     sys.props("graft.jdbc.mode") = "net"
-    try body finally sys.props -= "graft.jdbc.mode"
+    try body
+    finally prior match {
+      case Some(v) => sys.props("graft.jdbc.mode") = v
+      case None => sys.props -= "graft.jdbc.mode"
+    }
   }
 
   test("c33 over the network fixture equals the embedded-Derby result") {
