@@ -728,7 +728,98 @@ object Multimodal {
       .orderBy("content_type", "shard", "batch")
   }
 
+  /** Planted twins' id offset and the m07 verification cut. 4 bands ×
+    * 16 bits pigeonhole-guarantee every pair at hamming ≤ 3 an exact
+    * band collision, so the ≤ 3 cut loses nothing to the banding.
+    */
+  val NearDupTwinOffset = 1000000L
+  val DHashHammingMax = 3
+
+  /** 64-bit dHash (difference hash) of one image record — the REAL
+    * perceptual-hash pass: payload → actual PNG encode → actual
+    * javax.imageio decode → 9×8 nearest-neighbor luminance downsample →
+    * one sign bit per horizontal gradient. Robust to small pixel
+    * perturbations by construction (a nudged byte flips only the bits
+    * whose gradient it straddles).
+    */
+  def dHash(r: MediaRecord): Long = {
+    val n = r.payload.length
+    val w = math.ceil(math.sqrt(n.toDouble)).toInt.max(1)
+    val h = (n + w - 1) / w
+    val (pix, pw, ph) = decodePng(encodePng(r.payload, w, h))
+    val small = resizeNN(pix, pw, ph, 9, 8)
+    var hash = 0L
+    var bit = 0
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if ((small(y * 9 + x + 1) & 0xFF) > (small(y * 9 + x) & 0xFF))
+          hash |= (1L << bit)
+        bit += 1
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** m07's corpus: every PNG record plus, for doc_id % 10 == 0, a
+    * near-duplicate twin (one mid-payload byte nudged by +1) landed at
+    * doc_id + [[NearDupTwinOffset]] — the re-encoded/re-scraped copies
+    * an image-dedup pass exists to catch.
+    */
+  def imageCorpus(s: SparkSession, d: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    val pngs = mediaRecords(s, d).filter(_.content_type == "image/png")
+    val twins = pngs.filter(_.doc_id % 10 == 0).map { r =>
+      val p = r.payload.clone()
+      val i = p.length / 2
+      p(i) = (p(i) + 1).toByte
+      MediaRecord(r.doc_id + NearDupTwinOffset, r.content_type, p)
+    }
+    pngs.union(twins)
+  }
+
+  // m07 (rows-only; spec: ≡ independent brute-force over the same rule,
+  // every planted twin recovered): PERCEPTUAL-HASH image near-dup — the
+  // image-side twin of d04's SimHash text pass, with the hash computed
+  // by a REAL codec chain on the executors (PNG encode → imageio decode
+  // → 9×8 downsample → dHash). Candidate generation is d04's banded-LSH
+  // shape: the 64-bit hash splits into 4×16-bit bands, pairs equi-join
+  // per band on (band, bits) — bucketed, never all-pairs — and only
+  // (doc_id, hash) cross shuffles (16-B rows; pixels stay inside their
+  // input partition). Hamming ≤ 3 exact verification inside collisions.
+  // At 100 TB this is how an image corpus dedups: per-partition decode,
+  // constant-size hashes through the exchange, band-bucketed join.
+  val m07_phash_neardup: Q = (s, d) => {
+    import s.implicits._
+    val hashes = imageCorpus(s, d)
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map(r => (r.doc_id, dHash(r)))
+      }
+      .toDF("doc_id", "dh")
+    val widths = Seq(16, 16, 16, 16)
+    val offs = widths.scanLeft(0)(_ + _)
+    val bands = array(widths.indices.map(j =>
+      struct(lit(j).as("band"),
+        shiftrightunsigned(col("dh"), offs(j))
+          .bitwiseAND((1L << widths(j)) - 1).as("bv"))): _*)
+    val banded = hashes.select(col("doc_id"), col("dh"), explode(bands).as("b"))
+      .select(col("doc_id"), col("dh"), col("b.band"), col("b.bv"))
+    val a = banded.select(col("band"), col("bv"), col("doc_id").as("d1"), col("dh").as("h1"))
+    val b = banded.select(col("band"), col("bv"), col("doc_id").as("d2"), col("dh").as("h2"))
+    a.join(b, Seq("band", "bv")).filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("h1"), col("h2")).distinct()
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .filter(col("hamming") <= DHashHammingMax)
+      .select(col("d1"), col("d2"), col("hamming"))
+      .orderBy("d1", "d2")
+  }
+
   val queries: Map[String, Q] = Map(
+    "m07_phash_neardup" -> m07_phash_neardup,
     "m06_pair_pack" -> m06_pair_pack,
     "m05_audio_frames" -> m05_audio_frames,
     "m01_binary_meta" -> m01_binary_meta,

@@ -763,7 +763,157 @@ object Relational {
       .orderBy("cohort", "offset_m")
   }
 
+  // q47: last-touch channel attribution — the marketing-analytics
+  // workhorse: each purchase is credited to the user's most recent
+  // strictly-prior click (campaign = click's props.k mod 8) if that
+  // click happened within a 24-hour lookback, else to "direct" (-1).
+  // Same union+window engine as q21's as-of join — clicks deduped per
+  // (user, ts) for a deterministic target, ONE shuffle on user_id, and
+  // the campaign rollup is a ≤9-row aggregation. No per-purchase range
+  // join (the naive formulation is quadratic in events per user).
+  val q47_attribution: Q = (s, d) => {
+    val W = 24L * 3600 * 1000000 // 24-hour lookback, micros
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max_by(pmod(get_json_object(col("props"), "$.k").cast("long"), lit(8)),
+        col("event_id")).as("campaign"))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        lit(null).cast("double").as("value"), lit(1).as("kind"),
+        col("campaign"), unix_micros(col("ts")).as("c_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("value"), lit(0).as("kind"),
+        lit(null).cast("long").as("campaign"), lit(null).cast("long").as("c_us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.union(purchases)
+      .withColumn("last_campaign", last(col("campaign"), ignoreNulls = true).over(w))
+      .withColumn("last_click_us", last(col("c_us"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 0)
+      .withColumn("attributed", when(
+        col("last_click_us").isNotNull && col("us") - col("last_click_us") <= W,
+        col("last_campaign")).otherwise(lit(-1L)).cast("int"))
+      .groupBy(col("attributed").as("campaign"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum("value"), 2).as("attributed_value"))
+      .orderBy("campaign")
+  }
+
+  // q48: market-basket affinity (association-rule lift over brands
+  // co-purchased in one order): per-order distinct brand sets, pair
+  // counts from an orderkey-equi self-join, lift = P(a,b)/(P(a)·P(b)).
+  // The self-join key is l_orderkey, so both sides co-partition on the
+  // SAME shuffle and the pair blowup is bounded by per-order brand-set
+  // size (≤7 lineitems in this schema), never corpus-quadratic; brand
+  // lookup and the singles/total denominators are broadcasts. Top-20
+  // by lift is a TakeOrdered — no global sort.
+  val q48_basket_lift: Q = (s, d) => {
+    val ob = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+      .distinct()
+      .persist() // scanned 4× (total, singles, both self-join sides)
+    val nOrders = ob.select(countDistinct("ok").cast("double").as("n_orders"))
+    val singles = ob.groupBy(col("brand"))
+      .agg(count(lit(1)).cast("double").as("n_b"))
+    val pairs = ob.as("a")
+      .join(ob.as("b"), col("a.ok") === col("b.ok") && col("a.brand") < col("b.brand"))
+      .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 5)
+    pairs
+      .join(broadcast(singles.withColumnRenamed("brand", "brand_a")
+        .withColumnRenamed("n_b", "na")), Seq("brand_a"))
+      .join(broadcast(singles.withColumnRenamed("brand", "brand_b")
+        .withColumnRenamed("n_b", "nb")), Seq("brand_b"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("brand_a"), col("brand_b"), col("n_ab"),
+        round(col("n_ab") * col("n_orders") / (col("na") * col("nb")), 4).as("lift"))
+      .orderBy(col("lift").desc, col("brand_a"), col("brand_b"))
+      .limit(20)
+  }
+
+  // q49: behavioral TRANSITION MATRIX (Markov path analysis — the
+  // "what do users do next" product-analytics staple): consecutive
+  // event-type pairs per user ordered by time, with per-source-state
+  // transition probabilities. ONE lead() window on user_id (ties broken
+  // by event_id — deterministic) feeding a ≤|types|² count agg; the
+  // row-normalizing denominator join is a broadcast of ≤|types| rows.
+  // Scales with events, state stays the bounded type alphabet.
+  val q49_transition_matrix: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val tr = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type").as("a"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("b", lead(col("a"), 1).over(w))
+      .filter(col("b").isNotNull)
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n"))
+    val tot = tr.groupBy(col("a")).agg(sum("n").cast("double").as("na"))
+    tr.join(broadcast(tot), Seq("a"))
+      .select(col("a"), col("b"), col("n"),
+        round(col("n") / col("na"), 4).as("p"))
+      .orderBy("a", "b")
+  }
+
+  /** q50's fixed power-iteration count and damping (shared with the
+    * recursive-CTE oracle via interpolation).
+    */
+  val PageRankIters = 10
+  val PageRankDamping = 0.85
+
+  // q50: PAGERANK by power iteration — the canonical iterative
+  // distributed-graph computation, run over the q48 brand co-occurrence
+  // graph (symmetric weighted edges from the co-partitioned orderkey
+  // self-join, row-normalized to transition probabilities). Each of the
+  // 10 iterations is one keyed join + one aggregation with the rank
+  // table broadcast (≤|brands| rows here) and localCheckpoint truncating
+  // the iteration lineage (d07's discipline — without it the plan tree
+  // doubles per iteration). At web scale the rank table stays
+  // DISTRIBUTED and the broadcast becomes a src-keyed shuffle join —
+  // same loop body, and the edge relation never moves (it is the
+  // iteration-invariant side). Ranks sum to 1 by construction.
+  val q50_pagerank: Q = (s, d) => {
+    val ob = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+      .distinct()
+      .persist()
+    val e0 = ob.as("a")
+      .join(ob.as("b"), col("a.ok") === col("b.ok") && col("a.brand") =!= col("b.brand"))
+      .groupBy(col("a.brand").as("src"), col("b.brand").as("dst"))
+      .agg(count(lit(1)).cast("double").as("w"))
+    val outw = e0.groupBy("src").agg(sum("w").as("wout"))
+    val edges = e0.join(outw, Seq("src"))
+      .select(col("src"), col("dst"), (col("w") / col("wout")).as("p"))
+      .persist()
+    val n = edges.select(countDistinct("src")).head().getLong(0).toDouble
+    var ranks = edges.select(col("src").as("brand")).distinct()
+      .withColumn("r", lit(1.0 / n))
+      .localCheckpoint(true)
+    for (_ <- 1 to PageRankIters)
+      ranks = edges.join(broadcast(ranks), col("src") === col("brand"))
+        .groupBy(col("dst"))
+        .agg((lit((1 - PageRankDamping) / n) +
+          lit(PageRankDamping) * sum(col("r") * col("p"))).as("r"))
+        .withColumnRenamed("dst", "brand")
+        .localCheckpoint(true)
+    ob.unpersist()
+    edges.unpersist()
+    ranks.select(col("brand"), round(col("r"), 6).as("pagerank"))
+      .orderBy("brand")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q49_transition_matrix" -> q49_transition_matrix,
+    "q50_pagerank" -> q50_pagerank,
+    "q47_attribution" -> q47_attribution,
+    "q48_basket_lift" -> q48_basket_lift,
     "q46_cohort_retention" -> q46_cohort_retention,
     "q45_time_weighted_avg" -> q45_time_weighted_avg,
     "q44_funnel" -> q44_funnel,
@@ -850,6 +1000,87 @@ object Relational {
         |  round(sum(value * (next_us - us)) / sum(next_us - us), 4) AS twa
         |FROM l WHERE next_us IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q49_transition_matrix" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS a,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts::TIMESTAMP), event_id) AS b
+        |  FROM events),
+        |tr AS (
+        |  SELECT a, b, count(*)::BIGINT AS n FROM seq
+        |  WHERE b IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT a, sum(n)::DOUBLE AS na FROM tr GROUP BY 1)
+        |SELECT a, b, n, round(n / na, 4) AS p
+        |FROM tr JOIN tot USING (a) ORDER BY a, b""".stripMargin,
+    "q50_pagerank" ->
+      s"""WITH RECURSIVE ob AS (
+        |  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |e0 AS (
+        |  SELECT a.brand AS src, b.brand AS dst, count(*)::DOUBLE AS w
+        |  FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand <> b.brand
+        |  GROUP BY 1, 2),
+        |outw AS (SELECT src, sum(w) AS wout FROM e0 GROUP BY 1),
+        |e AS (SELECT src, dst, w / wout AS p FROM e0 JOIN outw USING (src)),
+        |nn AS (SELECT count(DISTINCT src)::DOUBLE AS n FROM e0),
+        |ranks AS (
+        |  SELECT 0 AS it, src AS brand, 1.0 / (SELECT n FROM nn) AS r
+        |  FROM (SELECT DISTINCT src FROM e0)
+        |  UNION ALL
+        |  SELECT it + 1, e.dst,
+        |    ${1 - PageRankDamping} / (SELECT n FROM nn)
+        |      + $PageRankDamping * sum(ranks.r * e.p)
+        |  FROM ranks JOIN e ON ranks.brand = e.src
+        |  WHERE it < $PageRankIters
+        |  GROUP BY it + 1, e.dst)
+        |SELECT brand, round(r, 6) AS pagerank FROM ranks
+        |WHERE it = $PageRankIters ORDER BY brand""".stripMargin,
+    "q47_attribution" ->
+      """WITH clicks AS (
+        |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS us,
+        |    max_by(json_extract(props, '$.k')::BIGINT % 8, event_id) AS campaign
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |purchases AS (
+        |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS us, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |u AS (
+        |  SELECT user_id, us, NULL::DOUBLE AS value, 1 AS kind,
+        |    campaign, us AS c_us FROM clicks
+        |  UNION ALL
+        |  SELECT user_id, us, value, 0 AS kind, NULL, NULL FROM purchases),
+        |w AS (
+        |  SELECT user_id, us, value, kind,
+        |    last_value(campaign IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY us, kind
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_campaign,
+        |    last_value(c_us IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY us, kind
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us
+        |  FROM u)
+        |SELECT CASE WHEN last_click_us IS NOT NULL
+        |            AND us - last_click_us <= 86400000000
+        |            THEN last_campaign ELSE -1 END::INT AS campaign,
+        |  count(*)::BIGINT AS n_purchases,
+        |  round(sum(value), 2) AS attributed_value
+        |FROM w WHERE kind = 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q48_basket_lift" ->
+      """WITH ob AS (
+        |  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |n AS (SELECT count(DISTINCT ok)::DOUBLE AS n_orders FROM ob),
+        |singles AS (SELECT brand, count(*)::DOUBLE AS n_b FROM ob GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.brand AS brand_a, b.brand AS brand_b, count(*)::BIGINT AS n_ab
+        |  FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+        |  GROUP BY 1, 2)
+        |SELECT brand_a, brand_b, n_ab,
+        |  round(n_ab * n_orders / (sa.n_b * sb.n_b), 4) AS lift
+        |FROM pairs
+        |JOIN singles sa ON sa.brand = pairs.brand_a
+        |JOIN singles sb ON sb.brand = pairs.brand_b
+        |CROSS JOIN n
+        |WHERE n_ab >= 5
+        |ORDER BY lift DESC, brand_a, brand_b LIMIT 20""".stripMargin,
     "q44_funnel" ->
       """WITH ev AS (
         |  SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS us FROM events),

@@ -1048,7 +1048,36 @@ object Similarity {
     } finally { assigned.unpersist(); () }
   }
 
+  /** v19's similarity floor: a pair scores in iff round(cos, 6) ≥ this
+    * (rounded on BOTH engines so the boundary can't flip on a last-bit
+    * double divergence).
+    */
+  val RangeSearchTau = 0.2
+
+  // v19: RANGE search (radius query) — the dedup/retrieval primitive
+  // that asks "everything within a similarity floor", not "the k best":
+  // all corpus vectors with cosine ≥ τ to any of the 5 probe vectors.
+  // Unlike the top-k lanes there is NO heap and NO ordering cut — the
+  // probes broadcast, scoring is one codegen'd corpus pass, and the
+  // τ-filter makes the output fully partition-parallel (each partition
+  // emits its own matches; nothing converges on the driver or a single
+  // reducer). This is the exact-scoring shape d05's embedding near-dup
+  // uses for candidate verification; at 100 TB the corpus pass swaps
+  // for the v07 IVF probe with the same τ-filter.
+  val v19_range_search: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    e.filter(col("vec_id") >= 5)
+      .crossJoin(broadcast(probes))
+      .select(col("qid"), col("vec_id"),
+        round(Vec.cosine(col("embedding"), col("qe")), 6).as("cos"))
+      .filter(col("cos") >= RangeSearchTau)
+      .orderBy("qid", "vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "v19_range_search" -> v19_range_search,
     "v18_probe_tuning" -> v18_probe_tuning,
     "v17_hard_negatives" -> v17_hard_negatives,
     "v16_recall_eval" -> v16_recall_eval,
@@ -1071,6 +1100,18 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "v19_range_search" ->
+      s"""WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qe
+        |  FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+        |scored AS (
+        |  SELECT q.qid, c.vec_id,
+        |    round(list_cosine_similarity(c.embedding::DOUBLE[],
+        |      q.qe::DOUBLE[]), 6) AS cos
+        |  FROM c, q)
+        |SELECT qid, vec_id, cos FROM scored
+        |WHERE cos >= $RangeSearchTau ORDER BY qid, vec_id""".stripMargin,
     "v17_hard_negatives" ->
       """WITH q AS (
         |  SELECT vec_id AS qid, label AS q_label, embedding AS qe

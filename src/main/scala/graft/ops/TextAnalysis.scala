@@ -126,6 +126,52 @@ object TextAnalysis {
       .orderBy(col("n_exact").desc, col("tok"))
   }
 
+  // s20: STREAMING heavy hitters — t11's streaming twin (the 8th
+  // batch↔streaming pair): the corpus token-frequency table accumulates
+  // per micro-batch under Structured Streaming's file source. Every
+  // document arrives exactly once, so per-batch exact token counts SUM
+  // into the corpus-global frequency (s19's fold discipline:
+  // localCheckpoint bounds the lineage, state rows are (tok, n) —
+  // Heaps-law-bounded vocabulary, never corpus-sized). The snapshot
+  // closes over the FINAL drained state and cuts the exact top-20; the
+  // oracle is the batch token-count SQL, so the hash match proves the
+  // accumulated state composes seam-free. At 100 TB the exact state
+  // swaps for t11's Count-Min sketch in the SAME fold — sketches are
+  // mergeable, the foreachBatch shape is unchanged.
+  val s20_streaming_topk: Q = (s, d) => {
+    val B = 3
+    val docs = Tables.documents(s, d).persist()
+    val dir = java.nio.file.Files.createTempDirectory("graft_s20_")
+    try {
+      def land(b: Int): Unit =
+        graft.sources.SourceSinks.landSingleParquet(
+          docs.filter(col("doc_id") % B === b),
+          dir.resolve(f"batch_$b%02d.parquet"))
+      var freq: DataFrame = null
+      val onMicroBatch: (DataFrame, Long) => Unit = (batchDf, _) =>
+        if (!batchDf.isEmpty) {
+          val bf = batchDf.select(explode(toks(col("text"))).as("tok"))
+            .groupBy("tok").agg(count(lit(1)).as("n"))
+          freq = (if (freq == null) bf
+            else freq.unionByName(bf).groupBy("tok").agg(sum("n").as("n")))
+            .localCheckpoint(true)
+        }
+      val stream = s.readStream.schema(docs.schema).parquet(dir.toString)
+      val q = stream.writeStream.outputMode("append")
+        .foreachBatch(onMicroBatch)
+        .queryName(s"graft_s20_${System.nanoTime()}").start()
+      try {
+        for (b <- 0 until B) { land(b); q.processAllAvailable() }
+      } finally q.stop()
+      require(freq != null, "stream delivered no batches")
+      freq.orderBy(col("n").desc, col("tok")).limit(20)
+    } finally {
+      graft.sources.SourceSinks.deleteDir(dir)
+      docs.unpersist()
+      ()
+    }
+  }
+
   // t03: token counting per source — whitespace tokens plus a BPE-ish
   // regex segmentation (letter runs / digit runs / single symbols).
   val t03_token_count: Q = (s, d) =>
@@ -426,6 +472,35 @@ object TextAnalysis {
         round(max("nll"), 4).as("max_nll"))
       .withColumn("keep", col("nll_bin") < PerplexityKeepBelow)
       .orderBy("nll_bin")
+
+  // t26: BIGRAM-LM scoring — t16's context upgrade: per-document mean
+  // negative log of the corpus bigram MLE p(b|a) = c(a,b)/c(a·). The
+  // model trains on the corpus itself so every bigram is observed and
+  // the MLE needs no smoothing (exactly t16's unigram discipline one
+  // order up). Shape: posexplode + lead per doc (t12's bigram engine —
+  // no array-lambda re-evaluation trap), TWO keyed count aggregations
+  // for the model, broadcast probability lookups, and the final per-doc
+  // agg re-uses the window's doc_id partitioning. At 100 TB the bigram
+  // table becomes top-K contexts + a backoff-to-unigram floor — same
+  // plan, bounded broadcast (the KenLM serving shape).
+  val t26_bigram_lm: Q = (s, d) => {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bg = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "a")))
+      .withColumn("b", lead(col("a"), 1).over(w))
+      .filter(col("b").isNotNull)
+      .select(col("doc_id"), col("a"), col("b"))
+    val counts = bg.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).cast("double").as("cab"))
+    val lefts = bg.groupBy(col("a"))
+      .agg(count(lit(1)).cast("double").as("ca"))
+    bg.join(broadcast(counts), Seq("a", "b"))
+      .join(broadcast(lefts), Seq("a"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log(col("cab") / col("ca"))), 4).as("nll"))
+      .orderBy("doc_id")
+  }
 
   // ---------------------------------------------------------------------
   // t18/t19: REAL byte-pair-encoding tokenizer training + encoding — the
@@ -818,6 +893,8 @@ object TextAnalysis {
   }
 
   val queries: Map[String, Q] = Map(
+    "t26_bigram_lm" -> t26_bigram_lm,
+    "s20_streaming_topk" -> s20_streaming_topk,
     "t25_fertility" -> t25_fertility,
     "t24_perplexity_filter" -> t24_perplexity_filter,
     "t23_mix_temperature" -> t23_mix_temperature,
@@ -850,6 +927,23 @@ object TextAnalysis {
     s"len(list_filter($sqlToks, w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
   val oracle: Map[String, String] = Map(
+    "t26_bigram_lm" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, $sqlToks AS t FROM documents),
+        |bg0 AS (
+        |  SELECT doc_id, unnest(list_zip(t, t[2:])) AS z FROM base),
+        |bg AS (
+        |  SELECT doc_id, z[1] AS a, z[2] AS b FROM bg0 WHERE z[2] IS NOT NULL),
+        |counts AS (SELECT a, b, count(*)::DOUBLE AS cab FROM bg GROUP BY 1, 2),
+        |lefts AS (SELECT a, count(*)::DOUBLE AS ca FROM bg GROUP BY 1)
+        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |  round(avg(-ln(cab / ca)), 4) AS nll
+        |FROM bg JOIN counts USING (a, b) JOIN lefts USING (a)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s20_streaming_topk" ->
+      s"""WITH tok AS (SELECT unnest($sqlToks) AS tok FROM documents)
+        |SELECT tok, count(*)::BIGINT AS n FROM tok
+        |GROUP BY 1 ORDER BY n DESC, tok LIMIT 20""".stripMargin,
     "t23_mix_temperature" ->
       """WITH per AS (
         |  SELECT source, count(*)::BIGINT AS n_docs,

@@ -829,7 +829,46 @@ object SourceSinks {
       .orderBy("o_orderkey", "change_type")
   }
 
+  /** The columns x22 profiles (lineitem's non-varchar surface; shared by
+    * the Spark lane and the generated oracle so the lists can't drift).
+    */
+  private[graft] val statsColumns: Seq[String] = Seq(
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_shipdate")
+
+  // x22: ANALYZE-style TABLE STATISTICS — the catalog-stats collection
+  // every cost-based optimizer (and every lakehouse commit) runs: per
+  // column null count, exact NDV, min and max, in ONE aggregation pass
+  // over the fact table (Catalyst plans the 9 exact count-distincts as
+  // a single Expand + two-stage aggregate — one shuffle, map-side
+  // partials; timestamps profile as epoch-micros so min/max stay one
+  // uniform DOUBLE schema). The long-format pivot is a zero-shuffle
+  // stack() over the 1-row wide result. At 100 TB the exact NDV swaps
+  // for approx_count_distinct's HLL partials (q32's sketch discipline)
+  // and the Expand factor disappears — same plan otherwise; these are
+  // exactly the footer stats x13/x15 prune by, computed table-wide.
+  val x22_table_stats: Q = (s, d) => {
+    def v(c: String): org.apache.spark.sql.Column =
+      if (c == "l_shipdate") // NTZ micros under the UTC session = DuckDB's naive epoch_us
+        unix_micros(col(c).cast("timestamp")).cast("double")
+      else col(c).cast("double")
+    val aggs = statsColumns.flatMap { c =>
+      Seq(count(when(v(c).isNull, 1)).as(s"${c}__nulls"),
+        countDistinct(v(c)).as(s"${c}__ndv"),
+        min(v(c)).as(s"${c}__min"),
+        max(v(c)).as(s"${c}__max"))
+    }
+    val stackArgs = statsColumns.map(c =>
+      s"'$c', ${c}__nulls, ${c}__ndv, ${c}__min, ${c}__max").mkString(", ")
+    Tables.lineitem(s, d)
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${statsColumns.length}, $stackArgs) AS " +
+        "(column_name, n_nulls, n_distinct, min_v, max_v)")
+      .orderBy("column_name")
+  }
+
   val queries: Map[String, Q] = Map(
+    "x22_table_stats" -> x22_table_stats,
     "x21_incremental_scan" -> x21_incremental_scan,
     "x19_cdc_table_sink" -> x19_cdc_table_sink,
     "x18_snapshot_expire" -> x18_snapshot_expire,
@@ -861,7 +900,18 @@ object SourceSinks {
        |  count(after_value)::BIGINT AS n_after
        |FROM flat GROUP BY op ORDER BY op""".stripMargin
 
+  /** x22's oracle, generated from the SAME column list as the Spark lane. */
+  private val x22Oracle: String = statsColumns.map { c =>
+    val expr = if (c == "l_shipdate") s"epoch_us($c::TIMESTAMP)" else c
+    s"""SELECT '$c' AS column_name,
+       |  count(*) - count($c) AS n_nulls,
+       |  count(DISTINCT $c) AS n_distinct,
+       |  min($expr)::DOUBLE AS min_v, max($expr)::DOUBLE AS max_v
+       |FROM lineitem""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY 1")
+
   val oracle: Map[String, String] = Map(
+    "x22_table_stats" -> x22Oracle,
     // x19's two-commit merge must reproduce the full-replay replica —
     // c04's ground truth verifies the WHOLE composition end-to-end.
     "x19_cdc_table_sink" -> graft.cdc.CdcQueries.applyLatestOracle,

@@ -1366,4 +1366,91 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.head.getAs[Integer]("r_bm25") != null &&
       rows.head.getAs[Integer]("r_vec") != null)
   }
+
+  test("v19 range search: every hit clears tau, and v01's top-10 is a subset") {
+    val rows = Similarity.v19_range_search(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r =>
+      assert(r.getAs[Double]("cos") >= Similarity.RangeSearchTau))
+    // qid=0's range set must contain every v01 top-10 hit above the floor
+    // (same query vector, same corpus side, same rounding)
+    val range0 = rows.filter(_.getAs[Long]("qid") == 0L)
+      .map(_.getAs[Long]("vec_id")).toSet
+    ops.Similarity.v01_knn_brute(spark, sf).collect()
+      .filter(_.getAs[Double]("cos") >= Similarity.RangeSearchTau)
+      .foreach(r => assert(range0(r.getAs[Long]("vec_id")),
+        s"v01 hit ${r.getLong(0)} missing from v19"))
+    // deterministic pair keys: (qid, vec_id) unique
+    val keys = rows.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")))
+    assert(keys.distinct.length == keys.length)
+  }
+
+  test("t26 bigram nll: per-doc bigram counts and a hand-check doc agree") {
+    val rows = TextAnalysis.t26_bigram_lm(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // n_bigrams per doc == token count - 1 (docs with >= 2 tokens)
+    val nToks = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_bigrams") == nToks(id) - 1L, s"doc $id")
+      assert(r.getAs[Double]("nll") >= 0.0)
+    }
+    // independent recompute of one document's nll from raw text
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def bigramsOf(t: String): Seq[(String, String)] = {
+      val w = t.trim.replaceAll("\\s+", " ").toLowerCase.split(" ").toSeq
+      w.zip(w.drop(1))
+    }
+    val all = docs.values.flatMap(bigramsOf).toSeq
+    val cab = all.groupBy(identity).map { case (k, v) => k -> v.size.toDouble }
+    val ca = all.groupBy(_._1).map { case (k, v) => k -> v.size.toDouble }
+    val target = rows.head.getAs[Long]("doc_id")
+    val bs = bigramsOf(docs(target))
+    val expect = bs.map(p => -math.log(cab(p) / ca(p._1))).sum / bs.size
+    val got = rows.find(_.getAs[Long]("doc_id") == target).get.getAs[Double]("nll")
+    assert(math.abs(got - math.rint(expect * 1e4) / 1e4) <= 1e-4,
+      s"doc $target nll got=$got expect=$expect")
+  }
+
+  test("s20 streaming heavy hitters equals the batch exact top-20") {
+    val streamed = TextAnalysis.s20_streaming_topk(spark, sf).collect()
+      .map(r => (r.getAs[String]("tok"), r.getAs[Long]("n")))
+    val batch = Tables.documents(spark, sf)
+      .select(explode(split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(20).collect()
+      .map(r => (r.getAs[String]("tok"), r.getAs[Long]("n")))
+    assert(streamed.toSeq == batch.toSeq,
+      s"streamed=${streamed.take(5).toSeq}… batch=${batch.take(5).toSeq}…")
+  }
+
+  test("m07 phash near-dup equals brute force and recovers every planted twin") {
+    val got = Multimodal.m07_phash_neardup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"), r.getAs[Long]("hamming")))
+    // independent single-threaded recompute under the SAME candidate rule
+    // (>=1 exact 16-bit band collision, hamming <= max)
+    val hs = Multimodal.imageCorpus(spark, sf).collect()
+      .map(r => r.doc_id -> Multimodal.dHash(r)).sortBy(_._1)
+    def bandsOf(h: Long): Seq[Long] =
+      (0 until 4).map(j => (h >>> (j * 16)) & 0xFFFFL | (j.toLong << 32))
+    val expect = (for {
+      i <- hs.indices; j <- (i + 1) until hs.length
+      (d1, h1) = hs(i); (d2, h2) = hs(j)
+      if bandsOf(h1).zip(bandsOf(h2)).exists { case (a, b) => a == b }
+      ham = java.lang.Long.bitCount(h1 ^ h2)
+      if ham <= Multimodal.DHashHammingMax
+    } yield (d1, d2, ham.toLong)).toSet
+    assert(got.toSet == expect, s"got=${got.length} expect=${expect.size}")
+    // every planted twin pair is recovered (the nudged byte moves one
+    // pixel: at most a couple of gradient bits flip)
+    val twinPairs = hs.map(_._1).filter(_ >= Multimodal.NearDupTwinOffset)
+      .map(t => (t - Multimodal.NearDupTwinOffset, t))
+    assert(twinPairs.nonEmpty)
+    val gotPairs = got.map(p => (p._1, p._2)).toSet
+    twinPairs.foreach(p => assert(gotPairs(p), s"planted twin $p missed"))
+  }
 }

@@ -252,4 +252,96 @@ class RelationalSpec extends AnyFunSuite {
     val nBuyers = Tables.orders(spark, sf).select("o_custkey").distinct().count()
     assert(sizes.map(_._2).sum == nBuyers, "cohorts partition the buyers")
   }
+
+  test("q47 attribution: purchases conserved, campaigns in range, single window") {
+    import org.apache.spark.sql.functions._
+    val df = ops.Relational.q47_attribution(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every purchase is attributed exactly once (direct bucket included)
+    val nPurch = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.map(_.getAs[Long]("n_purchases")).sum == nPurch)
+    val camps = rows.map(_.getAs[Int]("campaign"))
+    assert(camps.forall(c => c == -1 || (c >= 0 && c <= 7)))
+    assert(camps.contains(-1), "the direct bucket must exist")
+    // ONE window pass (= one user_id shuffle), the q21 as-of discipline
+    val wins = PlanWalk.allNodes(df.queryExecution.executedPlan)
+      .count(_.getClass.getSimpleName == "WindowExec")
+    assert(wins == 1, s"q47 must run exactly one window, got $wins")
+  }
+
+  test("q49 transitions conserve events and rows normalize per source state") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Relational.q49_transition_matrix(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // each user contributes (events - 1) transitions
+    val nEvents = Tables.events(spark, sf).count()
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum == nEvents - nUsers)
+    // per source state, probabilities sum to ~1 (4-decimal rounding)
+    rows.groupBy(_.getAs[String]("a")).foreach { case (a, rs) =>
+      val p = rs.map(_.getAs[Double]("p")).sum
+      assert(math.abs(p - 1.0) < 1e-3, s"state $a sums to $p")
+    }
+  }
+
+  test("q50 pagerank equals a driver-side power iteration, mass conserved") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Relational.q50_pagerank(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val pr = rows.map(r => r.getAs[String]("brand") -> r.getAs[Double]("pagerank")).toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-3, s"mass=${pr.values.sum}")
+    assert(pr.values.forall(_ > 0))
+    // independent dense recompute from the raw basket sets
+    val ob = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val w = ob.groupBy(_._1).values.toSeq.flatMap { g =>
+      val bs = g.map(_._2)
+      for (a <- bs; b <- bs if a != b) yield ((a, b), 1.0)
+    }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val nodes = w.keys.map(_._1).toSeq.distinct.sorted
+    val n = nodes.length
+    val wout = w.groupBy(_._1._1).map { case (s0, m) => s0 -> m.values.sum }
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to ops.Relational.PageRankIters)
+      r = nodes.map { d0 =>
+        val in = w.collect { case ((s0, d1), wt) if d1 == d0 => r(s0) * wt / wout(s0) }.sum
+        d0 -> ((1 - ops.Relational.PageRankDamping) / n +
+          ops.Relational.PageRankDamping * in)
+      }.toMap
+    assert(pr.keySet == r.keySet)
+    nodes.foreach { b =>
+      assert(math.abs(pr(b) - r(b)) < 2e-6, s"$b: ${pr(b)} vs ${r(b)}")
+    }
+  }
+
+  test("q48 basket lift equals an independent recompute of lift") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Relational.q48_basket_lift(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach(r => assert(r.getAs[String]("brand_a") < r.getAs[String]("brand_b")))
+    assert(rows.forall(_.getAs[Long]("n_ab") >= 5))
+    // lift ordering is the output ordering
+    val lifts = rows.map(_.getAs[Double]("lift"))
+    assert(lifts.sameElements(lifts.sorted(Ordering[Double].reverse)))
+    // independent driver-side recompute from the raw basket sets
+    val ob = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+      .distinct().collect().map(r => (r.getLong(0), r.getString(1)))
+    val nOrders = ob.map(_._1).distinct.length.toDouble
+    val singles = ob.groupBy(_._2).map { case (b, v) => b -> v.length.toDouble }
+    val pairCounts = ob.groupBy(_._1).values
+      .flatMap(g => g.map(_._2).sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+    rows.foreach { r =>
+      val k = (r.getAs[String]("brand_a"), r.getAs[String]("brand_b"))
+      assert(pairCounts(k) == r.getAs[Long]("n_ab"), s"$k count")
+      val lift = pairCounts(k) * nOrders / (singles(k._1) * singles(k._2))
+      assert(math.abs(r.getAs[Double]("lift") - math.rint(lift * 1e4) / 1e4) <= 1e-9, s"$k lift")
+    }
+  }
 }

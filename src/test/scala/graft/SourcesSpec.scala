@@ -346,4 +346,36 @@ class SourcesSpec extends AnyFunSuite {
       col("m.c_custkey") === col("o_custkey"), "left_anti").count()
     assert(badChanged == 0, "only 1997-active customers may change balance")
   }
+
+  test("x22 table stats equal direct per-column aggregates, one scan") {
+    import org.apache.spark.sql.functions._
+    val df = graft.sources.SourceSinks.x22_table_stats(spark, sf)
+    val rows = df.collect()
+    assert(rows.map(_.getAs[String]("column_name")).sorted.toSeq ==
+      graft.sources.SourceSinks.statsColumns.sorted)
+    val li = Tables.lineitem(spark, sf)
+    val byCol = rows.map(r => r.getAs[String]("column_name") -> r).toMap
+    // spot-check three columns against independent single-column aggs
+    Seq("l_quantity", "l_linenumber", "l_orderkey").foreach { c =>
+      val r = byCol(c)
+      val direct = li.agg(
+        countDistinct(col(c)).as("ndv"),
+        min(col(c)).cast("double").as("mn"),
+        max(col(c)).cast("double").as("mx")).collect().head
+      assert(r.getAs[Long]("n_distinct") == direct.getAs[Long]("ndv"), s"$c ndv")
+      assert(r.getAs[Double]("min_v") == direct.getAs[Double]("mn"), s"$c min")
+      assert(r.getAs[Double]("max_v") == direct.getAs[Double]("mx"), s"$c max")
+      assert(r.getAs[Long]("n_nulls") == 0L, s"$c nulls")
+    }
+    val ship = byCol("l_shipdate")
+    val us = li.agg(min(unix_micros(col("l_shipdate").cast("timestamp"))).cast("double"),
+      max(unix_micros(col("l_shipdate").cast("timestamp"))).cast("double")).collect().head
+    assert(ship.getAs[Double]("min_v") == us.getDouble(0))
+    assert(ship.getAs[Double]("max_v") == us.getDouble(1))
+    // ONE pass: exactly one lineitem file scan in the executed plan
+    val scans = PlanWalk.allNodes(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.length == 1, s"x22 must scan lineitem once, got ${scans.length}")
+  }
 }
