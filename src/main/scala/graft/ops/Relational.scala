@@ -909,7 +909,165 @@ object Relational {
       .orderBy("brand")
   }
 
+  /** q51's bucket count (shared with the oracle via interpolation). */
+  val HistogramBuckets = 20
+
+  // q51: equi-width HISTOGRAM (the EDA/CBO companion to x22's catalog
+  // stats and q37's equi-depth deciles): 20 equal-width buckets over
+  // l_extendedprice. The min/max bounds are a ONE-ROW aggregate
+  // broadcast to the bucketing scan (BroadcastNestedLoopJoin of a
+  // single row — never a driver collect), then one keyed count agg on
+  // the ≤20-value bucket id; the max value clamps into the last bucket.
+  // Bucket arithmetic is the IDENTICAL double expression on both
+  // engines so no boundary can flip. Scales as two scans + one
+  // 20-key shuffle at any corpus size (and the second scan reuses the
+  // first's pushed 1-column read schema).
+  val q51_histogram: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("x"))
+    val bounds = li.agg(min("x").as("mn"), max("x").as("mx"))
+    li.crossJoin(broadcast(bounds))
+      .withColumn("w", (col("mx") - col("mn")) / lit(HistogramBuckets))
+      .withColumn("bucket",
+        least(floor((col("x") - col("mn")) / col("w")),
+          lit(HistogramBuckets - 1L)).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), first("mn").as("mn"), first("w").as("w"))
+      .select(col("bucket"),
+        round(col("mn") + col("bucket") * col("w"), 2).as("lo"),
+        round(col("mn") + (col("bucket") + 1) * col("w"), 2).as("hi"),
+        col("n"))
+      .orderBy("bucket")
+  }
+
+  /** q52's recency anchor — the day after the corpus's last order date
+    * (shared with the oracle via interpolation).
+    */
+  val RfmCutoff = "2001-09-01"
+
+  // q52: RFM SEGMENTATION (recency/frequency/monetary — the classic
+  // customer-value segmentation): per-customer R/F/M from ONE keyed
+  // aggregation over orders, quintile boundaries from ONE 3-array exact
+  // percentile agg (a single bounded row, broadcast back — q37's
+  // boundary-bucket discipline: no global ntile window, nothing sorts
+  // the corpus), scores = 1 + #boundaries ≤ value (recency inverted:
+  // recent = high score), then a ≤125-row (r,f,m)-cell rollup. The
+  // interpolated quintile fractions are multiples of 0.2, so boundary
+  // doubles are bit-identical across engines. At 100 TB the exact
+  // percentile swaps for approx_percentile (q39's discipline); scores
+  // at sketch boundaries can then differ by design.
+  val q52_rfm: Q = (s, d) => {
+    val per = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(
+        datediff(lit(RfmCutoff).cast("date"), max(col("o_orderdate")).cast("date"))
+          .cast("double").as("recency"),
+        count(lit(1)).cast("double").as("frequency"),
+        round(sum("o_totalprice"), 2).as("monetary"))
+    val bounds = per.agg(
+      expr("percentile(recency, array(0.2, 0.4, 0.6, 0.8))").as("rb"),
+      expr("percentile(frequency, array(0.2, 0.4, 0.6, 0.8))").as("fb"),
+      expr("percentile(monetary, array(0.2, 0.4, 0.6, 0.8))").as("mb"))
+    def score(c: Column, b: Column): Column =
+      (0 to 3).map(i => (c >= element_at(b, i + 1)).cast("int"))
+        .foldLeft(lit(1))(_ + _)
+    per.crossJoin(broadcast(bounds))
+      .select(
+        (lit(6) - score(col("recency"), col("rb"))).as("r_score"),
+        score(col("frequency"), col("fb")).as("f_score"),
+        score(col("monetary"), col("mb")).as("m_score"),
+        col("monetary"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(avg("monetary"), 2).as("avg_monetary"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  // q53: robust OUTLIER DETECTION by median absolute deviation (the
+  // rank-based alternative to s18's z-score — immune to the outliers
+  // it hunts): per-segment customer-spend median, then the median of
+  // absolute deviations, flag |x − med| > 3·MAD. Two grouped exact
+  // percentile aggs chained by ≤5-row broadcast joins — the fact side
+  // shuffles once on c_custkey (spend) and once on c_mktsegment; at
+  // 100 TB both medians swap for approx_percentile (q39's discipline).
+  // All deviation doubles derive from the same formula on both engines.
+  val q53_mad_outliers: Q = (s, d) => {
+    val spend = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_custkey"))
+      .agg(round(sum("o_totalprice"), 2).as("spend"))
+    val med = spend.groupBy(col("c_mktsegment"))
+      .agg(expr("percentile(spend, 0.5)").as("med"))
+    val dev = spend.join(broadcast(med), Seq("c_mktsegment"))
+      .withColumn("dev", abs(col("spend") - col("med")))
+    val mad = dev.groupBy(col("c_mktsegment"))
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), Seq("c_mktsegment"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(first("med"), 2).as("med"),
+        round(first("mad"), 2).as("mad"),
+        sum(when(col("dev") > lit(3) * col("mad"), 1L).otherwise(0L)).as("n_outliers"),
+        round(sum(when(col("dev") > lit(3) * col("mad"), 1L).otherwise(0L)) /
+          count(lit(1)), 4).as("pct_outliers"))
+      .orderBy("c_mktsegment")
+  }
+
+  // q54: TRIANGLE COUNTING with degree-ordered orientation — the third
+  // distributed-graph op (d07 components, q50 PageRank, q54 triangles),
+  // over the part co-purchase graph (pairs bought together in ≥2
+  // orders; the pair generation is q48's co-partitioned orderkey
+  // self-join, bounded by per-order basket size). Each undirected edge
+  // is oriented from its (degree, id)-smaller endpoint, so every
+  // wedge-join fan-out is bounded by ORIENTED out-degree ≤ O(√|E|)
+  // regardless of raw hub degree — the standard MR triangle-count skew
+  // bound (Suri & Vassilvitskii, WWW'11); a plain id-orientation would
+  // let one celebrity node generate O(deg²) wedges. Wedge pairs and the
+  // closing edge compare in the SAME (deg, id) total order, so each
+  // triangle is counted exactly once from its ≺-smallest vertex. Output
+  // also carries the global clustering coefficient (3·triangles /
+  // wedges-over-raw-degrees).
+  val q54_triangles: Q = (s, d) => {
+    val ob = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val e = ob.as("a")
+      .join(ob.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select("u", "v")
+      .persist() // degree pass + orientation join both consume it
+    val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val uFirst = (col("du") < col("dv")) || (col("du") === col("dv") && col("u") < col("v"))
+    val o = e
+      .join(deg.select(col("n"), col("d").as("du")), col("u") === col("n")).drop("n")
+      .join(deg.select(col("n"), col("d").as("dv")), col("v") === col("n")).drop("n")
+      .select(
+        when(uFirst, col("u")).otherwise(col("v")).as("src"),
+        when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+        when(uFirst, col("dv")).otherwise(col("du")).as("ddst"))
+      .persist() // wedge sides x/y + closing side z
+    val xBeforeY = (col("x.ddst") < col("y.ddst")) ||
+      (col("x.ddst") === col("y.ddst") && col("x.dst") < col("y.dst"))
+    val tri = o.as("x")
+      .join(o.as("y"), col("x.src") === col("y.src") && xBeforeY)
+      .join(o.as("z"), col("z.src") === col("x.dst") && col("z.dst") === col("y.dst"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val out = tri
+      .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"),
+        sum(col("d") * (col("d") - 1) / 2).as("wedges"))))
+      .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        round(lit(3.0) * col("n_triangles") / col("wedges"), 6).as("clustering"))
+    out
+  }
+
   val queries: Map[String, Q] = Map(
+    "q51_histogram" -> q51_histogram,
+    "q52_rfm" -> q52_rfm,
+    "q53_mad_outliers" -> q53_mad_outliers,
+    "q54_triangles" -> q54_triangles,
     "q49_transition_matrix" -> q49_transition_matrix,
     "q50_pagerank" -> q50_pagerank,
     "q47_attribution" -> q47_attribution,
@@ -963,6 +1121,85 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q51_histogram" ->
+      s"""WITH s AS (
+        |  SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT least(floor((l_extendedprice - mn) / ((mx - mn) / $HistogramBuckets)),
+        |           ${HistogramBuckets - 1})::INT AS bucket,
+        |         mn, (mx - mn) / $HistogramBuckets AS w
+        |  FROM lineitem, s)
+        |SELECT bucket, round(mn + bucket * w, 2) AS lo,
+        |  round(mn + (bucket + 1) * w, 2) AS hi, count(*)::BIGINT AS n
+        |FROM b GROUP BY bucket, mn, w ORDER BY bucket""".stripMargin,
+    "q52_rfm" ->
+      s"""WITH per AS (
+        |  SELECT o_custkey,
+        |    date_diff('day', max(o_orderdate)::DATE, DATE '$RfmCutoff')::DOUBLE AS recency,
+        |    count(*)::DOUBLE AS frequency,
+        |    round(sum(o_totalprice), 2) AS monetary
+        |  FROM orders GROUP BY 1),
+        |b AS (
+        |  SELECT quantile_cont(recency, [0.2, 0.4, 0.6, 0.8]) AS rb,
+        |         quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fb,
+        |         quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mb
+        |  FROM per)
+        |SELECT 6 - (1 + (recency >= rb[1])::INT + (recency >= rb[2])::INT
+        |    + (recency >= rb[3])::INT + (recency >= rb[4])::INT) AS r_score,
+        |  1 + (frequency >= fb[1])::INT + (frequency >= fb[2])::INT
+        |    + (frequency >= fb[3])::INT + (frequency >= fb[4])::INT AS f_score,
+        |  1 + (monetary >= mb[1])::INT + (monetary >= mb[2])::INT
+        |    + (monetary >= mb[3])::INT + (monetary >= mb[4])::INT AS m_score,
+        |  count(*)::BIGINT AS n_customers,
+        |  round(avg(monetary), 2) AS avg_monetary
+        |FROM per, b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q53_mad_outliers" ->
+      """WITH spend AS (
+        |  SELECT c_mktsegment, c_custkey, round(sum(o_totalprice), 2) AS spend
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |med AS (
+        |  SELECT c_mktsegment, quantile_cont(spend, 0.5) AS med
+        |  FROM spend GROUP BY 1),
+        |dev AS (
+        |  SELECT s.c_mktsegment, abs(spend - med) AS dev, med
+        |  FROM spend s JOIN med USING (c_mktsegment)),
+        |m2 AS (
+        |  SELECT c_mktsegment, quantile_cont(dev, 0.5) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT d.c_mktsegment, count(*)::BIGINT AS n_customers,
+        |  round(any_value(d.med), 2) AS med, round(any_value(m2.mad), 2) AS mad,
+        |  sum(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+        |  round(sum(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END) / count(*), 4)
+        |    AS pct_outliers
+        |FROM dev d JOIN m2 USING (c_mktsegment)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q54_triangles" ->
+      """WITH ob AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (
+        |  SELECT a.pk AS u, b.pk AS v
+        |  FROM ob a JOIN ob b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (
+        |  SELECT n, count(*)::BIGINT AS d FROM (
+        |    SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) GROUP BY 1),
+        |o AS (
+        |  SELECT CASE WHEN (du.d, u) < (dv.d, v) THEN u ELSE v END AS src,
+        |         CASE WHEN (du.d, u) < (dv.d, v) THEN v ELSE u END AS dst,
+        |         CASE WHEN (du.d, u) < (dv.d, v) THEN dv.d ELSE du.d END AS ddst
+        |  FROM e JOIN deg du ON u = du.n JOIN deg dv ON v = dv.n),
+        |tri AS (
+        |  SELECT count(*)::BIGINT AS n_triangles
+        |  FROM o x JOIN o y ON x.src = y.src AND (x.ddst, x.dst) < (y.ddst, y.dst)
+        |           JOIN o z ON z.src = x.dst AND z.dst = y.dst)
+        |SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+        |  (SELECT count(*) FROM e)::BIGINT AS n_edges,
+        |  n_triangles,
+        |  round(3.0 * n_triangles / (SELECT sum(d * (d - 1) / 2) FROM deg), 6)
+        |    AS clustering
+        |FROM tri""".stripMargin,
     "q46_cohort_retention" ->
       """WITH o AS (
         |  SELECT o_custkey, date_trunc('month', o_orderdate)::DATE AS mon

@@ -1076,7 +1076,62 @@ object Similarity {
       .orderBy("qid", "vec_id")
   }
 
+  /** v20's MMR trade-off weight and pool/output sizes (shared with the
+    * spec's independent recompute).
+    */
+  val MmrLambda = 0.7
+  val MmrPool = 50
+  val MmrK = 10
+
+  // v20 (rows-only; spec: ≡ independent greedy recompute + the pool-
+  // prefix property): MAXIMAL MARGINAL RELEVANCE diversification — the
+  // serving-side re-rank that keeps a results page from being ten
+  // near-copies (Carbonell & Goldstein, SIGIR'98; the standard RAG
+  // retrieval diversifier). Stage 1 is the distributed part and the
+  // only data-proportional cost: the v01 exact scan cut to a bounded
+  // MmrPool candidate pool (TakeOrdered — at 100 TB this is the IVF
+  // probe of v07 instead, same contract: a small relevance-ranked
+  // pool). Stage 2 is inherently sequential greedy selection (each pick
+  // conditions the next) over pool vectors — 50×50 cosines on the
+  // driver, bounded regardless of corpus size, exactly like v13's
+  // serving composition. Score = λ·rel − (1−λ)·max-sim-to-selected;
+  // ties break by vec_id; rank 1 is always the raw top-1.
+  val v20_mmr_diversify: Q = (s, d) => {
+    import s.implicits._
+    val pool = Tables.embeddings(s, d)
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(queryVec(s, d)))
+      .select(col("vec_id"), Vec.cosine(col("embedding"), col("qe")).as("rel"),
+        col("embedding"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(MmrPool)
+      .collect() // bounded: MmrPool rows (the serving-side candidate page)
+      .map(r => (r.getLong(0), r.getDouble(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dp / math.sqrt(na * nb)
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val remaining = scala.collection.mutable.ArrayBuffer(pool: _*)
+    while (selected.length < MmrK && remaining.nonEmpty) {
+      val best = remaining.map { case (id, rel, e) =>
+        val maxSim = if (chosen.isEmpty) 0.0 else chosen.map(cos(e, _)).max
+        (id, rel, MmrLambda * rel - (1 - MmrLambda) * maxSim, e)
+      }.maxBy { case (id, _, score, _) => (score, -id) }
+      selected += ((best._1, best._2, best._3))
+      chosen += best._4
+      remaining.remove(remaining.indexWhere(_._1 == best._1))
+    }
+    selected.zipWithIndex.map { case ((id, rel, score), i) =>
+      (i + 1, id, math.rint(rel * 1e6) / 1e6, math.rint(score * 1e6) / 1e6)
+    }.toSeq.toDF("rank", "vec_id", "cos", "mmr_score")
+  }
+
   val queries: Map[String, Q] = Map(
+    "v20_mmr_diversify" -> v20_mmr_diversify,
     "v19_range_search" -> v19_range_search,
     "v18_probe_tuning" -> v18_probe_tuning,
     "v17_hard_negatives" -> v17_hard_negatives,

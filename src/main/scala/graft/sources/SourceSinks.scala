@@ -867,7 +867,44 @@ object SourceSinks {
       .orderBy("column_name")
   }
 
+  // x23: DYNAMIC PARTITION OVERWRITE (INSERT OVERWRITE ... PARTITION —
+  // the Hive/Delta replaceWhere maintenance shape): a day-partitioned
+  // events table gets a correction batch touching every 5th day;
+  // partitionOverwriteMode=dynamic replaces EXACTLY the partitions
+  // present in the batch and leaves every other partition's files
+  // untouched (spec pins untouched file paths byte-identical, touched
+  // paths replaced). This is the idempotent-backfill primitive at
+  // 100 TB: a re-run of day N's pipeline rewrites day N only, and the
+  // per-partition commit is all-or-nothing file swapping — static mode
+  // would truncate the whole table first. Output = final per-day
+  // rollup; the oracle recomputes the expected post-overwrite state.
+  val x23_partition_overwrite: Q = (s, d) => {
+    val dir = Files.createTempDirectory("graft_dpo")
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        to_date(col("ts")).as("day"))
+    ev.write.partitionBy("day").mode("overwrite").parquet(s"$dir/t")
+    val upd = ev
+      .filter(pmod(datediff(col("day"), lit("1970-01-01").cast("date")), lit(5)) === 0)
+      .withColumn("value", col("value") + 1.0)
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
+    try upd.write.partitionBy("day").mode("overwrite").parquet(s"$dir/t")
+    finally prev match {
+      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val out = s.read.parquet(s"$dir/t")
+      .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"),
+        sum("user_id").as("sum_user"))
+      .orderBy("day")
+    materializeThenCleanup(s, out, dir)
+  }
+
   val queries: Map[String, Q] = Map(
+    "x23_partition_overwrite" -> x23_partition_overwrite,
     "x22_table_stats" -> x22_table_stats,
     "x21_incremental_scan" -> x21_incremental_scan,
     "x19_cdc_table_sink" -> x19_cdc_table_sink,
@@ -912,6 +949,17 @@ object SourceSinks {
 
   val oracle: Map[String, String] = Map(
     "x22_table_stats" -> x22Oracle,
+    "x23_partition_overwrite" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, value, ts::DATE AS day FROM events),
+        |fin AS (
+        |  SELECT day, user_id,
+        |    CASE WHEN date_diff('day', DATE '1970-01-01', day) % 5 = 0
+        |         THEN value + 1.0 ELSE value END AS value
+        |  FROM e)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, count(*)::BIGINT AS n_events,
+        |  round(sum(value), 2) AS sum_value, sum(user_id)::BIGINT AS sum_user
+        |FROM fin GROUP BY day ORDER BY day""".stripMargin,
     // x19's two-commit merge must reproduce the full-replay replica —
     // c04's ground truth verifies the WHOLE composition end-to-end.
     "x19_cdc_table_sink" -> graft.cdc.CdcQueries.applyLatestOracle,

@@ -430,7 +430,72 @@ object StreamingQueries {
       .orderBy("window_start_us", "event_type")
   }
 
+  // s21: stream-stream LEFT OUTER interval join — s08's outer upgrade
+  // and the semantically hard corner of streaming joins: an unmatched
+  // purchase can only emit its null-extended row once the watermark
+  // PROVES no qualifying click can still arrive, so the engine must
+  // hold left rows in state and time them out (batch left-join outputs
+  // the same rows instantly; streaming has to earn them). Both sides
+  // carry 1-hour watermarks and the interval condition bounds state in
+  // both directions (exactly the 100 TB/day finite-state shape). The
+  // fixture is the two-batch landing discipline (s11/d11): land the
+  // corpus, drain, then land one click+purchase sentinel pair 3 h past
+  // max(ts) so the join watermark passes every real purchase and ALL
+  // outer rows flush before the snapshot; the sentinels (user −1) are
+  // excluded from the rollup. Oracle = the batch LEFT JOIN — the hash
+  // match proves streaming eviction added and lost nothing.
+  val s21_stream_outer_join: Q = (s, d) => {
+    val evs = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), col("value"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_s21_")
+    val data = dir.resolve("data")
+    java.nio.file.Files.createDirectories(data)
+    val stream = s.readStream.schema(evs.schema).parquet(data.toString)
+    val clicks = stream.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("value").as("c_value"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") < col("p_ts"), "left_outer")
+    val name = s"graft_s21_${System.nanoTime()}"
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      graft.sources.SourceSinks.landSingleParquet(evs, data.resolve("b0.parquet"))
+      q.processAllAvailable()
+      val sentinel = evs.agg(max("ts").as("mts")).select(
+        lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+        lit("click").as("event_type"),
+        (col("mts") + expr("INTERVAL 3 HOURS")).as("ts"), lit(0.0).as("value"))
+        .union(evs.agg(max("ts").as("mts")).select(
+          lit(-2L).as("event_id"), lit(-1L).as("user_id"),
+          lit("purchase").as("event_type"),
+          (col("mts") + expr("INTERVAL 3 HOURS")).as("ts"), lit(0.0).as("value")))
+      graft.sources.SourceSinks.landSingleParquet(sentinel, data.resolve("b1.parquet"))
+      q.processAllAvailable()
+      val out = s.table(name)
+        .filter(col("user_id") =!= -1L)
+        .groupBy(col("event_id"))
+        .agg(count(col("c_user")).as("n_clicks_30m"),
+          round(sum("c_value"), 2).as("click_value"))
+        .orderBy("event_id")
+      val rows = out.collect().toSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+    } finally {
+      q.stop()
+      s.catalog.dropTempView(name)
+      graft.sources.SourceSinks.deleteDir(dir)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
+    "s21_stream_outer_join" -> s21_stream_outer_join,
     "s18_stream_anomaly" -> s18_stream_anomaly,
     "s13_checkpoint_resume" -> s13_checkpoint_resume,
     "s12_stream_static_join" -> s12_stream_static_join,
@@ -448,6 +513,18 @@ object StreamingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "s21_stream_outer_join" ->
+      """WITH c AS (
+        |  SELECT user_id, ts::TIMESTAMP AS c_ts, value FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT event_id, user_id, ts::TIMESTAMP AS p_ts FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT p.event_id, count(c.user_id)::BIGINT AS n_clicks_30m,
+        |  round(sum(c.value), 2) AS click_value
+        |FROM p LEFT JOIN c ON p.user_id = c.user_id
+        |  AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE AND c.c_ts < p.p_ts
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "s10_stream_envelope_decode" ->
       s"""WITH ${graft.cdc.Envelope.sqlEnv}, ${graft.cdc.Envelope.sqlFlat}
          |SELECT op, count(*)::BIGINT AS n, max(lsn_long) AS max_lsn,

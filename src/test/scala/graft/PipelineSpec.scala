@@ -1453,4 +1453,49 @@ class PipelineSpec extends AnyFunSuite {
     val gotPairs = got.map(p => (p._1, p._2)).toSet
     twinPairs.foreach(p => assert(gotPairs(p), s"planted twin $p missed"))
   }
+
+  test("v20 MMR equals an independent greedy recompute; rank 1 is the raw top-1") {
+    val rows = Similarity.v20_mmr_diversify(spark, sf).collect()
+    assert(rows.length == Similarity.MmrK)
+    // independent recompute: all vectors to the driver, own pool cut,
+    // own greedy loop (shares only the published constants)
+    val q = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .select("embedding").collect().head.getSeq[Float](0).map(_.toDouble).toArray
+    val all = Tables.embeddings(spark, sf).filter(col("vec_id") =!= 0)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dp = a.zip(b).map { case (x, y) => x * y }.sum
+      dp / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val pool = all.map { case (id, e) => (id, cos(e, q), e) }
+      .sortBy { case (id, rel, _) => (-rel, id) }.take(Similarity.MmrPool)
+    var chosen = Vector.empty[(Long, Double, Double)]
+    var rem = pool.toVector
+    while (chosen.length < Similarity.MmrK) {
+      val best = rem.map { case (id, rel, e) =>
+        val ms = if (chosen.isEmpty) 0.0
+          else chosen.map(c => cos(e, pool.find(_._1 == c._1).get._3)).max
+        (id, rel, Similarity.MmrLambda * rel - (1 - Similarity.MmrLambda) * ms)
+      }.maxBy { case (id, _, sc) => (sc, -id) }
+      chosen :+= best
+      rem = rem.filterNot(_._1 == best._1)
+    }
+    rows.zip(chosen).foreach { case (r, (id, rel, sc)) =>
+      assert(r.getAs[Long]("vec_id") == id, s"rank ${r.getAs[Int]("rank")}")
+      assert(math.abs(r.getAs[Double]("cos") - rel) < 1e-6)
+      assert(math.abs(r.getAs[Double]("mmr_score") - sc) < 1e-6)
+    }
+    // rank 1 must be the raw nearest neighbor (no similarity penalty yet)
+    val top1 = ops.Similarity.v01_knn_brute(spark, sf).collect().head.getLong(0)
+    assert(rows.head.getAs[Long]("vec_id") == top1)
+    // diversification must actually diversify: the MMR page's worst-case
+    // intra-page similarity is no worse than the plain top-k page's
+    val topK = pool.take(Similarity.MmrK)
+    def maxPair(xs: Seq[Array[Double]]): Double =
+      (for { i <- xs.indices; j <- (i + 1) until xs.length }
+        yield cos(xs(i), xs(j))).max
+    val mmrVecs = rows.map(r => all.find(_._1 == r.getAs[Long]("vec_id")).get._2).toSeq
+    assert(maxPair(mmrVecs) <= maxPair(topK.map(_._3).toSeq) + 1e-9)
+  }
 }

@@ -344,4 +344,123 @@ class RelationalSpec extends AnyFunSuite {
       assert(math.abs(r.getAs[Double]("lift") - math.rint(lift * 1e4) / 1e4) <= 1e-9, s"$k lift")
     }
   }
+
+  /** Spark percentile()'s interpolation, for driver-side recomputes:
+    * sorted values, pos = q·(n−1), v[l] + (v[l+1] − v[l])·(pos − l).
+    */
+  private def pctl(sorted: Array[Double], q: Double): Double = {
+    val pos = q * (sorted.length - 1)
+    val l = pos.toInt
+    if (l + 1 >= sorted.length) sorted.last
+    else sorted(l) + (sorted(l + 1) - sorted(l)) * (pos - l)
+  }
+
+  /** Spark round()'s semantics (HALF_UP over the double's shortest decimal
+    * form — NOT math.rint's half-even), for driver-side recomputes.
+    */
+  private def rnd(x: Double, scale: Int): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  test("q51 histogram buckets partition the corpus, edges are contiguous") {
+    val rows = ops.Relational.q51_histogram(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("bucket")).toSeq ==
+      (0 until ops.Relational.HistogramBuckets))
+    assert(rows.map(_.getAs[Long]("n")).sum == Tables.lineitem(spark, sf).count())
+    // each bucket's hi is the next bucket's lo (same rounded double)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("hi") == b.getAs[Double]("lo"))
+    }
+    // no window, no driver collect: bounds flow through a broadcast join
+    val nodes = PlanWalk.allNodes(
+      ops.Relational.q51_histogram(spark, sf).queryExecution.executedPlan)
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("Window")))
+  }
+
+  test("q52 rfm cells equal a driver-side quintile recompute, no window") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Relational.q52_rfm(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq("r_score", "f_score", "m_score").foreach { c =>
+        val v = r.getAs[Int](c); assert(v >= 1 && v <= 5, s"$c=$v")
+      }
+    }
+    // independent recompute of per-customer R/F/M and quintile scores
+    val cutoff = java.time.LocalDate.parse(ops.Relational.RfmCutoff).toEpochDay
+    val per = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).cast("date").as("last"),
+        count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("m"))
+      .collect().map { r =>
+        ((cutoff - r.getAs[java.sql.Date]("last").toLocalDate.toEpochDay).toDouble,
+          r.getAs[Long]("n").toDouble, r.getAs[Double]("m"))
+      }
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == per.length)
+    def bounds(xs: Array[Double]) = {
+      val s = xs.sorted
+      Array(0.2, 0.4, 0.6, 0.8).map(pctl(s, _))
+    }
+    val (rb, fb, mb) = (bounds(per.map(_._1)), bounds(per.map(_._2)), bounds(per.map(_._3)))
+    def sc(x: Double, b: Array[Double]) = 1 + b.count(x >= _)
+    val cells = per.groupBy { case (r, f, m) => (6 - sc(r, rb), sc(f, fb), sc(m, mb)) }
+      .map { case (k, v) => k -> v.length }
+    rows.foreach { r =>
+      val k = (r.getAs[Int]("r_score"), r.getAs[Int]("f_score"), r.getAs[Int]("m_score"))
+      assert(cells(k) == r.getAs[Long]("n_customers"), s"cell $k")
+    }
+    val nodes = PlanWalk.allNodes(
+      ops.Relational.q52_rfm(spark, sf).queryExecution.executedPlan)
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("Window")),
+      "q52 must bucket by broadcast boundaries, not a global ntile window")
+  }
+
+  test("q53 MAD outlier counts equal a driver-side exact recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Relational.q53_mad_outliers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val spend = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_custkey"))
+      .agg(round(sum("o_totalprice"), 2).as("spend"))
+      .collect().map(r => (r.getAs[String]("c_mktsegment"), r.getAs[Double]("spend")))
+    rows.foreach { r =>
+      val seg = r.getAs[String]("c_mktsegment")
+      val xs = spend.filter(_._1 == seg).map(_._2)
+      assert(r.getAs[Long]("n_customers") == xs.length)
+      val med = pctl(xs.sorted, 0.5)
+      val devs = xs.map(x => math.abs(x - med))
+      val mad = pctl(devs.sorted, 0.5)
+      assert(r.getAs[Double]("med") == rnd(med, 2))
+      assert(r.getAs[Double]("mad") == rnd(mad, 2))
+      assert(r.getAs[Long]("n_outliers") == devs.count(_ > 3 * mad))
+    }
+  }
+
+  test("q54 triangles equal an independent unoriented enumeration") {
+    import org.apache.spark.sql.functions._
+    val row = ops.Relational.q54_triangles(spark, sf).collect().head
+    // independent recompute: plain sets, no orientation
+    val ob = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // NOTE: .filter(...).keySet, NOT .collect { case (k,_) => k } — Map's
+    // collect would rebuild a MAP from the returned (u,v) key tuples,
+    // silently deduplicating edges by first endpoint.
+    val edges = ob.groupBy(_._1).values
+      .flatMap(g => g.map(_._2).sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).filter(_._2.size >= 2).keySet
+    val adj = edges.groupBy(_._1).map { case (u, es) => u -> es.map(_._2).toSet }
+    val tri = edges.toSeq.map { case (u, v) =>
+      (adj.getOrElse(u, Set.empty) & adj.getOrElse(v, Set.empty)).size.toLong
+    }.sum
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    assert(row.getAs[Long]("n_nodes") == nodes.size)
+    assert(row.getAs[Long]("n_edges") == edges.size)
+    assert(row.getAs[Long]("n_triangles") == tri, s"triangles")
+    val degs = edges.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map { case (_, v) => v.size.toLong }
+    val wedges = degs.map(d => d * (d - 1) / 2).sum.toDouble
+    assert(row.getAs[Double]("clustering") == rnd(3.0 * tri / wedges, 6))
+  }
 }

@@ -378,4 +378,70 @@ class SourcesSpec extends AnyFunSuite {
     }
     assert(scans.length == 1, s"x22 must scan lineitem once, got ${scans.length}")
   }
+
+  test("x23 dynamic overwrite touches ONLY the correction batch's partitions") {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_x23spec")
+    try {
+      val ev = Tables.events(spark, sf)
+        .select(col("event_id"), col("user_id"), col("value"),
+          to_date(col("ts")).as("day"))
+      ev.write.partitionBy("day").mode("overwrite").parquet(s"$dir/t")
+      def listing(): Map[String, (Long, Long)] = {
+        val walk = java.nio.file.Files.walk(dir.resolve("t"))
+        try walk.iterator().asScala
+          .filter(p => p.toString.endsWith(".parquet"))
+          .map(p => dir.resolve("t").relativize(p).toString ->
+            (java.nio.file.Files.size(p),
+              java.nio.file.Files.getLastModifiedTime(p).toMillis))
+          .toMap
+        finally walk.close()
+      }
+      val before = listing()
+      val isTouched = (day: String) => // day=YYYY-MM-DD partition dir prefix
+        java.time.LocalDate.parse(day.stripPrefix("day=").take(10))
+          .toEpochDay % 5 == 0
+      val upd = ev
+        .filter(pmod(datediff(col("day"), lit("1970-01-01").cast("date")), lit(5)) === 0)
+        .withColumn("value", col("value") + 1.0)
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
+      try upd.write.partitionBy("day").mode("overwrite").parquet(s"$dir/t")
+      finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      val after = listing()
+      val untouchedBefore = before.filter { case (p, _) => !isTouched(p) }
+      val untouchedAfter = after.filter { case (p, _) => !isTouched(p) }
+      assert(untouchedBefore.nonEmpty && untouchedBefore == untouchedAfter,
+        "untouched partitions must keep identical files (path, size, mtime)")
+      val touchedBefore = before.keySet.filter(isTouched)
+      val touchedAfter = after.keySet.filter(isTouched)
+      assert(touchedBefore.nonEmpty, "fixture must touch at least one partition")
+      assert(touchedBefore.intersect(touchedAfter).isEmpty,
+        "touched partitions must have entirely new files")
+      // final state: touched days carry +1.0 per row, untouched unchanged
+      val got = spark.read.parquet(s"$dir/t")
+        .groupBy("day").agg(round(sum("value"), 2).as("sv"), count(lit(1)).as("n"))
+      val exp = ev.withColumn("value",
+          when(pmod(datediff(col("day"), lit("1970-01-01").cast("date")), lit(5)) === 0,
+            col("value") + 1.0).otherwise(col("value")))
+        .groupBy("day").agg(round(sum("value"), 2).as("sv"), count(lit(1)).as("n"))
+      assert(got.collect().map(_.toSeq).toSet == exp.collect().map(_.toSeq).toSet)
+    } finally graft.sources.SourceSinks.deleteDir(dir)
+  }
+
+  test("x23 operator output equals the in-place recompute") {
+    import org.apache.spark.sql.functions._
+    val got = graft.sources.SourceSinks.x23_partition_overwrite(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val exp = Tables.events(spark, sf)
+      .select(col("user_id"), col("value"), to_date(col("ts")).as("day"))
+      .withColumn("value",
+        when(pmod(datediff(col("day"), lit("1970-01-01").cast("date")), lit(5)) === 0,
+          col("value") + 1.0).otherwise(col("value")))
+      .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"),
+        sum("user_id").as("sum_user"))
+      .collect().map(_.toSeq).toSet
+    assert(got.nonEmpty && got == exp)
+  }
 }

@@ -145,4 +145,29 @@ class StreamingSpec extends AnyFunSuite {
     // history produced) is miscalibrated
     assert(nAnom > 0 && nAnom < rows.length / 5, s"$nAnom of ${rows.length}")
   }
+
+  test("s21 streaming left-outer join equals the batch LEFT JOIN, nulls included") {
+    import org.apache.spark.sql.functions._
+    val got = StreamingQueries.s21_stream_outer_join(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val ev = Tables.events(spark, sf)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("c_ts"), col("value").as("cv"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
+    val exp = p.join(c, col("user_id") === col("cu") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") < col("p_ts"), "left_outer")
+      .groupBy(col("event_id"))
+      .agg(count(col("cu")).as("n_clicks_30m"),
+        round(sum("cv"), 2).as("click_value"))
+      .collect().map(_.toSeq).toSet
+    assert(got == exp, "streaming outer join must equal the batch left join")
+    // the outer rows are the point: purchases with zero prior clicks must
+    // be present (with a NULL click_value), proving watermark eviction
+    // actually emitted the unmatched state instead of dropping it
+    val zeros = got.count(_(1) == 0L)
+    assert(zeros > 0, "no unmatched purchases emitted — outer rows lost")
+    assert(got.size == p.count(), "every purchase appears exactly once")
+  }
 }
