@@ -818,7 +818,42 @@ object Multimodal {
       .orderBy("d1", "d2")
   }
 
+  // m08 (rows-only; spec: ≡ driver-side run-length recompute over m05's
+  // frames): energy-based AUDIO SEGMENTATION — the VAD-style
+  // silence-split every speech pipeline runs before transcription:
+  // frames from m05's real RIFF/PCM chain are voiced iff energy clears
+  // that recording's own mean (a per-doc adaptive threshold — absolute
+  // thresholds break across gain levels), then contiguous voiced runs
+  // become segments via gaps-and-islands (lag() marks run starts; a
+  // running sum numbers the runs — the standard SQL islands idiom).
+  // Both windows partition by doc_id and order by frame_idx: per-doc
+  // frame counts are bounded by clip length, so nothing global exists
+  // at any corpus size; the thresholds join broadcasts one row per doc.
+  val m08_audio_segments: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val frames = m05_audio_frames(s, d)
+      .select(col("doc_id"), col("frame_idx"), col("energy"))
+    val thresh = frames.groupBy(col("doc_id"))
+      .agg(avg(col("energy")).as("mean_energy"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frames.join(broadcast(thresh), Seq("doc_id"))
+      .withColumn("voiced", (col("energy") > col("mean_energy")).cast("int"))
+      .withColumn("is_start",
+        (col("voiced") === 1 &&
+          coalesce(lag(col("voiced"), 1).over(w), lit(0)) === 0).cast("int"))
+      .withColumn("seg", sum(col("is_start"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("voiced") === 1)
+      .groupBy(col("doc_id"), col("seg").cast("int").as("seg_idx"))
+      .agg(min("frame_idx").as("start_frame"),
+        max("frame_idx").as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        round(avg("energy"), 2).as("mean_energy"))
+      .orderBy("doc_id", "seg_idx")
+  }
+
   val queries: Map[String, Q] = Map(
+    "m08_audio_segments" -> m08_audio_segments,
     "m07_phash_neardup" -> m07_phash_neardup,
     "m06_pair_pack" -> m06_pair_pack,
     "m05_audio_frames" -> m05_audio_frames,

@@ -1063,7 +1063,34 @@ object Relational {
     out
   }
 
+  // q55: offline CUSUM CHANGE-POINT detection over the daily event
+  // volume (the "when did the level shift" batch twin of s18's
+  // streaming z-score): per-day counts (ONE keyed agg over the raw
+  // stream — the only data-proportional step), then the cumulative sum
+  // of deviations from the corpus-mean daily level; the change-point
+  // estimate is the day with max |CUSUM| (Page's estimator). Every
+  // post-agg step — running sum, global max, flag — runs on the
+  // BOUNDED day axis (≤ corpus days, never rows), so the
+  // single-partition windows carry ~30 rows at any corpus size; at
+  // 100 TB only the first agg grows.
+  val q55_cusum_changepoint: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val mu = daily.agg(avg("n").as("mu"))
+    val wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cus = daily.crossJoin(broadcast(mu))
+      .withColumn("cusum", sum(col("n") - col("mu")).over(wc))
+    cus
+      .withColumn("max_abs", max(abs(col("cusum"))).over(Window.partitionBy()))
+      .select(col("day"), col("n").cast("long").as("n_events"),
+        round(col("cusum"), 4).as("cusum"),
+        (abs(col("cusum")) === col("max_abs")).cast("int").as("is_changepoint"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q55_cusum_changepoint" -> q55_cusum_changepoint,
     "q51_histogram" -> q51_histogram,
     "q52_rfm" -> q52_rfm,
     "q53_mad_outliers" -> q53_mad_outliers,
@@ -1121,6 +1148,18 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q55_cusum_changepoint" ->
+      """WITH daily AS (
+        |  SELECT strftime(ts::DATE, '%Y-%m-%d') AS day, count(*)::DOUBLE AS n
+        |  FROM events GROUP BY 1),
+        |mu AS (SELECT avg(n) AS mu FROM daily),
+        |cus AS (
+        |  SELECT day, n, sum(n - mu) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+        |  FROM daily, mu)
+        |SELECT day, n::BIGINT AS n_events, round(cusum, 4) AS cusum,
+        |  (abs(cusum) = max(abs(cusum)) OVER ())::INT AS is_changepoint
+        |FROM cus ORDER BY day""".stripMargin,
     "q51_histogram" ->
       s"""WITH s AS (
         |  SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx

@@ -1076,6 +1076,49 @@ object Similarity {
       .orderBy("qid", "vec_id")
   }
 
+  /** v21's hamming pre-rank pool size (shared with the spec). */
+  val BqPool = 50
+
+  /** Sign-bit packing: bit i set iff embedding[i] > 0. The 64-dim corpus
+    * packs into ONE 64-bit word — 32× smaller than float32, the binary-
+    * quantization layout modern vector stores serve from.
+    */
+  private val bqBits =
+    "aggregate(zip_with(embedding, sequence(0, size(embedding) - 1), " +
+      "(v, i) -> if(v > cast(0 as float), shiftleft(cast(1 as bigint), i), cast(0 as bigint))), " +
+      "cast(0 as bigint), (acc, x) -> acc | x)"
+
+  /** v21's two-stage engine with a parameterizable pool, public so the
+    * spec can prove the contract: pool = corpus size ⇒ output ≡ v01
+    * exactly (the hamming cut admits everything and the exact re-rank IS
+    * the brute-force scan).
+    */
+  def bqSearch(s: SparkSession, d: String, pool: Int): DataFrame = {
+    val e = Tables.embeddings(s, d).withColumn("bits", expr(bqBits))
+    val qb = e.filter(col("vec_id") === 0)
+      .select(col("bits").as("qbits"), col("embedding").as("qe"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qb))
+      .withColumn("ham", expr("bit_count(bits ^ qbits)"))
+      .orderBy(col("ham"), col("vec_id"))
+      .limit(pool) // TakeOrdered: hamming over 8-byte codes, no float math
+      .select(col("vec_id"), col("ham"),
+        round(Vec.cosine(col("embedding"), col("qe")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  // v21 (rows-only; spec: pool=corpus ≡ v01 exactly + shipped-pool
+  // recall gate): BINARY QUANTIZATION search — sign-bit codes (1 bit/dim
+  // = 32× compression; Jégou-style BQ, the default compressed tier in
+  // modern vector stores) with hamming pre-ranking and exact float
+  // re-rank of the surviving pool. At 100 TB the hamming stage scans
+  // 8-byte codes instead of 256-byte vectors (pure bit_count(xor) —
+  // codegen'd, SIMD-friendly) and only BqPool rows ever touch float
+  // math; the codes column is exactly what v11 would persist. Two
+  // TakeOrdered cuts, nothing global, no new shuffle shape.
+  val v21_binary_quantize: Q = (s, d) => bqSearch(s, d, BqPool)
+
   /** v20's MMR trade-off weight and pool/output sizes (shared with the
     * spec's independent recompute).
     */
@@ -1131,6 +1174,7 @@ object Similarity {
   }
 
   val queries: Map[String, Q] = Map(
+    "v21_binary_quantize" -> v21_binary_quantize,
     "v20_mmr_diversify" -> v20_mmr_diversify,
     "v19_range_search" -> v19_range_search,
     "v18_probe_tuning" -> v18_probe_tuning,

@@ -892,7 +892,45 @@ object TextAnalysis {
       .orderBy("predicted_lang")
   }
 
+  /** t27's minimum pair frequency (shared with the oracle). */
+  val PmiMinCount = 5
+
+  // t27: PMI COLLOCATION MINING (pointwise mutual information over
+  // adjacent word pairs — the "New York"/"machine learning" phrase
+  // detector every corpus pipeline runs before tokenizer training):
+  // PMI(a,b) = ln(N·c(a,b) / (c(a·)·c(·b))) over t26's bigram engine
+  // (posexplode+lead — no array-lambda re-evaluation trap), with a
+  // min-count floor so rare pairs can't saturate the top by chance
+  // (Church & Hanks '90). Three keyed count aggs; marginals and the
+  // 1-row total broadcast back to the (already small) surviving pair
+  // set; top-20 is a TakeOrdered on (pmi, a, b). At 100 TB the bigram
+  // relation shuffles once on (a,b) and the marginals stay
+  // Heaps-bounded — the same discipline as t26's model build.
+  val t27_pmi_collocations: Q = (s, d) => {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bg = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "a")))
+      .withColumn("b", lead(col("a"), 1).over(w))
+      .filter(col("b").isNotNull)
+      .select(col("a"), col("b"))
+    val pairs = bg.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).cast("double").as("cab"))
+      .filter(col("cab") >= PmiMinCount)
+    val la = bg.groupBy(col("a")).agg(count(lit(1)).cast("double").as("ca"))
+    val rb = bg.groupBy(col("b")).agg(count(lit(1)).cast("double").as("cb"))
+    val tot = bg.agg(count(lit(1)).cast("double").as("n"))
+    pairs
+      .join(broadcast(la), Seq("a"))
+      .join(broadcast(rb), Seq("b"))
+      .crossJoin(broadcast(tot))
+      .select(col("a"), col("b"), col("cab").cast("long").as("n_ab"),
+        round(log(col("cab") * col("n") / (col("ca") * col("cb"))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "t27_pmi_collocations" -> t27_pmi_collocations,
     "t26_bigram_lm" -> t26_bigram_lm,
     "s20_streaming_topk" -> s20_streaming_topk,
     "t25_fertility" -> t25_fertility,
@@ -927,6 +965,23 @@ object TextAnalysis {
     s"len(list_filter($sqlToks, w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
   val oracle: Map[String, String] = Map(
+    "t27_pmi_collocations" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, $sqlToks AS t FROM documents),
+        |bg0 AS (
+        |  SELECT doc_id, unnest(list_zip(t, t[2:])) AS z FROM base),
+        |bg AS (
+        |  SELECT z[1] AS a, z[2] AS b FROM bg0 WHERE z[2] IS NOT NULL),
+        |pairs AS (
+        |  SELECT a, b, count(*)::DOUBLE AS cab FROM bg GROUP BY 1, 2
+        |  HAVING count(*) >= $PmiMinCount),
+        |la AS (SELECT a, count(*)::DOUBLE AS ca FROM bg GROUP BY 1),
+        |rb AS (SELECT b, count(*)::DOUBLE AS cb FROM bg GROUP BY 1),
+        |tot AS (SELECT count(*)::DOUBLE AS n FROM bg)
+        |SELECT a, b, cab::BIGINT AS n_ab,
+        |  round(ln(cab * n / (ca * cb)), 4) AS pmi
+        |FROM pairs JOIN la USING (a) JOIN rb USING (b), tot
+        |ORDER BY pmi DESC, a, b LIMIT 20""".stripMargin,
     "t26_bigram_lm" ->
       s"""WITH base AS (
         |  SELECT doc_id, $sqlToks AS t FROM documents),

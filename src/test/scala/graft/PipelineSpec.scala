@@ -1454,6 +1454,88 @@ class PipelineSpec extends AnyFunSuite {
     twinPairs.foreach(p => assert(gotPairs(p), s"planted twin $p missed"))
   }
 
+  test("t27 PMI equals a driver recompute; floor and ordering hold") {
+    val rows = TextAnalysis.t27_pmi_collocations(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach(r => assert(r.getAs[Long]("n_ab") >= TextAnalysis.PmiMinCount))
+    val pmis = rows.map(_.getAs[Double]("pmi"))
+    assert(pmis.sameElements(pmis.sorted(Ordering[Double].reverse)))
+    // independent bigram recompute from raw text
+    val docs = Tables.documents(spark, sf).select("text").collect().map(_.getString(0))
+    val bgs = docs.flatMap { t =>
+      val w = t.trim.replaceAll("\\s+", " ").toLowerCase.split(" ")
+      w.zip(w.drop(1))
+    }
+    val n = bgs.length.toDouble
+    val cab = bgs.groupBy(identity).map { case (k, v) => k -> v.length.toDouble }
+    val ca = bgs.groupBy(_._1).map { case (k, v) => k -> v.length.toDouble }
+    val cb = bgs.groupBy(_._2).map { case (k, v) => k -> v.length.toDouble }
+    rows.foreach { r =>
+      val k = (r.getAs[String]("a"), r.getAs[String]("b"))
+      assert(cab(k).toLong == r.getAs[Long]("n_ab"), s"$k count")
+      val pmi = math.log(cab(k) * n / (ca(k._1) * cb(k._2)))
+      assert(math.abs(r.getAs[Double]("pmi") - pmi) < 1e-3, s"$k pmi")
+    }
+  }
+
+  test("v21 BQ with an exhaustive pool IS brute force; shipped pool recalls") {
+    val exact = ops.Similarity.v01_knn_brute(spark, sf).collect().map(_.toSeq)
+    val nCorpus = Tables.embeddings(spark, sf).count().toInt
+    val exhaustive = Similarity.bqSearch(spark, sf, nCorpus).collect()
+      .map(r => Seq(r.getAs[Long]("vec_id"), r.getAs[Double]("cos")))
+    assert(exhaustive.toSeq == exact.map(s0 => Seq(s0(0), s0(1))).toSeq,
+      "pool = corpus must reduce BQ to the exact scan")
+    val shipped = Similarity.v21_binary_quantize(spark, sf).collect()
+    assert(shipped.length == 10)
+    val recall = shipped.map(_.getAs[Long]("vec_id")).toSet
+      .intersect(exact.map(_.head.asInstanceOf[Long]).toSet).size / 10.0
+    assert(recall >= 0.5, s"BQ recall@10 $recall under the 0.5 floor")
+    // hamming column is honest: recompute sign-bit codes driver-side
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def bits(e: Seq[Float]): Long =
+      e.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+        if (v > 0f) acc | (1L << i) else acc
+      }
+    val qbits = bits(vecs(0L))
+    shipped.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      assert(r.getAs[Int]("ham") ==
+        java.lang.Long.bitCount(bits(vecs(id)) ^ qbits), s"vec $id hamming")
+    }
+  }
+
+  test("m08 segments equal a driver-side run-length recompute of m05 frames") {
+    val segs = Multimodal.m08_audio_segments(spark, sf).collect()
+    assert(segs.nonEmpty)
+    val frames = Multimodal.m05_audio_frames(spark, sf)
+      .select("doc_id", "frame_idx", "energy").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1)
+    val expect = frames.toSeq.flatMap { case (doc, fs) =>
+      val sorted = fs.sortBy(_._2)
+      val mean = sorted.map(_._3).sum.toDouble / sorted.length
+      var seg = 0; var prev = false
+      val tagged = sorted.map { case (_, idx, e) =>
+        val voiced = e > mean
+        if (voiced && !prev) seg += 1
+        prev = voiced
+        (idx, e, voiced, seg)
+      }
+      tagged.filter(_._3).groupBy(_._4).map { case (sid, g) =>
+        (doc, sid, g.map(_._1).min, g.map(_._1).max, g.length.toLong,
+          java.math.BigDecimal.valueOf(g.map(_._2).sum.toDouble / g.length)
+            .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue())
+      }
+    }.toSet
+    val got = segs.map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("seg_idx"),
+      r.getAs[Int]("start_frame"), r.getAs[Int]("end_frame"),
+      r.getAs[Long]("n_frames"), r.getAs[Double]("mean_energy"))).toSet
+    assert(got == expect)
+    // segmentation is non-trivial: some recording must split into >1 segment
+    assert(segs.groupBy(_.getAs[Long]("doc_id")).values.exists(_.length > 1))
+  }
+
   test("v20 MMR equals an independent greedy recompute; rank 1 is the raw top-1") {
     val rows = Similarity.v20_mmr_diversify(spark, sf).collect()
     assert(rows.length == Similarity.MmrK)

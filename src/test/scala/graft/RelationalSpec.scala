@@ -437,6 +437,29 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q55 cusum telescopes to ~0, flags exactly the max-|CUSUM| day") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Relational.q55_cusum_changepoint(spark, sf).collect()
+    val nDays = Tables.events(spark, sf)
+      .select(to_date(col("ts"))).distinct().count()
+    assert(rows.length == nDays)
+    // sum of deviations from the mean telescopes to zero on the last day
+    assert(math.abs(rows.last.getAs[Double]("cusum")) < 1e-4)
+    // driver recompute of the cusum path
+    val daily = rows.map(r => r.getAs[String]("day") -> r.getAs[Long]("n_events"))
+    val mu = daily.map(_._2).sum.toDouble / daily.length
+    var acc = 0.0
+    daily.zip(rows).foreach { case ((_, n), r) =>
+      acc += n - mu
+      assert(math.abs(r.getAs[Double]("cusum") - acc) < 1e-3)
+    }
+    val flagged = rows.filter(_.getAs[Int]("is_changepoint") == 1)
+    assert(flagged.nonEmpty)
+    val maxAbs = rows.map(r => math.abs(r.getAs[Double]("cusum"))).max
+    flagged.foreach(r =>
+      assert(math.abs(math.abs(r.getAs[Double]("cusum")) - maxAbs) < 1e-9))
+  }
+
   test("q54 triangles equal an independent unoriented enumeration") {
     import org.apache.spark.sql.functions._
     val row = ops.Relational.q54_triangles(spark, sf).collect().head
