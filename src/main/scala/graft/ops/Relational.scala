@@ -1089,7 +1089,52 @@ object Relational {
       .orderBy("day")
   }
 
+  /** q56's inactivity gap (micros) — 6 h, matching this stream's visit
+    * cadence (a 30-min web gap makes every session a singleton here);
+    * shared with the oracle.
+    */
+  val SessionGapUs = 6L * 3600 * 1000000
+
+  // q56: batch SESSIONIZATION + conversion metrics (the product-
+  // analytics counterpart of s02's streaming sessionize and s06's
+  // native session_window): sessions are ≥6-h inactivity gaps via
+  // gaps-and-islands (lag marks session starts, a running sum numbers
+  // them — two chained window ops fed by ONE user_id exchange, the
+  // second needs no re-sort), then per-session entry page / depth /
+  // duration /
+  // converted-flag, rolled up per entry type. Two data-proportional
+  // shuffles total — user_id for the window, (user_id, sid) for the
+  // session rollup (a refinement Catalyst cannot prove co-partitioned)
+  // — plus the ≤|types| rollup; plan-shape spec-pinned. The
+  // session-entry pick is a lexicographic struct-min — deterministic
+  // under the (us, event_id) unique key, identical on both engines.
+  val q56_session_metrics: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val sess = ev
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("new_s",
+        (col("prev").isNull || col("us") - col("prev") > SessionGapUs).cast("int"))
+      .withColumn("sid", sum(col("new_s"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess.groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_events"),
+        ((max("us") - min("us")) / 1000000.0).as("dur_s"),
+        max((col("event_type") === "purchase").cast("int")).as("converted"),
+        min(struct(col("us"), col("event_id"), col("event_type").as("et")))
+          .getField("et").as("entry_type"))
+      .groupBy(col("entry_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        round(avg("n_events"), 4).as("avg_events"),
+        round(avg("dur_s"), 4).as("avg_duration_s"),
+        round(avg(col("converted")), 4).as("conversion_rate"))
+      .orderBy("entry_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q56_session_metrics" -> q56_session_metrics,
     "q55_cusum_changepoint" -> q55_cusum_changepoint,
     "q51_histogram" -> q51_histogram,
     "q52_rfm" -> q52_rfm,
@@ -1148,6 +1193,30 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q56_session_metrics" ->
+      s"""WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts::TIMESTAMP) AS us
+        |  FROM events),
+        |tagged AS (
+        |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |      OR us - lag(us) OVER w > $SessionGapUs THEN 1 ELSE 0 END AS new_s
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |sess AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM tagged),
+        |per AS (
+        |  SELECT user_id, sid, count(*)::BIGINT AS n_events,
+        |    (max(us) - min(us)) / 1000000.0 AS dur_s,
+        |    max((event_type = 'purchase')::INT) AS converted,
+        |    struct_extract(min(struct_pack(us := us, event_id := event_id,
+        |      et := event_type)), 'et') AS entry_type
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT entry_type, count(*)::BIGINT AS n_sessions,
+        |  round(avg(n_events), 4) AS avg_events,
+        |  round(avg(dur_s), 4) AS avg_duration_s,
+        |  round(avg(converted), 4) AS conversion_rate
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
     "q55_cusum_changepoint" ->
       """WITH daily AS (
         |  SELECT strftime(ts::DATE, '%Y-%m-%d') AS day, count(*)::DOUBLE AS n

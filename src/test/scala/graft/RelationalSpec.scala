@@ -460,6 +460,58 @@ class RelationalSpec extends AnyFunSuite {
       assert(math.abs(math.abs(r.getAs[Double]("cusum")) - maxAbs) < 1e-9))
   }
 
+  test("q56 sessions equal a driver-side gaps-and-islands recompute; one shuffle") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Relational.q56_session_metrics(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // independent session recompute on the driver
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val sessions = ev.groupBy(_._1).values.flatMap { g =>
+      val sorted = g.sortBy(e => (e._4, e._2))
+      val out = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, Long, String, Long)]]
+      var cur = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String, Long)]
+      sorted.foreach { e =>
+        if (cur.nonEmpty && e._4 - cur.last._4 > ops.Relational.SessionGapUs) {
+          out += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer.empty
+        }
+        cur += e
+      }
+      if (cur.nonEmpty) out += cur.toSeq
+      out
+    }.toSeq
+    assert(rows.map(_.getAs[Long]("n_sessions")).sum == sessions.length)
+    val byEntry = sessions.groupBy(_.minBy(e => (e._4, e._2))._3)
+    rows.foreach { r =>
+      val ss = byEntry(r.getAs[String]("entry_type"))
+      assert(r.getAs[Long]("n_sessions") == ss.length)
+      val conv = ss.count(_.exists(_._3 == "purchase")).toDouble / ss.length
+      assert(r.getAs[Double]("conversion_rate") == rnd(conv, 4))
+      val avgEv = ss.map(_.length).sum.toDouble / ss.length
+      assert(r.getAs[Double]("avg_events") == rnd(avgEv, 4))
+    }
+    // sessions must not all be singletons (the gap suits this cadence)
+    assert(rows.map(r => r.getAs[Double]("avg_events")).max > 1.2)
+    // plan shape: ONE user_id exchange feeds both windows (lag + running
+    // sum share the partitioning), one (user_id, sid) exchange for the
+    // session rollup, one bounded entry-type rollup — never more
+    val plan = ops.Relational.q56_session_metrics(spark, sf)
+      .queryExecution.executedPlan
+    val exchanges = PlanWalk.allNodes(plan)
+      .count(_.getClass.getSimpleName.contains("ShuffleExchange"))
+    assert(exchanges == 3, s"expected windows + session + rollup " +
+      s"exchanges, got $exchanges")
+    // lag and the running sum are dependent (sum consumes lag's output),
+    // so they plan as two chained WindowExecs — but over the SAME
+    // partitioning+ordering: the single user_id exchange above feeds
+    // both and the second needs no re-sort
+    val windows = PlanWalk.allNodes(plan)
+      .count(_.getClass.getSimpleName == "WindowExec")
+    assert(windows == 2, s"expected the two chained windows, got $windows")
+  }
+
   test("q54 triangles equal an independent unoriented enumeration") {
     import org.apache.spark.sql.functions._
     val row = ops.Relational.q54_triangles(spark, sf).collect().head
