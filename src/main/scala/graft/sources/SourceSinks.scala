@@ -903,7 +903,51 @@ object SourceSinks {
     materializeThenCleanup(s, out, dir)
   }
 
+  /** x24's engine, returning the bloom-filtered fact row count next to
+    * the corpus count so the spec can pin the shuffle-volume cut.
+    */
+  def bloomJoinRun(s: SparkSession, d: String): (DataFrame, (Long, Long)) = {
+    import s.implicits._
+    val dim = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        year(col("o_orderdate")) === 1996)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val nKeys = dim.count()
+    // distributed bloom aggregate over the join keys, ONE compact bitset
+    // to the driver, broadcast as bytes (d14's membership discipline) —
+    // never the key set itself
+    val bloom = dim.stat.bloomFilter("o_orderkey", math.max(nKeys, 1), 0.01)
+    val bc = s.sparkContext.broadcast(bloom)
+    val fact = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val nFact = fact.count()
+    val pre = fact.as[(Long, Double, Double)]
+      .mapPartitions { it => val f = bc.value; it.filter(r => f.mightContain(r._1)) }
+      .toDF("l_orderkey", "l_extendedprice", "l_discount")
+    val nPre = pre.persist().count()
+    val out = pre.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(month(col("o_orderdate")).as("order_month"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("order_month")
+    (out, (nPre, nFact))
+  }
+
+  // x24: BLOOM-FILTER JOIN PUSHDOWN — Spark's runtime row-level
+  // filtering (spark.sql.optimizer.runtime.bloomFilter) made an explicit
+  // operator: the selective dim side's join keys fold into a distributed
+  // bloom aggregate (one compact bitset through the driver — never the
+  // key set), the fact side drops non-members BEFORE the shuffle, the
+  // real equi-join then eliminates the bloom's false positives — so the
+  // result is provably identical to the plain join (the oracle) while
+  // the shuffle carries ~selectivity·|fact| rows instead of all of them.
+  // At 100 TB this is the difference between shuffling 3% and 100% of
+  // the fact table; fpp 0.01 bounds the waste. Spec pins the volume cut.
+  val x24_bloom_join: Q = (s, d) => bloomJoinRun(s, d)._1
+
   val queries: Map[String, Q] = Map(
+    "x24_bloom_join" -> x24_bloom_join,
     "x23_partition_overwrite" -> x23_partition_overwrite,
     "x22_table_stats" -> x22_table_stats,
     "x21_incremental_scan" -> x21_incremental_scan,
@@ -949,6 +993,13 @@ object SourceSinks {
 
   val oracle: Map[String, String] = Map(
     "x22_table_stats" -> x22Oracle,
+    "x24_bloom_join" ->
+      """SELECT month(o_orderdate)::INT AS order_month,
+        |  count(*)::BIGINT AS n_items,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1996
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x23_partition_overwrite" ->
       """WITH e AS (
         |  SELECT event_id, user_id, value, ts::DATE AS day FROM events),

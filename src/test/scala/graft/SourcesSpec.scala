@@ -429,6 +429,29 @@ class SourcesSpec extends AnyFunSuite {
     } finally graft.sources.SourceSinks.deleteDir(dir)
   }
 
+  test("x24 bloom pre-filter cuts the fact side yet the join result is exact") {
+    import org.apache.spark.sql.functions._
+    val (out, (nPre, nFact)) = graft.sources.SourceSinks.bloomJoinRun(spark, sf)
+    val got = out.collect().map(_.toSeq).toSeq
+    // transparent vs the plain join (false positives die in the join)
+    val exp = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          year(col("o_orderdate")) === 1996),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(month(col("o_orderdate")).as("order_month"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("order_month")
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == exp)
+    // the point of the op: the shuffle-bound row count actually shrank
+    // (urgent-1996 is a small slice; fpp 0.01 adds ~1% of the rest)
+    assert(nPre < nFact / 2, s"bloom kept $nPre of $nFact fact rows")
+    assert(nPre > 0)
+  }
+
   test("x23 operator output equals the in-place recompute") {
     import org.apache.spark.sql.functions._
     val got = graft.sources.SourceSinks.x23_partition_overwrite(spark, sf)
