@@ -1036,7 +1036,40 @@ object Dedup {
       .orderBy(desc("bands"))
   }
 
+  // d20: cross-source SHINGLE OVERLAP MATRIX — the contamination audit
+  // run before mixing corpora (which crawls duplicate which, is a
+  // "held-out" source actually disjoint): per-source distinct word-
+  // 5-gram sets (d02's shingling), pairwise shared-shingle counts via
+  // ONE equi-join on the shingle key (both sides co-partition on it;
+  // fan-out bounded by sources-per-shingle, never corpus²), Jaccard
+  // from broadcast per-source totals; output ≤ sources² rows. Shingles
+  // cross the shuffle as strings here for oracle parity — at 100 TB
+  // they carry as 64-bit hashes (d02→d03's discipline) and the join
+  // key shrinks to 8 bytes.
+  val d20_source_overlap: Q = (s, d) => {
+    val ss = Tables.documents(s, d)
+      .select(col("source"), explode(shingles(col("text"))).as("sh"))
+      .distinct()
+      .persist() // totals + both pair-join sides
+    val tot = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val shared = ss.as("a")
+      .join(ss.as("b"),
+        col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(tot.select(col("source").as("source_a"), col("n").as("na"))),
+        Seq("source_a"))
+      .join(broadcast(tot.select(col("source").as("source_b"), col("n").as("nb"))),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        round(col("n_shared") / (col("na") + col("nb") - col("n_shared")), 6)
+          .as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "d20_source_overlap" -> d20_source_overlap,
     "d18_span_dedup" -> d18_span_dedup,
     "s19_streaming_span_dedup" -> s19_streaming_span_dedup,
     "d19_lsh_tuning" -> d19_lsh_tuning,
@@ -1086,6 +1119,30 @@ object Dedup {
           |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "d20_source_overlap" ->
+      """WITH toks AS (
+        |  SELECT source, doc_id,
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT source, CASE WHEN len(t) >= 5 THEN
+        |    list_distinct([array_to_string(t[i:i+4], ' ') for i in range(1, len(t)-3)])
+        |    ELSE [] END AS shingles
+        |  FROM toks),
+        |ss AS (
+        |  SELECT DISTINCT source, unnest(shingles) AS sh FROM sh0),
+        |tot AS (SELECT source, count(*)::BIGINT AS n FROM ss GROUP BY 1),
+        |shared AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    count(*)::BIGINT AS n_shared
+        |  FROM ss a JOIN ss b ON a.sh = b.sh AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_shared,
+        |  round(n_shared / (ta.n + tb.n - n_shared), 6) AS jaccard
+        |FROM shared
+        |  JOIN tot ta ON ta.source = source_a
+        |  JOIN tot tb ON tb.source = source_b
+        |ORDER BY source_a, source_b""".stripMargin,
     // DuckDB quirks handled below: regexp_extract/array_to_string return
     // NULL (not '') on no-match/empty-list — coalesce everywhere.
     "s19_streaming_span_dedup" -> spanDedupOracleSql,

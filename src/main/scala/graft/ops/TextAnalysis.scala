@@ -929,7 +929,47 @@ object TextAnalysis {
       .limit(20)
   }
 
+  // t28: WEIGHTED sampling without replacement (Efraimidis–Spirakis,
+  // IPL'06 — the quality-weighted corpus picker: docs win slots in
+  // proportion to their t02 quality score): per item the key is
+  // ln(u)/w with u a DETERMINISTIC md5-derived uniform (q43's
+  // hash-not-RNG discipline — same winners on any cluster, layout, or
+  // rerun; exactly reproducible by the oracle) and w the ROUNDED t02
+  // score (both engines divide by the identical 4-decimal double);
+  // top-3 per source via the bounded topk_by heap — map-side state is
+  // k rows per source per partition, no global or per-source sort.
+  // This is q43's stratified sampler upgraded from uniform to
+  // importance-weighted — together they cover the two sampling modes
+  // a curation pipeline needs.
+  val t28_weighted_sample: Q = (s, d) => {
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
+      .withColumn("len_chars", length(col("text")))
+      .withColumn("n_tokens", size(toks(col("text"))))
+      .withColumn("stop_hits", hits(toks(col("text")), Seq("the", "a", "of")))
+      .withColumn("punct_chars",
+        length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
+      .withColumn("score", round(
+        least(col("n_tokens") / 100.0, lit(1.0)) * 0.5 +
+          (col("stop_hits") / col("n_tokens")) * 0.3 +
+          (lit(1.0) - col("punct_chars") / col("len_chars")) * 0.2, 4))
+      // u ∈ (0, 1]: 48 md5 bits (+1 so ln never sees 0) over 16^12 + 1 —
+      // exact in a double on both engines
+      .withColumn("u",
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+          .cast("double") + 1.0) / lit(math.pow(16, 12) + 1))
+      .withColumn("k", log(col("u")) / col("score"))
+    scored.groupBy(col("source"))
+      .agg(graft.functions.TopK.topk_by(
+        struct(col("doc_id"), col("score")), col("k"), col("doc_id"), 3).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("pos", "r")))
+      .select(col("source"), (col("pos") + 1).cast("int").as("rn"),
+        col("r.doc_id"), col("r.score"))
+      .orderBy("source", "rn")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t28_weighted_sample" -> t28_weighted_sample,
     "t27_pmi_collocations" -> t27_pmi_collocations,
     "t26_bigram_lm" -> t26_bigram_lm,
     "s20_streaming_topk" -> s20_streaming_topk,
@@ -965,6 +1005,30 @@ object TextAnalysis {
     s"len(list_filter($sqlToks, w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
   val oracle: Map[String, String] = Map(
+    "t28_weighted_sample" ->
+      s"""WITH m AS (
+        |  SELECT doc_id, source, length(text) AS len_chars,
+        |    len($sqlToks) AS n_tokens,
+        |    ${sqlHits(Seq("the", "a", "of"))} AS stop_hits,
+        |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct_chars
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, source,
+        |    round(least(n_tokens / 100.0, 1.0) * 0.5
+        |      + (stop_hits / n_tokens) * 0.3
+        |      + (1.0 - punct_chars / len_chars) * 0.2, 4) AS score
+        |  FROM m),
+        |k AS (
+        |  SELECT doc_id, source, score,
+        |    ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT + 1.0)
+        |      / 281474976710657.0) / score AS k
+        |  FROM sc),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY source ORDER BY k DESC, doc_id) AS rn
+        |  FROM k)
+        |SELECT source, rn::INT AS rn, doc_id, score
+        |FROM r WHERE rn <= 3 ORDER BY source, rn""".stripMargin,
     "t27_pmi_collocations" ->
       s"""WITH base AS (
         |  SELECT doc_id, $sqlToks AS t FROM documents),

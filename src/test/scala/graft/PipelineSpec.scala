@@ -1454,6 +1454,75 @@ class PipelineSpec extends AnyFunSuite {
     twinPairs.foreach(p => assert(gotPairs(p), s"planted twin $p missed"))
   }
 
+  test("d20 source overlap equals a driver-side set recompute") {
+    val rows = Dedup.d20_source_overlap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // driver recompute: per-source shingle sets from raw text
+    val docs = Tables.documents(spark, sf).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def sh(t: String): Set[String] = {
+      val w = t.trim.replaceAll("\\s+", " ").split(" ")
+      if (w.length < 5) Set.empty
+      else w.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val bySource = docs.groupBy(_._1).map { case (s0, ds) =>
+      s0 -> ds.map(d0 => sh(d0._2)).reduce(_ ++ _)
+    }
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("source_a"), r.getAs[String]("source_b"))
+      assert(a < b)
+      val shared = (bySource(a) & bySource(b)).size.toLong
+      assert(r.getAs[Long]("n_shared") == shared, s"($a,$b) shared")
+      val jac = shared.toDouble / (bySource(a).size + bySource(b).size - shared)
+      assert(r.getAs[Double]("jaccard") ==
+        java.math.BigDecimal.valueOf(jac)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue(), s"($a,$b)")
+      assert(jac > 0 && jac <= 1.0)
+    }
+    // every genuinely-overlapping pair must be present
+    val expectPairs = (for {
+      a <- bySource.keys; b <- bySource.keys
+      if a < b && (bySource(a) & bySource(b)).nonEmpty
+    } yield (a, b)).toSet
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSet
+      .map(identity[(String, String)]) == expectPairs ||
+      rows.map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b"))).toSet == expectPairs)
+  }
+
+  test("t28 weighted sample equals a driver-side Efraimidis-Spirakis recompute") {
+    val rows = TextAnalysis.t28_weighted_sample(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("score") > 0))
+    // independent recompute of scores, uniforms, and keys
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def score(t: String): Double = {
+      val toks = t.trim.replaceAll("\\s+", " ").toLowerCase.split(" ")
+      val stop = toks.count(Set("the", "a", "of"))
+      val punct = t.count(".,!?;:".contains(_))
+      val raw = math.min(toks.length / 100.0, 1.0) * 0.5 +
+        stop.toDouble / toks.length * 0.3 + (1.0 - punct.toDouble / t.length) * 0.2
+      java.math.BigDecimal.valueOf(raw)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    def key(id: Long, w: Double): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md.take(6).map(b => f"$b%02x").mkString // first 12 hex chars
+      val u = (java.lang.Long.parseLong(hex, 16) + 1.0) / (math.pow(16, 12) + 1)
+      math.log(u) / w
+    }
+    val expect = docs.map { case (id, src, t) => (src, id, score(t), key(id, score(t))) }
+      .groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+        ds.sortBy(d0 => (-d0._4, d0._2)).take(3).zipWithIndex
+          .map { case ((_, id, sc, _), i) => (src, i + 1, id, sc) }
+      }.toSet
+    val got = rows.map(r => (r.getAs[String]("source"), r.getAs[Int]("rn"),
+      r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSet
+    assert(got == expect)
+  }
+
   test("t27 PMI equals a driver recompute; floor and ordering hold") {
     val rows = TextAnalysis.t27_pmi_collocations(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 20)
