@@ -55,6 +55,15 @@ object ScaleCheck {
     val bounds = enc.forall(r => r.getLong(1) <= r.getLong(2) && r.getLong(2) <= r.getLong(3))
     val ratio = enc.map(_.getLong(2)).sum.toDouble / enc.map(_.getLong(3)).sum
     println(f"[scale] t18 merges learned at $tag: ${merges.size}; t19 bounds hold: $bounds; compression: $ratio%.4f over ${enc.length} docs")
+    // round-9 third/fourth-pass rows-only lanes at scale
+    val bq = top10(ops.Similarity.v21_binary_quantize(s, d))
+    println(f"[scale] v21 BQ recall@10 vs v01 at $tag: ${(brute & bq).size / 10.0}%.2f")
+    val mmr = ops.Similarity.v20_mmr_diversify(s, d).collect()
+    println(s"[scale] v20 MMR rows at $tag: ${mmr.length} (rank1 = v01 top1: " +
+      s"${mmr.head.getAs[Long]("vec_id") == ops.Similarity.v01_knn_brute(s, d)
+        .collect().head.getLong(0)})")
+    val m08n = ops.Multimodal.queries("m08_audio_segments")(s, d).count()
+    println(s"[scale] m08 voiced segments at $tag: $m08n")
     s.stop()
   }
 }
