@@ -1133,7 +1133,38 @@ object Relational {
       .orderBy("entry_type")
   }
 
+  // q57: SEASONAL DECOMPOSITION of the daily event volume (STL-lite:
+  // trend = centered 7-day moving average, seasonality = mean detrended
+  // value per weekday, residual = the anomaly signal q55/s18 would
+  // consume): the raw stream collapses in ONE keyed agg (the only
+  // data-proportional step — q55's discipline); every window after it
+  // runs on the bounded ~30-row day axis, and the 7-row weekday model
+  // joins back as a broadcast. Trend is defined only where the centered
+  // window is FULL (7 observations) — partial-edge averages would bias
+  // the weekday model on both engines identically, so both null them.
+  val q57_seasonal_decompose: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).cast("double").as("n"))
+      // Spark dayofweek is 1=Sunday..7; shift to DuckDB's 0=Sunday..6
+      .withColumn("wd", dayofweek(to_date(col("day"))) - 1)
+    val wMa = Window.orderBy("day").rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("trend",
+        when(count(lit(1)).over(wMa) === 7, avg(col("n")).over(wMa)))
+      .withColumn("detrended", col("n") - col("trend"))
+    val seasonal = trended.filter(col("trend").isNotNull)
+      .groupBy(col("wd")).agg(avg(col("detrended")).as("seasonal"))
+    trended.join(broadcast(seasonal), Seq("wd"))
+      .select(col("day"), col("n").cast("long").as("n_events"),
+        round(col("trend"), 4).as("trend"),
+        round(col("seasonal"), 4).as("seasonal"),
+        round(col("detrended") - col("seasonal"), 4).as("residual"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q57_seasonal_decompose" -> q57_seasonal_decompose,
     "q56_session_metrics" -> q56_session_metrics,
     "q55_cusum_changepoint" -> q55_cusum_changepoint,
     "q51_histogram" -> q51_histogram,
@@ -1193,6 +1224,24 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q57_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT strftime(ts::DATE, '%Y-%m-%d') AS day,
+        |    count(*)::DOUBLE AS n, dayofweek(ts::DATE) AS wd
+        |  FROM events GROUP BY 1, 3),
+        |tr AS (
+        |  SELECT *, CASE WHEN count(*) OVER w = 7
+        |      THEN avg(n) OVER w END AS trend
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |det AS (SELECT *, n - trend AS detrended FROM tr),
+        |se AS (
+        |  SELECT wd, avg(detrended) AS seasonal FROM det
+        |  WHERE trend IS NOT NULL GROUP BY 1)
+        |SELECT day, n::BIGINT AS n_events, round(trend, 4) AS trend,
+        |  round(seasonal, 4) AS seasonal,
+        |  round(detrended - seasonal, 4) AS residual
+        |FROM det JOIN se USING (wd) ORDER BY day""".stripMargin,
     "q56_session_metrics" ->
       s"""WITH ev AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts::TIMESTAMP) AS us

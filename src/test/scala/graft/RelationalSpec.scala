@@ -512,6 +512,35 @@ class RelationalSpec extends AnyFunSuite {
     assert(windows == 2, s"expected the two chained windows, got $windows")
   }
 
+  test("q57 decomposition reconstructs n = trend + seasonal + residual") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Relational.q57_seasonal_decompose(spark, sf).collect()
+    val nDays = Tables.events(spark, sf).select(to_date(col("ts"))).distinct().count()
+    assert(rows.length == nDays)
+    // where trend exists the decomposition is exact (mod 4-dec rounding)
+    val withTrend = rows.filter(!_.isNullAt(2))
+    assert(withTrend.length == nDays - 6, "trend defined only on full 7-day windows")
+    withTrend.foreach { r =>
+      val recon = r.getAs[Double]("trend") + r.getAs[Double]("seasonal") +
+        r.getAs[Double]("residual")
+      assert(math.abs(recon - r.getAs[Long]("n_events")) < 1e-2,
+        s"${r.getAs[String]("day")}: $recon")
+    }
+    // driver recompute of the centered moving average
+    val ns = rows.map(_.getAs[Long]("n_events").toDouble)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      if (i >= 3 && i < rows.length - 3) {
+        val ma = (i - 3 to i + 3).map(ns).sum / 7
+        assert(math.abs(r.getAs[Double]("trend") - ma) < 1e-3)
+      } else assert(r.isNullAt(2), s"edge day $i must have null trend")
+    }
+    // the weekday model is centered: seasonal components sum to ~0 when
+    // each weekday is equally represented in the trended region — allow
+    // slack since 24 trended days cover the 7 weekdays unevenly
+    val seasonalByDay = rows.filter(!_.isNullAt(3)).map(_.getAs[Double]("seasonal"))
+    assert(seasonalByDay.distinct.length <= 7)
+  }
+
   test("q54 triangles equal an independent unoriented enumeration") {
     import org.apache.spark.sql.functions._
     val row = ops.Relational.q54_triangles(spark, sf).collect().head
