@@ -1076,8 +1076,16 @@ object Similarity {
       .orderBy("qid", "vec_id")
   }
 
-  /** v21's hamming pre-rank pool size (shared with the spec). */
-  val BqPool = 50
+  /** v21's hamming pre-rank pool: 2% of the corpus, floor 50. A FIXED
+    * pool dilutes as the corpus grows (recall@10 fell 0.9→0.4 between
+    * sf0.001 and sf1 at 50); a fixed FRACTION keeps the hamming stage's
+    * candidate mass — and so recall — stable, which is how production
+    * BQ tiers size their re-rank depth.
+    */
+  val BqPoolFloor = 50
+  val BqPoolFrac = 0.02
+  def bqPool(corpus: Long): Int =
+    math.max(BqPoolFloor, math.ceil(corpus * BqPoolFrac).toInt)
 
   /** Sign-bit packing: bit i set iff embedding[i] > 0. The 64-dim corpus
     * packs into ONE 64-bit word — 32× smaller than float32, the binary-
@@ -1114,10 +1122,12 @@ object Similarity {
   // modern vector stores) with hamming pre-ranking and exact float
   // re-rank of the surviving pool. At 100 TB the hamming stage scans
   // 8-byte codes instead of 256-byte vectors (pure bit_count(xor) —
-  // codegen'd, SIMD-friendly) and only BqPool rows ever touch float
+  // codegen'd, SIMD-friendly) and only the 2% pool ever touches float
   // math; the codes column is exactly what v11 would persist. Two
-  // TakeOrdered cuts, nothing global, no new shuffle shape.
-  val v21_binary_quantize: Q = (s, d) => bqSearch(s, d, BqPool)
+  // TakeOrdered cuts, nothing global, no new shuffle shape; the count()
+  // sizing the pool is one columnless scan.
+  val v21_binary_quantize: Q = (s, d) =>
+    bqSearch(s, d, bqPool(Tables.embeddings(s, d).count()))
 
   /** v20's MMR trade-off weight and pool/output sizes (shared with the
     * spec's independent recompute).
