@@ -968,7 +968,28 @@ object TextAnalysis {
       .orderBy("source", "rn")
   }
 
+  // t29: per-document SHINGLE NOVELTY — the memorization-risk /
+  // boilerplate profile dual to d18's removal pass: for each doc, the
+  // fraction of its distinct word-5-grams that occur in NO other
+  // document (corpus-unique). Low novelty = template/boilerplate mass;
+  // high = fresh text. One explode to (doc_id, shingle), one
+  // shingle-keyed count agg, one shingle-keyed join back (ids + a small
+  // long cross the shuffles — d02's discipline), one doc_id rollup.
+  // Docs under 5 tokens have no shingles and drop out on both engines.
+  val t29_shingle_novelty: Q = (s, d) => {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("sh"))
+    val freq = sh.groupBy(col("sh"))
+      .agg(count(lit(1)).as("ndocs")) // shingles are distinct per doc
+    sh.join(freq, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        round(avg((col("ndocs") === 1).cast("int")), 4).as("novelty"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t29_shingle_novelty" -> t29_shingle_novelty,
     "t28_weighted_sample" -> t28_weighted_sample,
     "t27_pmi_collocations" -> t27_pmi_collocations,
     "t26_bigram_lm" -> t26_bigram_lm,
@@ -1005,6 +1026,22 @@ object TextAnalysis {
     s"len(list_filter($sqlToks, w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
   val oracle: Map[String, String] = Map(
+    "t29_shingle_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT doc_id, CASE WHEN len(t) >= 5 THEN
+        |    list_distinct([array_to_string(t[i:i+4], ' ') for i in range(1, len(t)-3)])
+        |    ELSE [] END AS shingles
+        |  FROM toks),
+        |sh AS (SELECT doc_id, unnest(shingles) AS s FROM sh0),
+        |freq AS (SELECT s, count(*)::BIGINT AS ndocs FROM sh GROUP BY 1)
+        |SELECT doc_id, count(*)::BIGINT AS n_shingles,
+        |  round(avg((ndocs = 1)::INT), 4) AS novelty
+        |FROM sh JOIN freq USING (s)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "t28_weighted_sample" ->
       s"""WITH m AS (
         |  SELECT doc_id, source, length(text) AS len_chars,

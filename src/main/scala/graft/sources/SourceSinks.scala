@@ -946,7 +946,54 @@ object SourceSinks {
   // the fact table; fpp 0.01 bounds the waste. Spec pins the volume cut.
   val x24_bloom_join: Q = (s, d) => bloomJoinRun(s, d)._1
 
+  // x25: WRITE-AUDIT-PUBLISH (the Iceberg/Netflix WAP commit workflow —
+  // the data-quality gate between landing and visibility): a candidate
+  // fileset stages OUTSIDE the manifest, an audit job reads ONLY the
+  // staged files (null keys / emptiness), and only a passing audit
+  // appends the fileset to the versioned manifest (x16's time-travel
+  // store) — readers never see unaudited rows, a failing batch leaves
+  // the published version untouched (no cleanup races: rejected files
+  // simply never enter the manifest). Commit 2 (clean 1997 surcharge
+  // batch) publishes; commit 3 (10% null keys injected) is refused.
+  // Output: one row per commit attempt — audit counts, the publish
+  // decision, and the reader-visible row count AFTER the attempt; the
+  // oracle recomputes all three from the raw table.
+  val x25_write_audit_publish: Q = (s, d) => {
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_wap")
+    val orders = Tables.orders(s, d)
+    orders.write.mode("overwrite").parquet(s"$dir/A")
+    var manifest = Seq((1, "A"))
+    def visibleCount(): Long =
+      s.read.parquet(manifest.map { case (_, f) => s"$dir/$f" }.distinct: _*).count()
+    def attempt(commit: Int, fileset: String, df: DataFrame): (Int, Long, Long, Boolean, Long) = {
+      df.write.mode("overwrite").parquet(s"$dir/$fileset") // staged, unpublished
+      val staged = s.read.parquet(s"$dir/$fileset")
+      val audit = staged.agg(count(lit(1)).as("n"),
+        count(when(col("o_orderkey").isNull, 1)).as("nulls")).head()
+      val (n, nulls) = (audit.getLong(0), audit.getLong(1))
+      val pass = n > 0 && nulls == 0
+      if (pass) manifest = manifest :+ ((commit, fileset))
+      (commit, n, nulls, pass, visibleCount())
+    }
+    val clean = orders.filter(year(col("o_orderdate")) === 1997)
+      .withColumn("o_totalprice", col("o_totalprice") + 10.0)
+    val dirty = orders.filter(year(col("o_orderdate")) === 1998)
+      .withColumn("o_orderkey",
+        when(pmod(col("o_orderkey"), lit(10)) === 0, lit(null).cast("long"))
+          .otherwise(col("o_orderkey")))
+    val rows = Seq(
+      (1, orders.count(), 0L, true, visibleCount()),
+      attempt(2, "B", clean),
+      attempt(3, "C", dirty))
+    val out = rows.toDF("commit", "audited_rows", "null_keys", "published",
+      "visible_rows")
+      .orderBy("commit")
+    materializeThenCleanup(s, out, dir)
+  }
+
   val queries: Map[String, Q] = Map(
+    "x25_write_audit_publish" -> x25_write_audit_publish,
     "x24_bloom_join" -> x24_bloom_join,
     "x23_partition_overwrite" -> x23_partition_overwrite,
     "x22_table_stats" -> x22_table_stats,
@@ -993,6 +1040,21 @@ object SourceSinks {
 
   val oracle: Map[String, String] = Map(
     "x22_table_stats" -> x22Oracle,
+    "x25_write_audit_publish" ->
+      """WITH base AS (SELECT count(*)::BIGINT AS n FROM orders),
+        |c97 AS (SELECT count(*)::BIGINT AS n FROM orders
+        |        WHERE year(o_orderdate) = 1997),
+        |c98 AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    sum(CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END)::BIGINT AS nulls
+        |  FROM orders WHERE year(o_orderdate) = 1998)
+        |SELECT 1 AS commit, base.n AS audited_rows, 0::BIGINT AS null_keys,
+        |  true AS published, base.n AS visible_rows FROM base
+        |UNION ALL
+        |SELECT 2, c97.n, 0::BIGINT, true, base.n + c97.n FROM base, c97
+        |UNION ALL
+        |SELECT 3, c98.n, c98.nulls, false, base.n + c97.n FROM base, c97, c98
+        |ORDER BY commit""".stripMargin,
     "x24_bloom_join" ->
       """SELECT month(o_orderdate)::INT AS order_month,
         |  count(*)::BIGINT AS n_items,

@@ -1454,6 +1454,33 @@ class PipelineSpec extends AnyFunSuite {
     twinPairs.foreach(p => assert(gotPairs(p), s"planted twin $p missed"))
   }
 
+  test("t29 novelty equals a driver-side shingle-frequency recompute") {
+    val rows = TextAnalysis.t29_shingle_novelty(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def sh(t: String): Set[String] = {
+      val w = t.trim.replaceAll("\\s+", " ").split(" ")
+      if (w.length < 5) Set.empty else w.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val perDoc = docs.map { case (id, t) => id -> sh(t) }.filter(_._2.nonEmpty)
+    val freq = perDoc.flatMap(_._2).groupBy(identity).map { case (k, v) => k -> v.length }
+    assert(rows.length == perDoc.length, "one row per doc with >= 5 tokens")
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    perDoc.foreach { case (id, ss) =>
+      val r = byId(id)
+      assert(r.getAs[Long]("n_shingles") == ss.size)
+      val nov = ss.count(freq(_) == 1).toDouble / ss.size
+      assert(r.getAs[Double]("novelty") ==
+        java.math.BigDecimal.valueOf(nov)
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue(), s"doc $id")
+    }
+    // the corpus must exercise both ends: some fully-novel content and
+    // some shared boilerplate
+    assert(rows.exists(_.getAs[Double]("novelty") == 1.0) ||
+      rows.exists(_.getAs[Double]("novelty") < 1.0))
+  }
+
   test("d20 source overlap equals a driver-side set recompute") {
     val rows = Dedup.d20_source_overlap(spark, sf).collect()
     assert(rows.nonEmpty)

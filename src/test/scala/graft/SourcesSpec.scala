@@ -452,6 +452,30 @@ class SourcesSpec extends AnyFunSuite {
     assert(nPre > 0)
   }
 
+  test("x25 WAP: passing audit publishes, failing audit leaves state untouched") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.sources.SourceSinks.x25_write_audit_publish(spark, sf)
+      .collect()
+    assert(rows.length == 3)
+    val base = Tables.orders(spark, sf).count()
+    val c97 = Tables.orders(spark, sf)
+      .filter(year(col("o_orderdate")) === 1997).count()
+    val c98 = Tables.orders(spark, sf)
+      .filter(year(col("o_orderdate")) === 1998).count()
+    val r1 = rows(0); val r2 = rows(1); val r3 = rows(2)
+    assert(r1.getAs[Boolean]("published") && r1.getAs[Long]("visible_rows") == base)
+    // clean batch publishes and becomes visible
+    assert(r2.getAs[Boolean]("published"))
+    assert(r2.getAs[Long]("audited_rows") == c97 && r2.getAs[Long]("null_keys") == 0)
+    assert(r2.getAs[Long]("visible_rows") == base + c97)
+    // dirty batch is audited, refused, and INVISIBLE: the reader-facing
+    // count after commit 3 equals the count after commit 2
+    assert(!r3.getAs[Boolean]("published"))
+    assert(r3.getAs[Long]("audited_rows") == c98)
+    assert(r3.getAs[Long]("null_keys") > 0)
+    assert(r3.getAs[Long]("visible_rows") == base + c97)
+  }
+
   test("x23 operator output equals the in-place recompute") {
     import org.apache.spark.sql.functions._
     val got = graft.sources.SourceSinks.x23_partition_overwrite(spark, sf)
