@@ -494,7 +494,54 @@ object StreamingQueries {
     }
   }
 
+  // s22: STREAMING CUSUM change-point — q55's streaming twin (the 9th
+  // batch↔streaming pair: apply/c13, keep-list/d11, view/s14, JDBC
+  // tail/s15, index/s16, corpus/s17, spans/s19, top-k/s20, CUSUM/s22):
+  // per-micro-batch per-day counts SUM into the bounded day-axis state
+  // (s20's fold — state is ≤ corpus-days rows regardless of stream
+  // length); the snapshot closes over the FINAL drained state because
+  // the corpus mean — and so every CUSUM value and the argmax flag —
+  // is mutable while data arrives. Cusum math runs once, on the ~30-row
+  // final state; hash-matching q55's batch oracle verbatim proves the
+  // accumulated counts compose seam-free.
+  val s22_stream_cusum: Q = (s, d) => {
+    val raw = Tables.load(s, d, "events")
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .transform(graft.Tables.normalizeEventsTs)
+    val state = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val q = stream
+      .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // update-mode rows carry the PER-QUERY running total per key;
+        // merge keeps the latest value (exact counts, no double add)
+        batch.collect().foreach { r => // bounded: ≤ corpus-days rows
+          state.put(r.getString(0), r.getLong(1))
+        }
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    import s.implicits._
+    val daily = state.asScala.toSeq.map { case (day, n) => (day, n.toDouble) }
+      .toDF("day", "n")
+    val mu = daily.agg(avg("n").as("mu"))
+    val wc = org.apache.spark.sql.expressions.Window.orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    daily.crossJoin(broadcast(mu))
+      .withColumn("cusum", sum(col("n") - col("mu")).over(wc))
+      .withColumn("max_abs", max(abs(col("cusum")))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("day"), col("n").cast("long").as("n_events"),
+        round(col("cusum"), 4).as("cusum"),
+        (abs(col("cusum")) === col("max_abs")).cast("int").as("is_changepoint"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "s22_stream_cusum" -> s22_stream_cusum,
     "s21_stream_outer_join" -> s21_stream_outer_join,
     "s18_stream_anomaly" -> s18_stream_anomaly,
     "s13_checkpoint_resume" -> s13_checkpoint_resume,
@@ -513,6 +560,20 @@ object StreamingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // q55's batch oracle verbatim — the hash match proves the streamed
+    // per-day counts accumulated to exactly the batch table
+    "s22_stream_cusum" ->
+      """WITH daily AS (
+        |  SELECT strftime(ts::DATE, '%Y-%m-%d') AS day, count(*)::DOUBLE AS n
+        |  FROM events GROUP BY 1),
+        |mu AS (SELECT avg(n) AS mu FROM daily),
+        |cus AS (
+        |  SELECT day, n, sum(n - mu) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+        |  FROM daily, mu)
+        |SELECT day, n::BIGINT AS n_events, round(cusum, 4) AS cusum,
+        |  (abs(cusum) = max(abs(cusum)) OVER ())::INT AS is_changepoint
+        |FROM cus ORDER BY day""".stripMargin,
     "s21_stream_outer_join" ->
       """WITH c AS (
         |  SELECT user_id, ts::TIMESTAMP AS c_ts, value FROM events

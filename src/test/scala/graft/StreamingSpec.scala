@@ -146,6 +146,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(nAnom > 0 && nAnom < rows.length / 5, s"$nAnom of ${rows.length}")
   }
 
+  test("s22 streaming cusum equals the batch q55 row for row") {
+    val got = StreamingQueries.s22_stream_cusum(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val exp = ops.Relational.q55_cusum_changepoint(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == exp,
+      "streaming accumulated state must reproduce the batch CUSUM exactly")
+  }
+
   test("s21 streaming left-outer join equals the batch LEFT JOIN, nulls included") {
     import org.apache.spark.sql.functions._
     val got = StreamingQueries.s21_stream_outer_join(spark, sf)
