@@ -1036,7 +1036,15 @@ object Relational {
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2)
       .select("u", "v")
-      .persist() // degree pass + orientation join both consume it
+    triangleStats(e)
+  }
+
+  /** q54's engine over ANY undirected edge set (columns u < v, distinct)
+    * — public so the ScalaCheck property can pin oriented ≡ naive
+    * enumeration on random graphs, not just the one co-purchase graph.
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e = edges.persist() // degree pass + orientation join both consume it
     val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
     val uFirst = (col("du") < col("dv")) || (col("du") === col("dv") && col("u") < col("v"))
@@ -1108,15 +1116,21 @@ object Relational {
   // — plus the ≤|types| rollup; plan-shape spec-pinned. The
   // session-entry pick is a lexicographic struct-min — deterministic
   // under the (us, event_id) unique key, identical on both engines.
-  val q56_session_metrics: Q = (s, d) => {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
-    val ev = Tables.events(s, d)
+  val q56_session_metrics: Q = (s, d) =>
+    sessionMetrics(Tables.events(s, d)
       .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_micros(col("ts")).as("us"))
+        unix_micros(col("ts")).as("us")), SessionGapUs)
+
+  /** q56's engine over ANY (user_id, event_id, event_type, us) frame —
+    * public so the ScalaCheck property can pin the gaps-and-islands
+    * sessionizer against a reference fold on random streams.
+    */
+  def sessionMetrics(ev: DataFrame, gapUs: Long): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
     val sess = ev
       .withColumn("prev", lag(col("us"), 1).over(w))
       .withColumn("new_s",
-        (col("prev").isNull || col("us") - col("prev") > SessionGapUs).cast("int"))
+        (col("prev").isNull || col("us") - col("prev") > gapUs).cast("int"))
       .withColumn("sid", sum(col("new_s"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     sess.groupBy(col("user_id"), col("sid"))
