@@ -1183,7 +1183,55 @@ object Similarity {
     }.toSeq.toDF("rank", "vec_id", "cos", "mmr_score")
   }
 
+  /** Per-vector symmetric int8 dequantization (v06's scheme) as a single
+    * native expression — scale = max|v|/127, each component snapped to
+    * its nearest int8 step. Used by v22's int8 tier.
+    */
+  private val deqInt8 =
+    "transform(embedding, v -> cast(round(cast(v as double) / " +
+      "(greatest(aggregate(embedding, cast(0 as double), " +
+      "(a, x) -> greatest(a, abs(cast(x as double)))), cast(1e-12 as double)) / 127.0)) * " +
+      "(greatest(aggregate(embedding, cast(0 as double), " +
+      "(a, x) -> greatest(a, abs(cast(x as double)))), cast(1e-12 as double)) / 127.0) as float))"
+
+  // v22 (rows-only; spec: float ≡ 1.0 by construction, int8 tier ≡ a
+  // driver-side dequantized recompute, tiers ordered): QUANTIZATION
+  // PARETO report — the bytes-per-vector ↔ recall@10 decision table a
+  // serving deployment reads before picking its compressed tier
+  // (float32 exact / int8+scale / 1-bit BQ — 1×, ~3.8×, 32×
+  // compression). Each tier re-runs the SAME top-10 query under its own
+  // representation's scoring (int8: both sides snapped to their int8
+  // grid; BQ: v21's hamming-pool lane) and is graded against the exact
+  // float top-10. Three bounded collects (10 ids each); the corpus
+  // scans are the v01 shape. The output is 3 rows — the artifact v16's
+  // IR metrics would track per release.
+  val v22_quantization_pareto: Q = (s, d) => {
+    import s.implicits._
+    val dim = Tables.embeddings(s, d).select(size(col("embedding")))
+      .head().getInt(0)
+    val exact = v01_knn_brute(s, d).collect().map(_.getLong(0)).toSeq
+    val exactSet = exact.toSet
+    val e = Tables.embeddings(s, d).withColumn("dq", expr(deqInt8))
+    val qv = e.filter(col("vec_id") === 0).select(col("dq").as("qe"))
+    val int8 = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), round(Vec.cosine(col("dq"), col("qe")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10).collect().map(_.getLong(0)).toSeq
+    val bq = v21_binary_quantize(s, d).collect().map(_.getLong(0)).toSeq
+    def graded(tier: String, bytes: Int, ids: Seq[Long]) =
+      (tier, bytes, ids.toSet.intersect(exactSet).size / 10.0,
+        ids.headOption == exact.headOption)
+    Seq(
+      graded("float32", dim * 4, exact),
+      graded("int8", dim + 4, int8),
+      graded("binary", dim / 8, bq))
+      .toDF("tier", "bytes_per_vec", "recall_at_10", "top1_match")
+      .orderBy(col("bytes_per_vec").desc)
+  }
+
   val queries: Map[String, Q] = Map(
+    "v22_quantization_pareto" -> v22_quantization_pareto,
     "v21_binary_quantize" -> v21_binary_quantize,
     "v20_mmr_diversify" -> v20_mmr_diversify,
     "v19_range_search" -> v19_range_search,

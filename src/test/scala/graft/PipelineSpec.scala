@@ -1632,6 +1632,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(segs.groupBy(_.getAs[Long]("doc_id")).values.exists(_.length > 1))
   }
 
+  test("v22 pareto: float is exact, int8 equals a driver recompute, tiers graded") {
+    val rows = Similarity.v22_quantization_pareto(spark, sf).collect()
+    assert(rows.length == 3)
+    val byTier = rows.map(r => r.getAs[String]("tier") -> r).toMap
+    assert(byTier("float32").getAs[Double]("recall_at_10") == 1.0)
+    assert(byTier("float32").getAs[Boolean]("top1_match"))
+    // bytes ordering float > int8 > binary
+    assert(rows.map(_.getAs[Int]("bytes_per_vec")).toSeq ==
+      rows.map(_.getAs[Int]("bytes_per_vec")).toSeq.sorted.reverse)
+    rows.foreach { r =>
+      val rec = r.getAs[Double]("recall_at_10")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    // int8 recall from an independent driver-side dequantized recompute
+    val all = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def dq(e: Array[Double]): Array[Double] = {
+      val scale = math.max(e.map(math.abs).max, 1e-12) / 127.0
+      e.map(v => math.rint(v / scale).toFloat * scale.toFloat)
+        .map(_.toDouble) // float-snap like the Spark cast
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dp = a.zip(b).map { case (x, y) => x * y }.sum
+      dp / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val q = dq(all.find(_._1 == 0L).get._2)
+    val int8Top = all.filter(_._1 != 0L)
+      .map { case (id, e) => (id, math.rint(cos(dq(e), q) * 1e6) / 1e6) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    val exact = ops.Similarity.v01_knn_brute(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(byTier("int8").getAs[Double]("recall_at_10") ==
+      int8Top.intersect(exact).size / 10.0)
+  }
+
   test("v20 MMR equals an independent greedy recompute; rank 1 is the raw top-1") {
     val rows = Similarity.v20_mmr_diversify(spark, sf).collect()
     assert(rows.length == Similarity.MmrK)
