@@ -852,7 +852,58 @@ object Multimodal {
       .orderBy("doc_id", "seg_idx")
   }
 
+  /** m09's fixed canvas and patch grid (32×32 px → 4×4 patches of 8×8,
+    * shared with the spec's recompute).
+    */
+  val PatchCanvas = 32
+  val PatchGrid = 4
+
+  // m09 (rows-only; spec: ≡ independent per-patch recompute, 16 patches
+  // per image): ViT-style PATCH EXTRACTION — the dataloader step between
+  // m04's resize and a vision encoder: each PNG decodes through the REAL
+  // codec chain (encode → imageio decode, m07's path), normalizes onto a
+  // fixed 32×32 canvas, and splits into 4×4 non-overlapping 8×8 patches
+  // with per-patch mean/std features (the patch-embedding statistics a
+  // ViT's linear projection consumes). Entirely per-partition — pixels
+  // never cross an executor boundary; output is bounded at 16 rows per
+  // image whatever the source resolution, which is the point: patching
+  // normalizes arbitrary media into fixed-shape tensors.
+  val m09_patch_extract: Q = (s, d) => {
+    import s.implicits._
+    val g = PatchGrid; val c = PatchCanvas; val p = c / g
+    mediaRecords(s, d)
+      .filter(_.content_type == "image/png")
+      .mapPartitions(_.flatMap { r =>
+        val n = r.payload.length
+        val w = math.ceil(math.sqrt(n.toDouble)).toInt.max(1)
+        val h = (n + w - 1) / w
+        val (pix, pw, ph) = decodePng(encodePng(r.payload, w, h))
+        val canvas = resizeNN(pix, pw, ph, c, c)
+        Iterator.range(0, g * g).map { idx =>
+          val (py, px) = (idx / g, idx % g)
+          var sum = 0L; var sum2 = 0L
+          var y = 0
+          while (y < p) {
+            var x = 0
+            while (x < p) {
+              val v = canvas((py * p + y) * c + px * p + x) & 0xFF
+              sum += v; sum2 += v.toLong * v
+              x += 1
+            }
+            y += 1
+          }
+          val m = sum.toDouble / (p * p)
+          val variance = sum2.toDouble / (p * p) - m * m
+          (r.doc_id, idx, math.rint(m * 100) / 100,
+            math.rint(math.sqrt(math.max(variance, 0)) * 100) / 100)
+        }
+      })
+      .toDF("doc_id", "patch_idx", "mean_px", "std_px")
+      .orderBy("doc_id", "patch_idx")
+  }
+
   val queries: Map[String, Q] = Map(
+    "m09_patch_extract" -> m09_patch_extract,
     "m08_audio_segments" -> m08_audio_segments,
     "m07_phash_neardup" -> m07_phash_neardup,
     "m06_pair_pack" -> m06_pair_pack,

@@ -1667,6 +1667,40 @@ class PipelineSpec extends AnyFunSuite {
       int8Top.intersect(exact).size / 10.0)
   }
 
+  test("m09 patches equal an independent recompute; 16 fixed-shape rows per image") {
+    val rows = Multimodal.m09_patch_extract(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nImages = Multimodal.mediaRecords(spark, sf)
+      .filter(_.content_type == "image/png").count()
+    val g = Multimodal.PatchGrid; val c = Multimodal.PatchCanvas; val p = c / g
+    assert(rows.length == nImages * g * g,
+      "every image must yield exactly grid^2 patches")
+    // independent per-patch recompute for every image, different loop shape
+    val recs = Multimodal.mediaRecords(spark, sf)
+      .filter(_.content_type == "image/png").collect()
+    val byKey = rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("patch_idx")) -> r).toMap
+    recs.foreach { r =>
+      val n = r.payload.length
+      val w = math.ceil(math.sqrt(n.toDouble)).toInt.max(1)
+      val h = (n + w - 1) / w
+      val (pix, pw, ph) = Multimodal.decodePng(Multimodal.encodePng(r.payload, w, h))
+      val canvas = Multimodal.resizeNN(pix, pw, ph, c, c)
+      for (idx <- 0 until g * g) {
+        val vals = for {
+          y <- 0 until p; x <- 0 until p
+        } yield (canvas(((idx / g) * p + y) * c + (idx % g) * p + x) & 0xFF).toDouble
+        val mean = vals.sum / vals.length
+        val std = math.sqrt(math.max(
+          vals.map(v => (v - mean) * (v - mean)).sum / vals.length, 0))
+        val got = byKey((r.doc_id, idx))
+        assert(got.getAs[Double]("mean_px") == math.rint(mean * 100) / 100,
+          s"doc ${r.doc_id} patch $idx mean")
+        assert(math.abs(got.getAs[Double]("std_px") - math.rint(std * 100) / 100) <= 0.01,
+          s"doc ${r.doc_id} patch $idx std")
+      }
+    }
+  }
+
   test("v20 MMR equals an independent greedy recompute; rank 1 is the raw top-1") {
     val rows = Similarity.v20_mmr_diversify(spark, sf).collect()
     assert(rows.length == Similarity.MmrK)
