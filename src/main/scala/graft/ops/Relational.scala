@@ -1177,7 +1177,43 @@ object Relational {
       .orderBy("day")
   }
 
+  // q58 (rows-only; spec: ≤5% relative error on direct estimates, ≤15%
+  // on the derived intersection, exact columns ≡ recompute): SKETCH SET
+  // OPERATIONS — the mergeable-cardinality algebra a CBO (and every
+  // cross-partition distinct-count rollup) runs: per-cohort Apache
+  // DataSketches HLL aggregates (native hll_sketch_agg, lgK=14) give
+  // |A| and |B|; sketches MERGE for |A∪B| (hll_union — the property
+  // that lets per-partition/per-day sketches roll up without rescans);
+  // |A∩B| derives by inclusion–exclusion. Exact counterparts computed
+  // side by side (q32's audit shape). Each side is one aggregation;
+  // the 1-row sketch frames cross-join broadcast. At 100 TB the exact
+  // columns drop and ONLY the sketches move — kilobytes per cohort.
+  val q58_sketch_setops: Q = (s, d) => {
+    val a = Tables.orders(s, d).filter(year(col("o_orderdate")) === 1996)
+      .select(col("o_custkey"))
+    val b = Tables.orders(s, d).filter(year(col("o_orderdate")) === 1997)
+      .select(col("o_custkey"))
+    val exact = a.agg(countDistinct("o_custkey").as("n_a")).crossJoin(
+      b.agg(countDistinct("o_custkey").as("n_b"))).crossJoin(
+      a.union(b).agg(countDistinct("o_custkey").as("n_union"))).crossJoin(
+      a.intersect(b).agg(count(lit(1)).as("n_intersect")))
+    val sk = a.agg(expr("hll_sketch_agg(o_custkey, 14)").as("sk_a")).crossJoin(
+      b.agg(expr("hll_sketch_agg(o_custkey, 14)").as("sk_b")))
+      .select(
+        expr("hll_sketch_estimate(sk_a)").cast("double").as("est_a"),
+        expr("hll_sketch_estimate(sk_b)").cast("double").as("est_b"),
+        expr("hll_sketch_estimate(hll_union(sk_a, sk_b))").cast("double")
+          .as("est_union"))
+      .withColumn("est_intersect",
+        col("est_a") + col("est_b") - col("est_union"))
+    exact.crossJoin(broadcast(sk))
+      .select(col("n_a"), col("est_a"), col("n_b"), col("est_b"),
+        col("n_union"), col("est_union"), col("n_intersect"),
+        round(col("est_intersect"), 1).as("est_intersect"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q58_sketch_setops" -> q58_sketch_setops,
     "q57_seasonal_decompose" -> q57_seasonal_decompose,
     "q56_session_metrics" -> q56_session_metrics,
     "q55_cusum_changepoint" -> q55_cusum_changepoint,

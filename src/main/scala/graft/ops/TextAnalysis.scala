@@ -988,7 +988,27 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // t30: LANGUAGE-ID CONFUSION MATRIX — t01's evaluation rollup (the
+  // scoreboard a classifier change is judged by, as v16 is for ANN and
+  // d16 for dedup): per (true, predicted) counts + the per-true-lang
+  // recall fraction, denominators broadcast. Composes the verified t01
+  // frame; the ≤|langs|² output is bounded at any corpus size and the
+  // rollup adds one ≤25-key shuffle.
+  val t30_langid_eval: Q = (s, d) => {
+    val scored = t01_langid(s, d)
+      .select(col("lang"), col("predicted_lang"))
+    val cm = scored.groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+    val tot = scored.groupBy(col("lang"))
+      .agg(count(lit(1)).cast("double").as("n_true"))
+    cm.join(broadcast(tot), Seq("lang"))
+      .select(col("lang"), col("predicted_lang"), col("n"),
+        round(col("n") / col("n_true"), 4).as("frac"))
+      .orderBy("lang", "predicted_lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t30_langid_eval" -> t30_langid_eval,
     "t29_shingle_novelty" -> t29_shingle_novelty,
     "t28_weighted_sample" -> t28_weighted_sample,
     "t27_pmi_collocations" -> t27_pmi_collocations,
@@ -1026,6 +1046,26 @@ object TextAnalysis {
     s"len(list_filter($sqlToks, w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
   val oracle: Map[String, String] = Map(
+    "t30_langid_eval" -> {
+      val hitCols = Profiles.map { case (l, ws) => s"${sqlHits(ws)} AS n_$l" }
+      val langs = Profiles.map(_._1)
+      val caseArms = langs.init.map { l =>
+        val cond = langs.filter(_ != l).map(o => s"n_$l >= n_$o").mkString(" AND ")
+        s"WHEN $cond THEN '$l'"
+      }.mkString(" ")
+      s"""WITH h AS (
+         |  SELECT doc_id, lang, ${hitCols.mkString(", ")} FROM documents),
+         |p AS (
+         |  SELECT lang, CASE $caseArms ELSE '${langs.last}' END AS predicted_lang
+         |  FROM h),
+         |cm AS (
+         |  SELECT lang, predicted_lang, count(*)::BIGINT AS n
+         |  FROM p GROUP BY 1, 2),
+         |tot AS (SELECT lang, count(*)::DOUBLE AS n_true FROM p GROUP BY 1)
+         |SELECT lang, predicted_lang, n, round(n / n_true, 4) AS frac
+         |FROM cm JOIN tot USING (lang)
+         |ORDER BY lang, predicted_lang""".stripMargin
+    },
     "t29_shingle_novelty" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -1454,6 +1454,23 @@ class PipelineSpec extends AnyFunSuite {
     twinPairs.foreach(p => assert(gotPairs(p), s"planted twin $p missed"))
   }
 
+  test("t30 confusion matrix sums to the corpus and tracks t01's correct flags") {
+    val rows = TextAnalysis.t30_langid_eval(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val t01 = TextAnalysis.t01_langid(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == t01.length)
+    // diagonal mass == number of correct predictions in t01
+    val diag = rows.filter(r =>
+      r.getAs[String]("lang") == r.getAs[String]("predicted_lang"))
+      .map(_.getAs[Long]("n")).sum
+    assert(diag == t01.map(_.getAs[Int]("correct").toLong).sum)
+    // per-true-lang fractions sum to ~1
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (l, rs) =>
+      val f = rs.map(_.getAs[Double]("frac")).sum
+      assert(math.abs(f - 1.0) < 1e-2, s"lang $l fracs sum to $f")
+    }
+  }
+
   test("t29 novelty equals a driver-side shingle-frequency recompute") {
     val rows = TextAnalysis.t29_shingle_novelty(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -541,6 +541,30 @@ class RelationalSpec extends AnyFunSuite {
     assert(seasonalByDay.distinct.length <= 7)
   }
 
+  test("q58 sketch estimates track exact set cardinalities within bounds") {
+    import org.apache.spark.sql.functions._
+    val r = ops.Relational.q58_sketch_setops(spark, sf).collect().head
+    // exact columns against an independent recompute
+    val aKeys = Tables.orders(spark, sf)
+      .filter(year(col("o_orderdate")) === 1996)
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    val bKeys = Tables.orders(spark, sf)
+      .filter(year(col("o_orderdate")) === 1997)
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    assert(r.getAs[Long]("n_a") == aKeys.size)
+    assert(r.getAs[Long]("n_b") == bKeys.size)
+    assert(r.getAs[Long]("n_union") == (aKeys ++ bKeys).size)
+    assert(r.getAs[Long]("n_intersect") == (aKeys & bKeys).size)
+    // sketch error gates: direct estimates tight, derived intersection looser
+    def relErr(est: Double, exact: Long): Double =
+      math.abs(est - exact) / math.max(exact, 1).toDouble
+    assert(relErr(r.getAs[Double]("est_a"), r.getAs[Long]("n_a")) <= 0.05)
+    assert(relErr(r.getAs[Double]("est_b"), r.getAs[Long]("n_b")) <= 0.05)
+    assert(relErr(r.getAs[Double]("est_union"), r.getAs[Long]("n_union")) <= 0.05)
+    assert(relErr(r.getAs[Double]("est_intersect"),
+      r.getAs[Long]("n_intersect")) <= 0.15)
+  }
+
   test("q54 triangles equal an independent unoriented enumeration") {
     import org.apache.spark.sql.functions._
     val row = ops.Relational.q54_triangles(spark, sf).collect().head
