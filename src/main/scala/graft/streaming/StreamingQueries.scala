@@ -540,7 +540,53 @@ object StreamingQueries {
       .orderBy("day")
   }
 
+  // s23: STREAMING equi-width histogram — q51's streaming twin (the
+  // 10th batch↔streaming pair): the bucket BOUNDS are an offline
+  // 1-row model (batch min/max — s18's broadcast-baseline discipline;
+  // a streaming histogram cannot learn its own bounds without two
+  // passes), the stream folds per-bucket counts into ≤20 rows of
+  // state (s22's put-latest merge of update-mode running totals),
+  // and the snapshot emits q51's exact output shape. The hash match
+  // against q51's oracle proves the streamed fold lands every row in
+  // the same bucket the batch scan does.
+  val s23_stream_histogram: Q = (s, d) => {
+    val b = graft.ops.Relational.HistogramBuckets
+    val bounds = Tables.lineitem(s, d)
+      .agg(min("l_extendedprice").as("mn"), max("l_extendedprice").as("mx"))
+      .head()
+    val (mn, mx) = (bounds.getDouble(0), bounds.getDouble(1))
+    val w = (mx - mn) / b
+    val raw = Tables.load(s, d, "lineitem")
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "lineitem.parquet").parquet(d)
+    val state = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val q = stream
+      .withColumn("bucket",
+        least(floor((col("l_extendedprice") - lit(mn)) / lit(w)),
+          lit(b - 1L)).cast("int"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r => state.put(r.getInt(0), r.getLong(1)))
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    import s.implicits._
+    // edge rounding = Spark round()'s HALF_UP over the shortest decimal
+    // form — math.rint's half-even would diverge from q51's oracle on
+    // a .xx5 boundary
+    def r2(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()
+    state.asScala.toSeq.sorted
+      .map { case (bucket, n) =>
+        (bucket, r2(mn + bucket * w), r2(mn + (bucket + 1) * w), n)
+      }
+      .toDF("bucket", "lo", "hi", "n")
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, Q] = Map(
+    "s23_stream_histogram" -> s23_stream_histogram,
     "s22_stream_cusum" -> s22_stream_cusum,
     "s21_stream_outer_join" -> s21_stream_outer_join,
     "s18_stream_anomaly" -> s18_stream_anomaly,
@@ -560,6 +606,20 @@ object StreamingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // q51's batch oracle verbatim — the hash match proves the streamed
+    // per-bucket fold lands every row where the batch scan does
+    "s23_stream_histogram" ->
+      s"""WITH s AS (
+        |  SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT least(floor((l_extendedprice - mn) / ((mx - mn) / ${graft.ops.Relational.HistogramBuckets})),
+        |           ${graft.ops.Relational.HistogramBuckets - 1})::INT AS bucket,
+        |         mn, (mx - mn) / ${graft.ops.Relational.HistogramBuckets} AS w
+        |  FROM lineitem, s)
+        |SELECT bucket, round(mn + bucket * w, 2) AS lo,
+        |  round(mn + (bucket + 1) * w, 2) AS hi, count(*)::BIGINT AS n
+        |FROM b GROUP BY bucket, mn, w ORDER BY bucket""".stripMargin,
     // q55's batch oracle verbatim — the hash match proves the streamed
     // per-day counts accumulated to exactly the batch table
     "s22_stream_cusum" ->

@@ -146,6 +146,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(nAnom > 0 && nAnom < rows.length / 5, s"$nAnom of ${rows.length}")
   }
 
+  test("s23 streaming histogram equals the batch q51 row for row") {
+    val got = StreamingQueries.s23_stream_histogram(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val exp = ops.Relational.q51_histogram(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == exp,
+      "streamed per-bucket fold must reproduce the batch histogram exactly")
+  }
+
   test("s22 streaming cusum equals the batch q55 row for row") {
     val got = StreamingQueries.s22_stream_cusum(spark, sf)
       .collect().map(_.toSeq).toSeq
