@@ -1212,7 +1212,108 @@ object Relational {
         round(col("est_intersect"), 1).as("est_intersect"))
   }
 
+  // q59: SKYLINE (Pareto frontier) over part under (minimize
+  // p_retailprice, maximize p_size) — the multi-criteria shortlist query
+  // (cheapest-for-at-least-this-size). NOT the textbook O(n²) dominance
+  // self-join: one keyed agg collapses the fact to a ≤50-row per-size
+  // min-price axis (the ONLY data-proportional shuffle), the frontier
+  // test runs on that bounded axis (running min over strictly-larger
+  // sizes), and membership broadcasts back. A point survives iff it is
+  // the min price AT its size and every strictly larger size costs
+  // strictly more — equivalent to the oracle's NOT EXISTS dominance.
+  val q59_skyline: Q = (s, d) => {
+    val p = Tables.part(s, d)
+      .select(col("p_partkey"), col("p_name"), col("p_size"), col("p_retailprice"))
+    val perSize = p.groupBy(col("p_size"))
+      .agg(min(col("p_retailprice")).as("mprice"))
+    // one row per size → preceding rows under desc order are strictly larger
+    val wDesc = Window.orderBy(col("p_size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val axis = perSize.withColumn("rmin", min(col("mprice")).over(wDesc))
+    p.join(broadcast(axis), Seq("p_size"))
+      .filter(col("p_retailprice") === col("mprice") &&
+        (col("rmin").isNull || col("rmin") > col("p_retailprice")))
+      .select(col("p_partkey"), col("p_name"), col("p_size"), col("p_retailprice"))
+      .orderBy("p_partkey")
+  }
+
+  /** q60's sparse-series predicate — shared with the oracle. */
+  val GapFillMinQty = 49.0
+
+  // q60: DATE-SPINE GAP FILL + forward fill over a sparse daily series
+  // (the report-ready time-series shape: every calendar day present,
+  // missing observations carried forward and flagged). The series is ONE
+  // keyed agg; the spine is sequence()+explode over the observed bounds
+  // (bounded by the day span, not the data); the fill window runs on
+  // that bounded day axis — q57's discipline. First spine day is a
+  // present observation by construction (the bounds come from the
+  // series), so the forward fill never emits a leading null.
+  val q60_gap_fill: Q = (s, d) => {
+    val series = Tables.lineitem(s, d)
+      .filter(col("l_quantity") > GapFillMinQty)
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val spine = series.agg(min("day").as("lo"), max("day").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    spine.join(series, Seq("day"), "left")
+      .withColumn("was_filled", col("n").isNull.cast("int"))
+      .withColumn("nf", last(col("n"), ignoreNulls = true)
+        .over(Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("nf").as("n"), col("was_filled"))
+      .orderBy("day")
+  }
+
+  // q61: PEARSON CORRELATION MATRIX over lineitem's numeric measures —
+  // the EDA/feature-selection primitive. All six pairwise corr()
+  // aggregates compute in ONE pass (single agg, map-side partials: each
+  // corr is a streaming (n, Σx, Σy, Σxy, Σx², Σy²) moment sketch);
+  // stack() unpivots the single result row to tidy (col_a, col_b, corr)
+  // rows WITHOUT re-executing the agg subtree (a union of per-pair
+  // selects would scan lineitem six times).
+  val q61_correlation: Q = (s, d) => {
+    val cols = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+    val pairs = for { a <- cols; b <- cols if a < b } yield (a, b)
+    val aggs = pairs.map { case (a, b) =>
+      round(corr(col(a), col(b)), 4).as(s"${a}__$b") }
+    Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+      .select(expr(pairs.map { case (a, b) => s"'$a', '$b', ${a}__$b" }
+        .mkString(s"stack(${pairs.size}, ", ", ", ") AS (col_a, col_b, corr)")))
+      .orderBy("col_a", "col_b")
+  }
+
+  // q62: WELCH'S UNEQUAL-VARIANCE T-TEST between two event cohorts
+  // (purchase vs click values) — the A/B-test significance readout. The
+  // whole test is ONE conditional aggregation (count/avg/var_samp under
+  // when(), null-skipped — six moment sketches in one scan, no
+  // per-cohort branches that would re-execute the source); the t
+  // statistic and Welch–Satterthwaite degrees of freedom are scalar
+  // arithmetic on the single result row.
+  val q62_welch_ttest: Q = (s, d) => {
+    val a = when(col("event_type") === "purchase", col("value"))
+    val b = when(col("event_type") === "click", col("value"))
+    Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "click"))
+      .agg(
+        count(a).cast("double").as("na"), count(b).cast("double").as("nb"),
+        avg(a).as("ma"), avg(b).as("mb"),
+        var_samp(a).as("va"), var_samp(b).as("vb"))
+      .select(
+        col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+        round(col("ma"), 4).as("mean_a"), round(col("mb"), 4).as("mean_b"),
+        round((col("ma") - col("mb")) /
+          sqrt(col("va") / col("na") + col("vb") / col("nb")), 4).as("t_stat"),
+        round(pow(col("va") / col("na") + col("vb") / col("nb"), 2) /
+          (pow(col("va") / col("na"), 2) / (col("na") - 1) +
+            pow(col("vb") / col("nb"), 2) / (col("nb") - 1)), 2).as("dof"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q62_welch_ttest" -> q62_welch_ttest,
+    "q61_correlation" -> q61_correlation,
+    "q60_gap_fill" -> q60_gap_fill,
+    "q59_skyline" -> q59_skyline,
     "q58_sketch_setops" -> q58_sketch_setops,
     "q57_seasonal_decompose" -> q57_seasonal_decompose,
     "q56_session_metrics" -> q56_session_metrics,
@@ -1274,6 +1375,56 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q59_skyline" ->
+      """SELECT p_partkey, p_name, p_size, p_retailprice FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        |ORDER BY p_partkey""".stripMargin,
+    "q60_gap_fill" ->
+      s"""WITH series AS (
+        |  SELECT l_shipdate::DATE AS day, count(*)::BIGINT AS n
+        |  FROM lineitem WHERE l_quantity > $GapFillMinQty GROUP BY 1),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM series),
+        |spine AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+        |  FROM b)
+        |SELECT strftime(sp.day, '%Y-%m-%d') AS day,
+        |  last_value(n IGNORE NULLS) OVER (ORDER BY sp.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n,
+        |  (n IS NULL)::INT AS was_filled
+        |FROM spine sp LEFT JOIN series se ON sp.day = se.day ORDER BY 1""".stripMargin,
+    "q61_correlation" ->
+      """WITH c AS (SELECT
+        |  corr(l_discount, l_extendedprice) AS v1,
+        |  corr(l_discount, l_quantity) AS v2,
+        |  corr(l_discount, l_tax) AS v3,
+        |  corr(l_extendedprice, l_quantity) AS v4,
+        |  corr(l_extendedprice, l_tax) AS v5,
+        |  corr(l_quantity, l_tax) AS v6 FROM lineitem)
+        |SELECT 'l_discount' AS col_a, 'l_extendedprice' AS col_b,
+        |  round(v1, 4) AS corr FROM c
+        |UNION ALL SELECT 'l_discount', 'l_quantity', round(v2, 4) FROM c
+        |UNION ALL SELECT 'l_discount', 'l_tax', round(v3, 4) FROM c
+        |UNION ALL SELECT 'l_extendedprice', 'l_quantity', round(v4, 4) FROM c
+        |UNION ALL SELECT 'l_extendedprice', 'l_tax', round(v5, 4) FROM c
+        |UNION ALL SELECT 'l_quantity', 'l_tax', round(v6, 4) FROM c
+        |ORDER BY col_a, col_b""".stripMargin,
+    "q62_welch_ttest" ->
+      """WITH g AS (SELECT
+        |  count(*) FILTER (event_type = 'purchase')::DOUBLE AS na,
+        |  count(*) FILTER (event_type = 'click')::DOUBLE AS nb,
+        |  avg(value) FILTER (event_type = 'purchase') AS ma,
+        |  avg(value) FILTER (event_type = 'click') AS mb,
+        |  var_samp(value) FILTER (event_type = 'purchase') AS va,
+        |  var_samp(value) FILTER (event_type = 'click') AS vb
+        |  FROM events WHERE event_type IN ('purchase', 'click'))
+        |SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+        |  round(ma, 4) AS mean_a, round(mb, 4) AS mean_b,
+        |  round((ma - mb) / sqrt(va/na + vb/nb), 4) AS t_stat,
+        |  round(pow(va/na + vb/nb, 2) /
+        |    (pow(va/na, 2)/(na-1) + pow(vb/nb, 2)/(nb-1)), 2) AS dof
+        |FROM g""".stripMargin,
     "q57_seasonal_decompose" ->
       """WITH daily AS (
         |  SELECT strftime(ts::DATE, '%Y-%m-%d') AS day,

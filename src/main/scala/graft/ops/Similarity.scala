@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Similarity search over the `embeddings` table (SURVEY.md §2, v01–v03):
@@ -1230,7 +1231,48 @@ object Similarity {
       .orderBy(col("bytes_per_vec").desc)
   }
 
+  /** v23's neighborhood size — odd to reduce (not eliminate) vote ties;
+    * ties break deterministically by smallest label on both engines.
+    */
+  val KnnClassifyK = 15
+
+  // v23: k-NN MAJORITY-VOTE CLASSIFICATION — the label-propagation
+  // primitive (auto-labeling a new batch from a labeled corpus, the
+  // weak-supervision step of a training-data pipeline). Five probe
+  // vectors (vec_id<5) classify against the labeled corpus (vec_id≥5):
+  // exact cosine top-15 per probe via the native TopK aggregate (ONE
+  // data-proportional pass, no per-probe window shuffle — v05's shape),
+  // then votes and the (votes desc, label asc) argmax run on the
+  // 5×15-row result. Cosine rounds to 6dp BEFORE selection so the
+  // neighbor cut is engine-identical.
+  val v23_knn_classify: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("label").as("q_label"),
+        col("embedding").as("qe"))
+    val neigh = e.filter(col("vec_id") >= 5)
+      .crossJoin(broadcast(probes))
+      .select(col("qid"), col("q_label"), col("vec_id"), col("label"),
+        round(Vec.cosine(col("embedding"), col("qe")), 6).as("cos"))
+      .groupBy(col("qid"), col("q_label"))
+      .agg(graft.functions.TopK.topk_by(
+        struct(col("vec_id"), col("label"), col("cos")),
+        col("cos"), col("vec_id"), KnnClassifyK).as("top"))
+      .select(col("qid"), col("q_label"), explode(col("top")).as("r"))
+    neigh
+      .groupBy(col("qid"), col("q_label"), col("r.label").as("label"))
+      .agg(count(lit(1)).as("votes"), round(avg(col("r.cos")), 6).as("avg_cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("votes").desc, col("label"))))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("q_label").as("true_label"),
+        col("label").as("pred_label"), col("votes"), col("avg_cos"),
+        (col("label") === col("q_label")).cast("int").as("correct"))
+      .orderBy("qid")
+  }
+
   val queries: Map[String, Q] = Map(
+    "v23_knn_classify" -> v23_knn_classify,
     "v22_quantization_pareto" -> v22_quantization_pareto,
     "v21_binary_quantize" -> v21_binary_quantize,
     "v20_mmr_diversify" -> v20_mmr_diversify,
@@ -1257,6 +1299,28 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "v23_knn_classify" ->
+      s"""WITH q AS (
+        |  SELECT vec_id AS qid, label AS q_label, embedding AS qe
+        |  FROM embeddings WHERE vec_id < 5),
+        |s AS (
+        |  SELECT q.qid, q.q_label, c.vec_id, c.label,
+        |    round(list_cosine_similarity(c.embedding::DOUBLE[],
+        |      q.qe::DOUBLE[]), 6) AS cos
+        |  FROM embeddings c, q WHERE c.vec_id >= 5),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM s),
+        |v AS (
+        |  SELECT qid, q_label, label, count(*)::BIGINT AS votes,
+        |    round(avg(cos), 6) AS avg_cos
+        |  FROM r WHERE rn <= $KnnClassifyK GROUP BY 1, 2, 3),
+        |m AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY qid ORDER BY votes DESC, label) AS mr FROM v)
+        |SELECT qid, q_label AS true_label, label AS pred_label, votes,
+        |  avg_cos, (label = q_label)::INT AS correct
+        |FROM m WHERE mr = 1 ORDER BY qid""".stripMargin,
     "v19_range_search" ->
       s"""WITH q AS (
         |  SELECT vec_id AS qid, embedding AS qe

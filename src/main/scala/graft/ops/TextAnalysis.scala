@@ -1007,7 +1007,88 @@ object TextAnalysis {
       .orderBy("lang", "predicted_lang")
   }
 
+  // t31: FLESCH READING-EASE readability scoring — the classic
+  // 206.835 − 1.015·(words/sentences) − 84.6·(syllables/word) formula
+  // with the standard distributed-friendly approximations: sentences =
+  // terminal-punctuation runs (min 1 — this corpus has none, so every
+  // doc is one "sentence"); syllables = vowel-group count with a +1
+  // correction per vowel-less word (every word contributes ≥1
+  // syllable). Single-pass, all regexp_count/HOF column expressions —
+  // one more per-document score in the quality-filter family (t02/t16),
+  // zero shuffles beyond the scan.
+  val t31_readability: Q = (s, d) => {
+    val t = toks(col("text"))
+    val words = size(t).cast("double")
+    val sentences = greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+      .cast("double")
+    val syllables = (regexp_count(lower(col("text")), lit("[aeiouy]+")) +
+      size(filter(t, w => !w.rlike("[aeiouy]")))).cast("double")
+    Tables.documents(s, d)
+      .select(col("doc_id"), words.cast("long").as("n_words"),
+        sentences.cast("long").as("n_sentences"),
+        syllables.cast("long").as("n_syllables"),
+        round(lit(206.835) - lit(1.015) * (words / sentences) -
+          lit(84.6) * (syllables / words), 4).as("flesch"))
+      .orderBy("doc_id")
+  }
+
+  // t32: CHARACTER-DISTRIBUTION SHANNON ENTROPY per document — the
+  // gibberish/encoding-noise detector (low entropy = repeated filler,
+  // high = random bytes; natural text sits in a band). Computed per ROW
+  // with no shuffle: histogram = per-alphabet-symbol count over the char
+  // array, entropy = −Σ p·log₂p via aggregate() — O(|Σ|·n) per row with
+  // the alphabet bounded, and the per-doc histogram never leaves the
+  // task (a chars-explode groupBy would shuffle every character in the
+  // corpus). Each intermediate array is materialized as a real column —
+  // attribute references inside the lambdas, NOT inlined expression
+  // trees, which interpreted HOFs would otherwise re-evaluate per
+  // element (measured: the inlined form is minutes-per-batch; this is
+  // milliseconds). Spark's split(text, '') emits a trailing "" (Java
+  // split limit=-1); array_remove aligns the chars with DuckDB's
+  // string_split.
+  val t32_char_entropy: Q = (s, d) => {
+    Tables.documents(s, d)
+      .withColumn("cs", array_remove(split(col("text"), ""), ""))
+      .withColumn("alphabet", array_distinct(col("cs")))
+      .withColumn("counts", transform(col("alphabet"),
+        ch => size(filter(col("cs"), c => c === ch)).cast("double")))
+      .select(col("doc_id"), size(col("cs")).cast("long").as("n_chars"),
+        size(col("alphabet")).as("n_distinct_chars"),
+        round(-aggregate(col("counts"), lit(0.0),
+          (acc, k) => acc + k / size(col("cs")).cast("double") *
+            log(2.0, k / size(col("cs")).cast("double"))), 4).as("entropy"))
+      .orderBy("doc_id")
+  }
+
+  /** t33's code-score threshold — shared with the oracle. */
+  val CodeScoreThreshold = 0.03
+
+  // t33: CODE-VS-PROSE DETECTION — the pre-training corpus router
+  // (code to the code pipeline, prose to the text one). Score = density
+  // of code punctuation ({};()=[]<>:"") per char; classified over a
+  // two-source frame — documents.text (prose) UNION a deterministic
+  // slice of events.props (JSON — code-shaped) — so the lane proves
+  // SEPARATION, not just a constant column. Pure regexp_count over each
+  // row; the union is two independent scans, no shuffle before the
+  // final order.
+  val t33_code_detect: Q = (s, d) => {
+    def score(kind: String, idc: Column, text: Column)(df: DataFrame): DataFrame =
+      df.select(lit(kind).as("kind"), idc.as("id"),
+        round(regexp_count(text, lit("[{}();=\\[\\]<>:\"]")) /
+          greatest(length(text), lit(1)).cast("double"), 4).as("code_score"))
+    val docs = Tables.documents(s, d)
+      .transform(score("prose", col("doc_id"), col("text")))
+    val props = Tables.events(s, d).filter(col("event_id") % 100 === 0)
+      .transform(score("json", col("event_id"), col("props")))
+    docs.unionAll(props)
+      .withColumn("is_code", (col("code_score") > CodeScoreThreshold).cast("int"))
+      .orderBy("kind", "id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t33_code_detect" -> t33_code_detect,
+    "t32_char_entropy" -> t32_char_entropy,
+    "t31_readability" -> t31_readability,
     "t30_langid_eval" -> t30_langid_eval,
     "t29_shingle_novelty" -> t29_shingle_novelty,
     "t28_weighted_sample" -> t28_weighted_sample,
@@ -1046,6 +1127,44 @@ object TextAnalysis {
     s"len(list_filter($sqlToks, w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
   val oracle: Map[String, String] = Map(
+    "t31_readability" ->
+      s"""WITH b AS (SELECT doc_id, $sqlToks AS t, text FROM documents),
+        |c AS (SELECT doc_id,
+        |  len(t)::BIGINT AS n_words,
+        |  greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT
+        |    AS n_sentences,
+        |  (len(regexp_extract_all(lower(text), '[aeiouy]+')) +
+        |   len(list_filter(t, w -> NOT regexp_matches(w, '[aeiouy]'))))::BIGINT
+        |    AS n_syllables
+        | FROM b)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  round(206.835 - 1.015*(n_words/n_sentences)
+        |    - 84.6*(n_syllables/n_words), 4) AS flesch
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "t32_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+        |cnt AS (SELECT doc_id, c, count(*)::DOUBLE AS k FROM ch GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(k) AS n, count(*)::INT AS nd
+        |  FROM cnt GROUP BY 1)
+        |SELECT doc_id, n::BIGINT AS n_chars, nd AS n_distinct_chars,
+        |  round(-sum(k/n * log2(k/n)), 4) AS entropy
+        |FROM cnt JOIN tot USING (doc_id)
+        |GROUP BY doc_id, n, nd ORDER BY doc_id""".stripMargin,
+    "t33_code_detect" ->
+      s"""WITH u AS (
+        |  SELECT 'prose' AS kind, doc_id AS id,
+        |    round(len(regexp_extract_all(text, '[{}();=\\[\\]<>:"]')) /
+        |      greatest(length(text), 1), 4) AS code_score
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'json', event_id,
+        |    round(len(regexp_extract_all(props, '[{}();=\\[\\]<>:"]')) /
+        |      greatest(length(props), 1), 4)
+        |  FROM events WHERE event_id % 100 = 0)
+        |SELECT kind, id, code_score,
+        |  (code_score > $CodeScoreThreshold)::INT AS is_code
+        |FROM u ORDER BY kind, id""".stripMargin,
     "t30_langid_eval" -> {
       val hitCols = Profiles.map { case (l, ws) => s"${sqlHits(ws)} AS n_$l" }
       val langs = Profiles.map(_._1)

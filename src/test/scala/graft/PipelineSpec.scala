@@ -1762,4 +1762,93 @@ class PipelineSpec extends AnyFunSuite {
     val mmrVecs = rows.map(r => all.find(_._1 == r.getAs[Long]("vec_id")).get._2).toSeq
     assert(maxPair(mmrVecs) <= maxPair(topK.map(_._3).toSeq) + 1e-9)
   }
+
+  private def round4(x: Double): Double = java.math.BigDecimal.valueOf(x)
+    .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  test("t31 Flesch matches a driver-side regex recompute") {
+    val byId = TextAnalysis.t31_readability(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(byId.size == texts.length)
+    texts.foreach { case (id, text) =>
+      val words = text.trim.toLowerCase.split("\\s+").toSeq
+      val sentences = math.max("[.!?]+".r.findAllIn(text).length, 1)
+      val syllables = "[aeiouy]+".r.findAllIn(text.toLowerCase).length +
+        words.count(w => !w.exists("aeiouy".contains(_)))
+      val r = byId(id)
+      assert(r.getAs[Long]("n_words") == words.length, s"doc $id words")
+      assert(r.getAs[Long]("n_sentences") == sentences)
+      assert(r.getAs[Long]("n_syllables") == syllables, s"doc $id syl")
+      val flesch = 206.835 - 1.015 * words.length.toDouble / sentences -
+        84.6 * syllables.toDouble / words.length
+      assert(math.abs(r.getAs[Double]("flesch") - flesch) < 1e-3, s"doc $id")
+    }
+  }
+
+  test("t32 entropy matches a driver-side histogram recompute") {
+    val rows = TextAnalysis.t32_char_entropy(spark, sf).collect()
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val text = texts(r.getAs[Long]("doc_id"))
+      val hist = text.groupBy(identity).map(_._2.length.toDouble)
+      val n = text.length.toDouble
+      val ent = -hist.map(k => k / n * (math.log(k / n) / math.log(2))).sum
+      assert(r.getAs[Long]("n_chars") == text.length)
+      assert(r.getAs[Int]("n_distinct_chars") == hist.size)
+      assert(math.abs(r.getAs[Double]("entropy") - round4(ent)) <= 1e-4)
+    }
+    // sanity: entropy sits in the natural-text band, not at an extreme
+    val es = rows.map(_.getAs[Double]("entropy"))
+    assert(es.min > 1.0 && es.max < 6.0)
+  }
+
+  test("t33 separates JSON props from prose documents completely") {
+    val rows = TextAnalysis.t33_code_detect(spark, sf).collect()
+    val (json, prose) = rows.partition(_.getAs[String]("kind") == "json")
+    assert(json.nonEmpty && prose.nonEmpty)
+    assert(json.forall(_.getAs[Int]("is_code") == 1), "json rows must classify as code")
+    assert(prose.forall(_.getAs[Int]("is_code") == 0), "prose rows must not")
+    // score recompute on one json row
+    val r0 = json.head
+    val props = Tables.events(spark, sf)
+      .filter(col("event_id") === r0.getAs[Long]("id"))
+      .select("props").collect().head.getString(0)
+    val score = "[{}();=\\[\\]<>:\"]".r.findAllIn(props).length.toDouble /
+      math.max(props.length, 1)
+    assert(math.abs(r0.getAs[Double]("code_score") - round4(score)) <= 1e-4)
+  }
+
+  test("v23 kNN classification equals the brute-force vote recompute") {
+    val all = Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    val rows = Similarity.v23_knn_classify(spark, sf).collect()
+    assert(rows.length == 5)
+    val corpus = all.filter(_._1 >= 5)
+    rows.foreach { r =>
+      val qid = r.getAs[Long]("qid")
+      val q = all.find(_._1 == qid).get
+      def c6(a: Array[Double], b: Array[Double]): Double = {
+        val dot = a.zip(b).map(t => t._1 * t._2).sum
+        val v = dot / (math.sqrt(a.map(x => x * x).sum) *
+          math.sqrt(b.map(x => x * x).sum))
+        java.math.BigDecimal.valueOf(v)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      }
+      val topk = corpus.map(c => (c._1, c._2, c6(c._3, q._3)))
+        .sortBy(t => (-t._3, t._1)).take(Similarity.KnnClassifyK)
+      val votes = topk.groupBy(_._2).map { case (l, v) => (l, v.length) }
+      val (predLabel, nVotes) = votes.toSeq.minBy { case (l, v) => (-v, l) }
+      assert(r.getAs[Int]("pred_label") == predLabel, s"qid $qid")
+      assert(r.getAs[Long]("votes") == nVotes)
+      assert(r.getAs[Int]("true_label") == q._2)
+      assert(r.getAs[Int]("correct") ==
+        (if (predLabel == q._2) 1 else 0))
+    }
+  }
 }

@@ -591,4 +591,95 @@ class RelationalSpec extends AnyFunSuite {
     val wedges = degs.map(d => d * (d - 1) / 2).sum.toDouble
     assert(row.getAs[Double]("clustering") == rnd(3.0 * tri / wedges, 6))
   }
+
+  test("q59 skyline equals the brute-force dominance recompute") {
+    import org.apache.spark.sql.functions._
+    val got = ops.Relational.q59_skyline(spark, sf).collect()
+      .map(r => (r.getAs[Long]("p_partkey"), r.getAs[Int]("p_size"),
+        r.getAs[Double]("p_retailprice")))
+    val all = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_size"), col("p_retailprice")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val expect = all.filter { case (_, s0, p0) =>
+      !all.exists { case (_, s1, p1) =>
+        p1 <= p0 && s1 >= s0 && (p1 < p0 || s1 > s0) }
+    }.map(t => (t._1, t._2, t._3)).sortBy(_._1)
+    assert(got.toSeq == expect.toSeq)
+    // every survivor must be the cheapest at its own size
+    val minAt = all.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).min }
+    got.foreach { case (_, s0, p0) => assert(p0 == minAt(s0)) }
+  }
+
+  test("q60 gap fill: dense spine, carried values, flags match the series") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Relational.q60_gap_fill(spark, sf).collect()
+    val series = Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") > ops.Relational.GapFillMinQty)
+      .groupBy(to_date(col("l_shipdate")).as("day")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    // spine is the full contiguous day range, bounds are present days
+    val days = rows.map(r => java.time.LocalDate.parse(r.getAs[String]("day")))
+    assert(days.head == series.keys.min(Ordering.by[java.time.LocalDate, Long](_.toEpochDay)))
+    assert(days.last == series.keys.max(Ordering.by[java.time.LocalDate, Long](_.toEpochDay)))
+    assert(days.length == days.last.toEpochDay - days.head.toEpochDay + 1)
+    assert(days.sliding(2).forall(p => p(1).toEpochDay == p(0).toEpochDay + 1))
+    // forward fill: present days carry their own value, gaps the last seen
+    var carry = -1L
+    rows.zip(days).foreach { case (r, day) =>
+      series.get(day) match {
+        case Some(n) =>
+          assert(r.getAs[Int]("was_filled") == 0); carry = n
+        case None =>
+          assert(r.getAs[Int]("was_filled") == 1)
+      }
+      assert(r.getAs[Long]("n") == carry, s"$day")
+    }
+    assert(rows.exists(_.getAs[Int]("was_filled") == 1), "no gaps exercised")
+  }
+
+  test("q61 correlation matches a driver-side Pearson recompute, one scan") {
+    import org.apache.spark.sql.functions._
+    val got = ops.Relational.q61_correlation(spark, sf).collect()
+      .map(r => (r.getAs[String]("col_a"), r.getAs[String]("col_b")) ->
+        r.getAs[Double]("corr")).toMap
+    assert(got.size == 6)
+    val xs = Tables.lineitem(spark, sf)
+      .select("l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    val n = xs.length.toDouble
+    val (mx, my) = (xs.map(_._1).sum / n, xs.map(_._2).sum / n)
+    val cov = xs.map { case (x, y) => (x - mx) * (y - my) }.sum
+    val sx = math.sqrt(xs.map(t => math.pow(t._1 - mx, 2)).sum)
+    val sy = math.sqrt(xs.map(t => math.pow(t._2 - my, 2)).sum)
+    val expect = rnd(cov / (sx * sy), 4)
+    assert(math.abs(got(("l_extendedprice", "l_quantity")) - expect) <= 1e-4)
+    // the stack() unpivot must NOT re-execute the agg: exactly one scan
+    val plan = ops.Relational.q61_correlation(spark, sf).queryExecution.executedPlan
+    val scans = PlanWalk.allNodes(plan)
+      .count(n => n.getClass.getSimpleName.contains("FileSourceScan") ||
+        n.getClass.getSimpleName.contains("BatchScan"))
+    assert(scans == 1, s"expected one lineitem scan, got $scans")
+  }
+
+  test("q62 Welch t-test matches the closed-form recompute") {
+    import org.apache.spark.sql.functions._
+    val r = ops.Relational.q62_welch_ttest(spark, sf).collect().head
+    def stats(t: String): (Long, Double, Double) = {
+      val v = Tables.events(spark, sf).filter(col("event_type") === t)
+        .select("value").collect().map(_.getDouble(0))
+      val m = v.sum / v.length
+      (v.length.toLong, m, v.map(x => (x - m) * (x - m)).sum / (v.length - 1))
+    }
+    val (na, ma, va) = stats("purchase")
+    val (nb, mb, vb) = stats("click")
+    assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("n_b") == nb)
+    assert(math.abs(r.getAs[Double]("mean_a") - ma) < 1e-3)
+    val se = va / na + vb / nb
+    assert(math.abs(r.getAs[Double]("t_stat") - (ma - mb) / math.sqrt(se)) < 1e-3)
+    val dof = se * se /
+      (math.pow(va / na, 2) / (na - 1) + math.pow(vb / nb, 2) / (nb - 1))
+    assert(math.abs(r.getAs[Double]("dof") - dof) < 0.02)
+    // Welch dof bounds: min(na,nb)-1 ≤ dof ≤ na+nb-2
+    assert(dof >= math.min(na, nb) - 1 && dof <= na + nb - 2)
+  }
 }
