@@ -1068,7 +1068,60 @@ object Dedup {
       .orderBy("source_a", "source_b")
   }
 
+  /** d21's span parameters — gram width, min consecutive-gram run (a
+    * run of r k-grams = a shared word span of r+k−1 words), and the
+    * gram document-frequency band (shared with the oracle). The lower
+    * bound is d03's singleton cut — a gram in one doc can't pair; the
+    * upper bound is the hot-gram cap that keeps the pair join from
+    * going quadratic on boilerplate at corpus scale (both engines apply
+    * it, so results stay identical).
+    */
+  val SubstrK = 3
+  val SubstrMinRun = 3
+  val SubstrDfCap = 100
+
+  // d21: EXACT SUBSTRING-RUN DETECTION between documents — the
+  // dotplot/plagiarism-span primitive behind exact-substring dedup
+  // (find docs sharing a literal run of ≥5 words, where MinHash only
+  // sees bag overlap). Positional k-grams join on gram text (at corpus
+  // scale: on gram HASH — ids+pos only move), pairs land on their
+  // DIAGONAL (pos_a − pos_b); consecutive matched positions on one
+  // diagonal are one shared literal span, found with the
+  // gaps-and-islands trick per (pair, diagonal) — a high-cardinality
+  // composite key, so each window partition is tiny. The DF band above
+  // is the only approximation and is mirrored in the oracle.
+  val d21_substr_runs: Q = (s, d) => {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(
+        wordGrams(split(norm(col("text")), " "), SubstrK))
+        .as(Seq("pos", "gram")))
+      .persist() // DF-band side + both pair-join sides
+    val shared = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df").between(2, SubstrDfCap))
+      .select(col("gram"))
+    val g = grams.join(shared, Seq("gram"))
+    val pairs = g.as("a").join(g.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pos_a"), (col("a.pos") - col("b.pos")).as("diag"))
+    // (pos_a, diag) is unique per pair — one gram per position — so the
+    // row_number islands grouping is deterministic without a tie-break
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pos_a"))
+    pairs
+      .withColumn("grp", col("pos_a") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+      .agg(count(lit(1)).as("run_len"))
+      .filter(col("run_len") >= SubstrMinRun)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("run_len")).as("max_run"), count(lit(1)).as("n_runs"),
+        (max(col("run_len")) + SubstrK - 1).as("span_words"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "d21_substr_runs" -> d21_substr_runs,
     "d20_source_overlap" -> d20_source_overlap,
     "d18_span_dedup" -> d18_span_dedup,
     "s19_streaming_span_dedup" -> s19_streaming_span_dedup,
@@ -1119,6 +1172,42 @@ object Dedup {
           |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "d21_substr_runs" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |g0 AS (
+        |  SELECT doc_id, CASE WHEN len(t) >= $SubstrK THEN
+        |    [array_to_string(t[i:i+${SubstrK - 1}], ' ')
+        |      for i in range(1, len(t) - ${SubstrK - 2})]
+        |    ELSE [] END AS gs
+        |  FROM toks),
+        |g AS (
+        |  SELECT doc_id, unnest(gs) AS gram,
+        |    generate_subscripts(gs, 1) - 1 AS pos
+        |  FROM g0),
+        |band AS (
+        |  SELECT gram FROM (
+        |    SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY 1)
+        |  WHERE df BETWEEN 2 AND $SubstrDfCap),
+        |gs AS (SELECT g.* FROM g JOIN band USING (gram)),
+        |p AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.pos AS pos_a,
+        |    x.pos - y.pos AS diag
+        |  FROM gs x JOIN gs y ON x.gram = y.gram AND x.doc_id < y.doc_id),
+        |r AS (
+        |  SELECT *, pos_a - row_number() OVER (
+        |    PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
+        |  FROM p),
+        |runs AS (
+        |  SELECT doc_a, doc_b, count(*)::BIGINT AS run_len
+        |  FROM r GROUP BY doc_a, doc_b, diag, grp)
+        |SELECT doc_a, doc_b, max(run_len) AS max_run,
+        |  count(*)::BIGINT AS n_runs,
+        |  (max(run_len) + ${SubstrK - 1}) AS span_words
+        |FROM runs WHERE run_len >= $SubstrMinRun
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "d20_source_overlap" ->
       """WITH toks AS (
         |  SELECT source, doc_id,

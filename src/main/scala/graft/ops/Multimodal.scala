@@ -902,7 +902,110 @@ object Multimodal {
       .orderBy("doc_id", "patch_idx")
   }
 
+  /** Little-endian TIFF with one IFD carrying the five classic EXIF-ish
+    * tags (ImageWidth 256, ImageLength 257, Orientation 274, Make 271
+    * ASCII, DateTime 306 ASCII); out-of-line values append after the
+    * IFD exactly per the TIFF 6.0 layout. Construction-time only — the
+    * walker below never sees these internals.
+    */
+  def encodeTiff(width: Int, height: Int, orientation: Int,
+      make: String, dateTime: String): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(
+      8 + 2 + 5 * 12 + 4 + make.length + 1 + dateTime.length + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8) // header → IFD@8
+    bb.putShort(5) // entry count
+    val dataStart = 8 + 2 + 5 * 12 + 4
+    def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
+      bb.putShort(tag.toShort).putShort(typ.toShort).putInt(count).putInt(value)
+    }
+    entry(256, 3, 1, width) // SHORT values sit left-justified in the field
+    entry(257, 3, 1, height)
+    entry(271, 2, make.length + 1, dataStart) // ASCII out of line
+    entry(274, 3, 1, orientation)
+    entry(306, 2, dateTime.length + 1, dataStart + make.length + 1)
+    bb.putInt(0) // next-IFD = none
+    bb.put(make.getBytes("US-ASCII")).put(0.toByte)
+    bb.put(dateTime.getBytes("US-ASCII")).put(0.toByte)
+    bb.array()
+  }
+
+  /** REAL TIFF IFD walk (TIFF 6.0 §2): validate the byte-order/magic
+    * header, follow the IFD offset, iterate 12-byte entries decoding
+    * tag/type/count and value-or-offset (SHORT inline left-justified
+    * under little-endian; ASCII followed out of line, NUL-trimmed).
+    * Returns (entries, width, height, orientation, make, dateTime) or
+    * None on any structural violation — truncated, bad magic, offsets
+    * past EOF.
+    */
+  def walkTiff(b: Array[Byte]): Option[(Int, Int, Int, Int, String, String)] = {
+    if (b.length < 8 || b(0) != 'I'.toByte || b(1) != 'I'.toByte) return None
+    val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    if (bb.getShort(2) != 42) return None
+    val ifd = bb.getInt(4)
+    if (ifd < 8 || ifd + 2 > b.length) return None
+    val n = bb.getShort(ifd) & 0xFFFF
+    if (ifd + 2 + n * 12 + 4 > b.length) return None
+    var (w, h, o) = (-1, -1, -1)
+    var make = ""; var dt = ""
+    var i = 0
+    while (i < n) {
+      val e = ifd + 2 + i * 12
+      val tag = bb.getShort(e) & 0xFFFF
+      val typ = bb.getShort(e + 2) & 0xFFFF
+      val count = bb.getInt(e + 4)
+      def short = bb.getShort(e + 8) & 0xFFFF
+      def ascii: Option[String] = {
+        val off = bb.getInt(e + 8)
+        if (off < 0 || off + count > b.length || count < 1) None
+        else Some(new String(b, off, count - 1, "US-ASCII"))
+      }
+      (tag, typ) match {
+        case (256, 3) => w = short
+        case (257, 3) => h = short
+        case (274, 3) => o = short
+        case (271, 2) => ascii match { case Some(v) => make = v; case None => return None }
+        case (306, 2) => ascii match { case Some(v) => dt = v; case None => return None }
+        case _ => () // unknown tags are skippable by design
+      }
+      i += 1
+    }
+    Some((n, w, h, o, make, dt))
+  }
+
+  // m10 (rows-only; spec: encode→walk roundtrips every planted tag,
+  // malformed bytes are rejected not crashed): EXIF/TIFF METADATA
+  // EXTRACTION — the camera-metadata harvest step of an image-corpus
+  // pipeline (orientation for the resize pass, timestamps for
+  // near-dup-burst grouping, make/model for source mixing). Synthetic
+  // TIFFs are planted deterministically per doc (no image libs in this
+  // container — the WALKER is the real artifact, same discipline as
+  // m03's ISO-BMFF walk); parsing is per-partition imperative code over
+  // the payload bytes, driver sees only the final rows.
+  val m10_exif_walk: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .mapPartitions(_.map { case (id, source, nChars) =>
+        val w = (nChars % 1920 + 16).toInt
+        val h = (nChars % 1080 + 9).toInt
+        val orient = (id % 8 + 1).toInt
+        val dt = f"2024:01:${id % 28 + 1}%02d 12:${id % 60}%02d:00"
+        val tiff = encodeTiff(w, h, orient, s"graft-$source", dt)
+        walkTiff(tiff) match {
+          case Some((n, pw, ph, po, make, pdt)) =>
+            (id, n, pw, ph, po, make, pdt, true)
+          case None => (id, -1, -1, -1, -1, "", "", false)
+        }
+      })
+      .toDF("doc_id", "n_ifd_entries", "width", "height", "orientation",
+        "make", "datetime", "parsed")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "m10_exif_walk" -> m10_exif_walk,
     "m09_patch_extract" -> m09_patch_extract,
     "m08_audio_segments" -> m08_audio_segments,
     "m07_phash_neardup" -> m07_phash_neardup,

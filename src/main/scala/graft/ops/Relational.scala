@@ -1309,7 +1309,43 @@ object Relational {
             pow(col("vb") / col("nb"), 2) / (col("nb") - 1)), 2).as("dof"))
   }
 
+  // q63: CHI-SQUARED INDEPENDENCE TEST between event type and weekday —
+  // "does behavior depend on the day?", the categorical counterpart of
+  // q62. ONE keyed agg collapses the stream to the ≤|types|·7-row
+  // contingency table (the only data-proportional step); marginals and
+  // expected counts are window sums over that bounded table, and the
+  // statistic/dof fold is a scalar aggregation of it.
+  val q63_chisq: Q = (s, d) => {
+    val obs = Tables.events(s, d)
+      .groupBy(col("event_type"), (dayofweek(to_date(col("ts"))) - 1).as("wd"))
+      .agg(count(lit(1)).cast("double").as("o"))
+    obs
+      .withColumn("rt", sum("o").over(Window.partitionBy("event_type")))
+      .withColumn("ct", sum("o").over(Window.partitionBy("wd")))
+      .withColumn("n", sum("o").over(Window.partitionBy()))
+      .withColumn("e", col("rt") * col("ct") / col("n"))
+      .agg(
+        round(sum(pow(col("o") - col("e"), 2) / col("e")), 4).as("chi2"),
+        ((countDistinct("event_type") - 1) * (countDistinct("wd") - 1))
+          .cast("int").as("dof"),
+        sum("o").cast("long").as("n"))
+  }
+
+  // q64: ORDINARY-LEAST-SQUARES simple regression of extended price on
+  // quantity — slope/intercept/R², entirely via the native streaming
+  // regr_* moment aggregates (one pass, map-side partials; at 100 TB
+  // only the six moments move).
+  val q64_linreg: Q = (s, d) =>
+    Tables.lineitem(s, d).agg(
+      round(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("slope"),
+      round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4)
+        .as("intercept"),
+      round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"),
+      expr("regr_count(l_extendedprice, l_quantity)").as("n"))
+
   val queries: Map[String, Q] = Map(
+    "q64_linreg" -> q64_linreg,
+    "q63_chisq" -> q63_chisq,
     "q62_welch_ttest" -> q62_welch_ttest,
     "q61_correlation" -> q61_correlation,
     "q60_gap_fill" -> q60_gap_fill,
@@ -1375,6 +1411,25 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q63_chisq" ->
+      """WITH obs AS (
+        |  SELECT event_type, dayofweek(ts::DATE) AS wd, count(*)::DOUBLE AS o
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT *, sum(o) OVER (PARTITION BY event_type) AS rt,
+        |    sum(o) OVER (PARTITION BY wd) AS ct, sum(o) OVER () AS n
+        |  FROM obs)
+        |SELECT round(sum(pow(o - rt*ct/n, 2) / (rt*ct/n)), 4) AS chi2,
+        |  ((count(DISTINCT event_type) - 1)
+        |    * (count(DISTINCT wd) - 1))::INT AS dof,
+        |  sum(o)::BIGINT AS n
+        |FROM m""".stripMargin,
+    "q64_linreg" ->
+      """SELECT round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |  regr_count(l_extendedprice, l_quantity)::BIGINT AS n
+        |FROM lineitem""".stripMargin,
     "q59_skyline" ->
       """SELECT p_partkey, p_name, p_size, p_retailprice FROM part p
         |WHERE NOT EXISTS (SELECT 1 FROM part q

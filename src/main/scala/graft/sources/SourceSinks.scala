@@ -992,7 +992,47 @@ object SourceSinks {
     materializeThenCleanup(s, out, dir)
   }
 
+  // x26: DELETION VECTORS (merge-on-read position deletes — Delta DVs /
+  // Iceberg positional delete files): a delete "commits" as a tiny
+  // (file, pos) sidecar instead of rewriting data files. The base
+  // orders table lands as two filesets whose rows carry their physical
+  // ordinal (the writer records positions as it writes; the fixture's
+  // global row_number is construction-time only); the DV is DERIVED BY
+  // READING THE COMMITTED LAYOUT (predicate → positions — the
+  // DELETE-statement path), and the read is base ⟕anti⟕ DV on
+  // (file, pos) — at scale a per-file hash anti-join against a sidecar
+  // thousands of times smaller than the data. The oracle recomputes the
+  // same predicate-delete directly on orders, so a hash match proves
+  // position addressing reconstructs row-predicate semantics exactly.
+  val x26_deletion_vectors: Q = (s, d) => {
+    val dir = Files.createTempDirectory("graft_dv")
+    val orders = Tables.orders(s, d)
+    Seq(("f0", 0), ("f1", 1)).foreach { case (name, parity) =>
+      orders.filter(pmod(col("o_orderkey"), lit(2)) === parity)
+        .withColumn("pos", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("o_orderkey"))
+          .cast("long") - 1)
+        .withColumn("file", lit(name))
+        .write.mode("overwrite").parquet(s"$dir/$name")
+    }
+    val base = s.read.parquet(s"$dir/f0", s"$dir/f1")
+    // the DELETE: status F rows on a key stripe → positions only
+    base.filter(col("o_orderstatus") === "F" &&
+        pmod(col("o_orderkey"), lit(7)) === 0)
+      .select(col("file"), col("pos"))
+      .write.mode("overwrite").parquet(s"$dir/_dv")
+    val dv = s.read.parquet(s"$dir/_dv")
+    val out = base.join(dv, Seq("file", "pos"), "left_anti")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("sum_price"),
+        sum((pmod(col("o_orderkey"), lit(7)) === 0).cast("long")).as("n_stripe"))
+      .orderBy("o_orderstatus")
+    materializeThenCleanup(s, out, dir)
+  }
+
   val queries: Map[String, Q] = Map(
+    "x26_deletion_vectors" -> x26_deletion_vectors,
     "x25_write_audit_publish" -> x25_write_audit_publish,
     "x24_bloom_join" -> x24_bloom_join,
     "x23_partition_overwrite" -> x23_partition_overwrite,
@@ -1039,6 +1079,13 @@ object SourceSinks {
   }.mkString("", "\nUNION ALL\n", "\nORDER BY 1")
 
   val oracle: Map[String, String] = Map(
+    "x26_deletion_vectors" ->
+      """SELECT o_orderstatus, count(*)::BIGINT AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price,
+        |  sum((o_orderkey % 7 = 0)::BIGINT) AS n_stripe
+        |FROM orders
+        |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x22_table_stats" -> x22Oracle,
     "x25_write_audit_publish" ->
       """WITH base AS (SELECT count(*)::BIGINT AS n FROM orders),

@@ -585,7 +585,83 @@ object StreamingQueries {
       .orderBy("bucket")
   }
 
+  // s24: STREAMING FUNNEL — q44's batch↔streaming twin (the 11th
+  // pair). Events land as 4 deterministic files streamed one per
+  // micro-batch (genuinely multi-batch: state must survive across
+  // triggers), keyed by user. State = (min view time, click candidates,
+  // purchase candidates): min(view) is monotone under any arrival
+  // order, but the candidate LISTS must persist — a view arriving in a
+  // later batch can re-qualify OR disqualify clicks already seen (the
+  // funnel window moves), so depth is NOT monotone and each emission
+  // carries a sequence number; the rollup keeps the LAST depth per
+  // user (max_by seq). State is bounded by per-user click/purchase
+  // activity. The ≤4-row depth rollup hash-matches q44's batch oracle
+  // verbatim.
+  val s24_stream_funnel: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val W = 6L * 3600 * 1000000
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sfun")
+    try {
+      (0 until 4).foreach { i =>
+        graft.sources.SourceSinks.landSingleParquet(
+          ev.filter(pmod(col("event_id"), lit(4)) === i).drop("event_id"),
+          dir.resolve(f"b$i%02d.parquet"))
+      }
+      // state: (tv, clicks, purchases, seq)
+      val fn: (Long, Iterator[(Long, String, Long)],
+          GroupState[(Long, Seq[Long], Seq[Long], Long)]) =>
+          (Long, Int, Long) = (uid, events, state) => {
+        var (tv, clicks, purchases, seq) =
+          state.getOption.getOrElse((Long.MaxValue, Seq.empty[Long], Seq.empty[Long], 0L))
+        events.foreach { case (_, t, us) =>
+          t match {
+            case "view" => if (us < tv) tv = us
+            case "click" => clicks +:= us
+            case "purchase" => purchases +:= us
+            case _ => ()
+          }
+        }
+        seq += 1
+        state.update((tv, clicks, purchases, seq))
+        val depth =
+          if (tv == Long.MaxValue) 0
+          else {
+            val inW = clicks.filter(c => c > tv && c <= tv + W)
+            if (inW.isEmpty) 1
+            else {
+              val tc = inW.min
+              if (purchases.exists(p => p > tc && p <= tc + W)) 3 else 2
+            }
+          }
+        (uid, depth, seq)
+      }
+      val name = s"graft_sfun_${System.nanoTime()}"
+      val landedSchema = org.apache.spark.sql.types.StructType(
+        ev.drop("event_id").schema.fields)
+      val q = s.readStream.schema(landedSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+        .as[(Long, String, Long)]
+        .groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+        .toDF("user_id", "depth", "seq")
+        .writeStream.outputMode("update").format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name)
+        .groupBy(col("user_id"))
+        .agg(max_by(col("depth"), col("seq")).as("depth"))
+        .groupBy(col("depth").cast("int").as("depth"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("depth")
+      // the memory sink holds the results — the landed files can go now
+    } finally graft.sources.SourceSinks.deleteDir(dir)
+  }
+
   val queries: Map[String, Q] = Map(
+    "s24_stream_funnel" -> s24_stream_funnel,
     "s23_stream_histogram" -> s23_stream_histogram,
     "s22_stream_cusum" -> s22_stream_cusum,
     "s21_stream_outer_join" -> s21_stream_outer_join,
@@ -606,6 +682,10 @@ object StreamingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // q44's batch oracle verbatim — the hash match proves the stateful
+    // per-user candidate fold converges to the batch funnel under
+    // multi-batch arrival
+    "s24_stream_funnel" -> graft.ops.Relational.oracle("q44_funnel"),
     // q51's batch oracle verbatim — the hash match proves the streamed
     // per-bucket fold lands every row where the batch scan does
     "s23_stream_histogram" ->

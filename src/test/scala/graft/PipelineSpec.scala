@@ -1766,6 +1766,53 @@ class PipelineSpec extends AnyFunSuite {
   private def round4(x: Double): Double = java.math.BigDecimal.valueOf(x)
     .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
 
+  test("d21 substring runs equal the driver-side dotplot recompute") {
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.replaceAll("\\s+", " "))
+    val k = Dedup.SubstrK
+    // positional k-grams per doc
+    val grams = texts.map { case (id, t) =>
+      val w = t.split(" ")
+      id -> (if (w.length >= k) w.sliding(k).map(_.mkString(" ")).toArray
+             else Array.empty[String])
+    }.toMap
+    val df = grams.toSeq.flatMap { case (id, gs) => gs.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (g, v) => g -> v.size }
+    val band = df.filter { case (_, c) => c >= 2 && c <= Dedup.SubstrDfCap }.keySet
+    val ids = texts.map(_._1).sorted
+    val expect = scala.collection.mutable.Map[(Long, Long), Seq[Long]]()
+    for {
+      a <- ids; b <- ids if a < b
+      ga = grams(a).zipWithIndex.filter(t => band(t._1))
+      gb = grams(b).zipWithIndex.filter(t => band(t._1))
+      if ga.nonEmpty && gb.nonEmpty
+    } {
+      val matches = for {
+        (g1, p1) <- ga; (g2, p2) <- gb if g1 == g2
+      } yield (p1 - p2, p1)
+      val runs = matches.groupBy(_._1).values.flatMap { diag =>
+        val ps = diag.map(_._2).sorted
+        // split consecutive-position islands
+        ps.foldLeft(List.empty[List[Int]]) {
+          case (Nil, p) => List(List(p))
+          case (h :: t, p) if p == h.head + 1 => (p :: h) :: t
+          case (acc, p) => List(p) :: acc
+        }.map(_.size.toLong)
+      }.filter(_ >= Dedup.SubstrMinRun).toSeq
+      if (runs.nonEmpty) expect((a, b)) = runs
+    }
+    val got = Dedup.d21_substr_runs(spark, sf).collect()
+    assert(got.length == expect.size, s"${got.length} vs ${expect.size}")
+    got.foreach { r =>
+      val key = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      val runs = expect(key)
+      assert(r.getAs[Long]("max_run") == runs.max, s"$key")
+      assert(r.getAs[Long]("n_runs") == runs.size)
+      assert(r.getAs[Long]("span_words") == runs.max + k - 1)
+    }
+    assert(got.nonEmpty, "no shared spans found at sf0.001")
+  }
+
   test("t31 Flesch matches a driver-side regex recompute") {
     val byId = TextAnalysis.t31_readability(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
@@ -1820,6 +1867,38 @@ class PipelineSpec extends AnyFunSuite {
     val score = "[{}();=\\[\\]<>:\"]".r.findAllIn(props).length.toDouble /
       math.max(props.length, 1)
     assert(math.abs(r0.getAs[Double]("code_score") - round4(score)) <= 1e-4)
+  }
+
+  test("m10 TIFF walk roundtrips planted tags and rejects malformed bytes") {
+    val rows = Multimodal.m10_exif_walk(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (source, nChars) = docs(id)
+      assert(r.getAs[Boolean]("parsed"), s"doc $id failed to parse")
+      assert(r.getAs[Int]("n_ifd_entries") == 5)
+      assert(r.getAs[Int]("width") == (nChars % 1920 + 16).toInt)
+      assert(r.getAs[Int]("height") == (nChars % 1080 + 9).toInt)
+      assert(r.getAs[Int]("orientation") == (id % 8 + 1).toInt)
+      assert(r.getAs[String]("make") == s"graft-$source")
+      assert(r.getAs[String]("datetime").startsWith("2024:01:"))
+    }
+    // the walker must refuse, not crash, on structural violations
+    val good = Multimodal.encodeTiff(100, 50, 1, "m", "2024:01:01 00:00:00")
+    assert(Multimodal.walkTiff(good).contains((5, 100, 50, 1, "m", "2024:01:01 00:00:00")))
+    assert(Multimodal.walkTiff(Array[Byte]()).isEmpty)
+    assert(Multimodal.walkTiff(good.take(7)).isEmpty, "truncated header")
+    assert(Multimodal.walkTiff(good.take(20)).isEmpty, "truncated IFD")
+    val badMagic = good.clone(); badMagic(2) = 99.toByte
+    assert(Multimodal.walkTiff(badMagic).isEmpty)
+    val badOffset = good.clone()
+    // point the Make value offset past EOF (entry 3 value field)
+    val e = 8 + 2 + 2 * 12 + 8
+    badOffset(e) = 0xFF.toByte; badOffset(e + 1) = 0xFF.toByte
+    assert(Multimodal.walkTiff(badOffset).isEmpty, "offset past EOF")
   }
 
   test("v23 kNN classification equals the brute-force vote recompute") {

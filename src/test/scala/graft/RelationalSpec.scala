@@ -682,4 +682,37 @@ class RelationalSpec extends AnyFunSuite {
     // Welch dof bounds: min(na,nb)-1 ≤ dof ≤ na+nb-2
     assert(dof >= math.min(na, nb) - 1 && dof <= na + nb - 2)
   }
+
+  test("q63 chi-squared matches the contingency-table recompute") {
+    import org.apache.spark.sql.functions._
+    val r = ops.Relational.q63_chisq(spark, sf).collect().head
+    val cells = Tables.events(spark, sf)
+      .groupBy(col("event_type"), (dayofweek(to_date(col("ts"))) - 1).as("wd"))
+      .agg(count(lit(1)).as("o")).collect()
+      .map(x => (x.getString(0), x.getInt(1)) -> x.getLong(2).toDouble).toMap
+    val n = cells.values.sum
+    val rowT = cells.groupBy(_._1._1).map { case (k, v) => k -> v.values.sum }
+    val colT = cells.groupBy(_._1._2).map { case (k, v) => k -> v.values.sum }
+    val chi2 = cells.map { case ((t, w), o) =>
+      val e = rowT(t) * colT(w) / n; (o - e) * (o - e) / e }.sum
+    assert(math.abs(r.getAs[Double]("chi2") - chi2) < 1e-3)
+    assert(r.getAs[Int]("dof") == (rowT.size - 1) * (colT.size - 1))
+    assert(r.getAs[Long]("n") == n.toLong)
+  }
+
+  test("q64 OLS matches the closed-form moment recompute") {
+    val xs = Tables.lineitem(spark, sf)
+      .select("l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    val n = xs.length.toDouble
+    val (mx, my) = (xs.map(_._1).sum / n, xs.map(_._2).sum / n)
+    val sxy = xs.map { case (x, y) => (x - mx) * (y - my) }.sum
+    val sxx = xs.map { case (x, _) => (x - mx) * (x - mx) }.sum
+    val syy = xs.map { case (_, y) => (y - my) * (y - my) }.sum
+    val r = ops.Relational.q64_linreg(spark, sf).collect().head
+    assert(math.abs(r.getAs[Double]("slope") - sxy / sxx) < 1e-3)
+    assert(math.abs(r.getAs[Double]("intercept") - (my - sxy / sxx * mx)) < 1e-2)
+    assert(math.abs(r.getAs[Double]("r2") - sxy * sxy / (sxx * syy)) < 1e-5)
+    assert(r.getAs[Long]("n") == xs.length.toLong)
+  }
 }

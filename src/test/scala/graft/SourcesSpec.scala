@@ -491,4 +491,25 @@ class SourcesSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(got.nonEmpty && got == exp)
   }
+
+  test("x26 deletion vectors reconstruct predicate-delete semantics") {
+    import org.apache.spark.sql.functions._
+    val got = graft.sources.SourceSinks.x26_deletion_vectors(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val exp = Tables.orders(spark, sf)
+      .filter(!(col("o_orderstatus") === "F" &&
+        pmod(col("o_orderkey"), lit(7)) === 0))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"),
+        sum((pmod(col("o_orderkey"), lit(7)) === 0).cast("long")).as("n_stripe"))
+      .collect().map(_.toSeq).toSet
+    assert(got.nonEmpty && got == exp)
+    // the DV must have deleted real rows: F-status survivors keep ZERO
+    // stripe rows, other statuses keep theirs
+    val byStatus = graft.sources.SourceSinks.x26_deletion_vectors(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_stripe")).toMap
+    assert(byStatus("F") == 0, "deleted stripe rows survived in F")
+    assert(byStatus.exists { case (k, v) => k != "F" && v > 0 },
+      "non-F statuses must retain stripe rows — otherwise the DV deleted too much")
+  }
 }

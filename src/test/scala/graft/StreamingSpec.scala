@@ -188,4 +188,13 @@ class StreamingSpec extends AnyFunSuite {
     assert(zeros > 0, "no unmatched purchases emitted — outer rows lost")
     assert(got.size == p.count(), "every purchase appears exactly once")
   }
+
+  test("s24 streaming funnel equals the batch q44 row for row") {
+    val got = StreamingQueries.s24_stream_funnel(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val exp = ops.Relational.q44_funnel(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == exp,
+      "stateful per-user candidate fold must converge to the batch funnel")
+  }
 }
