@@ -796,7 +796,29 @@ object CdcQueries {
       .orderBy("op", "c_custkey")
   }
 
+  // c41: APPLY-SKEW / HOT-KEY DETECTION — the replica-apply planner's
+  // input (a pk whose bucket takes a disproportionate share of the WAL
+  // serializes the apply; q30's salting and AQE skew-join are the
+  // remedies, THIS is the monitor that triggers them): per pk-bucket op
+  // density from the change stream (one keyed agg onto the 64-bucket
+  // axis — the only data-proportional step), skew factor and 2×-average
+  // hot flag as window math over the bounded axis.
+  val c41_apply_skew: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    flatEnv(s, d)
+      .select(coalesce(col("pk_after"), col("pk_before")).as("pk"))
+      .filter(col("pk").isNotNull)
+      .groupBy(pmod(col("pk"), lit(64L)).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("avg_n", avg("n").over(Window.partitionBy()))
+      .select(col("bucket"), col("n"),
+        round(col("n") / col("avg_n"), 4).as("skew"),
+        (col("n") > col("avg_n") * 2).cast("int").as("hot"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, Q] = Map(
+    "c41_apply_skew" -> c41_apply_skew,
     "c40_snapshot_diff" -> c40_snapshot_diff,
     "c38_partition_root" -> c38_partition_root,
     "c37_daemon_e2e" -> c37_daemon_e2e,
@@ -1017,6 +1039,17 @@ object CdcQueries {
        |FROM mstate WHERE last_op <> 'd' ORDER BY pk""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "c41_apply_skew" ->
+      s"""WITH $sqlEnv, $sqlFlat,
+        |b AS (
+        |  SELECT coalesce(pk_after, pk_before) % 64 AS bucket,
+        |    count(*)::BIGINT AS n
+        |  FROM flat WHERE coalesce(pk_after, pk_before) IS NOT NULL
+        |  GROUP BY 1),
+        |a AS (SELECT avg(n) AS avg_n FROM b)
+        |SELECT bucket, n, round(n / avg_n, 4) AS skew,
+        |  (n > avg_n * 2)::INT AS hot
+        |FROM b, a ORDER BY bucket""".stripMargin,
     "c40_snapshot_diff" ->
       """WITH src0 AS (
         |  SELECT o_custkey,

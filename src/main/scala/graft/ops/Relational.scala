@@ -1343,7 +1343,63 @@ object Relational {
       round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"),
       expr("regr_count(l_extendedprice, l_quantity)").as("n"))
 
+  /** q65's smoothing factor (shared with the oracle). */
+  val EwmaAlpha = 0.3
+
+  // q65: EXPONENTIALLY-WEIGHTED MOVING AVERAGE over the daily event
+  // volume (the alerting baseline s18's z-score would track) — the
+  // recursion s_i = α·x_i + (1−α)·s_{i−1} unrolled to its closed form
+  // Σ w(i,j)·x_j so it stays declarative: the raw stream collapses in
+  // ONE keyed agg (q55's discipline), and the triangular weighted join
+  // runs on the bounded ~30-row day axis (O(days²) of scalar math, not
+  // a data-proportional cost).
+  val q65_ewma: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).cast("double").as("n"))
+      .withColumn("rn", row_number().over(Window.orderBy("day")) - 1)
+    val b = daily.select(col("rn").as("brn"), col("n").as("bn"))
+    daily.join(b, col("brn") <= col("rn"))
+      .groupBy(col("day"), col("n"))
+      .agg(round(sum(
+        pow(lit(1 - EwmaAlpha), col("rn") - col("brn")) *
+          when(col("brn") === 0, 1.0).otherwise(EwmaAlpha) * col("bn")), 4)
+        .as("ewma"))
+      .select(col("day"), col("n").cast("long").as("n_events"), col("ewma"))
+      .orderBy("day")
+  }
+
+  // q66: ABC ANALYSIS — the cumulative-share Pareto classification
+  // (A = first 80% of revenue, B = next 15%, C = tail) every inventory/
+  // curriculum prioritization runs. Revenue per part in INTEGER CENTS
+  // (x17's exactness discipline — a float running sum would flip class
+  // boundaries between engines), ONE data-proportional agg from
+  // lineitem to the part axis; the running share and class cut are
+  // windows over that axis, and the final rollup is ≤3 rows.
+  val q66_abc_analysis: Q = (s, d) => {
+    val rev = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(sum(expr(
+        "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"))
+        .as("rc"))
+    val tot = rev.agg(sum("rc").cast("double").as("t"))
+    rev.crossJoin(broadcast(tot))
+      .withColumn("cum", sum("rc").over(Window.orderBy(col("rc").desc,
+        col("l_partkey")).rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)) / col("t"))
+      .withColumn("abc_class",
+        when(col("cum") <= 0.8, "A").when(col("cum") <= 0.95, "B")
+          .otherwise("C"))
+      .groupBy(col("abc_class"))
+      .agg(count(lit(1)).as("n_parts"),
+        round(sum("rc") / 100.0, 2).as("revenue"),
+        round(sum("rc") / first(col("t")), 4).as("share"))
+      .orderBy("abc_class")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q66_abc_analysis" -> q66_abc_analysis,
+    "q65_ewma" -> q65_ewma,
     "q64_linreg" -> q64_linreg,
     "q63_chisq" -> q63_chisq,
     "q62_welch_ttest" -> q62_welch_ttest,
@@ -1411,6 +1467,36 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q65_ewma" ->
+      s"""WITH daily AS (
+        |  SELECT strftime(ts::DATE, '%Y-%m-%d') AS day, count(*)::DOUBLE AS n
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER (ORDER BY day) - 1 AS rn FROM daily)
+        |SELECT a.day, a.n::BIGINT AS n_events,
+        |  round(sum(pow(${1 - EwmaAlpha}, a.rn - b.rn) *
+        |    (CASE WHEN b.rn = 0 THEN 1.0 ELSE $EwmaAlpha END) * b.n), 4)
+        |    AS ewma
+        |FROM r a JOIN r b ON b.rn <= a.rn
+        |GROUP BY a.day, a.n ORDER BY a.day""".stripMargin,
+    "q66_abc_analysis" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT) AS rc
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT sum(rc)::DOUBLE AS t FROM rev),
+        |c AS (
+        |  SELECT rc,
+        |    sum(rc) OVER (ORDER BY rc DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / t AS cum
+        |  FROM rev, tot),
+        |cls AS (
+        |  SELECT CASE WHEN cum <= 0.8 THEN 'A' WHEN cum <= 0.95 THEN 'B'
+        |         ELSE 'C' END AS abc_class, rc FROM c),
+        |tot2 AS (SELECT sum(rc)::DOUBLE AS t FROM cls)
+        |SELECT abc_class, count(*)::BIGINT AS n_parts,
+        |  round(sum(rc) / 100.0, 2) AS revenue,
+        |  round(sum(rc) / t, 4) AS share
+        |FROM cls, tot2 GROUP BY 1, t ORDER BY 1""".stripMargin,
     "q63_chisq" ->
       """WITH obs AS (
         |  SELECT event_type, dayofweek(ts::DATE) AS wd, count(*)::DOUBLE AS o

@@ -1271,7 +1271,40 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** v24's neighborhood size and corpus cut (shared with the oracle). */
+  val MutualK = 5
+  val MutualCorpus = 200
+
+  // v24: MUTUAL k-NN PAIRS — the reciprocal-neighbor graph (a ∈ top-k
+  // of b AND b ∈ top-k of a), the edge set SemDeDup-style clustering
+  // and reciprocal-rank reranking consume: mutuality prunes the
+  // asymmetric "hub" edges that plain kNN graphs accumulate in high
+  // dimensions. Exact formulation over a deterministic corpus cut; at
+  // 100 TB the all-pairs scoring is replaced by IVF/LSH candidate
+  // generation (v02/d05's shape) and the mutual filter — a self-join
+  // of the directed top-k edge list on the flipped key — is unchanged.
+  // Cosine rounds 6dp BEFORE ranking so the cut is engine-identical.
+  val v24_mutual_knn: Q = (s, d) => {
+    val e = Tables.embeddings(s, d).filter(col("vec_id") < MutualCorpus)
+      .select(col("vec_id"), col("embedding"))
+    val top = e.as("x")
+      .crossJoin(e.select(col("vec_id").as("vid"), col("embedding").as("ye")))
+      .filter(col("vec_id") =!= col("vid"))
+      .select(col("vec_id").as("qid"), col("vid"),
+        round(Vec.cosine(col("embedding"), col("ye")), 6).as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))))
+      .filter(col("rn") <= MutualK)
+    top.as("p").join(top.as("q"),
+        col("p.qid") === col("q.vid") && col("p.vid") === col("q.qid") &&
+          col("p.qid") < col("p.vid"))
+      .select(col("p.qid").as("a"), col("p.vid").as("b"),
+        col("p.cos").as("cos"))
+      .orderBy("a", "b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "v24_mutual_knn" -> v24_mutual_knn,
     "v23_knn_classify" -> v23_knn_classify,
     "v22_quantization_pareto" -> v22_quantization_pareto,
     "v21_binary_quantize" -> v21_binary_quantize,
@@ -1299,6 +1332,24 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "v24_mutual_knn" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id < $MutualCorpus),
+        |sc AS (
+        |  SELECT x.vec_id AS qid, y.vec_id AS vid,
+        |    round(list_cosine_similarity(x.embedding::DOUBLE[],
+        |      y.embedding::DOUBLE[]), 6) AS cos
+        |  FROM e x, e y WHERE x.vec_id <> y.vec_id),
+        |top AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM sc)
+        |  WHERE rn <= $MutualK)
+        |SELECT p.qid AS a, p.vid AS b, p.cos
+        |FROM top p JOIN top q
+        |  ON p.qid = q.vid AND p.vid = q.qid AND p.qid < p.vid
+        |ORDER BY a, b""".stripMargin,
     "v23_knn_classify" ->
       s"""WITH q AS (
         |  SELECT vec_id AS qid, label AS q_label, embedding AS qe

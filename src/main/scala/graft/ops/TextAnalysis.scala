@@ -1085,7 +1085,28 @@ object TextAnalysis {
       .orderBy("kind", "id")
   }
 
+  // t34: ZIPF RANK-FREQUENCY FIT over the corpus vocabulary — the
+  // distribution sanity check of a scraped corpus (natural language
+  // fits log f ≈ c + s·log r with s near −1; generated/spam text
+  // doesn't). Vocabulary is the Heaps-bounded dict (t07/t18's scale
+  // argument: the type count grows ~√corpus, so the global rank window
+  // runs on a frame orders of magnitude smaller than the data); the
+  // log-log fit is the native regr_* moment pass of q64.
+  val t34_zipf_fit: Q = (s, d) => {
+    Tables.documents(s, d)
+      .select(explode(toks(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).cast("double").as("n"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("tok")))
+          .cast("double"))
+      .agg(count(lit(1)).as("n_types"),
+        round(expr("regr_slope(log10(n), log10(rank))"), 4).as("slope"),
+        round(expr("regr_intercept(log10(n), log10(rank))"), 4).as("intercept"),
+        round(expr("regr_r2(log10(n), log10(rank))"), 6).as("r2"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t34_zipf_fit" -> t34_zipf_fit,
     "t33_code_detect" -> t33_code_detect,
     "t32_char_entropy" -> t32_char_entropy,
     "t31_readability" -> t31_readability,
@@ -1127,6 +1148,16 @@ object TextAnalysis {
     s"len(list_filter($sqlToks, w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
   val oracle: Map[String, String] = Map(
+    "t34_zipf_fit" ->
+      s"""WITH tok AS (SELECT unnest($sqlToks) AS tok FROM documents),
+        |v AS (SELECT tok, count(*)::DOUBLE AS n FROM tok GROUP BY 1),
+        |r AS (SELECT n,
+        |  row_number() OVER (ORDER BY n DESC, tok)::DOUBLE AS rank FROM v)
+        |SELECT count(*)::BIGINT AS n_types,
+        |  round(regr_slope(log10(n), log10(rank)), 4) AS slope,
+        |  round(regr_intercept(log10(n), log10(rank)), 4) AS intercept,
+        |  round(regr_r2(log10(n), log10(rank)), 6) AS r2
+        |FROM r""".stripMargin,
     "t31_readability" ->
       s"""WITH b AS (SELECT doc_id, $sqlToks AS t, text FROM documents),
         |c AS (SELECT doc_id,

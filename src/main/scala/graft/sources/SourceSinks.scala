@@ -1031,7 +1031,53 @@ object SourceSinks {
     materializeThenCleanup(s, out, dir)
   }
 
+  // x27 (rows-only; spec: coverage, global min/max, and the sorted
+  // NON-OVERLAP invariant): ROW-GROUP STATISTICS — the parquet footer
+  // min/max/count metadata a scan planner prunes row groups with (the
+  // sub-file half of x07's partition pruning; x13's sorted layout is
+  // exactly what makes these ranges disjoint and therefore prunable).
+  // Orders lands sorted by key under an 8 KB parquet.block.size (the
+  // writer flushes a group roughly every ~100 rows at that budget, so
+  // even the sf0.001 fixture splits); the lane then reads ONLY footers
+  // (ParquetFileReader — metadata bytes, x16's discipline: no data
+  // pages touched) and exposes each row group's stats as a table. At
+  // cluster scale the footer reads distribute per file; driver-side
+  // here the whole read is a few KB of metadata.
+  val x27_rowgroup_stats: Q = (s, d) => {
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft_rgstats")
+    Tables.orders(s, d)
+      .repartition(2, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite")
+      .option("parquet.block.size", 8 * 1024)
+      .parquet(dir.toString)
+    val conf = s.sparkContext.hadoopConfiguration
+    val files = Files.list(dir).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+    val rows = files.zipWithIndex.flatMap { case (f, ord) =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(f.toString), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        reader.getFooter.getBlocks.asScala.zipWithIndex.map { case (b, rg) =>
+          val keyCol = b.getColumns.asScala
+            .find(_.getPath.toDotString == "o_orderkey").get
+          val st = keyCol.getStatistics
+          (ord, rg, b.getRowCount,
+            st.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+            st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+        }.toSeq
+      } finally reader.close()
+    }
+    import s.implicits._
+    val out = rows.toDF("file_ord", "rg_idx", "n_rows", "min_key", "max_key")
+      .orderBy("file_ord", "rg_idx")
+    materializeThenCleanup(s, out, dir)
+  }
+
   val queries: Map[String, Q] = Map(
+    "x27_rowgroup_stats" -> x27_rowgroup_stats,
     "x26_deletion_vectors" -> x26_deletion_vectors,
     "x25_write_audit_publish" -> x25_write_audit_publish,
     "x24_bloom_join" -> x24_bloom_join,

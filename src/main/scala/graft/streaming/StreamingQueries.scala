@@ -660,7 +660,68 @@ object StreamingQueries {
     } finally graft.sources.SourceSinks.deleteDir(dir)
   }
 
+  // s25: STREAMING TRANSITION MATRIX — q49's twin (12th pair), same
+  // multi-batch landing as s24. A late event SPLICES into the middle of
+  // its user's sequence, rewriting up to two transitions already
+  // emitted — so per-user state is the full ordered (us, event_id,
+  // type) list (bounded by that user's activity) and each trigger
+  // re-emits the user's complete transition list under a sequence
+  // number; the rollup keeps the last emission per user, explodes the
+  // pairs, and the ≤|types|²-row matrix hash-matches q49's batch
+  // oracle verbatim.
+  val s25_stream_transitions: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_strans")
+    try {
+      (0 until 4).foreach { i =>
+        graft.sources.SourceSinks.landSingleParquet(
+          ev.filter(pmod(col("event_id"), lit(4)) === i),
+          dir.resolve(f"b$i%02d.parquet"))
+      }
+      // state: (events sorted by (us, event_id), seq)
+      val fn: (Long, Iterator[(Long, Long, String, Long)],
+          GroupState[(Seq[(Long, Long, String)], Long)]) =>
+          (Long, Long, Seq[(String, String)]) = (uid, events, state) => {
+        var (seen, seq) = state.getOption.getOrElse(
+          (Seq.empty[(Long, Long, String)], 0L))
+        events.foreach { case (eid, _, t, us) => seen +:= ((us, eid, t)) }
+        val ordered = seen.sortBy(e => (e._1, e._2))
+        seq += 1
+        state.update((ordered, seq))
+        val pairs = ordered.iterator.map(_._3).sliding(2)
+          .withPartial(false).map(p => (p.head, p(1))).toSeq
+        (uid, seq, pairs)
+      }
+      val name = s"graft_strans_${System.nanoTime()}"
+      val landedSchema = org.apache.spark.sql.types.StructType(ev.schema.fields)
+      val q = s.readStream.schema(landedSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+        .as[(Long, Long, String, Long)]
+        .groupByKey(_._2)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+        .toDF("user_id", "seq", "pairs")
+        .writeStream.outputMode("update").format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      val tr = s.table(name)
+        .groupBy(col("user_id"))
+        .agg(max_by(col("pairs"), col("seq")).as("pairs"))
+        .select(explode(col("pairs")).as("p"))
+        .select(col("p._1").as("a"), col("p._2").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+      val tot = tr.groupBy(col("a")).agg(sum("n").cast("double").as("na"))
+      tr.join(broadcast(tot), Seq("a"))
+        .select(col("a"), col("b"), col("n"),
+          round(col("n") / col("na"), 4).as("p"))
+        .orderBy("a", "b")
+    } finally graft.sources.SourceSinks.deleteDir(dir)
+  }
+
   val queries: Map[String, Q] = Map(
+    "s25_stream_transitions" -> s25_stream_transitions,
     "s24_stream_funnel" -> s24_stream_funnel,
     "s23_stream_histogram" -> s23_stream_histogram,
     "s22_stream_cusum" -> s22_stream_cusum,
@@ -686,6 +747,9 @@ object StreamingQueries {
     // per-user candidate fold converges to the batch funnel under
     // multi-batch arrival
     "s24_stream_funnel" -> graft.ops.Relational.oracle("q44_funnel"),
+    // q49's batch oracle verbatim — late events splice correctly
+    "s25_stream_transitions" ->
+      graft.ops.Relational.oracle("q49_transition_matrix"),
     // q51's batch oracle verbatim — the hash match proves the streamed
     // per-bucket fold lands every row where the batch scan does
     "s23_stream_histogram" ->

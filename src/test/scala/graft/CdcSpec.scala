@@ -946,4 +946,23 @@ class CdcSpec extends AnyFunSuite {
     def r2d(m: Map[Long, Double]) = m.view.mapValues(v => math.rint(v * 100) / 100).toMap
     assert(r2d(applied) == r2d(v2), "v1 + diff must equal v2")
   }
+
+  test("c41 skew buckets sum to the op count and flag only >2x-average") {
+    val rows = graft.cdc.CdcQueries.c41_apply_skew(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 64)
+    val ns = rows.map(_.getAs[Long]("n"))
+    val avg = ns.sum.toDouble / rows.length
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      assert(math.abs(r.getAs[Double]("skew") - n / avg) < 1e-3)
+      assert(r.getAs[Int]("hot") == (if (n > 2 * avg) 1 else 0))
+    }
+    // every keyed op lands in exactly one bucket
+    val flat = graft.cdc.Envelope.flat(Tables.events(spark, sf))
+    val keyed = flat.filter(
+      org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.col("pk_after"),
+        org.apache.spark.sql.functions.col("pk_before")).isNotNull).count()
+    assert(ns.sum == keyed)
+  }
 }

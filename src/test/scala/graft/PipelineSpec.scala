@@ -1869,6 +1869,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(r0.getAs[Double]("code_score") - round4(score)) <= 1e-4)
   }
 
+  test("t34 Zipf fit matches the driver-side log-log OLS") {
+    val r = TextAnalysis.t34_zipf_fit(spark, sf).collect().head
+    val counts = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(_.getString(0).trim.toLowerCase.split("\\s+"))
+      .groupBy(identity).map { case (t, v) => t -> v.length }
+    val ranked = counts.toSeq.sortBy { case (t, n) => (-n, t) }.zipWithIndex
+      .map { case ((_, n), i) => (math.log10((i + 1).toDouble), math.log10(n.toDouble)) }
+    val m = ranked.length.toDouble
+    val (mx, my) = (ranked.map(_._1).sum / m, ranked.map(_._2).sum / m)
+    val sxy = ranked.map { case (x, y) => (x - mx) * (y - my) }.sum
+    val sxx = ranked.map { case (x, _) => (x - mx) * (x - mx) }.sum
+    assert(r.getAs[Long]("n_types") == counts.size)
+    assert(math.abs(r.getAs[Double]("slope") - sxy / sxx) < 1e-3)
+    assert(r.getAs[Double]("slope") < 0, "frequency must fall with rank")
+  }
+
+  test("v24 mutual pairs are exactly the reciprocal top-k edges") {
+    val all = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < Similarity.MutualCorpus)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def c6(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map(t => t._1 * t._2).sum
+      val v = dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+      java.math.BigDecimal.valueOf(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    val topk = all.map { case (q, qe) =>
+      q -> all.filter(_._1 != q).map { case (v, ve) => (v, c6(ve, qe)) }
+        .sortBy(t => (-t._2, t._1)).take(Similarity.MutualK).map(_._1).toSet
+    }.toMap
+    val expect = (for {
+      (a, na) <- topk.toSeq; b <- na
+      if a < b && topk(b).contains(a)
+    } yield (a, b)).toSet
+    val got = Similarity.v24_mutual_knn(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(got == expect, s"${got.size} vs ${expect.size}")
+    assert(got.nonEmpty)
+  }
+
   test("m10 TIFF walk roundtrips planted tags and rejects malformed bytes") {
     val rows = Multimodal.m10_exif_walk(spark, sf).collect()
     val docs = Tables.documents(spark, sf)

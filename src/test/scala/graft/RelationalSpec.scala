@@ -683,6 +683,34 @@ class RelationalSpec extends AnyFunSuite {
     assert(dof >= math.min(na, nb) - 1 && dof <= na + nb - 2)
   }
 
+  test("q65 EWMA equals the sequential recursion") {
+    val rows = ops.Relational.q65_ewma(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var s0 = -1.0
+    rows.foreach { r =>
+      val x = r.getAs[Long]("n_events").toDouble
+      s0 = if (s0 < 0) x
+           else ops.Relational.EwmaAlpha * x + (1 - ops.Relational.EwmaAlpha) * s0
+      assert(math.abs(r.getAs[Double]("ewma") - s0) < 1e-2,
+        s"${r.getAs[String]("day")}")
+    }
+  }
+
+  test("q66 ABC classes partition parts with the declared share cuts") {
+    val rows = ops.Relational.q66_abc_analysis(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_parts"),
+        r.getAs[Double]("revenue"), r.getAs[Double]("share"))).toMap
+    assert(rows.keySet == Set("A", "B", "C"))
+    val shares = rows.view.mapValues(_._3).toMap
+    assert(math.abs(shares.values.sum - 1.0) < 1e-3, "shares must sum to 1")
+    // A carries ~80% of revenue with far fewer parts than C's tail share
+    assert(shares("A") >= 0.75 && shares("A") <= 0.81)
+    assert(shares("B") >= 0.10 && shares("B") <= 0.20)
+    val nParts = Tables.lineitem(spark, sf)
+      .select("l_partkey").distinct().count()
+    assert(rows.values.map(_._1).sum == nParts, "every sold part classified")
+  }
+
   test("q63 chi-squared matches the contingency-table recompute") {
     import org.apache.spark.sql.functions._
     val r = ops.Relational.q63_chisq(spark, sf).collect().head

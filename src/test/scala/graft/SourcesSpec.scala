@@ -492,6 +492,31 @@ class SourcesSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == exp)
   }
 
+  test("x27 row-group stats cover the data and hold the sorted-layout invariant") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.sources.SourceSinks.x27_rowgroup_stats(spark, sf).collect()
+    val orders = Tables.orders(spark, sf)
+      .agg(count(lit(1)), min("o_orderkey"), max("o_orderkey")).collect().head
+    // coverage: row counts sum to the table, stats span the key range
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == orders.getLong(0))
+    assert(rows.map(_.getAs[Long]("min_key")).min == orders.getLong(1))
+    assert(rows.map(_.getAs[Long]("max_key")).max == orders.getLong(2))
+    // the 64 KB block size must actually split files into row groups
+    val perFile = rows.groupBy(_.getAs[Int]("file_ord"))
+    assert(perFile.values.exists(_.length > 1), "no file has >1 row group")
+    perFile.values.foreach { rgs =>
+      // within a sorted file, consecutive row groups must not overlap —
+      // the property that makes min/max stats prunable
+      rgs.sortBy(_.getAs[Int]("rg_idx")).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("max_key") <= b.getAs[Long]("min_key"),
+            "row-group key ranges overlap in a sorted file")
+        case _ => ()
+      }
+      rgs.foreach(r => assert(r.getAs[Long]("min_key") <= r.getAs[Long]("max_key")))
+    }
+  }
+
   test("x26 deletion vectors reconstruct predicate-delete semantics") {
     import org.apache.spark.sql.functions._
     val got = graft.sources.SourceSinks.x26_deletion_vectors(spark, sf)

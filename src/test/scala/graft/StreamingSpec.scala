@@ -189,6 +189,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size == p.count(), "every purchase appears exactly once")
   }
 
+  test("s25 streaming transitions equal the batch q49 row for row") {
+    val got = StreamingQueries.s25_stream_transitions(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val exp = ops.Relational.q49_transition_matrix(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == exp,
+      "late-event splices must rewrite already-emitted transitions")
+  }
+
   test("s24 streaming funnel equals the batch q44 row for row") {
     val got = StreamingQueries.s24_stream_funnel(spark, sf)
       .collect().map(_.toSeq).toSeq
