@@ -1120,7 +1120,47 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** d22's edit-distance cap, probe stripe, and blocking-prefix length
+    * (shared with the oracle). 16 chars of the Customer#%09d name
+    * leaves the last two digits free, so blocks stay ≤100 names at ANY
+    * scale factor — the property that keeps the match linear.
+    */
+  val FuzzyMaxDist = 2
+  val FuzzyProbeStripe = 97
+  val FuzzyBlockPrefix = 16
+
+  // d22: FUZZY ENTITY MATCH (incremental entity resolution — an
+  // incoming probe batch matches against the master by edit distance,
+  // the dirty-data counterpart of d01's exact hash dedup): probes are a
+  // deterministic key stripe, candidates come from PREFIX BLOCKING
+  // (substr equality — the LSH-for-strings: levenshtein never runs
+  // outside a block, and the block size is constant in scale factor,
+  // so total work is O(probes · block)); per probe the lane reports the
+  // candidate count and the best match under the deterministic
+  // (dist, key) order. Cross-block near-misses are the documented
+  // blocking recall trade-off, mirrored exactly in the oracle.
+  val d22_fuzzy_match: Q = (s, d) => {
+    val master = Tables.customer(s, d)
+      .select(col("c_custkey").as("m_key"), col("c_name").as("m_name"),
+        substring(col("c_name"), 1, FuzzyBlockPrefix).as("blk"))
+    val probes = Tables.customer(s, d)
+      .filter(pmod(col("c_custkey"), lit(FuzzyProbeStripe.toLong)) === 0)
+      .select(col("c_custkey").as("p_key"), col("c_name").as("p_name"),
+        substring(col("c_name"), 1, FuzzyBlockPrefix).as("blk"))
+    probes.join(master, Seq("blk"))
+      .filter(col("p_key") =!= col("m_key"))
+      .withColumn("dist", levenshtein(col("p_name"), col("m_name")))
+      .filter(col("dist") <= FuzzyMaxDist)
+      .groupBy(col("p_key"))
+      .agg(count(lit(1)).as("n_candidates"),
+        min(struct(col("dist"), col("m_key"))).getField("m_key")
+          .as("best_key"),
+        min(col("dist")).as("best_dist"))
+      .orderBy("p_key")
+  }
+
   val queries: Map[String, Q] = Map(
+    "d22_fuzzy_match" -> d22_fuzzy_match,
     "d21_substr_runs" -> d21_substr_runs,
     "d20_source_overlap" -> d20_source_overlap,
     "d18_span_dedup" -> d18_span_dedup,
@@ -1172,6 +1212,24 @@ object Dedup {
           |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "d22_fuzzy_match" ->
+      s"""WITH m AS (
+        |  SELECT c_custkey AS m_key, c_name AS m_name,
+        |    substr(c_name, 1, $FuzzyBlockPrefix) AS blk
+        |  FROM customer),
+        |p AS (
+        |  SELECT c_custkey AS p_key, c_name AS p_name,
+        |    substr(c_name, 1, $FuzzyBlockPrefix) AS blk
+        |  FROM customer WHERE c_custkey % $FuzzyProbeStripe = 0),
+        |c AS (
+        |  SELECT p_key, m_key, levenshtein(p_name, m_name) AS dist
+        |  FROM p JOIN m USING (blk) WHERE p_key <> m_key)
+        |SELECT p_key, count(*)::BIGINT AS n_candidates,
+        |  struct_extract(min(struct_pack(dist := dist, m_key := m_key)),
+        |    'm_key') AS best_key,
+        |  min(dist)::INT AS best_dist
+        |FROM c WHERE dist <= $FuzzyMaxDist
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "d21_substr_runs" ->
       s"""WITH toks AS (
         |  SELECT doc_id,

@@ -1397,7 +1397,40 @@ object Relational {
       .orderBy("abc_class")
   }
 
+  // q67: PERIOD-OVER-PERIOD CONTRIBUTION ANALYSIS — "revenue moved X;
+  // which segments moved it?": the BI decomposition behind every
+  // why-did-the-metric-change dashboard. Revenue per (month, segment)
+  // in INTEGER CENTS (q66's discipline) via ONE agg over the
+  // broadcast-joined fact; the two compared months pivot out of the
+  // bounded segment axis with conditional sums, delta and
+  // share-of-total-delta as window math on ≤|segments| rows.
+  val q67_contribution: Q = (s, d) => {
+    val rev = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= ts("1997-01-01") &&
+        col("o_orderdate") < ts("1997-03-01"))
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("m"))
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("rc"))
+    rev.groupBy(col("c_mktsegment"))
+      .agg(
+        (sum(when(col("m") === "1997-01", col("rc")).otherwise(0L)) / 100.0)
+          .as("rev_prev"),
+        (sum(when(col("m") === "1997-02", col("rc")).otherwise(0L)) / 100.0)
+          .as("rev_curr"))
+      .withColumn("delta", round(col("rev_curr") - col("rev_prev"), 2))
+      .withColumn("share_of_delta",
+        round(col("delta") / sum(col("delta")).over(Window.partitionBy()), 4))
+      .select(col("c_mktsegment"), round(col("rev_prev"), 2).as("rev_prev"),
+        round(col("rev_curr"), 2).as("rev_curr"), col("delta"),
+        col("share_of_delta"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q67_contribution" -> q67_contribution,
     "q66_abc_analysis" -> q66_abc_analysis,
     "q65_ewma" -> q65_ewma,
     "q64_linreg" -> q64_linreg,
@@ -1467,6 +1500,24 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q67_contribution" ->
+      """WITH rev AS (
+        |  SELECT c_mktsegment, strftime(o_orderdate, '%Y-%m') AS m,
+        |    sum(round(o_totalprice * 100)::BIGINT) AS rc
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1997-03-01'
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT c_mktsegment,
+        |    sum(CASE WHEN m = '1997-01' THEN rc ELSE 0 END) / 100.0 AS rev_prev,
+        |    sum(CASE WHEN m = '1997-02' THEN rc ELSE 0 END) / 100.0 AS rev_curr
+        |  FROM rev GROUP BY 1),
+        |w AS (
+        |  SELECT *, round(rev_curr - rev_prev, 2) AS delta FROM p)
+        |SELECT c_mktsegment, round(rev_prev, 2) AS rev_prev,
+        |  round(rev_curr, 2) AS rev_curr, delta,
+        |  round(delta / sum(delta) OVER (), 4) AS share_of_delta
+        |FROM w ORDER BY c_mktsegment""".stripMargin,
     "q65_ewma" ->
       s"""WITH daily AS (
         |  SELECT strftime(ts::DATE, '%Y-%m-%d') AS day, count(*)::DOUBLE AS n

@@ -720,7 +720,74 @@ object StreamingQueries {
     } finally graft.sources.SourceSinks.deleteDir(dir)
   }
 
+  // s26: STREAMING EWMA — q65's twin (13th pair), the NUMERIC-recursion
+  // splice case: EWMA is order-sensitive, so a late batch contributing
+  // to an EARLY day re-weights every smoothed value after it. State is
+  // the per-day count map (bounded by the day axis, NOT the data);
+  // every trigger folds the recursion over the sorted days and emits
+  // the full series under a seq; the rollup keeps the last. Single
+  // logical group (the day axis is one series) — the per-batch
+  // pre-aggregation happens in the groupBy upstream of the stateful
+  // op, so the state op sees ≤|days| rows per trigger.
+  val s26_stream_ewma: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val a = graft.ops.Relational.EwmaAlpha
+    val ev = Tables.events(s, d)
+      .select(col("event_id"),
+        date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sewma")
+    try {
+      (0 until 4).foreach { i =>
+        graft.sources.SourceSinks.landSingleParquet(
+          ev.filter(pmod(col("event_id"), lit(4)) === i),
+          dir.resolve(f"b$i%02d.parquet"))
+      }
+      val fn: (Int, Iterator[String],
+          GroupState[(Map[String, Long], Long)]) =>
+          (Long, Seq[(String, Long, Double)]) = (_, batch, state) => {
+        var (counts, seq) = state.getOption.getOrElse((Map.empty[String, Long], 0L))
+        batch.foreach { day =>
+          counts += day -> (counts.getOrElse(day, 0L) + 1L)
+        }
+        seq += 1
+        state.update((counts, seq))
+        var sPrev = -1.0
+        val series = counts.toSeq.sortBy(_._1).map { case (day, n) =>
+          sPrev = if (sPrev < 0) n.toDouble else a * n + (1 - a) * sPrev
+          (day, n, sPrev)
+        }
+        (seq, series)
+      }
+      val landedSchema = org.apache.spark.sql.types.StructType(
+        ev.drop("event_id").schema.fields)
+      val name = s"graft_sewma_${System.nanoTime()}"
+      // NOTE: a streaming groupBy BEFORE a stateful op is unsupported
+      // (two chained stateful operators) — raw day rows fold directly
+      // into the state map instead; the map stays day-axis-bounded.
+      val q = s.readStream.schema(landedSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+        .select(col("day")).as[String]
+        .groupByKey(_ => 0)
+        .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Update,
+          GroupStateTimeout.NoTimeout)(
+          (k: Int, it: Iterator[String],
+              st: GroupState[(Map[String, Long], Long)]) =>
+            Iterator.single(fn(k, it, st)))
+        .toDF("seq", "series")
+        .writeStream.outputMode("update").format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name)
+        .agg(max_by(col("series"), col("seq")).as("series"))
+        .select(explode(col("series")).as("e"))
+        .select(col("e._1").as("day"), col("e._2").as("n_events"),
+          round(col("e._3"), 4).as("ewma"))
+        .orderBy("day")
+    } finally graft.sources.SourceSinks.deleteDir(dir)
+  }
+
   val queries: Map[String, Q] = Map(
+    "s26_stream_ewma" -> s26_stream_ewma,
     "s25_stream_transitions" -> s25_stream_transitions,
     "s24_stream_funnel" -> s24_stream_funnel,
     "s23_stream_histogram" -> s23_stream_histogram,
@@ -750,6 +817,8 @@ object StreamingQueries {
     // q49's batch oracle verbatim — late events splice correctly
     "s25_stream_transitions" ->
       graft.ops.Relational.oracle("q49_transition_matrix"),
+    // q65's batch oracle verbatim — late batches re-weight the series
+    "s26_stream_ewma" -> graft.ops.Relational.oracle("q65_ewma"),
     // q51's batch oracle verbatim — the hash match proves the streamed
     // per-bucket fold lands every row where the batch scan does
     "s23_stream_histogram" ->

@@ -1869,6 +1869,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(r0.getAs[Double]("code_score") - round4(score)) <= 1e-4)
   }
 
+  test("d22 fuzzy matches equal the brute-force edit-distance recompute") {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val names = Tables.customer(spark, sf).select("c_custkey", "c_name")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val expect = names.filter(_._1 % Dedup.FuzzyProbeStripe == 0).flatMap {
+      case (pk, pn) =>
+        val cands = names.filter { case (mk, mn) =>
+          mk != pk && mn.take(Dedup.FuzzyBlockPrefix) == pn.take(Dedup.FuzzyBlockPrefix) &&
+            lev(pn, mn) <= Dedup.FuzzyMaxDist
+        }
+        if (cands.isEmpty) None
+        else {
+          val withD = cands.map { case (mk, mn) => (lev(pn, mn), mk) }
+          Some(pk -> (cands.length.toLong, withD.min._2, withD.map(_._1).min))
+        }
+    }.toMap
+    val got = Dedup.d22_fuzzy_match(spark, sf).collect()
+    assert(got.length == expect.size && got.nonEmpty)
+    got.foreach { r =>
+      val (n, bk, bd) = expect(r.getAs[Long]("p_key"))
+      assert(r.getAs[Long]("n_candidates") == n)
+      assert(r.getAs[Long]("best_key") == bk)
+      assert(r.getAs[Int]("best_dist") == bd)
+    }
+  }
+
   test("t34 Zipf fit matches the driver-side log-log OLS") {
     val r = TextAnalysis.t34_zipf_fit(spark, sf).collect().head
     val counts = Tables.documents(spark, sf).select("text").collect()

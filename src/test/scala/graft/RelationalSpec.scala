@@ -683,6 +683,34 @@ class RelationalSpec extends AnyFunSuite {
     assert(dof >= math.min(na, nb) - 1 && dof <= na + nb - 2)
   }
 
+  test("q67 contribution deltas decompose the total move exactly") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Relational.q67_contribution(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // per-segment recompute in cents
+    val rev = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-03-01").cast("timestamp"))
+      .join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("m"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("rc"))
+      .collect()
+      .groupBy(r => (r.getString(0), r.getString(1)))
+      .map { case (k, v) => k -> v.map(_.getLong(2)).sum }
+    rows.foreach { r =>
+      val seg = r.getString(0)
+      val prev = rev.getOrElse((seg, "1997-01"), 0L) / 100.0
+      val curr = rev.getOrElse((seg, "1997-02"), 0L) / 100.0
+      assert(math.abs(r.getAs[Double]("rev_prev") - prev) < 1e-6, seg)
+      assert(math.abs(r.getAs[Double]("rev_curr") - curr) < 1e-6, seg)
+      assert(math.abs(r.getAs[Double]("delta") - rnd(curr - prev, 2)) < 1e-6)
+    }
+    // shares decompose the total move
+    assert(math.abs(rows.map(_.getAs[Double]("share_of_delta")).sum - 1.0) < 1e-2)
+  }
+
   test("q65 EWMA equals the sequential recursion") {
     val rows = ops.Relational.q65_ewma(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -189,6 +189,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size == p.count(), "every purchase appears exactly once")
   }
 
+  test("s26 streaming EWMA equals the batch q65 row for row") {
+    val got = StreamingQueries.s26_stream_ewma(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val exp = ops.Relational.q65_ewma(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == exp,
+      "late batches must re-weight the whole smoothed series")
+  }
+
   test("s25 streaming transitions equal the batch q49 row for row") {
     val got = StreamingQueries.s25_stream_transitions(spark, sf)
       .collect().map(_.toSeq).toSeq
