@@ -1429,7 +1429,70 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** q68's fixed synchronous iteration count (spec recomputes the same
+    * schedule; LPA without a fixed schedule is nondeterministic).
+    */
+  val LpaIters = 5
+
+  // q68 (rows-only; spec: exact driver recompute of the same
+  // synchronous schedule): LABEL PROPAGATION community detection over
+  // q54's co-purchase graph — the cheap communities pass (PageRank
+  // ranks, triangles measure closure, THIS partitions): labels start as
+  // node ids; each synchronous round every node adopts its neighbors'
+  // most frequent label, ties to the smallest (the damping that makes
+  // the schedule deterministic). Per round: one join of the edge list
+  // against the label table (both hash-partitioned on the node key —
+  // the same shuffle every round), a (node, label) vote count, and an
+  // argmax; localCheckpoint truncates the growing lineage exactly as
+  // q50's PageRank loop does. Output: community-structure summary +
+  // MODULARITY (the quality score community detection is judged by).
+  val q68_label_propagation: Q = (s, d) => {
+    val ob = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val und = ob.as("a")
+      .join(ob.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
+      .select("u", "v")
+      .persist()
+    val edges = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("n")).distinct()
+      .withColumn("lbl", col("n")).localCheckpoint(true)
+    for (_ <- 1 to LpaIters)
+      labels = edges
+        .join(labels.select(col("n").as("dst"), col("lbl")), Seq("dst"))
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("src"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("lbl")))
+          .getField("lbl").as("lbl"))
+        .withColumnRenamed("src", "n")
+        .localCheckpoint(true)
+    // modularity Q = Σ_c e_c/m − (d_c/2m)² over the undirected graph
+    val lu = labels.select(col("n").as("u"), col("lbl").as("lu"))
+    val lv = labels.select(col("n").as("v"), col("lbl").as("lv"))
+    val m = und.count().toDouble
+    val within = und.join(lu, Seq("u")).join(lv, Seq("v"))
+      .filter(col("lu") === col("lv"))
+      .groupBy(col("lu").as("lbl")).agg(count(lit(1)).as("ec"))
+    val degs = edges.groupBy(col("src").as("n")).agg(count(lit(1)).as("deg"))
+      .join(labels, Seq("n"))
+      .groupBy(col("lbl")).agg(sum("deg").as("dc"))
+    val comm = labels.groupBy(col("lbl")).agg(count(lit(1)).as("sz"))
+    val out = comm.join(within, Seq("lbl"), "left")
+      .join(degs, Seq("lbl"))
+      .agg(sum("sz").as("n_nodes"), count(lit(1)).as("n_communities"),
+        max("sz").as("largest"),
+        round(sum(coalesce(col("ec"), lit(0L)) / m -
+          pow(col("dc") / (2 * m), 2)), 6).as("modularity"))
+    und.unpersist(); edges.unpersist()
+    out
+  }
+
   val queries: Map[String, Q] = Map(
+    "q68_label_propagation" -> q68_label_propagation,
     "q67_contribution" -> q67_contribution,
     "q66_abc_analysis" -> q66_abc_analysis,
     "q65_ewma" -> q65_ewma,

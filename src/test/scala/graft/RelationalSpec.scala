@@ -683,6 +683,40 @@ class RelationalSpec extends AnyFunSuite {
     assert(dof >= math.min(na, nb) - 1 && dof <= na + nb - 2)
   }
 
+  test("q68 LPA equals the driver recompute of the synchronous schedule") {
+    import org.apache.spark.sql.functions._
+    val ob = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = ob.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).filter(_._2.size >= 2).keys.toSeq
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lbl: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to ops.Relational.LpaIters)
+      lbl = adj.map { case (n, nbrs) =>
+        val votes = nbrs.groupBy(lbl).view.mapValues(_.size)
+        n -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    val m = edges.size.toDouble
+    val ec = edges.groupBy(e => lbl(e._1))
+      .map { case (l, es) => l -> es.count(e => lbl(e._1) == lbl(e._2)) }
+    val dc = adj.toSeq.groupBy(t => lbl(t._1))
+      .map { case (l, ns) => l -> ns.map(_._2.size).sum }
+    val comm = lbl.values.groupBy(identity).map { case (l, v) => l -> v.size }
+    val modularity = comm.keys.map(l =>
+      ec.getOrElse(l, 0) / m - math.pow(dc(l) / (2 * m), 2)).sum
+    val r = ops.Relational.q68_label_propagation(spark, sf).collect().head
+    assert(r.getAs[Long]("n_nodes") == adj.size)
+    assert(r.getAs[Long]("n_communities") == comm.size)
+    assert(r.getAs[Long]("largest") == comm.values.max)
+    assert(math.abs(r.getAs[Double]("modularity") - modularity) < 1e-4)
+    assert(r.getAs[Long]("n_communities") < r.getAs[Long]("n_nodes"),
+      "propagation must actually merge labels")
+  }
+
   test("q67 contribution deltas decompose the total move exactly") {
     import org.apache.spark.sql.functions._
     val rows = ops.Relational.q67_contribution(spark, sf).collect()
