@@ -64,6 +64,24 @@ object ScaleCheck {
         .collect().head.getLong(0)})")
     val m08n = ops.Multimodal.queries("m08_audio_segments")(s, d).count()
     println(s"[scale] m08 voiced segments at $tag: $m08n")
+    // continuation-session lanes at scale
+    val d21n = ops.Dedup.d21_substr_runs(s, d).count()
+    println(s"[scale] d21 substring-run pairs at $tag: $d21n")
+    val q68r = ops.Relational.q68_label_propagation(s, d).collect().head
+    println(s"[scale] q68 LPA at $tag: ${q68r.getAs[Long]("n_communities")} " +
+      s"communities over ${q68r.getAs[Long]("n_nodes")} nodes, " +
+      f"modularity ${q68r.getAs[Double]("modularity")}%.4f")
+    def eq(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.collect().map(_.toSeq).toSeq == b.collect().map(_.toSeq).toSeq
+    println(s"[scale] s24 ≡ q44 at $tag: " +
+      eq(streaming.StreamingQueries.s24_stream_funnel(s, d),
+        ops.Relational.q44_funnel(s, d)))
+    println(s"[scale] s25 ≡ q49 at $tag: " +
+      eq(streaming.StreamingQueries.s25_stream_transitions(s, d),
+        ops.Relational.q49_transition_matrix(s, d)))
+    println(s"[scale] s26 ≡ q65 at $tag: " +
+      eq(streaming.StreamingQueries.s26_stream_ewma(s, d),
+        ops.Relational.q65_ewma(s, d)))
     s.stop()
   }
 }

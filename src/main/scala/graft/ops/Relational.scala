@@ -1491,7 +1491,28 @@ object Relational {
     out
   }
 
+  // q69: STL-RESIDUAL ANOMALY DETECTION — the composed alerting lane
+  // (q57's decomposition strips trend+weekday seasonality so a Monday
+  // peak isn't an "anomaly"; q53's robust MAD threshold on the residual
+  // flags what's left): anomaly ⇔ |residual − median| > 3·1.4826·MAD.
+  // Every step after q57's single keyed agg runs on the bounded day
+  // axis; the exact-percentile medians are two aggregations of ≤30
+  // rows and broadcast back.
+  val q69_stl_anomaly: Q = (s, d) => {
+    val res = q57_seasonal_decompose(s, d).filter(col("residual").isNotNull)
+    val med = res.agg(expr("percentile(residual, 0.5)").as("med"))
+    val mad = res.crossJoin(broadcast(med))
+      .agg(expr("percentile(abs(residual - med), 0.5)").as("mad"),
+        first(col("med")).as("med"))
+    res.crossJoin(broadcast(mad))
+      .select(col("day"), col("n_events"), col("residual"),
+        (abs(col("residual") - col("med")) > lit(3 * 1.4826) * col("mad"))
+          .cast("int").as("is_anomaly"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q69_stl_anomaly" -> q69_stl_anomaly,
     "q68_label_propagation" -> q68_label_propagation,
     "q67_contribution" -> q67_contribution,
     "q66_abc_analysis" -> q66_abc_analysis,
@@ -1562,7 +1583,38 @@ object Relational {
     "q40_inactive_customers" -> q40_inactive_customers,
   )
 
+  /** q57's oracle SQL — shared verbatim with q69's residual input so the
+    * two lanes cannot drift.
+    */
+  private val q57Sql: String =
+    """WITH daily AS (
+      |  SELECT strftime(ts::DATE, '%Y-%m-%d') AS day,
+      |    count(*)::DOUBLE AS n, dayofweek(ts::DATE) AS wd
+      |  FROM events GROUP BY 1, 3),
+      |tr AS (
+      |  SELECT *, CASE WHEN count(*) OVER w = 7
+      |      THEN avg(n) OVER w END AS trend
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |det AS (SELECT *, n - trend AS detrended FROM tr),
+      |se AS (
+      |  SELECT wd, avg(detrended) AS seasonal FROM det
+      |  WHERE trend IS NOT NULL GROUP BY 1)
+      |SELECT day, n::BIGINT AS n_events, round(trend, 4) AS trend,
+      |  round(seasonal, 4) AS seasonal,
+      |  round(detrended - seasonal, 4) AS residual
+      |FROM det JOIN se USING (wd) ORDER BY day""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q69_stl_anomaly" ->
+      s"""WITH q57 AS ($q57Sql),
+        |res AS (SELECT * FROM q57 WHERE residual IS NOT NULL),
+        |m AS (SELECT median(residual) AS med FROM res),
+        |md AS (
+        |  SELECT median(abs(residual - med)) AS mad FROM res, m)
+        |SELECT day, n_events, residual,
+        |  (abs(residual - med) > 3 * 1.4826 * mad)::INT AS is_anomaly
+        |FROM res, m, md ORDER BY day""".stripMargin,
     "q67_contribution" ->
       """WITH rev AS (
         |  SELECT c_mktsegment, strftime(o_orderdate, '%Y-%m') AS m,
@@ -1680,24 +1732,7 @@ object Relational {
         |  round(pow(va/na + vb/nb, 2) /
         |    (pow(va/na, 2)/(na-1) + pow(vb/nb, 2)/(nb-1)), 2) AS dof
         |FROM g""".stripMargin,
-    "q57_seasonal_decompose" ->
-      """WITH daily AS (
-        |  SELECT strftime(ts::DATE, '%Y-%m-%d') AS day,
-        |    count(*)::DOUBLE AS n, dayofweek(ts::DATE) AS wd
-        |  FROM events GROUP BY 1, 3),
-        |tr AS (
-        |  SELECT *, CASE WHEN count(*) OVER w = 7
-        |      THEN avg(n) OVER w END AS trend
-        |  FROM daily
-        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-        |det AS (SELECT *, n - trend AS detrended FROM tr),
-        |se AS (
-        |  SELECT wd, avg(detrended) AS seasonal FROM det
-        |  WHERE trend IS NOT NULL GROUP BY 1)
-        |SELECT day, n::BIGINT AS n_events, round(trend, 4) AS trend,
-        |  round(seasonal, 4) AS seasonal,
-        |  round(detrended - seasonal, 4) AS residual
-        |FROM det JOIN se USING (wd) ORDER BY day""".stripMargin,
+    "q57_seasonal_decompose" -> q57Sql,
     "q56_session_metrics" ->
       s"""WITH ev AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts::TIMESTAMP) AS us

@@ -683,6 +683,26 @@ class RelationalSpec extends AnyFunSuite {
     assert(dof >= math.min(na, nb) - 1 && dof <= na + nb - 2)
   }
 
+  test("q69 anomaly flags equal the residual-MAD recompute") {
+    val res = ops.Relational.q57_seasonal_decompose(spark, sf).collect()
+      .filter(!_.isNullAt(4)).map(r => r.getAs[String]("day") -> r.getAs[Double]("residual"))
+    def median(xs: Seq[Double]): Double = {
+      val s0 = xs.sorted
+      if (s0.length % 2 == 1) s0(s0.length / 2)
+      else (s0(s0.length / 2 - 1) + s0(s0.length / 2)) / 2
+    }
+    val med = median(res.map(_._2).toSeq)
+    val mad = median(res.map(t => math.abs(t._2 - med)).toSeq)
+    val expect = res.map { case (day, r) =>
+      day -> (if (math.abs(r - med) > 3 * 1.4826 * mad) 1 else 0) }.toMap
+    val got = ops.Relational.q69_stl_anomaly(spark, sf).collect()
+    assert(got.length == res.length)
+    got.foreach { r =>
+      assert(r.getAs[Int]("is_anomaly") == expect(r.getAs[String]("day")),
+        r.getAs[String]("day"))
+    }
+  }
+
   test("q68 LPA equals the driver recompute of the synchronous schedule") {
     import org.apache.spark.sql.functions._
     val ob = Tables.lineitem(spark, sf)
