@@ -1343,8 +1343,15 @@ object Relational {
       round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"),
       expr("regr_count(l_extendedprice, l_quantity)").as("n"))
 
-  /** q65's smoothing factor (shared with the oracle). */
-  val EwmaAlpha = 0.3
+  /** q65's smoothing factor (shared with the oracle and s26). NOT a
+    * terminating decimal on purpose: with α=0.3 the EWMA of integer
+    * counts is itself an exact finite decimal, so landing EXACTLY on a
+    * 4dp half-way boundary is structural (measured at sf1: day 6 =
+    * 33372.27415 precisely, and fp noise decided the rounding side
+    * differently per engine). An irrational-expansion α makes exact
+    * boundary landings measure-zero.
+    */
+  val EwmaAlpha = 1.0 / 3
 
   // q65: EXPONENTIALLY-WEIGHTED MOVING AVERAGE over the daily event
   // volume (the alerting baseline s18's z-score would track) — the
