@@ -786,7 +786,76 @@ object StreamingQueries {
     } finally graft.sources.SourceSinks.deleteDir(dir)
   }
 
+  // s27: STREAMING SKYLINE — q59's twin (14th pair), the SET-VALUED
+  // splice case: frontier membership is non-monotone (a cheaper part
+  // arriving later evicts previously-reported frontier points at its
+  // size AND every dominated size), so each trigger re-derives the
+  // frontier from state and emits it whole under a seq. State is the
+  // per-size minimum axis — ≤50 entries regardless of data volume, the
+  // bounded-state property that makes this twin production-shaped
+  // (q59's axis-collapse argument, incrementalized).
+  val s27_stream_skyline: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val p = Tables.part(s, d)
+      .select(col("p_partkey"), col("p_name"), col("p_size"), col("p_retailprice"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssky")
+    try {
+      (0 until 4).foreach { i =>
+        graft.sources.SourceSinks.landSingleParquet(
+          p.filter(pmod(col("p_partkey"), lit(4)) === i),
+          dir.resolve(f"b$i%02d.parquet"))
+      }
+      // state: per size → (min price, ties at that price as (key, name))
+      val fn: (Int, Iterator[(Long, String, Int, Double)],
+          GroupState[(Map[Int, (Double, Seq[(Long, String)])], Long)]) =>
+          (Long, Seq[(Long, String, Int, Double)]) = (_, batch, state) => {
+        var (axis, seq) = state.getOption.getOrElse(
+          (Map.empty[Int, (Double, Seq[(Long, String)])], 0L))
+        batch.foreach { case (k, n, sz, pr) =>
+          axis.get(sz) match {
+            case Some((mp, _)) if pr > mp => ()
+            case Some((mp, ties)) if pr == mp => axis += sz -> (mp, ties :+ (k, n))
+            case _ => axis += sz -> (pr, Seq((k, n)))
+          }
+        }
+        seq += 1
+        state.update((axis, seq))
+        // frontier: min price at size, and all strictly larger sizes cost more
+        val bySizeDesc = axis.toSeq.sortBy(-_._1)
+        var rmin = Double.MaxValue
+        val frontier = bySizeDesc.flatMap { case (sz, (mp, ties)) =>
+          val keep = mp < rmin
+          rmin = math.min(rmin, mp)
+          if (keep) ties.map { case (k, n) => (k, n, sz, mp) } else Nil
+        }
+        (seq, frontier.sortBy(_._1))
+      }
+      val name = s"graft_ssky_${System.nanoTime()}"
+      val q = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(p.schema.fields))
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+        .as[(Long, String, Int, Double)]
+        .groupByKey(_ => 0)
+        .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Update,
+          GroupStateTimeout.NoTimeout)(
+          (k: Int, it: Iterator[(Long, String, Int, Double)],
+              st: GroupState[(Map[Int, (Double, Seq[(Long, String)])], Long)]) =>
+            Iterator.single(fn(k, it, st)))
+        .toDF("seq", "frontier")
+        .writeStream.outputMode("update").format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name)
+        .agg(max_by(col("frontier"), col("seq")).as("frontier"))
+        .select(explode(col("frontier")).as("f"))
+        .select(col("f._1").as("p_partkey"), col("f._2").as("p_name"),
+          col("f._3").as("p_size"), col("f._4").as("p_retailprice"))
+        .orderBy("p_partkey")
+    } finally graft.sources.SourceSinks.deleteDir(dir)
+  }
+
   val queries: Map[String, Q] = Map(
+    "s27_stream_skyline" -> s27_stream_skyline,
     "s26_stream_ewma" -> s26_stream_ewma,
     "s25_stream_transitions" -> s25_stream_transitions,
     "s24_stream_funnel" -> s24_stream_funnel,
@@ -819,6 +888,8 @@ object StreamingQueries {
       graft.ops.Relational.oracle("q49_transition_matrix"),
     // q65's batch oracle verbatim — late batches re-weight the series
     "s26_stream_ewma" -> graft.ops.Relational.oracle("q65_ewma"),
+    // q59's batch oracle verbatim — late cheap parts evict frontier points
+    "s27_stream_skyline" -> graft.ops.Relational.oracle("q59_skyline"),
     // q51's batch oracle verbatim — the hash match proves the streamed
     // per-bucket fold lands every row where the batch scan does
     "s23_stream_histogram" ->

@@ -189,6 +189,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size == p.count(), "every purchase appears exactly once")
   }
 
+  test("s27 streaming skyline equals the batch q59 row for row") {
+    val got = StreamingQueries.s27_stream_skyline(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val exp = ops.Relational.q59_skyline(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == exp,
+      "late cheap parts must evict previously-reported frontier points")
+  }
+
   test("s26 streaming EWMA equals the batch q65 row for row") {
     val got = StreamingQueries.s26_stream_ewma(spark, sf)
       .collect().map(_.toSeq).toSeq
