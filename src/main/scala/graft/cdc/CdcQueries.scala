@@ -817,7 +817,65 @@ object CdcQueries {
       .orderBy("bucket")
   }
 
+  /** c42's engine, split so the spec can run the heartbeat-less
+    * counterfactual: returns the APPEND-mode emitted windows of the
+    * sparse table's 6-hour counts, with or without the keepalive.
+    */
+  def idleHeartbeatRun(s: SparkSession, d: String,
+      heartbeat: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c}
+    val flat = flatEnv(s, d)
+    val sparse = flat
+      .filter(pmod(coalesce(c("pk_after"), c("pk_before")), lit(100L)) === 0)
+      .select(c("tx_at").as("ts"), lit("op").as("kind"))
+    // the daemon's keepalive: it always knows the SOURCE's position
+    // (standby-status traffic, c31) even when this table is idle — one
+    // synthetic row carrying the global tail + 12h clears the last
+    // window boundary plus the watermark delay
+    val hb = flat.agg(max("tx_at").as("t"))
+      .select((c("t") + expr("INTERVAL 12 HOURS")).as("ts"),
+        lit("hb").as("kind"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_c42")
+    try {
+      graft.sources.SourceSinks.landSingleParquet(sparse, dir.resolve("ops.parquet"))
+      val name = s"graft_c42_${System.nanoTime()}"
+      val stream = s.readStream.schema(sparse.schema).parquet(dir.toString)
+      val q = stream.withWatermark("ts", "30 minutes")
+        .groupBy(window(c("ts"), "6 hours").as("w"))
+        .agg(count(when(c("kind") === "op", 1)).as("n"))
+        .select(unix_micros(c("w.start")).as("window_start_us"), c("n"))
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try {
+        q.processAllAvailable() // ops drained; watermark = sparse tail − 30m
+        if (heartbeat) {
+          graft.sources.SourceSinks.landSingleParquet(hb, dir.resolve("hb.parquet"))
+          q.processAllAvailable() // keepalive closes the remaining windows
+        }
+      } finally q.stop()
+      val out = s.table(name).filter(c("n") > 0)
+        .orderBy("window_start_us")
+      try {
+        val rows = out.collect().toSeq
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+      } finally s.catalog.dropTempView(name)
+    } finally graft.sources.SourceSinks.deleteDir(dir)
+  }
+
+  // c42: IDLE-TABLE HEARTBEAT (the Debezium-heartbeat operational
+  // pattern): a low-traffic table's changes feed an APPEND-mode
+  // windowed aggregation; append emits a window only once the
+  // watermark passes it, so without keepalives the tail windows are
+  // HELD FOREVER — the classic stalled-CDC-consumer page. The daemon
+  // emits a source-position heartbeat (it always knows the tail from
+  // standby-status traffic, c31) that advances the watermark without
+  // contributing counts. With the heartbeat, the append output equals
+  // the full batch aggregation — which is exactly what the oracle
+  // recomputes; the spec runs the heartbeat-less counterfactual and
+  // pins the held-back tail window.
+  val c42_idle_heartbeat: Q = (s, d) => idleHeartbeatRun(s, d, heartbeat = true)
+
   val queries: Map[String, Q] = Map(
+    "c42_idle_heartbeat" -> c42_idle_heartbeat,
     "c41_apply_skew" -> c41_apply_skew,
     "c40_snapshot_diff" -> c40_snapshot_diff,
     "c38_partition_root" -> c38_partition_root,
@@ -1039,6 +1097,15 @@ object CdcQueries {
        |FROM mstate WHERE last_op <> 'd' ORDER BY pk""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "c42_idle_heartbeat" ->
+      s"""WITH $sqlEnv, $sqlFlat,
+        |sparse AS (
+        |  SELECT tx_at FROM flat
+        |  WHERE coalesce(pk_after, pk_before) % 100 = 0)
+        |SELECT epoch_us(to_timestamp(
+        |    floor(epoch(tx_at) / 21600) * 21600)) AS window_start_us,
+        |  count(*)::BIGINT AS n
+        |FROM sparse GROUP BY 1 ORDER BY 1""".stripMargin,
     "c41_apply_skew" ->
       s"""WITH $sqlEnv, $sqlFlat,
         |b AS (

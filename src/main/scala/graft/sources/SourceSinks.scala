@@ -1076,7 +1076,58 @@ object SourceSinks {
     materializeThenCleanup(s, out, dir)
   }
 
+  /** x28's audit predicate — a 10-day range crossing a month boundary,
+    * so day-scheme pruning and month-scheme pruning select different
+    * directory sets but identical rows (shared with the oracle).
+    */
+  val EvoLo = "2024-01-25"
+  val EvoHi = "2024-02-04"
+
+  // x28: PARTITION-SPEC EVOLUTION (Iceberg's evolve-partitioning: a
+  // table re-partitions day → month WITHOUT rewriting history's
+  // guarantees — each manifest version records its own scheme and the
+  // reader prunes by whichever scheme its snapshot used). v1 lands
+  // day-partitioned, v2 rewrites month-partitioned under a NEW fileset
+  // with its own manifest version; the same day-range predicate reads
+  // both versions and must agree row-for-row — day pruning selects the
+  // 11 range days, month pruning 2 coarser dirs (the spec pins both
+  // partition-filter pushdowns via inputFiles). Note the fixture's
+  // events span ONE month, so the boundary-crossing range is planted
+  // by shifting a key stripe's dates +7 days at land time — both
+  // schemes and the oracle see the same shifted frame.
+  val x28_partition_evolution: Q = (s, d) => {
+    val dir = Files.createTempDirectory("graft_pevo")
+    // planted frame: shift every 3rd event's ts by +7 days so the data
+    // crosses the 2024-01/2024-02 month boundary
+    val ev = Tables.events(s, d)
+      .withColumn("ts", when(pmod(col("event_id"), lit(3)) === 0,
+        col("ts") + expr("INTERVAL 7 DAYS")).otherwise(col("ts")))
+      .withColumn("day", date_format(to_date(col("ts")), "yyyy-MM-dd"))
+      .withColumn("month", date_format(to_date(col("ts")), "yyyy-MM"))
+    ev.write.mode("overwrite").partitionBy("day").parquet(s"$dir/v1")
+    ev.write.mode("overwrite").partitionBy("month").parquet(s"$dir/v2")
+    def audit(version: Int, scheme: String, read: DataFrame): DataFrame = {
+      val pruned =
+        if (scheme == "day")
+          read.filter(col("day") >= EvoLo && col("day") <= EvoHi)
+        else
+          read.filter(col("month") >= EvoLo.substring(0, 7) &&
+            col("month") <= EvoHi.substring(0, 7))
+            .filter(date_format(to_date(col("ts")), "yyyy-MM-dd")
+              .between(EvoLo, EvoHi))
+      pruned.agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+        .select(lit(version).as("version"), lit(scheme).as("scheme"),
+          col("n_events"), col("sum_value"))
+    }
+    val out = audit(1, "day", s.read.parquet(s"$dir/v1"))
+      .unionAll(audit(2, "month", s.read.parquet(s"$dir/v2")))
+      .orderBy("version")
+    materializeThenCleanup(s, out, dir)
+  }
+
   val queries: Map[String, Q] = Map(
+    "x28_partition_evolution" -> x28_partition_evolution,
     "x27_rowgroup_stats" -> x27_rowgroup_stats,
     "x26_deletion_vectors" -> x26_deletion_vectors,
     "x25_write_audit_publish" -> x25_write_audit_publish,
@@ -1125,6 +1176,20 @@ object SourceSinks {
   }.mkString("", "\nUNION ALL\n", "\nORDER BY 1")
 
   val oracle: Map[String, String] = Map(
+    "x28_partition_evolution" ->
+      s"""WITH ev AS (
+        |  SELECT CASE WHEN event_id % 3 = 0
+        |      THEN ts::TIMESTAMP + INTERVAL 7 DAY ELSE ts::TIMESTAMP
+        |    END AS ts2, value
+        |  FROM events),
+        |cut AS (
+        |  SELECT value FROM ev
+        |  WHERE strftime(ts2::DATE, '%Y-%m-%d') BETWEEN '$EvoLo' AND '$EvoHi')
+        |SELECT 1 AS version, 'day' AS scheme, count(*)::BIGINT AS n_events,
+        |  round(sum(value), 2) AS sum_value FROM cut
+        |UNION ALL
+        |SELECT 2, 'month', count(*)::BIGINT, round(sum(value), 2) FROM cut
+        |ORDER BY version""".stripMargin,
     "x26_deletion_vectors" ->
       """SELECT o_orderstatus, count(*)::BIGINT AS n,
         |  round(sum(o_totalprice), 2) AS sum_price,

@@ -947,6 +947,29 @@ class CdcSpec extends AnyFunSuite {
     assert(r2d(applied) == r2d(v2), "v1 + diff must equal v2")
   }
 
+  test("c42 heartbeat releases the tail windows append mode holds back") {
+    val without = graft.cdc.CdcQueries
+      .idleHeartbeatRun(spark, sf, heartbeat = false).collect()
+    val withHb = graft.cdc.CdcQueries
+      .idleHeartbeatRun(spark, sf, heartbeat = true).collect()
+    // the counterfactual must be missing at least the final window
+    assert(without.length < withHb.length,
+      s"heartbeat changed nothing: ${without.length} vs ${withHb.length}")
+    // and the heartbeat output equals the batch aggregation of the
+    // sparse table — keepalives advance time, never counts
+    import org.apache.spark.sql.functions._
+    val batch = graft.cdc.Envelope.flat(Tables.events(spark, sf))
+      .filter(pmod(coalesce(col("pk_after"), col("pk_before")), lit(100L)) === 0)
+      .groupBy(window(col("tx_at"), "6 hours").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("w"), col("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(withHb.map(r => r.getLong(0) -> r.getLong(1)).toMap == batch)
+    // released-vs-held difference is exactly the tail
+    val held = batch.keySet -- without.map(_.getLong(0)).toSet
+    assert(held.nonEmpty && held.forall(_ >= without.map(_.getLong(0)).max))
+  }
+
   test("c41 skew buckets sum to the op count and flag only >2x-average") {
     val rows = graft.cdc.CdcQueries.c41_apply_skew(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 64)

@@ -492,6 +492,48 @@ class SourcesSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == exp)
   }
 
+  test("x28 both schemes agree and each prunes to its own directory set") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.sources.SourceSinks.x28_partition_evolution(spark, sf)
+      .collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("n_events") == rows(1).getAs[Long]("n_events"))
+    assert(rows(0).getAs[Double]("sum_value") == rows(1).getAs[Double]("sum_value"))
+    assert(rows(0).getAs[Long]("n_events") > 0, "boundary-crossing range empty")
+    // pruning evidence on a fresh layout: the day filter must touch ≤10
+    // day dirs, the month filter exactly the two boundary months
+    val dir = java.nio.file.Files.createTempDirectory("graft_pevo_spec")
+    try {
+      val ev = Tables.events(spark, sf)
+        .withColumn("ts", when(pmod(col("event_id"), lit(3)) === 0,
+          col("ts") + expr("INTERVAL 7 DAYS")).otherwise(col("ts")))
+        .withColumn("day", date_format(to_date(col("ts")), "yyyy-MM-dd"))
+        .withColumn("month", date_format(to_date(col("ts")), "yyyy-MM"))
+      ev.write.partitionBy("day").parquet(s"$dir/v1")
+      ev.write.partitionBy("month").parquet(s"$dir/v2")
+      // inputFiles reflects the UNPRUNED relation — read the pruned
+      // partition counts off the executed scan instead (x07's method)
+      def prunedParts(df: org.apache.spark.sql.DataFrame): Long = {
+        df.collect() // execute so scan metrics populate
+        PlanWalk.allNodes(df.queryExecution.executedPlan).collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.partitionFilters.nonEmpty => f
+        }.head.metrics("numPartitions").value
+      }
+      val dayQ = spark.read.parquet(s"$dir/v1")
+        .filter(col("day") >= graft.sources.SourceSinks.EvoLo &&
+          col("day") <= graft.sources.SourceSinks.EvoHi)
+        .groupBy().count()
+      val nDay = prunedParts(dayQ)
+      // 2024-01-25..2024-02-04 inclusive = 11 calendar days
+      assert(nDay > 1 && nDay <= 11, s"day partitions scanned: $nDay")
+      val monthQ = spark.read.parquet(s"$dir/v2")
+        .filter(col("month") >= "2024-01" && col("month") <= "2024-02")
+        .groupBy().count()
+      assert(prunedParts(monthQ) == 2, "month scheme must scan the 2 boundary months")
+    } finally graft.sources.SourceSinks.deleteDir(dir)
+  }
+
   test("x27 row-group stats cover the data and hold the sorted-layout invariant") {
     import org.apache.spark.sql.functions._
     val rows = graft.sources.SourceSinks.x27_rowgroup_stats(spark, sf).collect()
