@@ -1105,7 +1105,189 @@ object TextAnalysis {
         round(expr("regr_r2(log10(n), log10(rank))"), 6).as("r2"))
   }
 
+  /** t35/t36 unigram-LM tokenizer parameters (Kudo 2018 /
+    * SentencePiece's unigram model — the OTHER production tokenizer
+    * family beside t18's BPE). Pieces up to 6 chars; the seed and the
+    * pruned vocab are capped so the model stays a broadcastable
+    * driver-side artifact (v07's discipline, same as bpeTrainLocal).
+    */
+  val UniMaxPieceLen = 6
+  val UniSeedCap = 1500
+  val UniVocabTarget = 300
+  val UniEmIters = 3
+
+  private val trainedUnigram =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Double)]]
+
+  /** Unigram model for an sf dir: Heaps-bounded dict collects once,
+    * trains in memory (the t18 scale argument — EM is per-dict-word,
+    * not per-corpus-token), result cached per dir like trainedMerges.
+    */
+  private[graft] def unigramTrain(s: SparkSession, d: String): Seq[(String, Double)] =
+    trainedUnigram.computeIfAbsent(d, _ => {
+      val dict = bpeDict(s, d).select("word", "freq").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      unigramTrainLocal(dict)._1
+    })
+
+  private def logAdd(a: Double, b: Double): Double =
+    if (a == Double.NegativeInfinity) b
+    else if (b == Double.NegativeInfinity) a
+    else { val m = math.max(a, b); m + math.log(math.exp(a - m) + math.exp(b - m)) }
+
+  /** Driver-side EXACT unigram-LM trainer: seed = all single chars
+    * (mandatory — guarantees every word stays segmentable) + the most
+    * frequent multi-char substrings; EM with true forward–backward
+    * expected counts over ALL segmentations of each dict word
+    * (freq-weighted, log-space); prune to the vocab target keeping all
+    * singles; final EM pass re-normalizes the survivors. Returns the
+    * (piece, logprob) model sorted by descending probability, plus the
+    * corpus log-likelihood trace (the spec pins EM's monotone-ascent
+    * property on it). Dict is sorted first so float accumulation order
+    * — and therefore the model — is deterministic.
+    */
+  private[graft] def unigramTrainLocal(dict0: Seq[(String, Long)])
+      : (Seq[(String, Double)], Seq[Double]) = {
+    import scala.collection.mutable
+    val dict = dict0.sortBy(_._1)
+    val subFreq = mutable.Map[String, Long]().withDefaultValue(0L)
+    for {
+      (w, f) <- dict
+      i <- 0 until w.length
+      len <- 1 to math.min(UniMaxPieceLen, w.length - i)
+    } subFreq(w.substring(i, i + len)) += f
+    val singles = dict.flatMap(_._1.map(_.toString)).distinct.sorted
+    val multi = subFreq.toSeq.filter(_._1.length > 1)
+      .sortBy { case (p, f) => (-f, p) }
+      .take(math.max(UniSeedCap - singles.size, 0)).map(_._1)
+    var vocab: Vector[String] = (singles ++ multi).toVector
+    def norm(cnt: Map[String, Double]): Map[String, Double] = {
+      val tot = cnt.values.sum
+      cnt.map { case (k, v) => k -> v / tot }
+    }
+    var probs = norm(vocab.map(p => p -> subFreq(p).toDouble).toMap)
+    val llTrace = mutable.ArrayBuffer[Double]()
+    def emStep(): Unit = {
+      val pieces = probs.keySet
+      val logp = probs.map { case (k, v) => k -> math.log(v) }
+      val exp = mutable.Map[String, Double]().withDefaultValue(0.0)
+      var ll = 0.0
+      for ((w, f) <- dict) {
+        val n = w.length
+        val alpha = Array.fill(n + 1)(Double.NegativeInfinity)
+        alpha(0) = 0.0
+        for (j <- 1 to n; len <- 1 to math.min(UniMaxPieceLen, j)) {
+          val p = w.substring(j - len, j)
+          if (pieces(p))
+            alpha(j) = logAdd(alpha(j), alpha(j - len) + logp(p))
+        }
+        val beta = Array.fill(n + 1)(Double.NegativeInfinity)
+        beta(n) = 0.0
+        for (i <- n - 1 to 0 by -1; len <- 1 to math.min(UniMaxPieceLen, n - i)) {
+          val p = w.substring(i, i + len)
+          if (pieces(p))
+            beta(i) = logAdd(beta(i), logp(p) + beta(i + len))
+        }
+        val z = alpha(n)
+        ll += f * z
+        for (i <- 0 until n; len <- 1 to math.min(UniMaxPieceLen, n - i)) {
+          val p = w.substring(i, i + len)
+          if (pieces(p))
+            exp(p) += f * math.exp(alpha(i) + logp(p) + beta(i + len) - z)
+        }
+      }
+      llTrace += ll
+      probs = norm(exp.toMap)
+    }
+    for (_ <- 1 to UniEmIters) emStep()
+    // prune: all singles survive (coverage), top multi by probability
+    val keptMulti = vocab.filter(_.length > 1)
+      .sortBy(p => (-probs.getOrElse(p, 0.0), p))
+      .take(math.max(UniVocabTarget - singles.size, 0))
+      .filter(p => probs.getOrElse(p, 0.0) > 0)
+    vocab = (singles ++ keptMulti).toVector
+    probs = norm(vocab.map(p => p -> math.max(probs.getOrElse(p, 0.0), 1e-100)).toMap)
+    llTrace.clear() // the spec's monotonicity gate reads the FINAL phase
+    for (_ <- 1 to UniEmIters) emStep()
+    val model = probs.toSeq.map { case (p, v) => (p, math.log(v)) }
+      .sortBy { case (p, lp) => (-lp, p) }
+    (model, llTrace.toSeq)
+  }
+
+  /** Viterbi best segmentation of one word under the unigram model —
+    * ties break to the LONGER final piece so the decode is
+    * deterministic. Runs per DISTINCT word inside mapPartitions with
+    * the ≤ UniVocabTarget-entry model broadcast (t19's shape).
+    */
+  private[graft] def unigramEncodeWord(
+      w: String, logp: Map[String, Double]): Vector[String] = {
+    val n = w.length
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    val bestLen = Array.fill(n + 1)(0)
+    best(0) = 0.0
+    var j = 1
+    while (j <= n) {
+      var len = 1
+      while (len <= math.min(UniMaxPieceLen, j)) {
+        val p = w.substring(j - len, j)
+        logp.get(p) match {
+          case Some(lp) if best(j - len) != Double.NegativeInfinity =>
+            val cand = best(j - len) + lp
+            if (cand > best(j) + 1e-12 ||
+                (math.abs(cand - best(j)) <= 1e-12 && len > bestLen(j))) {
+              best(j) = cand; bestLen(j) = len
+            }
+          case _ => ()
+        }
+        len += 1
+      }
+      j += 1
+    }
+    var k = n
+    var acc: List[String] = Nil
+    while (k > 0) { val len = bestLen(k); acc = w.substring(k - len, k) :: acc; k -= len }
+    acc.toVector
+  }
+
+  // t35 (rows-only; spec: probs normalize, EM log-likelihood ascends,
+  // singles cover the alphabet, deterministic across runs): UNIGRAM-LM
+  // TOKENIZER TRAINING — the SentencePiece-family counterpart of t18's
+  // BPE (subtractive: seed big, EM, prune — where BPE is additive).
+  val t35_unigram_train: Q = (s, d) => {
+    import s.implicits._
+    unigramTrain(s, d).zipWithIndex
+      .map { case ((p, lp), i) => (i + 1, p, math.rint(lp * 1e6) / 1e6) }
+      .toDF("rank", "piece", "logprob")
+      .orderBy("rank")
+  }
+
+  // t36 (rows-only; spec: Viterbi optimality vs exhaustive enumeration,
+  // token-count bounds, ≡ across runs): UNIGRAM ENCODING — each
+  // DISTINCT word Viterbi-decodes once against the broadcast model
+  // (dict-not-corpus, t19's shape), counts join back to the corpus.
+  val t36_unigram_encode: Q = (s, d) => {
+    import s.implicits._
+    val logp = unigramTrain(s, d).toMap
+    val bc = s.sparkContext.broadcast(logp)
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("word"))
+      .where(length(col("word")) > 0)
+    val dict = words.select("word").distinct().as[String]
+      .mapPartitions { it =>
+        val m = bc.value
+        it.map(w => (w, unigramEncodeWord(w, m).length.toLong))
+      }.toDF("word", "n_sub")
+    words.join(dict, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_sub").as("n_uni_tokens"),
+        sum(length(col("word"))).as("n_chars"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t36_unigram_encode" -> t36_unigram_encode,
+    "t35_unigram_train" -> t35_unigram_train,
     "t34_zipf_fit" -> t34_zipf_fit,
     "t33_code_detect" -> t33_code_detect,
     "t32_char_entropy" -> t32_char_entropy,

@@ -1869,6 +1869,65 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(r0.getAs[Double]("code_score") - round4(score)) <= 1e-4)
   }
 
+  test("t35 unigram training: normalized, EM ascends, covered, deterministic") {
+    val model = TextAnalysis.t35_unigram_train(spark, sf).collect()
+      .map(r => r.getAs[String]("piece") -> r.getAs[Double]("logprob"))
+    assert(model.nonEmpty)
+    // probabilities normalize
+    assert(math.abs(model.map(t => math.exp(t._2)).sum - 1.0) < 1e-3)
+    // every corpus character is a piece — coverage guarantee
+    val pieces = model.map(_._1).toSet
+    val chars = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(_.getString(0).trim.toLowerCase.split("\\s+"))
+      .flatMap(_.toCharArray).map(_.toString).toSet
+    assert(chars.subsetOf(pieces), (chars -- pieces).mkString(","))
+    assert(model.length <= TextAnalysis.UniVocabTarget)
+    // EM monotone ascent on the final phase (the classic EM guarantee)
+    val dict = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(_.getString(0).trim.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, v) => (w, v.length.toLong) }.toSeq
+    val (_, lls) = TextAnalysis.unigramTrainLocal(dict)
+    assert(lls.length == TextAnalysis.UniEmIters)
+    lls.sliding(2).foreach {
+      case Seq(a, b) => assert(b >= a - 1e-6, s"EM log-likelihood fell: $a -> $b")
+      case _ => ()
+    }
+    // deterministic across runs
+    val (m2, _) = TextAnalysis.unigramTrainLocal(dict)
+    val m1 = TextAnalysis.unigramTrainLocal(dict)._1
+    assert(m1 == m2)
+  }
+
+  test("t36 Viterbi decode is optimal and bounded") {
+    val rows = TextAnalysis.t36_unigram_encode(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, u, c) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_uni_tokens"),
+        r.getAs[Long]("n_chars"))
+      assert(w <= u && u <= c, s"doc ${r.getAs[Long]("doc_id")}: $w/$u/$c")
+    }
+    // Viterbi optimality: exhaustive enumeration over all segmentations
+    // of each distinct corpus word must not beat the decode
+    val logp = TextAnalysis.unigramTrain(spark, sf).toMap
+    val words = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(_.getString(0).trim.toLowerCase.split("\\s+"))
+      .filter(w => w.nonEmpty && w.length <= 10).distinct
+    assert(words.nonEmpty)
+    def allSegs(w: String): Seq[Seq[String]] =
+      if (w.isEmpty) Seq(Seq.empty)
+      else (1 to math.min(TextAnalysis.UniMaxPieceLen, w.length)).flatMap { L =>
+        val h = w.take(L)
+        if (logp.contains(h)) allSegs(w.drop(L)).map(h +: _) else Nil
+      }
+    words.foreach { w =>
+      val got = TextAnalysis.unigramEncodeWord(w, logp)
+      assert(got.mkString == w, s"decode must reconstruct '$w'")
+      val gotScore = got.map(logp).sum
+      val bestScore = allSegs(w).map(_.map(logp).sum).max
+      assert(gotScore >= bestScore - 1e-9, s"'$w': $gotScore < $bestScore")
+    }
+  }
+
   test("d22 fuzzy matches equal the brute-force edit-distance recompute") {
     def lev(a: String, b: String): Int = {
       val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
