@@ -874,7 +874,37 @@ object CdcQueries {
   // pins the held-back tail window.
   val c42_idle_heartbeat: Q = (s, d) => idleHeartbeatRun(s, d, heartbeat = true)
 
+  // c43: REPLICA CONSISTENCY AUDIT (the trust-but-verify pass every
+  // long-running CDC deployment schedules — compare replica to source
+  // WITHOUT moving rows): both sides collapse to per-bucket
+  // (count, Σcents, Σpk) checksums — one aggregation each onto the
+  // 16-bucket axis, kilobytes compared regardless of table size. The
+  // audited copy carries a PLANTED drift on bucket 5 (a cent of value
+  // skew — the silent-corruption case checksum audits exist to catch),
+  // so the lane proves detection, not just agreement: 15 buckets
+  // match, bucket 5 fails on the value checksum while row counts still
+  // agree (count-only audits would miss it).
+  val c43_replica_audit: Q = (s, d) => {
+    val src = Apply.latest(flatEnv(s, d))
+      .select(col("pk"), col("last_value"))
+    val replica = src.withColumn("last_value",
+      when(pmod(col("pk"), lit(16L)) === 5, col("last_value") + 0.01)
+        .otherwise(col("last_value")))
+    def sums(df: DataFrame, p: String): DataFrame =
+      df.groupBy(pmod(col("pk"), lit(16L)).as("bucket"))
+        .agg(count(lit(1)).as(s"${p}n"),
+          sum(expr("cast(round(last_value * 100) as bigint)")).as(s"${p}cents"),
+          sum(col("pk")).as(s"${p}pks"))
+    sums(src, "s_").join(sums(replica, "r_"), Seq("bucket"))
+      .select(col("bucket"), col("s_n"), col("r_n"),
+        (col("s_n") === col("r_n")).cast("int").as("rows_match"),
+        (col("s_cents") === col("r_cents") && col("s_pks") === col("r_pks"))
+          .cast("int").as("checksum_match"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, Q] = Map(
+    "c43_replica_audit" -> c43_replica_audit,
     "c42_idle_heartbeat" -> c42_idle_heartbeat,
     "c41_apply_skew" -> c41_apply_skew,
     "c40_snapshot_diff" -> c40_snapshot_diff,
@@ -1097,6 +1127,26 @@ object CdcQueries {
        |FROM mstate WHERE last_op <> 'd' ORDER BY pk""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "c43_replica_audit" ->
+      s"""WITH $sqlEnv, $sqlFlat, ${Apply.sqlApply("", "")},
+        |src AS (
+        |  SELECT pk, last_value FROM state WHERE last_op <> 'd'),
+        |rep AS (
+        |  SELECT pk, CASE WHEN pk % 16 = 5 THEN last_value + 0.01
+        |    ELSE last_value END AS last_value FROM src),
+        |ss AS (
+        |  SELECT pk % 16 AS bucket, count(*)::BIGINT AS s_n,
+        |    sum(round(last_value * 100)::BIGINT) AS s_cents,
+        |    sum(pk) AS s_pks
+        |  FROM src GROUP BY 1),
+        |rs AS (
+        |  SELECT pk % 16 AS bucket, count(*)::BIGINT AS r_n,
+        |    sum(round(last_value * 100)::BIGINT) AS r_cents,
+        |    sum(pk) AS r_pks
+        |  FROM rep GROUP BY 1)
+        |SELECT bucket, s_n, r_n, (s_n = r_n)::INT AS rows_match,
+        |  (s_cents = r_cents AND s_pks = r_pks)::INT AS checksum_match
+        |FROM ss JOIN rs USING (bucket) ORDER BY bucket""".stripMargin,
     "c42_idle_heartbeat" ->
       s"""WITH $sqlEnv, $sqlFlat,
         |sparse AS (

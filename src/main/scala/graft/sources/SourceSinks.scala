@@ -1126,7 +1126,64 @@ object SourceSinks {
     materializeThenCleanup(s, out, dir)
   }
 
+  // x29: DECLARATIVE DATA-QUALITY CONSTRAINTS (the Deequ/expectations
+  // pattern — the validation gate between ingest and publish, x25's
+  // audit step generalized): completeness, uniqueness, range,
+  // accepted-values and referential-integrity checks evaluated as
+  // AGGREGATES — per table ONE pass computes every row-local metric
+  // (conditional sums over a single scan), uniqueness rides a
+  // count-vs-distinct pair in the same agg, and the FK check is the
+  // lone extra join (an anti-join count). Output = the long-format
+  // report a quality dashboard lands: metric value + pass flag per
+  // constraint. At 100 TB this is the same one-scan-per-table cost as
+  // x22's ANALYZE.
+  val x29_quality_constraints: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val nOrders = o.count().toDouble
+    val liAgg = li.agg(
+      count(lit(1)).as("n"),
+      sum(col("l_quantity").isNull.cast("long")).as("null_qty"),
+      sum((col("l_discount") < 0 || col("l_discount") > 0.1).cast("long"))
+        .as("bad_discount"),
+      sum((!col("l_returnflag").isin("A", "N", "R")).cast("long"))
+        .as("bad_flag"),
+      sum((col("l_extendedprice") <= 0).cast("long")).as("bad_price")).head()
+    val oAgg = o.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("o_orderkey")).as("ndv_pk"),
+      sum(col("o_custkey").isNull.cast("long")).as("null_cust")).head()
+    val orphans = li.select(col("l_orderkey"))
+      .join(o.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .count()
+    import s.implicits._
+    val nLi = liAgg.getAs[Long]("n").toDouble
+    val report = Seq(
+      ("lineitem", "completeness(l_quantity)",
+        1.0 - liAgg.getAs[Long]("null_qty") / nLi, 1.0),
+      ("lineitem", "range(l_discount in [0, 0.1])",
+        1.0 - liAgg.getAs[Long]("bad_discount") / nLi, 1.0),
+      ("lineitem", "accepted(l_returnflag in A/N/R)",
+        1.0 - liAgg.getAs[Long]("bad_flag") / nLi, 1.0),
+      ("lineitem", "positive(l_extendedprice)",
+        1.0 - liAgg.getAs[Long]("bad_price") / nLi, 1.0),
+      ("lineitem", "referential(l_orderkey -> orders)",
+        1.0 - orphans / nLi, 1.0),
+      ("orders", "uniqueness(o_orderkey)",
+        oAgg.getAs[Long]("ndv_pk") / nOrders, 1.0),
+      ("orders", "completeness(o_custkey)",
+        1.0 - oAgg.getAs[Long]("null_cust") / nOrders, 1.0))
+    report.map { case (t, c, v, thr) =>
+      (t, c, java.math.BigDecimal.valueOf(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue(),
+        if (v >= thr) 1 else 0) }
+      .toDF("table_name", "constraint_name", "metric", "passed")
+      .orderBy("table_name", "constraint_name")
+  }
+
   val queries: Map[String, Q] = Map(
+    "x29_quality_constraints" -> x29_quality_constraints,
     "x28_partition_evolution" -> x28_partition_evolution,
     "x27_rowgroup_stats" -> x27_rowgroup_stats,
     "x26_deletion_vectors" -> x26_deletion_vectors,
@@ -1176,6 +1233,40 @@ object SourceSinks {
   }.mkString("", "\nUNION ALL\n", "\nORDER BY 1")
 
   val oracle: Map[String, String] = Map(
+    "x29_quality_constraints" ->
+      """WITH li AS (
+        |  SELECT count(*)::DOUBLE AS n,
+        |    sum((l_quantity IS NULL)::INT)::DOUBLE AS null_qty,
+        |    sum((l_discount < 0 OR l_discount > 0.1)::INT)::DOUBLE AS bad_disc,
+        |    sum((l_returnflag NOT IN ('A','N','R'))::INT)::DOUBLE AS bad_flag,
+        |    sum((l_extendedprice <= 0)::INT)::DOUBLE AS bad_price
+        |  FROM lineitem),
+        |o AS (
+        |  SELECT count(*)::DOUBLE AS n,
+        |    count(DISTINCT o_orderkey)::DOUBLE AS ndv,
+        |    sum((o_custkey IS NULL)::INT)::DOUBLE AS null_cust
+        |  FROM orders),
+        |orph AS (
+        |  SELECT count(*)::DOUBLE AS n FROM lineitem l
+        |  LEFT JOIN orders o2 ON l.l_orderkey = o2.o_orderkey
+        |  WHERE o2.o_orderkey IS NULL),
+        |r AS (
+        |  SELECT 'lineitem' AS t, 'completeness(l_quantity)' AS c,
+        |    1.0 - null_qty / n AS v FROM li
+        |  UNION ALL SELECT 'lineitem', 'range(l_discount in [0, 0.1])',
+        |    1.0 - bad_disc / n FROM li
+        |  UNION ALL SELECT 'lineitem', 'accepted(l_returnflag in A/N/R)',
+        |    1.0 - bad_flag / n FROM li
+        |  UNION ALL SELECT 'lineitem', 'positive(l_extendedprice)',
+        |    1.0 - bad_price / n FROM li
+        |  UNION ALL SELECT 'lineitem', 'referential(l_orderkey -> orders)',
+        |    1.0 - orph.n / li.n FROM li, orph
+        |  UNION ALL SELECT 'orders', 'uniqueness(o_orderkey)', ndv / n FROM o
+        |  UNION ALL SELECT 'orders', 'completeness(o_custkey)',
+        |    1.0 - null_cust / n FROM o)
+        |SELECT t AS table_name, c AS constraint_name, round(v, 6) AS metric,
+        |  (v >= 1.0)::INT AS passed
+        |FROM r ORDER BY 1, 2""".stripMargin,
     "x28_partition_evolution" ->
       s"""WITH ev AS (
         |  SELECT CASE WHEN event_id % 3 = 0

