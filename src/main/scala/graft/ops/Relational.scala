@@ -1518,7 +1518,28 @@ object Relational {
       .orderBy("day")
   }
 
+  // q70: EXACT ROLLING MEDIAN over the daily series (the robust
+  // counterpart of q65's EWMA — one outlier day cannot drag it): the
+  // raw stream collapses in ONE keyed agg, then the 7-day trailing
+  // median runs on the bounded day axis as an in-row sorted-frame pick
+  // (collect_list window + array_sort + the same middle-interpolation
+  // DuckDB's median uses — no per-row shuffle, no UDF).
+  val q70_rolling_median: Q = (s, d) => {
+    val w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    val sorted = array_sort(collect_list(col("n")).over(w))
+    val sz = size(sorted)
+    val med = (element_at(sorted, ((sz + 1) / 2).cast("int")) +
+      element_at(sorted, (sz / 2 + 1).cast("int"))) / 2.0
+    Tables.events(s, d)
+      .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).cast("double").as("n"))
+      .withColumn("med7", round(med, 2))
+      .select(col("day"), col("n").cast("long").as("n_events"), col("med7"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q70_rolling_median" -> q70_rolling_median,
     "q69_stl_anomaly" -> q69_stl_anomaly,
     "q68_label_propagation" -> q68_label_propagation,
     "q67_contribution" -> q67_contribution,
@@ -1613,6 +1634,14 @@ object Relational {
       |FROM det JOIN se USING (wd) ORDER BY day""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q70_rolling_median" ->
+      """WITH daily AS (
+        |  SELECT strftime(ts::DATE, '%Y-%m-%d') AS day, count(*)::DOUBLE AS n
+        |  FROM events GROUP BY 1)
+        |SELECT day, n::BIGINT AS n_events,
+        |  round(median(n) OVER (ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS med7
+        |FROM daily ORDER BY day""".stripMargin,
     "q69_stl_anomaly" ->
       s"""WITH q57 AS ($q57Sql),
         |res AS (SELECT * FROM q57 WHERE residual IS NOT NULL),

@@ -854,7 +854,60 @@ object StreamingQueries {
     } finally graft.sources.SourceSinks.deleteDir(dir)
   }
 
+  // s28: STREAMING DATA-QUALITY CONSTRAINTS — x29's twin (15th pair,
+  // and the first x↔s one): the validation gate run CONTINUOUSLY at
+  // the ingest edge instead of before publish. Every lineitem
+  // constraint is a conditional counter, so the whole check is ONE
+  // global streaming aggregation over the stream left-joined to the
+  // static orders key set (stream-static left join = the standing FK
+  // probe); complete mode re-emits the totals each trigger and the
+  // final ratios hash-match x29's lineitem report rows verbatim.
+  val s28_stream_constraints: Q = (s, d) => {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqc")
+    try {
+      (0 until 4).foreach { i =>
+        graft.sources.SourceSinks.landSingleParquet(
+          li.filter(pmod(col("l_orderkey") + col("l_linenumber"), lit(4)) === i),
+          dir.resolve(f"b$i%02d.parquet"))
+      }
+      val okeys = Tables.orders(s, d).select(col("o_orderkey"))
+      val name = s"graft_sqc_${System.nanoTime()}"
+      val q = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(li.schema.fields))
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+        .join(okeys, col("l_orderkey") === col("o_orderkey"), "left")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").isNull.cast("long")).as("null_qty"),
+          sum((col("l_discount") < 0 || col("l_discount") > 0.1).cast("long"))
+            .as("bad_disc"),
+          sum((!col("l_returnflag").isin("A", "N", "R")).cast("long"))
+            .as("bad_flag"),
+          sum((col("l_extendedprice") <= 0).cast("long")).as("bad_price"),
+          sum(col("o_orderkey").isNull.cast("long")).as("orphans"))
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val t = s.table(name).collect().head
+      val n = t.getAs[Long]("n").toDouble
+      def r6(v: Double): Double = java.math.BigDecimal.valueOf(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      val report = Seq(
+        ("lineitem", "completeness(l_quantity)", 1.0 - t.getAs[Long]("null_qty") / n),
+        ("lineitem", "range(l_discount in [0, 0.1])", 1.0 - t.getAs[Long]("bad_disc") / n),
+        ("lineitem", "accepted(l_returnflag in A/N/R)", 1.0 - t.getAs[Long]("bad_flag") / n),
+        ("lineitem", "positive(l_extendedprice)", 1.0 - t.getAs[Long]("bad_price") / n),
+        ("lineitem", "referential(l_orderkey -> orders)", 1.0 - t.getAs[Long]("orphans") / n))
+      try report.map { case (tb, c, v) => (tb, c, r6(v), if (v >= 1.0) 1 else 0) }
+        .toDF("table_name", "constraint_name", "metric", "passed")
+        .orderBy("table_name", "constraint_name")
+      finally s.catalog.dropTempView(name)
+    } finally graft.sources.SourceSinks.deleteDir(dir)
+  }
+
   val queries: Map[String, Q] = Map(
+    "s28_stream_constraints" -> s28_stream_constraints,
     "s27_stream_skyline" -> s27_stream_skyline,
     "s26_stream_ewma" -> s26_stream_ewma,
     "s25_stream_transitions" -> s25_stream_transitions,
@@ -890,6 +943,34 @@ object StreamingQueries {
     "s26_stream_ewma" -> graft.ops.Relational.oracle("q65_ewma"),
     // q59's batch oracle verbatim — late cheap parts evict frontier points
     "s27_stream_skyline" -> graft.ops.Relational.oracle("q59_skyline"),
+    // x29's lineitem report rows verbatim — the continuous validation
+    // gate converges to the batch one
+    "s28_stream_constraints" ->
+      """WITH li AS (
+        |  SELECT count(*)::DOUBLE AS n,
+        |    sum((l_quantity IS NULL)::INT)::DOUBLE AS null_qty,
+        |    sum((l_discount < 0 OR l_discount > 0.1)::INT)::DOUBLE AS bad_disc,
+        |    sum((l_returnflag NOT IN ('A','N','R'))::INT)::DOUBLE AS bad_flag,
+        |    sum((l_extendedprice <= 0)::INT)::DOUBLE AS bad_price
+        |  FROM lineitem),
+        |orph AS (
+        |  SELECT count(*)::DOUBLE AS n FROM lineitem l
+        |  LEFT JOIN orders o2 ON l.l_orderkey = o2.o_orderkey
+        |  WHERE o2.o_orderkey IS NULL),
+        |r AS (
+        |  SELECT 'lineitem' AS t, 'completeness(l_quantity)' AS c,
+        |    1.0 - null_qty / n AS v FROM li
+        |  UNION ALL SELECT 'lineitem', 'range(l_discount in [0, 0.1])',
+        |    1.0 - bad_disc / n FROM li
+        |  UNION ALL SELECT 'lineitem', 'accepted(l_returnflag in A/N/R)',
+        |    1.0 - bad_flag / n FROM li
+        |  UNION ALL SELECT 'lineitem', 'positive(l_extendedprice)',
+        |    1.0 - bad_price / n FROM li
+        |  UNION ALL SELECT 'lineitem', 'referential(l_orderkey -> orders)',
+        |    1.0 - orph.n / li.n FROM li, orph)
+        |SELECT t AS table_name, c AS constraint_name, round(v, 6) AS metric,
+        |  (v >= 1.0)::INT AS passed
+        |FROM r ORDER BY 1, 2""".stripMargin,
     // q51's batch oracle verbatim — the hash match proves the streamed
     // per-bucket fold lands every row where the batch scan does
     "s23_stream_histogram" ->

@@ -683,6 +683,20 @@ class RelationalSpec extends AnyFunSuite {
     assert(dof >= math.min(na, nb) - 1 && dof <= na + nb - 2)
   }
 
+  test("q70 rolling median equals the sliding-window recompute") {
+    val rows = ops.Relational.q70_rolling_median(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ns = rows.map(_.getAs[Long]("n_events").toDouble)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val win = ns.slice(math.max(0, i - 6), i + 1).sorted
+      val med =
+        if (win.length % 2 == 1) win(win.length / 2)
+        else (win(win.length / 2 - 1) + win(win.length / 2)) / 2
+      assert(math.abs(r.getAs[Double]("med7") - med) < 1e-6,
+        s"${r.getAs[String]("day")}")
+    }
+  }
+
   test("q69 anomaly flags equal the residual-MAD recompute") {
     val res = ops.Relational.q57_seasonal_decompose(spark, sf).collect()
       .filter(!_.isNullAt(4)).map(r => r.getAs[String]("day") -> r.getAs[Double]("residual"))

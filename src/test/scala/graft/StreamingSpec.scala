@@ -189,6 +189,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size == p.count(), "every purchase appears exactly once")
   }
 
+  test("s28 streaming constraints equal x29's lineitem report rows") {
+    val got = StreamingQueries.s28_stream_constraints(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val exp = sources.SourceSinks.x29_quality_constraints(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("table_name") === "lineitem")
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == exp,
+      "the continuous gate must converge to the batch validation")
+  }
+
   test("s27 streaming skyline equals the batch q59 row for row") {
     val got = StreamingQueries.s27_stream_skyline(spark, sf)
       .collect().map(_.toSeq).toSeq
