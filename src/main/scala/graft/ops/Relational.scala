@@ -1538,7 +1538,49 @@ object Relational {
       .orderBy("day")
   }
 
+  // q71: BOLLINGER BANDS over the daily series — q70's dispersion
+  // companion (rolling mean ± 2·rolling sample-stddev, the volatility
+  // envelope): one keyed agg to the day axis, trailing-frame mean and
+  // stddev_samp windows on it, band breach flagged. Frames under 2
+  // observations have no sample stddev — both engines emit NULL bands
+  // there (day 1 only, since the frame is trailing).
+  val q71_bollinger: Q = (s, d) => {
+    val w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    Tables.events(s, d)
+      .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).cast("double").as("n"))
+      .withColumn("ma", avg("n").over(w))
+      .withColumn("sd", stddev_samp(col("n")).over(w))
+      .select(col("day"), col("n").cast("long").as("n_events"),
+        round(col("ma"), 4).as("ma7"),
+        round(col("ma") + lit(2) * col("sd"), 4).as("upper"),
+        round(col("ma") - lit(2) * col("sd"), 4).as("lower"),
+        when(col("sd").isNotNull,
+          (col("n") > col("ma") + lit(2) * col("sd") ||
+            col("n") < col("ma") - lit(2) * col("sd")).cast("int")).as("breach"))
+      .orderBy("day")
+  }
+
+  // q72: NEW vs RETURNING daily actives (the growth-accounting split
+  // every product dashboard leads with): first-seen day per user is ONE
+  // keyed agg; the daily-active frame joins it on user_id (both sides
+  // hash-partitioned on the same key) and the rollup reuses the day
+  // grouping. Two data-proportional shuffles total.
+  val q72_new_returning: Q = (s, d) => {
+    val act = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val first = act.groupBy(col("user_id")).agg(min("day").as("first_day"))
+    act.join(first, Seq("user_id"))
+      .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum((col("day") === col("first_day")).cast("long")).as("n_new"))
+      .withColumn("n_returning", col("n_active") - col("n_new"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q72_new_returning" -> q72_new_returning,
+    "q71_bollinger" -> q71_bollinger,
     "q70_rolling_median" -> q70_rolling_median,
     "q69_stl_anomaly" -> q69_stl_anomaly,
     "q68_label_propagation" -> q68_label_propagation,
@@ -1634,6 +1676,29 @@ object Relational {
       |FROM det JOIN se USING (wd) ORDER BY day""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q71_bollinger" ->
+      """WITH daily AS (
+        |  SELECT strftime(ts::DATE, '%Y-%m-%d') AS day, count(*)::DOUBLE AS n
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT day, n,
+        |    avg(n) OVER f AS ma, stddev_samp(n) OVER f AS sd
+        |  FROM daily
+        |  WINDOW f AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT day, n::BIGINT AS n_events, round(ma, 4) AS ma7,
+        |  round(ma + 2 * sd, 4) AS upper, round(ma - 2 * sd, 4) AS lower,
+        |  CASE WHEN sd IS NOT NULL
+        |    THEN (n > ma + 2 * sd OR n < ma - 2 * sd)::INT END AS breach
+        |FROM w ORDER BY day""".stripMargin,
+    "q72_new_returning" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS first_day FROM act GROUP BY 1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, count(*)::BIGINT AS n_active,
+        |  sum((day = first_day)::BIGINT) AS n_new,
+        |  count(*) - sum((day = first_day)::BIGINT) AS n_returning
+        |FROM act JOIN f USING (user_id)
+        |GROUP BY day ORDER BY 1""".stripMargin,
     "q70_rolling_median" ->
       """WITH daily AS (
         |  SELECT strftime(ts::DATE, '%Y-%m-%d') AS day, count(*)::DOUBLE AS n

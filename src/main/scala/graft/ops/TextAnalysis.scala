@@ -1285,7 +1285,45 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t37's absolute discount (Kneser–Ney's standard 0.75). */
+  val KnDiscount = 0.75
+
+  // t37: KNESER–NEY-SMOOTHED BIGRAM LM — the classical n-gram
+  // smoothing (t26's plain bigram probabilities assign zero to unseen
+  // pairs and over-trust frequent contexts; KN discounts every seen
+  // bigram by D and backs off to the CONTINUATION unigram — "how many
+  // contexts does w2 follow?" — the famous San-Francisco correction).
+  // All four model tables (bigram counts, left totals + fan-out,
+  // continuation fan-in, type total) are keyed aggregations of the one
+  // exploded bigram frame; the final score is a broadcast-friendly
+  // join. Top-50 by the ROUNDED probability with (w1, w2) tie-break so
+  // the cut is engine-identical.
+  val t37_kneser_ney: Q = (s, d) => {
+    val t = toks(col("text"))
+    val bg = Tables.documents(s, d)
+      .select(explode(zip_with(
+        slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).cast("double").as("c12"))
+      .persist() // all three model aggregates consume it
+    val left1 = bg.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).cast("double").as("n1fwd"))
+    val right1 = bg.groupBy("w2")
+      .agg(count(lit(1)).cast("double").as("n1bwd"))
+    val ntypes = bg.agg(count(lit(1)).cast("double").as("ntypes"))
+    bg.join(left1, Seq("w1")).join(right1, Seq("w2"))
+      .crossJoin(broadcast(ntypes))
+      .select(col("w1"), col("w2"), col("c12").cast("long").as("c_bigram"),
+        round(greatest(col("c12") - KnDiscount, lit(0.0)) / col("c1") +
+          lit(KnDiscount) / col("c1") * col("n1fwd") *
+            (col("n1bwd") / col("ntypes")), 6).as("p_kn"))
+      .orderBy(col("p_kn").desc, col("w1"), col("w2"))
+      .limit(50)
+  }
+
   val queries: Map[String, Q] = Map(
+    "t37_kneser_ney" -> t37_kneser_ney,
     "t36_unigram_encode" -> t36_unigram_encode,
     "t35_unigram_train" -> t35_unigram_train,
     "t34_zipf_fit" -> t34_zipf_fit,
@@ -1330,6 +1368,25 @@ object TextAnalysis {
     s"len(list_filter($sqlToks, w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
   val oracle: Map[String, String] = Map(
+    "t37_kneser_ney" ->
+      s"""WITH b AS (SELECT doc_id, $sqlToks AS t FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS pos
+        |  FROM b),
+        |bg AS (
+        |  SELECT a.w AS w1, c.w AS w2, count(*)::DOUBLE AS c12
+        |  FROM tok a JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 1
+        |  GROUP BY 1, 2),
+        |left1 AS (
+        |  SELECT w1, sum(c12) AS c1, count(*)::DOUBLE AS n1fwd
+        |  FROM bg GROUP BY 1),
+        |right1 AS (SELECT w2, count(*)::DOUBLE AS n1bwd FROM bg GROUP BY 1),
+        |tot AS (SELECT count(*)::DOUBLE AS ntypes FROM bg)
+        |SELECT w1, w2, c12::BIGINT AS c_bigram,
+        |  round(greatest(c12 - $KnDiscount, 0) / c1 +
+        |    $KnDiscount / c1 * n1fwd * (n1bwd / ntypes), 6) AS p_kn
+        |FROM bg JOIN left1 USING (w1) JOIN right1 USING (w2), tot
+        |ORDER BY p_kn DESC, w1, w2 LIMIT 50""".stripMargin,
     "t34_zipf_fit" ->
       s"""WITH tok AS (SELECT unnest($sqlToks) AS tok FROM documents),
         |v AS (SELECT tok, count(*)::DOUBLE AS n FROM tok GROUP BY 1),

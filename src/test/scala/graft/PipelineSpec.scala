@@ -1869,6 +1869,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(r0.getAs[Double]("code_score") - round4(score)) <= 1e-4)
   }
 
+  test("t37 Kneser-Ney matches the driver recompute and discounts correctly") {
+    val got = TextAnalysis.t37_kneser_ney(spark, sf).collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Long]("c_bigram"), r.getAs[Double]("p_kn")))
+    assert(got.length == 50)
+    // driver recompute of the full model
+    val toksAll = Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0).trim.toLowerCase.split("\\s+").toSeq)
+    val bg = toksAll.flatMap(t => t.zip(t.drop(1)))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toDouble }
+    val c1 = bg.groupBy(_._1._1).map { case (w, v) => w -> v.values.sum }
+    val n1fwd = bg.groupBy(_._1._1).map { case (w, v) => w -> v.size.toDouble }
+    val n1bwd = bg.groupBy(_._1._2).map { case (w, v) => w -> v.size.toDouble }
+    val ntypes = bg.size.toDouble
+    val D = TextAnalysis.KnDiscount
+    got.foreach { case (w1, w2, c, p) =>
+      assert(bg((w1, w2)) == c.toDouble)
+      val expect = math.max(bg((w1, w2)) - D, 0) / c1(w1) +
+        D / c1(w1) * n1fwd(w1) * (n1bwd(w2) / ntypes)
+      assert(math.abs(p - expect) < 1e-5, s"$w1 $w2")
+      // the discounted prob is strictly below the raw MLE (D > 0 bites)
+      assert(p < bg((w1, w2)) / c1(w1) + 1e-9 ||
+        n1fwd(w1) * n1bwd(w2) / ntypes >= 1.0)
+    }
+    // the planted dup bigram should rank near the top
+    assert(got.take(5).exists(t => t._1 == "dup" || t._2 == "dup"))
+  }
+
   test("t35 unigram training: normalized, EM ascends, covered, deterministic") {
     val model = TextAnalysis.t35_unigram_train(spark, sf).collect()
       .map(r => r.getAs[String]("piece") -> r.getAs[Double]("logprob"))

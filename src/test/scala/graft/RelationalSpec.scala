@@ -683,6 +683,40 @@ class RelationalSpec extends AnyFunSuite {
     assert(dof >= math.min(na, nb) - 1 && dof <= na + nb - 2)
   }
 
+  test("q71 bands bracket the mean and flag exactly the breaches") {
+    val rows = ops.Relational.q71_bollinger(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ns = rows.map(_.getAs[Long]("n_events").toDouble)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val win = ns.slice(math.max(0, i - 6), i + 1)
+      val m = win.sum / win.length
+      assert(math.abs(r.getAs[Double]("ma7") - m) < 1e-3)
+      if (win.length < 2) assert(r.isNullAt(r.fieldIndex("breach")))
+      else {
+        val sd = math.sqrt(win.map(x => (x - m) * (x - m)).sum / (win.length - 1))
+        assert(math.abs(r.getAs[Double]("upper") - (m + 2 * sd)) < 1e-3)
+        assert(math.abs(r.getAs[Double]("lower") - (m - 2 * sd)) < 1e-3)
+        val breach = ns(i) > m + 2 * sd || ns(i) < m - 2 * sd
+        assert(r.getAs[Int]("breach") == (if (breach) 1 else 0))
+      }
+    }
+  }
+
+  test("q72 new + returning = active, and news sum to the user count") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Relational.q72_new_returning(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_new") + r.getAs[Long]("n_returning") ==
+        r.getAs[Long]("n_active"))
+    }
+    // every user is new exactly once
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_new")).sum == users)
+    // day 1: everyone active is new
+    assert(rows.head.getAs[Long]("n_returning") == 0)
+  }
+
   test("q70 rolling median equals the sliding-window recompute") {
     val rows = ops.Relational.q70_rolling_median(spark, sf).collect()
     assert(rows.nonEmpty)
