@@ -1322,7 +1322,28 @@ object TextAnalysis {
       .limit(50)
   }
 
+  // t38: TRAIN/VAL/TEST SPLIT BUILDER — the dataset-release step every
+  // training pipeline ends with: a 90/5/5 split that is (a) a PURE HASH
+  // of doc_id (t10's md5-percent idiom — reproducible forever, no RNG
+  // state, new docs route consistently), and (b) REPORTED per source so
+  // distribution drift between splits is visible before training. One
+  // scan + one (source, split) agg; the per-source fraction is window
+  // math on the ≤|sources|·3 report.
+  val t38_split_builder: Q = (s, d) => {
+    val pct = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 6),
+      16, 10).cast("long"), lit(100L))
+    Tables.documents(s, d)
+      .withColumn("split",
+        when(pct < 90, "train").when(pct < 95, "val").otherwise("test"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+      .withColumn("frac", round(col("n_docs") /
+        sum("n_docs").over(Window.partitionBy("source")), 4))
+      .orderBy("source", "split")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t38_split_builder" -> t38_split_builder,
     "t37_kneser_ney" -> t37_kneser_ney,
     "t36_unigram_encode" -> t36_unigram_encode,
     "t35_unigram_train" -> t35_unigram_train,
@@ -1368,6 +1389,22 @@ object TextAnalysis {
     s"len(list_filter($sqlToks, w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
   val oracle: Map[String, String] = Map(
+    "t38_split_builder" ->
+      """WITH sp AS (
+        |  SELECT source, n_chars,
+        |    CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT
+        |        % 100 < 90 THEN 'train'
+        |      WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT
+        |        % 100 < 95 THEN 'val'
+        |      ELSE 'test' END AS split
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, split, count(*)::BIGINT AS n_docs,
+        |    sum(n_chars)::BIGINT AS n_chars
+        |  FROM sp GROUP BY 1, 2)
+        |SELECT source, split, n_docs, n_chars,
+        |  round(n_docs / sum(n_docs) OVER (PARTITION BY source), 4) AS frac
+        |FROM g ORDER BY source, split""".stripMargin,
     "t37_kneser_ney" ->
       s"""WITH b AS (SELECT doc_id, $sqlToks AS t FROM documents),
         |tok AS (

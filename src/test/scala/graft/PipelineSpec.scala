@@ -1869,6 +1869,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(r0.getAs[Double]("code_score") - round4(score)) <= 1e-4)
   }
 
+  test("t38 split is a pure hash: complete, consistent, source-stratified") {
+    val rows = TextAnalysis.t38_split_builder(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // fractions per source sum to 1 and docs conserve
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    bySrc.values.foreach { rs =>
+      assert(math.abs(rs.map(_.getAs[Double]("frac")).sum - 1.0) < 1e-3)
+    }
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == Tables.documents(spark, sf).count())
+    // the hash routing is stable: a second run yields the identical report
+    val again = TextAnalysis.t38_split_builder(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // split shares over the WHOLE corpus stay near 90/5/5 (hash uniformity)
+    val bySplit = rows.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum.toDouble / total).toMap
+    assert(math.abs(bySplit.getOrElse("train", 0.0) - 0.90) < 0.06)
+    assert(bySplit.getOrElse("val", 0.0) < 0.12 && bySplit.getOrElse("test", 0.0) < 0.12)
+  }
+
   test("t37 Kneser-Ney matches the driver recompute and discounts correctly") {
     val got = TextAnalysis.t37_kneser_ney(spark, sf).collect()
       .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
