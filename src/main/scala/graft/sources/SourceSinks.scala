@@ -1140,7 +1140,6 @@ object SourceSinks {
   val x29_quality_constraints: Q = (s, d) => {
     val li = Tables.lineitem(s, d)
     val o = Tables.orders(s, d)
-    val nOrders = o.count().toDouble
     val liAgg = li.agg(
       count(lit(1)).as("n"),
       sum(col("l_quantity").isNull.cast("long")).as("null_qty"),
@@ -1153,6 +1152,7 @@ object SourceSinks {
       count(lit(1)).as("n"),
       countDistinct(col("o_orderkey")).as("ndv_pk"),
       sum(col("o_custkey").isNull.cast("long")).as("null_cust")).head()
+    val nOrders = oAgg.getAs[Long]("n").toDouble
     val orphans = li.select(col("l_orderkey"))
       .join(o.select(col("o_orderkey")),
         col("l_orderkey") === col("o_orderkey"), "left_anti")
