@@ -1578,7 +1578,46 @@ object Relational {
       .orderBy("day")
   }
 
+  /** q73's smoothing factors — both non-terminating expansions (q65's
+    * boundary lesson applies doubly to a two-recursion model).
+    */
+  val HoltAlpha = 1.0 / 3
+  val HoltBeta = 1.0 / 6
+
+  // q73: HOLT DOUBLE-EXPONENTIAL SMOOTHING (level + trend — the
+  // one-step forecaster q65's EWMA can't be when the series drifts):
+  // the stream collapses in ONE keyed agg; the coupled two-term
+  // recursion then runs over the BOUNDED day axis on the driver (≤366
+  // rows — the same bounded-collect discipline as the IVF centroids;
+  // there is no clean declarative closed form for coupled recursions,
+  // and the oracle proves the semantics via DuckDB's WITH RECURSIVE,
+  // which executes the IDENTICAL sequential fp path — so the hash
+  // match is exact, not rounding-lucky).
+  val q73_holt: Q = (s, d) => {
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("day")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def r4(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    var level = daily(0)._2.toDouble
+    var trend = daily(1)._2.toDouble - daily(0)._2.toDouble
+    val out = daily.zipWithIndex.map { case ((day, n), i) =>
+      if (i > 0) {
+        val l1 = HoltAlpha * n + (1 - HoltAlpha) * (level + trend)
+        trend = HoltBeta * (l1 - level) + (1 - HoltBeta) * trend
+        level = l1
+      }
+      (day, n, r4(level), r4(trend), r4(level + trend))
+    }
+    out.toSeq.toDF("day", "n_events", "level", "trend", "forecast_next")
+      .orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q73_holt" -> q73_holt,
     "q72_new_returning" -> q72_new_returning,
     "q71_bollinger" -> q71_bollinger,
     "q70_rolling_median" -> q70_rolling_median,
@@ -1676,6 +1715,26 @@ object Relational {
       |FROM det JOIN se USING (wd) ORDER BY day""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q73_holt" ->
+      s"""WITH RECURSIVE daily AS (
+        |  SELECT strftime(ts::DATE, '%Y-%m-%d') AS day, count(*)::DOUBLE AS n
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER (ORDER BY day) - 1 AS rn FROM daily),
+        |h AS (
+        |  SELECT 0 AS rn,
+        |    (SELECT n FROM r WHERE rn = 0) AS level,
+        |    (SELECT n FROM r WHERE rn = 1) - (SELECT n FROM r WHERE rn = 0)
+        |      AS trend
+        |  UNION ALL
+        |  SELECT r.rn,
+        |    $HoltAlpha * r.n + ${1 - HoltAlpha} * (h.level + h.trend),
+        |    $HoltBeta * (($HoltAlpha * r.n
+        |        + ${1 - HoltAlpha} * (h.level + h.trend)) - h.level)
+        |      + ${1 - HoltBeta} * h.trend
+        |  FROM h JOIN r ON r.rn = h.rn + 1)
+        |SELECT day, n::BIGINT AS n_events, round(level, 4) AS level,
+        |  round(trend, 4) AS trend, round(level + trend, 4) AS forecast_next
+        |FROM h JOIN r USING (rn) ORDER BY day""".stripMargin,
     "q71_bollinger" ->
       """WITH daily AS (
         |  SELECT strftime(ts::DATE, '%Y-%m-%d') AS day, count(*)::DOUBLE AS n

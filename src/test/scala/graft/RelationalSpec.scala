@@ -683,6 +683,23 @@ class RelationalSpec extends AnyFunSuite {
     assert(dof >= math.min(na, nb) - 1 && dof <= na + nb - 2)
   }
 
+  test("q73 Holt recursion matches the sequential recompute and forecasts") {
+    val rows = ops.Relational.q73_holt(spark, sf).collect()
+    assert(rows.length >= 2)
+    val ns = rows.map(_.getAs[Long]("n_events").toDouble)
+    val (a, b) = (ops.Relational.HoltAlpha, ops.Relational.HoltBeta)
+    var lv = ns(0); var tr = ns(1) - ns(0)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      if (i > 0) {
+        val l1 = a * ns(i) + (1 - a) * (lv + tr)
+        tr = b * (l1 - lv) + (1 - b) * tr; lv = l1
+      }
+      assert(math.abs(r.getAs[Double]("level") - lv) < 1e-3, s"level row $i")
+      assert(math.abs(r.getAs[Double]("trend") - tr) < 1e-3)
+      assert(math.abs(r.getAs[Double]("forecast_next") - (lv + tr)) < 2e-3)
+    }
+  }
+
   test("q71 bands bracket the mean and flag exactly the breaches") {
     val rows = ops.Relational.q71_bollinger(spark, sf).collect()
     assert(rows.nonEmpty)
