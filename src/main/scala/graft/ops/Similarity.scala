@@ -1303,7 +1303,124 @@ object Similarity {
       .orderBy("a", "b")
   }
 
+  /** v25's reported component count. */
+  val PcaComponents = 8
+
+  /** Covariance of the embedding corpus in ONE distributed pass:
+    * per-partition (n, Σx, Gram) accumulation inside mapPartitions
+    * (the d-dim Gram is d² doubles of FIXED size per partition — the
+    * classic bounded-state sufficient statistic; an explode-based
+    * formulation would shuffle n·d² rows), merged on the driver.
+    */
+  private def covariance(s: SparkSession, d: String): (Long, Array[Double], Array[Array[Double]]) = {
+    import s.implicits._
+    val dim = 64
+    val parts = Tables.embeddings(s, d).select("embedding")
+      .as[Seq[Float]]
+      .mapPartitions { it =>
+        var n = 0L
+        val sum = new Array[Double](dim)
+        val gram = new Array[Double](dim * dim)
+        it.foreach { v =>
+          n += 1
+          var i = 0
+          while (i < dim) {
+            val xi = v(i).toDouble
+            sum(i) += xi
+            var j = 0
+            while (j < dim) { gram(i * dim + j) += xi * v(j); j += 1 }
+            i += 1
+          }
+        }
+        Iterator.single((n, sum.toSeq, gram.toSeq))
+      }.collect()
+    val n = parts.map(_._1).sum
+    val sum = new Array[Double](dim)
+    val gram = new Array[Double](dim * dim)
+    parts.foreach { case (_, s0, g0) =>
+      var i = 0
+      while (i < dim) { sum(i) += s0(i); i += 1 }
+      var k = 0
+      while (k < dim * dim) { gram(k) += g0(k); k += 1 }
+    }
+    val mean = sum.map(_ / n)
+    val cov = Array.tabulate(dim, dim)((i, j) =>
+      gram(i * dim + j) / n - mean(i) * mean(j))
+    (n, mean, cov)
+  }
+
+  /** Cyclic Jacobi eigensolver for a small symmetric matrix — fixed
+    * sweep order, so the decomposition is deterministic. Returns
+    * (eigenvalues, eigenvectors as rows), sorted by descending value.
+    */
+  private[graft] def jacobiEigen(a0: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    while (sweep < 50) {
+      var off = 0.0
+      for (p <- 0 until n; q <- (p + 1) until n) off += a(p)(q) * a(p)(q)
+      if (off < 1e-20) sweep = 50
+      else {
+        for (p <- 0 until n; q <- (p + 1) until n) {
+          if (math.abs(a(p)(q)) > 1e-14) {
+            val theta = (a(q)(q) - a(p)(p)) / (2 * a(p)(q))
+            val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1))
+            val c = 1 / math.sqrt(t * t + 1)
+            val sN = t * c
+            for (k <- 0 until n) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - sN * akq
+              a(k)(q) = sN * akp + c * akq
+            }
+            for (k <- 0 until n) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - sN * aqk
+              a(q)(k) = sN * apk + c * aqk
+            }
+            for (k <- 0 until n) {
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - sN * vkq
+              v(k)(q) = sN * vkp + c * vkq
+            }
+          }
+        }
+        sweep += 1
+      }
+    }
+    val pairs = (0 until n).map(i => (a(i)(i), (0 until n).map(k => v(k)(i)).toArray))
+      .sortBy(-_._1)
+    (pairs.map(_._1).toArray, pairs.map(_._2).toArray)
+  }
+
+  // v25 (rows-only; spec: eigen residuals ‖Cv−λv‖≈0 against an
+  // INDEPENDENT driver covariance, orthonormality, trace conservation):
+  // PCA over the embedding corpus — the dimensionality-reduction /
+  // whitening pass an embedding pipeline runs before indexing (and the
+  // decorrelation PQ's subspace split wants, v09). Sufficient
+  // statistics in ONE bounded-state pass, 64×64 eigendecomposition on
+  // the driver (deterministic cyclic Jacobi), report = per-component
+  // variance share. This corpus is unit-normalized noise, so the
+  // spectrum is FLAT — the honest expected answer, asserted as such.
+  val v25_pca_whitening: Q = (s, d) => {
+    import s.implicits._
+    val (n, _, cov) = covariance(s, d)
+    val (vals, _) = jacobiEigen(cov)
+    val trace = vals.sum
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    var cum = 0.0
+    vals.take(PcaComponents).zipWithIndex.map { case (ev, i) =>
+      cum += ev / trace
+      (i + 1, n, r6(ev), r6(ev / trace), r6(cum))
+    }.toSeq.toDF("component", "n_vectors", "eigenvalue", "var_share", "cum_share")
+      .orderBy("component")
+  }
+
   val queries: Map[String, Q] = Map(
+    "v25_pca_whitening" -> v25_pca_whitening,
     "v24_mutual_knn" -> v24_mutual_knn,
     "v23_knn_classify" -> v23_knn_classify,
     "v22_quantization_pareto" -> v22_quantization_pareto,

@@ -2083,6 +2083,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.walkTiff(badOffset).isEmpty, "offset past EOF")
   }
 
+  test("v25 PCA eigenpairs satisfy Cv = lambda*v on the independent covariance") {
+    val all = Tables.embeddings(spark, sf).select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val dim = all.head.length
+    val n = all.length.toDouble
+    val mean = (0 until dim).map(j => all.map(_(j)).sum / n).toArray
+    val cov = Array.tabulate(dim, dim)((i, j) =>
+      all.map(v => (v(i) - mean(i)) * (v(j) - mean(j))).sum / n)
+    val (vals, vecs) = Similarity.jacobiEigen(cov)
+    // residuals: the decomposition really diagonalizes the covariance
+    vals.zip(vecs).take(Similarity.PcaComponents).foreach { case (l, v) =>
+      val cv = (0 until dim).map(i => (0 until dim).map(j => cov(i)(j) * v(j)).sum)
+      val res = math.sqrt(cv.zip(v).map { case (a, b) => (a - l * b) * (a - l * b) }.sum)
+      assert(res < 1e-8, s"residual $res for eigenvalue $l")
+      assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9, "not unit norm")
+    }
+    // sorted descending, trace conserved
+    assert(vals.sliding(2).forall { case Array(a, b) => a >= b - 1e-12; case _ => true })
+    assert(math.abs(vals.sum - (0 until dim).map(i => cov(i)(i)).sum) < 1e-8)
+    // lane rows agree with this recompute (covariance computed HERE,
+    // distributed Gram pass computed THERE — independent paths)
+    val rows = Similarity.v25_pca_whitening(spark, sf).collect()
+    assert(rows.length == Similarity.PcaComponents)
+    rows.zip(vals).foreach { case (r, l) =>
+      assert(math.abs(r.getAs[Double]("eigenvalue") - l) < 1e-4,
+        s"component ${r.getAs[Int]("component")}")
+    }
+    // unit-normalized noise corpus: the spectrum is FLAT — top component
+    // explains barely more than 1/dim of the variance
+    assert(rows.head.getAs[Double]("var_share") < 3.0 / dim)
+    assert(rows.head.getAs[Long]("n_vectors") == all.length)
+  }
+
   test("v23 kNN classification equals the brute-force vote recompute") {
     val all = Tables.embeddings(spark, sf)
       .select("vec_id", "label", "embedding").collect()
