@@ -1004,7 +1004,55 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** m11's batch geometry — the training-feed contract. */
+  val CollateBatch = 16
+  val CollateDim = 32
+  val CollateBuckets = 4
+
+  // m11 (rows-only; spec: geometry — every non-final batch exactly
+  // full, padding only on the final batch per bucket, conservation,
+  // checksum vs a driver recompute over the same codec chain): BATCH
+  // COLLATION — the last hop before a training step: decoded images
+  // resize to the fixed CollateDim² canvas (the per-sample transform —
+  // m04's real codec chain) and group into fixed-size batches with the
+  // short final batch ZERO-PADDED and a valid-count mask. Batch
+  // membership is SEMANTIC, not physical: bucket = doc_id % buckets,
+  // batch = rank-in-bucket div B via a window — deterministic under any
+  // partitioning (a partition-grouped collate would change composition
+  // with the cluster layout). Per-image stats are computed in
+  // per-partition imperative code; the collate itself is a keyed agg.
+  val m11_batch_collate: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val imgs = mediaRecords(s, d)
+      .filter(_.content_type == "image/png")
+      .map { r =>
+        val n = r.payload.length
+        val w = math.ceil(math.sqrt(n.toDouble)).toInt.max(1)
+        val h = (n + w - 1) / w
+        val (pix, pw, ph) = decodePng(encodePng(r.payload, w, h))
+        val canvas = resizeNN(pix, pw, ph, CollateDim, CollateDim)
+        var sum = 0L
+        canvas.foreach(b => sum += (b & 0xFF))
+        (r.doc_id, sum)
+      }.toDF("doc_id", "px_sum")
+    val wRank = Window.partitionBy(pmod(col("doc_id"), lit(CollateBuckets.toLong)))
+      .orderBy("doc_id")
+    imgs
+      .withColumn("bucket", pmod(col("doc_id"), lit(CollateBuckets.toLong)))
+      .withColumn("batch_id",
+        ((row_number().over(wRank) - 1) / CollateBatch).cast("int"))
+      .groupBy(col("bucket"), col("batch_id"))
+      .agg(count(lit(1)).cast("int").as("n_valid"),
+        lit(CollateBatch).as("batch_size"),
+        sum("px_sum").as("px_checksum"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .withColumn("n_padded", lit(CollateBatch) - col("n_valid"))
+      .orderBy("bucket", "batch_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "m11_batch_collate" -> m11_batch_collate,
     "m10_exif_walk" -> m10_exif_walk,
     "m09_patch_extract" -> m09_patch_extract,
     "m08_audio_segments" -> m08_audio_segments,

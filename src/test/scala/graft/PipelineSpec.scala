@@ -2083,6 +2083,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.walkTiff(badOffset).isEmpty, "offset past EOF")
   }
 
+  test("m11 collation geometry: full batches, final-only padding, conserved") {
+    val rows = Multimodal.m11_batch_collate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byBucket = rows.groupBy(_.getAs[Long]("bucket"))
+    byBucket.values.foreach { bs =>
+      val sorted = bs.sortBy(_.getAs[Int]("batch_id"))
+      sorted.init.foreach { r =>
+        assert(r.getAs[Int]("n_valid") == Multimodal.CollateBatch,
+          "non-final batch not full")
+        assert(r.getAs[Int]("n_padded") == 0)
+      }
+      val last = sorted.last
+      assert(last.getAs[Int]("n_valid") + last.getAs[Int]("n_padded") ==
+        Multimodal.CollateBatch)
+      // batch doc ranges are disjoint and ordered within the bucket
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("last_doc") < b.getAs[Long]("first_doc"))
+        case _ => ()
+      }
+    }
+    // conservation: every PNG image lands in exactly one batch
+    val nPng = Multimodal.mediaRecords(spark, sf)
+      .filter(_.content_type == "image/png").count()
+    assert(rows.map(_.getAs[Int]("n_valid").toLong).sum == nPng)
+    // checksum recompute through the same codec chain for one batch
+    val r0 = rows.head
+    val ids = Multimodal.mediaRecords(spark, sf)
+      .filter(_.content_type == "image/png").collect()
+      .filter(m => m.doc_id % Multimodal.CollateBuckets == r0.getAs[Long]("bucket") &&
+        m.doc_id >= r0.getAs[Long]("first_doc") && m.doc_id <= r0.getAs[Long]("last_doc"))
+    val expect = ids.map { m =>
+      val n = m.payload.length
+      val w = math.ceil(math.sqrt(n.toDouble)).toInt.max(1)
+      val h = (n + w - 1) / w
+      val (pix, pw, ph) = Multimodal.decodePng(Multimodal.encodePng(m.payload, w, h))
+      Multimodal.resizeNN(pix, pw, ph, Multimodal.CollateDim, Multimodal.CollateDim)
+        .map(b => (b & 0xFF).toLong).sum
+    }.sum
+    assert(r0.getAs[Long]("px_checksum") == expect)
+  }
+
   test("v25 PCA eigenpairs satisfy Cv = lambda*v on the independent covariance") {
     val all = Tables.embeddings(spark, sf).select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
