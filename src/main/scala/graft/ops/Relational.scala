@@ -1616,7 +1616,42 @@ object Relational {
       .orderBy("day")
   }
 
+  /** q74's path truncation depth (shared with the oracle). */
+  val PathDepth = 5
+
+  // q74: TOP SESSION PATHS — the Sankey/user-flow source data ("what
+  // do the first five steps of a session look like?"): q56's
+  // gaps-and-islands sessionizer (same single user_id exchange feeding
+  // two chained windows), per-session path = the first 5 events
+  // concatenated in (us, event_id) order — assembled as an in-row
+  // array_sort over (rn, type) structs, so no per-session re-shuffle —
+  // then ONE path rollup and a TakeOrdered top-20.
+  val q74_top_paths: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val sess = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("new_s",
+        (col("prev").isNull || col("us") - col("prev") > SessionGapUs).cast("int"))
+      .withColumn("sid", sum(col("new_s"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val first = sess
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("user_id"), col("sid"))
+        .orderBy(col("us"), col("event_id"))))
+      .filter(col("rn") <= PathDepth)
+    first.groupBy(col("user_id"), col("sid"))
+      .agg(concat_ws(">", transform(
+        array_sort(collect_list(struct(col("rn"), col("event_type").as("t")))),
+        x => x.getField("t"))).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q74_top_paths" -> q74_top_paths,
     "q73_holt" -> q73_holt,
     "q72_new_returning" -> q72_new_returning,
     "q71_bollinger" -> q71_bollinger,
@@ -1715,6 +1750,30 @@ object Relational {
       |FROM det JOIN se USING (wd) ORDER BY day""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q74_top_paths" ->
+      s"""WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts::TIMESTAMP) AS us
+        |  FROM events),
+        |tagged AS (
+        |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |      OR us - lag(us) OVER w > $SessionGapUs THEN 1 ELSE 0 END AS new_s
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |sess AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM tagged),
+        |f AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY user_id, sid ORDER BY us, event_id) AS rn
+        |    FROM sess) WHERE rn <= $PathDepth),
+        |p AS (
+        |  SELECT user_id, sid,
+        |    string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM f GROUP BY 1, 2)
+        |SELECT path, count(*)::BIGINT AS n_sessions
+        |FROM p GROUP BY 1
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
     "q73_holt" ->
       s"""WITH RECURSIVE daily AS (
         |  SELECT strftime(ts::DATE, '%Y-%m-%d') AS day, count(*)::DOUBLE AS n

@@ -683,6 +683,30 @@ class RelationalSpec extends AnyFunSuite {
     assert(dof >= math.min(na, nb) - 1 && dof <= na + nb - 2)
   }
 
+  test("q74 paths equal the driver-side sessionize-and-truncate recompute") {
+    import org.apache.spark.sql.functions._
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val paths = evs.groupBy(_._1).values.flatMap { grp =>
+      val sorted = grp.sortBy(e => (e._4, e._2))
+      // gaps-and-islands sessionization
+      val sessions = sorted.foldLeft(List.empty[List[(Long, Long, String, Long)]]) {
+        case (Nil, e) => List(List(e))
+        case (h :: t, e) if e._4 - h.head._4 <= ops.Relational.SessionGapUs =>
+          (e :: h) :: t
+        case (acc, e) => List(e) :: acc
+      }.map(_.reverse)
+      sessions.map(_.take(ops.Relational.PathDepth).map(_._3).mkString(">"))
+    }
+    val counts = paths.groupBy(identity).map { case (p, v) => p -> v.size.toLong }
+    val expect = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    val got = ops.Relational.q74_top_paths(spark, sf).collect()
+      .map(r => (r.getAs[String]("path"), r.getAs[Long]("n_sessions"))).toSeq
+    assert(got == expect, s"got ${got.take(3)} vs ${expect.take(3)}")
+  }
+
   test("q73 Holt recursion matches the sequential recompute and forecasts") {
     val rows = ops.Relational.q73_holt(spark, sf).collect()
     assert(rows.length >= 2)
