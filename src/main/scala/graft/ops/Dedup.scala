@@ -1159,7 +1159,42 @@ object Dedup {
       .orderBy("p_key")
   }
 
+  /** d23's sweep points (shared with the oracle). */
+  val SweepThresholds = Seq(0.7, 0.8, 0.9, 0.95)
+
+  // d23: DEDUP THRESHOLD SWEEP — the yield curve behind choosing d02's
+  // 0.8 cut (how many pairs/docs does each candidate threshold
+  // implicate?): ONE unfiltered pair-jaccard frame (d02's
+  // singleton-cut join, floored at the lowest sweep point so the frame
+  // stays near-dup-sized), then every sweep row comes out of ONE
+  // conditional aggregation (per-θ pair counts + distinct affected
+  // docs), stack-unpivoted without re-executing the join.
+  val d23_threshold_sweep: Q = (s, d) => {
+    val ex = explodedShingles(s, d)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
+      .filter(col("df") >= 2)
+    val a = ex.select(col("doc_id").as("d1"), col("n_sh").as("n1"), col("s"))
+    val b = ex.select(col("doc_id").as("d2"), col("n_sh").as("n2"), col("s"))
+    val pairs = a.join(b, a("s") === b("s") && a("d1") < b("d2"))
+      .groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        round(col("inter") / (col("n1") + col("n2") - col("inter")), 6))
+      .filter(col("jaccard") >= SweepThresholds.min)
+    val aggs = SweepThresholds.zipWithIndex.flatMap { case (t, i) =>
+      Seq(sum((col("jaccard") >= t).cast("long")).as(s"p$i"),
+        countDistinct(when(col("jaccard") >= t, col("d2"))).as(s"a$i"))
+    }
+    val stackArgs = SweepThresholds.zipWithIndex
+      .map { case (t, i) => s"CAST($t AS DOUBLE), p$i, a$i" }.mkString(", ")
+    pairs.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${SweepThresholds.size}, $stackArgs) AS " +
+        "(threshold, n_pairs, n_docs_affected)")
+      .orderBy("threshold")
+  }
+
   val queries: Map[String, Q] = Map(
+    "d23_threshold_sweep" -> d23_threshold_sweep,
     "d22_fuzzy_match" -> d22_fuzzy_match,
     "d21_substr_runs" -> d21_substr_runs,
     "d20_source_overlap" -> d20_source_overlap,
@@ -1212,6 +1247,34 @@ object Dedup {
           |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "d23_threshold_sweep" -> {
+      val union = Dedup.SweepThresholds.map(t =>
+        s"""SELECT $t AS threshold,
+           |  sum((j >= $t)::BIGINT)::BIGINT AS n_pairs,
+           |  count(DISTINCT CASE WHEN j >= $t THEN d2 END)::BIGINT
+           |    AS n_docs_affected
+           |FROM j""".stripMargin).mkString("\nUNION ALL\n")
+      s"""WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(t) >= 5 THEN
+        |    list_distinct([array_to_string(t[i:i+4], ' ') for i in range(1, len(t)-3)])
+        |    ELSE [] END AS shingles
+        |  FROM toks),
+        |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, a.n_sh AS n1, b.n_sh AS n2,
+        |    count(*) AS inter
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |j AS (
+        |  SELECT d2, round(inter / (n1 + n2 - inter), 6) AS j FROM pairs
+        |  WHERE round(inter / (n1 + n2 - inter), 6) >= ${Dedup.SweepThresholds.min})
+        |$union
+        |ORDER BY threshold""".stripMargin
+    },
     "d22_fuzzy_match" ->
       s"""WITH m AS (
         |  SELECT c_custkey AS m_key, c_name AS m_name,

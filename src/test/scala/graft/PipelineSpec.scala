@@ -1976,6 +1976,25 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("d23 sweep is monotone and its 0.8 row equals d02's lane") {
+    val rows = Dedup.d23_threshold_sweep(spark, sf).collect()
+      .map(r => (r.getAs[Double]("threshold"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_docs_affected")))
+    assert(rows.map(_._1).toSeq == Dedup.SweepThresholds)
+    // raising the threshold can only shrink the implicated set
+    rows.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(hi._2 <= lo._2 && hi._3 <= lo._3, s"not monotone: $lo -> $hi")
+      case _ => ()
+    }
+    // the 0.8 point must agree with d02's shipped cut exactly
+    val d02 = Dedup.d02_ngram_jaccard(spark, sf).collect()
+    val at08 = rows.find(_._1 == 0.8).get
+    assert(at08._2 == d02.length)
+    assert(at08._3 == d02.map(_.getAs[Long]("d2")).distinct.length)
+    assert(rows.head._2 > 0, "sweep found nothing at the lowest threshold")
+  }
+
   test("d22 fuzzy matches equal the brute-force edit-distance recompute") {
     def lev(a: String, b: String): Int = {
       val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
