@@ -1650,7 +1650,50 @@ object Relational {
       .limit(20)
   }
 
+  // q75: PEAK CONCURRENCY per day (capacity planning: "how many
+  // sessions were open at once?") — the classic sweep-line: sessions
+  // (q56's gaps-and-islands engine) split at day boundaries, ±1 events
+  // at segment start/end+1, running sum per day, max per day. The
+  // sweep windows are partitioned BY DAY (the split exists exactly so
+  // the global-order sort never happens — each day sorts
+  // independently); ties at one instant resolve by (t, delta) with the
+  // default RANGE frame aggregating peers identically on both engines.
+  val q75_peak_concurrency: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val sess = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("new_s",
+        (col("prev").isNull || col("us") - col("prev") > SessionGapUs).cast("int"))
+      .withColumn("sid", sum(col("new_s"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min("us").as("st"), max("us").as("en"))
+    val DayUs = 86400000000L
+    val segs = sess
+      .select(col("st"), col("en"), explode(sequence(
+        (col("st") / DayUs).cast("long"),
+        (col("en") / DayUs).cast("long"))).as("dayn"))
+      .select(col("dayn"),
+        greatest(col("st"), col("dayn") * DayUs).as("seg_st"),
+        least(col("en"), (col("dayn") + 1) * DayUs - 1).as("seg_en"))
+    val evts = segs.select(col("dayn"), col("seg_st").as("t"), lit(1).as("delta"))
+      .unionAll(segs.select(col("dayn"), (col("seg_en") + 1).as("t"),
+        lit(-1).as("delta")))
+    evts
+      .withColumn("run", sum(col("delta")).over(
+        Window.partitionBy("dayn").orderBy(col("t"), col("delta"))))
+      .groupBy(col("dayn"))
+      .agg(max("run").cast("long").as("peak_concurrent"),
+        (count(lit(1)) / 2).cast("long").as("n_segments"))
+      .select(date_format(to_date(
+        (col("dayn") * DayUs / 1000000).cast("timestamp")), "yyyy-MM-dd")
+        .as("day"), col("n_segments"), col("peak_concurrent"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q75_peak_concurrency" -> q75_peak_concurrency,
     "q74_top_paths" -> q74_top_paths,
     "q73_holt" -> q73_holt,
     "q72_new_returning" -> q72_new_returning,
@@ -1750,6 +1793,37 @@ object Relational {
       |FROM det JOIN se USING (wd) ORDER BY day""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q75_peak_concurrency" ->
+      s"""WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us FROM events),
+        |tagged AS (
+        |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |      OR us - lag(us) OVER w > $SessionGapUs THEN 1 ELSE 0 END AS new_s
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |sess0 AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM tagged),
+        |sess AS (
+        |  SELECT user_id, sid, min(us) AS st, max(us) AS en
+        |  FROM sess0 GROUP BY 1, 2),
+        |segs AS (
+        |  SELECT unnest(generate_series(st // 86400000000,
+        |    en // 86400000000)) AS dayn, st, en FROM sess),
+        |segs2 AS (
+        |  SELECT dayn, greatest(st, dayn * 86400000000) AS seg_st,
+        |    least(en, (dayn + 1) * 86400000000 - 1) AS seg_en FROM segs),
+        |evts AS (
+        |  SELECT dayn, seg_st AS t, 1 AS delta FROM segs2
+        |  UNION ALL SELECT dayn, seg_en + 1, -1 FROM segs2),
+        |runs AS (
+        |  SELECT dayn, sum(delta) OVER (PARTITION BY dayn ORDER BY t, delta)
+        |    AS run
+        |  FROM evts)
+        |SELECT strftime(to_timestamp(dayn * 86400)::DATE, '%Y-%m-%d') AS day,
+        |  (count(*) / 2)::BIGINT AS n_segments,
+        |  max(run)::BIGINT AS peak_concurrent
+        |FROM runs GROUP BY dayn ORDER BY day""".stripMargin,
     "q74_top_paths" ->
       s"""WITH ev AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts::TIMESTAMP) AS us

@@ -1342,7 +1342,43 @@ object TextAnalysis {
       .orderBy("source", "split")
   }
 
+  // t39: SPLIT-LEAKAGE AUDIT — the famous eval-contamination failure
+  // t38's hash split cannot see: a near-duplicate pair straddling
+  // train/test leaks the answer key into training (d12 decontaminates
+  // against an EXTERNAL benchmark; this audits the split's OWN
+  // internal leakage). Near-dup pairs come from d02's verified
+  // exact-Jaccard lane, each doc routes through t38's md5 split, and
+  // the report counts straddling pairs per (split_a, split_b) plus the
+  // distinct train docs implicated — the set a leakage-aware release
+  // would move or drop. Pair volume is near-dup-sized (not corpus-
+  // sized), so the audit costs one d02 run + a broadcast-size join.
+  val t39_split_leakage: Q = (s, d) => {
+    val pct = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 6),
+      16, 10).cast("long"), lit(100L))
+    val splits = Tables.documents(s, d)
+      .select(col("doc_id"), when(pct < 90, "train")
+        .when(pct < 95, "val").otherwise("test").as("split"))
+    val pairs = graft.ops.Dedup.d02_ngram_jaccard(s, d)
+    pairs
+      .join(splits.select(col("doc_id").as("d1"), col("split").as("split_a")),
+        Seq("d1"))
+      .join(splits.select(col("doc_id").as("d2"), col("split").as("split_b")),
+        Seq("d2"))
+      .withColumn("sa", least(col("split_a"), col("split_b")))
+      .withColumn("sb", greatest(col("split_a"), col("split_b")))
+      .groupBy(col("sa").as("split_a"), col("sb").as("split_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(when(col("split_a") =!= col("split_b"),
+          when(col("split_a") === "train", col("d1"))
+            .when(col("split_b") === "train", col("d2"))))
+          .as("n_train_docs_leaking"))
+      .withColumn("is_leak",
+        (col("split_a") =!= col("split_b")).cast("int"))
+      .orderBy("split_a", "split_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t39_split_leakage" -> t39_split_leakage,
     "t38_split_builder" -> t38_split_builder,
     "t37_kneser_ney" -> t37_kneser_ney,
     "t36_unigram_encode" -> t36_unigram_encode,
@@ -1389,6 +1425,45 @@ object TextAnalysis {
     s"len(list_filter($sqlToks, w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
   val oracle: Map[String, String] = Map(
+    "t39_split_leakage" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(t) >= 5 THEN
+        |    list_distinct([array_to_string(t[i:i+4], ' ') for i in range(1, len(t)-3)])
+        |    ELSE [] END AS shingles
+        |  FROM toks),
+        |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+        |pr AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, a.n_sh AS n1, b.n_sh AS n2,
+        |    count(*) AS inter
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |dup AS (
+        |  SELECT d1, d2 FROM pr
+        |  WHERE round(inter / (n1 + n2 - inter), 6) >= 0.8),
+        |sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT
+        |        % 100 < 90 THEN 'train'
+        |      WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT
+        |        % 100 < 95 THEN 'val'
+        |      ELSE 'test' END AS split
+        |  FROM documents),
+        |j AS (
+        |  SELECT d1, d2, s1.split AS split_a, s2.split AS split_b
+        |  FROM dup JOIN sp s1 ON s1.doc_id = d1 JOIN sp s2 ON s2.doc_id = d2)
+        |SELECT least(split_a, split_b) AS split_a,
+        |  greatest(split_a, split_b) AS split_b,
+        |  count(*)::BIGINT AS n_pairs,
+        |  count(DISTINCT CASE WHEN split_a <> split_b THEN
+        |    CASE WHEN split_a = 'train' THEN d1
+        |         WHEN split_b = 'train' THEN d2 END END)::BIGINT
+        |    AS n_train_docs_leaking,
+        |  (least(split_a, split_b) <> greatest(split_a, split_b))::INT AS is_leak
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "t38_split_builder" ->
       """WITH sp AS (
         |  SELECT source, n_chars,

@@ -1976,6 +1976,39 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("t39 leakage report equals the pairs-x-splits recompute") {
+    def split(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md.take(3).map("%02x".format(_)).mkString
+      val pct = java.lang.Long.parseLong(hex, 16) % 100
+      if (pct < 90) "train" else if (pct < 95) "val" else "test"
+    }
+    val pairs = Dedup.d02_ngram_jaccard(spark, sf).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")))
+    assert(pairs.nonEmpty)
+    val expect = pairs.map { case (d1, d2) =>
+      val (sa, sb) = (split(d1), split(d2))
+      val key = if (sa <= sb) (sa, sb) else (sb, sa)
+      val leakingTrain: Option[Long] =
+        if (sa == sb) None
+        else if (sa == "train") Some(d1)
+        else if (sb == "train") Some(d2) else None
+      (key, leakingTrain)
+    }.groupBy(_._1).map { case (k, v) =>
+      k -> (v.length.toLong, v.flatMap(_._2).distinct.length.toLong)
+    }
+    val got = TextAnalysis.t39_split_leakage(spark, sf).collect()
+    assert(got.length == expect.size)
+    got.foreach { r =>
+      val k = (r.getAs[String]("split_a"), r.getAs[String]("split_b"))
+      val (np, nl) = expect(k)
+      assert(r.getAs[Long]("n_pairs") == np, s"$k pairs")
+      assert(r.getAs[Long]("n_train_docs_leaking") == nl, s"$k leaks")
+      assert(r.getAs[Int]("is_leak") == (if (k._1 != k._2) 1 else 0))
+    }
+  }
+
   test("d23 sweep is monotone and its 0.8 row equals d02's lane") {
     val rows = Dedup.d23_threshold_sweep(spark, sf).collect()
       .map(r => (r.getAs[Double]("threshold"), r.getAs[Long]("n_pairs"),

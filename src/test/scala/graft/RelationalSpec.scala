@@ -683,6 +683,46 @@ class RelationalSpec extends AnyFunSuite {
     assert(dof >= math.min(na, nb) - 1 && dof <= na + nb - 2)
   }
 
+  test("q75 peak concurrency equals the driver sweep-line recompute") {
+    import org.apache.spark.sql.functions._
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val DayUs = 86400000000L
+    val sessions = evs.groupBy(_._1).values.flatMap { grp =>
+      val sorted = grp.sortBy(e => (e._3, e._2))
+      sorted.foldLeft(List.empty[List[Long]]) {
+        case (Nil, e) => List(List(e._3))
+        case (h :: t, e) if e._3 - h.head <= ops.Relational.SessionGapUs =>
+          (e._3 :: h) :: t
+        case (acc, e) => List(e._3) :: acc
+      }.map(s0 => (s0.min, s0.max))
+    }
+    val byDay = sessions.flatMap { case (st, en) =>
+      (st / DayUs to en / DayUs).map { dayn =>
+        (dayn, math.max(st, dayn * DayUs), math.min(en, (dayn + 1) * DayUs - 1))
+      }
+    }.groupBy(_._1)
+    val expect = byDay.map { case (dayn, segs) =>
+      val evts = segs.flatMap(s0 => Seq((s0._2, 1), (s0._3 + 1, -1))).toSeq
+        .sortBy(e => (e._1, e._2))
+      var run = 0; var peak = 0
+      // peers at one (t, delta) share a frame — fold matching groups
+      evts.groupBy(identity).toSeq.sortBy(e => (e._1._1, e._1._2)).foreach {
+        case ((_, dlt), group) => run += dlt * group.size; peak = math.max(peak, run)
+      }
+      dayn -> (segs.size.toLong, peak.toLong)
+    }
+    val got = ops.Relational.q75_peak_concurrency(spark, sf).collect()
+    assert(got.length == expect.size && got.nonEmpty)
+    got.foreach { r =>
+      val dayn = java.time.LocalDate.parse(r.getAs[String]("day")).toEpochDay
+      val (nSeg, peak) = expect(dayn)
+      assert(r.getAs[Long]("n_segments") == nSeg, s"day $dayn segments")
+      assert(r.getAs[Long]("peak_concurrent") == peak, s"day $dayn peak")
+    }
+  }
+
   test("q74 paths equal the driver-side sessionize-and-truncate recompute") {
     import org.apache.spark.sql.functions._
     val evs = Tables.events(spark, sf)
