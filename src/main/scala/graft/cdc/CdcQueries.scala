@@ -903,7 +903,33 @@ object CdcQueries {
       .orderBy("bucket")
   }
 
+  // c44: TRANSACTION-BOUNDARY GROUPING — WAL ops roll up to their
+  // COMMIT, the reference's unit of atomicity (every op between two
+  // commit markers shares its Begin's xid/commit time —
+  // replication.go semantics, PgOutput.scala:58). The planted lift
+  // commits every 7 LSNs, so the owning commit LSN is CLOSED-FORM
+  // integer arithmetic (((lsn+6) div 7)·7) — no window, no scan-order
+  // assumption — and the whole lane is ONE keyed agg to the per-tx
+  // axis: op mix, key span, LSN range, tx value. This is the batched
+  // apply a replica uses to stay transactionally consistent (apply
+  // whole transactions, never partial).
+  val c44_tx_boundary: Q = (s, d) => {
+    flatEnv(s, d)
+      .withColumn("tx_commit_lsn", expr("((lsn_long + 6) div 7) * 7"))
+      .groupBy("tx_commit_lsn")
+      .agg(count(lit(1)).as("n_ops"),
+        min("lsn_long").as("first_lsn"), max("lsn_long").as("last_lsn"),
+        countDistinct(col("user_id")).as("n_keys"),
+        sum((col("op") === "c").cast("long")).as("n_insert"),
+        sum(col("op").isin("u", "u_pk").cast("long")).as("n_update"),
+        sum((col("op") === "d").cast("long")).as("n_delete"),
+        round(sum(coalesce(col("after_value"), lit(0.0))), 2).as("tx_value"))
+      .withColumn("commit_lsn", Lsn.long_to_lsn(col("tx_commit_lsn")))
+      .orderBy("tx_commit_lsn")
+  }
+
   val queries: Map[String, Q] = Map(
+    "c44_tx_boundary" -> c44_tx_boundary,
     "c43_replica_audit" -> c43_replica_audit,
     "c42_idle_heartbeat" -> c42_idle_heartbeat,
     "c41_apply_skew" -> c41_apply_skew,
@@ -1127,6 +1153,19 @@ object CdcQueries {
        |FROM mstate WHERE last_op <> 'd' ORDER BY pk""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "c44_tx_boundary" ->
+      s"""WITH $sqlEnv, $sqlFlat,
+        |tx AS (
+        |  SELECT *, ((lsn_long + 6) // 7) * 7 AS tx_commit_lsn FROM flat)
+        |SELECT tx_commit_lsn, count(*)::BIGINT AS n_ops,
+        |  min(lsn_long) AS first_lsn, max(lsn_long) AS last_lsn,
+        |  count(DISTINCT user_id)::BIGINT AS n_keys,
+        |  sum((op = 'c')::BIGINT)::BIGINT AS n_insert,
+        |  sum((op IN ('u','u_pk'))::BIGINT)::BIGINT AS n_update,
+        |  sum((op = 'd')::BIGINT)::BIGINT AS n_delete,
+        |  round(sum(coalesce(after_value, 0.0)), 2) AS tx_value,
+        |  ${sqlLsnStr("tx_commit_lsn")} AS commit_lsn
+        |FROM tx GROUP BY tx_commit_lsn ORDER BY tx_commit_lsn""".stripMargin,
     "c43_replica_audit" ->
       s"""WITH $sqlEnv, $sqlFlat, ${Apply.sqlApply("", "")},
         |src AS (

@@ -1249,7 +1249,7 @@ object Dedup {
   val oracle: Map[String, String] = Map(
     "d23_threshold_sweep" -> {
       val union = Dedup.SweepThresholds.map(t =>
-        s"""SELECT $t AS threshold,
+        s"""SELECT CAST($t AS DOUBLE) AS threshold,
            |  sum((j >= $t)::BIGINT)::BIGINT AS n_pairs,
            |  count(DISTINCT CASE WHEN j >= $t THEN d2 END)::BIGINT
            |    AS n_docs_affected

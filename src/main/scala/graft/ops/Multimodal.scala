@@ -1007,7 +1007,17 @@ object Multimodal {
   /** m11's batch geometry — the training-feed contract. */
   val CollateBatch = 16
   val CollateDim = 32
-  val CollateBuckets = 4
+
+  /** Rows a single collation window partition should carry (64 batches)
+    * — the knob that makes the bucket count a DETERMINISTIC FUNCTION OF
+    * CORPUS SIZE: window parallelism grows ∝ corpus instead of a
+    * constant (the round-9 4-bucket cap meant 4-way max parallelism for
+    * the corpus-wide rank at any scale).
+    */
+  val CollateBucketRows = CollateBatch * 64
+
+  def collateBuckets(nImages: Long): Long =
+    math.max(4L, (nImages + CollateBucketRows - 1) / CollateBucketRows)
 
   // m11 (rows-only; spec: geometry — every non-final batch exactly
   // full, padding only on the final batch per bucket, conservation,
@@ -1036,10 +1046,26 @@ object Multimodal {
         canvas.foreach(b => sum += (b & 0xFF))
         (r.doc_id, sum)
       }.toDF("doc_id", "px_sum")
-    val wRank = Window.partitionBy(pmod(col("doc_id"), lit(CollateBuckets.toLong)))
+      .persist() // consumed twice: the bucket-count sizing + the collate
+    val out = collate(imgs, collateBuckets(imgs.count()))
+      .localCheckpoint(true) // materialize so the persist can release
+    imgs.unpersist()
+    out
+  }
+
+  /** m11's collate step over any (doc_id, px_sum) frame: bucket =
+    * doc_id % nb, batch = rank-in-bucket div B. Membership is a pure
+    * function of (doc_id set, nb) — invariant under the input's
+    * physical partitioning (spec-pinned) — and the rank window carries
+    * ≤ ~CollateBucketRows rows per partition once nb scales with the
+    * corpus.
+    */
+  def collate(imgs: DataFrame, nb: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wRank = Window.partitionBy(pmod(col("doc_id"), lit(nb)))
       .orderBy("doc_id")
     imgs
-      .withColumn("bucket", pmod(col("doc_id"), lit(CollateBuckets.toLong)))
+      .withColumn("bucket", pmod(col("doc_id"), lit(nb)))
       .withColumn("batch_id",
         ((row_number().over(wRank) - 1) / CollateBatch).cast("int"))
       .groupBy(col("bucket"), col("batch_id"))

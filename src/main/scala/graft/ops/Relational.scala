@@ -927,9 +927,13 @@ object Relational {
     val bounds = li.agg(min("x").as("mn"), max("x").as("mx"))
     li.crossJoin(broadcast(bounds))
       .withColumn("w", (col("mx") - col("mn")) / lit(HistogramBuckets))
+      // degenerate all-equal column (mx == mn → w = 0): everything lands
+      // in bucket 0 rather than tripping ANSI DIVIDE_BY_ZERO
       .withColumn("bucket",
-        least(floor((col("x") - col("mn")) / col("w")),
-          lit(HistogramBuckets - 1L)).cast("int"))
+        when(col("w") > 0,
+          least(floor((col("x") - col("mn")) / col("w")),
+            lit(HistogramBuckets - 1L)))
+          .otherwise(lit(0L)).cast("int"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"), first("mn").as("mn"), first("w").as("w"))
       .select(col("bucket"),
@@ -1067,7 +1071,16 @@ object Relational {
         sum(col("d") * (col("d") - 1) / 2).as("wedges"))))
       .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
-        round(lit(3.0) * col("n_triangles") / col("wedges"), 6).as("clustering"))
+        // wedge-free graphs (no node of degree ≥ 2) have an undefined
+        // clustering coefficient — NULL, never DIVIDE_BY_ZERO under ANSI
+        when(col("wedges") > 0,
+          round(lit(3.0) * col("n_triangles") / col("wedges"), 6))
+          .otherwise(lit(null).cast("double")).as("clustering"))
+      // single row — materialize eagerly so the two persisted frames can
+      // be released here instead of leaking cached blocks across a
+      // 272-lane run
+      .localCheckpoint(true)
+    e.unpersist(); o.unpersist()
     out
   }
 
@@ -1492,8 +1505,12 @@ object Relational {
       .join(degs, Seq("lbl"))
       .agg(sum("sz").as("n_nodes"), count(lit(1)).as("n_communities"),
         max("sz").as("largest"),
-        round(sum(coalesce(col("ec"), lit(0L)) / m -
-          pow(col("dc") / (2 * m), 2)), 6).as("modularity"))
+        // m is a driver-side constant; an edgeless graph has undefined
+        // modularity (guarded here so the per-row divide never sees 0)
+        (if (m > 0)
+          round(sum(coalesce(col("ec"), lit(0L)) / m -
+            pow(col("dc") / (2 * m), 2)), 6)
+        else lit(null).cast("double")).as("modularity"))
     und.unpersist(); edges.unpersist()
     out
   }
@@ -1692,7 +1709,283 @@ object Relational {
       .orderBy("day")
   }
 
+  // q76: BENFORD FIRST-DIGIT AUDIT — the classic fraud/data-quality
+  // screen over order totals. The first significant digit is extracted
+  // in the exact integer domain (cents-scaled BIGINT → leading char of
+  // its decimal string — no log10 float hazard near powers of ten where
+  // floor(log10(1000.0)) can land on 2.999…), ONE keyed agg collapses
+  // the corpus to the 9-digit axis, then observed share vs Benford's
+  // log10(1+1/d) and the per-digit χ² contribution — bounded-axis math
+  // only after the first agg.
+  val q76_benford: Q = (s, d) => {
+    val digits = Tables.orders(s, d)
+      .select(substring(round(col("o_totalprice") * 100).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = digits.agg(sum("n").cast("double").as("total"))
+    digits.crossJoin(broadcast(tot))
+      .withColumn("bp", log10(lit(1.0) + lit(1.0) / col("digit")))
+      .select(col("digit"), col("n"),
+        round(col("n") / col("total"), 4).as("share"),
+        round(col("bp"), 4).as("benford_p"),
+        round(pow(col("n") - col("total") * col("bp"), 2) /
+          (col("total") * col("bp")), 4).as("chi2_term"))
+      .orderBy("digit")
+  }
+
+  // q77: YEAR-OVER-YEAR / MONTH-OVER-MONTH growth — the board-deck
+  // lane: monthly revenue collapses in ONE keyed agg (the only
+  // data-proportional step), growth ratios are computed from the
+  // ROUNDED monthly revenue (2dp doubles both engines agree on, so the
+  // ratio is deterministic regardless of parallel-sum order), lag(1) =
+  // MoM and lag(12) = YoY on the bounded month axis.
+  val q77_yoy_growth: Q = (s, d) => {
+    val monthly = Tables.orders(s, d)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(round(sum("o_totalprice"), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+    val w = Window.orderBy("month")
+    monthly
+      .withColumn("pm", lag(col("revenue"), 1).over(w))
+      .withColumn("py", lag(col("revenue"), 12).over(w))
+      .select(col("month"), col("n_orders"), col("revenue"),
+        round((col("revenue") - col("pm")) / col("pm"), 4).as("mom"),
+        round((col("revenue") - col("py")) / col("py"), 4).as("yoy"))
+      .orderBy("month")
+  }
+
+  /** q78's score-bucket count — the cross-bucket prefix axis. */
+  val AucBuckets = 64
+
+  // q78: EXACT ROC AUC, distributed — the Mann-Whitney statistic
+  // WITHOUT a global sort: AUC = Σ_s n⁺_s·(N⁻_{<s} + ½n⁻_s) / (n⁺n⁻)
+  // over DISTINCT scores s (ties get the standard ½ credit). Scores
+  // collapse to (bucket, score) cells in one keyed agg; within-bucket
+  // cumulative negatives run in a bucket-partitioned window
+  // (parallelism = AucBuckets, each partition carrying ~1/B of the
+  // distinct scores); cross-bucket offsets are a prefix sum on the
+  // bounded B-row bucket axis, broadcast back. No single-partition
+  // pass ever sees the corpus — the 100 TB shape for an exact rank
+  // statistic. The U terms are integers-plus-halves (exactly
+  // representable doubles), so the sum is order-independent.
+  val q78_auc: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("value").as("sc"),
+        (col("event_type") === "purchase").cast("long").as("y"))
+    val bounds = ev.agg(min("sc").as("mn"), max("sc").as("mx"))
+    val cells = ev.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        when(col("mx") > col("mn"),
+          least(floor((col("sc") - col("mn")) /
+            ((col("mx") - col("mn")) / AucBuckets)), lit(AucBuckets - 1L)))
+          .otherwise(lit(0L)))
+      .groupBy(col("bucket"), col("sc"))
+      .agg(sum("y").as("np"), (count(lit(1)) - sum("y")).as("nn"))
+    val win = Window.partitionBy("bucket").orderBy("sc")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val off = cells.groupBy("bucket").agg(sum("nn").as("bnn"))
+      .withColumn("nn_off", coalesce(sum("bnn").over(wb), lit(0L)))
+    cells
+      .withColumn("nn_below_in", coalesce(sum("nn").over(win), lit(0L)))
+      .join(broadcast(off.select("bucket", "nn_off")), Seq("bucket"))
+      .agg(
+        sum(col("np") * (col("nn_off") + col("nn_below_in") +
+          col("nn") / lit(2.0))).as("u"),
+        sum("np").as("n_pos"), sum("nn").as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        // the pair count n⁺·n⁻ overflows long past ~3e9 rows per class:
+        // compute it in double (and guard the empty-class corpus)
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("u") / (col("n_pos").cast("double") *
+            col("n_neg").cast("double")), 6))
+          .otherwise(lit(null).cast("double")).as("auc"))
+  }
+
+  /** q79's censoring horizon: users last seen within this many days of
+    * corpus end are censored (still alive), not churned.
+    */
+  val SurvivalCensorDays = 7
+
+  // q79: KAPLAN-MEIER RETENTION CURVE — per-user lifetimes (first→last
+  // active day, ONE keyed agg), right-censored at the corpus edge, then
+  // the product-limit estimator on the bounded duration axis: at-risk
+  // counts via a prefix sum, S(t) = Π(1 − d_t/r_t) as exp∘Σln with an
+  // explicit absorbing-zero guard (a duration where every at-risk user
+  // churns pins S at 0; ln(0) never evaluates on either engine). All
+  // post-agg math runs on ≤ |corpus days| rows.
+  val q79_survival: Q = (s, d) => {
+    val act = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("first_day"),
+        max(to_date(col("ts"))).as("last_day"))
+    val mx = act.agg(max("last_day").as("mxd"))
+    val byDur = act.crossJoin(broadcast(mx))
+      .select(datediff(col("last_day"), col("first_day")).cast("long").as("t_days"),
+        (col("last_day") < date_sub(col("mxd"), SurvivalCensorDays - 1))
+          .cast("long").as("death"))
+      .groupBy("t_days")
+      .agg(sum("death").as("deaths"), count(lit(1)).as("n_ending"))
+    val w = Window.orderBy("t_days")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = byDur.agg(sum("n_ending").as("total"))
+    byDur.crossJoin(broadcast(tot))
+      .withColumn("at_risk", col("total") -
+        coalesce(sum("n_ending").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("zeroed", max((col("deaths") === col("at_risk")).cast("int")).over(run))
+      .withColumn("survival",
+        when(col("zeroed") === 1, lit(0.0)).otherwise(
+          round(exp(sum(log(lit(1.0) - col("deaths") / col("at_risk"))).over(run)), 4)))
+      .select(col("t_days"), col("n_ending"), col("deaths"), col("at_risk"),
+        col("survival"))
+      .orderBy("t_days")
+  }
+
+  // q80: PRICE ELASTICITY per brand — q64's regression GROUPED: the
+  // log-log slope of quantity on unit price, one broadcast dim join +
+  // one keyed agg (regr_* are algebraic aggregates with map-side
+  // partials — no window, no second shuffle). The canonical "does
+  // demand respond to price" merchandising query, and the shape any
+  // per-group ML-feature fit takes at 100 TB.
+  val q80_price_elasticity: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        log(col("l_extendedprice") / col("l_quantity")).as("lp"),
+        log(col("l_quantity")).as("lq"))
+    li.groupBy("p_brand")
+      .agg(expr("regr_count(lq, lp)").as("n"),
+        round(expr("regr_slope(lq, lp)"), 4).as("elasticity"),
+        round(expr("regr_r2(lq, lp)"), 4).as("r2"))
+      .orderBy("p_brand")
+  }
+
+  // q81: ONE-WAY ANOVA across market segments on customer spend — does
+  // segment membership explain spend variance? Per-customer spend is
+  // one keyed agg; per-segment (n, Σ, Σ²) a second (≤|segments| rows);
+  // F = (SSB/(k−1))/(SSW/(N−k)) and η² assemble on the bounded segment
+  // axis from those algebraic sums — the grouped-inference pattern
+  // (q62 is its 2-sample special case) that needs no window and no
+  // second pass over the data.
+  val q81_anova: Q = (s, d) => {
+    // two-pass centered form on purpose: the textbook Σx² − (Σx)²/n
+    // shortcut cancels 1e15-scale sums down to 1e10-scale SSB, leaving
+    // parallel-sum noise ABOVE the rounding precision; centering each
+    // term first keeps every sum well-conditioned, and the outputs are
+    // scale-free ratios (F, η²) so 4dp/6dp rounding is deterministic
+    val spend = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select("c_custkey", "c_mktsegment")), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_custkey"), col("c_mktsegment"))
+      .agg(sum("o_totalprice").as("spend"))
+      .persist() // two passes: group means, then centered squares
+    val means = spend.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).cast("double").as("ng"), avg("spend").as("mg"))
+    val grand = spend.agg(avg("spend").as("m"), count(lit(1)).as("n"))
+    val ssw = spend.join(broadcast(means), Seq("c_mktsegment"))
+      .agg(sum(pow(col("spend") - col("mg"), 2)).as("ssw"))
+    val ssb = means.crossJoin(broadcast(grand))
+      .agg(sum(col("ng") * pow(col("mg") - col("m"), 2)).as("ssb"),
+        count(lit(1)).as("k"), first("n").as("n"))
+    val out = ssb.crossJoin(broadcast(ssw))
+      .select(col("k"), col("n"),
+        round((col("ssb") / (col("k") - 1)) /
+          (col("ssw") / (col("n") - col("k"))), 4).as("f_stat"),
+        round(col("ssb") / (col("ssb") + col("ssw")), 6).as("eta_sq"))
+      .localCheckpoint(true)
+    spend.unpersist()
+    out
+  }
+
+  // q82: INTER-PURCHASE CYCLE — the replenishment-cadence histogram:
+  // per-customer gaps between consecutive orders (a customer-keyed
+  // window — the partitioned kind that scales; no global sort), then
+  // the gap distribution collapses to the bounded week axis. The two
+  // data-proportional steps are the window's one shuffle and the
+  // ≤|weeks| rollup.
+  val q82_interpurchase: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val gaps = Tables.orders(s, d)
+      .withColumn("prev", lag(to_date(col("o_orderdate")), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select((datediff(to_date(col("o_orderdate")), col("prev")) / 7)
+        .cast("long").as("gap_weeks"))
+    val tot = gaps.agg(count(lit(1)).cast("double").as("total"))
+    gaps.groupBy("gap_weeks").agg(count(lit(1)).as("n_gaps"))
+      .crossJoin(broadcast(tot))
+      .select(col("gap_weeks"), col("n_gaps"),
+        round(col("n_gaps") / col("total"), 4).as("pct"))
+      .orderBy("gap_weeks")
+  }
+
+  // q83: FORECAST BACKTEST — scores the naive (yesterday) and
+  // seasonal-naive (same weekday last week) one-step forecasts over the
+  // daily series: ONE keyed agg collapses the corpus to the day axis,
+  // lag(1)/lag(7) produce the forecasts, and MAE/RMSE/MAPE roll up per
+  // model on days where both are defined (so the two models are scored
+  // on the SAME support — the honest comparison). The baseline every
+  // q73-style model must beat.
+  val q83_forecast_eval: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val w = Window.orderBy("day")
+    val f = daily
+      .withColumn("naive", lag(col("n"), 1).over(w))
+      .withColumn("snaive", lag(col("n"), 7).over(w))
+      .filter(col("naive").isNotNull && col("snaive").isNotNull)
+    Seq(("naive", col("naive")), ("snaive7", col("snaive"))).map { case (m, fc) =>
+      f.agg(count(lit(1)).as("n_days"),
+        round(avg(abs(col("n") - fc)), 4).as("mae"),
+        round(sqrt(avg(pow(col("n") - fc, 2))), 4).as("rmse"),
+        round(avg(abs(col("n") - fc) / col("n")), 6).as("mape"))
+        .select(lit(m).as("model"), col("n_days"), col("mae"), col("rmse"),
+          col("mape"))
+    }.reduce(_ unionAll _).orderBy("model")
+  }
+
+  // q84: TIME-TO-CONVERT — the funnel-latency profile (q44 counts who
+  // converts; this measures HOW LONG the view→purchase hop takes):
+  // first view per user in one keyed agg, first purchase AFTER it via
+  // a co-partitioned join + second agg on the same user key (Catalyst
+  // reuses the exchange), then the delay distribution collapses to one
+  // bounded profile row — exact percentiles here, approx_percentile at
+  // 100 TB (q39's documented swap).
+  val q84_time_to_convert: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val fv = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("fv"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("us"))
+    // condition INSIDE the left join: a user whose purchases all precede
+    // the first view must survive as never-converted (null delay)
+    val conv = fv.join(p, col("pu") === col("user_id") && col("us") > col("fv"), "left")
+      .groupBy(col("user_id"), col("fv"))
+      .agg(min("us").as("fp"))
+      .select(col("user_id"),
+        ((col("fp") - col("fv")) / lit(3600000000.0)).as("delay_h"))
+    conv.agg(count(lit(1)).as("n_viewers"),
+        count(col("delay_h")).as("n_converted"),
+        round(count(col("delay_h")) / count(lit(1)).cast("double"), 4).as("cvr"),
+        round(expr("percentile(delay_h, 0.25)"), 2).as("p25_h"),
+        round(expr("percentile(delay_h, 0.5)"), 2).as("p50_h"),
+        round(expr("percentile(delay_h, 0.75)"), 2).as("p75_h"),
+        round(expr("percentile(delay_h, 0.9)"), 2).as("p90_h"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q84_time_to_convert" -> q84_time_to_convert,
+    "q83_forecast_eval" -> q83_forecast_eval,
+    "q82_interpurchase" -> q82_interpurchase,
+    "q81_anova" -> q81_anova,
+    "q80_price_elasticity" -> q80_price_elasticity,
+    "q79_survival" -> q79_survival,
+    "q78_auc" -> q78_auc,
+    "q77_yoy_growth" -> q77_yoy_growth,
+    "q76_benford" -> q76_benford,
     "q75_peak_concurrency" -> q75_peak_concurrency,
     "q74_top_paths" -> q74_top_paths,
     "q73_holt" -> q73_holt,
@@ -1793,6 +2086,154 @@ object Relational {
       |FROM det JOIN se USING (wd) ORDER BY day""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q84_time_to_convert" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS us FROM events),
+        |fv AS (
+        |  SELECT user_id, min(us) AS fv FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |conv AS (
+        |  SELECT f.user_id,
+        |    (min(p.us) - f.fv) / 3600000000.0 AS delay_h
+        |  FROM fv f LEFT JOIN ev p
+        |    ON p.user_id = f.user_id AND p.event_type = 'purchase'
+        |      AND p.us > f.fv
+        |  GROUP BY f.user_id, f.fv)
+        |SELECT count(*)::BIGINT AS n_viewers,
+        |  count(delay_h)::BIGINT AS n_converted,
+        |  round(count(delay_h) / count(*)::DOUBLE, 4) AS cvr,
+        |  round(quantile_cont(delay_h, 0.25), 2) AS p25_h,
+        |  round(quantile_cont(delay_h, 0.5), 2) AS p50_h,
+        |  round(quantile_cont(delay_h, 0.75), 2) AS p75_h,
+        |  round(quantile_cont(delay_h, 0.9), 2) AS p90_h
+        |FROM conv""".stripMargin,
+    "q81_anova" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, c_mktsegment, sum(o_totalprice) AS spend
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |means AS (
+        |  SELECT c_mktsegment, count(*)::DOUBLE AS ng, avg(spend) AS mg
+        |  FROM spend GROUP BY 1),
+        |grand AS (SELECT avg(spend) AS m, count(*)::BIGINT AS n FROM spend),
+        |w AS (
+        |  SELECT sum(pow(spend - mg, 2)) AS ssw
+        |  FROM spend JOIN means USING (c_mktsegment)),
+        |b AS (
+        |  SELECT sum(ng * pow(mg - m, 2)) AS ssb, count(*)::BIGINT AS k,
+        |    first(n) AS n
+        |  FROM means, grand)
+        |SELECT k, n,
+        |  round((ssb / (k - 1)) / (ssw / (n - k)), 4) AS f_stat,
+        |  round(ssb / (ssb + ssw), 6) AS eta_sq
+        |FROM b, w""".stripMargin,
+    "q82_interpurchase" ->
+      """WITH gaps AS (
+        |  SELECT (date_diff('day',
+        |      lag(o_orderdate::DATE) OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate, o_orderkey),
+        |      o_orderdate::DATE) // 7)::BIGINT AS gap_weeks
+        |  FROM orders),
+        |g AS (SELECT gap_weeks FROM gaps WHERE gap_weeks IS NOT NULL),
+        |t AS (SELECT count(*)::DOUBLE AS total FROM g)
+        |SELECT gap_weeks, count(*)::BIGINT AS n_gaps,
+        |  round(count(*) / total, 4) AS pct
+        |FROM g, t GROUP BY gap_weeks, total ORDER BY gap_weeks""".stripMargin,
+    "q83_forecast_eval" ->
+      """WITH daily AS (
+        |  SELECT strftime(ts::DATE, '%Y-%m-%d') AS day, count(*)::DOUBLE AS n
+        |  FROM events GROUP BY 1),
+        |f AS (
+        |  SELECT n, lag(n, 1) OVER (ORDER BY day) AS naive,
+        |    lag(n, 7) OVER (ORDER BY day) AS snaive
+        |  FROM daily),
+        |d AS (SELECT * FROM f WHERE naive IS NOT NULL AND snaive IS NOT NULL)
+        |SELECT 'naive' AS model, count(*)::BIGINT AS n_days,
+        |  round(avg(abs(n - naive)), 4) AS mae,
+        |  round(sqrt(avg(pow(n - naive, 2))), 4) AS rmse,
+        |  round(avg(abs(n - naive) / n), 6) AS mape
+        |FROM d
+        |UNION ALL
+        |SELECT 'snaive7', count(*)::BIGINT,
+        |  round(avg(abs(n - snaive)), 4),
+        |  round(sqrt(avg(pow(n - snaive, 2))), 4),
+        |  round(avg(abs(n - snaive) / n), 6)
+        |FROM d ORDER BY model""".stripMargin,
+    "q76_benford" ->
+      """WITH dg AS (
+        |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS INT) AS digit FROM orders),
+        |g AS (SELECT digit, count(*)::BIGINT AS n FROM dg GROUP BY 1),
+        |t AS (SELECT sum(n)::DOUBLE AS total FROM g)
+        |SELECT digit, n, round(n / total, 4) AS share,
+        |  round(log10(1 + 1.0 / digit), 4) AS benford_p,
+        |  round(pow(n - total * log10(1 + 1.0 / digit), 2) /
+        |    (total * log10(1 + 1.0 / digit)), 4) AS chi2_term
+        |FROM g, t ORDER BY digit""".stripMargin,
+    "q77_yoy_growth" ->
+      """WITH m AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |    round(sum(o_totalprice), 2) AS revenue, count(*)::BIGINT AS n_orders
+        |  FROM orders GROUP BY 1),
+        |w AS (SELECT *, lag(revenue, 1) OVER (ORDER BY month) AS pm,
+        |  lag(revenue, 12) OVER (ORDER BY month) AS py FROM m)
+        |SELECT month, n_orders, revenue,
+        |  round((revenue - pm) / pm, 4) AS mom,
+        |  round((revenue - py) / py, 4) AS yoy
+        |FROM w ORDER BY month""".stripMargin,
+    "q78_auc" ->
+      """WITH s AS (
+        |  SELECT value AS sc, (event_type = 'purchase')::BIGINT AS y FROM events),
+        |g AS (SELECT sc, sum(y)::BIGINT AS np,
+        |  (count(*) - sum(y))::BIGINT AS nn FROM s GROUP BY 1),
+        |c AS (SELECT sc, np, nn, coalesce(sum(nn) OVER (ORDER BY sc
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS nnb
+        |  FROM g),
+        |t AS (SELECT sum(np * (nnb + nn / 2.0)) AS u, sum(np)::BIGINT AS n_pos,
+        |  sum(nn)::BIGINT AS n_neg FROM c)
+        |SELECT n_pos, n_neg,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0
+        |    THEN round(u / (n_pos::DOUBLE * n_neg::DOUBLE), 6) END AS auc
+        |FROM t""".stripMargin,
+    "q79_survival" ->
+      s"""WITH act AS (
+        |  SELECT user_id, min(ts::DATE) AS fd, max(ts::DATE) AS ld
+        |  FROM events GROUP BY 1),
+        |mx AS (SELECT max(ld) AS mxd FROM act),
+        |life AS (
+        |  SELECT date_diff('day', fd, ld)::BIGINT AS t_days,
+        |    (ld < mxd - ${SurvivalCensorDays - 1})::BIGINT AS death
+        |  FROM act, mx),
+        |byd AS (SELECT t_days, sum(death)::BIGINT AS deaths,
+        |  count(*)::BIGINT AS n_ending FROM life GROUP BY 1),
+        |t AS (SELECT sum(n_ending)::BIGINT AS total FROM byd),
+        |km AS (
+        |  SELECT t_days, n_ending, deaths,
+        |    total - coalesce(sum(n_ending) OVER (ORDER BY t_days
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |      AS at_risk
+        |  FROM byd, t),
+        |z AS (
+        |  SELECT *, max((deaths = at_risk)::INT) OVER (ORDER BY t_days
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zeroed
+        |  FROM km)
+        |SELECT t_days, n_ending, deaths, at_risk,
+        |  CASE WHEN zeroed = 1 THEN 0.0 ELSE
+        |    round(exp(sum(CASE WHEN deaths < at_risk
+        |      THEN ln(1.0 - deaths / at_risk::DOUBLE) END)
+        |      OVER (ORDER BY t_days
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4) END
+        |    AS survival
+        |FROM z ORDER BY t_days""".stripMargin,
+    "q80_price_elasticity" ->
+      """WITH j AS (
+        |  SELECT p_brand, ln(l_extendedprice / l_quantity) AS lp,
+        |    ln(l_quantity) AS lq
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |SELECT p_brand, regr_count(lq, lp)::BIGINT AS n,
+        |  round(regr_slope(lq, lp), 4) AS elasticity,
+        |  round(regr_r2(lq, lp), 4) AS r2
+        |FROM j GROUP BY 1 ORDER BY p_brand""".stripMargin,
     "q75_peak_concurrency" ->
       s"""WITH ev AS (
         |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us FROM events),
@@ -1887,8 +2328,8 @@ object Relational {
         |  SELECT DISTINCT user_id, ts::DATE AS day FROM events),
         |f AS (SELECT user_id, min(day) AS first_day FROM act GROUP BY 1)
         |SELECT strftime(day, '%Y-%m-%d') AS day, count(*)::BIGINT AS n_active,
-        |  sum((day = first_day)::BIGINT) AS n_new,
-        |  count(*) - sum((day = first_day)::BIGINT) AS n_returning
+        |  sum((day = first_day)::BIGINT)::BIGINT AS n_new,
+        |  (count(*) - sum((day = first_day)::BIGINT))::BIGINT AS n_returning
         |FROM act JOIN f USING (user_id)
         |GROUP BY day ORDER BY 1""".stripMargin,
     "q70_rolling_median" ->

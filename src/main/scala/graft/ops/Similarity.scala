@@ -1419,7 +1419,32 @@ object Similarity {
       .orderBy("component")
   }
 
+  // v26: EMBEDDING QA — the sanity profile a vector pipeline runs on
+  // every new embedding batch (a broken encoder ships zero vectors or
+  // wild norms long before recall dashboards notice): per-row L2 norm
+  // with every float promoted to double BEFORE squaring (the in-row
+  // fold is order-fixed, so per-row values are bit-identical on both
+  // engines), then one keyed agg per label — count, norm stats,
+  // near-unit fraction, zero-vector count. Data-proportional work is
+  // exactly one pass; the label axis is bounded.
+  val v26_embedding_qa: Q = (s, d) => {
+    Tables.embeddings(s, d)
+      .withColumn("nrm", sqrt(expr(
+        "aggregate(embedding, 0D, (a, x) -> a + cast(x as double) * cast(x as double))")))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg("nrm"), 4).as("avg_norm"),
+        round(min("nrm"), 4).as("min_norm"),
+        round(max("nrm"), 4).as("max_norm"),
+        round(stddev_samp(col("nrm")), 4).as("sd_norm"),
+        sum((col("nrm") >= 0.99 && col("nrm") <= 1.01).cast("long"))
+          .as("n_near_unit"),
+        sum((col("nrm") === 0.0).cast("long")).as("n_zero"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, Q] = Map(
+    "v26_embedding_qa" -> v26_embedding_qa,
     "v25_pca_whitening" -> v25_pca_whitening,
     "v24_mutual_knn" -> v24_mutual_knn,
     "v23_knn_classify" -> v23_knn_classify,
@@ -1449,6 +1474,20 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "v26_embedding_qa" ->
+      """WITH n AS (
+        |  SELECT label,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        |  FROM embeddings)
+        |SELECT label, count(*)::BIGINT AS n_vecs,
+        |  round(avg(nrm), 4) AS avg_norm,
+        |  round(min(nrm), 4) AS min_norm,
+        |  round(max(nrm), 4) AS max_norm,
+        |  round(stddev_samp(nrm), 4) AS sd_norm,
+        |  sum((nrm >= 0.99 AND nrm <= 1.01)::BIGINT)::BIGINT AS n_near_unit,
+        |  sum((nrm = 0.0)::BIGINT)::BIGINT AS n_zero
+        |FROM n GROUP BY 1 ORDER BY label""".stripMargin,
     "v24_mutual_knn" ->
       s"""WITH e AS (
         |  SELECT vec_id, embedding FROM embeddings

@@ -1377,7 +1377,71 @@ object TextAnalysis {
       .orderBy("split_a", "split_b")
   }
 
+  /** t40's shared-vocabulary size: the bounded axis every JSD term
+    * lives on (top tokens by corpus count, ties by token).
+    */
+  val JsdTopK = 200
+
+  // t40: SOURCE-DISTRIBUTION DRIFT via Jensen-Shannon divergence — the
+  // corpus-mix monitor a 100 TB ingestion pipeline runs daily: are two
+  // sources' unigram distributions diverging? Token counts collapse in
+  // ONE keyed agg (the only data-proportional step); the comparison
+  // axis is the corpus TOP-K tokens (distributed TakeOrdered, bounded
+  // K); each source's restricted distribution is a ≤|S|·K dense frame
+  // (sources × shared vocab, absent tokens = 0), and the ≤(|S| choose
+  // 2)·K pair terms compute JSD = ½Σp·ln(p/m) + ½Σq·ln(q/m) with the
+  // 0·ln0 = 0 convention. Everything after the first agg is
+  // bounded-axis math.
+  val t40_jsd_drift: Q = (s, d) => {
+    val counts = Tables.documents(s, d)
+      .select(col("source"), explode(toks(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
+    val topK = counts.groupBy(col("tok")).agg(sum("n").as("tn"))
+      .orderBy(col("tn").desc, col("tok")).limit(JsdTopK)
+      .select(col("tok"))
+    val srcTotals = counts.join(broadcast(topK), Seq("tok"))
+      .groupBy(col("source")).agg(sum("n").as("tot"))
+    // dense |sources| × K frame: p = in-top-K share, 0 where absent
+    val dense = srcTotals.crossJoin(broadcast(topK))
+      .join(counts, Seq("source", "tok"), "left")
+      .select(col("source"), col("tok"),
+        (coalesce(col("n"), lit(0L)) / col("tot")).as("p"))
+    val a = dense.select(col("source").as("src_a"), col("tok"), col("p").as("pa"))
+    val b = dense.select(col("source").as("src_b"), col("tok"), col("p").as("pb"))
+    a.join(b, Seq("tok")).filter(col("src_a") < col("src_b"))
+      .withColumn("m", (col("pa") + col("pb")) / 2)
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(round(sum(
+        when(col("pa") > 0, col("pa") * log(col("pa") / col("m"))).otherwise(0.0) / 2 +
+          when(col("pb") > 0, col("pb") * log(col("pb") / col("m"))).otherwise(0.0) / 2),
+        4).as("jsd"))
+      .orderBy("src_a", "src_b")
+  }
+
+  // t41: LEXICAL DIVERSITY (type-token ratio) — the quality signal
+  // that catches template/boilerplate-generated text (near-zero TTR at
+  // length): per-doc types/tokens from the standard whitespace
+  // tokenization, rolled up per source. One posexplode + two keyed
+  // aggs, one doc_id-keyed shuffle — no windows, no HOF lambdas on the
+  // hot path.
+  val t41_lexical_diversity: Q = (s, d) => {
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), explode(toks(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("tok")).as("n_types"))
+      .withColumn("ttr", col("n_types") / col("n_tokens").cast("double"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("ttr"), 4).as("avg_ttr"),
+        round(min("ttr"), 4).as("min_ttr"),
+        round(max("ttr"), 4).as("max_ttr"),
+        sum("n_tokens").as("total_tokens"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t41_lexical_diversity" -> t41_lexical_diversity,
+    "t40_jsd_drift" -> t40_jsd_drift,
     "t39_split_leakage" -> t39_split_leakage,
     "t38_split_builder" -> t38_split_builder,
     "t37_kneser_ney" -> t37_kneser_ney,
@@ -1425,6 +1489,40 @@ object TextAnalysis {
     s"len(list_filter($sqlToks, w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
   val oracle: Map[String, String] = Map(
+    "t40_jsd_drift" ->
+      s"""WITH counts AS (
+         |  SELECT source, unnest($sqlToks) AS tok FROM documents),
+         |c AS (SELECT source, tok, count(*)::BIGINT AS n FROM counts GROUP BY 1, 2),
+         |topk AS (
+         |  SELECT tok FROM (SELECT tok, sum(n) AS tn FROM c GROUP BY 1)
+         |  ORDER BY tn DESC, tok LIMIT $JsdTopK),
+         |tot AS (
+         |  SELECT source, sum(n)::BIGINT AS tot FROM c
+         |  WHERE tok IN (SELECT tok FROM topk) GROUP BY 1),
+         |dense AS (
+         |  SELECT t.source, k.tok, coalesce(c.n, 0) / t.tot::DOUBLE AS p
+         |  FROM tot t CROSS JOIN topk k
+         |  LEFT JOIN c ON c.source = t.source AND c.tok = k.tok)
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |  round(sum(
+         |    CASE WHEN a.p > 0 THEN a.p * ln(a.p / ((a.p + b.p) / 2)) ELSE 0 END / 2 +
+         |    CASE WHEN b.p > 0 THEN b.p * ln(b.p / ((a.p + b.p) / 2)) ELSE 0 END / 2),
+         |    4) AS jsd
+         |FROM dense a JOIN dense b ON a.tok = b.tok AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "t41_lexical_diversity" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, unnest($sqlToks) AS tok FROM documents),
+         |perdoc AS (
+         |  SELECT doc_id, source, count(*)::BIGINT AS n_tokens,
+         |    count(DISTINCT tok) / count(*)::DOUBLE AS ttr
+         |  FROM t GROUP BY 1, 2)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  round(avg(ttr), 4) AS avg_ttr,
+         |  round(min(ttr), 4) AS min_ttr,
+         |  round(max(ttr), 4) AS max_ttr,
+         |  sum(n_tokens)::BIGINT AS total_tokens
+         |FROM perdoc GROUP BY 1 ORDER BY source""".stripMargin,
     "t39_split_leakage" ->
       """WITH toks AS (
         |  SELECT doc_id,

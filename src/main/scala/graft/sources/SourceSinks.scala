@@ -1020,8 +1020,8 @@ object SourceSinks {
     base.filter(col("o_orderstatus") === "F" &&
         pmod(col("o_orderkey"), lit(7)) === 0)
       .select(col("file"), col("pos"))
-      .write.mode("overwrite").parquet(s"$dir/_dv")
-    val dv = s.read.parquet(s"$dir/_dv")
+      .write.mode("overwrite").parquet(s"$dir/dv")
+    val dv = s.read.parquet(s"$dir/dv")
     val out = base.join(dv, Seq("file", "pos"), "left_anti")
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
@@ -1182,7 +1182,50 @@ object SourceSinks {
       .orderBy("table_name", "constraint_name")
   }
 
+  // x30: SNAPSHOT ROLLBACK — the table-format undo: after commit 2
+  // rewrote fileset B copy-on-write (+25.00 surcharge on odd keys),
+  // commit 3 re-binds the table to commit 1's fileset list. Rollback
+  // is METADATA-ONLY — version 3 adds two manifest rows and ZERO data
+  // files (at 100 TB it costs one manifest write, which is the whole
+  // point of snapshot isolation); commit 2's files stay on disk for
+  // time travel until x18-style expiry reclaims them. The read-back
+  // proves v3 ≡ v1 content exactly while v2 still serves the rewritten
+  // rows.
+  val x30_snapshot_rollback: Q = (s, d) => {
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_rollback")
+    val orders = Tables.orders(s, d)
+    orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .write.mode("overwrite").parquet(s"$dir/A")
+    orders.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+      .write.mode("overwrite").parquet(s"$dir/B")
+    s.read.parquet(s"$dir/B")
+      .withColumn("o_totalprice", col("o_totalprice") + 25.0)
+      .write.mode("overwrite").parquet(s"$dir/C")
+    // commit log: v1 = {A,B}; v2 = {A,C}; v3 = ROLLBACK → {A,B} again
+    Seq((1, "A"), (1, "B"), (2, "A"), (2, "C"), (3, "A"), (3, "B"))
+      .toDF("version", "fileset")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/manifest")
+    val manifest = s.read.parquet(s"$dir/manifest")
+      .collect().map(r => (r.getInt(0), r.getString(1))) // bounded metadata
+    val out = Seq(1, 2, 3).map { v =>
+      val filesets = manifest.filter(_._1 == v).map(_._2).sorted
+      s.read.parquet(filesets.map(f => s"$dir/$f"): _*)
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("o_totalprice"), 2).as("sum_price"))
+        .select(lit(v).as("version"), col("n_rows"), col("sum_price"),
+          lit(filesets.length.toLong).as("n_filesets"),
+          // rollback ⇔ this version's fileset list already appeared at
+          // an earlier version (metadata-only commit, no new files)
+          lit(manifest.filter(m => m._1 < v).map(_._2).toSet
+            .intersect(filesets.toSet).size == filesets.length && v > 1)
+            .cast("int").as("is_rollback"))
+    }.reduce(_ union _).orderBy("version")
+    materializeThenCleanup(s, out, dir)
+  }
+
   val queries: Map[String, Q] = Map(
+    "x30_snapshot_rollback" -> x30_snapshot_rollback,
     "x29_quality_constraints" -> x29_quality_constraints,
     "x28_partition_evolution" -> x28_partition_evolution,
     "x27_rowgroup_stats" -> x27_rowgroup_stats,
@@ -1233,6 +1276,20 @@ object SourceSinks {
   }.mkString("", "\nUNION ALL\n", "\nORDER BY 1")
 
   val oracle: Map[String, String] = Map(
+    "x30_snapshot_rollback" ->
+      """WITH v1 AS (
+        |  SELECT count(*)::BIGINT AS n, round(sum(o_totalprice), 2) AS sp
+        |  FROM orders),
+        |v2 AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    round(sum(o_totalprice +
+        |      CASE WHEN o_orderkey % 2 = 1 THEN 25.0 ELSE 0 END), 2) AS sp
+        |  FROM orders)
+        |SELECT 1 AS version, n AS n_rows, sp AS sum_price,
+        |  2::BIGINT AS n_filesets, 0 AS is_rollback FROM v1
+        |UNION ALL SELECT 2, n, sp, 2::BIGINT, 0 FROM v2
+        |UNION ALL SELECT 3, n, sp, 2::BIGINT, 1 FROM v1
+        |ORDER BY version""".stripMargin,
     "x29_quality_constraints" ->
       """WITH li AS (
         |  SELECT count(*)::DOUBLE AS n,
@@ -1284,7 +1341,7 @@ object SourceSinks {
     "x26_deletion_vectors" ->
       """SELECT o_orderstatus, count(*)::BIGINT AS n,
         |  round(sum(o_totalprice), 2) AS sum_price,
-        |  sum((o_orderkey % 7 = 0)::BIGINT) AS n_stripe
+        |  sum((o_orderkey % 7 = 0)::BIGINT)::BIGINT AS n_stripe
         |FROM orders
         |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0)
         |GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -660,58 +660,123 @@ object StreamingQueries {
     } finally graft.sources.SourceSinks.deleteDir(dir)
   }
 
-  // s25: STREAMING TRANSITION MATRIX — q49's twin (12th pair), same
-  // multi-batch landing as s24. A late event SPLICES into the middle of
-  // its user's sequence, rewriting up to two transitions already
-  // emitted — so per-user state is the full ordered (us, event_id,
-  // type) list (bounded by that user's activity) and each trigger
-  // re-emits the user's complete transition list under a sequence
-  // number; the rollup keeps the last emission per user, explodes the
-  // pairs, and the ≤|types|²-row matrix hash-matches q49's batch
-  // oracle verbatim.
-  val s25_stream_transitions: Q = (s, d) => {
+  // s25: STREAMING TRANSITION MATRIX — q49's twin (12th pair), with
+  // WATERMARK-BOUNDED state (round-9 verdict): per-user state is NOT
+  // the full event history but (finalized transition counts, boundary
+  // event, in-horizon tail). Events older than `horizonUs` behind the
+  // max event time seen FINALIZE: their transitions fold into an
+  // accumulated ≤|types|²-entry count map and the events themselves
+  // evict; only the splice horizon — plus the single boundary event
+  // linking the finalized prefix to the live tail — stays in state. A
+  // late event inside the horizon still splices exactly (it lands in
+  // the tail, whose transitions are recomputed every trigger); a late
+  // event BEYOND the horizon is dropped, standard watermark semantics,
+  // and surfaced in the emission (`n_dropped`) so the spec can observe
+  // it. At 100 TB a power user's state is their in-horizon activity,
+  // not their lifetime history. The lane lands batches in TIME ORDER
+  // (quartile files) with a deterministic 1-in-7 subset deferred one
+  // batch, so max lateness is two quartile widths by construction, the
+  // horizon covers it, nothing drops, and the snapshot hash-matches
+  // q49's batch oracle verbatim.
+
+  /** s25's engine over a landed batch directory (one file per trigger):
+    * bounded splice state per user; returns the raw emission table
+    * (user_id, seq, counts [(a,b,n)], n_state, n_dropped). Public so
+    * the spec can drive it with a beyond-horizon late batch and pin
+    * both the bounded state size and the drop.
+    */
+  def streamTransitions(s: SparkSession, dir: String, horizonUs: Long): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    // state: (finalized counts, boundary event [≤1], in-horizon tail,
+    //         max event time seen, dropped-late count, seq)
+    val fn: (Long, Iterator[(Long, Long, String, Long)],
+        GroupState[(Seq[(String, String, Long)], Seq[(Long, Long, String)],
+          Seq[(Long, Long, String)], Long, Long, Long)]) =>
+        (Long, Long, Seq[(String, String, Long)], Int, Long) = (uid, events, state) => {
+      var (prefixSeq, boundary, tail, maxUs, dropped, seq) =
+        state.getOption.getOrElse(
+          (Seq.empty[(String, String, Long)], Seq.empty[(Long, Long, String)],
+            Seq.empty[(Long, Long, String)], Long.MinValue, 0L, 0L))
+      var prefix = prefixSeq.iterator.map { case (a, b, n) => (a, b) -> n }.toMap
+      val bKey = boundary.headOption.map(e => (e._1, e._2))
+      var add = List.empty[(Long, Long, String)]
+      events.foreach { case (eid, _, t, us) =>
+        if (us > maxUs) maxUs = us
+        // a splice at-or-before the boundary would rewrite transitions
+        // already finalized — beyond the horizon by construction: drop
+        if (bKey.exists { case (bu, be) => us < bu || (us == bu && eid <= be) })
+          dropped += 1
+        else add ::= ((us, eid, t))
+      }
+      val ordered = (tail ++ add).sortBy(e => (e._1, e._2))
+      val cut = maxUs - horizonUs
+      val (fin, keep) = ordered.partition(_._1 <= cut)
+      if (fin.nonEmpty) {
+        (boundary.take(1) ++ fin).iterator.sliding(2).withPartial(false)
+          .foreach { p =>
+            val k = (p.head._3, p(1)._3)
+            prefix += k -> (prefix.getOrElse(k, 0L) + 1L)
+          }
+        boundary = Seq(fin.last)
+      }
+      seq += 1
+      state.update((prefix.iterator.map { case ((a, b), n) => (a, b, n) }.toSeq,
+        boundary, keep, maxUs, dropped, seq))
+      // emission = finalized counts + live transitions over boundary∥tail
+      var total = prefix
+      (boundary ++ keep).iterator.sliding(2).withPartial(false).foreach { p =>
+        val k = (p.head._3, p(1)._3)
+        total += k -> (total.getOrElse(k, 0L) + 1L)
+      }
+      (uid, seq,
+        total.iterator.map { case ((a, b), n) => (a, b, n) }.toSeq.sorted,
+        keep.size, dropped)
+    }
+    import org.apache.spark.sql.types._
+    val landedSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("us", LongType)))
+    val name = s"graft_strans_${System.nanoTime()}"
+    val q = s.readStream.schema(landedSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._2)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+      .toDF("user_id", "seq", "counts", "n_state", "n_dropped")
+      .writeStream.outputMode("update").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+  }
+
+  val s25_stream_transitions: Q = (s, d) => {
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("us"))
     val dir = java.nio.file.Files.createTempDirectory("graft_strans")
     try {
+      val r = ev.agg(min("us"), max("us")).head
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val qw = (hi - lo) / 4 + 1
+      val batched = ev
+        .withColumn("b0", least(floor((col("us") - lit(lo)) / lit(qw)), lit(3L)))
+        .withColumn("batch",
+          least(when(pmod(col("event_id"), lit(7)) === 0, col("b0") + 1)
+            .otherwise(col("b0")), lit(3L)).cast("int"))
       (0 until 4).foreach { i =>
         graft.sources.SourceSinks.landSingleParquet(
-          ev.filter(pmod(col("event_id"), lit(4)) === i),
+          batched.filter(col("batch") === i)
+            .select("event_id", "user_id", "event_type", "us"),
           dir.resolve(f"b$i%02d.parquet"))
       }
-      // state: (events sorted by (us, event_id), seq)
-      val fn: (Long, Iterator[(Long, Long, String, Long)],
-          GroupState[(Seq[(Long, Long, String)], Long)]) =>
-          (Long, Long, Seq[(String, String)]) = (uid, events, state) => {
-        var (seen, seq) = state.getOption.getOrElse(
-          (Seq.empty[(Long, Long, String)], 0L))
-        events.foreach { case (eid, _, t, us) => seen +:= ((us, eid, t)) }
-        val ordered = seen.sortBy(e => (e._1, e._2))
-        seq += 1
-        state.update((ordered, seq))
-        val pairs = ordered.iterator.map(_._3).sliding(2)
-          .withPartial(false).map(p => (p.head, p(1))).toSeq
-        (uid, seq, pairs)
-      }
-      val name = s"graft_strans_${System.nanoTime()}"
-      val landedSchema = org.apache.spark.sql.types.StructType(ev.schema.fields)
-      val q = s.readStream.schema(landedSchema)
-        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
-        .as[(Long, Long, String, Long)]
-        .groupByKey(_._2)
-        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
-        .toDF("user_id", "seq", "pairs")
-        .writeStream.outputMode("update").format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
-      val tr = s.table(name)
+      // deferred events arrive ≤ 2 quartile widths late; horizon covers it
+      val emissions = streamTransitions(s, dir.toString, 2 * qw + 1)
+      val tr = emissions
         .groupBy(col("user_id"))
-        .agg(max_by(col("pairs"), col("seq")).as("pairs"))
-        .select(explode(col("pairs")).as("p"))
-        .select(col("p._1").as("a"), col("p._2").as("b"))
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+        .agg(max_by(col("counts"), col("seq")).as("counts"))
+        .select(explode(col("counts")).as("c"))
+        .groupBy(col("c._1").as("a"), col("c._2").as("b"))
+        .agg(sum(col("c._3")).as("n"))
       val tot = tr.groupBy(col("a")).agg(sum("n").cast("double").as("na"))
       tr.join(broadcast(tot), Seq("a"))
         .select(col("a"), col("b"), col("n"),
@@ -906,7 +971,137 @@ object StreamingQueries {
     } finally graft.sources.SourceSinks.deleteDir(dir)
   }
 
+  // s29: STREAMING GAP FILL — q60's twin (15th batch↔streaming pair):
+  // state is the per-day observation-count map (bounded by the day
+  // axis, NOT the data — s26's discipline); every trigger folds the
+  // batch into the map, rebuilds the calendar spine over the observed
+  // bounds, forward-fills, and emits the full report under a seq; the
+  // rollup keeps the last emission. A late batch can EXTEND the spine
+  // backward (a new minimum day) or turn a previously-forward-filled
+  // hole into an observation — both simply rewrite the next ≤|days|-row
+  // snapshot. Hash-matches q60's batch oracle verbatim.
+  val s29_stream_gap_fill: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_quantity") > graft.ops.Relational.GapFillMinQty)
+      .select(col("l_orderkey"),
+        date_format(to_date(col("l_shipdate")), "yyyy-MM-dd").as("day"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sgap")
+    try {
+      (0 until 4).foreach { i =>
+        graft.sources.SourceSinks.landSingleParquet(
+          li.filter(pmod(col("l_orderkey"), lit(4)) === i).select("day"),
+          dir.resolve(f"b$i%02d.parquet"))
+      }
+      val fn: (Int, Iterator[String], GroupState[(Map[String, Long], Long)]) =>
+          (Long, Seq[(String, Long, Int)]) = (_, batch, state) => {
+        var (counts, seq) = state.getOption.getOrElse((Map.empty[String, Long], 0L))
+        batch.foreach(day => counts += day -> (counts.getOrElse(day, 0L) + 1L))
+        seq += 1
+        state.update((counts, seq))
+        val days = counts.keys.toSeq.sorted
+        val (lo, hi) = (java.time.LocalDate.parse(days.head),
+          java.time.LocalDate.parse(days.last))
+        var lastN = 0L
+        val series = Iterator.iterate(lo)(_.plusDays(1))
+          .takeWhile(!_.isAfter(hi)).map { d0 =>
+            val key = d0.toString
+            val filled = !counts.contains(key)
+            if (!filled) lastN = counts(key)
+            (key, lastN, if (filled) 1 else 0)
+          }.toSeq
+        (seq, series)
+      }
+      val landedSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("day",
+          org.apache.spark.sql.types.StringType)))
+      val name = s"graft_sgap_${System.nanoTime()}"
+      val q = s.readStream.schema(landedSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+        .select(col("day")).as[String]
+        .groupByKey(_ => 0)
+        .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Update,
+          GroupStateTimeout.NoTimeout)(
+          (k: Int, it: Iterator[String],
+              st: GroupState[(Map[String, Long], Long)]) =>
+            Iterator.single(fn(k, it, st)))
+        .toDF("seq", "series")
+        .writeStream.outputMode("update").format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name)
+        .agg(max_by(col("series"), col("seq")).as("series"))
+        .select(explode(col("series")).as("e"))
+        .select(col("e._1").as("day"), col("e._2").as("n"),
+          col("e._3").as("was_filled"))
+        .orderBy("day")
+    } finally graft.sources.SourceSinks.deleteDir(dir)
+  }
+
+  // s30: STREAMING BENFORD AUDIT — q76's twin (17th pair): the
+  // first-digit profile run continuously at the ingest edge (catch a
+  // corrupted or synthetic feed the moment it lands, not at the nightly
+  // batch). Digits extract in the same exact integer domain; state is
+  // the 9-entry digit-count map (s23's bounded fold — put-latest
+  // merge); every trigger emits the full ≤9-row profile under a seq and
+  // the snapshot recomputes share/χ² from the final counts,
+  // hash-matching q76's batch oracle verbatim.
+  val s30_stream_benford: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val src = Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        substring(round(col("o_totalprice") * 100).cast("long")
+          .cast("string"), 1, 1).cast("int").as("digit"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sbenf")
+    try {
+      (0 until 4).foreach { i =>
+        graft.sources.SourceSinks.landSingleParquet(
+          src.filter(pmod(col("o_orderkey"), lit(4)) === i).select("digit"),
+          dir.resolve(f"b$i%02d.parquet"))
+      }
+      val fn: (Int, Iterator[Int], GroupState[(Map[Int, Long], Long)]) =>
+          (Long, Seq[(Int, Long)]) = (_, batch, state) => {
+        var (counts, seq) = state.getOption.getOrElse((Map.empty[Int, Long], 0L))
+        batch.foreach(dg => counts += dg -> (counts.getOrElse(dg, 0L) + 1L))
+        seq += 1
+        state.update((counts, seq))
+        (seq, counts.toSeq.sortBy(_._1))
+      }
+      val landedSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("digit",
+          org.apache.spark.sql.types.IntegerType)))
+      val name = s"graft_sbenf_${System.nanoTime()}"
+      val q = s.readStream.schema(landedSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+        .select(col("digit")).as[Int]
+        .groupByKey(_ => 0)
+        .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Update,
+          GroupStateTimeout.NoTimeout)(
+          (k: Int, it: Iterator[Int], st: GroupState[(Map[Int, Long], Long)]) =>
+            Iterator.single(fn(k, it, st)))
+        .toDF("seq", "counts")
+        .writeStream.outputMode("update").format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      val digits = s.table(name)
+        .agg(max_by(col("counts"), col("seq")).as("counts"))
+        .select(explode(col("counts")).as("c"))
+        .select(col("c._1").as("digit"), col("c._2").as("n"))
+      val tot = digits.agg(sum("n").cast("double").as("total"))
+      digits.crossJoin(broadcast(tot))
+        .withColumn("bp", log10(lit(1.0) + lit(1.0) / col("digit")))
+        .select(col("digit"), col("n"),
+          round(col("n") / col("total"), 4).as("share"),
+          round(col("bp"), 4).as("benford_p"),
+          round(pow(col("n") - col("total") * col("bp"), 2) /
+            (col("total") * col("bp")), 4).as("chi2_term"))
+        .orderBy("digit")
+    } finally graft.sources.SourceSinks.deleteDir(dir)
+  }
+
   val queries: Map[String, Q] = Map(
+    "s30_stream_benford" -> s30_stream_benford,
+    "s29_stream_gap_fill" -> s29_stream_gap_fill,
     "s28_stream_constraints" -> s28_stream_constraints,
     "s27_stream_skyline" -> s27_stream_skyline,
     "s26_stream_ewma" -> s26_stream_ewma,
@@ -932,6 +1127,12 @@ object StreamingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // q60's batch oracle verbatim — the streamed day-map fold plus
+    // spine rebuild must land exactly where the batch plan does
+    "s29_stream_gap_fill" -> graft.ops.Relational.oracle("q60_gap_fill"),
+    // q76's batch oracle verbatim — the streamed digit fold must land
+    // every order where the batch integer-domain extraction does
+    "s30_stream_benford" -> graft.ops.Relational.oracle("q76_benford"),
     // q44's batch oracle verbatim — the hash match proves the stateful
     // per-user candidate fold converges to the batch funnel under
     // multi-batch arrival

@@ -1001,4 +1001,32 @@ class CdcSpec extends AnyFunSuite {
         org.apache.spark.sql.functions.col("pk_before")).isNotNull).count()
     assert(ns.sum == keyed)
   }
+
+  test("c44 transactions partition the WAL and aggregate their ops exactly") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.cdc.CdcQueries.c44_tx_boundary(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val flat = graft.cdc.Envelope.flat(Tables.events(spark, sf))
+      .select(col("lsn_long"), col("op"), col("user_id"),
+        col("after_value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]).getOrElse(0.0)))
+    // partition property: every op lands in exactly one commit group
+    assert(rows.map(_.getAs[Long]("n_ops")).sum == flat.length.toLong)
+    val byTx = flat.groupBy(e => ((e._1 + 6) / 7) * 7)
+    rows.foreach { r =>
+      val tx = r.getAs[Long]("tx_commit_lsn")
+      val grp = byTx(tx)
+      assert(r.getAs[Long]("n_ops") == grp.length.toLong, s"tx $tx n_ops")
+      assert(r.getAs[Long]("n_ops") <= 7, s"tx $tx commit cadence bound")
+      assert(r.getAs[Long]("first_lsn") > tx - 7 &&
+        r.getAs[Long]("last_lsn") <= tx, s"tx $tx LSN range")
+      assert(r.getAs[Long]("n_insert") == grp.count(_._2 == "c").toLong)
+      assert(r.getAs[Long]("n_delete") == grp.count(_._2 == "d").toLong)
+      assert(math.abs(r.getAs[Double]("tx_value") - grp.map(_._4).sum) < 0.01)
+      // the LSN text codec renders the commit position
+      assert(r.getAs[String]("commit_lsn") ==
+        f"${tx >> 32}%X/${tx & 0xFFFFFFFFL}%X", s"tx $tx lsn text")
+    }
+  }
 }

@@ -58,6 +58,29 @@ class GraphPropertySpec extends AnyFunSuite {
     assert(result.passed, result.status.toString)
   }
 
+  test("triangle engine handles the documented degenerate graph classes") {
+    import spark.implicits._
+    // (name, edges, expected (nodes, edges, triangles, clustering))
+    val star = (1L to 5L).map(i => (0L, i)).toSet // 10 wedges, 0 triangles
+    val k4 = (for { u <- 0L to 3L; v <- (u + 1) to 3L } yield (u, v)).toSet
+    val cases: Seq[(String, Set[(Long, Long)], (Long, Long, Long, Option[Double]))] = Seq(
+      ("single edge", Set((1L, 5L)), (2L, 1L, 0L, None)), // wedge-free → NULL clustering
+      ("path of 2", Set((0L, 1L), (1L, 2L)), (3L, 2L, 0L, Some(0.0))),
+      ("star K1,5", star, (6L, 5L, 0L, Some(0.0))),
+      ("clique K4", k4, (4L, 6L, 4L, Some(1.0))))
+    for ((name, edges, (n, m, t, c)) <- cases) {
+      val row = ops.Relational.triangleStats(
+        edges.toSeq.sorted.toDF("u", "v")).collect().head
+      assert(row.getAs[Long]("n_nodes") === n, name)
+      assert(row.getAs[Long]("n_edges") === m, name)
+      assert(row.getAs[Long]("n_triangles") === t, name)
+      c match {
+        case None => assert(row.isNullAt(3), s"$name: clustering must be NULL")
+        case Some(x) => assert(row.getAs[Double]("clustering") === x, name)
+      }
+    }
+  }
+
   test("sessionizer equals a reference fold on random event streams") {
     import spark.implicits._
     val types = Seq("view", "click", "purchase")

@@ -2160,11 +2160,34 @@ class PipelineSpec extends AnyFunSuite {
     val nPng = Multimodal.mediaRecords(spark, sf)
       .filter(_.content_type == "image/png").count()
     assert(rows.map(_.getAs[Int]("n_valid").toLong).sum == nPng)
+    // bucket count is the deterministic corpus-size function (window
+    // parallelism scales with the corpus instead of a constant 4)
+    val nb = Multimodal.collateBuckets(nPng)
+    assert(rows.map(_.getAs[Long]("bucket")).distinct.length.toLong ==
+      math.min(nb, nPng))
+    assert(Multimodal.collateBuckets(1L) == 4L, "floor parallelism")
+    assert(Multimodal.collateBuckets(1024L * 1024) == 1024L,
+      "buckets grow linearly with the corpus")
+    assert(Multimodal.collateBuckets(100L * Multimodal.CollateBucketRows) >
+      Multimodal.collateBuckets(10L * Multimodal.CollateBucketRows))
+    // batch membership is a pure function of (doc_id set, nb): identical
+    // under any physical partitioning of the input
+    locally {
+      import spark.implicits._
+      val synth = (0L until 500L).map(i => (i * 3 + (i % 7), i % 251))
+        .toDF("doc_id", "px_sum")
+      val a = Multimodal.collate(synth.repartition(1), 8L)
+        .collect().map(_.toSeq).toSeq
+      val b = Multimodal.collate(
+          synth.repartition(13, org.apache.spark.sql.functions.col("px_sum")), 8L)
+        .collect().map(_.toSeq).toSeq
+      assert(a == b, "collate membership must not depend on partitioning")
+    }
     // checksum recompute through the same codec chain for one batch
     val r0 = rows.head
     val ids = Multimodal.mediaRecords(spark, sf)
       .filter(_.content_type == "image/png").collect()
-      .filter(m => m.doc_id % Multimodal.CollateBuckets == r0.getAs[Long]("bucket") &&
+      .filter(m => m.doc_id % nb == r0.getAs[Long]("bucket") &&
         m.doc_id >= r0.getAs[Long]("first_doc") && m.doc_id <= r0.getAs[Long]("last_doc"))
     val expect = ids.map { m =>
       val n = m.payload.length
@@ -2237,6 +2260,83 @@ class PipelineSpec extends AnyFunSuite {
       assert(r.getAs[Int]("true_label") == q._2)
       assert(r.getAs[Int]("correct") ==
         (if (predLabel == q._2) 1 else 0))
+    }
+  }
+
+  test("t40 JSD is a bounded symmetric divergence and matches one driver pair") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.TextAnalysis.t40_jsd_drift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val j = r.getAs[Double]("jsd")
+      assert(j >= -1e-9 && j <= math.log(2) + 1e-9,
+        s"${r.getString(0)}-${r.getString(1)}: JSD in [0, ln 2]")
+      assert(r.getString(0) < r.getString(1), "canonical pair order")
+    }
+    // driver recompute for the first reported pair over the same top-K
+    val (sa, sb) = (rows.head.getString(0), rows.head.getString(1))
+    val toks = Tables.documents(spark, sf)
+      .select(col("source"), explode(
+        split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " "))
+        .as("tok"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val topK = toks.groupBy(_._2).view.mapValues(_.length).toSeq
+      .sortBy { case (t, n) => (-n, t) }.take(ops.TextAnalysis.JsdTopK)
+      .map(_._1).toSet
+    def dist(src: String): Map[String, Double] = {
+      val c = toks.filter(e => e._1 == src && topK(e._2))
+        .groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+      val tot = c.values.sum
+      c.view.mapValues(_ / tot).toMap
+    }
+    val (pa, pb) = (dist(sa), dist(sb))
+    val jsd = topK.toSeq.map { t =>
+      val (p, q) = (pa.getOrElse(t, 0.0), pb.getOrElse(t, 0.0))
+      val m = (p + q) / 2
+      (if (p > 0) p * math.log(p / m) else 0.0) / 2 +
+        (if (q > 0) q * math.log(q / m) else 0.0) / 2
+    }.sum
+    assert(math.abs(rows.head.getAs[Double]("jsd") - jsd) < 1e-3)
+  }
+
+  test("t41 TTR rollup equals the per-doc driver recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.TextAnalysis.t41_lexical_diversity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map { r =>
+        val ts = r.getString(1).trim.toLowerCase.split("\\s+").toSeq
+        (r.getString(0), ts.length.toLong, ts.distinct.length.toDouble / ts.length)
+      }.groupBy(_._1)
+    rows.foreach { r =>
+      val grp = docs(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") == grp.length.toLong)
+      assert(r.getAs[Long]("total_tokens") == grp.map(_._2).sum)
+      assert(math.abs(r.getAs[Double]("avg_ttr") -
+        grp.map(_._3).sum / grp.length) < 1e-3)
+      assert(r.getAs[Double]("min_ttr") <= r.getAs[Double]("avg_ttr") + 1e-9)
+      assert(r.getAs[Double]("avg_ttr") <= r.getAs[Double]("max_ttr") + 1e-9)
+    }
+  }
+
+  test("v26 embedding QA norms equal the driver per-row recompute") {
+    val rows = ops.Similarity.v26_embedding_qa(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val vecs = Tables.embeddings(spark, sf)
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0),
+        math.sqrt(r.getSeq[Float](1).map(x => x.toDouble * x.toDouble).sum)))
+      .groupBy(_._1)
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == vecs.values.map(_.length).sum)
+    rows.foreach { r =>
+      val grp = vecs(r.getAs[Int]("label")).map(_._2)
+      assert(r.getAs[Long]("n_vecs") == grp.length.toLong)
+      assert(math.abs(r.getAs[Double]("avg_norm") - grp.sum / grp.length) < 1e-3)
+      assert(math.abs(r.getAs[Double]("max_norm") - grp.max) < 1e-3)
+      assert(r.getAs[Long]("n_near_unit") ==
+        grp.count(n => n >= 0.99 && n <= 1.01).toLong)
+      assert(r.getAs[Long]("n_zero") == grp.count(_ == 0.0).toLong)
     }
   }
 }

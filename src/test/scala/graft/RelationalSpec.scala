@@ -954,4 +954,216 @@ class RelationalSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("r2") - sxy * sxy / (sxx * syy)) < 1e-5)
     assert(r.getAs[Long]("n") == xs.length.toLong)
   }
+
+  test("q76 Benford digits equal the integer-domain driver recompute") {
+    val prices = Tables.orders(spark, sf).select("o_totalprice")
+      .collect().map(_.getDouble(0))
+    val expect = prices
+      .map(p => math.round(p * 100).toString.charAt(0).asDigit)
+      .groupBy(identity).map { case (dg, v) => dg -> v.length.toLong }
+    val rows = ops.Relational.q76_benford(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == prices.length.toLong)
+    rows.foreach { r =>
+      val dg = r.getAs[Int]("digit")
+      assert(1 <= dg && dg <= 9)
+      assert(r.getAs[Long]("n") == expect(dg), s"digit $dg")
+      assert(math.abs(r.getAs[Double]("benford_p") -
+        math.log10(1 + 1.0 / dg)) < 1e-3)
+    }
+    // shares are a distribution
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-2)
+  }
+
+  test("q77 growth ratios derive from the rounded monthly revenue") {
+    val rows = ops.Relational.q77_yoy_growth(spark, sf).collect()
+      .map(r => (r.getAs[String]("month"), r.getAs[Double]("revenue"),
+        Option(r.getAs[java.lang.Double]("mom")), Option(r.getAs[java.lang.Double]("yoy"))))
+      .sortBy(_._1)
+    assert(rows.length > 12, "needs more than a year of months for YoY")
+    assert(rows.head._3.isEmpty && rows.head._4.isEmpty)
+    rows.sliding(2).foreach {
+      case Array((_, pr, _, _), (_, cr, Some(mom), _)) =>
+        val em = BigDecimal((cr - pr) / pr)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(mom - em) < 1e-9)
+      case _ => ()
+    }
+    for (i <- 12 until rows.length) {
+      val yoy = rows(i)._4.getOrElse(fail(s"missing yoy at ${rows(i)._1}"))
+      val e = BigDecimal((rows(i)._2 - rows(i - 12)._2) / rows(i - 12)._2)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(yoy - e) < 1e-9, s"yoy at ${rows(i)._1}")
+    }
+  }
+
+  test("q78 bucketed AUC equals the naive pairwise Mann-Whitney") {
+    import org.apache.spark.sql.functions._
+    val sv = Tables.events(spark, sf)
+      .select(col("value"), (col("event_type") === "purchase").cast("int"))
+      .collect().map(r => (r.getDouble(0), r.getInt(1)))
+    val pos = sv.filter(_._2 == 1).map(_._1)
+    val neg = sv.filter(_._2 == 0).map(_._1)
+    var u = 0.0
+    for (p <- pos; n <- neg)
+      u += (if (p > n) 1.0 else if (p == n) 0.5 else 0.0)
+    val expect = u / (pos.length.toDouble * neg.length.toDouble)
+    val r = ops.Relational.q78_auc(spark, sf).collect().head
+    assert(r.getAs[Long]("n_pos") == pos.length.toLong)
+    assert(r.getAs[Long]("n_neg") == neg.length.toLong)
+    assert(math.abs(r.getAs[Double]("auc") - expect) < 1e-6,
+      s"auc ${r.getAs[Double]("auc")} vs naive $expect")
+  }
+
+  test("q79 Kaplan-Meier curve equals the driver product-limit fold") {
+    import org.apache.spark.sql.functions._
+    val lives = Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("fd"), max(to_date(col("ts"))).as("ld"))
+      .collect().map(r => (r.getDate(1).toLocalDate, r.getDate(2).toLocalDate))
+    val mxd = lives.map(_._2).max
+    val durs = lives.map { case (fd, ld) =>
+      (java.time.temporal.ChronoUnit.DAYS.between(fd, ld),
+        ld.isBefore(mxd.minusDays(ops.Relational.SurvivalCensorDays - 1)))
+    }
+    val byDur = durs.groupBy(_._1).toSeq.sortBy(_._1)
+    var atRisk = durs.length.toLong
+    var s0 = 1.0
+    val expect = byDur.map { case (t, grp) =>
+      val deaths = grp.count(_._2).toLong
+      val row = (t, grp.length.toLong, deaths, atRisk)
+      s0 *= (1.0 - deaths.toDouble / atRisk)
+      val out = (row, s0)
+      atRisk -= grp.length
+      out
+    }
+    val got = ops.Relational.q79_survival(spark, sf).collect()
+    assert(got.length == expect.length && got.nonEmpty)
+    got.zip(expect).foreach { case (r, ((t, ne, de, ar), surv)) =>
+      assert(r.getAs[Long]("t_days") == t)
+      assert(r.getAs[Long]("n_ending") == ne)
+      assert(r.getAs[Long]("deaths") == de)
+      assert(r.getAs[Long]("at_risk") == ar)
+      assert(math.abs(r.getAs[Double]("survival") - surv) < 1e-3,
+        s"S($t): ${r.getAs[Double]("survival")} vs $surv")
+    }
+    // the curve is monotone non-increasing from 1
+    val ss = got.map(_.getAs[Double]("survival"))
+    assert(ss.head <= 1.0 + 1e-9)
+    ss.sliding(2).foreach { case Array(a, b) => assert(b <= a + 1e-9); case _ => () }
+  }
+
+  test("q80 per-brand elasticity equals the closed-form grouped slope") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Relational.q80_price_elasticity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val raw = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("l_extendedprice"), col("l_quantity"))
+      .collect()
+      .map(r => (r.getString(0),
+        math.log(r.getDouble(1) / r.getDouble(2)), math.log(r.getDouble(2))))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val brand = r.getAs[String]("p_brand")
+      val pts = raw(brand).map(p => (p._2, p._3))
+      val n = pts.length.toDouble
+      val mx = pts.map(_._1).sum / n
+      val my = pts.map(_._2).sum / n
+      val sxy = pts.map(p => (p._1 - mx) * (p._2 - my)).sum
+      val sxx = pts.map(p => (p._1 - mx) * (p._1 - mx)).sum
+      assert(r.getAs[Long]("n") == pts.length.toLong)
+      assert(math.abs(r.getAs[Double]("elasticity") - sxy / sxx) < 1e-3,
+        s"brand $brand")
+    }
+  }
+
+  test("q81 ANOVA equals the driver two-pass recompute") {
+    import org.apache.spark.sql.functions._
+    val spend = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_custkey"), col("c_mktsegment"))
+      .agg(sum("o_totalprice").as("spend"))
+      .collect().map(r => (r.getString(1), r.getDouble(2)))
+    val groups = spend.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val n = spend.length.toDouble
+    val k = groups.size.toDouble
+    val m = spend.map(_._2).sum / n
+    val ssb = groups.values.map(g =>
+      g.length * math.pow(g.sum / g.length - m, 2)).sum
+    val ssw = groups.values.map(g => {
+      val mg = g.sum / g.length; g.map(x => math.pow(x - mg, 2)).sum
+    }).sum
+    val f = (ssb / (k - 1)) / (ssw / (n - k))
+    val r = ops.Relational.q81_anova(spark, sf).collect().head
+    assert(r.getAs[Long]("k") == k.toLong)
+    assert(r.getAs[Long]("n") == n.toLong)
+    assert(math.abs(r.getAs[Double]("f_stat") - f) < 1e-3)
+    assert(math.abs(r.getAs[Double]("eta_sq") - ssb / (ssb + ssw)) < 1e-5)
+  }
+
+  test("q82 gap histogram is a distribution over driver-recomputed gaps") {
+    import org.apache.spark.sql.functions._
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"), col("o_orderkey"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val gaps = orders.groupBy(_._1).values.flatMap { g =>
+      g.sortBy(e => (e._2.toEpochDay, e._3)).sliding(2).collect {
+        case Array(a, b) =>
+          java.time.temporal.ChronoUnit.DAYS.between(a._2, b._2) / 7
+      }
+    }.toSeq
+    val expect = gaps.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rows = ops.Relational.q82_interpurchase(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_gaps")).sum == gaps.length.toLong)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_gaps") == expect(r.getAs[Long]("gap_weeks")))
+    }
+    assert(math.abs(rows.map(_.getAs[Double]("pct")).sum - 1.0) < 1e-2)
+  }
+
+  test("q83 backtest scores both models on the same day support") {
+    val rows = ops.Relational.q83_forecast_eval(spark, sf).collect()
+    assert(rows.length == 2)
+    val byModel = rows.map(r => r.getAs[String]("model") -> r).toMap
+    assert(byModel.keySet == Set("naive", "snaive7"))
+    // same support, positive errors, RMSE ≥ MAE (Jensen)
+    assert(byModel("naive").getAs[Long]("n_days") ==
+      byModel("snaive7").getAs[Long]("n_days"))
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mae") >= 0 && r.getAs[Double]("mape") >= 0)
+      assert(r.getAs[Double]("rmse") >= r.getAs[Double]("mae") - 1e-9)
+    }
+  }
+
+  test("q84 conversion profile equals the driver first-view/first-purchase fold") {
+    import org.apache.spark.sql.functions._
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = evs.groupBy(_._1)
+    val delays = byUser.values.flatMap { g =>
+      val views = g.filter(_._2 == "view")
+      if (views.isEmpty) None
+      else {
+        val fv = views.map(_._3).min
+        val after = g.filter(e => e._2 == "purchase" && e._3 > fv).map(_._3)
+        Some(if (after.isEmpty) None
+          else Some((after.min - fv) / 3600000000.0))
+      }
+    }.toSeq
+    val r = ops.Relational.q84_time_to_convert(spark, sf).collect().head
+    assert(r.getAs[Long]("n_viewers") == delays.length.toLong)
+    assert(r.getAs[Long]("n_converted") == delays.count(_.isDefined).toLong)
+    val conv = delays.flatten.toArray.sorted
+    def pct(q: Double): Double = {
+      val pos = q * (conv.length - 1)
+      val lo = pos.toInt
+      if (lo == conv.length - 1) conv(lo)
+      else conv(lo) + (pos - lo) * (conv(lo + 1) - conv(lo))
+    }
+    assert(math.abs(r.getAs[Double]("p50_h") - pct(0.5)) < 0.02)
+    assert(math.abs(r.getAs[Double]("p90_h") - pct(0.9)) < 0.02)
+    assert(r.getAs[Double]("p25_h") <= r.getAs[Double]("p50_h"))
+    assert(r.getAs[Double]("p75_h") <= r.getAs[Double]("p90_h"))
+  }
 }

@@ -597,4 +597,19 @@ class SourcesSpec extends AnyFunSuite {
     assert(byStatus.exists { case (k, v) => k != "F" && v > 0 },
       "non-F statuses must retain stripe rows — otherwise the DV deleted too much")
   }
+
+  test("x30 rollback restores v1 exactly and is metadata-only") {
+    val rows = graft.sources.SourceSinks.x30_snapshot_rollback(spark, sf)
+      .collect().sortBy(_.getAs[Int]("version"))
+    assert(rows.length == 3)
+    val Array(v1, v2, v3) = rows
+    // rollback target ≡ original content
+    assert(v3.getAs[Long]("n_rows") == v1.getAs[Long]("n_rows"))
+    assert(v3.getAs[Double]("sum_price") == v1.getAs[Double]("sum_price"))
+    // the rewrite actually changed v2 (the rollback is not vacuous)
+    assert(v2.getAs[Double]("sum_price") > v1.getAs[Double]("sum_price"))
+    // only the rollback commit reuses an earlier fileset list wholesale
+    assert(rows.map(_.getAs[Int]("is_rollback")).toSeq == Seq(0, 0, 1))
+    rows.foreach(r => assert(r.getAs[Long]("n_filesets") == 2L))
+  }
 }

@@ -217,6 +217,53 @@ class StreamingSpec extends AnyFunSuite {
       "late batches must re-weight the whole smoothed series")
   }
 
+  test("s29 streaming gap fill equals the batch q60 row for row") {
+    val got = StreamingQueries.s29_stream_gap_fill(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val exp = ops.Relational.q60_gap_fill(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == exp,
+      "streamed day-map fold + spine rebuild must match the batch gap fill")
+  }
+
+  test("s25 splice state is horizon-bounded and beyond-horizon events drop") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_s25spec")
+    try {
+      // user 0: 11 early events (us 0..100), 11 much-later events
+      // (us 10000..10100), then a beyond-horizon straggler at us=5
+      val early = (0 until 11).map(i => (i.toLong, 0L,
+        Seq("view", "click", "purchase")(i % 3), i * 10L))
+      val late = (0 until 11).map(i => (100L + i, 0L,
+        Seq("click", "view")(i % 2), 10000L + i * 10L))
+      val straggler = Seq((999L, 0L, "purchase", 5L))
+      Seq(early, late, straggler).zipWithIndex.foreach { case (b, i) =>
+        sources.SourceSinks.landSingleParquet(
+          b.toDF("event_id", "user_id", "event_type", "us"),
+          dir.resolve(f"b$i%02d.parquet"))
+      }
+      val H = 500L // horizon ≪ the 10000-us gap: early prefix finalizes
+      val em = StreamingQueries.streamTransitions(spark, dir.toString, H)
+        .collect().sortBy(_.getAs[Long]("seq"))
+      assert(em.length == 3)
+      val fin = em.last
+      // the straggler splices before the finalized boundary → dropped
+      assert(fin.getAs[Long]("n_dropped") == 1L)
+      // state holds only the in-horizon tail, not the 22-event history
+      assert(em.map(_.getAs[Int]("n_state")).max <= 11)
+      assert(fin.getAs[Int]("n_state") == 11)
+      // counts still equal the reference fold over the non-dropped events
+      val all = (early ++ late).sortBy(e => (e._4, e._1))
+      val expect = all.map(_._3).sliding(2).filter(_.size == 2)
+        .map(p => (p.head, p(1))).toSeq
+        .groupBy(identity).map { case ((a, b), v) => (a, b, v.size.toLong) }
+        .toSeq.sorted
+      val got = fin.getSeq[org.apache.spark.sql.Row](2)
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted
+      assert(got == expect)
+    } finally sources.SourceSinks.deleteDir(dir)
+  }
+
   test("s25 streaming transitions equal the batch q49 row for row") {
     val got = StreamingQueries.s25_stream_transitions(spark, sf)
       .collect().map(_.toSeq).toSeq
@@ -233,5 +280,14 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(got.nonEmpty && got == exp,
       "stateful per-user candidate fold must converge to the batch funnel")
+  }
+
+  test("s30 streaming Benford equals the batch q76 row for row") {
+    val got = StreamingQueries.s30_stream_benford(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val exp = ops.Relational.q76_benford(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == exp,
+      "streamed digit fold must match the batch first-digit profile")
   }
 }
