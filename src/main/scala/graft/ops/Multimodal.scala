@@ -1077,7 +1077,49 @@ object Multimodal {
       .orderBy("bucket", "batch_id")
   }
 
+  /** m12's shard byte budget (WebDataset-style tar-shard sizing — small
+    * here so the sf0.01 fixture exercises multi-shard packing; a real
+    * corpus uses ~1 GB shards, same arithmetic).
+    */
+  val MediaShardBudget = 1L << 12
+
+  // m12: MEDIA SHARD PACKING — the WebDataset/tar-shard builder: media
+  // records pack into fixed-byte-budget shards per content type, in
+  // deterministic doc_id order (m06 packs by TOKEN budget for training
+  // batches; shards are the STORAGE unit — sequential-read locality for
+  // the data loader). The running byte offset is a TWO-LEVEL prefix
+  // (q78's discipline, not one window per content type): block-local
+  // cumulative sums are fully parallel (4096-doc blocks), block offsets
+  // are a per-type prefix over the n/4096 block axis — no
+  // data-proportional single partition anywhere.
+  val m12_shard_pack: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sizes = mediaRecords(s, d)
+      .map(r => (r.doc_id, r.content_type, r.payload.length.toLong))
+      .toDF("doc_id", "content_type", "bytes")
+      .withColumn("blk", (col("doc_id") / 4096).cast("long"))
+    val wOff = Window.partitionBy("content_type").orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = sizes.groupBy(col("content_type"), col("blk"))
+      .agg(sum("bytes").as("bb"))
+      .withColumn("blk_off", coalesce(sum("bb").over(wOff), lit(0L)))
+      .select("content_type", "blk", "blk_off")
+    val wIn = Window.partitionBy("content_type", "blk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sizes
+      .withColumn("cum_in", coalesce(sum("bytes").over(wIn), lit(0L)))
+      .join(offs, Seq("content_type", "blk"))
+      .withColumn("shard",
+        ((col("blk_off") + col("cum_in")) / MediaShardBudget).cast("int"))
+      .groupBy(col("content_type"), col("shard"))
+      .agg(count(lit(1)).as("n_items"), sum("bytes").as("shard_bytes"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("content_type", "shard")
+  }
+
   val queries: Map[String, Q] = Map(
+    "m12_shard_pack" -> m12_shard_pack,
     "m11_batch_collate" -> m11_batch_collate,
     "m10_exif_walk" -> m10_exif_walk,
     "m09_patch_extract" -> m09_patch_extract,
@@ -1092,6 +1134,27 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    "m12_shard_pack" ->
+      s"""WITH m AS (
+        |  SELECT doc_id,
+        |    CASE substr(source, 4)::INT % 5
+        |      WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+        |      WHEN 2 THEN 'audio/wav' WHEN 3 THEN 'video/mp4'
+        |      ELSE 'application/octet-stream' END AS content_type,
+        |    octet_length(encode(text))
+        |      + CASE substr(source, 4)::INT % 5
+        |          WHEN 0 THEN 8 WHEN 1 THEN 3 WHEN 2 THEN 12 WHEN 3 THEN 12
+        |          ELSE 0 END AS bytes
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, coalesce(sum(bytes) OVER (
+        |    PARTITION BY content_type ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM m)
+        |SELECT content_type, (cum // ${MediaShardBudget})::INT AS shard,
+        |  count(*)::BIGINT AS n_items, sum(bytes)::BIGINT AS shard_bytes,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "m06_pair_pack" ->
       """WITH pairs AS (
         |  SELECT doc_id,

@@ -1976,7 +1976,53 @@ object Relational {
         round(expr("percentile(delay_h, 0.9)"), 2).as("p90_h"))
   }
 
+  /** q85's rank-bucket count (q78's distributed-rank discipline). */
+  val GiniBuckets = 64
+
+  // q85: GINI COEFFICIENT of customer spend — revenue-concentration
+  // inequality (q66's ABC tells you the top bands; Gini is the single
+  // scale-free number). Exact rank-sum WITHOUT a global sort, the q78
+  // machinery generalized: (bucket, value) cells from one keyed agg,
+  // within-bucket exclusive counts in a bucket-partitioned window,
+  // cross-bucket offsets on the B-row axis. A value v with count c and
+  // p predecessors contributes v·(c·p + c(c+1)/2) to Σ rank·x (ties are
+  // permutation-invariant, so cell order within equal values cannot
+  // matter). Total spend reports in EXACT integer cents (a 2dp-rounded
+  // double sum at 1e10 scale would be nondeterministic under parallel
+  // summation order); Gini itself is an O(1) ratio, 6dp-safe.
+  val q85_gini: Q = (s, d) => {
+    val spend = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum("o_totalprice").as("x"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val bounds = spend.agg(min("x").as("mn"), max("x").as("mx"))
+    val cells = spend.crossJoin(broadcast(bounds))
+      .withColumn("bucket", when(col("mx") > col("mn"),
+        least(floor((col("x") - col("mn")) /
+          ((col("mx") - col("mn")) / GiniBuckets)), lit(GiniBuckets - 1L)))
+        .otherwise(lit(0L)))
+      .groupBy(col("bucket"), col("x"))
+      .agg(count(lit(1)).as("c"), sum("cents").as("cc"))
+    val win = Window.partitionBy("bucket").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val off = cells.groupBy("bucket").agg(sum("c").as("bc"))
+      .withColumn("c_off", coalesce(sum("bc").over(wb), lit(0L)))
+    cells
+      .withColumn("below_in", coalesce(sum("c").over(win), lit(0L)))
+      .join(broadcast(off.select("bucket", "c_off")), Seq("bucket"))
+      .agg(
+        sum(col("x") * (col("c") * (col("c_off") + col("below_in")) +
+          col("c") * (col("c") + 1) / lit(2.0))).as("srx"),
+        sum("c").as("n"), sum(col("x") * col("c")).as("t"),
+        sum("cc").as("total_cents"))
+      .select(col("n").as("n_customers"), col("total_cents"),
+        round(lit(2.0) * col("srx") / (col("n") * col("t")) -
+          (col("n") + lit(1.0)) / col("n"), 6).as("gini"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q85_gini" -> q85_gini,
     "q84_time_to_convert" -> q84_time_to_convert,
     "q83_forecast_eval" -> q83_forecast_eval,
     "q82_interpurchase" -> q82_interpurchase,
@@ -2086,6 +2132,17 @@ object Relational {
       |FROM det JOIN se USING (wd) ORDER BY day""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q85_gini" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, sum(o_totalprice) AS x,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT x, cents, row_number() OVER (ORDER BY x) AS rn FROM spend)
+        |SELECT count(*)::BIGINT AS n_customers,
+        |  sum(cents)::BIGINT AS total_cents,
+        |  round(2.0 * sum(rn * x) / (count(*) * sum(x)) -
+        |    (count(*) + 1.0) / count(*), 6) AS gini
+        |FROM r""".stripMargin,
     "q84_time_to_convert" ->
       """WITH ev AS (
         |  SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS us FROM events),

@@ -1224,7 +1224,54 @@ object SourceSinks {
     materializeThenCleanup(s, out, dir)
   }
 
+  // x31: ORPHAN-FILE GC — the missing half of x18's vacuum: x18
+  // expires SNAPSHOTS the manifest knows about; orphan GC reclaims
+  // filesets the manifest never referenced (a failed commit's leftover
+  // write — the write-audit-publish failure mode x25 guards against).
+  // Listing is manifest-vs-directory set arithmetic (bounded metadata,
+  // one filesystem listing — at 100 TB this is the object-store LIST +
+  // anti-join against the manifest, never a data read); the lane
+  // deletes the orphan, then PROVES the referenced filesets survived
+  // intact by re-reading them, and that the orphan is gone.
+  val x31_orphan_gc: Q = (s, d) => {
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_orphan")
+    val orders = Tables.orders(s, d)
+    orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .write.mode("overwrite").parquet(s"$dir/A")
+    orders.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+      .write.mode("overwrite").parquet(s"$dir/B")
+    // the failed commit's leftover: written, never published
+    orders.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+      .write.mode("overwrite").parquet(s"$dir/C")
+    Seq("A", "B").toDF("fileset")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/manifest")
+    val referenced = s.read.parquet(s"$dir/manifest")
+      .collect().map(_.getString(0)).toSet // bounded metadata
+    import scala.jdk.CollectionConverters._
+    val onDisk = java.nio.file.Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).filter(_ != "manifest").toSeq.sorted
+    val preCounts = onDisk.map(f =>
+      f -> s.read.parquet(s"$dir/$f").count()).toMap
+    val orphans = onDisk.filterNot(referenced)
+    orphans.foreach(f => deleteDir(dir.resolve(f)))
+    // post-GC proof: referenced filesets re-read intact, orphans gone
+    val report = onDisk.map { f =>
+      val ref = referenced(f)
+      val alive = java.nio.file.Files.exists(dir.resolve(f))
+      if (ref) {
+        require(alive && s.read.parquet(s"$dir/$f").count() == preCounts(f),
+          s"GC touched referenced fileset $f")
+      } else require(!alive, s"orphan $f not reclaimed")
+      (f, preCounts(f), if (ref) 1 else 0, if (ref) 0 else 1)
+    }
+    val out = report.toDF("fileset", "n_rows", "referenced", "deleted")
+      .orderBy("fileset")
+    materializeThenCleanup(s, out, dir)
+  }
+
   val queries: Map[String, Q] = Map(
+    "x31_orphan_gc" -> x31_orphan_gc,
     "x30_snapshot_rollback" -> x30_snapshot_rollback,
     "x29_quality_constraints" -> x29_quality_constraints,
     "x28_partition_evolution" -> x28_partition_evolution,
@@ -1276,6 +1323,15 @@ object SourceSinks {
   }.mkString("", "\nUNION ALL\n", "\nORDER BY 1")
 
   val oracle: Map[String, String] = Map(
+    "x31_orphan_gc" ->
+      """SELECT 'A' AS fileset,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0)::BIGINT
+        |    AS n_rows, 1 AS referenced, 0 AS deleted
+        |UNION ALL SELECT 'B',
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 1)::BIGINT, 1, 0
+        |UNION ALL SELECT 'C',
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 5 = 0)::BIGINT, 0, 1
+        |ORDER BY fileset""".stripMargin,
     "x30_snapshot_rollback" ->
       """WITH v1 AS (
         |  SELECT count(*)::BIGINT AS n, round(sum(o_totalprice), 2) AS sp

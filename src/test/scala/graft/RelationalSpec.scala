@@ -1166,4 +1166,18 @@ class RelationalSpec extends AnyFunSuite {
     assert(r.getAs[Double]("p25_h") <= r.getAs[Double]("p50_h"))
     assert(r.getAs[Double]("p75_h") <= r.getAs[Double]("p90_h"))
   }
+
+  test("q85 bucketed Gini equals the sorted driver formula") {
+    import org.apache.spark.sql.functions._
+    val spend = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey")).agg(sum("o_totalprice").as("x"))
+      .collect().map(_.getDouble(1)).sorted
+    val n = spend.length.toDouble
+    val srx = spend.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+    val gini = 2.0 * srx / (n * spend.sum) - (n + 1.0) / n
+    val r = ops.Relational.q85_gini(spark, sf).collect().head
+    assert(r.getAs[Long]("n_customers") == spend.length.toLong)
+    assert(math.abs(r.getAs[Double]("gini") - gini) < 1e-6)
+    assert(r.getAs[Double]("gini") >= 0 && r.getAs[Double]("gini") < 1)
+  }
 }

@@ -612,4 +612,22 @@ class SourcesSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Int]("is_rollback")).toSeq == Seq(0, 0, 1))
     rows.foreach(r => assert(r.getAs[Long]("n_filesets") == 2L))
   }
+
+  test("x31 GC reclaims exactly the unreferenced fileset") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.sources.SourceSinks.x31_orphan_gc(spark, sf)
+      .collect().sortBy(_.getAs[String]("fileset"))
+    assert(rows.map(_.getAs[String]("fileset")).toSeq == Seq("A", "B", "C"))
+    val orders = Tables.orders(spark, sf)
+    val expect = Seq(
+      ("A", orders.filter(pmod(col("o_orderkey"), lit(2)) === 0).count(), 1, 0),
+      ("B", orders.filter(pmod(col("o_orderkey"), lit(2)) === 1).count(), 1, 0),
+      ("C", orders.filter(pmod(col("o_orderkey"), lit(5)) === 0).count(), 0, 1))
+    rows.zip(expect).foreach { case (r, (f, n, ref, del)) =>
+      assert(r.getAs[String]("fileset") == f)
+      assert(r.getAs[Long]("n_rows") == n, s"fileset $f rows")
+      assert(r.getAs[Int]("referenced") == ref)
+      assert(r.getAs[Int]("deleted") == del)
+    }
+  }
 }
