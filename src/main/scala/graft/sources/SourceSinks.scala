@@ -592,9 +592,9 @@ object SourceSinks {
       .withColumn("o_totalprice", col("o_totalprice") + 10.0)
       .write.mode("overwrite").parquet(s"$dir/C")
     Seq((1, "A"), (1, "B"), (2, "A"), (2, "C")).toDF("version", "fileset")
-      .repartition(1).write.mode("overwrite").parquet(s"$dir/_manifest")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/manifest")
     def readAsOf(v: Int): DataFrame = {
-      val filesets = s.read.parquet(s"$dir/_manifest")
+      val filesets = s.read.parquet(s"$dir/manifest")
         .filter(col("version") === v).select("fileset")
         .collect().map(_.getString(0)).sorted // bounded: manifest metadata
       s.read.parquet(filesets.map(f => s"$dir/$f"): _*)
@@ -666,18 +666,18 @@ object SourceSinks {
     // a failed commit's leftover fileset: written, never referenced
     orders.limit(100).write.mode("overwrite").parquet(s"$dir/D_orphan")
     Seq((1, "A"), (1, "B"), (2, "A"), (2, "C")).toDF("version", "fileset")
-      .repartition(1).write.mode("overwrite").parquet(s"$dir/_manifest")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/manifest")
     // EXPIRE v1: the manifest retains only the latest snapshot...
-    val retained = s.read.parquet(s"$dir/_manifest").filter(col("version") === 2)
+    val retained = s.read.parquet(s"$dir/manifest").filter(col("version") === 2)
     val live = retained.select("fileset").collect().map(_.getString(0)).toSet
-    retained.repartition(1).write.mode("overwrite").parquet(s"$dir/_manifest2")
-    deleteDir(Paths.get(s"$dir/_manifest"))
-    Files.move(Paths.get(s"$dir/_manifest2"), Paths.get(s"$dir/_manifest"))
+    retained.repartition(1).write.mode("overwrite").parquet(s"$dir/manifest2")
+    deleteDir(Paths.get(s"$dir/manifest"))
+    Files.move(Paths.get(s"$dir/manifest2"), Paths.get(s"$dir/manifest"))
     // ...VACUUM: GC every unreferenced top-level entry (B, D_orphan)
     val entries = Files.list(dir)
     val names = try entries.iterator().asScala.map(_.getFileName.toString).toSeq
       finally entries.close()
-    val dead = names.filterNot(n => live(n) || n == "_manifest").sorted
+    val dead = names.filterNot(n => live(n) || n == "manifest").sorted
     dead.foreach(n => deleteDir(Paths.get(s"$dir/$n")))
     val out = s.read.parquet(live.toSeq.sorted.map(f => s"$dir/$f"): _*)
       .agg(count(lit(1)).as("n_rows"),
@@ -740,8 +740,8 @@ object SourceSinks {
       .select(col("pk"), col("last_value"), col("last_ord"))
       .write.mode("overwrite").parquet(s"$dir/A")
     Seq((1, "A")).toDF("version", "fileset")
-      .repartition(1).write.mode("overwrite").parquet(s"$dir/_manifest_v1")
-    commit("_manifest_v1")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/manifest_v1")
+    commit("manifest_v1")
     val t2cut = batch2.filter(col("op") === "t")
       .agg(coalesce(max(col("lsn_long") * 2 + 1), lit(-1L)).as("t2max"))
     val delta = graft.cdc.Apply.state(batch2).select(
@@ -757,8 +757,8 @@ object SourceSinks {
         coalesce(col("d_ord"), col("last_ord")).as("last_ord"))
       .write.mode("overwrite").parquet(s"$dir/B")
     Seq((1, "A"), (2, "B")).toDF("version", "fileset")
-      .repartition(1).write.mode("overwrite").parquet(s"$dir/_manifest_v2")
-    commit("_manifest_v2")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/manifest_v2")
+    commit("manifest_v2")
     val live = s.read.parquet(currentManifest())
       .filter(col("version") === 2).select("fileset")
       .collect().map(_.getString(0)).sorted // bounded: manifest metadata
@@ -801,9 +801,9 @@ object SourceSinks {
         .withColumn("o_orderkey", col("o_orderkey") + 1000000000L))
       .write.mode("overwrite").parquet(s"$dir/C")
     Seq((1, "A"), (1, "B"), (2, "A"), (2, "C")).toDF("version", "fileset")
-      .repartition(1).write.mode("overwrite").parquet(s"$dir/_manifest")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/manifest")
     // manifest diff: bounded path metadata on the driver, like x16
-    def filesOf(v: Int): Set[String] = s.read.parquet(s"$dir/_manifest")
+    def filesOf(v: Int): Set[String] = s.read.parquet(s"$dir/manifest")
       .filter(col("version") === v).select("fileset")
       .collect().map(_.getString(0)).toSet
     val (v1, v2) = (filesOf(1), filesOf(2))

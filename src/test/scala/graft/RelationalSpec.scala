@@ -1180,4 +1180,32 @@ class RelationalSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("gini") - gini) < 1e-6)
     assert(r.getAs[Double]("gini") >= 0 && r.getAs[Double]("gini") < 1)
   }
+
+  test("q78/q85/m12 rank windows are partitioned; global windows post-agg only") {
+    val cases: Seq[(String, Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame])] =
+      Seq("q78_auc" -> ops.Relational.queries,
+        "q85_gini" -> ops.Relational.queries,
+        "m12_shard_pack" -> ops.Multimodal.queries)
+    for ((name, fam) <- cases) {
+      val df = fam(name)(spark, sf)
+      df.collect()
+      val nodes = PlanWalk.allNodes(df.queryExecution.executedPlan)
+      val windows = nodes.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty, s"$name: expected window operators")
+      windows.foreach { w =>
+        if (w.partitionSpec.isEmpty) {
+          // a global window may only run on a collapsed post-aggregate
+          // axis (bucket offsets: ≤64 rows), never over raw table rows
+          val hasAgg = PlanWalk.allNodes(w.child)
+            .exists(_.getClass.getSimpleName.contains("Aggregate"))
+          assert(hasAgg, s"$name: global window over raw rows")
+        }
+      }
+      // the distributed rank itself must be a PARTITIONED window
+      assert(windows.exists(_.partitionSpec.nonEmpty),
+        s"$name: no partitioned rank window")
+    }
+  }
 }

@@ -307,9 +307,9 @@ class SourcesSpec extends AnyFunSuite {
       assert(deleted == Seq("B", "D_orphan"),
         s"vacuum must GC the expired fileset and the orphan: $deleted")
       assert(remaining.contains("A") && remaining.contains("C") &&
-        remaining.contains("_manifest"))
+        remaining.contains("manifest"))
       // the expired version is gone from the manifest
-      val versions = spark.read.parquet(s"$dir/_manifest")
+      val versions = spark.read.parquet(s"$dir/manifest")
         .select("version").distinct().collect().map(_.getInt(0)).toSet
       assert(versions == Set(2))
       // and the surviving snapshot reads exactly like x16's v2
