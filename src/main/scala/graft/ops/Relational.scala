@@ -982,7 +982,14 @@ object Relational {
         col("monetary"))
       .groupBy(col("r_score"), col("f_score"), col("m_score"))
       .agg(count(lit(1)).as("n_customers"),
-        round(avg("monetary"), 2).as("avg_monetary"))
+        // monetary is an EXACT 2dp decimal (rounded upstream), so a cell
+        // average sits exactly on .xx5 half-boundaries whenever Σcents·2
+        // ≡ n — parallel-sum ulp noise then decides the rounding side
+        // differently per engine (bitten at sf1, cell row 22:
+        // 1602341.195). Integer-cents sum + ONE double division is
+        // order-independent and identically rounded on both engines.
+        round(sum(round(col("monetary") * 100).cast("long")) /
+          (lit(100.0) * count(lit(1))), 2).as("avg_monetary"))
       .orderBy("r_score", "f_score", "m_score")
   }
 
@@ -2591,7 +2598,8 @@ object Relational {
         |  1 + (monetary >= mb[1])::INT + (monetary >= mb[2])::INT
         |    + (monetary >= mb[3])::INT + (monetary >= mb[4])::INT AS m_score,
         |  count(*)::BIGINT AS n_customers,
-        |  round(avg(monetary), 2) AS avg_monetary
+        |  round(sum(CAST(round(monetary * 100) AS BIGINT)) /
+        |    (100.0 * count(*)), 2) AS avg_monetary
         |FROM per, b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q53_mad_outliers" ->
       """WITH spend AS (
