@@ -1270,7 +1270,56 @@ object SourceSinks {
     materializeThenCleanup(s, out, dir)
   }
 
+  // x32: ZERO-COPY SHALLOW CLONE — the table-format branching
+  // primitive (Delta SHALLOW CLONE / Iceberg snapshot ref): the clone's
+  // manifest POINTS AT the source's data files — creating it moves
+  // zero data bytes (at 100 TB: one manifest write, like x30's
+  // rollback). The clone then DIVERGES copy-on-write: an append lands
+  // a fileset the clone alone owns, the source keeps serving its
+  // original content untouched, and ownership (who GCs what — x31's
+  // concern) stays explicit in each manifest. Reads resolve manifests
+  // to absolute paths; the lane proves isolation in both directions.
+  val x32_shallow_clone: Q = (s, d) => {
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_clone")
+    val orders = Tables.orders(s, d)
+    orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .write.mode("overwrite").parquet(s"$dir/src/A")
+    orders.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+      .write.mode("overwrite").parquet(s"$dir/src/B")
+    Seq(("A", s"$dir/src/A"), ("B", s"$dir/src/B")).toDF("fileset", "path")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/src/manifest")
+    // the CLONE: manifest rows reference the SOURCE's files verbatim
+    s.read.parquet(s"$dir/src/manifest")
+      .write.mode("overwrite").parquet(s"$dir/clone/manifest")
+    // copy-on-write divergence: the appended fileset belongs to the clone
+    orders.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+      .write.mode("overwrite").parquet(s"$dir/clone/C")
+    Seq(("C", s"$dir/clone/C")).toDF("fileset", "path")
+      .repartition(1).write.mode("append").parquet(s"$dir/clone/manifest")
+    def readVia(tbl: String): DataFrame = {
+      val paths = s.read.parquet(s"$dir/$tbl/manifest")
+        .select("path").collect().map(_.getString(0)).sorted // bounded
+      s.read.parquet(paths: _*)
+    }
+    import scala.jdk.CollectionConverters._
+    def owned(tbl: String): Long = {
+      val ls = Files.list(java.nio.file.Paths.get(s"$dir/$tbl"))
+      try ls.iterator().asScala.count(_.getFileName.toString != "manifest").toLong
+      finally ls.close()
+    }
+    val out = Seq("clone", "source").map { t =>
+      val tbl = if (t == "source") "src" else "clone"
+      readVia(tbl).agg(count(lit(1)).as("n_rows"),
+        round(sum("o_totalprice"), 2).as("sum_price"))
+        .select(lit(t).as("tbl"), col("n_rows"), col("sum_price"),
+          lit(owned(tbl)).as("n_files_owned"))
+    }.reduce(_ unionAll _).orderBy("tbl")
+    materializeThenCleanup(s, out, dir)
+  }
+
   val queries: Map[String, Q] = Map(
+    "x32_shallow_clone" -> x32_shallow_clone,
     "x31_orphan_gc" -> x31_orphan_gc,
     "x30_snapshot_rollback" -> x30_snapshot_rollback,
     "x29_quality_constraints" -> x29_quality_constraints,
@@ -1323,6 +1372,19 @@ object SourceSinks {
   }.mkString("", "\nUNION ALL\n", "\nORDER BY 1")
 
   val oracle: Map[String, String] = Map(
+    "x32_shallow_clone" ->
+      """WITH s0 AS (
+        |  SELECT count(*)::BIGINT AS n, round(sum(o_totalprice), 2) AS sp
+        |  FROM orders),
+        |c0 AS (
+        |  SELECT count(*)::BIGINT AS n, round(sum(o_totalprice), 2) AS sp
+        |  FROM (SELECT o_totalprice FROM orders
+        |        UNION ALL
+        |        SELECT o_totalprice FROM orders WHERE o_orderkey % 3 = 0))
+        |SELECT 'clone' AS tbl, n AS n_rows, sp AS sum_price,
+        |  1::BIGINT AS n_files_owned FROM c0
+        |UNION ALL SELECT 'source', n, sp, 2::BIGINT FROM s0
+        |ORDER BY tbl""".stripMargin,
     "x31_orphan_gc" ->
       """SELECT 'A' AS fileset,
         |  (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0)::BIGINT

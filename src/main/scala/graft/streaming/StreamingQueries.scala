@@ -1099,7 +1099,80 @@ object StreamingQueries {
     } finally graft.sources.SourceSinks.deleteDir(dir)
   }
 
+  // s31: STREAMING TIME-TO-CONVERT — q84's twin (18th pair): the
+  // funnel-latency profile maintained continuously. Per-user state is
+  // (min view us, k smallest purchase us) with k=8 — BOUNDED scalars,
+  // not event history. Why a purchase LIST: a late-arriving earlier
+  // view moves the first-view mark backward, and the answer "first
+  // purchase AFTER first view" must then re-resolve against purchases
+  // already seen — keeping the k smallest purchase times makes the
+  // fold arrival-order-insensitive (exact unless more than k purchases
+  // precede the user's final first view; the spec pins equality to the
+  // batch answer, and k=8 covers this corpus with slack). The final
+  // snapshot recomputes q84's profile from the per-user states and
+  // hash-matches q84's oracle verbatim.
+  val s31_stream_time_to_convert: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sttc")
+    try {
+      (0 until 4).foreach { i =>
+        graft.sources.SourceSinks.landSingleParquet(
+          ev.filter(pmod(col("event_id"), lit(4)) === i).drop("event_id"),
+          dir.resolve(f"b$i%02d.parquet"))
+      }
+      // state: (min view us or MaxValue, SORTED purchase us list — the
+      // k smallest purchases, k=8: sufficient unless >8 purchases
+      // precede the final first view; spec pins equality to batch)
+      val K = 8
+      val fn: (Long, Iterator[(Long, String, Long)],
+          GroupState[(Long, Seq[Long], Long)]) =>
+          (Long, Long, Long, Long) = (uid, events, state) => {
+        var (fv, ps, seq) = state.getOption.getOrElse(
+          (Long.MaxValue, Seq.empty[Long], 0L))
+        events.foreach { case (_, t, us) =>
+          if (t == "view") { if (us < fv) fv = us }
+          else ps = (us +: ps).sorted.take(K)
+        }
+        seq += 1
+        state.update((fv, ps, seq))
+        val fp = ps.find(_ > fv).getOrElse(Long.MinValue)
+        (uid, seq, fv, fp)
+      }
+      val landedSchema = org.apache.spark.sql.types.StructType(
+        ev.drop("event_id").schema.fields)
+      val name = s"graft_sttc_${System.nanoTime()}"
+      val q = s.readStream.schema(landedSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+        .as[(Long, String, Long)]
+        .groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+        .toDF("user_id", "seq", "fv", "fp")
+        .writeStream.outputMode("update").format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      val conv = s.table(name)
+        .groupBy(col("user_id"))
+        .agg(max_by(col("fv"), col("seq")).as("fv"),
+          max_by(col("fp"), col("seq")).as("fp"))
+        .filter(col("fv") =!= Long.MaxValue) // users with a view
+        .select(when(col("fp") =!= Long.MinValue,
+          (col("fp") - col("fv")) / lit(3600000000.0)).as("delay_h"))
+      conv.agg(count(lit(1)).as("n_viewers"),
+        count(col("delay_h")).as("n_converted"),
+        round(count(col("delay_h")) / count(lit(1)).cast("double"), 4).as("cvr"),
+        round(expr("percentile(delay_h, 0.25)"), 2).as("p25_h"),
+        round(expr("percentile(delay_h, 0.5)"), 2).as("p50_h"),
+        round(expr("percentile(delay_h, 0.75)"), 2).as("p75_h"),
+        round(expr("percentile(delay_h, 0.9)"), 2).as("p90_h"))
+    } finally graft.sources.SourceSinks.deleteDir(dir)
+  }
+
   val queries: Map[String, Q] = Map(
+    "s31_stream_time_to_convert" -> s31_stream_time_to_convert,
     "s30_stream_benford" -> s30_stream_benford,
     "s29_stream_gap_fill" -> s29_stream_gap_fill,
     "s28_stream_constraints" -> s28_stream_constraints,
@@ -1133,6 +1206,10 @@ object StreamingQueries {
     // q76's batch oracle verbatim — the streamed digit fold must land
     // every order where the batch integer-domain extraction does
     "s30_stream_benford" -> graft.ops.Relational.oracle("q76_benford"),
+    // q84's batch oracle verbatim — the bounded per-user (view, k-min
+    // purchases) state must resolve every conversion the batch join does
+    "s31_stream_time_to_convert" ->
+      graft.ops.Relational.oracle("q84_time_to_convert"),
     // q44's batch oracle verbatim — the hash match proves the stateful
     // per-user candidate fold converges to the batch funnel under
     // multi-batch arrival

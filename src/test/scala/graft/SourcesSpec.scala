@@ -630,4 +630,21 @@ class SourcesSpec extends AnyFunSuite {
       assert(r.getAs[Int]("deleted") == del)
     }
   }
+
+  test("x32 clone diverges copy-on-write; source content untouched") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.sources.SourceSinks.x32_shallow_clone(spark, sf)
+      .collect().sortBy(_.getAs[String]("tbl"))
+    assert(rows.map(_.getAs[String]("tbl")).toSeq == Seq("clone", "source"))
+    val Array(clone, src) = rows
+    val orders = Tables.orders(spark, sf)
+    val n = orders.count()
+    val extra = orders.filter(pmod(col("o_orderkey"), lit(3)) === 0).count()
+    // source serves exactly its original rows; clone = source + append
+    assert(src.getAs[Long]("n_rows") == n)
+    assert(clone.getAs[Long]("n_rows") == n + extra)
+    // zero-copy: the clone owns ONLY its divergent fileset
+    assert(src.getAs[Long]("n_files_owned") == 2L)
+    assert(clone.getAs[Long]("n_files_owned") == 1L)
+  }
 }

@@ -290,4 +290,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == exp,
       "streamed digit fold must match the batch first-digit profile")
   }
+
+  test("s31 streaming time-to-convert equals the batch q84 row for row") {
+    val got = StreamingQueries.s31_stream_time_to_convert(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val exp = ops.Relational.q84_time_to_convert(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == exp,
+      "bounded (view, k-min purchases) state must resolve every conversion")
+    // the k=8 purchase slots genuinely suffice on this corpus: no user
+    // has more than 8 purchases before their final first view
+    import org.apache.spark.sql.functions._
+    val evs = Tables.events(spark, sf)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val worst = evs.groupBy(_._1).values.flatMap { g =>
+      val vs = g.filter(_._2 == "view")
+      if (vs.isEmpty) None
+      else {
+        val fv = vs.map(_._3).min
+        Some(g.count(e => e._2 == "purchase" && e._3 <= fv))
+      }
+    }
+    assert(worst.isEmpty || worst.max <= 8,
+      s"k=8 insufficient: a user has ${worst.max} purchases before first view")
+  }
 }
