@@ -1443,7 +1443,39 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** v27's prefix-dimension tiers (full dim last — its recall is the
+    * 1.0 anchor proving the tiers share the exact pipeline).
+    */
+  val MatryoshkaTiers = Seq(8, 16, 32, 64)
+
+  // v27: MATRYOSHKA DIMENSION-TRUNCATION EVALUATION — the third Pareto
+  // axis of ANN cost (v18 sweeps probe width, v22 sweeps quantization;
+  // this sweeps PREFIX DIMENSIONALITY, the MRL trade: embeddings
+  // trained so prefixes are usable sub-embeddings). Per tier: brute
+  // top-10 by cosine over the sliced prefix (cosine rounds to 6dp
+  // BEFORE selection, ties by vec_id — v01's engine-identical cut),
+  // recall@10 against the full-dim exact answer. Each tier is one
+  // data-proportional broadcast-join pass; the collected id lists are
+  // top-k bounded.
+  val v27_matryoshka_eval: Q = (s, d) => {
+    import s.implicits._
+    val full = v01_knn_brute(s, d).collect().map(_.getLong(0)).toSet
+    val e = Tables.embeddings(s, d)
+    MatryoshkaTiers.map { t =>
+      val trunc = e.withColumn("te", slice(col("embedding"), 1, t))
+      val qv = trunc.filter(col("vec_id") === 0).select(col("te").as("qe"))
+      val ids = trunc.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"),
+          round(Vec.cosine(col("te"), col("qe")), 6).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10).collect().map(_.getLong(0))
+      (t, t * 4, ids.count(full).toDouble / 10.0)
+    }.toDF("dims", "bytes_per_vec", "recall_at_10").orderBy("dims")
+  }
+
   val queries: Map[String, Q] = Map(
+    "v27_matryoshka_eval" -> v27_matryoshka_eval,
     "v26_embedding_qa" -> v26_embedding_qa,
     "v25_pca_whitening" -> v25_pca_whitening,
     "v24_mutual_knn" -> v24_mutual_knn,
@@ -1474,6 +1506,31 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "v27_matryoshka_eval" -> {
+      val full =
+        """full10 AS (
+          |  SELECT b.vec_id FROM embeddings b
+          |  WHERE b.vec_id <> 0
+          |  ORDER BY round(list_cosine_similarity(b.embedding::DOUBLE[],
+          |    (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 6)
+          |    DESC, vec_id LIMIT 10)""".stripMargin
+      val tiers = MatryoshkaTiers.map { t =>
+        s"""t$t AS (
+           |  SELECT b.vec_id FROM embeddings b
+           |  WHERE b.vec_id <> 0
+           |  ORDER BY round(list_cosine_similarity(b.embedding[1:$t]::DOUBLE[],
+           |    (SELECT embedding[1:$t] FROM embeddings
+           |     WHERE vec_id = 0)::DOUBLE[]), 6) DESC, vec_id LIMIT 10)"""
+          .stripMargin
+      }.mkString(",\n")
+      val rows = MatryoshkaTiers.map { t =>
+        s"""SELECT $t AS dims, ${t * 4} AS bytes_per_vec,
+           |  (SELECT count(*) FROM t$t
+           |   WHERE vec_id IN (SELECT vec_id FROM full10)) / 10.0
+           |    AS recall_at_10""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"WITH $full,\n$tiers\n$rows\nORDER BY dims"
+    },
     "v26_embedding_qa" ->
       """WITH n AS (
         |  SELECT label,

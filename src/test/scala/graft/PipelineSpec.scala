@@ -2363,4 +2363,35 @@ class PipelineSpec extends AnyFunSuite {
       assert(multi.nonEmpty, "budget too large to exercise packing")
     }
   }
+
+  test("v27 Matryoshka recall is anchored at full dim and sane per tier") {
+    val rows = ops.Similarity.v27_matryoshka_eval(spark, sf)
+      .collect().sortBy(_.getAs[Int]("dims"))
+    assert(rows.map(_.getAs[Int]("dims")).toSeq ==
+      ops.Similarity.MatryoshkaTiers)
+    // the full-dim tier IS the exact answer — recall exactly 1.0
+    assert(rows.last.getAs[Double]("recall_at_10") == 1.0)
+    rows.foreach { r =>
+      val rec = r.getAs[Double]("recall_at_10")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getAs[Int]("bytes_per_vec") == r.getAs[Int]("dims") * 4)
+    }
+    // driver recompute for the 8-dim tier
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).take(8).map(_.toDouble).toArray))
+    val q = vecs.find(_._1 == 0L).get._2
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d0 = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d0 += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d0 / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val top8 = vecs.filter(_._1 != 0L)
+      .map { case (id, v) => (id, math.rint(cos(v, q) * 1e6) / 1e6) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    val full = ops.Similarity.v01_knn_brute(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.head.getAs[Double]("recall_at_10") ==
+      top8.intersect(full).size / 10.0)
+  }
 }
