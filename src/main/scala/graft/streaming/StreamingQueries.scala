@@ -611,7 +611,14 @@ object StreamingQueries {
           ev.filter(pmod(col("event_id"), lit(4)) === i).drop("event_id"),
           dir.resolve(f"b$i%02d.parquet"))
       }
-      // state: (tv, clicks, purchases, seq)
+      // state: (tv, k-min clicks, k-min purchases, seq) — BOUNDED per
+      // user (round-9 caveat closed the s31 way): the funnel needs the
+      // min click after tv and the min purchase after that click, and
+      // since a late view can only move tv EARLIER, both answers live
+      // in the k smallest timestamps — exact unless >k clicks (resp.
+      // purchases) precede the user's final anchor, which the spec
+      // pins against the batch funnel with corpus margin.
+      val K = 8
       val fn: (Long, Iterator[(Long, String, Long)],
           GroupState[(Long, Seq[Long], Seq[Long], Long)]) =>
           (Long, Int, Long) = (uid, events, state) => {
@@ -620,8 +627,8 @@ object StreamingQueries {
         events.foreach { case (_, t, us) =>
           t match {
             case "view" => if (us < tv) tv = us
-            case "click" => clicks +:= us
-            case "purchase" => purchases +:= us
+            case "click" => clicks = (us +: clicks).sorted.take(K)
+            case "purchase" => purchases = (us +: purchases).sorted.take(K)
             case _ => ()
           }
         }

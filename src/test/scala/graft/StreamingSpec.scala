@@ -280,6 +280,29 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(got.nonEmpty && got == exp,
       "stateful per-user candidate fold must converge to the batch funnel")
+    // the k=8 candidate slots genuinely suffice: no user has more than
+    // 8 clicks before their final first view (resp. purchases before
+    // their anchor click) — the bound under which the k-min state is
+    // exact
+    import org.apache.spark.sql.functions._
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val W = 6L * 3600 * 1000000
+    val worst = evs.groupBy(_._1).values.flatMap { g =>
+      val vs = g.filter(_._2 == "view")
+      if (vs.isEmpty) None
+      else {
+        val tv = vs.map(_._3).min
+        val before = g.count(e => e._2 == "click" && e._3 <= tv)
+        val inW = g.filter(e => e._2 == "click" && e._3 > tv && e._3 <= tv + W)
+        val pBefore = if (inW.isEmpty) 0
+          else g.count(e => e._2 == "purchase" && e._3 <= inW.map(_._3).min)
+        Some(math.max(before, pBefore))
+      }
+    }
+    assert(worst.isEmpty || worst.max <= 8,
+      s"k=8 insufficient for s24: margin ${worst.max}")
   }
 
   test("s30 streaming Benford equals the batch q76 row for row") {
