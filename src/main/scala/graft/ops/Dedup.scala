@@ -349,15 +349,24 @@ object Dedup {
     * the component minimum. Throws if the round bound is hit before the
     * fixpoint. The final labels stay cached (the caller consumes them);
     * pairs/edges caches are dropped on exit.
+    *
+    * Each round's label table is localCheckpoint-ed, not merely persisted:
+    * `labels` enters the round twice (the propagation join and the union)
+    * and `l1` twice more in the pointer-jump self-join, so without lineage
+    * truncation the logical plan DOUBLES per round — cached data, 2^rounds
+    * plan. At sf5, d10's component graph needed enough rounds to push the
+    * plan string past 2 GB and stall the dump on plan serialization alone.
     */
   private def ccClusters(pairsIn: DataFrame, pointerJump: Boolean,
       maxIter: Int): DataFrame =
     ccClustersWithCache(pairsIn, pointerJump, maxIter)._1
 
-  /** ccClusters plus the underlying cached label table, for callers that
-    * re-materialize the output (d09's localCheckpoint) and must release
-    * the cache themselves — unpersisting the returned SELECT would not
-    * drop the cached plan beneath it.
+  /** ccClusters plus the underlying materialized label table, for callers
+    * that re-materialize the output (d09's localCheckpoint) and want the
+    * handle to the blocks beneath the returned SELECT. The per-round
+    * tables are localCheckpoint-ed, so `unpersist()` on the handle is
+    * best-effort — orphaned round blocks are released by the
+    * ContextCleaner once unreferenced.
     */
   private def ccClustersWithCache(pairsIn: DataFrame, pointerJump: Boolean,
       maxIter: Int): (DataFrame, DataFrame) = {
@@ -365,7 +374,7 @@ object Dedup {
     val edges = pairs.union(pairs.select(col("d2"), col("d1")))
       .toDF("src", "dst").persist()
     var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("rep", col("node")).persist()
+      .withColumn("rep", col("node")).localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -380,7 +389,7 @@ object Dedup {
             col("a.rep") === col("jn"))
           .select(col("a.node").as("node"),
             least(col("a.rep"), col("jrep")).as("rep"))
-      val next = stepped.persist()
+      val next = stepped.localCheckpoint()
       changed = next.join(labels.withColumnRenamed("rep", "old"), "node")
         .filter(col("rep") =!= col("old")).count()
       labels.unpersist()
