@@ -2028,7 +2028,75 @@ object Relational {
           (col("n") + lit(1.0)) / col("n"), 6).as("gini"))
   }
 
+  // q86: THEIL T INDEX of customer spend with BETWEEN/WITHIN-nation
+  // decomposition — the inequality number q85's Gini cannot give you:
+  // Theil is additively decomposable, so "how much of the concentration
+  // is nations being rich/poor vs inequality inside each nation" falls
+  // out of the same pass. Per-group sufficient statistics only
+  // (n_g, Σx, Σx·ln x): T_g = Σx·ln x/Σx − ln μ_g needs no second scan,
+  // and the global terms ride a 25-row broadcast axis. All outputs are
+  // scale-free ratios of like-magnitude sums (non-terminating logs →
+  // 6dp boundary landings measure-zero under parallel-sum ulp noise).
+  val q86_theil: Q = (s, d) => {
+    val spend = Tables.orders(s, d).groupBy(col("o_custkey"))
+      .agg(sum("o_totalprice").as("x"))
+    val byNation = spend
+      .join(Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey")), "o_custkey")
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("c_nationkey"), col("n_name"))), "c_nationkey")
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), sum("x").as("t"),
+        sum(col("x") * log(col("x"))).as("sxl"))
+    val global = byNation.agg(sum("t").as("gt"), sum("n_customers").as("gn"))
+    byNation.crossJoin(broadcast(global))
+      .select(col("n_name"), col("n_customers"),
+        round(col("t") / col("gt"), 6).as("share"),
+        round(col("sxl") / col("t") - log(col("t") / col("n_customers")), 6)
+          .as("theil_within"),
+        round((col("t") / col("gt")) *
+          log((col("t") / col("n_customers")) / (col("gt") / col("gn"))), 6)
+          .as("between_term"))
+      .orderBy("n_name")
+  }
+
+  // q87: MARKET-CONCENTRATION PROFILE — per customer-nation market, the
+  // Herfindahl-Hirschman index and 4-firm concentration ratio of
+  // supplier revenue shares. Revenue aggregates once to the
+  // (market, supplier) key — the only data-proportional shuffle — then
+  // HHI is a share-squared sum per market and CR4 a top-4 rank window
+  // PARTITIONED BY MARKET (never global), suppkey tie-break for a
+  // deterministic rank; equal-revenue ties can swap rank but not the
+  // top-4 revenue SUM, so cr4 is order-noise-proof. Ratios only in the
+  // output; the raw double revenue never meets a round().
+  val q87_hhi: Q = (s, d) => {
+    val rev = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("r"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        "o_orderkey")
+      .join(Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey")), "o_custkey")
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("c_nationkey"), col("n_name"))), "c_nationkey")
+      .groupBy(col("n_name"), col("l_suppkey"))
+      .agg(sum("r").as("rev"))
+    val rk = row_number().over(
+      Window.partitionBy("n_name").orderBy(col("rev").desc, col("l_suppkey")))
+    rev.withColumn("rk", rk)
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"), sum("rev").as("t"),
+        sum(col("rev") * col("rev")).as("ss"),
+        sum(when(col("rk") <= 4, col("rev")).otherwise(lit(0.0))).as("top4"))
+      .select(col("n_name"), col("n_suppliers"),
+        round(col("ss") / (col("t") * col("t")), 6).as("hhi"),
+        round(col("top4") / col("t"), 6).as("cr4"))
+      .orderBy("n_name")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q87_hhi" -> q87_hhi,
+    "q86_theil" -> q86_theil,
     "q85_gini" -> q85_gini,
     "q84_time_to_convert" -> q84_time_to_convert,
     "q83_forecast_eval" -> q83_forecast_eval,
@@ -2139,6 +2207,39 @@ object Relational {
       |FROM det JOIN se USING (wd) ORDER BY day""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q86_theil" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, sum(o_totalprice) AS x FROM orders GROUP BY 1),
+        |g AS (
+        |  SELECT n_name, count(*)::BIGINT AS n_customers, sum(x) AS t,
+        |    sum(x * ln(x)) AS sxl
+        |  FROM spend
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation ON n_nationkey = c_nationkey
+        |  GROUP BY 1),
+        |tot AS (SELECT sum(t) AS gt, sum(n_customers) AS gn FROM g)
+        |SELECT n_name, n_customers,
+        |  round(t / gt, 6) AS share,
+        |  round(sxl / t - ln(t / n_customers), 6) AS theil_within,
+        |  round((t / gt) * ln((t / n_customers) / (gt / gn)), 6) AS between_term
+        |FROM g, tot ORDER BY n_name""".stripMargin,
+    "q87_hhi" ->
+      """WITH rev AS (
+        |  SELECT n_name, l_suppkey,
+        |    sum(l_extendedprice * (1 - l_discount)) AS rev
+        |  FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation ON n_nationkey = c_nationkey
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY n_name ORDER BY rev DESC, l_suppkey) AS rk
+        |  FROM rev)
+        |SELECT n_name, count(*)::BIGINT AS n_suppliers,
+        |  round(sum(rev * rev) / (sum(rev) * sum(rev)), 6) AS hhi,
+        |  round(sum(CASE WHEN rk <= 4 THEN rev ELSE 0 END) / sum(rev), 6) AS cr4
+        |FROM r GROUP BY 1 ORDER BY n_name""".stripMargin,
     "q85_gini" ->
       """WITH spend AS (
         |  SELECT o_custkey, sum(o_totalprice) AS x,

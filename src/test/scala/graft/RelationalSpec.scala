@@ -1181,6 +1181,55 @@ class RelationalSpec extends AnyFunSuite {
     assert(r.getAs[Double]("gini") >= 0 && r.getAs[Double]("gini") < 1)
   }
 
+  test("q86 Theil decomposition: total = between + Σ share·within") {
+    import org.apache.spark.sql.functions._
+    val spend = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey")).agg(sum("o_totalprice").as("x"))
+      .collect().map(_.getDouble(1))
+    val mu = spend.sum / spend.length
+    val total = spend.map(x => (x / mu) * math.log(x / mu)).sum / spend.length
+    val rows = ops.Relational.q86_theil(spark, sf).collect()
+    val shares = rows.map(_.getAs[Double]("share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-4)
+    val recomposed = rows.map(_.getAs[Double]("between_term")).sum +
+      rows.map(r => r.getAs[Double]("share") * r.getAs[Double]("theil_within")).sum
+    assert(math.abs(recomposed - total) < 1e-4)
+    rows.foreach(r => assert(r.getAs[Double]("theil_within") >= -1e-9))
+  }
+
+  test("q87 HHI matches a driver recompute for one market; bounds hold") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Relational.q87_hhi(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_suppliers").toDouble
+      val hhi = r.getAs[Double]("hhi"); val cr4 = r.getAs[Double]("cr4")
+      assert(hhi >= 1.0 / n - 1e-6 && hhi <= 1.0 + 1e-9, s"hhi $hhi n $n")
+      assert(cr4 > 0 && cr4 <= 1.0 + 1e-9)
+      if (n >= 4) assert(cr4 >= 4.0 / n - 1e-6)
+    }
+    val market = rows.head.getAs[String]("n_name")
+    val revs = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("r"))
+      .join(Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey")),
+        "o_orderkey")
+      .join(Tables.customer(spark, sf)
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey")), "o_custkey")
+      .join(Tables.nation(spark, sf)
+        .select(col("n_nationkey").as("c_nationkey"), col("n_name")), "c_nationkey")
+      .filter(col("n_name") === market)
+      .groupBy("l_suppkey").agg(sum("r").as("rev"))
+      .collect().map(_.getDouble(1))
+    val t = revs.sum
+    val hhiRef = revs.map(v => v * v).sum / (t * t)
+    val cr4Ref = revs.sorted(Ordering[Double].reverse).take(4).sum / t
+    val got = rows.head
+    assert(math.abs(got.getAs[Double]("hhi") - hhiRef) < 1e-5)
+    assert(math.abs(got.getAs[Double]("cr4") - cr4Ref) < 1e-5)
+    assert(got.getAs[Long]("n_suppliers") == revs.length.toLong)
+  }
+
   test("q78/q85/m12 rank windows are partitioned; global windows post-agg only") {
     val cases: Seq[(String, Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame])] =
       Seq("q78_auc" -> ops.Relational.queries,
