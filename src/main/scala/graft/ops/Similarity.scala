@@ -396,11 +396,15 @@ object Similarity {
     * centroid (kmeansTrain's convention).
     */
   def pqTrain(s: SparkSession, d: String, M: Int = 8, K: Int = 16,
-      iters: Int = 8, sampleN: Int = 256): Array[Array[Array[Double]]] = {
-    val sample = Tables.embeddings(s, d)
+      iters: Int = 8, sampleN: Int = 256): Array[Array[Array[Double]]] =
+    pqTrainOnSample(Tables.embeddings(s, d)
       .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(sampleN)
       .select("embedding").collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray), M, K, iters)
+
+  /** pqTrain over a caller-provided sample — v28 trains on IVF residuals. */
+  def pqTrainOnSample(sample: Array[Array[Double]], M: Int, K: Int,
+      iters: Int): Array[Array[Array[Double]]] = {
     val dim = sample.head.length
     require(dim % M == 0, s"dim $dim not divisible into $M subspaces")
     val dsub = dim / M
@@ -1474,7 +1478,91 @@ object Similarity {
     }.toDF("dims", "bytes_per_vec", "recall_at_10").orderBy("dims")
   }
 
+  // v28 (rows-only; spec: recall vs v01, exact re-ranked scores,
+  // code-store audit, determinism): IVF-PQ with asymmetric-distance
+  // scan — the standard billion-vector serving config, composed from
+  // v07's trained coarse quantizer and v09's PQ, with the codebooks
+  // trained on RESIDUALS x − cent(cell(x)): residual energy is far
+  // below raw energy, so the same M bytes/vector quantize much finer.
+  // Query time: probe the 3 nearest cells; every per-cell constant the
+  // ADC needs (q·cent, |cent|²) and the 3·M·K lookup rows
+  // (q·cb, cent·cb, |cb|²) are driver-built broadcasts, so the probe
+  // scan touches ONLY the (vec_id, m, code) store —
+  // cos(q, cent + recon) = (q·cent + Σ qdot) /
+  // (|q|·sqrt(|cent|² + 2Σ cdot + Σ cn2)) — and full-precision floats
+  // are read solely by the shortlist re-rank join (100-wide: the usual
+  // IVFPQ efSearch ≫ k discipline; this corpus is near-isotropic, so
+  // residuals stay near unit norm and the ADC error budget needs the
+  // wider pool + 5-bit codes).
+  val v28_ivfpq: Q = (s, d) => {
+    import s.implicits._
+    val (_, cents) = kmeansTrain(s, d)
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val centDf = cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toSeq.toDF("cell", "cent")
+    // the index build: cell assignment + residual encode (one-time cost;
+    // persisted because sample, encode, and scan all read it)
+    val resid = assignCells(e, cents)
+      .join(broadcast(centDf), "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("embedding"), col("cent"),
+          (x, c) => x.cast("double") - c).as("resid"))
+      .persist()
+    val books = pqTrainOnSample(
+      resid.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(256)
+        .select("resid").collect().map(_.getSeq[Double](0).toArray),
+      M = 8, K = 32, iters = 8)
+    val dsub = books(0)(0).length
+    val codes = pqCodes(resid.select(col("vec_id"), col("resid").as("embedding")), books)
+    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding")).collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var sm = 0.0; var i = 0
+      while (i < a.length) { sm += a(i) * b(i); i += 1 }; sm
+    }
+    val qn = math.sqrt(dot(q, q))
+    val probes = cents.zipWithIndex
+      .map { case (c, i) => (dot(c, q) / (qn * math.sqrt(dot(c, c))), i) }
+      .sortBy { case (cc, i) => (-cc, i) }.take(3).map(_._2)
+    val lut = probes.flatMap { c =>
+      books.zipWithIndex.flatMap { case (cb, m) =>
+        val qs = q.slice(m * dsub, (m + 1) * dsub)
+        val cs = cents(c).slice(m * dsub, (m + 1) * dsub)
+        cb.zipWithIndex.map { case (cv, k) =>
+          (c, m, k, dot(qs, cv), dot(cs, cv), dot(cv, cv)) }
+      }
+    }.toSeq.toDF("cell", "m", "code", "qdot", "cdot", "cn2")
+    val cellConst = probes.map(c => (c, dot(q, cents(c)), dot(cents(c), cents(c))))
+      .toSeq.toDF("cell", "qc", "ccn2")
+    val pool = codes
+      .join(resid.select("vec_id", "cell")
+        .filter(col("cell").isin(probes: _*)), "vec_id")
+      .join(broadcast(lut), Seq("cell", "m", "code"))
+      .groupBy(col("vec_id"))
+      .agg(first("cell").as("cell"), sum("qdot").as("sq"), sum("cdot").as("sc"),
+        sum("cn2").as("sn2"), count(lit(1)).as("n_codes"))
+      .join(broadcast(cellConst), "cell")
+      .withColumn("approx_cos", (col("qc") + col("sq")) /
+        (lit(qn) * sqrt(greatest(
+          col("ccn2") + lit(2.0) * col("sc") + col("sn2"), lit(1e-12)))))
+      .filter(col("vec_id") =!= 0)
+      .select("vec_id", "approx_cos", "n_codes")
+      .orderBy(col("approx_cos").desc, col("vec_id"))
+      .limit(100)
+    val poolRows = pool.collect().toSeq
+    resid.unpersist()
+    val cand = s.createDataFrame(s.sparkContext.parallelize(poolRows, 1), pool.schema)
+    e.join(broadcast(cand), "vec_id")
+      .crossJoin(broadcast(queryVec(s, d)))
+      .select(col("vec_id"),
+        round(Vec.cosine(col("embedding"), col("qe")), 6).as("cos"),
+        round(col("approx_cos"), 6).as("approx_cos"), col("n_codes"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, Q] = Map(
+    "v28_ivfpq" -> v28_ivfpq,
     "v27_matryoshka_eval" -> v27_matryoshka_eval,
     "v26_embedding_qa" -> v26_embedding_qa,
     "v25_pca_whitening" -> v25_pca_whitening,

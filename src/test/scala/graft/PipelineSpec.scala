@@ -2394,4 +2394,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.head.getAs[Double]("recall_at_10") ==
       top8.intersect(full).size / 10.0)
   }
+
+  test("v28 IVF-PQ: residual-ADC recall, exact re-ranked scores, determinism") {
+    val exact = Similarity.v01_knn_brute(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = Similarity.v28_ivfpq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // every scored vector carried a full M=8 code row set through the scan
+    assert(got.forall(_._4 == 8L))
+    // residual ADC finds a usable share of the true top-10
+    val recall = got.map(_._1).count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"ivfpq recall@10 = $recall")
+    // re-ranked scores are full precision — equal v01's exactly
+    got.filter(g => exact.contains(g._1)).foreach { case (v, cos, _, _) =>
+      assert(cos == exact(v), s"vec $v: rerank $cos != exact ${exact(v)}")
+    }
+    // the ADC estimate approximates but is not the exact score
+    assert(got.forall { case (_, cos, approx, _) => math.abs(cos - approx) < 0.2 })
+    assert(got.exists { case (_, cos, approx, _) => cos != approx })
+    // deterministic end to end (hash-ordered samples, no RNG)
+    val again = Similarity.v28_ivfpq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(got.sameElements(again))
+  }
 }
