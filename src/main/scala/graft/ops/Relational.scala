@@ -2069,8 +2069,15 @@ object Relational {
   // deterministic rank; equal-revenue ties can swap rank but not the
   // top-4 revenue SUM, so cr4 is order-noise-proof. Ratios only in the
   // output; the raw double revenue never meets a round().
-  val q87_hhi: Q = (s, d) => {
-    val rev = Tables.lineitem(s, d)
+  val q87_hhi: Q = (s, d) =>
+    hhiProfile(marketSupplierRevenue(s, d).groupBy(col("n_name"), col("l_suppkey"))
+      .agg(sum("r").as("rev")))
+
+  /** q87's enriched revenue feed: one (n_name, l_suppkey, r) row per
+    * lineitem — also the stream s32 plants and folds.
+    */
+  def marketSupplierRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey"),
         (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("r"))
       .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
@@ -2079,8 +2086,12 @@ object Relational {
         .select(col("c_custkey").as("o_custkey"), col("c_nationkey")), "o_custkey")
       .join(broadcast(Tables.nation(s, d)
         .select(col("n_nationkey").as("c_nationkey"), col("n_name"))), "c_nationkey")
-      .groupBy(col("n_name"), col("l_suppkey"))
-      .agg(sum("r").as("rev"))
+      .select("n_name", "l_suppkey", "r")
+
+  /** q87's concentration math over any (n_name, l_suppkey, rev) frame —
+    * shared with s32's state snapshot so twin equality is structural.
+    */
+  def hhiProfile(rev: DataFrame): DataFrame = {
     val rk = row_number().over(
       Window.partitionBy("n_name").orderBy(col("rev").desc, col("l_suppkey")))
     rev.withColumn("rk", rk)

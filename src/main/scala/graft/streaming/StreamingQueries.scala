@@ -1178,7 +1178,58 @@ object StreamingQueries {
     } finally graft.sources.SourceSinks.deleteDir(dir)
   }
 
+  // s32: STREAMING MARKET CONCENTRATION — q87's twin (19th pair): the
+  // HHI/CR4 profile maintained continuously over the enriched
+  // (market, supplier, revenue) feed. Per-market state is the
+  // supplier → revenue-sum map: bounded by the SUPPLIER DIMENSION, not
+  // the stream (a 100 TB lineitem feed folds into the same ≤|suppliers|
+  // entries per market). Each trigger emits the full map under a seq;
+  // the snapshot takes the latest per market and runs q87's OWN
+  // concentration math (hhiProfile — twin equality is structural, not
+  // re-derived), hash-matching q87's batch oracle verbatim.
+  val s32_stream_hhi: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val feed = graft.ops.Relational.marketSupplierRevenue(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("graft_shhi")
+    try {
+      (0 until 4).foreach { i =>
+        graft.sources.SourceSinks.landSingleParquet(
+          feed.filter(pmod(col("l_suppkey"), lit(4)) === i),
+          dir.resolve(f"b$i%02d.parquet"))
+      }
+      val fn: (String, Iterator[(String, Long, Double)],
+          GroupState[(Map[Long, Double], Long)]) =>
+          (String, Long, Seq[(Long, Double)]) = (mkt, batch, state) => {
+        var (revs, seq) = state.getOption.getOrElse((Map.empty[Long, Double], 0L))
+        batch.foreach { case (_, sk, r) =>
+          revs += sk -> (revs.getOrElse(sk, 0.0) + r)
+        }
+        seq += 1
+        state.update((revs, seq))
+        (mkt, seq, revs.toSeq.sortBy(_._1))
+      }
+      val landedSchema = org.apache.spark.sql.types.StructType(feed.schema.fields)
+      val name = s"graft_shhi_${System.nanoTime()}"
+      val q = s.readStream.schema(landedSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+        .as[(String, Long, Double)]
+        .groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+        .toDF("n_name", "seq", "sups")
+        .writeStream.outputMode("update").format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      val rev = s.table(name)
+        .groupBy(col("n_name"))
+        .agg(max_by(col("sups"), col("seq")).as("sups"))
+        .select(col("n_name"), explode(col("sups")).as("sv"))
+        .select(col("n_name"), col("sv._1").as("l_suppkey"), col("sv._2").as("rev"))
+      graft.ops.Relational.hhiProfile(rev)
+    } finally graft.sources.SourceSinks.deleteDir(dir)
+  }
+
   val queries: Map[String, Q] = Map(
+    "s32_stream_hhi" -> s32_stream_hhi,
     "s31_stream_time_to_convert" -> s31_stream_time_to_convert,
     "s30_stream_benford" -> s30_stream_benford,
     "s29_stream_gap_fill" -> s29_stream_gap_fill,
@@ -1207,6 +1258,9 @@ object StreamingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // q87's batch oracle verbatim — the per-market supplier→revenue
+    // fold must land every share exactly where the batch keyed agg does
+    "s32_stream_hhi" -> graft.ops.Relational.oracle("q87_hhi"),
     // q60's batch oracle verbatim — the streamed day-map fold plus
     // spine rebuild must land exactly where the batch plan does
     "s29_stream_gap_fill" -> graft.ops.Relational.oracle("q60_gap_fill"),

@@ -314,6 +314,19 @@ class StreamingSpec extends AnyFunSuite {
       "streamed digit fold must match the batch first-digit profile")
   }
 
+  test("s32 streaming HHI equals the batch q87 row for row; state is dimension-bounded") {
+    val got = StreamingQueries.s32_stream_hhi(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val exp = ops.Relational.q87_hhi(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == exp,
+      "per-market supplier-revenue fold must land q87's profile exactly")
+    // the state bound really is the supplier dimension, not the stream:
+    // no market can hold more entries than there are suppliers
+    val nSup = Tables.supplier(spark, sf).count()
+    got.foreach(r => assert(r(1).asInstanceOf[Long] <= nSup))
+  }
+
   test("s31 streaming time-to-convert equals the batch q84 row for row") {
     val got = StreamingQueries.s31_stream_time_to_convert(spark, sf)
       .collect().map(_.toSeq).toSeq
