@@ -1439,7 +1439,57 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  // t42: EPOCH-CAPPED MIXTURE SCHEDULE — the data-constrained follow-on
+  // to t23 (Muennighoff et al. 2023: past ~4 epochs repeated tokens stop
+  // helping): t23's temperature weights REQUEST epochs; this lane
+  // enforces the cap and redistributes. Two deterministic passes — (1)
+  // grant min(w_i·B, cap·tokens_i); (2) hand the leftover to the
+  // sources pass 1 left uncapped, proportional to their renormalized
+  // weights, re-clamped — no iteration, so the same two passes are the
+  // DuckDB oracle. Everything after the one corpus scan for token
+  // counts is arithmetic on the ≤|sources| broadcast axis. Epoch
+  // ratios are irrational (temperature powers), so 4dp/6dp half-way
+  // landings are measure-zero.
+  val t42_epoch_schedule: Q = (s, d) => {
+    val alpha = 0.3
+    val capEpochs = 4.0
+    // a data-constrained run: the budget sits just under the 4-epoch
+    // ceiling, so temperature tail-upweighting pushes the small sources
+    // PAST it — the regime the cap exists for (on this near-balanced
+    // corpus a lower budget would leave the clamp dead code; the spec
+    // pins that both passes really fire)
+    val budgetEpochs = 3.8
+    val perSrc = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(sum(size(toks(col("text")))).as("n_tokens"))
+    val tot = perSrc.agg(sum(col("n_tokens")).cast("double").as("tot"))
+    val withP = perSrc.crossJoin(broadcast(tot))
+      .withColumn("p", col("n_tokens").cast("double") / col("tot"))
+    val z = withP.agg(sum(pow(col("p"), alpha)).as("z"))
+    val pass1 = withP.crossJoin(broadcast(z))
+      .withColumn("w", pow(col("p"), alpha) / col("z"))
+      .withColumn("B", col("tot") * budgetEpochs)
+      .withColumn("cap", col("n_tokens") * capEpochs)
+      .withColumn("req", col("w") * col("B"))
+      .withColumn("a1", least(col("req"), col("cap")))
+    val left = pass1.agg(
+      (first("B") - sum("a1")).as("L"),
+      sum(when(col("req") < col("cap"), col("w")).otherwise(0.0)).as("wu"))
+    pass1.crossJoin(broadcast(left))
+      .withColumn("a2",
+        when(col("req") < col("cap") && col("wu") > 0,
+          least(col("a1") + col("w") / col("wu") * col("L"), col("cap")))
+          .otherwise(col("a1")))
+      .select(col("source"), col("n_tokens"),
+        round(col("w"), 6).as("weight"),
+        round(col("req") / col("n_tokens"), 4).as("epochs_requested"),
+        round(col("a2") / col("n_tokens"), 4).as("epochs_granted"),
+        (col("req") > col("cap")).as("capped"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t42_epoch_schedule" -> t42_epoch_schedule,
     "t41_lexical_diversity" -> t41_lexical_diversity,
     "t40_jsd_drift" -> t40_jsd_drift,
     "t39_split_leakage" -> t39_split_leakage,
@@ -1739,6 +1789,29 @@ object TextAnalysis {
       s"""WITH tok AS (SELECT unnest($sqlToks) AS tok FROM documents)
         |SELECT tok, count(*)::BIGINT AS n FROM tok
         |GROUP BY 1 ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+    "t42_epoch_schedule" ->
+      """WITH per AS (
+        |  SELECT source,
+        |    sum(len(string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))), ' ')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(n_tokens)::DOUBLE AS tot FROM per),
+        |p AS (SELECT source, n_tokens, n_tokens::DOUBLE / tot AS p, tot FROM per, tot),
+        |z AS (SELECT sum(pow(p, 0.3)) AS z FROM p),
+        |p1 AS (
+        |  SELECT source, n_tokens, pow(p, 0.3) / z AS w, tot * 3.8 AS B,
+        |    n_tokens * 4.0 AS cap, pow(p, 0.3) / z * tot * 3.8 AS req,
+        |    least(pow(p, 0.3) / z * tot * 3.8, n_tokens * 4.0) AS a1
+        |  FROM p, z),
+        |lft AS (
+        |  SELECT any_value(B) - sum(a1) AS L,
+        |    sum(CASE WHEN req < cap THEN w ELSE 0 END) AS wu FROM p1)
+        |SELECT source, n_tokens, round(w, 6) AS weight,
+        |  round(req / n_tokens, 4) AS epochs_requested,
+        |  round(CASE WHEN req < cap AND wu > 0
+        |    THEN least(a1 + w / wu * L, cap) ELSE a1 END / n_tokens, 4)
+        |    AS epochs_granted,
+        |  req > cap AS capped
+        |FROM p1, lft ORDER BY source""".stripMargin,
     "t23_mix_temperature" ->
       """WITH per AS (
         |  SELECT source, count(*)::BIGINT AS n_docs,

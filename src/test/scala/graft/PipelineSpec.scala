@@ -2320,6 +2320,41 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("t42 epoch schedule equals the driver two-pass recompute; caps hold") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.TextAnalysis.t42_epoch_schedule(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nTok = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => r.getString(0) -> r.getString(1).trim.toLowerCase
+        .split("\\s+").length.toLong)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val tot = nTok.values.sum.toDouble
+    val z = nTok.values.map(t => math.pow(t / tot, 0.3)).sum
+    val B = tot * 3.8
+    val sched = nTok.map { case (src, t) =>
+      val w = math.pow(t / tot, 0.3) / z
+      (src, t, w, w * B, math.min(w * B, t * 4.0))
+    }
+    val L = B - sched.map(_._5).sum
+    val wu = sched.filter(s => s._4 < s._2 * 4.0).map(_._3).sum
+    rows.foreach { r =>
+      val (src, t, w, req, a1) = sched.find(_._1 == r.getAs[String]("source")).get
+      val a2 = if (req < t * 4.0 && wu > 0) math.min(a1 + w / wu * L, t * 4.0) else a1
+      assert(r.getAs[Long]("n_tokens") == t)
+      assert(math.abs(r.getAs[Double]("weight") - w) < 1e-5)
+      assert(math.abs(r.getAs[Double]("epochs_requested") - req / t) < 1e-3)
+      assert(math.abs(r.getAs[Double]("epochs_granted") - a2 / t) < 1e-3)
+      assert(r.getAs[Boolean]("capped") == (req > t * 4.0))
+      // the ceiling is a hard invariant
+      assert(r.getAs[Double]("epochs_granted") <= 4.0 + 1e-9)
+    }
+    // budget is never over-allocated
+    val granted = rows.map(r =>
+      r.getAs[Double]("epochs_granted") * r.getAs[Long]("n_tokens")).sum
+    assert(granted <= B * (1 + 1e-6))
+  }
+
   test("v26 embedding QA norms equal the driver per-row recompute") {
     val rows = ops.Similarity.v26_embedding_qa(spark, sf).collect()
     assert(rows.nonEmpty)
