@@ -65,6 +65,24 @@ object Similarity {
     centroidsOf(reassigned)
   }
 
+  /** v04's coarse quantizer: ivfCentroids with the CELL COUNT scaled as
+    * ~√(n/2), never below the label seeding's 10 — all-pairs candidate
+    * work Σ|cell|² is then O(n^1.5) instead of n²/k_fixed (a constant
+    * cell count makes cells grow linearly with the corpus and the
+    * self-join quadratically; at sf5 that was a 15-minute lane). Seeds
+    * are the first k hash-ordered vectors (deterministic, bounded
+    * collect ~√n rows), one distributed Lloyd refinement — the same
+    * assignment + mean ivfCentroids performs.
+    */
+  def scaledIvfCentroids(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val k = math.max(10, math.ceil(math.sqrt(e.count() / 2.0)).toInt)
+    val seeds = e.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    centroidsOf(assignCells(e, seeds).select(col("cell"), col("embedding")))
+  }
+
   /** Per-label centroids (kept for v03's cluster-tightness profile). */
   def labelCentroids(s: SparkSession, d: String): DataFrame =
     centroidsOf(Tables.embeddings(s, d)
@@ -126,21 +144,22 @@ object Similarity {
   // self-join — top-3 neighbors for EVERY vector, candidates limited to
   // IVF cell co-members (plus the exact scorer only inside the cell).
   // At 100 TB this is the all-pairs-knn building block for embedding
-  // near-dup clustering: work is Σ|cell|², bounded by cell sizing, never
-  // the corpus square.
+  // near-dup clustering: the √n-scaled cell count keeps candidate work
+  // Σ|cell|² at O(n^1.5) — never the corpus square.
   val v04_knn_join: Q = (s, d) => {
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("dist2"), col("cell"))
     // (vec_id, embedding, cell, prk): each vector ranked against every
-    // centroid; prk=1 is its home cell, prk<=3 its probe set.
+    // centroid; prk=1 is its home cell, prk<=4 its probe set (the wider
+    // probe pays back the recall the finer √n cells cost).
     val ranked = Tables.embeddings(s, d)
-      .crossJoin(broadcast(ivfCentroids(s, d)))
+      .crossJoin(broadcast(scaledIvfCentroids(s, d)))
       .withColumn("dist2", aggregate(
         zip_with(col("embedding"), col("centroid"),
           (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
         lit(0.0), (acc, v) => acc + v))
       .withColumn("prk", row_number().over(wq))
-      .filter(col("prk") <= 3)
+      .filter(col("prk") <= 4)
       .withColumn("nrm", Vec.norm(col("embedding")))
       .persist() // one pass feeds both join sides
     // query side probes its 3 nearest cells; candidates live in their
