@@ -2105,7 +2105,42 @@ object Relational {
       .orderBy("n_name")
   }
 
+  // q88: AUTOCORRELATION + LJUNG-BOX PERIODICITY TEST — the detector
+  // behind the weekly period q57/q69/q73 ASSUME: sample ACF of the
+  // daily revenue series at lags 1..14 plus the cumulative Ljung-Box Q
+  // (is the series white noise, and which lag carries the cycle?). One
+  // keyed agg collapses orders to the ≤|days| axis; demeaning, the lag
+  // self-join (≤366·14 rows), and the Q cumulation are bounded-axis
+  // math — the only global windows sit above aggregates, the
+  // sanctioned rank-lane shape. ACF values are scale-free ratios.
+  val q88_acf: Q = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum("o_totalprice").as("y"))
+      .withColumn("rn", row_number().over(Window.orderBy("day")))
+    val stats = daily.agg(avg("y").as("mu"), count(lit(1)).as("n"))
+    val dm = daily.crossJoin(broadcast(stats))
+      .select(col("rn"), (col("y") - col("mu")).as("e"), col("n"))
+    val denom = dm.agg(sum(col("e") * col("e")).as("s0"), first("n").as("n"))
+    val lagAxis = s.range(1, 15).toDF("lag_k")
+    val b = dm.select(col("rn").as("brn"), col("e").as("be"))
+    val wq = Window.orderBy("lag_k").rowsBetween(Window.unboundedPreceding, 0)
+    dm.crossJoin(broadcast(lagAxis))
+      .join(b, col("rn") === col("brn") + col("lag_k"))
+      .groupBy("lag_k").agg(sum(col("e") * col("be")).as("sk"))
+      .crossJoin(broadcast(denom))
+      .withColumn("r", when(col("s0") > 0, col("sk") / col("s0")).otherwise(lit(0.0)))
+      .withColumn("q_lb",
+        sum(col("r") * col("r") / (col("n") - col("lag_k"))).over(wq) *
+          col("n") * (col("n") + 2))
+      .select(col("lag_k").cast("int").as("lag_k"),
+        round(col("r"), 6).as("acf"),
+        round(col("q_lb"), 4).as("ljung_box_q"))
+      .orderBy("lag_k")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q88_acf" -> q88_acf,
     "q87_hhi" -> q87_hhi,
     "q86_theil" -> q86_theil,
     "q85_gini" -> q85_gini,
@@ -2218,6 +2253,27 @@ object Relational {
       |FROM det JOIN se USING (wd) ORDER BY day""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q88_acf" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate::DATE AS day, sum(o_totalprice) AS y
+        |  FROM orders GROUP BY 1),
+        |idx AS (SELECT y, row_number() OVER (ORDER BY day) AS rn FROM daily),
+        |st AS (SELECT avg(y) AS mu, count(*)::BIGINT AS n FROM idx),
+        |dm AS (SELECT rn, y - mu AS e FROM idx, st),
+        |den AS (SELECT sum(e * e) AS s0 FROM dm),
+        |lags AS (SELECT unnest(range(1, 15)) AS lag_k),
+        |terms AS (
+        |  SELECT lag_k, sum(a.e * b.e) AS sk
+        |  FROM dm a CROSS JOIN lags JOIN dm b ON a.rn = b.rn + lag_k
+        |  GROUP BY 1),
+        |acf AS (
+        |  SELECT lag_k, CASE WHEN s0 > 0 THEN sk / s0 ELSE 0 END AS r, n
+        |  FROM terms, den, st)
+        |SELECT lag_k::INT AS lag_k, round(r, 6) AS acf,
+        |  round(sum(r * r / (n - lag_k))
+        |      OVER (ORDER BY lag_k ROWS UNBOUNDED PRECEDING) * n * (n + 2),
+        |    4) AS ljung_box_q
+        |FROM acf ORDER BY lag_k""".stripMargin,
     "q86_theil" ->
       """WITH spend AS (
         |  SELECT o_custkey, sum(o_totalprice) AS x FROM orders GROUP BY 1),

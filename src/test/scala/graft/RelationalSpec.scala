@@ -1230,6 +1230,32 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.getAs[Long]("n_suppliers") == revs.length.toLong)
   }
 
+  test("q88 ACF equals the driver recompute; Ljung-Box is cumulative") {
+    import org.apache.spark.sql.functions._
+    val y = Tables.orders(spark, sf)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum("o_totalprice").as("y")).orderBy("day")
+      .collect().map(_.getDouble(1))
+    val n = y.length
+    val mu = y.sum / n
+    val e = y.map(_ - mu)
+    val s0 = e.map(v => v * v).sum
+    val rows = ops.Relational.q88_acf(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("lag_k")).toSeq == (1 to 14))
+    var qAcc = 0.0
+    rows.foreach { r =>
+      val k = r.getAs[Int]("lag_k")
+      val rk = (k until n).map(i => e(i) * e(i - k)).sum / s0
+      assert(math.abs(r.getAs[Double]("acf") - rk) < 1e-5, s"lag $k")
+      assert(math.abs(r.getAs[Double]("acf")) <= 1.0 + 1e-9)
+      qAcc += rk * rk / (n - k)
+      assert(math.abs(r.getAs[Double]("ljung_box_q") - qAcc * n * (n + 2)) < 1e-2)
+    }
+    // cumulative Q never decreases
+    val qs = rows.map(_.getAs[Double]("ljung_box_q"))
+    assert(qs.zip(qs.tail).forall { case (a, b) => b >= a - 1e-9 })
+  }
+
   test("q78/q85/m12 rank windows are partitioned; global windows post-agg only") {
     val cases: Seq[(String, Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame])] =
       Seq("q78_auc" -> ops.Relational.queries,
