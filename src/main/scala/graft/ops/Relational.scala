@@ -2139,7 +2139,118 @@ object Relational {
       .orderBy("lag_k")
   }
 
+  /** Distributed midranks over one numeric column `v`: for each DISTINCT
+    * value, the 1-based average rank under the midrank tie convention —
+    * q78/q85's machinery packaged for reuse. (bucket, v) cells from one
+    * keyed agg, within-bucket exclusive prefix in a bucket-partitioned
+    * window (parallelism = RankBuckets), cross-bucket offsets on the
+    * bounded B-row axis broadcast back. No single partition ever sees
+    * the corpus. Returns (v, c, midrank); midranks are integers or
+    * half-integers — exactly representable, order-independent.
+    */
+  private[graft] def midranks(in: DataFrame): DataFrame = {
+    val b = AucBuckets
+    val bounds = in.agg(min("v").as("mn"), max("v").as("mx"))
+    val cells = in.crossJoin(broadcast(bounds))
+      .withColumn("bucket", when(col("mx") > col("mn"),
+        least(floor((col("v") - col("mn")) /
+          ((col("mx") - col("mn")) / b)), lit(b - 1L)))
+        .otherwise(lit(0L)))
+      .groupBy(col("bucket"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val win = Window.partitionBy("bucket").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val off = cells.groupBy("bucket").agg(sum("c").as("bc"))
+      .withColumn("c_off", coalesce(sum("bc").over(wb), lit(0L)))
+    cells
+      .withColumn("below_in", coalesce(sum("c").over(win), lit(0L)))
+      .join(broadcast(off.select("bucket", "c_off")), Seq("bucket"))
+      .select(col("v"), col("c"),
+        (col("c_off") + col("below_in") + (col("c") + lit(1.0)) / 2).as("midrank"))
+  }
+
+  // q89: SPEARMAN RANK CORRELATION between per-customer order count and
+  // total spend — the monotone-association number Pearson (q61) misses
+  // when the relationship is nonlinear or the marginals are heavy-
+  // tailed. Spearman = Pearson on midranks; each variable's ranks come
+  // from the distributed midrank machinery (NO global sort — q78's
+  // bucket discipline twice), joined back on the distinct-value key,
+  // and corr() is one algebraic aggregate with map-side partials.
+  // Midranks are exact integers-or-halves, so the rank frame is
+  // deterministic; rho is a scale-free ratio of like-magnitude moment
+  // sums (6dp boundary landings measure-zero).
+  val q89_spearman: Q = (s, d) => {
+    val base = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).cast("double").as("x"), sum("o_totalprice").as("y"))
+      .persist() // feeds two rank passes plus the scoring join
+    val rx = midranks(base.select(col("x").as("v")))
+      .select(col("v").as("x"), col("midrank").as("rx"))
+    val ry = midranks(base.select(col("y").as("v")))
+      .select(col("v").as("y"), col("midrank").as("ry"))
+    val out = base.join(rx, Seq("x")).join(ry, Seq("y"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(corr(col("rx"), col("ry")), 6).as("spearman_rho"),
+        round(corr(col("x"), col("y")), 6).as("pearson_r"))
+      .localCheckpoint(true)
+    base.unpersist()
+    out
+  }
+
+  // q90: TWO-SAMPLE KOLMOGOROV-SMIRNOV — the distribution-drift test
+  // (are purchase values drawn from the same distribution as views?):
+  // D = sup_x |F1(x) − F2(x)|. Both empirical CDFs materialize over the
+  // SAME (bucket, value) cell frame in one keyed agg carrying a per-
+  // class counter pair; running counts use the q78 bucket-partitioned
+  // window + B-row cross-bucket prefix. CDF values are exact integer
+  // counts divided once by n (a single correctly-rounded IEEE division
+  // per cell, identical on any engine), so D, its argmax location, and
+  // the min-value tie-break are all deterministic — no rounding hazard.
+  val q90_ks: Q = (s, d) => {
+    val b = AucBuckets
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("value").as("v"),
+        (col("event_type") === "purchase").cast("long").as("g"))
+    val bounds = ev.agg(min("v").as("mn"), max("v").as("mx"))
+    val cells = ev.crossJoin(broadcast(bounds))
+      .withColumn("bucket", when(col("mx") > col("mn"),
+        least(floor((col("v") - col("mn")) /
+          ((col("mx") - col("mn")) / b)), lit(b - 1L)))
+        .otherwise(lit(0L)))
+      .groupBy(col("bucket"), col("v"))
+      .agg(sum("g").as("c1"), (count(lit(1)) - sum("g")).as("c0"))
+    val win = Window.partitionBy("bucket").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val off = cells.groupBy("bucket")
+      .agg(sum("c1").as("b1"), sum("c0").as("b0"))
+      .withColumn("o1", coalesce(sum("b1").over(wb), lit(0L)))
+      .withColumn("o0", coalesce(sum("b0").over(wb), lit(0L)))
+    val tot = ev.agg(sum("g").as("n1"), (count(lit(1)) - sum("g")).as("n0"))
+    val dd = cells
+      .withColumn("k1in", sum("c1").over(win))
+      .withColumn("k0in", sum("c0").over(win))
+      .join(broadcast(off.select("bucket", "o1", "o0")), Seq("bucket"))
+      .crossJoin(broadcast(tot))
+      .select(col("v"), col("n1"), col("n0"),
+        abs((col("o1") + col("k1in")) / col("n1").cast("double") -
+          (col("o0") + col("k0in")) / col("n0").cast("double")).as("dd"))
+    val mx = dd.agg(max("dd").as("ksd"))
+    dd.crossJoin(broadcast(mx)).filter(col("dd") === col("ksd"))
+      .agg(first("n1").as("n1"), first("n0").as("n0"),
+        round(first("ksd"), 6).as("ks_d"),
+        min("v").as("ks_at"),
+        round(first("ksd") *
+          sqrt(first("n1").cast("double") * first("n0") /
+            (first("n1") + first("n0"))), 4).as("ks_scaled"))
+      .select("ks_at", "ks_d", "ks_scaled", "n0", "n1")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q90_ks" -> q90_ks,
+    "q89_spearman" -> q89_spearman,
     "q88_acf" -> q88_acf,
     "q87_hhi" -> q87_hhi,
     "q86_theil" -> q86_theil,
@@ -2253,6 +2364,46 @@ object Relational {
       |FROM det JOIN se USING (wd) ORDER BY day""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q89_spearman" ->
+      """WITH base AS (
+        |  SELECT o_custkey, count(*)::DOUBLE AS x, sum(o_totalprice) AS y
+        |  FROM orders GROUP BY 1),
+        |rn AS (
+        |  SELECT x, y,
+        |    row_number() OVER (ORDER BY x) AS rnx,
+        |    row_number() OVER (ORDER BY y) AS rny
+        |  FROM base),
+        |rk AS (
+        |  SELECT x, y,
+        |    avg(rnx) OVER (PARTITION BY x) AS rx,
+        |    avg(rny) OVER (PARTITION BY y) AS ry
+        |  FROM rn)
+        |SELECT count(*)::BIGINT AS n_customers,
+        |  round(corr(rx, ry), 6) AS spearman_rho,
+        |  round(corr(x, y), 6) AS pearson_r
+        |FROM rk""".stripMargin,
+    "q90_ks" ->
+      """WITH ev AS (
+        |  SELECT value AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |n AS (SELECT sum(g)::BIGINT AS n1, (count(*) - sum(g))::BIGINT AS n0
+        |      FROM ev),
+        |cells AS (
+        |  SELECT v, sum(g)::BIGINT AS c1, (count(*) - sum(g))::BIGINT AS c0
+        |  FROM ev GROUP BY 1),
+        |cdf AS (
+        |  SELECT v,
+        |    sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS k1,
+        |    sum(c0) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS k0
+        |  FROM cells),
+        |d AS (SELECT v, abs(k1::DOUBLE / n1 - k0::DOUBLE / n0) AS dd
+        |      FROM cdf, n),
+        |mx AS (SELECT max(dd) AS ksd FROM d)
+        |SELECT min(v) AS ks_at, round(ksd, 6) AS ks_d,
+        |  round(ksd * sqrt(n1::DOUBLE * n0 / (n1 + n0)), 4) AS ks_scaled,
+        |  n0, n1
+        |FROM d, n, mx WHERE dd = ksd GROUP BY ksd, n0, n1""".stripMargin,
     "q88_acf" ->
       """WITH daily AS (
         |  SELECT o_orderdate::DATE AS day, sum(o_totalprice) AS y

@@ -1580,7 +1580,75 @@ object Similarity {
       .limit(10)
   }
 
+  // v29: SIMPLIFIED SILHOUETTE per label cluster — the clustering-
+  // quality score at the scale where classic silhouette's all-pairs
+  // O(n²) is impossible: a(i)/b(i) use CENTROID distances (the standard
+  // large-n simplification), so the whole lane is one centroid build
+  // (v03's two narrow (cell,pos) shuffles), one broadcast of k
+  // centroids, and one keyed agg — O(n·k), no pairwise anything.
+  // avg/min round 4dp (centroid sums are parallel-order noisy at the
+  // ulp, scores are O(1) ratios); n_negative counts genuinely
+  // misplaced vectors (closer to a foreign centroid than their own).
+  val v29_silhouette: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val cents = centroidsOf(
+      e.select(col("label").cast("bigint").as("cell"), col("embedding")))
+    val dists = e.crossJoin(broadcast(cents))
+      .withColumn("dist", sqrt(aggregate(
+        zip_with(col("embedding"), col("centroid"),
+          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+        lit(0.0), (acc, v) => acc + v)))
+    dists.groupBy(col("vec_id"), col("label"))
+      .agg(min(when(col("cell") === col("label"), col("dist"))).as("a"),
+        min(when(col("cell") =!= col("label"), col("dist"))).as("b"))
+      .withColumn("sil",
+        when(greatest(col("a"), col("b")) > 0,
+          (col("b") - col("a")) / greatest(col("a"), col("b")))
+          .otherwise(lit(0.0)))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg("sil"), 4).as("avg_sil"),
+        round(min("sil"), 4).as("min_sil"),
+        sum((col("sil") < 0).cast("long")).as("n_negative"))
+      .orderBy("label")
+  }
+
+  // v30: OUT-OF-DISTRIBUTION SCORE via per-dimension z-norms — the
+  // embedding-QA outlier sweep (v26 checks norms; this checks SHAPE:
+  // a vector can be unit-norm and still sit 6σ off-manifold on a few
+  // dimensions). Per-dimension (μ, σ) is ONE aggregation on the
+  // 64-row pos axis (posexplode + groupBy pos — the only shuffle);
+  // the stats collect (64 rows, bounded) into literal arrays, so
+  // scoring is a single codegen'd zip_with/aggregate fold per row —
+  // NO second explode, no second shuffle, the per-row-pass shape a
+  // 100 TB QA scan needs. Scores round 6dp BEFORE the top-10 cut
+  // (v27's engine-identical selection), vec_id tie-break.
+  val v30_ood_zscore: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val stats = e
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("x", col("x").cast("double"))
+      .groupBy("pos")
+      .agg(avg("x").as("mu"), stddev_samp(col("x")).as("sd"))
+      .orderBy("pos").collect() // bounded: one row per dimension
+    val mus = array(stats.map(r => lit(r.getDouble(1))): _*)
+    val sds = array(stats.map(r => lit(r.getDouble(2))): _*)
+    e.select(col("vec_id"), col("label"),
+        zip_with(col("embedding"), mus, (x, m) => x.cast("double") - m).as("c"),
+        sds.as("sds"))
+      .select(col("vec_id"), col("label"),
+        zip_with(col("c"), col("sds"),
+          (c, sd) => when(sd > 0, c / sd).otherwise(lit(0.0))).as("z"))
+      .select(col("vec_id"), col("label"),
+        round(sqrt(aggregate(col("z"), lit(0.0), (acc, z) => acc + z * z) /
+          size(col("z"))), 6).as("ood_score"))
+      .orderBy(col("ood_score").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, Q] = Map(
+    "v30_ood_zscore" -> v30_ood_zscore,
+    "v29_silhouette" -> v29_silhouette,
     "v28_ivfpq" -> v28_ivfpq,
     "v27_matryoshka_eval" -> v27_matryoshka_eval,
     "v26_embedding_qa" -> v26_embedding_qa,
@@ -1613,6 +1681,42 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "v29_silhouette" ->
+      """WITH dims AS (
+        |  SELECT label, vec_id, i AS pos, embedding[i]::DOUBLE AS v
+        |  FROM embeddings, range(1, 65) t(i)),
+        |cent AS (SELECT label AS cl, pos, avg(v) AS c FROM dims GROUP BY 1, 2),
+        |dist AS (
+        |  SELECT d.label, d.vec_id, cent.cl,
+        |    sqrt(sum((v - c) * (v - c))) AS dist
+        |  FROM dims d JOIN cent ON d.pos = cent.pos GROUP BY 1, 2, 3),
+        |ab AS (
+        |  SELECT label, vec_id,
+        |    min(CASE WHEN cl = label THEN dist END) AS a,
+        |    min(CASE WHEN cl <> label THEN dist END) AS b
+        |  FROM dist GROUP BY 1, 2),
+        |sil AS (
+        |  SELECT label,
+        |    CASE WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b)
+        |         ELSE 0 END AS sil
+        |  FROM ab)
+        |SELECT label, count(*)::BIGINT AS n_vecs,
+        |  round(avg(sil), 4) AS avg_sil, round(min(sil), 4) AS min_sil,
+        |  sum(CASE WHEN sil < 0 THEN 1 ELSE 0 END)::BIGINT AS n_negative
+        |FROM sil GROUP BY 1 ORDER BY 1""".stripMargin,
+    "v30_ood_zscore" ->
+      """WITH dims AS (
+        |  SELECT vec_id, label, i AS pos, embedding[i]::DOUBLE AS x
+        |  FROM embeddings, range(1, 65) t(i)),
+        |st AS (SELECT pos, avg(x) AS mu, stddev_samp(x) AS sd
+        |       FROM dims GROUP BY 1),
+        |z AS (
+        |  SELECT vec_id, label,
+        |    CASE WHEN sd > 0 THEN (x - mu) / sd ELSE 0 END AS z
+        |  FROM dims JOIN st USING (pos))
+        |SELECT vec_id, label, round(sqrt(avg(z * z)), 6) AS ood_score
+        |FROM z GROUP BY 1, 2
+        |ORDER BY ood_score DESC, vec_id LIMIT 10""".stripMargin,
     "v27_matryoshka_eval" -> {
       val full =
         """full10 AS (

@@ -1488,7 +1488,91 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** t43's prefix-axis resolution: the vocabulary-growth curve samples
+    * the corpus at this many doc-id prefixes.
+    */
+  val HeapsPrefixes = 16
+
+  // t43: HEAPS'-LAW VOCABULARY GROWTH — V(N) ≈ K·N^β, the curve that
+  // predicts how much NEW vocabulary another 10 TB of corpus buys (and
+  // whose β falling toward 0 signals a source is mined out). The type
+  // unit is word TRIGRAMS (t44's reasoning: this corpus's 31-word
+  // unigram vocabulary saturates in the first prefix, β degenerates to
+  // 0). The naive formulation (cumulative distinct count per prefix)
+  // rescans the corpus P times; this one is two keyed aggs TOTAL: each
+  // type's FIRST-occurrence prefix (min over the doc-id-derived prefix
+  // index) makes vocabulary growth a per-prefix count + prefix sum on
+  // the bounded P-row axis, and token mass is the same trick without
+  // the min. The log-log fit is one regr_slope over P points. Prefix
+  // boundaries are pure arithmetic on (doc_id, min, max) — identical
+  // on any engine, no percentile or global sort anywhere.
+  val t43_heaps: Q = (s, d) => {
+    val P = HeapsPrefixes
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), Dedup.wordGrams(col("tk"), 3).as("t"))
+    val bounds = docs.agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+    val withIdx = docs.crossJoin(broadcast(bounds))
+      .withColumn("pidx", least(ceil((col("doc_id") - col("mn") + 1) * P /
+        (col("mx") - col("mn") + 1)), lit(P.toLong)).cast("int"))
+    val tokMass = withIdx.groupBy("pidx").agg(sum(size(col("t"))).as("toks"))
+    val firstP = withIdx.select(col("pidx"), explode(col("t")).as("tok"))
+      .groupBy("tok").agg(min("pidx").as("pidx"))
+      .groupBy("pidx").agg(count(lit(1)).as("newv"))
+    val axis = s.range(1, P + 1).select(col("id").cast("int").as("pidx"))
+    val w = Window.orderBy("pidx").rowsBetween(Window.unboundedPreceding, 0)
+    val curve = axis.join(tokMass, Seq("pidx"), "left")
+      .join(firstP, Seq("pidx"), "left")
+      .withColumn("cum_tokens", sum(coalesce(col("toks"), lit(0L))).over(w))
+      .withColumn("cum_vocab", sum(coalesce(col("newv"), lit(0L))).over(w))
+      .filter(col("cum_tokens") > 0)
+      .select(col("pidx").as("prefix"), col("cum_tokens"), col("cum_vocab"))
+      // ≤P rows; checkpoint so the fit agg + final projection don't each
+      // re-run the two corpus-wide aggregations feeding the curve
+      .localCheckpoint(true)
+    val fit = curve.agg(
+      round(expr("regr_slope(ln(cast(cum_vocab as double)), " +
+        "ln(cast(cum_tokens as double)))"), 4).as("heaps_beta"),
+      round(expr("exp(regr_intercept(ln(cast(cum_vocab as double)), " +
+        "ln(cast(cum_tokens as double))))"), 2).as("heaps_k"))
+    curve.crossJoin(broadcast(fit)).orderBy("prefix")
+  }
+
+  // t44: TRIGRAM FREQUENCY SPECTRUM + GOOD-TURING — the count-of-counts
+  // profile N_r (how many types occur exactly r times) for r ≤ 10, each
+  // row carrying the Good-Turing re-estimate c* = (r+1)·N_{r+1}/N_r and
+  // the share of corpus mass at that frequency. N_1/N is the unseen-
+  // event probability mass — the number that says how open the
+  // vocabulary still is (and the discount Kneser-Ney (t37) hard-codes).
+  // The unit is word TRIGRAMS (this synthetic corpus has only ~31
+  // unigram types, all frequent; trigrams have the hapax-heavy tail a
+  // real corpus's unigrams would). Two keyed aggs (type counts →
+  // spectrum); the N_{r+1} lookup is a self-join on the bounded r-axis,
+  // NOT lead() (a lead would silently read N at the next PRESENT r,
+  // which may be r+2 when a spectrum hole exists). Every output ratio
+  // is ONE division of identical integers on both engines — exact,
+  // order-independent, no rounding hazard.
+  val t44_freq_spectrum: Q = (s, d) => {
+    val counts = Tables.documents(s, d)
+      .select(toks(col("text")).as("tk")) // materialized: HOF lambdas
+      // must not re-evaluate the split tree per element
+      .select(explode(Dedup.wordGrams(col("tk"), 3)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c"))
+    val spec = counts.groupBy(col("c").as("r")).agg(count(lit(1)).as("n_types"))
+    val tot = counts.agg(sum("c").cast("double").as("n_tokens"))
+    spec.join(spec.select((col("r") - 1).as("r"), col("n_types").as("n_next")),
+        Seq("r"), "left")
+      .crossJoin(broadcast(tot))
+      .filter(col("r") <= 10)
+      .select(col("r"), col("n_types"),
+        round((col("r") + 1) * col("n_next") / col("n_types"), 4).as("gt_cstar"),
+        round(col("r") * col("n_types") / col("n_tokens"), 6).as("token_share"))
+      .orderBy("r")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t44_freq_spectrum" -> t44_freq_spectrum,
+    "t43_heaps" -> t43_heaps,
     "t42_epoch_schedule" -> t42_epoch_schedule,
     "t41_lexical_diversity" -> t41_lexical_diversity,
     "t40_jsd_drift" -> t40_jsd_drift,
@@ -1539,6 +1623,54 @@ object TextAnalysis {
     s"len(list_filter($sqlToks, w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
   val oracle: Map[String, String] = Map(
+    "t43_heaps" ->
+      s"""WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
+         |tk AS (SELECT doc_id, $sqlToks AS w FROM documents),
+         |docs AS (
+         |  SELECT least(ceil((doc_id - mn + 1) * 16 / (mx - mn + 1)), 16)::INT
+         |    AS pidx,
+         |    CASE WHEN len(w) >= 3 THEN
+         |      [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]
+         |    ELSE [] END AS t
+         |  FROM tk, b),
+         |mass AS (SELECT pidx, sum(len(t))::BIGINT AS toks FROM docs GROUP BY 1),
+         |firstp AS (
+         |  SELECT pidx, count(*)::BIGINT AS newv FROM (
+         |    SELECT tok, min(pidx) AS pidx FROM (
+         |      SELECT pidx, unnest(t) AS tok FROM docs) GROUP BY 1)
+         |  GROUP BY 1),
+         |axis AS (SELECT unnest(range(1, 17))::INT AS pidx),
+         |curve AS (
+         |  SELECT pidx AS prefix,
+         |    sum(coalesce(toks, 0)) OVER (ORDER BY pidx ROWS UNBOUNDED PRECEDING)
+         |      ::BIGINT AS cum_tokens,
+         |    sum(coalesce(newv, 0)) OVER (ORDER BY pidx ROWS UNBOUNDED PRECEDING)
+         |      ::BIGINT AS cum_vocab
+         |  FROM axis LEFT JOIN mass USING (pidx) LEFT JOIN firstp USING (pidx)),
+         |cv AS (SELECT * FROM curve WHERE cum_tokens > 0),
+         |fit AS (
+         |  SELECT round(regr_slope(ln(cum_vocab::DOUBLE), ln(cum_tokens::DOUBLE)),
+         |      4) AS heaps_beta,
+         |    round(exp(regr_intercept(ln(cum_vocab::DOUBLE),
+         |      ln(cum_tokens::DOUBLE))), 2) AS heaps_k
+         |  FROM cv)
+         |SELECT prefix, cum_tokens, cum_vocab, heaps_beta, heaps_k
+         |FROM cv, fit ORDER BY prefix""".stripMargin,
+    "t44_freq_spectrum" ->
+      s"""WITH tk AS (SELECT $sqlToks AS t FROM documents),
+         |g AS (
+         |  SELECT unnest(CASE WHEN len(t) >= 3 THEN
+         |      [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+         |    ELSE [] END) AS g
+         |  FROM tk),
+         |c AS (SELECT g, count(*)::BIGINT AS c FROM g GROUP BY 1),
+         |spec AS (SELECT c AS r, count(*)::BIGINT AS n_types FROM c GROUP BY 1),
+         |tot AS (SELECT sum(c)::DOUBLE AS n_tokens FROM c)
+         |SELECT s.r, s.n_types,
+         |  round((s.r + 1) * s2.n_types / s.n_types, 4) AS gt_cstar,
+         |  round(s.r * s.n_types / n_tokens, 6) AS token_share
+         |FROM spec s LEFT JOIN spec s2 ON s2.r = s.r + 1, tot
+         |WHERE s.r <= 10 ORDER BY s.r""".stripMargin,
     "t40_jsd_drift" ->
       s"""WITH counts AS (
          |  SELECT source, unnest($sqlToks) AS tok FROM documents),

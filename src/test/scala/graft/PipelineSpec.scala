@@ -2320,6 +2320,64 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("t43 Heaps curve equals the brute cumulative-distinct recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.TextAnalysis.t43_heaps(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= ops.TextAnalysis.HeapsPrefixes)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).trim.toLowerCase.split("\\s+").toSeq
+          .sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq))
+    val mn = docs.map(_._1).min; val mx = docs.map(_._1).max
+    val P = ops.TextAnalysis.HeapsPrefixes
+    def pidx(id: Long): Int =
+      math.min(math.ceil((id - mn + 1) * P.toDouble / (mx - mn + 1)).toInt, P)
+    rows.foreach { r =>
+      val p = r.getAs[Int]("prefix")
+      val in = docs.filter(d => pidx(d._1) <= p)
+      assert(r.getAs[Long]("cum_tokens") == in.map(_._2.length.toLong).sum,
+        s"prefix $p tokens")
+      assert(r.getAs[Long]("cum_vocab") ==
+        in.flatMap(_._2).distinct.length.toLong, s"prefix $p vocab")
+    }
+    // curve is monotone and the fit is sane for a growing corpus
+    val beta = rows.head.getAs[Double]("heaps_beta")
+    assert(beta > 0.0 && beta <= 1.5, s"heaps_beta $beta")
+    assert(rows.head.getAs[Double]("heaps_k") > 0.0)
+    val vocabs = rows.map(_.getAs[Long]("cum_vocab"))
+    assert(vocabs.zip(vocabs.tail).forall { case (a, b) => b >= a })
+  }
+
+  test("t44 frequency spectrum equals the count-of-counts recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.TextAnalysis.t44_freq_spectrum(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val counts = Tables.documents(spark, sf)
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).trim.toLowerCase.split("\\s+").toSeq
+        .sliding(3).filter(_.length == 3).map(_.mkString(" ")))
+      .groupBy(identity).map(_._2.length.toLong)
+    val spectrum = counts.groupBy(identity)
+      .map { case (r, g) => r -> g.size.toLong }
+    val nTokens = counts.sum.toDouble
+    rows.foreach { r =>
+      val rr = r.getAs[Long]("r")
+      assert(rr <= 10)
+      assert(r.getAs[Long]("n_types") == spectrum(rr), s"N_$rr")
+      val exp = spectrum.get(rr + 1)
+        .map(n1 => (rr + 1) * n1 / spectrum(rr).toDouble)
+      (Option(r.getAs[Any]("gt_cstar")), exp) match {
+        case (Some(g), Some(e)) =>
+          assert(math.abs(g.asInstanceOf[Double] - e) < 1e-3, s"gt_cstar r=$rr")
+        case (None, None) => // spectrum hole on both sides
+        case (g, e) => fail(s"gt_cstar presence mismatch at r=$rr: $g vs $e")
+      }
+      assert(math.abs(r.getAs[Double]("token_share") -
+        rr * spectrum(rr) / nTokens) < 1e-4)
+    }
+  }
+
   test("t42 epoch schedule equals the driver two-pass recompute; caps hold") {
     import org.apache.spark.sql.functions._
     val rows = ops.TextAnalysis.t42_epoch_schedule(spark, sf).collect()
@@ -2397,6 +2455,70 @@ class PipelineSpec extends AnyFunSuite {
       val multi = sorted.filter(_.getAs[Long]("n_items") > 1)
       assert(multi.nonEmpty, "budget too large to exercise packing")
     }
+  }
+
+  test("v29 silhouette equals the brute centroid recompute; bounded in [-1,1]") {
+    import org.apache.spark.sql.functions._
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    val byLabel = vecs.groupBy(_._2)
+    val cents = byLabel.map { case (l, g) =>
+      l -> Array.tabulate(g.head._3.length)(i => g.map(_._3(i)).sum / g.length)
+    }
+    def dist(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val sils = vecs.map { case (_, l, e) =>
+      val a = dist(e, cents(l))
+      val b = cents.filter(_._1 != l).map(c => dist(e, c._2)).min
+      (l, if (math.max(a, b) > 0) (b - a) / math.max(a, b) else 0.0)
+    }
+    val rows = ops.Similarity.v29_silhouette(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("label")).toSeq == byLabel.keys.toSeq.sorted)
+    rows.foreach { r =>
+      val l = r.getAs[Int]("label")
+      val grp = sils.filter(_._1 == l).map(_._2)
+      assert(r.getAs[Long]("n_vecs") == grp.length.toLong)
+      assert(math.abs(r.getAs[Double]("avg_sil") - grp.sum / grp.length) < 1e-3)
+      assert(r.getAs[Double]("avg_sil") <= 1.0 + 1e-9)
+      assert(r.getAs[Double]("min_sil") >= -1.0 - 1e-9)
+      assert(r.getAs[Long]("n_negative") == grp.count(_ < 0).toLong)
+    }
+  }
+
+  test("v30 OOD z-score top-10 equals the brute per-dimension recompute") {
+    import org.apache.spark.sql.functions._
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val dim = vecs.head._2.length
+    val n = vecs.length
+    val mus = Array.tabulate(dim)(i => vecs.map(_._2(i)).sum / n)
+    val sds = Array.tabulate(dim) { i =>
+      math.sqrt(vecs.map(v => math.pow(v._2(i) - mus(i), 2)).sum / (n - 1))
+    }
+    val scores = vecs.map { case (id, e) =>
+      val z2 = (0 until dim).map { i =>
+        if (sds(i) > 0) math.pow((e(i) - mus(i)) / sds(i), 2) else 0.0
+      }.sum
+      id -> math.sqrt(z2 / dim)
+    }.toMap
+    val rows = ops.Similarity.v30_ood_zscore(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("ood_score") -
+        scores(r.getAs[Long]("vec_id"))) < 1e-4)
+    }
+    // the reported set is the true top-10 (modulo 6dp rounding ties)
+    val expTop = scores.toSeq
+      .map { case (id, sc) => (BigDecimal(sc).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble, id) }
+      .sortBy { case (sc, id) => (-sc, id) }.take(10).map(_._2)
+    assert(rows.map(_.getAs[Long]("vec_id")).toSeq == expTop)
+    // scores are descending in the output
+    val ss = rows.map(_.getAs[Double]("ood_score"))
+    assert(ss.zip(ss.tail).forall { case (a, b) => a >= b })
   }
 
   test("v27 Matryoshka recall is anchored at full dim and sane per tier") {

@@ -1256,6 +1256,56 @@ class RelationalSpec extends AnyFunSuite {
     assert(qs.zip(qs.tail).forall { case (a, b) => b >= a - 1e-9 })
   }
 
+  test("q89 Spearman matches a driver midrank recompute; rho in [-1,1]") {
+    import org.apache.spark.sql.functions._
+    val base = Tables.orders(spark, sf).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).cast("double").as("x"), sum("o_totalprice").as("y"))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    def midrank(vs: Array[Double]): Map[Double, Double] = {
+      val sorted = vs.sorted
+      vs.distinct.map { v =>
+        val below = sorted.count(_ < v); val c = sorted.count(_ == v)
+        v -> (below + (c + 1) / 2.0)
+      }.toMap
+    }
+    val rxm = midrank(base.map(_._1)); val rym = midrank(base.map(_._2))
+    val xs = base.map(p => rxm(p._1)); val ys = base.map(p => rym(p._2))
+    val n = xs.length
+    val mx = xs.sum / n; val my = ys.sum / n
+    val cov = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum
+    val sx = math.sqrt(xs.map(a => (a - mx) * (a - mx)).sum)
+    val sy = math.sqrt(ys.map(b => (b - my) * (b - my)).sum)
+    val row = ops.Relational.q89_spearman(spark, sf).collect().head
+    assert(row.getAs[Long]("n_customers") == n)
+    assert(math.abs(row.getAs[Double]("spearman_rho") - cov / (sx * sy)) < 1e-5)
+    assert(math.abs(row.getAs[Double]("spearman_rho")) <= 1.0 + 1e-9)
+    assert(math.abs(row.getAs[Double]("pearson_r")) <= 1.0 + 1e-9)
+  }
+
+  test("q90 KS equals the brute-force CDF sweep with min-v argmax") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select("value", "event_type").collect()
+      .map(r => (r.getDouble(0), r.getString(1) == "purchase"))
+    val vs = ev.map(_._1).distinct.sorted
+    val n1 = ev.count(_._2); val n0 = ev.length - n1
+    var best = 0.0; var bestAt = Double.MaxValue
+    for (v <- vs) {
+      val k1 = ev.count(p => p._2 && p._1 <= v).toDouble / n1
+      val k0 = ev.count(p => !p._2 && p._1 <= v).toDouble / n0
+      val dd = math.abs(k1 - k0)
+      if (dd > best) { best = dd; bestAt = v }
+    }
+    val row = ops.Relational.q90_ks(spark, sf).collect().head
+    // ks_d reports rounded to 6dp; the brute sweep is unrounded
+    assert(math.abs(row.getAs[Double]("ks_d") - best) < 5.1e-7)
+    assert(row.getAs[Double]("ks_at") == bestAt)
+    assert(row.getAs[Long]("n1") == n1.toLong)
+    assert(row.getAs[Long]("n0") == n0.toLong)
+    assert(row.getAs[Double]("ks_scaled") >= 0.0)
+  }
+
   test("q78/q85/m12 rank windows are partitioned; global windows post-agg only") {
     val cases: Seq[(String, Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame])] =
       Seq("q78_auc" -> ops.Relational.queries,
