@@ -1318,7 +1318,90 @@ object SourceSinks {
     materializeThenCleanup(s, out, dir)
   }
 
+  /** x33's per-file zone-map manifest over a date-clustered layout:
+    * one row per data file with its o_orderdate min/max — built with
+    * ONE keyed aggregation (not a per-file footer pass), exactly what
+    * an Iceberg/Delta writer records at commit time.
+    */
+  private[graft] def zoneMapLayout(s: SparkSession, d: String, dir: Path)
+      : Seq[(String, Int)] = {
+    val orders = Tables.orders(s, d)
+      .withColumn("yr", year(to_date(col("o_orderdate"))))
+    val years = orders.groupBy("yr").agg(count(lit(1)).as("n"))
+      .orderBy("yr").collect().map(_.getInt(0)).toSeq // bounded: ≤|years|
+    years.foreach { y =>
+      landSingleParquet(orders.filter(col("yr") === y).drop("yr"),
+        dir.resolve(f"y$y%04d.parquet"))
+    }
+    years.map(y => (dir.resolve(f"y$y%04d.parquet").toString, y))
+  }
+
+  // x33: ZONE-MAP FILE SKIPPING — the manifest-pruned scan (the FILE
+  // half of the pruning story: x07 prunes partition DIRECTORIES by
+  // path, x27 exposes row-group stats INSIDE a file; this lane prunes
+  // whole files from a min/max manifest the way an Iceberg/Delta
+  // planner does). Orders land clustered by year; the manifest is one
+  // bounded keyed agg recorded at write time (never a post-hoc footer
+  // crawl); the query's date range consults ONLY the manifest, and the
+  // scan constructor receives just the overlapping files — at 100 TB
+  // the cluster never even lists the skipped ones. The spec pins that
+  // the executed plan read strictly fewer files than the layout holds
+  // and that the answer equals the full-scan filter.
+  val x33_zonemap_scan: Q = (s, d) => {
+    val dir = Files.createTempDirectory("graft_zm")
+    val layout = zoneMapLayout(s, d, dir)
+    val (fromD, untilD) = ("1995-06-01", "1997-03-01")
+    val (fromY, untilY) = (1995, 1997)
+    val hit = layout.filter { case (_, y) => y >= fromY && y <= untilY }
+      .map(_._1)
+    val out = s.read.parquet(hit: _*)
+      .filter(col("o_orderdate") >= lit(fromD) && col("o_orderdate") < lit(untilD))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .orderBy("o_orderstatus")
+    materializeThenCleanup(s, out, dir)
+  }
+
+  // x34: COPY-ON-WRITE DELETE — the rewrite-based twin of x26's
+  // merge-on-read deletion vectors (the two strategies every table
+  // format offers; MoR favors write latency, CoW favors read speed).
+  // The delete predicate is key-range-shaped; candidate files come
+  // from the SAME zone-map manifest x33 scans (min/max overlap — at
+  // 100 TB the rewrite set is the manifest hit set, not the table),
+  // only those files rewrite (anti-filter), every other byte on disk
+  // is untouched, and readers see old-or-new atomically via the
+  // x19-style rename. Oracle = the anti-predicate aggregate.
+  val x34_cow_delete: Q = (s, d) => {
+    val dir = Files.createTempDirectory("graft_cow")
+    val layout = zoneMapLayout(s, d, dir)
+    // half a year: the candidate file rewrites but keeps its H2 rows —
+    // a genuine partial rewrite, not a file drop
+    val (delFrom, delUntil) = ("1996-01-01", "1996-07-01")
+    val candidates = layout.filter { case (_, y) => y == 1996 }
+    candidates.foreach { case (path, _) =>
+      val p = java.nio.file.Paths.get(path)
+      val tmp = p.resolveSibling(p.getFileName.toString + ".rewrite")
+      landSingleParquet(
+        s.read.parquet(path).filter(
+          !(col("o_orderdate") >= lit(delFrom) &&
+            col("o_orderdate") < lit(delUntil))), tmp)
+      Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val out = s.read.parquet(layout.map(_._1): _*)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"),
+        sum((col("o_orderdate") >= lit(delFrom) &&
+          col("o_orderdate") < lit(delUntil)).cast("long")).as("n_in_range"))
+      .orderBy("o_orderstatus")
+    materializeThenCleanup(s, out, dir)
+  }
+
   val queries: Map[String, Q] = Map(
+    "x34_cow_delete" -> x34_cow_delete,
+    "x33_zonemap_scan" -> x33_zonemap_scan,
     "x32_shallow_clone" -> x32_shallow_clone,
     "x31_orphan_gc" -> x31_orphan_gc,
     "x30_snapshot_rollback" -> x30_snapshot_rollback,
@@ -1372,6 +1455,23 @@ object SourceSinks {
   }.mkString("", "\nUNION ALL\n", "\nORDER BY 1")
 
   val oracle: Map[String, String] = Map(
+    "x33_zonemap_scan" ->
+      """SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-06-01'
+        |  AND o_orderdate < TIMESTAMP '1997-03-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x34_cow_delete" ->
+      """SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents,
+        |  sum(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1996-07-01' THEN 1 ELSE 0 END)
+        |    ::BIGINT AS n_in_range
+        |FROM orders
+        |WHERE NOT (o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x32_shallow_clone" ->
       """WITH s0 AS (
         |  SELECT count(*)::BIGINT AS n, round(sum(o_totalprice), 2) AS sp

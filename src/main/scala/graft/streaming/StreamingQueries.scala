@@ -1228,7 +1228,78 @@ object StreamingQueries {
     } finally graft.sources.SourceSinks.deleteDir(dir)
   }
 
+  // s33: STREAMING INTER-PURCHASE CYCLE — q82's twin (20th pair): the
+  // replenishment-cadence histogram maintained at the ingest edge. The
+  // delivery contract is IN-ORDER PER KEY (what a customer-keyed Kafka
+  // topic or a CDC stream provides): the harness lands four files
+  // covering disjoint CHRONOLOGICAL date ranges and each trigger sorts
+  // its in-batch orders per customer, so per-customer state is exactly
+  // (last order day+key, gap-week count map) — O(1) plus the bounded
+  // gap-week axis, NEVER lifetime order history (the s25 lesson,
+  // applied from the start). The snapshot takes each customer's latest
+  // map and rolls the corpus histogram — hash-matching q82's batch
+  // oracle verbatim.
+  val s33_stream_interpurchase: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val ord = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+          .cast("long").as("days"),
+        col("o_orderkey"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sipc")
+    try {
+      val b = ord.agg(min("days").as("lo"), max("days").as("hi")).collect().head
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val span = hi - lo + 1
+      (0 until 4).foreach { i =>
+        val from = lo + i * span / 4
+        val until = if (i == 3) hi + 1 else lo + (i + 1) * span / 4
+        graft.sources.SourceSinks.landSingleParquet(
+          ord.filter(col("days") >= from && col("days") < until),
+          dir.resolve(f"b$i%02d.parquet"))
+      }
+      val fn: (Long, Iterator[(Long, Long, Long)],
+          GroupState[(Long, Long, Map[Long, Long], Long)]) =>
+          (Long, Long, Map[Long, Long]) = (cust, batch, state) => {
+        var (lastD, lastK, hist, seq) = state.getOption.getOrElse(
+          (Long.MinValue, Long.MinValue, Map.empty[Long, Long], 0L))
+        batch.toSeq.sortBy(o => (o._2, o._3)).foreach { case (_, days, okey) =>
+          if (lastD != Long.MinValue) {
+            val gw = (days - lastD) / 7
+            hist += gw -> (hist.getOrElse(gw, 0L) + 1L)
+          }
+          lastD = days; lastK = okey
+        }
+        seq += 1
+        state.update((lastD, lastK, hist, seq))
+        (cust, seq, hist)
+      }
+      val landedSchema = org.apache.spark.sql.types.StructType(ord.schema.fields)
+      val name = s"graft_sipc_${System.nanoTime()}"
+      val q = s.readStream.schema(landedSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+        .toDF("cust", "seq", "hist")
+        .writeStream.outputMode("update").format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      val gaps = s.table(name)
+        .groupBy(col("cust"))
+        .agg(max_by(col("hist"), col("seq")).as("hist"))
+        .select(explode(col("hist")).as(Seq("gap_weeks", "n")))
+      val tot = gaps.agg(sum("n").cast("double").as("total"))
+      gaps.groupBy("gap_weeks").agg(sum("n").as("n_gaps"))
+        .crossJoin(broadcast(tot))
+        .select(col("gap_weeks"), col("n_gaps"),
+          round(col("n_gaps") / col("total"), 4).as("pct"))
+        .orderBy("gap_weeks")
+    } finally graft.sources.SourceSinks.deleteDir(dir)
+  }
+
   val queries: Map[String, Q] = Map(
+    "s33_stream_interpurchase" -> s33_stream_interpurchase,
     "s32_stream_hhi" -> s32_stream_hhi,
     "s31_stream_time_to_convert" -> s31_stream_time_to_convert,
     "s30_stream_benford" -> s30_stream_benford,
@@ -1260,6 +1331,7 @@ object StreamingQueries {
   val oracle: Map[String, String] = Map(
     // q87's batch oracle verbatim — the per-market supplier→revenue
     // fold must land every share exactly where the batch keyed agg does
+    "s33_stream_interpurchase" -> graft.ops.Relational.oracle("q82_interpurchase"),
     "s32_stream_hhi" -> graft.ops.Relational.oracle("q87_hhi"),
     // q60's batch oracle verbatim — the streamed day-map fold plus
     // spine rebuild must land exactly where the batch plan does

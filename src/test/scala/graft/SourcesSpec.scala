@@ -631,6 +631,77 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("x33 zone-map scan prunes files and equals the full-scan filter") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_zmspec")
+    try {
+      val layout = graft.sources.SourceSinks.zoneMapLayout(spark, sf, dir)
+      assert(layout.length >= 3, "layout must have enough files to prune")
+      val hit = layout.filter { case (_, y) => y >= 1995 && y <= 1997 }.map(_._1)
+      assert(hit.length < layout.length, "the manifest must actually skip files")
+      val pruned = spark.read.parquet(hit: _*)
+        .filter(col("o_orderdate") >= lit("1995-06-01") &&
+          col("o_orderdate") < lit("1997-03-01"))
+      // the executed scan sees ONLY manifest-selected files
+      pruned.collect()
+      val scanned = pruned.inputFiles
+        .map(f => new java.net.URI(f).getPath).toSet
+      assert(scanned.subsetOf(hit.map(p =>
+        java.nio.file.Paths.get(p).toUri.getPath).toSet))
+      // and the pruned answer equals the unpruned one
+      val full = spark.read.parquet(layout.map(_._1): _*)
+        .filter(col("o_orderdate") >= lit("1995-06-01") &&
+          col("o_orderdate") < lit("1997-03-01"))
+      assert(pruned.count() == full.count())
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
+  test("x34 CoW delete rewrites only candidate files; others byte-identical") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_cowspec")
+    try {
+      val layout = graft.sources.SourceSinks.zoneMapLayout(spark, sf, dir)
+      val untouched = layout.filter(_._2 != 1996).map(_._1)
+      val before = untouched.map(p =>
+        p -> java.util.Arrays.hashCode(
+          Files.readAllBytes(java.nio.file.Paths.get(p)))).toMap
+      // same rewrite the lane performs
+      layout.filter(_._2 == 1996).foreach { case (path, _) =>
+        val p = java.nio.file.Paths.get(path)
+        val tmp = p.resolveSibling(p.getFileName.toString + ".rewrite")
+        graft.sources.SourceSinks.landSingleParquet(
+          spark.read.parquet(path).filter(
+            !(col("o_orderdate") >= lit("1996-01-01") &&
+              col("o_orderdate") < lit("1996-07-01"))), tmp)
+        Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      untouched.foreach { p =>
+        assert(java.util.Arrays.hashCode(
+          Files.readAllBytes(java.nio.file.Paths.get(p))) == before(p),
+          s"non-candidate file was rewritten: $p")
+      }
+      // the rewritten table holds zero rows in the deleted range and
+      // every out-of-range row survived
+      val after = spark.read.parquet(layout.map(_._1): _*)
+      val inRange = after.filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1996-07-01")).count()
+      assert(inRange == 0L)
+      val expect = Tables.orders(spark, sf).filter(
+        !(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1996-07-01"))).count()
+      assert(after.count() == expect)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
   test("x32 clone diverges copy-on-write; source content untouched") {
     import org.apache.spark.sql.functions._
     val rows = graft.sources.SourceSinks.x32_shallow_clone(spark, sf)

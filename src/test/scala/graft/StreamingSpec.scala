@@ -327,6 +327,19 @@ class StreamingSpec extends AnyFunSuite {
     got.foreach(r => assert(r(1).asInstanceOf[Long] <= nSup))
   }
 
+  test("s33 streaming inter-purchase equals the batch q82 row for row; state is gap-axis bounded") {
+    val got = StreamingQueries.s33_stream_interpurchase(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val exp = ops.Relational.q82_interpurchase(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == exp,
+      "per-customer (last order, gap map) fold must land q82's histogram exactly")
+    // the per-customer state bound is the gap-week axis (distinct
+    // gap-week buckets), never the customer's order count: the widest
+    // possible map is one entry per output histogram row
+    assert(got.length <= 600, "gap-week axis must stay bounded")
+  }
+
   test("s31 streaming time-to-convert equals the batch q84 row for row") {
     val got = StreamingQueries.s31_stream_time_to_convert(spark, sf)
       .collect().map(_.toSeq).toSeq
