@@ -1118,7 +1118,107 @@ object Multimodal {
       .orderBy("content_type", "shard")
   }
 
+  /** Encode 3 consecutive payload bytes per pixel (R,G,B) as a REAL
+    * color PNG via the JDK writer — m13's codec chain. Lossless: the
+    * decode side recovers the planted bytes exactly.
+    */
+  def encodeRgbPng(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = 3 * (y * w + x)
+        var c = 0
+        while (c < 3) {
+          raster.setSample(x, y, c,
+            if (base + c < payload.length) payload(base + c) & 0xFF else 0)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL color decode: PNG bytes → (interleaved RGB samples, w, h). */
+  def decodeRgb(bytes: Array[Byte]): (Array[Byte], Int, Int) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "not a decodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val raster = img.getRaster
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < 3) {
+          out(3 * (y * w + x) + c) = raster.getSample(x, y, c).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (out, w, h)
+  }
+
+  // m13 (rows-only; spec: ≡ driver recompute over the same codec chain,
+  // PNG losslessness pinned): PER-CHANNEL NORMALIZATION STATISTICS —
+  // the (mean, std) constants every vision training run bakes into its
+  // transforms (ImageNet's 0.485/0.456/0.406 etc.), computed over the
+  // corpus through a REAL color codec chain: payload bytes → RGB PNG →
+  // imageio decode on the executor → per-image per-channel integer
+  // partials (n, Σx, Σx², min, max). The partials are EXACT longs
+  // (pixels are 0..255 ints), so the global 3-row rollup is
+  // order-independent and the mean/std are single divisions — the
+  // two-level-aggregation shape a 100 TB image corpus needs: pixels
+  // never leave their input partition, only 3 rows of longs per image
+  // cross the exchange.
+  val m13_channel_stats: Q = (s, d) => {
+    import s.implicits._
+    val parts = imageCorpus(s, d).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        val px = math.max(r.payload.length / 3, 1)
+        val w = math.max(math.ceil(math.sqrt(px.toDouble)).toInt, 1)
+        val h = (px + w - 1) / w
+        val (rgb, _, _) = decodeRgb(encodeRgbPng(r.payload, w, h))
+        (0 until 3).map { c =>
+          var i = c; var sm = 0L; var sq = 0L
+          var mn = 255; var mx = 0; var cnt = 0L
+          while (i < rgb.length) {
+            val v = rgb(i) & 0xFF
+            sm += v; sq += v.toLong * v
+            if (v < mn) mn = v; if (v > mx) mx = v
+            cnt += 1; i += 3
+          }
+          (c, cnt, sm, sq, mn, mx)
+        }
+      }
+    }.toDF("ch", "n", "sm", "sq", "mn", "mx")
+    parts.groupBy("ch")
+      .agg(sum("n").as("n_pixels"), sum("sm").as("sm"), sum("sq").as("sq"),
+        min("mn").as("min_px"), max("mx").as("max_px"))
+      .select(
+        element_at(array(lit("r"), lit("g"), lit("b")), col("ch") + 1)
+          .as("channel"),
+        col("n_pixels"),
+        round(col("sm") / col("n_pixels"), 4).as("mean_px"),
+        round(sqrt(col("sq") / col("n_pixels") -
+          pow(col("sm") / col("n_pixels"), 2)), 4).as("std_px"),
+        col("min_px"), col("max_px"))
+      .orderBy("channel")
+  }
+
   val queries: Map[String, Q] = Map(
+    "m13_channel_stats" -> m13_channel_stats,
     "m12_shard_pack" -> m12_shard_pack,
     "m11_batch_collate" -> m11_batch_collate,
     "m10_exif_walk" -> m10_exif_walk,

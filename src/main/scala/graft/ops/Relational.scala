@@ -2248,7 +2248,52 @@ object Relational {
       .select("ks_at", "ks_d", "ks_scaled", "n0", "n1")
   }
 
+  // q91: MANN-KENDALL TREND TEST on the daily revenue series — the
+  // nonparametric "is there a monotone trend" answer q64's linear
+  // regression can't give (no normality or linearity assumed): S =
+  // Σ_{i<j} sign(y_j − y_i) over the day axis, tie-corrected variance,
+  // the ±1-continuity z. The pair join runs on the CALENDAR-bounded
+  // day axis (≤ a few thousand rows regardless of corpus size — one
+  // keyed agg collapses 100 TB to it), so the O(|days|²) comparison is
+  // constant work at any scale. S is an exact signed count, the
+  // variance is exact integer arithmetic, and z is one division+sqrt
+  // of identical values on both engines — 4dp-deterministic.
+  val q91_mann_kendall: Q = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum("o_totalprice").as("y"))
+      .persist() // three consumers: the pair join (twice) + n + ties
+    val a = daily.select(col("day").as("di"), col("y").as("yi"))
+    val b = daily.select(col("day").as("dj"), col("y").as("yj"))
+    val st = a.join(b, col("di") < col("dj"))
+      .agg(sum(signum(col("yj") - col("yi"))).as("s_stat"))
+    val nn = daily.agg(count(lit(1)).cast("double").as("n"))
+    val ties = daily.groupBy("y").agg(count(lit(1)).as("t"))
+      .filter(col("t") > 1)
+      .agg(coalesce(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)),
+        lit(0L)).cast("double").as("tt"))
+    val out = st.crossJoin(nn).crossJoin(ties)
+      .withColumn("variance",
+        (col("n") * (col("n") - 1) * (col("n") * 2 + 5) - col("tt")) / 18.0)
+      .withColumn("zraw",
+        when(col("s_stat") > 0, (col("s_stat") - 1) / sqrt(col("variance")))
+          .when(col("s_stat") < 0, (col("s_stat") + 1) / sqrt(col("variance")))
+          .otherwise(lit(0.0)))
+      .select(col("n").cast("long").as("n_days"),
+        col("s_stat").cast("long").as("s_stat"),
+        round(lit(2.0) * col("s_stat") / (col("n") * (col("n") - 1)), 6)
+          .as("tau"),
+        round(col("zraw"), 4).as("z"),
+        when(col("zraw") > 1.96, "increasing")
+          .when(col("zraw") < -1.96, "decreasing")
+          .otherwise("no_trend").as("trend"))
+      .localCheckpoint(true)
+    daily.unpersist()
+    out
+  }
+
   val queries: Map[String, Q] = Map(
+    "q91_mann_kendall" -> q91_mann_kendall,
     "q90_ks" -> q90_ks,
     "q89_spearman" -> q89_spearman,
     "q88_acf" -> q88_acf,
@@ -2364,6 +2409,34 @@ object Relational {
       |FROM det JOIN se USING (wd) ORDER BY day""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q91_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate::DATE AS day, sum(o_totalprice) AS y
+        |  FROM orders GROUP BY 1),
+        |st AS (
+        |  SELECT sum(sign(b.y - a.y)) AS s_stat
+        |  FROM daily a JOIN daily b ON a.day < b.day),
+        |nn AS (SELECT count(*)::DOUBLE AS n FROM daily),
+        |ties AS (
+        |  SELECT coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)::DOUBLE AS tt
+        |  FROM (SELECT count(*)::BIGINT AS t FROM daily
+        |        GROUP BY y HAVING count(*) > 1)),
+        |v AS (
+        |  SELECT n, s_stat,
+        |    (n * (n - 1) * (2 * n + 5) - tt) / 18.0 AS variance,
+        |    CASE WHEN s_stat > 0 THEN (s_stat - 1) /
+        |           sqrt((n * (n - 1) * (2 * n + 5) - tt) / 18.0)
+        |         WHEN s_stat < 0 THEN (s_stat + 1) /
+        |           sqrt((n * (n - 1) * (2 * n + 5) - tt) / 18.0)
+        |         ELSE 0 END AS zraw
+        |  FROM st, nn, ties)
+        |SELECT n::BIGINT AS n_days, s_stat::BIGINT AS s_stat,
+        |  round(2.0 * s_stat / (n * (n - 1)), 6) AS tau,
+        |  round(zraw, 4) AS z,
+        |  CASE WHEN zraw > 1.96 THEN 'increasing'
+        |       WHEN zraw < -1.96 THEN 'decreasing'
+        |       ELSE 'no_trend' END AS trend
+        |FROM v""".stripMargin,
     "q89_spearman" ->
       """WITH base AS (
         |  SELECT o_custkey, count(*)::DOUBLE AS x, sum(o_totalprice) AS y

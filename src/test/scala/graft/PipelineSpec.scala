@@ -2433,6 +2433,51 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("m13 channel stats equal a driver recompute through the same codec; PNG lossless") {
+    val rows = ops.Multimodal.m13_channel_stats(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("channel")).toSeq == Seq("b", "g", "r"))
+    val recs = ops.Multimodal.imageCorpus(spark, sf).collect()
+    assert(recs.nonEmpty)
+    // lossless: decoded interleaved RGB equals the planted prefix bytes
+    val r0 = recs.head
+    val px0 = math.max(r0.payload.length / 3, 1)
+    val w0 = math.max(math.ceil(math.sqrt(px0.toDouble)).toInt, 1)
+    val h0 = (px0 + w0 - 1) / w0
+    val (rgb0, _, _) = ops.Multimodal.decodeRgb(
+      ops.Multimodal.encodeRgbPng(r0.payload, w0, h0))
+    assert(rgb0.take(r0.payload.length).sameElements(
+      r0.payload.take(rgb0.length)))
+    // stats equal the brute per-channel recompute
+    val acc = Array.fill(3)((0L, 0L, 0L, 255, 0)) // n, sum, sq, mn, mx
+    recs.foreach { r =>
+      val px = math.max(r.payload.length / 3, 1)
+      val w = math.max(math.ceil(math.sqrt(px.toDouble)).toInt, 1)
+      val h = (px + w - 1) / w
+      val (rgb, _, _) = ops.Multimodal.decodeRgb(
+        ops.Multimodal.encodeRgbPng(r.payload, w, h))
+      (0 until 3).foreach { c =>
+        var i = c
+        var (n, sm, sq, mn, mx) = acc(c)
+        while (i < rgb.length) {
+          val v = rgb(i) & 0xFF
+          n += 1; sm += v; sq += v.toLong * v
+          if (v < mn) mn = v; if (v > mx) mx = v
+          i += 3
+        }
+        acc(c) = (n, sm, sq, mn, mx)
+      }
+    }
+    val byName = Map("r" -> 0, "g" -> 1, "b" -> 2)
+    rows.foreach { row =>
+      val (n, sm, sq, mn, mx) = acc(byName(row.getAs[String]("channel")))
+      assert(row.getAs[Long]("n_pixels") == n)
+      assert(math.abs(row.getAs[Double]("mean_px") - sm.toDouble / n) < 1e-3)
+      val variance = sq.toDouble / n - math.pow(sm.toDouble / n, 2)
+      assert(math.abs(row.getAs[Double]("std_px") - math.sqrt(variance)) < 1e-3)
+      assert(row.getAs[Int]("min_px") == mn && row.getAs[Int]("max_px") == mx)
+    }
+  }
+
   test("m12 shards respect the byte budget and pack sequentially") {
     val rows = ops.Multimodal.m12_shard_pack(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -1306,6 +1306,33 @@ class RelationalSpec extends AnyFunSuite {
     assert(row.getAs[Double]("ks_scaled") >= 0.0)
   }
 
+  test("q91 Mann-Kendall equals the brute pair sweep") {
+    import org.apache.spark.sql.functions._
+    val y = Tables.orders(spark, sf)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum("o_totalprice").as("y")).orderBy("day")
+      .collect().map(_.getDouble(1))
+    val n = y.length
+    var sStat = 0L
+    for (i <- 0 until n; j <- i + 1 until n)
+      sStat += math.signum(y(j) - y(i)).toLong
+    val ties = y.groupBy(identity).values.map(_.length.toLong)
+      .filter(_ > 1).map(t => t * (t - 1) * (2 * t + 5)).sum
+    val variance = (n.toDouble * (n - 1) * (2 * n + 5) - ties) / 18.0
+    val zExp =
+      if (sStat > 0) (sStat - 1) / math.sqrt(variance)
+      else if (sStat < 0) (sStat + 1) / math.sqrt(variance) else 0.0
+    val row = ops.Relational.q91_mann_kendall(spark, sf).collect().head
+    assert(row.getAs[Long]("n_days") == n.toLong)
+    assert(row.getAs[Long]("s_stat") == sStat)
+    assert(math.abs(row.getAs[Double]("tau") -
+      2.0 * sStat / (n.toDouble * (n - 1))) < 1e-5)
+    assert(math.abs(row.getAs[Double]("z") - zExp) < 1e-3)
+    val expTrend = if (zExp > 1.96) "increasing"
+      else if (zExp < -1.96) "decreasing" else "no_trend"
+    assert(row.getAs[String]("trend") == expTrend)
+  }
+
   test("q78/q85/m12 rank windows are partitioned; global windows post-agg only") {
     val cases: Seq[(String, Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame])] =
       Seq("q78_auc" -> ops.Relational.queries,
