@@ -2292,7 +2292,65 @@ object Relational {
     out
   }
 
+  // q92: CROSS-CORRELATION FUNCTION between the daily view and purchase
+  // series at lags −7..+7 — "does view volume LEAD purchase volume, and
+  // by how many days?" (q88's ACF is the self-correlation special
+  // case; this is the causal-direction probe between two series). Both
+  // series come out of ONE keyed agg over events (conditional sums on
+  // the same day cell); demeaning, the lag self-join (≤|days|·15
+  // rows), and the normalization ride the calendar-bounded axis. CCF
+  // values are scale-free ratios of like-magnitude sums.
+  val q92_ccf: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum((col("event_type") === "view").cast("long")).as("x"),
+        sum((col("event_type") === "purchase").cast("long")).as("y"))
+      .withColumn("rn", row_number().over(Window.orderBy("day")))
+    val stats = daily.agg(avg("x").as("mx"), avg("y").as("my"))
+    val dm = daily.crossJoin(broadcast(stats))
+      .select(col("rn"), (col("x") - col("mx")).as("ex"),
+        (col("y") - col("my")).as("ey"))
+    val denom = dm.agg(
+      sqrt(sum(col("ex") * col("ex")) * sum(col("ey") * col("ey"))).as("den"))
+    val lags = s.range(-7, 8).select(col("id").as("lag_k"))
+    val b = dm.select(col("rn").as("brn"), col("ey").as("bey"))
+    dm.crossJoin(broadcast(lags))
+      .join(b, col("brn") === col("rn") + col("lag_k"))
+      .groupBy("lag_k").agg(sum(col("ex") * col("bey")).as("sk"))
+      .crossJoin(broadcast(denom))
+      .select(col("lag_k").cast("int").as("lag_k"),
+        when(col("den") > 0, round(col("sk") / col("den"), 6))
+          .otherwise(lit(0.0)).as("ccf"))
+      .orderBy("lag_k")
+  }
+
+  // q93: DAU/WAU STICKINESS — the engagement ratio every growth team
+  // tracks. The scale trick is WAU WITHOUT a distinct-over-window (a
+  // 7-day sliding countDistinct re-scans each day 7×): the DISTINCT
+  // (user, day) pairs — one dedup shuffle — each EXPLODE to the ≤7
+  // window-end days they support, and a second distinct+count per end
+  // day gives the trailing-7-day actives. Every step is linear in the
+  // (user, day) activity pairs; nothing global, no window at all.
+  val q93_stickiness: Q = (s, d) => {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"),
+        round(col("dau") / col("wau").cast("double"), 4).as("stickiness"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q93_stickiness" -> q93_stickiness,
+    "q92_ccf" -> q92_ccf,
     "q91_mann_kendall" -> q91_mann_kendall,
     "q90_ks" -> q90_ks,
     "q89_spearman" -> q89_spearman,
@@ -2409,6 +2467,37 @@ object Relational {
       |FROM det JOIN se USING (wd) ORDER BY day""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q92_ccf" ->
+      """WITH daily AS (
+        |  SELECT ts::DATE AS day,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS x,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+        |      AS y
+        |  FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1),
+        |idx AS (SELECT x, y, row_number() OVER (ORDER BY day) AS rn FROM daily),
+        |st AS (SELECT avg(x) AS mx, avg(y) AS my FROM idx),
+        |dm AS (SELECT rn, x - mx AS ex, y - my AS ey FROM idx, st),
+        |den AS (
+        |  SELECT sqrt(sum(ex * ex) * sum(ey * ey)) AS den FROM dm),
+        |lags AS (SELECT unnest(range(-7, 8)) AS lag_k),
+        |terms AS (
+        |  SELECT lag_k, sum(a.ex * b.ey) AS sk
+        |  FROM dm a CROSS JOIN lags JOIN dm b ON b.rn = a.rn + lag_k
+        |  GROUP BY 1)
+        |SELECT lag_k::INT AS lag_k,
+        |  CASE WHEN den > 0 THEN round(sk / den, 6) ELSE 0 END AS ccf
+        |FROM terms, den ORDER BY lag_k""".stripMargin,
+    "q93_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+        |dau AS (SELECT day, count(*)::BIGINT AS dau FROM ud GROUP BY 1),
+        |contrib AS (
+        |  SELECT DISTINCT user_id, day + i::INT AS day7
+        |  FROM ud, range(0, 7) r(i)),
+        |wau AS (SELECT day7 AS day, count(*)::BIGINT AS wau
+        |        FROM contrib GROUP BY 1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, dau, wau,
+        |  round(dau / wau::DOUBLE, 4) AS stickiness
+        |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
     "q91_mann_kendall" ->
       """WITH daily AS (
         |  SELECT o_orderdate::DATE AS day, sum(o_totalprice) AS y

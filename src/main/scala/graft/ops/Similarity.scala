@@ -1646,7 +1646,37 @@ object Similarity {
       .limit(10)
   }
 
+  // v31: PER-DIMENSION CLASS SEPARABILITY — q81's one-way ANOVA run
+  // independently on every embedding dimension: F_j = between-class /
+  // within-class variance of dimension j across labels. The ranked
+  // answer to "which dimensions carry the label signal" — what an
+  // embedding-compression (v27 keeps PREFIXES; this measures whether
+  // that's the right 16) or a probing analysis reads first. Two keyed
+  // aggs on the (pos, label) and pos axes; the two-pass CENTERED form
+  // (q81's conditioning lesson) keeps every sum well-conditioned;
+  // outputs are scale-free ratios on the bounded 64-row axis.
+  val v31_dim_separability: Q = (s, d) => {
+    val dims = Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("x", col("x").cast("double"))
+    val grp = dims.groupBy("pos", "label")
+      .agg(count(lit(1)).as("nl"), avg("x").as("ml"))
+    val grand = dims.groupBy("pos").agg(avg("x").as("m"))
+    val ssw = dims.join(broadcast(grp), Seq("pos", "label"))
+      .groupBy("pos").agg(sum(pow(col("x") - col("ml"), 2)).as("ssw"))
+    val ssb = grp.join(broadcast(grand), Seq("pos"))
+      .groupBy("pos").agg(sum(col("nl") * pow(col("ml") - col("m"), 2)).as("ssb"))
+    val kn = grp.groupBy("pos").agg(sum("nl").as("n"), count(lit(1)).as("k"))
+    ssb.join(ssw, Seq("pos")).join(kn, Seq("pos"))
+      .select(col("pos").cast("int").as("pos"),
+        round((col("ssb") / (col("k") - 1)) /
+          (col("ssw") / (col("n") - col("k"))), 4).as("f_ratio"),
+        round(col("ssb") / (col("ssb") + col("ssw")), 6).as("eta_sq"))
+      .orderBy("pos")
+  }
+
   val queries: Map[String, Q] = Map(
+    "v31_dim_separability" -> v31_dim_separability,
     "v30_ood_zscore" -> v30_ood_zscore,
     "v29_silhouette" -> v29_silhouette,
     "v28_ivfpq" -> v28_ivfpq,
@@ -1681,6 +1711,25 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "v31_dim_separability" ->
+      """WITH dims AS (
+        |  SELECT label, (i - 1)::INT AS pos, embedding[i]::DOUBLE AS x
+        |  FROM embeddings, range(1, 65) t(i)),
+        |grp AS (SELECT pos, label, count(*)::BIGINT AS nl, avg(x) AS ml
+        |        FROM dims GROUP BY 1, 2),
+        |grand AS (SELECT pos, avg(x) AS m FROM dims GROUP BY 1),
+        |ssw AS (
+        |  SELECT pos, sum((x - ml) * (x - ml)) AS ssw
+        |  FROM dims JOIN grp USING (pos, label) GROUP BY pos),
+        |ssb AS (
+        |  SELECT pos, sum(nl * (ml - m) * (ml - m)) AS ssb
+        |  FROM grp JOIN grand USING (pos) GROUP BY pos),
+        |kn AS (SELECT pos, sum(nl)::BIGINT AS n, count(*)::BIGINT AS k
+        |       FROM grp GROUP BY 1)
+        |SELECT pos, round((ssb / (k - 1)) / (ssw / (n - k)), 4) AS f_ratio,
+        |  round(ssb / (ssb + ssw), 6) AS eta_sq
+        |FROM ssb JOIN ssw USING (pos) JOIN kn USING (pos)
+        |ORDER BY pos""".stripMargin,
     "v29_silhouette" ->
       """WITH dims AS (
         |  SELECT label, vec_id, i AS pos, embedding[i]::DOUBLE AS v

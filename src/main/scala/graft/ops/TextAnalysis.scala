@@ -1570,7 +1570,36 @@ object TextAnalysis {
       .orderBy("r")
   }
 
+  /** t45's tail-sample size (the k largest documents). */
+  val HillK = 200
+
+  // t45: PARETO TAIL INDEX of document length (Hill estimator) — is
+  // the length distribution heavy-tailed, and how heavy? The α that
+  // decides whether length-capping policy (t06 chunking budgets, m12
+  // shard budgets) faces a power law or an exponential tail. The only
+  // distributed step is a top-(k+1) selection (TakeOrdered — bounded
+  // result, no global sort materialized); the threshold is the
+  // smallest selected value and the tie convention is STRICTLY-above
+  // (x > x_{k+1}), which makes the tail multiset deterministic even
+  // when tied lengths straddle the cut. α = m / Σ ln(x/thr) on the
+  // ≤k-row tail.
+  val t45_hill_tail: Q = (s, d) => {
+    val top = Tables.documents(s, d)
+      .select(col("n_chars").cast("double").as("x"))
+      .filter(col("x") > 0)
+      .orderBy(col("x").desc)
+      .limit(HillK + 1)
+    val thr = top.agg(min("x").as("xk1"))
+    top.crossJoin(broadcast(thr))
+      .filter(col("x") > col("xk1"))
+      .agg(count(lit(1)).as("n_tail"),
+        first("xk1").as("threshold"),
+        round(count(lit(1)) / sum(log(col("x") / col("xk1"))), 4)
+          .as("hill_alpha"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t45_hill_tail" -> t45_hill_tail,
     "t44_freq_spectrum" -> t44_freq_spectrum,
     "t43_heaps" -> t43_heaps,
     "t42_epoch_schedule" -> t42_epoch_schedule,
@@ -1623,6 +1652,15 @@ object TextAnalysis {
     s"len(list_filter($sqlToks, w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
   val oracle: Map[String, String] = Map(
+    "t45_hill_tail" ->
+      """WITH top AS (
+        |  SELECT n_chars::DOUBLE AS x FROM documents WHERE n_chars > 0
+        |  ORDER BY x DESC LIMIT 201),
+        |thr AS (SELECT min(x) AS xk1 FROM top),
+        |tail AS (SELECT x, xk1 FROM top, thr WHERE x > xk1)
+        |SELECT count(*)::BIGINT AS n_tail, min(xk1) AS threshold,
+        |  round(count(*) / sum(ln(x / xk1)), 4) AS hill_alpha
+        |FROM tail""".stripMargin,
     "t43_heaps" ->
       s"""WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
          |tk AS (SELECT doc_id, $sqlToks AS w FROM documents),

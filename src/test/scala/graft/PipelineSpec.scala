@@ -2378,6 +2378,48 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("t45 Hill tail index equals the brute top-k recompute") {
+    import org.apache.spark.sql.functions._
+    val xs = Tables.documents(spark, sf)
+      .select(col("n_chars").cast("double")).collect()
+      .map(_.getDouble(0)).filter(_ > 0).sorted(Ordering[Double].reverse)
+    val k = ops.TextAnalysis.HillK
+    val topk1 = xs.take(k + 1)
+    val thr = topk1.min
+    val tail = topk1.filter(_ > thr)
+    val row = ops.TextAnalysis.t45_hill_tail(spark, sf).collect().head
+    assert(row.getAs[Long]("n_tail") == tail.length.toLong)
+    assert(row.getAs[Double]("threshold") == thr)
+    val alpha = tail.length / tail.map(x => math.log(x / thr)).sum
+    assert(math.abs(row.getAs[Double]("hill_alpha") - alpha) < 1e-3)
+    assert(row.getAs[Double]("hill_alpha") > 0)
+  }
+
+  test("v31 per-dimension Fisher ratio equals the brute ANOVA recompute") {
+    import org.apache.spark.sql.functions._
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val dim = vecs.head._2.length
+    val rows = ops.Similarity.v31_dim_separability(spark, sf).collect()
+    assert(rows.length == dim)
+    val labels = vecs.map(_._1).distinct
+    for (pos <- Seq(0, dim / 2, dim - 1)) {
+      val all = vecs.map(_._2(pos))
+      val m = all.sum / all.length
+      val byL = labels.map(l => vecs.filter(_._1 == l).map(_._2(pos)))
+      val ssb = byL.map(g => g.length * math.pow(g.sum / g.length - m, 2)).sum
+      val ssw = byL.map(g => {
+        val ml = g.sum / g.length; g.map(x => math.pow(x - ml, 2)).sum
+      }).sum
+      val f = (ssb / (labels.length - 1)) /
+        (ssw / (all.length - labels.length))
+      val row = rows.find(_.getAs[Int]("pos") == pos).get
+      assert(math.abs(row.getAs[Double]("f_ratio") - f) < 1e-2, s"pos $pos")
+      assert(math.abs(row.getAs[Double]("eta_sq") - ssb / (ssb + ssw)) < 1e-4)
+    }
+  }
+
   test("t42 epoch schedule equals the driver two-pass recompute; caps hold") {
     import org.apache.spark.sql.functions._
     val rows = ops.TextAnalysis.t42_epoch_schedule(spark, sf).collect()

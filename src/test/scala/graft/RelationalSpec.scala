@@ -1333,6 +1333,53 @@ class RelationalSpec extends AnyFunSuite {
     assert(row.getAs[String]("trend") == expTrend)
   }
 
+  test("q92 CCF equals the brute lag sweep and is bounded in [-1,1]") {
+    import org.apache.spark.sql.functions._
+    val daily = Tables.events(spark, sf)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum((col("event_type") === "view").cast("long")).as("x"),
+        sum((col("event_type") === "purchase").cast("long")).as("y"))
+      .orderBy("day").collect()
+      .map(r => (r.getLong(1).toDouble, r.getLong(2).toDouble))
+    val n = daily.length
+    val mx = daily.map(_._1).sum / n; val my = daily.map(_._2).sum / n
+    val ex = daily.map(_._1 - mx); val ey = daily.map(_._2 - my)
+    val den = math.sqrt(ex.map(v => v * v).sum * ey.map(v => v * v).sum)
+    val rows = ops.Relational.q92_ccf(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("lag_k")).toSeq == (-7 to 7))
+    rows.foreach { r =>
+      val k = r.getAs[Int]("lag_k")
+      val sk = (0 until n).flatMap { i =>
+        val j = i + k
+        if (j >= 0 && j < n) Some(ex(i) * ey(j)) else None
+      }.sum
+      assert(math.abs(r.getAs[Double]("ccf") - sk / den) < 1e-5, s"lag $k")
+      assert(math.abs(r.getAs[Double]("ccf")) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("q93 stickiness equals the brute trailing-7-day recompute") {
+    import org.apache.spark.sql.functions._
+    val ud = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).cast("string").as("day"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), java.time.LocalDate.parse(r.getString(1))))
+    val rows = ops.Relational.q93_stickiness(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val day = java.time.LocalDate.parse(r.getAs[String]("day"))
+      val dau = ud.count(_._2 == day).toLong
+      val wau = ud.filter { case (_, d0) =>
+        !d0.isAfter(day) && d0.isAfter(day.minusDays(7))
+      }.map(_._1).distinct.length.toLong
+      assert(r.getAs[Long]("dau") == dau, s"dau $day")
+      assert(r.getAs[Long]("wau") == wau, s"wau $day")
+      assert(math.abs(r.getAs[Double]("stickiness") -
+        dau.toDouble / wau) < 1e-3)
+    }
+  }
+
   test("q78/q85/m12 rank windows are partitioned; global windows post-agg only") {
     val cases: Seq[(String, Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame])] =
       Seq("q78_auc" -> ops.Relational.queries,
