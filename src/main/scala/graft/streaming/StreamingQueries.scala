@@ -1298,7 +1298,76 @@ object StreamingQueries {
     } finally graft.sources.SourceSinks.deleteDir(dir)
   }
 
+  // s34: STREAMING DAU/WAU STICKINESS — q93's twin (21st pair), and the
+  // fully ORDER-TOLERANT state design: every trigger emits the batch's
+  // (user, day) pairs outright; per-user state keeps only a ≤7-day
+  // recency set used to SUPPRESS re-emission of recently-seen days (an
+  // optimization, never a correctness dependency — an evicted day that
+  // reappears re-emits, and the snapshot's distinct() absorbs it, so
+  // at-least-once delivery and any arrival order are both exact).
+  // State is O(7) per user regardless of lifetime; the snapshot runs
+  // q93's own explode-to-window-ends math, hash-matching its oracle.
+  val s34_stream_stickiness: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("days"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdau")
+    try {
+      (0 until 4).foreach { i =>
+        graft.sources.SourceSinks.landSingleParquet(
+          ev.filter(pmod(col("event_id"), lit(4)) === i).drop("event_id"),
+          dir.resolve(f"b$i%02d.parquet"))
+      }
+      val fn: (Long, Iterator[(Long, Long)], GroupState[(Seq[Long], Long)]) =>
+          (Long, Long, Seq[Long]) = (uid, batch, state) => {
+        val st = state.getOption.getOrElse((Seq.empty[Long], 0L))
+        var recent: Seq[Long] = st._1
+        var seq: Long = st._2
+        val fresh: Seq[Long] =
+          batch.map(_._2).toSet.toSeq.filterNot(recent.contains)
+        val horizon = (recent ++ fresh).max - 6
+        recent = (recent ++ fresh).distinct.filter(_ >= horizon)
+        seq += 1
+        state.update((recent, seq))
+        (uid, seq, fresh)
+      }
+      val landedSchema = org.apache.spark.sql.types.StructType(
+        ev.drop("event_id").schema.fields)
+      val name = s"graft_sdau_${System.nanoTime()}"
+      val q = s.readStream.schema(landedSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+        .toDF("user_id", "seq", "fresh")
+        .writeStream.outputMode("update").format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      // union of ALL emissions, deduped — exact under any order/replay
+      val ud = s.table(name)
+        .select(col("user_id"), explode(col("fresh")).as("days"))
+        .distinct()
+        .select(col("user_id"),
+          date_add(lit("1970-01-01").cast("date"), col("days").cast("int"))
+            .as("day"))
+      val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select(col("user_id"),
+          explode(sequence(col("day"), date_add(col("day"), 6))).as("day"))
+        .distinct()
+        .groupBy("day").agg(count(lit(1)).as("wau"))
+      dau.join(wau, Seq("day"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("dau"), col("wau"),
+          round(col("dau") / col("wau").cast("double"), 4).as("stickiness"))
+        .orderBy("day")
+    } finally graft.sources.SourceSinks.deleteDir(dir)
+  }
+
   val queries: Map[String, Q] = Map(
+    "s34_stream_stickiness" -> s34_stream_stickiness,
     "s33_stream_interpurchase" -> s33_stream_interpurchase,
     "s32_stream_hhi" -> s32_stream_hhi,
     "s31_stream_time_to_convert" -> s31_stream_time_to_convert,
@@ -1331,6 +1400,7 @@ object StreamingQueries {
   val oracle: Map[String, String] = Map(
     // q87's batch oracle verbatim — the per-market supplier→revenue
     // fold must land every share exactly where the batch keyed agg does
+    "s34_stream_stickiness" -> graft.ops.Relational.oracle("q93_stickiness"),
     "s33_stream_interpurchase" -> graft.ops.Relational.oracle("q82_interpurchase"),
     "s32_stream_hhi" -> graft.ops.Relational.oracle("q87_hhi"),
     // q60's batch oracle verbatim — the streamed day-map fold plus

@@ -1380,6 +1380,44 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q94 CUPED equals the driver recompute and reduces variance") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).cast("string").as("day"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), java.time.LocalDate.parse(r.getString(1)),
+        r.getDouble(2)))
+    val lo = ev.map(_._2).min
+    val per = ev.groupBy(_._1).map { case (uid, g) =>
+      val x = g.filter(e => java.time.temporal.ChronoUnit.DAYS
+        .between(lo, e._2) < 15).map(_._3).sum
+      val y = g.filter(e => java.time.temporal.ChronoUnit.DAYS
+        .between(lo, e._2) >= 15).map(_._3).sum
+      val inExp = g.exists(e => java.time.temporal.ChronoUnit.DAYS
+        .between(lo, e._2) >= 15)
+      (uid, x, y, inExp)
+    }.filter(_._4).toSeq
+    val n = per.length
+    val mx = per.map(_._2).sum / n; val my = per.map(_._3).sum / n
+    val cxy = per.map(p => (p._2 - mx) * (p._3 - my)).sum / (n - 1)
+    val vx = per.map(p => math.pow(p._2 - mx, 2)).sum / (n - 1)
+    val theta = if (vx > 0) cxy / vx else 0.0
+    val adj = per.map(p => (p._1, p._3, p._3 - theta * (p._2 - mx)))
+    val rows = ops.Relational.q94_cuped(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("variant")).toSeq == Seq("A", "B"))
+    rows.foreach { r =>
+      val grp = adj.filter(p =>
+        (if (p._1 % 2 == 0) "A" else "B") == r.getAs[String]("variant"))
+      assert(r.getAs[Long]("n_users") == grp.length.toLong)
+      assert(math.abs(r.getAs[Double]("mean_y") -
+        grp.map(_._2).sum / grp.length) < 1e-2)
+      assert(math.abs(r.getAs[Double]("mean_y_cuped") -
+        grp.map(_._3).sum / grp.length) < 1e-2)
+      // CUPED must genuinely shrink variance on a correlated covariate
+      assert(r.getAs[Double]("var_reduction") > 0.0)
+    }
+  }
+
   test("q78/q85/m12 rank windows are partitioned; global windows post-agg only") {
     val cases: Seq[(String, Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame])] =
       Seq("q78_auc" -> ops.Relational.queries,

@@ -327,6 +327,16 @@ class StreamingSpec extends AnyFunSuite {
     got.foreach(r => assert(r(1).asInstanceOf[Long] <= nSup))
   }
 
+  test("s34 streaming stickiness equals the batch q93 row for row under unordered delivery") {
+    val got = StreamingQueries.s34_stream_stickiness(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val exp = ops.Relational.q93_stickiness(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == exp,
+      "emit-then-dedup fold must land q93's profile exactly even with " +
+        "event_id-sharded (chronologically UNORDERED) delivery")
+  }
+
   test("s33 streaming inter-purchase equals the batch q82 row for row; state is gap-axis bounded") {
     val got = StreamingQueries.s33_stream_interpurchase(spark, sf)
       .collect().map(_.toSeq).toSeq
