@@ -2394,7 +2394,81 @@ object Relational {
     out
   }
 
+  // q95: CLAMPED RUNNING BALANCE (inventory semantics) — stock that can
+  // never go negative: B_t = max(0, B_{t-1} + δ_t). The recurrence
+  // looks inherently sequential, but the Skorokhod reflection identity
+  // B_t = S_t − min(0, min_{k≤t} S_k) turns it into TWO windowed
+  // prefixes (cumsum + running min) — fully declarative, both windows
+  // PARTITIONED BY BRAND over the calendar-bounded week axis, no
+  // recursion and no per-row driver loop at any scale. Returned lines
+  // (l_returnflag = 'R') restock, everything else depletes; weeks are
+  // integer (days/7) arithmetic (q82's convention — engine-portable,
+  // no date_trunc semantics to match).
+  val q95_clamped_balance: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+    val epoch = lit("1970-01-01").cast("date")
+    val deltas = li.select(col("p_brand"),
+        (datediff(to_date(col("l_shipdate")), epoch) / 7)
+          .cast("long").as("week"),
+        when(col("l_returnflag") === "R", col("l_quantity"))
+          .otherwise(-col("l_quantity")).as("q"))
+      .groupBy(col("p_brand"), col("week"))
+      .agg(sum("q").as("delta"))
+    val w = Window.partitionBy("p_brand").orderBy("week")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("s", sum("delta").over(w))
+      .withColumn("runmin", min(col("s")).over(w))
+      .select(col("p_brand"), col("week"), col("delta"),
+        (col("s") - least(col("runmin"), lit(0.0))).as("balance"))
+      .orderBy("p_brand", "week")
+  }
+
+  // q96: MARKOV NEXT-EVENT PREDICTION EVAL — q49 builds the transition
+  // matrix; this lane scores it out-of-sample (the honest question:
+  // does the matrix PREDICT?): transitions from the first 15 days
+  // train argmax-next-per-state (lexicographic tie-break), the rest
+  // are the test set, accuracy = share predicted. Both sequence
+  // windows partition by user (bounded per-user history per day); the
+  // train/test cut is pure day arithmetic off the broadcast min-day;
+  // the argmax rides the ≤|types|² matrix axis.
+  val q96_markov_eval: Q = (s, d) => {
+    val lo = Tables.events(s, d).agg(min(to_date(col("ts"))).as("lo"))
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val tr = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), to_date(col("ts")).as("day"))
+      .crossJoin(broadcast(lo))
+      .withColumn("nxt", lead("event_type", 1).over(w))
+      .withColumn("nxt_day", lead("day", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("event_type").as("prev"), col("nxt"),
+        (datediff(col("nxt_day"), col("lo")) < 15).as("is_train"))
+    val model = tr.filter(col("is_train"))
+      .groupBy("prev", "nxt").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("prev").orderBy(col("n").desc, col("nxt"))))
+      .filter(col("rk") === 1)
+      .select(col("prev"), col("nxt").as("predicted"))
+    tr.filter(!col("is_train"))
+      .join(broadcast(model), Seq("prev"), "left")
+      .groupBy(col("prev"))
+      .agg(min("predicted").as("predicted"),
+        count(lit(1)).as("n_test"),
+        // coalesce: a prev state unseen in training predicts nothing —
+        // its hits are 0, not NULL (the oracle's ELSE 0 branch)
+        sum(coalesce((col("nxt") === col("predicted")).cast("long"),
+          lit(0L))).as("n_hit"))
+      .withColumn("accuracy",
+        round(col("n_hit") / col("n_test").cast("double"), 4))
+      .orderBy("prev")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q96_markov_eval" -> q96_markov_eval,
+    "q95_clamped_balance" -> q95_clamped_balance,
     "q94_cuped" -> q94_cuped,
     "q93_stickiness" -> q93_stickiness,
     "q92_ccf" -> q92_ccf,
@@ -2514,6 +2588,55 @@ object Relational {
       |FROM det JOIN se USING (wd) ORDER BY day""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q95_clamped_balance" ->
+      """WITH li AS (
+        |  SELECT p_brand, l_quantity, l_returnflag, l_shipdate
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey),
+        |deltas AS (
+        |  SELECT p_brand, week, sum(q) AS delta FROM (
+        |    SELECT p_brand,
+        |      (date_diff('day', DATE '1970-01-01', l_shipdate::DATE) // 7)
+        |        ::BIGINT AS week,
+        |      CASE WHEN l_returnflag = 'R' THEN l_quantity
+        |           ELSE -l_quantity END AS q
+        |    FROM li)
+        |  GROUP BY 1, 2),
+        |pre AS (
+        |  SELECT p_brand, week, delta,
+        |    sum(delta) OVER (PARTITION BY p_brand ORDER BY week
+        |      ROWS UNBOUNDED PRECEDING) AS s
+        |  FROM deltas),
+        |rm AS (
+        |  SELECT p_brand, week, delta, s,
+        |    min(s) OVER (PARTITION BY p_brand ORDER BY week
+        |      ROWS UNBOUNDED PRECEDING) AS runmin
+        |  FROM pre)
+        |SELECT p_brand, week, delta, s - least(runmin, 0.0) AS balance
+        |FROM rm ORDER BY p_brand, week""".stripMargin,
+    "q96_markov_eval" ->
+      """WITH lo AS (SELECT min(ts::DATE) AS lo FROM events),
+        |seq AS (
+        |  SELECT event_type AS prev,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts::TIMESTAMP), event_id) AS nxt,
+        |    lead(ts::DATE) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts::TIMESTAMP), event_id) AS nxt_day
+        |  FROM events),
+        |tr AS (
+        |  SELECT prev, nxt, date_diff('day', lo, nxt_day) < 15 AS is_train
+        |  FROM seq, lo WHERE nxt IS NOT NULL),
+        |model AS (
+        |  SELECT prev, nxt AS predicted FROM (
+        |    SELECT prev, nxt, row_number() OVER (PARTITION BY prev
+        |      ORDER BY count(*) DESC, nxt) AS rk
+        |    FROM tr WHERE is_train GROUP BY prev, nxt)
+        |  WHERE rk = 1)
+        |SELECT prev, min(predicted) AS predicted, count(*)::BIGINT AS n_test,
+        |  sum(CASE WHEN nxt = predicted THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+        |  round(sum(CASE WHEN nxt = predicted THEN 1 ELSE 0 END) /
+        |    count(*)::DOUBLE, 4) AS accuracy
+        |FROM tr LEFT JOIN model USING (prev)
+        |WHERE NOT is_train GROUP BY prev ORDER BY prev""".stripMargin,
     "q94_cuped" ->
       """WITH ev AS (
         |  SELECT user_id, ts::DATE AS day, value FROM events),

@@ -1418,6 +1418,59 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q95 clamped balance equals the sequential recurrence per brand") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Relational.q95_clamped_balance(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the reflection identity must equal the literal max(0, prev + δ)
+    // recurrence, brand by brand, week by week
+    rows.groupBy(_.getAs[String]("p_brand")).foreach { case (_, g) =>
+      val sorted = g.sortBy(_.getAs[Long]("week"))
+      var bal = 0.0
+      sorted.foreach { r =>
+        bal = math.max(0.0, bal + r.getAs[Double]("delta"))
+        assert(math.abs(r.getAs[Double]("balance") - bal) < 1e-9,
+          s"${r.getAs[String]("p_brand")} week ${r.getAs[Long]("week")}")
+      }
+    }
+    assert(rows.forall(_.getAs[Double]("balance") >= 0.0))
+  }
+
+  test("q96 Markov eval equals the driver train/test recompute") {
+    import org.apache.spark.sql.functions._
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"), to_date(col("ts")).cast("string").as("day"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        java.time.LocalDate.parse(r.getString(4))))
+    val lo = evs.map(_._5).min
+    val tr = evs.groupBy(_._1).values.flatMap { g =>
+      val s0 = g.sortBy(e => (e._3, e._4))
+      s0.zip(s0.tail).map { case (a, b) =>
+        (a._2, b._2, java.time.temporal.ChronoUnit.DAYS
+          .between(lo, b._5) < 15)
+      }
+    }.toSeq
+    val model = tr.filter(_._3).groupBy(t => (t._1, t._2))
+      .map { case ((p, n), g) => (p, n, g.size) }
+      .groupBy(_._1).map { case (p, cands) =>
+        p -> cands.toSeq.sortBy(c => (-c._3, c._2)).head._2
+      }
+    val rows = ops.Relational.q96_markov_eval(spark, sf).collect()
+    rows.foreach { r =>
+      val p = r.getAs[String]("prev")
+      val test = tr.filter(t => t._1 == p && !t._3)
+      assert(r.getAs[Long]("n_test") == test.length.toLong)
+      val pred = model.get(p)
+      assert(Option(r.getAs[String]("predicted")) == pred)
+      val hits = test.count(t => pred.contains(t._2)).toLong
+      assert(r.getAs[Long]("n_hit") == hits, s"hits for $p")
+      assert(math.abs(r.getAs[Double]("accuracy") -
+        hits.toDouble / test.length) < 1e-3)
+    }
+  }
+
   test("q78/q85/m12 rank windows are partitioned; global windows post-agg only") {
     val cases: Seq[(String, Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame])] =
       Seq("q78_auc" -> ops.Relational.queries,
