@@ -2466,7 +2466,63 @@ object Relational {
       .orderBy("prev")
   }
 
+  // q97: TOP-K WITH "OTHERS" ROLLUP — the report shape every dashboard
+  // ships (top 10 brands by revenue, the long tail folded into one
+  // OTHERS row so shares sum to 1): one keyed agg to the brand axis, a
+  // rank on that BOUNDED axis (the global window sits above the
+  // aggregate — the sanctioned shape), then a second ≤2-key agg folds
+  // the tail. Revenue reports as exact integer cents (q85's
+  // convention); shares are single divisions of those exact longs.
+  val q97_topk_others: Q = (s, d) => {
+    val K = 10
+    val byBrand = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"),
+        count(lit(1)).as("n_lines"))
+    val ranked = byBrand.withColumn("rk", row_number().over(
+      Window.orderBy(col("cents").desc, col("p_brand"))))
+    val folded = ranked
+      .withColumn("bucket",
+        when(col("rk") <= K, col("p_brand")).otherwise(lit("OTHERS")))
+      .groupBy(col("bucket"))
+      .agg(min(when(col("rk") <= K, col("rk")).otherwise(lit(K + 1)))
+          .as("rank"),
+        sum("cents").as("cents"), sum("n_lines").as("n_lines"))
+    val tot = byBrand.agg(sum("cents").cast("double").as("t"))
+    folded.crossJoin(broadcast(tot))
+      .select(col("rank").cast("int").as("rank"), col("bucket"),
+        col("cents"), col("n_lines"),
+        round(col("cents") / col("t"), 6).as("share"))
+      .orderBy("rank", "bucket")
+  }
+
+  // q98: WEIGHTED MEDIAN unit price per returnflag, quantity-weighted —
+  // "the price of the median UNIT SOLD", not the median line (a
+  // 50-unit line counts 50×). Spark's exact percentile(col, p, freq)
+  // implements repetition semantics natively; the oracle replays the
+  // same definition by literally expanding each line l_quantity times
+  // (exact equivalence, not approximation). Scoped to one ship-year to
+  // bound the oracle's expansion; at 100 TB the documented swap is
+  // approx_percentile (q39's trade). One keyed agg, ≤|flags| rows out.
+  val q98_weighted_median: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01"))
+      .select(col("l_returnflag"),
+        (col("l_extendedprice") / col("l_quantity")).as("unit_price"),
+        col("l_quantity").cast("long").as("q"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum("q").as("units"),
+        round(expr("percentile(unit_price, 0.5, q)"), 4).as("wmedian"),
+        round(expr("percentile(unit_price, 0.9, q)"), 4).as("wp90"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q98_weighted_median" -> q98_weighted_median,
+    "q97_topk_others" -> q97_topk_others,
     "q96_markov_eval" -> q96_markov_eval,
     "q95_clamped_balance" -> q95_clamped_balance,
     "q94_cuped" -> q94_cuped,
@@ -2588,6 +2644,39 @@ object Relational {
       |FROM det JOIN se USING (wd) ORDER BY day""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q97_topk_others" ->
+      """WITH byb AS (
+        |  SELECT p_brand,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS cents,
+        |    count(*)::BIGINT AS n_lines
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey GROUP BY 1),
+        |rk AS (
+        |  SELECT *, row_number() OVER (ORDER BY cents DESC, p_brand) AS rk
+        |  FROM byb),
+        |folded AS (
+        |  SELECT CASE WHEN rk <= 10 THEN p_brand ELSE 'OTHERS' END AS bucket,
+        |    min(CASE WHEN rk <= 10 THEN rk ELSE 11 END)::INT AS rank,
+        |    sum(cents)::BIGINT AS cents, sum(n_lines)::BIGINT AS n_lines
+        |  FROM rk GROUP BY 1),
+        |tot AS (SELECT sum(cents)::DOUBLE AS t FROM byb)
+        |SELECT rank, bucket, cents, n_lines, round(cents / t, 6) AS share
+        |FROM folded, tot ORDER BY rank, bucket""".stripMargin,
+    "q98_weighted_median" ->
+      """WITH li AS (
+        |  SELECT l_returnflag, l_extendedprice / l_quantity AS unit_price,
+        |    l_quantity::BIGINT AS q
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'),
+        |expanded AS (
+        |  SELECT l_returnflag, unit_price
+        |  FROM li JOIN range(1, 51) r(i) ON i <= q),
+        |u AS (SELECT l_returnflag, sum(q)::BIGINT AS units FROM li GROUP BY 1)
+        |SELECT l_returnflag, units,
+        |  round(quantile_cont(unit_price, 0.5), 4) AS wmedian,
+        |  round(quantile_cont(unit_price, 0.9), 4) AS wp90
+        |FROM expanded JOIN u USING (l_returnflag)
+        |GROUP BY l_returnflag, units ORDER BY l_returnflag""".stripMargin,
     "q95_clamped_balance" ->
       """WITH li AS (
         |  SELECT p_brand, l_quantity, l_returnflag, l_shipdate

@@ -1675,7 +1675,47 @@ object Similarity {
       .orderBy("pos")
   }
 
+  // v32 (rows-only; spec: ≡ driver recompute of the same assignment,
+  // imbalance ≥ 1): IVF CELL-BALANCE REPORT — the load-skew numbers
+  // that predict probe-latency tail at serving time (one hot cell =
+  // one straggling probe; v18 tunes probe WIDTH, this measures whether
+  // the PARTITIONING itself is balanced — the ANN equivalent of x08's
+  // skew-join concern). Assignment is one broadcast-centroid pass +
+  // keyed min_by; the report rolls the ≤k cell sizes to a single row:
+  // imbalance (max/mean), coefficient of variation, and the share of
+  // the corpus in the hottest decile of cells.
+  val v32_cell_balance: Q = (s, d) => {
+    val sizes = Tables.embeddings(s, d)
+      .crossJoin(broadcast(scaledIvfCentroids(s, d)))
+      .withColumn("dist2", aggregate(
+        zip_with(col("embedding"), col("centroid"),
+          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+        lit(0.0), (acc, v) => acc + v))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cell"), struct(col("dist2"), col("cell"))).as("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("sz"))
+      // ≤k rows; checkpoint so count/hot/rollup don't re-run the
+      // centroid training + assignment three times
+      .localCheckpoint(true)
+    val k = sizes.count() // bounded: ≤ #cells
+    val hotN = math.max(1L, k / 10)
+    val hot = sizes.orderBy(col("sz").desc, col("cell")).limit(hotN.toInt)
+      .agg(sum("sz").as("hot_sz"))
+    sizes.agg(count(lit(1)).as("n_cells"), sum("sz").as("n_vecs"),
+        avg("sz").as("mean_sz"), max("sz").as("max_sz"),
+        expr("stddev_samp(sz)").as("sd"))
+      .crossJoin(broadcast(hot))
+      .select(col("n_cells"), col("n_vecs"), round(col("mean_sz"), 2)
+          .as("mean_sz"),
+        col("max_sz"),
+        round(col("max_sz") / col("mean_sz"), 4).as("imbalance"),
+        round(col("sd") / col("mean_sz"), 4).as("cv"),
+        round(col("hot_sz") / col("n_vecs").cast("double"), 4)
+          .as("hot_decile_share"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "v32_cell_balance" -> v32_cell_balance,
     "v31_dim_separability" -> v31_dim_separability,
     "v30_ood_zscore" -> v30_ood_zscore,
     "v29_silhouette" -> v29_silhouette,

@@ -1399,7 +1399,56 @@ object SourceSinks {
     materializeThenCleanup(s, out, dir)
   }
 
+  // x35 (rows-only; spec: every data column present, compressed ≤
+  // uncompressed, dictionary on the low-cardinality column): COLUMNAR
+  // ENCODING AUDIT — the storage-introspection report an ops team
+  // reads before re-laying-out a 100 TB table (x27 exposes row-group
+  // STATS for pruning; this exposes per-column ENCODINGS and byte
+  // footprints for cost): orders lands as parquet, then ONLY footers
+  // are read (metadata bytes, x16's discipline) and each column
+  // reports its encodings, dictionary usage, compressed/uncompressed
+  // bytes, and compression ratio. At cluster scale footer reads
+  // distribute per file; here the whole audit is a few KB of metadata.
+  val x35_encoding_audit: Q = (s, d) => {
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft_encaudit")
+    Tables.orders(s, d).coalesce(1)
+      .write.mode("overwrite").parquet(dir.toString)
+    val conf = s.sparkContext.hadoopConfiguration
+    val files = Files.list(dir).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+    val rows = files.flatMap { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(f.toString), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        reader.getFooter.getBlocks.asScala.flatMap { b =>
+          b.getColumns.asScala.map { c =>
+            (c.getPath.toDotString,
+              c.getEncodings.asScala.map(_.name).toSeq.sorted.mkString("+"),
+              c.getEncodings.asScala.exists(_.usesDictionary),
+              c.getTotalSize, c.getTotalUncompressedSize)
+          }
+        }.toSeq
+      } finally reader.close()
+    }
+    import s.implicits._
+    val out = rows.toDF("column", "encodings", "uses_dictionary",
+        "compressed", "uncompressed")
+      .groupBy(col("column"))
+      .agg(first("encodings").as("encodings"),
+        max("uses_dictionary").as("uses_dictionary"),
+        sum("compressed").as("compressed_bytes"),
+        sum("uncompressed").as("uncompressed_bytes"))
+      .withColumn("ratio",
+        round(col("compressed_bytes") / col("uncompressed_bytes")
+          .cast("double"), 4))
+      .orderBy("column")
+    materializeThenCleanup(s, out, dir)
+  }
+
   val queries: Map[String, Q] = Map(
+    "x35_encoding_audit" -> x35_encoding_audit,
     "x34_cow_delete" -> x34_cow_delete,
     "x33_zonemap_scan" -> x33_zonemap_scan,
     "x32_shallow_clone" -> x32_shallow_clone,

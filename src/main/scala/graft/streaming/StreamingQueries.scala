@@ -1366,7 +1366,78 @@ object StreamingQueries {
     } finally graft.sources.SourceSinks.deleteDir(dir)
   }
 
+  // s35: STREAMING CLAMPED BALANCE — q95's twin (22nd pair), and the
+  // recurrence q95 needed the reflection identity for is NATIVE here:
+  // fold B = max(0, B + δ) as deltas arrive. Per-brand state is THREE
+  // scalars (last week, balance, seq) — O(1) per brand forever, the
+  // smallest state of any twin. In-order per-key delivery (chronological
+  // week-range files, s33's contract); in-trigger weeks fold sorted.
+  // Each trigger emits the weeks it closed; the snapshot keeps the
+  // latest row per (brand, week) and hash-matches q95's batch oracle.
+  val s35_stream_balance: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val epoch = lit("1970-01-01").cast("date")
+    val feed = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        (datediff(to_date(col("l_shipdate")), epoch) / 7)
+          .cast("long").as("week"),
+        when(col("l_returnflag") === "R", col("l_quantity"))
+          .otherwise(-col("l_quantity")).as("q"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sbal")
+    try {
+      val b = feed.agg(min("week").as("lo"), max("week").as("hi"))
+        .collect().head
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val span = hi - lo + 1
+      (0 until 4).foreach { i =>
+        val from = lo + i * span / 4
+        val until = if (i == 3) hi + 1 else lo + (i + 1) * span / 4
+        graft.sources.SourceSinks.landSingleParquet(
+          feed.filter(col("week") >= from && col("week") < until),
+          dir.resolve(f"b$i%02d.parquet"))
+      }
+      val fn: (String, Iterator[(String, Long, Double)],
+          GroupState[(Long, Double, Long)]) =>
+          (String, Long, Seq[(Long, Double, Double)]) = (brand, batch, state) => {
+        val st = state.getOption.getOrElse((Long.MinValue, 0.0, 0L))
+        var bal = st._2
+        var seq = st._3
+        val emitted = batch.toSeq.groupBy(_._2).toSeq.sortBy(_._1)
+          .map { case (week, rows) =>
+            val delta = rows.map(_._3).sum
+            bal = math.max(0.0, bal + delta)
+            (week, delta, bal)
+          }
+        seq += 1
+        state.update((emitted.lastOption.map(_._1).getOrElse(st._1), bal, seq))
+        (brand, seq, emitted)
+      }
+      val landedSchema = org.apache.spark.sql.types.StructType(feed.schema.fields)
+      val name = s"graft_sbal_${System.nanoTime()}"
+      val q = s.readStream.schema(landedSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+        .as[(String, Long, Double)]
+        .groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+        .toDF("p_brand", "seq", "rows")
+        .writeStream.outputMode("update").format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name)
+        .select(col("p_brand"), col("seq"), explode(col("rows")).as("r"))
+        .groupBy(col("p_brand"), col("r._1").as("week"))
+        .agg(max_by(struct(col("r._2").as("delta"),
+          col("r._3").as("balance")), col("seq")).as("v"))
+        .select(col("p_brand"), col("week"),
+          col("v.delta").as("delta"), col("v.balance").as("balance"))
+        .orderBy("p_brand", "week")
+    } finally graft.sources.SourceSinks.deleteDir(dir)
+  }
+
   val queries: Map[String, Q] = Map(
+    "s35_stream_balance" -> s35_stream_balance,
     "s34_stream_stickiness" -> s34_stream_stickiness,
     "s33_stream_interpurchase" -> s33_stream_interpurchase,
     "s32_stream_hhi" -> s32_stream_hhi,
@@ -1400,6 +1471,7 @@ object StreamingQueries {
   val oracle: Map[String, String] = Map(
     // q87's batch oracle verbatim — the per-market supplier→revenue
     // fold must land every share exactly where the batch keyed agg does
+    "s35_stream_balance" -> graft.ops.Relational.oracle("q95_clamped_balance"),
     "s34_stream_stickiness" -> graft.ops.Relational.oracle("q93_stickiness"),
     "s33_stream_interpurchase" -> graft.ops.Relational.oracle("q82_interpurchase"),
     "s32_stream_hhi" -> graft.ops.Relational.oracle("q87_hhi"),

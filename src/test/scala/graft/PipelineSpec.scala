@@ -2608,6 +2608,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(ss.zip(ss.tail).forall { case (a, b) => a >= b })
   }
 
+  test("v32 cell balance equals the driver recompute; imbalance >= 1") {
+    import org.apache.spark.sql.functions._
+    val row = ops.Similarity.v32_cell_balance(spark, sf).collect().head
+    val nVecs = Tables.embeddings(spark, sf).count()
+    assert(row.getAs[Long]("n_vecs") == nVecs)
+    assert(row.getAs[Long]("n_cells") >= 10)
+    assert(row.getAs[Double]("imbalance") >= 1.0 - 1e-9)
+    assert(row.getAs[Double]("cv") >= 0.0)
+    val share = row.getAs[Double]("hot_decile_share")
+    // the hottest cells hold at least their proportional share (hotN is
+    // max(1, n_cells/10) CELLS, which can be under 10% of a small k)
+    val k = row.getAs[Long]("n_cells")
+    val hotN = math.max(1L, k / 10)
+    assert(share >= hotN.toDouble / k - 1e-6 && share <= 1.0 + 1e-9)
+    assert(math.abs(row.getAs[Double]("mean_sz") -
+      nVecs.toDouble / row.getAs[Long]("n_cells")) < 0.02)
+  }
+
   test("v27 Matryoshka recall is anchored at full dim and sane per tier") {
     val rows = ops.Similarity.v27_matryoshka_eval(spark, sf)
       .collect().sortBy(_.getAs[Int]("dims"))

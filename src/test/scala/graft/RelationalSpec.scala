@@ -1471,6 +1471,52 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q97 top-k + OTHERS: shares sum to 1, fold conserves totals") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Relational.q97_topk_others(spark, sf).collect()
+    assert(rows.length >= 2 && rows.exists(_.getAs[String]("bucket") == "OTHERS"))
+    val shares = rows.map(_.getAs[Double]("share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-4, "shares must sum to 1")
+    val total = Tables.lineitem(spark, sf)
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")))
+      .collect().head.getLong(0)
+    assert(rows.map(_.getAs[Long]("cents")).sum == total,
+      "the fold must conserve total revenue cents")
+    // top rows are genuinely the largest: every named bucket ≥ OTHERS' max member
+    val named = rows.filter(_.getAs[String]("bucket") != "OTHERS")
+    assert(named.map(_.getAs[Int]("rank")).sorted.toSeq ==
+      (1 to named.length))
+  }
+
+  test("q98 weighted median equals the expansion-semantics recompute") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01"))
+      .select(col("l_returnflag"),
+        (col("l_extendedprice") / col("l_quantity")).as("up"),
+        col("l_quantity").cast("long")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val rows = ops.Relational.q98_weighted_median(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val flag = r.getAs[String]("l_returnflag")
+      val grp = li.filter(_._1 == flag)
+      assert(r.getAs[Long]("units") == grp.map(_._3).sum)
+      // expansion semantics: value repeated q times, linear interpolation
+      val expanded = grp.flatMap(g => Seq.fill(g._3.toInt)(g._2)).sorted
+      def q(p: Double): Double = {
+        val pos = p * (expanded.length - 1)
+        val lo = pos.toInt
+        if (lo + 1 < expanded.length)
+          expanded(lo) + (pos - lo) * (expanded(lo + 1) - expanded(lo))
+        else expanded(lo)
+      }
+      assert(math.abs(r.getAs[Double]("wmedian") - q(0.5)) < 1e-2, flag)
+      assert(math.abs(r.getAs[Double]("wp90") - q(0.9)) < 1e-2, flag)
+    }
+  }
+
   test("q78/q85/m12 rank windows are partitioned; global windows post-agg only") {
     val cases: Seq[(String, Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame])] =
       Seq("q78_auc" -> ops.Relational.queries,

@@ -631,6 +631,25 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("x35 encoding audit covers every column with sane byte accounting") {
+    val rows = graft.sources.SourceSinks.x35_encoding_audit(spark, sf).collect()
+    val cols = Tables.orders(spark, sf).columns.toSet
+    assert(rows.map(_.getAs[String]("column")).toSet == cols,
+      "every data column must appear exactly once")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("compressed_bytes") > 0)
+      assert(r.getAs[Long]("uncompressed_bytes") >=
+        r.getAs[Long]("compressed_bytes") / 2, // snappy can pad tiny columns
+        s"${r.getAs[String]("column")}: byte accounting")
+      assert(r.getAs[String]("encodings").nonEmpty)
+      assert(r.getAs[Double]("ratio") > 0.0)
+    }
+    // the low-cardinality status column must dictionary-encode
+    val status = rows.find(_.getAs[String]("column") == "o_orderstatus").get
+    assert(status.getAs[Boolean]("uses_dictionary"),
+      "o_orderstatus (3 distinct values) must use dictionary encoding")
+  }
+
   test("x33 zone-map scan prunes files and equals the full-scan filter") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("graft_zmspec")

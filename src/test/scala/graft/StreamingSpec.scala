@@ -327,6 +327,16 @@ class StreamingSpec extends AnyFunSuite {
     got.foreach(r => assert(r(1).asInstanceOf[Long] <= nSup))
   }
 
+  test("s35 streaming balance equals the batch q95 row for row with O(1) brand state") {
+    val got = StreamingQueries.s35_stream_balance(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val exp = ops.Relational.q95_clamped_balance(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == exp,
+      "the native max(0, B+δ) fold must land q95's reflection-identity " +
+        "result exactly")
+  }
+
   test("s34 streaming stickiness equals the batch q93 row for row under unordered delivery") {
     val got = StreamingQueries.s34_stream_stickiness(spark, sf)
       .collect().map(_.toSeq).toSeq
