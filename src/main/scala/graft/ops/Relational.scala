@@ -2520,7 +2520,58 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  // q99: ABC/XYZ INVENTORY MATRIX — q66's ABC (revenue concentration)
+  // crossed with the XYZ demand-variability axis (CV of weekly demand
+  // per part: X predictable < 0.5, Y < 1.0, Z erratic) — the 9-cell
+  // grid inventory planners set safety stock from (AX: automate; CZ:
+  // drop). Weekly demand CV per part is one keyed agg to the
+  // (part, week) axis + one algebraic (n, Σ, Σ²) rollup per part —
+  // gaps count as zero-demand weeks via the part's OWN observed span
+  // (weeks-present vs span arithmetic, no calendar spine join). The
+  // ABC rank window rides the part DIMENSION (q66's accepted shape);
+  // the matrix rollup is ≤9 rows. Integer-cents revenue throughout.
+  val q99_abc_xyz: Q = (s, d) => {
+    val epoch = lit("1970-01-01").cast("date")
+    val wk = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"),
+        (datediff(to_date(col("l_shipdate")), epoch) / 7)
+          .cast("long").as("week"))
+      .agg(sum("l_quantity").as("q"),
+        sum(expr(
+          "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"))
+          .as("rc"))
+    val span = wk.agg(min("week").as("w0"), max("week").as("w1"))
+    val per = wk.crossJoin(broadcast(span))
+      .groupBy(col("l_partkey"))
+      .agg(sum("rc").as("rc"), count(lit(1)).as("wpresent"),
+        sum("q").as("sq"), sum(col("q") * col("q")).as("sq2"),
+        first(col("w1") - col("w0") + 1).as("nweeks"))
+      // zero-demand weeks inside the corpus span count toward the CV:
+      // mean = Σq/W, var = Σq²/W − mean² (exact integer-valued sums)
+      .withColumn("mean_q", col("sq") / col("nweeks"))
+      // greatest(…, 0): a constant-demand part's variance can land at
+      // −1e-18 by fp cancellation; sqrt must see 0, not NaN/error
+      .withColumn("cv",
+        sqrt(greatest(col("sq2") / col("nweeks") -
+          col("mean_q") * col("mean_q"), lit(0.0))) / col("mean_q"))
+      .withColumn("xyz_class",
+        when(col("cv") < 0.5, "X").when(col("cv") < 1.0, "Y").otherwise("Z"))
+    val tot = per.agg(sum("rc").cast("double").as("t"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("cum", sum("rc").over(Window.orderBy(col("rc").desc,
+        col("l_partkey")).rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)) / col("t"))
+      .withColumn("abc_class",
+        when(col("cum") <= 0.8, "A").when(col("cum") <= 0.95, "B")
+          .otherwise("C"))
+      .groupBy(col("abc_class"), col("xyz_class"))
+      .agg(count(lit(1)).as("n_parts"),
+        round(sum("rc") / first(col("t")), 4).as("rev_share"))
+      .orderBy("abc_class", "xyz_class")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q99_abc_xyz" -> q99_abc_xyz,
     "q98_weighted_median" -> q98_weighted_median,
     "q97_topk_others" -> q97_topk_others,
     "q96_markov_eval" -> q96_markov_eval,
@@ -2644,6 +2695,41 @@ object Relational {
       |FROM det JOIN se USING (wd) ORDER BY day""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q99_abc_xyz" ->
+      """WITH wk AS (
+        |  SELECT l_partkey,
+        |    (date_diff('day', DATE '1970-01-01', l_shipdate::DATE) // 7)
+        |      ::BIGINT AS week,
+        |    sum(l_quantity) AS q,
+        |    sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |      AS BIGINT))::BIGINT AS rc
+        |  FROM lineitem GROUP BY 1, 2),
+        |span AS (SELECT min(week) AS w0, max(week) AS w1 FROM wk),
+        |per AS (
+        |  SELECT l_partkey, sum(rc)::BIGINT AS rc, sum(q) AS sq,
+        |    sum(q * q) AS sq2, min(w1 - w0 + 1) AS nweeks
+        |  FROM wk, span GROUP BY 1),
+        |cvd AS (
+        |  SELECT l_partkey, rc,
+        |    sqrt(greatest(sq2 / nweeks - (sq / nweeks) * (sq / nweeks),
+        |      0.0)) / (sq / nweeks) AS cv
+        |  FROM per),
+        |cls AS (
+        |  SELECT rc,
+        |    CASE WHEN cv < 0.5 THEN 'X' WHEN cv < 1.0 THEN 'Y'
+        |         ELSE 'Z' END AS xyz_class,
+        |    sum(rc) OVER (ORDER BY rc DESC, l_partkey
+        |      ROWS UNBOUNDED PRECEDING) /
+        |      (SELECT sum(rc)::DOUBLE FROM per) AS cum
+        |  FROM cvd),
+        |abc AS (
+        |  SELECT rc, xyz_class,
+        |    CASE WHEN cum <= 0.8 THEN 'A' WHEN cum <= 0.95 THEN 'B'
+        |         ELSE 'C' END AS abc_class
+        |  FROM cls)
+        |SELECT abc_class, xyz_class, count(*)::BIGINT AS n_parts,
+        |  round(sum(rc) / (SELECT sum(rc)::DOUBLE FROM per), 4) AS rev_share
+        |FROM abc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q97_topk_others" ->
       """WITH byb AS (
         |  SELECT p_brand,

@@ -1517,10 +1517,54 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q99 ABC/XYZ matrix conserves parts and matches a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Relational.q99_abc_xyz(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nParts = Tables.lineitem(spark, sf)
+      .select(countDistinct(col("l_partkey"))).collect().head.getLong(0)
+    assert(rows.map(_.getAs[Long]("n_parts")).sum == nParts,
+      "every part lands in exactly one matrix cell")
+    assert(math.abs(rows.map(_.getAs[Double]("rev_share")).sum - 1.0) < 1e-3)
+    val classes = rows.map(r =>
+      (r.getAs[String]("abc_class"), r.getAs[String]("xyz_class")))
+    assert(classes.distinct.length == classes.length)
+    assert(classes.forall { case (a, x) =>
+      Set("A", "B", "C")(a) && Set("X", "Y", "Z")(x) })
+    // driver recompute of one part's CV pins the zero-week convention
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"),
+        (datediff(to_date(col("l_shipdate")),
+          lit("1970-01-01").cast("date")) / 7).cast("long").as("week"),
+        col("l_quantity")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val w0 = li.map(_._2).min; val w1 = li.map(_._2).max
+    val nW = (w1 - w0 + 1).toDouble
+    val byPart = li.groupBy(_._1)
+    val cvs = byPart.map { case (_, g) =>
+      val wq = g.groupBy(_._2).map(_._2.map(_._3).sum).toSeq
+      val sq = wq.sum; val sq2 = wq.map(v => v * v).sum
+      val mean = sq / nW
+      math.sqrt(math.max(sq2 / nW - mean * mean, 0.0)) / mean
+    }
+    val expX = cvs.count(_ < 0.5).toLong
+    assert(rows.filter(_.getAs[String]("xyz_class") == "X")
+      .map(_.getAs[Long]("n_parts")).sum == expX, "X-class count")
+  }
+
   test("q78/q85/m12 rank windows are partitioned; global windows post-agg only") {
     val cases: Seq[(String, Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame])] =
       Seq("q78_auc" -> ops.Relational.queries,
         "q85_gini" -> ops.Relational.queries,
+        // q89's own plan is checkpoint-truncated; its midrank machinery
+        // is audited directly below
+        "q90_ks" -> ops.Relational.queries,
+        "midranks" -> Map("midranks" ->
+          ((s: org.apache.spark.sql.SparkSession, d: String) =>
+            ops.Relational.midranks(Tables.orders(s, d)
+              .groupBy("o_custkey")
+              .agg(org.apache.spark.sql.functions.sum("o_totalprice").as("v"))
+              .select("v")))),
         "m12_shard_pack" -> ops.Multimodal.queries)
     for ((name, fam) <- cases) {
       val df = fam(name)(spark, sf)
