@@ -941,8 +941,11 @@ object TextAnalysis {
   // This is q43's stratified sampler upgraded from uniform to
   // importance-weighted — together they cover the two sampling modes
   // a curation pipeline needs.
-  val t28_weighted_sample: Q = (s, d) => {
-    val scored = Tables.documents(s, d)
+  /** t28's scored frame (score + Efraimidis-Spirakis key per doc) —
+    * shared with s36's streaming fold so twin equality is structural.
+    */
+  def weightedSampleScores(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(col("doc_id"), col("source"), col("text"))
       .withColumn("len_chars", length(col("text")))
       .withColumn("n_tokens", size(toks(col("text"))))
@@ -959,6 +962,9 @@ object TextAnalysis {
         (conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
           .cast("double") + 1.0) / lit(math.pow(16, 12) + 1))
       .withColumn("k", log(col("u")) / col("score"))
+
+  val t28_weighted_sample: Q = (s, d) => {
+    val scored = weightedSampleScores(s, d)
     scored.groupBy(col("source"))
       .agg(graft.functions.TopK.topk_by(
         struct(col("doc_id"), col("score")), col("k"), col("doc_id"), 3).as("top"))

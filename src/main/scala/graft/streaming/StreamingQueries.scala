@@ -1436,7 +1436,60 @@ object StreamingQueries {
     } finally graft.sources.SourceSinks.deleteDir(dir)
   }
 
+  // s36: STREAMING WEIGHTED SAMPLE — t28's twin (23rd pair): the
+  // Efraimidis-Spirakis reservoir maintained continuously. Because the
+  // E-S keys are hash-derived (deterministic per doc), the fold is a
+  // pure top-3-by-key merge per source — COMMUTATIVE, so delivery
+  // order is irrelevant (doc-id-sharded files, no chronological
+  // contract needed) and state is exactly 3 rows per source. Scores
+  // and keys come from t28's OWN weightedSampleScores frame (twin
+  // equality structural); ordering matches topk_by's contract (highest
+  // k, ties to the LOWEST doc_id).
+  val s36_stream_weighted_sample: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val feed = graft.ops.TextAnalysis.weightedSampleScores(s, d)
+      .select(col("source"), col("doc_id"), col("score"), col("k"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_swsamp")
+    try {
+      (0 until 4).foreach { i =>
+        graft.sources.SourceSinks.landSingleParquet(
+          feed.filter(pmod(col("doc_id"), lit(4)) === i),
+          dir.resolve(f"b$i%02d.parquet"))
+      }
+      val fn: (String, Iterator[(String, Long, Double, Double)],
+          GroupState[(Seq[(Long, Double, Double)], Long)]) =>
+          (String, Long, Seq[(Long, Double)]) = (src, batch, state) => {
+        val st = state.getOption.getOrElse(
+          (Seq.empty[(Long, Double, Double)], 0L))
+        val merged = (st._1 ++ batch.map(b => (b._2, b._3, b._4)))
+          .sortBy(e => (-e._3, e._1)).take(3)
+        val seq = st._2 + 1
+        state.update((merged, seq))
+        (src, seq, merged.map(e => (e._1, e._2)))
+      }
+      val landedSchema = org.apache.spark.sql.types.StructType(feed.schema.fields)
+      val name = s"graft_swsamp_${System.nanoTime()}"
+      val q = s.readStream.schema(landedSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+        .as[(String, Long, Double, Double)]
+        .groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+        .toDF("source", "seq", "top")
+        .writeStream.outputMode("update").format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name)
+        .groupBy(col("source"))
+        .agg(max_by(col("top"), col("seq")).as("top"))
+        .select(col("source"), posexplode(col("top")).as(Seq("pos", "r")))
+        .select(col("source"), (col("pos") + 1).cast("int").as("rn"),
+          col("r._1").as("doc_id"), col("r._2").as("score"))
+        .orderBy("source", "rn")
+    } finally graft.sources.SourceSinks.deleteDir(dir)
+  }
+
   val queries: Map[String, Q] = Map(
+    "s36_stream_weighted_sample" -> s36_stream_weighted_sample,
     "s35_stream_balance" -> s35_stream_balance,
     "s34_stream_stickiness" -> s34_stream_stickiness,
     "s33_stream_interpurchase" -> s33_stream_interpurchase,
@@ -1471,6 +1524,8 @@ object StreamingQueries {
   val oracle: Map[String, String] = Map(
     // q87's batch oracle verbatim — the per-market supplier→revenue
     // fold must land every share exactly where the batch keyed agg does
+    "s36_stream_weighted_sample" ->
+      graft.ops.TextAnalysis.oracle("t28_weighted_sample"),
     "s35_stream_balance" -> graft.ops.Relational.oracle("q95_clamped_balance"),
     "s34_stream_stickiness" -> graft.ops.Relational.oracle("q93_stickiness"),
     "s33_stream_interpurchase" -> graft.ops.Relational.oracle("q82_interpurchase"),

@@ -327,6 +327,15 @@ class StreamingSpec extends AnyFunSuite {
     got.foreach(r => assert(r(1).asInstanceOf[Long] <= nSup))
   }
 
+  test("s36 streaming weighted sample equals batch t28 under doc-id-sharded delivery") {
+    val got = StreamingQueries.s36_stream_weighted_sample(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val exp = ops.TextAnalysis.t28_weighted_sample(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == exp,
+      "the commutative top-3 E-S merge must be delivery-order independent")
+  }
+
   test("s35 streaming balance equals the batch q95 row for row with O(1) brand state") {
     val got = StreamingQueries.s35_stream_balance(spark, sf)
       .collect().map(_.toSeq).toSeq
