@@ -1217,7 +1217,59 @@ object Multimodal {
       .orderBy("channel")
   }
 
+  /** m14's per-frame hashes through the real GIF + PNG codec chain:
+    * payload → FrameLen slices → animated GIF roundtrip → dHash per
+    * decoded frame. Shared with the spec's driver recompute.
+    */
+  def frameHashes(r: MediaRecord): Seq[Long] = {
+    val n = r.payload.length
+    val nFrames = (n + FrameLen - 1) / FrameLen
+    val slices = (0 until nFrames).map { seq =>
+      java.util.Arrays.copyOfRange(r.payload, seq * FrameLen,
+        math.min((seq + 1) * FrameLen, n))
+    }
+    demuxGif(encodeGif(slices))
+      .map(f => dHash(MediaRecord(r.doc_id, r.content_type, f)))
+  }
+
+  /** m14's cut threshold: consecutive-frame dHash hamming above this
+    * marks a scene boundary.
+    */
+  val SceneCutHamming = 12
+
+  // m14 (rows-only; spec: ≡ driver recompute through the same codec
+  // chain, frame-count conservation): SCENE-CHANGE DETECTION — the
+  // shot-boundary pass every video-training pipeline runs before
+  // sampling frames (sample 1/scene, not 1/N frames — m03 samples
+  // uniformly; this finds WHERE to sample): video payloads slice into
+  // frames, roundtrip a REAL animated GIF (LZW decode on the
+  // executor), each decoded frame dHashes (m07's hash), and a scene
+  // cut fires where consecutive hamming distance exceeds the
+  // threshold. Per-partition codec work, one bounded row per video
+  // out — nothing but (doc_id, counts) crosses the exchange.
+  val m14_scene_detect: Q = (s, d) => {
+    import s.implicits._
+    mediaRecords(s, d)
+      .filter(_.content_type == "video/mp4")
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { r =>
+          val hs = frameHashes(r)
+          val deltas = hs.zip(hs.tail)
+            .map { case (a, b) => java.lang.Long.bitCount(a ^ b) }
+          val cuts = deltas.count(_ > SceneCutHamming)
+          (r.doc_id, hs.length, 1 + cuts,
+            if (deltas.isEmpty) 0 else deltas.max,
+            if (deltas.isEmpty) 0.0
+            else math.rint(deltas.sum.toDouble / deltas.length * 100) / 100)
+        }
+      }
+      .toDF("doc_id", "n_frames", "n_scenes", "max_delta", "avg_delta")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "m14_scene_detect" -> m14_scene_detect,
     "m13_channel_stats" -> m13_channel_stats,
     "m12_shard_pack" -> m12_shard_pack,
     "m11_batch_collate" -> m11_batch_collate,

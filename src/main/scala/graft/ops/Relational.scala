@@ -2570,7 +2570,61 @@ object Relational {
       .orderBy("abc_class", "xyz_class")
   }
 
+  // q100: CROSS-TABLE DATA-QUALITY SCORECARD — the dbt-test-style audit
+  // report (x29 ENFORCES constraints at a sink; this AUDITS the whole
+  // star schema read-only and reports per check): referential
+  // integrity via LEFT ANTI joins (never a full outer — the violation
+  // count is the only thing shuffled), key uniqueness as count −
+  // countDistinct, domain checks as conditional sums. Each check is
+  // one aggregate; dimension sides broadcast. Output is one bounded
+  // row per check — the shape a 100 TB nightly audit wants.
+  val q100_quality_scorecard: Q = (s, d) => {
+    def check(name: String, table: String, violations: DataFrame,
+        total: Long): DataFrame =
+      violations.select(lit(name).as("check"), lit(table).as("tbl"),
+        col("v").as("n_violations"), lit(total).as("n_total"),
+        (col("v") === 0).as("ok"))
+    val orders = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    val cust = Tables.customer(s, d)
+    val part = Tables.part(s, d)
+    val ev = Tables.events(s, d)
+    val docs = Tables.documents(s, d)
+    val (nO, nL, nC, nE, nD) =
+      (orders.count(), li.count(), cust.count(), ev.count(), docs.count())
+    val checks = Seq(
+      check("fk_orders_customer", "orders",
+        orders.join(broadcast(cust.select("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("v")), nO),
+      check("fk_lineitem_orders", "lineitem",
+        li.select("l_orderkey").join(orders.select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("v")), nL),
+      check("fk_lineitem_part", "lineitem",
+        li.join(broadcast(part.select("p_partkey")),
+          col("l_partkey") === col("p_partkey"), "left_anti")
+          .agg(count(lit(1)).as("v")), nL),
+      check("pk_orders_unique", "orders",
+        orders.agg((count(lit(1)) - countDistinct(col("o_orderkey")))
+          .as("v")), nO),
+      check("pk_customer_unique", "customer",
+        cust.agg((count(lit(1)) - countDistinct(col("c_custkey")))
+          .as("v")), nC),
+      check("events_value_domain", "events",
+        ev.agg(sum((col("value").isNull || col("value") < 0).cast("long"))
+          .as("v")), nE),
+      check("documents_nonempty", "documents",
+        docs.agg(sum((col("text").isNull || length(col("text")) === 0)
+          .cast("long")).as("v")), nD),
+      check("lineitem_qty_domain", "lineitem",
+        li.agg(sum((col("l_quantity") <= 0 || col("l_quantity") > 50)
+          .cast("long")).as("v")), nL))
+    checks.reduce(_ unionAll _).orderBy("check")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q100_quality_scorecard" -> q100_quality_scorecard,
     "q99_abc_xyz" -> q99_abc_xyz,
     "q98_weighted_median" -> q98_weighted_median,
     "q97_topk_others" -> q97_topk_others,
@@ -2695,6 +2749,53 @@ object Relational {
       |FROM det JOIN se USING (wd) ORDER BY day""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q100_quality_scorecard" ->
+      """WITH checks AS (
+        |  SELECT 'fk_orders_customer' AS check, 'orders' AS tbl,
+        |    (SELECT count(*) FROM orders o LEFT JOIN customer c
+        |     ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+        |      ::BIGINT AS n_violations,
+        |    (SELECT count(*) FROM orders)::BIGINT AS n_total
+        |  UNION ALL
+        |  SELECT 'fk_lineitem_orders', 'lineitem',
+        |    (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+        |     ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)
+        |      ::BIGINT,
+        |    (SELECT count(*) FROM lineitem)::BIGINT
+        |  UNION ALL
+        |  SELECT 'fk_lineitem_part', 'lineitem',
+        |    (SELECT count(*) FROM lineitem l LEFT JOIN part p
+        |     ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL)
+        |      ::BIGINT,
+        |    (SELECT count(*) FROM lineitem)::BIGINT
+        |  UNION ALL
+        |  SELECT 'pk_orders_unique', 'orders',
+        |    (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+        |      ::BIGINT,
+        |    (SELECT count(*) FROM orders)::BIGINT
+        |  UNION ALL
+        |  SELECT 'pk_customer_unique', 'customer',
+        |    (SELECT count(*) - count(DISTINCT c_custkey) FROM customer)
+        |      ::BIGINT,
+        |    (SELECT count(*) FROM customer)::BIGINT
+        |  UNION ALL
+        |  SELECT 'events_value_domain', 'events',
+        |    (SELECT sum(CASE WHEN value IS NULL OR value < 0 THEN 1
+        |       ELSE 0 END) FROM events)::BIGINT,
+        |    (SELECT count(*) FROM events)::BIGINT
+        |  UNION ALL
+        |  SELECT 'documents_nonempty', 'documents',
+        |    (SELECT sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1
+        |       ELSE 0 END) FROM documents)::BIGINT,
+        |    (SELECT count(*) FROM documents)::BIGINT
+        |  UNION ALL
+        |  SELECT 'lineitem_qty_domain', 'lineitem',
+        |    (SELECT sum(CASE WHEN l_quantity <= 0 OR l_quantity > 50 THEN 1
+        |       ELSE 0 END) FROM lineitem)::BIGINT,
+        |    (SELECT count(*) FROM lineitem)::BIGINT)
+        |SELECT "check", tbl, n_violations, n_total,
+        |  n_violations = 0 AS ok
+        |FROM checks ORDER BY "check"""".stripMargin,
     "q99_abc_xyz" ->
       """WITH wk AS (
         |  SELECT l_partkey,

@@ -2520,6 +2520,34 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("m14 scene detection equals a driver recompute through the same codec") {
+    val rows = ops.Multimodal.m14_scene_detect(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val vids = ops.Multimodal.mediaRecords(spark, sf)
+      .filter(_.content_type == "video/mp4").collect()
+    assert(rows.length == vids.length, "one row per video")
+    val byId = vids.map(v => v.doc_id -> v).toMap
+    rows.foreach { r =>
+      val v = byId(r.getAs[Long]("doc_id"))
+      val hs = ops.Multimodal.frameHashes(v)
+      val expFrames = (v.payload.length + ops.Multimodal.FrameLen - 1) /
+        ops.Multimodal.FrameLen
+      assert(r.getAs[Int]("n_frames") == expFrames, "frame conservation")
+      val deltas = hs.zip(hs.tail)
+        .map { case (a, b) => java.lang.Long.bitCount(a ^ b) }
+      assert(r.getAs[Int]("n_scenes") ==
+        1 + deltas.count(_ > ops.Multimodal.SceneCutHamming))
+      assert(r.getAs[Int]("max_delta") ==
+        (if (deltas.isEmpty) 0 else deltas.max))
+      assert(r.getAs[Int]("n_scenes") >= 1 &&
+        r.getAs[Int]("n_scenes") <= r.getAs[Int]("n_frames"))
+    }
+    // the threshold genuinely separates: some video must show a cut AND
+    // consecutive identical-content frames must not (hamming 0 ≤ 12)
+    assert(rows.exists(_.getAs[Int]("n_scenes") > 1),
+      "at least one multi-scene video expected on this corpus")
+  }
+
   test("m12 shards respect the byte budget and pack sequentially") {
     val rows = ops.Multimodal.m12_shard_pack(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -1552,6 +1552,26 @@ class RelationalSpec extends AnyFunSuite {
       .map(_.getAs[Long]("n_parts")).sum == expX, "X-class count")
   }
 
+  test("q100 scorecard: clean synthetic schema passes every check") {
+    val rows = ops.Relational.q100_quality_scorecard(spark, sf).collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_total") > 0, r.getAs[String]("check"))
+      assert(r.getAs[Long]("n_violations") == 0L,
+        s"${r.getAs[String]("check")}: synthetic data must be clean")
+      assert(r.getAs[Boolean]("ok"))
+    }
+    // the checks genuinely detect violations: a planted orphan fails FK
+    import org.apache.spark.sql.functions._
+    val orphan = Tables.lineitem(spark, sf).limit(1)
+      .withColumn("l_orderkey", lit(-999L))
+    val bad = Tables.lineitem(spark, sf).unionAll(orphan)
+      .select("l_orderkey")
+      .join(Tables.orders(spark, sf).select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_anti").count()
+    assert(bad == 1L, "a planted orphan must be caught by the FK check")
+  }
+
   test("q78/q85/m12 rank windows are partitioned; global windows post-agg only") {
     val cases: Seq[(String, Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame])] =
       Seq("q78_auc" -> ops.Relational.queries,
