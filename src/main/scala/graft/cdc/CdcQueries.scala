@@ -928,7 +928,42 @@ object CdcQueries {
       .orderBy("tx_commit_lsn")
   }
 
+  // c45: MULTI-PUBLISHER WATERMARK MERGE — the fan-in rule every
+  // multi-source CDC consumer implements (Flink's min-watermark): three
+  // publishers (user_id mod 3) each deliver their sub-stream up to a
+  // DIFFERENT cutoff (publisher p lags p·5% of the LSN span — the
+  // realistic skewed-lag shape); the safe emission frontier is the MIN
+  // of per-publisher watermarks, rows at-or-below it are emittable in
+  // global order, newer delivered rows hold. Everything after the
+  // envelope scan is a 3-row publisher axis: one conditional rollup,
+  // zero extra shuffles.
+  val c45_watermark_merge: Q = (s, d) => {
+    val f = flatEnv(s, d).withColumn("pub", pmod(col("user_id"), lit(3)))
+    val span = f.agg(min("lsn_long").as("lo"), max("lsn_long").as("hi"))
+    val deliv = f.crossJoin(broadcast(span))
+      .withColumn("cutoff", col("hi") -
+        col("pub") * ((col("hi") - col("lo")) / 20).cast("long"))
+      .filter(col("lsn_long") <= col("cutoff"))
+    val wm = deliv.groupBy("pub")
+      .agg(max("lsn_long").as("watermark"), count(lit(1)).as("n_delivered"))
+    val frontier = wm.agg(min("watermark").as("frontier"))
+    deliv.crossJoin(broadcast(frontier))
+      .groupBy("pub")
+      .agg(max("lsn_long").as("watermark"),
+        count(lit(1)).as("n_delivered"),
+        sum((col("lsn_long") <= col("frontier")).cast("long"))
+          .as("n_emittable"),
+        first("frontier").as("frontier"))
+      .select(col("pub").cast("int").as("pub"),
+        Lsn.long_to_lsn(col("watermark")).as("watermark_lsn"),
+        col("n_delivered"), col("n_emittable"),
+        (col("n_delivered") - col("n_emittable")).as("n_held"),
+        Lsn.long_to_lsn(col("frontier")).as("frontier_lsn"))
+      .orderBy("pub")
+  }
+
   val queries: Map[String, Q] = Map(
+    "c45_watermark_merge" -> c45_watermark_merge,
     "c44_tx_boundary" -> c44_tx_boundary,
     "c43_replica_audit" -> c43_replica_audit,
     "c42_idle_heartbeat" -> c42_idle_heartbeat,
@@ -1153,6 +1188,22 @@ object CdcQueries {
        |FROM mstate WHERE last_op <> 'd' ORDER BY pk""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "c45_watermark_merge" ->
+      s"""WITH $sqlEnv, $sqlFlat,
+        |p AS (SELECT lsn_long, user_id % 3 AS pub FROM flat),
+        |span AS (SELECT min(lsn_long) AS lo, max(lsn_long) AS hi FROM p),
+        |deliv AS (
+        |  SELECT pub, lsn_long FROM p, span
+        |  WHERE lsn_long <= hi - pub * ((hi - lo) // 20)),
+        |wm AS (SELECT pub, max(lsn_long) AS watermark FROM deliv GROUP BY 1),
+        |fr AS (SELECT min(watermark) AS frontier FROM wm)
+        |SELECT pub::INT AS pub,
+        |  ${sqlLsnStr("max(lsn_long)")} AS watermark_lsn,
+        |  count(*)::BIGINT AS n_delivered,
+        |  sum((lsn_long <= frontier)::BIGINT)::BIGINT AS n_emittable,
+        |  (count(*) - sum((lsn_long <= frontier)::BIGINT))::BIGINT AS n_held,
+        |  ${sqlLsnStr("min(frontier)")} AS frontier_lsn
+        |FROM deliv, fr GROUP BY pub ORDER BY pub""".stripMargin,
     "c44_tx_boundary" ->
       s"""WITH $sqlEnv, $sqlFlat,
         |tx AS (

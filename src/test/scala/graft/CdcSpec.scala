@@ -1002,6 +1002,27 @@ class CdcSpec extends AnyFunSuite {
     assert(ns.sum == keyed)
   }
 
+  test("c45 min-watermark frontier: laggiest publisher holds nothing, others hold its gap") {
+    val rows = cdc.CdcQueries.c45_watermark_merge(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("pub")).toSeq == Seq(0, 1, 2))
+    val frontiers = rows.map(_.getAs[String]("frontier_lsn")).distinct
+    assert(frontiers.length == 1, "one global frontier")
+    // watermarks are monotonically non-increasing with lag
+    val wms = rows.map(_.getAs[String]("watermark_lsn"))
+    // the frontier IS the minimum watermark (publisher 2, laggiest)
+    assert(wms.last == frontiers.head)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_emittable") <= r.getAs[Long]("n_delivered"))
+      assert(r.getAs[Long]("n_held") ==
+        r.getAs[Long]("n_delivered") - r.getAs[Long]("n_emittable"))
+    }
+    // the laggiest publisher's delivered set sits entirely at/below its
+    // own watermark = the frontier, so it holds nothing
+    assert(rows.last.getAs[Long]("n_held") == 0L)
+    // faster publishers genuinely hold rows beyond the frontier
+    assert(rows.head.getAs[Long]("n_held") > 0L)
+  }
+
   test("c44 transactions partition the WAL and aggregate their ops exactly") {
     import org.apache.spark.sql.functions._
     val rows = graft.cdc.CdcQueries.c44_tx_boundary(spark, sf).collect()
