@@ -1077,6 +1077,38 @@ object Dedup {
       .orderBy("source_a", "source_b")
   }
 
+  // d24 (rows-only; spec: |estimate − d20's exact Jaccard| within the
+  // 128-permutation binomial bound, per pair): MERGEABLE SOURCE
+  // SKETCHES — the sketch-algebra counterpart of d20's exact overlap
+  // matrix (d03:d02 :: d24:d20): the elementwise-min MERGE of per-doc
+  // MinHash signatures IS the signature of the union of the source's
+  // shingle sets (min commutes with union — same fixed permutations),
+  // so each source collapses to ONE 128-long sketch regardless of
+  // corpus size, and the cross-source estimate is a match-fraction
+  // over k² constant-size sketch pairs. At 100 TB d20's pair join
+  // touches every distinct shingle; this touches 128 longs per source.
+  val d24_source_sketch_overlap: Q = (s, d) => {
+    val sigs = Tables.documents(s, d)
+      .select(col("source"),
+        minhashSig(shingleHashes(col("text"), distinct = false)).as("sig"))
+      .filter(size(col("sig")) > 0)
+    val perSrc = sigs
+      .select(col("source"), posexplode(col("sig")).as(Seq("pos", "h")))
+      .groupBy("source", "pos").agg(min("h").as("h"))
+    val sk = perSrc.groupBy("source")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("h")))),
+        x => x.getField("h")).as("sk"))
+    sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        aggregate(zip_with(col("a.sk"), col("b.sk"),
+          (x, y) => (x === y).cast("int")), lit(0),
+          (acc, v) => acc + v).as("n_match"),
+        size(col("a.sk")).as("n_perms"))
+      .withColumn("est_jaccard",
+        round(col("n_match") / col("n_perms").cast("double"), 4))
+      .orderBy("source_a", "source_b")
+  }
+
   /** d21's span parameters — gram width, min consecutive-gram run (a
     * run of r k-grams = a shared word span of r+k−1 words), and the
     * gram document-frequency band (shared with the oracle). The lower
@@ -1203,6 +1235,7 @@ object Dedup {
   }
 
   val queries: Map[String, Q] = Map(
+    "d24_source_sketch_overlap" -> d24_source_sketch_overlap,
     "d23_threshold_sweep" -> d23_threshold_sweep,
     "d22_fuzzy_match" -> d22_fuzzy_match,
     "d21_substr_runs" -> d21_substr_runs,

@@ -2378,6 +2378,25 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("d24 sketch overlap estimates d20's exact Jaccard within the perm bound") {
+    val est = ops.Dedup.d24_source_sketch_overlap(spark, sf).collect()
+      .map(r => ((r.getAs[String]("source_a"), r.getAs[String]("source_b")),
+        r.getAs[Double]("est_jaccard"))).toMap
+    val exact = ops.Dedup.d20_source_overlap(spark, sf).collect()
+      .map(r => ((r.getAs[String]("source_a"), r.getAs[String]("source_b")),
+        r.getAs[Double]("jaccard"))).toMap
+    // d20 omits pairs with zero shared shingles; d24 reports every pair
+    assert(exact.keySet.subsetOf(est.keySet))
+    exact.foreach { case (k, j) =>
+      // 128 perms: σ = sqrt(J(1−J)/128) ≤ 0.0442; 4σ + hash-domain slack
+      assert(math.abs(est(k) - j) < 0.2, s"$k: est ${est(k)} vs exact $j")
+    }
+    // pairs absent from d20 (no shared shingles) must estimate near zero
+    (est.keySet -- exact.keySet).foreach { k =>
+      assert(est(k) < 0.1, s"$k: disjoint pair estimated ${est(k)}")
+    }
+  }
+
   test("t45 Hill tail index equals the brute top-k recompute") {
     import org.apache.spark.sql.functions._
     val xs = Tables.documents(spark, sf)
