@@ -1572,6 +1572,25 @@ class RelationalSpec extends AnyFunSuite {
     assert(bad == 1L, "a planted orphan must be caught by the FK check")
   }
 
+  test("new dimension-join lanes broadcast their dims (no shuffled dim join)") {
+    // q95/q97 join lineitem to the part dimension (q99 needs no join —
+    // it keys on l_partkey directly); q80-style lanes proved the
+    // pattern — pin it for the round-10 additions too
+    for (name <- Seq("q95_clamped_balance", "q97_topk_others")) {
+      val df = ops.Relational.queries(name)(spark, sf)
+      df.collect()
+      val plan = PlanWalk.allNodes(df.queryExecution.executedPlan)
+      val bhj = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      }
+      assert(bhj.nonEmpty, s"$name: part-dimension join is not broadcast")
+      val smj = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smj.isEmpty, s"$name: unexpected sort-merge join")
+    }
+  }
+
   test("q78/q85/m12 rank windows are partitioned; global windows post-agg only") {
     val cases: Seq[(String, Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame])] =
       Seq("q78_auc" -> ops.Relational.queries,
