@@ -1604,7 +1604,40 @@ object TextAnalysis {
           .as("hill_alpha"))
   }
 
+  // t46: HELD-OUT OOV AUDIT — "how much of val/test does a model of the
+  // train split simply never see?": the train split's trigram
+  // vocabulary (t38's md5 routing, t44's trigram unit — this corpus's
+  // word vocabulary is closed, trigrams carry the open tail) joins
+  // against every split's trigram stream; token- and type-level OOV
+  // rates fall out of one keyed join + rollup. Train's rates are the
+  // structural-zero control row. The join keys on the trigram string
+  // (at 100 TB: on its hash — d02's ids-only discipline applies
+  // verbatim); vocabulary size is corpus-sublinear.
+  val t46_oov_audit: Q = (s, d) => {
+    val pct = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 6),
+      16, 10).cast("long"), lit(100L))
+    val tk = Tables.documents(s, d)
+      .withColumn("split",
+        when(pct < 90, "train").when(pct < 95, "val").otherwise("test"))
+      .select(col("split"), toks(col("text")).as("tk"))
+      .select(col("split"), explode(Dedup.wordGrams(col("tk"), 3)).as("g"))
+    val vocab = tk.filter(col("split") === "train").select("g").distinct()
+      .withColumn("known", lit(1))
+    tk.join(vocab, Seq("g"), "left")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("known").isNull, 1L).otherwise(0L)).as("n_oov_tokens"),
+        countDistinct(col("g")).as("n_types"),
+        countDistinct(when(col("known").isNull, col("g"))).as("n_oov_types"))
+      .withColumn("oov_token_rate",
+        round(col("n_oov_tokens") / col("n_tokens").cast("double"), 6))
+      .withColumn("oov_type_rate",
+        round(col("n_oov_types") / col("n_types").cast("double"), 6))
+      .orderBy("split")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t46_oov_audit" -> t46_oov_audit,
     "t45_hill_tail" -> t45_hill_tail,
     "t44_freq_spectrum" -> t44_freq_spectrum,
     "t43_heaps" -> t43_heaps,
@@ -1658,6 +1691,35 @@ object TextAnalysis {
     s"len(list_filter($sqlToks, w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
   val oracle: Map[String, String] = Map(
+    "t46_oov_audit" ->
+      s"""WITH sp AS (
+         |  SELECT CASE
+         |      WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 6))::BIGINT
+         |        % 100 < 90 THEN 'train'
+         |      WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 6))::BIGINT
+         |        % 100 < 95 THEN 'val'
+         |      ELSE 'test' END AS split,
+         |    $sqlToks AS t
+         |  FROM documents),
+         |tk AS (
+         |  SELECT split, unnest(CASE WHEN len(t) >= 3 THEN
+         |      [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+         |    ELSE [] END) AS g
+         |  FROM sp),
+         |vocab AS (SELECT DISTINCT g FROM tk WHERE split = 'train'),
+         |j AS (
+         |  SELECT tk.split, tk.g, vocab.g IS NOT NULL AS known
+         |  FROM tk LEFT JOIN vocab ON tk.g = vocab.g)
+         |SELECT split, count(*)::BIGINT AS n_tokens,
+         |  sum(CASE WHEN NOT known THEN 1 ELSE 0 END)::BIGINT AS n_oov_tokens,
+         |  count(DISTINCT g)::BIGINT AS n_types,
+         |  count(DISTINCT CASE WHEN NOT known THEN g END)::BIGINT
+         |    AS n_oov_types,
+         |  round(sum(CASE WHEN NOT known THEN 1 ELSE 0 END) /
+         |    count(*)::DOUBLE, 6) AS oov_token_rate,
+         |  round(count(DISTINCT CASE WHEN NOT known THEN g END) /
+         |    count(DISTINCT g)::DOUBLE, 6) AS oov_type_rate
+         |FROM j GROUP BY split ORDER BY split""".stripMargin,
     "t45_hill_tail" ->
       """WITH top AS (
         |  SELECT n_chars::DOUBLE AS x FROM documents WHERE n_chars > 0

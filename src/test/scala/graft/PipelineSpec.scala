@@ -2397,6 +2397,25 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("t46 OOV audit: train is the zero control; held-out OOV is genuine") {
+    val rows = ops.TextAnalysis.t46_oov_audit(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("split")).sorted.toSeq ==
+      Seq("test", "train", "val"))
+    val train = rows.find(_.getAs[String]("split") == "train").get
+    assert(train.getAs[Long]("n_oov_tokens") == 0L &&
+      train.getAs[Double]("oov_token_rate") == 0.0,
+      "train against its own vocabulary is structurally zero-OOV")
+    rows.filter(_.getAs[String]("split") != "train").foreach { r =>
+      assert(r.getAs[Long]("n_oov_tokens") > 0,
+        s"${r.getAs[String]("split")}: held-out trigram OOV must be genuine")
+      assert(r.getAs[Long]("n_oov_tokens") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("n_oov_types") <= r.getAs[Long]("n_types"))
+      assert(r.getAs[Double]("oov_type_rate") >=
+        r.getAs[Double]("oov_token_rate") - 1e-9,
+        "rare types dominate OOV: type rate >= token rate")
+    }
+  }
+
   test("t45 Hill tail index equals the brute top-k recompute") {
     import org.apache.spark.sql.functions._
     val xs = Tables.documents(spark, sf)
