@@ -2623,7 +2623,146 @@ object Relational {
     checks.reduce(_ unionAll _).orderBy("check")
   }
 
+  // q101: POISSON-BOOTSTRAP CONFIDENCE INTERVAL for the mean order value
+  // per priority — the single-pass distributed bootstrap (Chamandy et
+  // al., "Estimating Uncertainty for Massive Data Streams", Google TR
+  // 2012): instead of materializing B resamples (B full shuffles), each
+  // row draws a DETERMINISTIC Poisson(1) replicate weight per bootstrap
+  // b from an md5-derived uniform (q43/t28's hash-not-RNG discipline —
+  // same replicates on any cluster, layout, or rerun, and exactly
+  // reproducible by the oracle), so one explode + ONE keyed aggregation
+  // computes all B replicate means. Σw·cents is an exact integer sum
+  // (order-free); each replicate mean divides once, so both engines see
+  // identical doubles; the CI reads exact percentiles over the bounded
+  // B-row replicate axis. Shuffle volume after map-side combine is
+  // |priorities|×B rows per partition — NOT B× the data.
+  val q101_bootstrap_ci: Q = (s, d) => {
+    val B = 100
+    val reps = Tables.orders(s, d)
+      .select(col("o_orderpriority").as("prio"), col("o_orderkey"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+      .withColumn("b", explode(expr(s"sequence(1, $B)")))
+      .withColumn("u",
+        (conv(substring(md5(concat(col("o_orderkey").cast("string"),
+          lit("_"), col("b").cast("string"))), 1, 12), 16, 10)
+          .cast("double") + 1.0) / lit(math.pow(16, 12) + 1))
+      // Poisson(1) inverse CDF: cumulative e^-1·Σ 1/k!, capped at 6
+      // (P(w>6) < 1e-4); identical decimal literals on both engines
+      .withColumn("w",
+        when(col("u") < 0.36787944117144233, 0L)
+          .when(col("u") < 0.7357588823428847, 1L)
+          .when(col("u") < 0.9196986029286058, 2L)
+          .when(col("u") < 0.9810118431238463, 3L)
+          .when(col("u") < 0.9963401531726563, 4L)
+          .when(col("u") < 0.9994058151824183, 5L)
+          .otherwise(6L))
+      .groupBy(col("prio"), col("b"))
+      .agg(sum(col("w") * col("cents")).as("swc"), sum("w").as("sw"))
+      .select(col("prio"), (col("swc") / (col("sw") * 100.0)).as("mean_b"))
+    reps.groupBy(col("prio"))
+      .agg(round(expr("percentile(mean_b, 0.025)"), 4).as("ci_lo"),
+        round(expr("percentile(mean_b, 0.5)"), 4).as("boot_median"),
+        round(expr("percentile(mean_b, 0.975)"), 4).as("ci_hi"))
+      .orderBy("prio")
+  }
+
+  // q102: MANN-WHITNEY U TEST (two-sided normal approximation with tie
+  // correction) — "are URGENT order values stochastically larger than
+  // LOW?" without q62's normality assumption. Ranks come from the
+  // distributed midrank machinery (q89's engine): one row per DISTINCT
+  // value, NO global sort; the per-group rank sum joins the
+  // (value, group-count) frame to the midrank frame on the
+  // distinct-value axis. Every sum is exact (midranks are multiples of
+  // 0.5 below 2^52, counts integers), so R1 is order-free; the z
+  // statistic is scalar arithmetic on five exact numbers.
+  val q102_mannwhitney: Q = (s, d) => {
+    val base = Tables.orders(s, d)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(col("o_totalprice").as("v"),
+        (col("o_orderpriority") === "1-URGENT").cast("long").as("g1"))
+    val mr = midranks(base.select("v"))
+    val cg = base.groupBy("v").agg(sum("g1").as("c1"))
+    cg.join(mr, "v")
+      .agg(sum("c1").as("n1"), sum("c").as("n"),
+        sum(col("c1") * col("midrank")).as("r1"),
+        sum(col("c") * col("c") * col("c") - col("c")).as("tie3"))
+      .select(col("n1"), (col("n") - col("n1")).as("n2"),
+        (col("r1") - col("n1") * (col("n1") + 1) / 2.0).as("u1"),
+        col("n"), col("tie3"))
+      .select(col("n1"), col("n2"), round(col("u1"), 1).as("u_stat"),
+        round((col("u1") - col("n1") * col("n2") / 2.0) /
+          sqrt(col("n1") * col("n2") / 12.0 *
+            ((col("n") + 1) - col("tie3") / (col("n") * (col("n") - 1.0)))),
+          4).as("z"))
+  }
+
+  /** Shared day axis for the robust-trend lanes: one keyed aggregation
+    * collapsing 1996 lineitem to ≤366 (day-index, integer-cents) rows.
+    */
+  private def dayCents1996(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01"))
+      .groupBy(datediff(to_date(col("l_shipdate")),
+        lit("1996-01-01").cast("date")).as("x"))
+      .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+        .as("cents"))
+
+  // q103: THEIL-SEN ROBUST TREND — median-of-pairwise-slopes estimator
+  // of the daily-revenue trend over one ship-year (Sen 1968, JASA):
+  // immune to the outlier days that leverage q64's OLS fit. The
+  // pairwise-slope frame is axis² ≈ 66k rows via a broadcast self-join
+  // of the BOUNDED day axis — never data×data; slope and intercept read
+  // exact percentiles of deterministic ratios (integer-cent day totals
+  // divide once), so partial-sum ordering cannot move the median.
+  val q103_theilsen: Q = (s, d) => {
+    val day = dayCents1996(s, d)
+    val a = day.select(col("x").as("xi"), col("cents").as("yi"))
+    val b = day.select(col("x").as("xj"), col("cents").as("yj"))
+    val slopes = a.join(broadcast(b), col("xj") > col("xi"))
+      .select(((col("yj") - col("yi")) /
+        ((col("xj") - col("xi")) * 100.0)).as("slope"))
+    val m = slopes.agg(expr("percentile(slope, 0.5)").as("m"))
+    day.crossJoin(broadcast(m))
+      .select(col("m"),
+        (col("cents") / 100.0 - col("m") * col("x")).as("resid"))
+      .agg(round(first("m"), 4).as("slope_per_day"),
+        round(expr("percentile(resid, 0.5)"), 4).as("intercept"),
+        count(lit(1)).as("n_days"))
+  }
+
+  // q104: WALD-WOLFOWITZ RUNS TEST for randomness of the daily-revenue
+  // sign sequence (above/below the year's median day): too few runs =
+  // trending/sticky demand, too many = oscillation. The day axis is
+  // the only windowed axis (≤366 rows — q65's accepted bounded-axis
+  // shape); the median of integer-cent day totals is exact (a multiple
+  // of 0.5), days landing exactly on it are excluded per the classical
+  // test, and R counts sign changes via one lag on the bounded axis.
+  // z is scalar arithmetic on exact integer counts.
+  val q104_runs_test: Q = (s, d) => {
+    val day = dayCents1996(s, d)
+    val med = day.agg(expr("percentile(cents, 0.5)").as("med"))
+    val signs = day.crossJoin(broadcast(med))
+      .filter(col("cents") =!= col("med"))
+      .select(col("x"), (col("cents") > col("med")).cast("long").as("sgn"))
+    val w = Window.orderBy("x")
+    signs
+      .withColumn("chg",
+        when(lag("sgn", 1).over(w).isNull ||
+          col("sgn") =!= lag("sgn", 1).over(w), 1L).otherwise(0L))
+      .agg(sum("chg").as("r"), sum("sgn").as("n1"), count(lit(1)).as("n"))
+      .select(col("n1"), (col("n") - col("n1")).as("n2"), col("r"),
+        round((col("r") - (col("n1") * col("n2") * 2.0 / col("n") + 1)) /
+          sqrt(col("n1") * col("n2") * 2.0 *
+            (col("n1") * col("n2") * 2.0 - col("n")) /
+            (col("n") * col("n") * (col("n") - 1.0))), 4).as("z"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q101_bootstrap_ci" -> q101_bootstrap_ci,
+    "q102_mannwhitney" -> q102_mannwhitney,
+    "q103_theilsen" -> q103_theilsen,
+    "q104_runs_test" -> q104_runs_test,
     "q100_quality_scorecard" -> q100_quality_scorecard,
     "q99_abc_xyz" -> q99_abc_xyz,
     "q98_weighted_median" -> q98_weighted_median,
@@ -2749,6 +2888,100 @@ object Relational {
       |FROM det JOIN se USING (wd) ORDER BY day""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q101_bootstrap_ci" ->
+      """WITH reps AS (
+        |  SELECT o_orderpriority AS prio, b,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    (('0x' || substr(md5(o_orderkey::VARCHAR || '_' || b::VARCHAR),
+        |      1, 12))::BIGINT + 1.0) / 281474976710657.0 AS u
+        |  FROM orders, range(1, 101) t(b)),
+        |wtd AS (
+        |  SELECT prio, b, cents,
+        |    CASE WHEN u < 0.36787944117144233 THEN 0
+        |         WHEN u < 0.7357588823428847 THEN 1
+        |         WHEN u < 0.9196986029286058 THEN 2
+        |         WHEN u < 0.9810118431238463 THEN 3
+        |         WHEN u < 0.9963401531726563 THEN 4
+        |         WHEN u < 0.9994058151824183 THEN 5
+        |         ELSE 6 END AS w
+        |  FROM reps),
+        |mb AS (
+        |  SELECT prio, b,
+        |    sum(w * cents)::BIGINT / (sum(w)::BIGINT * 100.0) AS mean_b
+        |  FROM wtd GROUP BY 1, 2)
+        |SELECT prio,
+        |  round(quantile_cont(mean_b, 0.025), 4) AS ci_lo,
+        |  round(quantile_cont(mean_b, 0.5), 4) AS boot_median,
+        |  round(quantile_cont(mean_b, 0.975), 4) AS ci_hi
+        |FROM mb GROUP BY prio ORDER BY prio""".stripMargin,
+    "q102_mannwhitney" ->
+      """WITH base AS (
+        |  SELECT o_totalprice AS v,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |mr AS (
+        |  SELECT v, count(*)::BIGINT AS c, sum(g1)::BIGINT AS c1
+        |  FROM base GROUP BY v),
+        |rk AS (
+        |  SELECT c, c1,
+        |    (sum(c) OVER (ORDER BY v))::BIGINT - c + (c + 1) / 2.0 AS midrank
+        |  FROM mr),
+        |st AS (
+        |  SELECT sum(c1)::BIGINT AS n1, sum(c)::BIGINT AS n,
+        |    sum(c1 * midrank) AS r1, sum(c * c * c - c)::BIGINT AS tie3
+        |  FROM rk)
+        |SELECT n1, n - n1 AS n2,
+        |  round(r1 - n1 * (n1 + 1) / 2.0, 1) AS u_stat,
+        |  round(((r1 - n1 * (n1 + 1) / 2.0) - n1 * (n - n1) / 2.0) /
+        |    sqrt(n1 * (n - n1) / 12.0 *
+        |      ((n + 1) - tie3 / (n * (n - 1.0)))), 4) AS z
+        |FROM st""".stripMargin,
+    "q103_theilsen" ->
+      """WITH day AS (
+        |  SELECT date_diff('day', DATE '1996-01-01', l_shipdate::DATE)
+        |      ::INT AS x,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+        |      AS cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        |  GROUP BY 1),
+        |slopes AS (
+        |  SELECT (b.cents - a.cents) / ((b.x - a.x) * 100.0) AS slope
+        |  FROM day a JOIN day b ON b.x > a.x),
+        |m AS (SELECT quantile_cont(slope, 0.5) AS m FROM slopes),
+        |resid AS (
+        |  SELECT cents / 100.0 - (SELECT m FROM m) * x AS resid FROM day)
+        |SELECT (SELECT round(m, 4) FROM m) AS slope_per_day,
+        |  round(quantile_cont(resid, 0.5), 4) AS intercept,
+        |  (SELECT count(*) FROM day)::BIGINT AS n_days
+        |FROM resid""".stripMargin,
+    "q104_runs_test" ->
+      """WITH day AS (
+        |  SELECT date_diff('day', DATE '1996-01-01', l_shipdate::DATE)
+        |      ::INT AS x,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+        |      AS cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        |  GROUP BY 1),
+        |med AS (SELECT quantile_cont(cents, 0.5) AS med FROM day),
+        |signs AS (
+        |  SELECT x, CASE WHEN cents > (SELECT med FROM med) THEN 1
+        |    ELSE 0 END AS sgn
+        |  FROM day WHERE cents <> (SELECT med FROM med)),
+        |chg AS (
+        |  SELECT sgn, CASE WHEN lag(sgn) OVER (ORDER BY x) IS NULL
+        |      OR sgn <> lag(sgn) OVER (ORDER BY x) THEN 1 ELSE 0 END AS c
+        |  FROM signs),
+        |st AS (
+        |  SELECT sum(c)::BIGINT AS r, sum(sgn)::BIGINT AS n1,
+        |    count(*)::BIGINT AS n
+        |  FROM chg)
+        |SELECT n1, n - n1 AS n2, r,
+        |  round((r - (n1 * (n - n1) * 2.0 / n + 1)) /
+        |    sqrt(n1 * (n - n1) * 2.0 * (n1 * (n - n1) * 2.0 - n) /
+        |      (n * n * (n - 1.0))), 4) AS z
+        |FROM st""".stripMargin,
     "q100_quality_scorecard" ->
       """WITH checks AS (
         |  SELECT 'fk_orders_customer' AS check, 'orders' AS tbl,

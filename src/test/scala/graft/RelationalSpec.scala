@@ -1627,4 +1627,102 @@ class RelationalSpec extends AnyFunSuite {
         s"$name: no partitioned rank window")
     }
   }
+
+  test("q101 bootstrap CI brackets the point estimate and is deterministic") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Relational.q101_bootstrap_ci(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (lo, mid, hi) = (r.getAs[Double]("ci_lo"),
+        r.getAs[Double]("boot_median"), r.getAs[Double]("ci_hi"))
+      assert(lo <= mid && mid <= hi, s"CI ordering violated: $lo $mid $hi")
+      assert(hi - lo > 0, "degenerate CI")
+    }
+    // the bootstrap median must sit near the plain mean (same estimand)
+    val means = Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority").as("prio"))
+      .agg(avg("o_totalprice").as("m")).collect()
+      .map(r => r.getAs[String]("prio") -> r.getAs[Double]("m")).toMap
+    rows.foreach { r =>
+      val m = means(r.getAs[String]("prio"))
+      assert(math.abs(r.getAs[Double]("boot_median") - m) / m < 0.05)
+    }
+    // hash-not-RNG: a second run reproduces the replicates exactly
+    val again = ops.Relational.q101_bootstrap_ci(spark, sf).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
+  test("q102 Mann-Whitney matches an exact driver recompute") {
+    val g = Tables.orders(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("o_orderpriority")
+        .isin("1-URGENT", "5-LOW"))
+      .select("o_orderpriority", "o_totalprice").collect()
+      .map(r => (r.getString(0) == "1-URGENT", r.getDouble(1)))
+    val sorted = g.map(_._2).sorted
+    val midrank = sorted.zipWithIndex.groupBy(_._1)
+      .map { case (v, xs) => v -> (xs.map(_._2 + 1.0).sum / xs.length) }
+    val n1 = g.count(_._1).toLong
+    val n2 = g.length - n1
+    val r1 = g.filter(_._1).map(x => midrank(x._2)).sum
+    val u1 = r1 - n1 * (n1 + 1) / 2.0
+    val ties = g.groupBy(_._2).map(_._2.length.toLong)
+      .map(c => c * c * c - c).sum
+    val n = g.length.toLong
+    val z = (u1 - n1 * n2 / 2.0) / math.sqrt(
+      n1 * n2 / 12.0 * ((n + 1) - ties / (n * (n - 1.0))))
+    val row = ops.Relational.q102_mannwhitney(spark, sf).collect().head
+    assert(row.getAs[Long]("n1") == n1 && row.getAs[Long]("n2") == n2)
+    assert(math.abs(row.getAs[Double]("u_stat") - u1) < 0.51)
+    assert(math.abs(row.getAs[Double]("z") - z) < 1e-3)
+    assert(u1 >= 0 && u1 <= n1.toDouble * n2)
+  }
+
+  test("q103 Theil-Sen slope equals the exact pairwise-median recompute") {
+    import org.apache.spark.sql.functions._
+    val day = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01"))
+      .groupBy(datediff(to_date(col("l_shipdate")),
+        lit("1996-01-01").cast("date")).as("x"))
+      .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+        .as("cents")).collect()
+      .map(r => (r.getAs[Int]("x"), r.getAs[Long]("cents")))
+    def medianExact(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val k = s.length
+      if (k % 2 == 1) s(k / 2) else (s(k / 2 - 1) + s(k / 2)) / 2
+    }
+    val slopes = for {
+      (xi, yi) <- day.toSeq; (xj, yj) <- day.toSeq; if xj > xi
+    } yield (yj - yi) / ((xj - xi) * 100.0)
+    val row = ops.Relational.q103_theilsen(spark, sf).collect().head
+    assert(row.getAs[Long]("n_days") == day.length)
+    assert(math.abs(row.getAs[Double]("slope_per_day") -
+      medianExact(slopes)) < 1e-3)
+  }
+
+  test("q104 runs count matches the exact sign-sequence recompute") {
+    import org.apache.spark.sql.functions._
+    val day = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01"))
+      .groupBy(datediff(to_date(col("l_shipdate")),
+        lit("1996-01-01").cast("date")).as("x"))
+      .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+        .as("cents")).collect()
+      .map(r => (r.getAs[Int]("x"), r.getAs[Long]("cents"))).sortBy(_._1)
+    val s0 = day.map(_._2.toDouble).sorted
+    val med = if (s0.length % 2 == 1) s0(s0.length / 2)
+      else (s0(s0.length / 2 - 1) + s0(s0.length / 2)) / 2
+    val signs = day.filter(_._2.toDouble != med).map(_._2.toDouble > med)
+    val runs = 1 + signs.sliding(2).count(p =>
+      p.length == 2 && p(0) != p(1))
+    val n1 = signs.count(identity).toLong
+    val row = ops.Relational.q104_runs_test(spark, sf).collect().head
+    assert(row.getAs[Long]("r") == runs)
+    assert(row.getAs[Long]("n1") == n1)
+    assert(row.getAs[Long]("n2") == signs.length - n1)
+    // few-runs ⇒ negative z, many-runs ⇒ positive z: sign sanity
+    val mu = 2.0 * n1 * (signs.length - n1) / signs.length + 1
+    assert((row.getAs[Double]("z") < 0) == (runs < mu))
+  }
 }
