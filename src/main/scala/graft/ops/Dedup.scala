@@ -1109,6 +1109,50 @@ object Dedup {
       .orderBy("source_a", "source_b")
   }
 
+  // d25 (rows-only; spec: |estimate − exact containment| within the
+  // propagated sketch tolerance per DIRECTED pair): SKETCH-BASED
+  // CONTAINMENT MATRIX — d13's directional question ("how much of A
+  // already sits inside B?" — the source-retirement signal) answered
+  // from d24's mergeable union sketches plus ONE exact per-source
+  // cardinality: with Ĵ the sketch match-fraction and n_a, n_b exact
+  // distinct-shingle counts, |A∩B| ≈ Ĵ/(1+Ĵ)·(n_a+n_b) and
+  // C(A→B) = |A∩B|/n_a. Cross-source cost is k² constant-size sketch
+  // pairs + a bounded cardinality broadcast — at 100 TB nothing
+  // data-proportional ever crosses sources (d13/d20 join every
+  // distinct shingle; the per-source cardinality agg stays within one
+  // source partition).
+  val d25_sketch_containment: Q = (s, d) => {
+    val sigs = Tables.documents(s, d)
+      .select(col("source"),
+        minhashSig(shingleHashes(col("text"), distinct = false)).as("sig"))
+      .filter(size(col("sig")) > 0)
+    val sk = sigs
+      .select(col("source"), posexplode(col("sig")).as(Seq("pos", "h")))
+      .groupBy("source", "pos").agg(min("h").as("h"))
+      .groupBy("source")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("h")))),
+        x => x.getField("h")).as("sk"))
+    val card = Tables.documents(s, d)
+      .select(col("source"), explode(shingles(col("text"))).as("sh"))
+      .distinct().groupBy("source").agg(count(lit(1)).as("n"))
+    sk.as("a").join(sk.as("b"), col("a.source") =!= col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        (aggregate(zip_with(col("a.sk"), col("b.sk"),
+          (x, y) => (x === y).cast("int")), lit(0),
+          (acc, v) => acc + v) / size(col("a.sk")).cast("double")).as("jhat"))
+      .join(broadcast(card.select(col("source").as("source_a"),
+        col("n").as("na"))), Seq("source_a"))
+      .join(broadcast(card.select(col("source").as("source_b"),
+        col("n").as("nb"))), Seq("source_b"))
+      .withColumn("inter_est",
+        col("jhat") / (col("jhat") + 1.0) * (col("na") + col("nb")))
+      .select(col("source_a"), col("source_b"),
+        round(col("jhat"), 4).as("est_jaccard"),
+        round(least(col("inter_est") / col("na"), lit(1.0)), 4)
+          .as("est_containment"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** d21's span parameters — gram width, min consecutive-gram run (a
     * run of r k-grams = a shared word span of r+k−1 words), and the
     * gram document-frequency band (shared with the oracle). The lower
@@ -1236,6 +1280,7 @@ object Dedup {
 
   val queries: Map[String, Q] = Map(
     "d24_source_sketch_overlap" -> d24_source_sketch_overlap,
+    "d25_sketch_containment" -> d25_sketch_containment,
     "d23_threshold_sweep" -> d23_threshold_sweep,
     "d22_fuzzy_match" -> d22_fuzzy_match,
     "d21_substr_runs" -> d21_substr_runs,

@@ -1636,7 +1636,56 @@ object TextAnalysis {
       .orderBy("split")
   }
 
+  // t47: TRUNCATION-LOSS PROFILE — "how many tokens does a context
+  // window of L throw away, per source?": the packing-policy input a
+  // pretraining pipeline reads before fixing sequence length (t14
+  // packs greedily; this PRICES the cut). No token explode — one
+  // size(toks) projection per doc, then per-(source, L) integer sums
+  // over the broadcast 3-row L axis. Exact, order-free.
+  val t47_truncation_loss: Q = (s, d) => {
+    Tables.documents(s, d)
+      .select(col("source"), size(toks(col("text"))).cast("long").as("n"))
+      .withColumn("l", explode(array(lit(32), lit(64), lit(96))))
+      .groupBy("source", "l")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n").as("total_tokens"),
+        sum(greatest(col("n") - col("l"), lit(0L))).as("tokens_lost"),
+        sum((col("n") > col("l")).cast("long")).as("n_truncated"))
+      .withColumn("loss_ratio",
+        round(col("tokens_lost") / col("total_tokens").cast("double"), 4))
+      .orderBy("source", "l")
+  }
+
+  // t48: VOCABULARY COVERAGE CURVE — the fraction of corpus token
+  // OCCURRENCES covered by the top-k frequency-ranked types, k ∈
+  // {10, 100, 1000}: the tokenizer-budget curve (t07 lists the vocab,
+  // t43 fits its growth; this prices a vocab SIZE). One token explode
+  // + one keyed agg to the vocab axis; the global top-k is
+  // TakeOrderedAndProject (limit 1000 — the scalable global top-k, no
+  // full sort), and the rank window rides the ≤1000-row result only.
+  val t48_coverage_curve: Q = (s, d) => {
+    val vocab = Tables.documents(s, d)
+      .select(explode(toks(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term").agg(count(lit(1)).as("f"))
+    val tot = vocab.agg(sum("f").cast("double").as("tt"),
+      count(lit(1)).as("v"))
+    val top = vocab.orderBy(col("f").desc, col("term")).limit(1000)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("f").desc, col("term"))))
+    top.crossJoin(broadcast(tot))
+      .withColumn("k", explode(array(lit(10), lit(100), lit(1000))))
+      .filter(col("rk") <= col("k"))
+      .groupBy("k")
+      .agg(round(sum("f") / first("tt"), 4).as("coverage"),
+        count(lit(1)).as("n_terms"),
+        first("v").as("vocab_size"))
+      .orderBy("k")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t48_coverage_curve" -> t48_coverage_curve,
+    "t47_truncation_loss" -> t47_truncation_loss,
     "t46_oov_audit" -> t46_oov_audit,
     "t45_hill_tail" -> t45_hill_tail,
     "t44_freq_spectrum" -> t44_freq_spectrum,
@@ -1691,6 +1740,33 @@ object TextAnalysis {
     s"len(list_filter($sqlToks, w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
   val oracle: Map[String, String] = Map(
+    "t47_truncation_loss" ->
+      s"""WITH base AS (
+         |  SELECT source, len($sqlToks)::BIGINT AS n FROM documents),
+         |x AS (
+         |  SELECT source, n, l FROM base, (VALUES (32), (64), (96)) t(l))
+         |SELECT source, l, count(*)::BIGINT AS n_docs,
+         |  sum(n)::BIGINT AS total_tokens,
+         |  sum(greatest(n - l, 0))::BIGINT AS tokens_lost,
+         |  sum(CASE WHEN n > l THEN 1 ELSE 0 END)::BIGINT AS n_truncated,
+         |  round(sum(greatest(n - l, 0)) / sum(n)::DOUBLE, 4) AS loss_ratio
+         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "t48_coverage_curve" ->
+      s"""WITH vocab AS (
+         |  SELECT t AS term, count(*)::BIGINT AS f
+         |  FROM (SELECT unnest($sqlToks) AS t FROM documents)
+         |  WHERE length(t) > 0 GROUP BY 1),
+         |tot AS (
+         |  SELECT sum(f)::DOUBLE AS tt, count(*)::BIGINT AS v FROM vocab),
+         |top AS (
+         |  SELECT f, row_number() OVER (ORDER BY f DESC, term) AS rk
+         |  FROM vocab ORDER BY f DESC, term LIMIT 1000),
+         |x AS (
+         |  SELECT rk, f, k FROM top, (VALUES (10), (100), (1000)) t(k)
+         |  WHERE rk <= k)
+         |SELECT k, round(sum(f) / (SELECT tt FROM tot), 4) AS coverage,
+         |  count(*)::BIGINT AS n_terms, (SELECT v FROM tot) AS vocab_size
+         |FROM x GROUP BY k ORDER BY k""".stripMargin,
     "t46_oov_audit" ->
       s"""WITH sp AS (
          |  SELECT CASE

@@ -1445,6 +1445,56 @@ object StreamingQueries {
   // and keys come from t28's OWN weightedSampleScores frame (twin
   // equality structural); ordering matches topk_by's contract (highest
   // k, ties to the LOWEST doc_id).
+  // s37: STREAMING DATA-QUALITY SCORECARD — q100's twin (24th pair),
+  // restricted to its COMMUTATIVE checks: FK integrity rides a
+  // stream-static broadcast join and the domain checks are pure
+  // conditional sums, so ANY shard delivery order merges to the batch
+  // answer (the harness lands four orderkey-sharded files —
+  // deliberately not chronological). PK uniqueness needs keyed dedup
+  // state (s03's discipline) and stays batch-side; SURVEY documents
+  // the split. State is ONE global row of four counters — the
+  // smallest possible streaming-audit footprint; the snapshot is the
+  // max-n_total row (counters grow monotonically), unpivoted to
+  // q100's per-check shape with stack().
+  val s37_stream_scorecard: Q = (s, d) => {
+    val cust = Tables.customer(s, d).select("c_custkey")
+    val feed = Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqc")
+    try {
+      (0 until 4).foreach { i =>
+        graft.sources.SourceSinks.landSingleParquet(
+          feed.filter(pmod(col("o_orderkey"), lit(4)) === i),
+          dir.resolve(f"b$i%02d.parquet"))
+      }
+      val landedSchema =
+        org.apache.spark.sql.types.StructType(feed.schema.fields)
+      val name = s"graft_sqc_${System.nanoTime()}"
+      val q = s.readStream.schema(landedSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left")
+        .select(col("c_custkey").isNull.cast("long").as("fk"),
+          (col("o_totalprice").isNull || col("o_totalprice") <= 0)
+            .cast("long").as("pr"),
+          (col("o_orderdate") < lit("1995-01-01").cast("timestamp") ||
+            col("o_orderdate") >= lit("2002-01-01").cast("timestamp"))
+            .cast("long").as("dt"),
+          (col("o_totalprice") > 450000.0).cast("long").as("hi"))
+        .agg(sum("fk").as("fk"), sum("pr").as("pr"), sum("dt").as("dt"),
+          sum("hi").as("hi"), count(lit(1)).as("n"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name).orderBy(col("n").desc).limit(1)
+        .select(expr("stack(4, 'fk_orders_customer', fk, " +
+          "'orders_date_domain', dt, 'orders_price_domain', pr, " +
+          "'orders_suspicious_high', hi) as (check, n_violations)"),
+          col("n").as("n_total"))
+        .withColumn("ok", col("n_violations") === 0)
+        .orderBy("check")
+    } finally graft.sources.SourceSinks.deleteDir(dir)
+  }
+
   val s36_stream_weighted_sample: Q = (s, d) => {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
@@ -1489,6 +1539,7 @@ object StreamingQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "s37_stream_scorecard" -> s37_stream_scorecard,
     "s36_stream_weighted_sample" -> s36_stream_weighted_sample,
     "s35_stream_balance" -> s35_stream_balance,
     "s34_stream_stickiness" -> s34_stream_stickiness,
@@ -1522,6 +1573,28 @@ object StreamingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "s37_stream_scorecard" ->
+      """WITH t AS (
+        |  SELECT
+        |    (SELECT count(*) FROM orders o LEFT JOIN customer c
+        |     ON o.o_custkey = c.c_custkey
+        |     WHERE c.c_custkey IS NULL)::BIGINT AS fk,
+        |    (SELECT sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+        |       THEN 1 ELSE 0 END) FROM orders)::BIGINT AS pr,
+        |    (SELECT sum(CASE WHEN o_orderdate < '1995-01-01'
+        |       OR o_orderdate >= '2002-01-01' THEN 1 ELSE 0 END)
+        |     FROM orders)::BIGINT AS dt,
+        |    (SELECT sum(CASE WHEN o_totalprice > 450000 THEN 1 ELSE 0 END)
+        |     FROM orders)::BIGINT AS hi,
+        |    (SELECT count(*) FROM orders)::BIGINT AS n)
+        |SELECT "check", n_violations, n_total, n_violations = 0 AS ok
+        |FROM (
+        |  SELECT 'fk_orders_customer' AS check, fk AS n_violations,
+        |    n AS n_total FROM t
+        |  UNION ALL SELECT 'orders_date_domain', dt, n FROM t
+        |  UNION ALL SELECT 'orders_price_domain', pr, n FROM t
+        |  UNION ALL SELECT 'orders_suspicious_high', hi, n FROM t)
+        |ORDER BY "check"""".stripMargin,
     // q87's batch oracle verbatim — the per-market supplier→revenue
     // fold must land every share exactly where the batch keyed agg does
     "s36_stream_weighted_sample" ->

@@ -2397,6 +2397,72 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("d25 sketch containment tracks the exact directed containment") {
+    import org.apache.spark.sql.functions._
+    val est = ops.Dedup.d25_sketch_containment(spark, sf).collect()
+      .map(r => ((r.getAs[String]("source_a"), r.getAs[String]("source_b")),
+        r.getAs[Double]("est_containment"))).toMap
+    assert(est.nonEmpty)
+    est.values.foreach(c => assert(c >= 0.0 && c <= 1.0))
+    // exact directed containment from the shingle sets
+    val sets = Tables.documents(spark, sf)
+      .select(col("source"), explode(ops.Dedup.shingles(col("text"))).as("sh"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (s0, xs) => s0 -> xs.map(_._2).toSet }
+    val errs = est.toSeq.map { case ((a, b), c) =>
+      val exact = (sets(a) & sets(b)).size.toDouble / sets(a).size
+      val e = math.abs(c - exact)
+      assert(e < 0.25, s"($a,$b): est $c vs exact $exact")
+      e
+    }
+    // in aggregate the 128-perm estimator must be much tighter than
+    // the per-pair worst case
+    assert(errs.sum / errs.length < 0.08,
+      s"mean abs containment error ${errs.sum / errs.length}")
+  }
+
+  test("t47 truncation loss matches an exact per-doc recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.TextAnalysis.t47_truncation_loss(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("l")).distinct.sorted.toSeq ==
+      Seq(32, 64, 96))
+    val lens = Tables.documents(spark, sf)
+      .select(col("source"), size(split(lower(trim(
+        regexp_replace(col("text"), "\\s+", " "))), " ")).as("n"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    for (r <- rows) {
+      val (src, l) = (r.getAs[String]("source"), r.getAs[Int]("l"))
+      val g = lens.filter(_._1 == src)
+      assert(r.getAs[Long]("total_tokens") == g.map(_._2.toLong).sum)
+      assert(r.getAs[Long]("tokens_lost") ==
+        g.map(x => math.max(0L, x._2.toLong - l)).sum)
+      assert(r.getAs[Long]("n_truncated") == g.count(_._2 > l))
+    }
+    // loss must shrink monotonically as the window grows, per source
+    rows.groupBy(_.getAs[String]("source")).values.foreach { g =>
+      val byL = g.sortBy(_.getAs[Int]("l")).map(_.getAs[Long]("tokens_lost"))
+      assert(byL.zip(byL.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("t48 coverage curve is monotone and hits 1.0 at full vocab") {
+    val rows = ops.TextAnalysis.t48_coverage_curve(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("k")).toSeq == Seq(10, 100, 1000))
+    val cov = rows.map(_.getAs[Double]("coverage"))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b },
+      "coverage must be monotone in k")
+    assert(cov.head > 0 && cov.last <= 1.0)
+    val vocabSize = rows.head.getAs[Long]("vocab_size")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_terms") ==
+        math.min(r.getAs[Int]("k").toLong, vocabSize))
+    }
+    // the synthetic corpus vocabulary is ≤1000 types, so the curve
+    // must close at exactly 1.0 coverage
+    if (vocabSize <= 1000) assert(cov.last == 1.0)
+  }
+
   test("t46 OOV audit: train is the zero control; held-out OOV is genuine") {
     val rows = ops.TextAnalysis.t46_oov_audit(spark, sf).collect()
     assert(rows.map(_.getAs[String]("split")).sorted.toSeq ==

@@ -327,6 +327,28 @@ class StreamingSpec extends AnyFunSuite {
     got.foreach(r => assert(r(1).asInstanceOf[Long] <= nSup))
   }
 
+  test("s37 streaming scorecard equals the batch check recompute") {
+    import org.apache.spark.sql.functions._
+    val got = StreamingQueries.s37_stream_scorecard(spark, sf).collect()
+    assert(got.map(_.getAs[String]("check")).toSeq ==
+      Seq("fk_orders_customer", "orders_date_domain",
+        "orders_price_domain", "orders_suspicious_high"))
+    val o = Tables.orders(spark, sf)
+    val n = o.count()
+    val fk = o.join(Tables.customer(spark, sf).select("c_custkey"),
+      col("o_custkey") === col("c_custkey"), "left_anti").count()
+    val hi = o.filter(col("o_totalprice") > 450000.0).count()
+    val byCheck = got.map(r =>
+      r.getAs[String]("check") -> r.getAs[Long]("n_violations")).toMap
+    assert(got.forall(_.getAs[Long]("n_total") == n),
+      "every check saw the full stream")
+    assert(byCheck("fk_orders_customer") == fk)
+    assert(byCheck("orders_suspicious_high") == hi && hi > 0,
+      "the suspicious-high check must carry real signal")
+    got.foreach(r => assert(
+      r.getAs[Boolean]("ok") == (r.getAs[Long]("n_violations") == 0L)))
+  }
+
   test("s36 streaming weighted sample equals batch t28 under doc-id-sharded delivery") {
     val got = StreamingQueries.s36_stream_weighted_sample(spark, sf)
       .collect().map(_.toSeq).toSeq
