@@ -962,7 +962,38 @@ object CdcQueries {
       .orderBy("pub")
   }
 
+  // c46: WAL SEGMENT RETENTION AUDIT — the prune-planning readout a
+  // WAL store runs before dropping segments (internal/mq/nats.go
+  // retention + the dao/snapshots horizon semantics of c34): the log
+  // partitions into fixed LSN-range segments (pg's 16 MB WAL-segment
+  // model); the retention horizon is the highest LSN checkpointed
+  // before the consumer cutoff (c03's from-position convention), and a
+  // segment is prunable iff its ENTIRE range sits at or below that
+  // horizon — never a partial trim. One keyed agg to the bounded
+  // segment axis + a 1-row horizon broadcast; at 100 TB the audit
+  // reads per-segment manifest stats, not the log.
+  val c46_wal_retention_audit: Q = (s, d) => {
+    val env = flatEnv(s, d)
+    val hor = env
+      .filter(col("tx_at") < lit("2024-01-15").cast("timestamp"))
+      .agg(coalesce(max("lsn_long"), lit(-1L)).as("horizon"))
+    env.withColumn("seg_id", expr("lsn_long div 1000"))
+      .groupBy("seg_id")
+      .agg(count(lit(1)).as("n_ops"),
+        sum((col("op") === "c").cast("long")).as("n_insert"),
+        sum(col("op").isin("u", "u_pk").cast("long")).as("n_update"),
+        sum((col("op") === "d").cast("long")).as("n_delete"),
+        min("lsn_long").as("min_lsn"), max("lsn_long").as("max_lsn"))
+      .crossJoin(broadcast(hor))
+      .withColumn("prunable", col("max_lsn") <= col("horizon"))
+      .select(col("seg_id"), col("n_ops"), col("n_insert"),
+        col("n_update"), col("n_delete"), col("min_lsn"), col("max_lsn"),
+        col("prunable"))
+      .orderBy("seg_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "c46_wal_retention_audit" -> c46_wal_retention_audit,
     "c45_watermark_merge" -> c45_watermark_merge,
     "c44_tx_boundary" -> c44_tx_boundary,
     "c43_replica_audit" -> c43_replica_audit,
@@ -1188,6 +1219,19 @@ object CdcQueries {
        |FROM mstate WHERE last_op <> 'd' ORDER BY pk""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "c46_wal_retention_audit" ->
+      s"""WITH $sqlEnv, $sqlFlat,
+         |hor AS (
+         |  SELECT coalesce(max(lsn_long), -1) AS horizon FROM flat
+         |  WHERE tx_at < TIMESTAMP '2024-01-15')
+         |SELECT lsn_long // 1000 AS seg_id, count(*)::BIGINT AS n_ops,
+         |  sum(CASE WHEN op = 'c' THEN 1 ELSE 0 END)::BIGINT AS n_insert,
+         |  sum(CASE WHEN op IN ('u', 'u_pk') THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_update,
+         |  sum(CASE WHEN op = 'd' THEN 1 ELSE 0 END)::BIGINT AS n_delete,
+         |  min(lsn_long) AS min_lsn, max(lsn_long) AS max_lsn,
+         |  max(lsn_long) <= (SELECT horizon FROM hor) AS prunable
+         |FROM flat GROUP BY 1 ORDER BY 1""".stripMargin,
     "c45_watermark_merge" ->
       s"""WITH $sqlEnv, $sqlFlat,
         |p AS (SELECT lsn_long, user_id % 3 AS pub FROM flat),

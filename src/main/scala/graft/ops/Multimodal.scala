@@ -1268,7 +1268,59 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** m15's canonical aspect buckets (name, width/height ratio). */
+  val AspectBuckets: Seq[(String, Double)] = Seq(
+    ("1:1", 1.0), ("4:3", 4.0 / 3), ("3:4", 3.0 / 4),
+    ("16:9", 16.0 / 9), ("9:16", 9.0 / 16))
+
+  // m15 (rows-only; spec: bucket assignment equals a driver recompute
+  // from the planted geometry, buckets partition the image corpus,
+  // padding in [0,1)): ASPECT-RATIO BUCKETING — the batching policy
+  // multimodal trainers use so every batch shares one canvas
+  // (SDXL-style bucketed sampling): each image lands in the nearest
+  // canonical bucket by |log ar − log bucket_ar| and the report prices
+  // each bucket's letterbox waste (1 − min/max ratio mismatch,
+  // averaged). Geometry goes through the REAL PNG codec — plant a
+  // doc-id-derived aspect, encode, DECODE, and measure the decoded
+  // raster, never the plant. The decode is m02's mapPartitions batch
+  // pass; everything after is a per-doc 5-row broadcast axis + one
+  // keyed agg to the 5-bucket axis.
+  val m15_aspect_bucket: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dims = mediaRecords(s, d)
+      .filter(r => r.content_type.startsWith("image/"))
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { r =>
+          val n = r.payload.length
+          val t = AspectBuckets((r.doc_id % 5).toInt)._2
+          val h = math.max(1, math.round(math.sqrt(n / t)).toInt)
+          val w = math.max(1, ((n + h - 1) / h).toInt)
+          val (_, pw, ph) = decodePng(encodePng(r.payload, w, h))
+          (r.doc_id, pw, ph)
+        }
+      }.toDF("doc_id", "w", "h")
+    val bk = AspectBuckets.map { case (nm, v) =>
+      struct(lit(nm).as("bucket"), lit(v).as("bar")) }
+    dims.withColumn("ar", col("w") / col("h"))
+      .withColumn("b", explode(array(bk: _*)))
+      .withColumn("dist", abs(log(col("ar")) - log(col("b.bar"))))
+      .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("dist"), col("b.bucket"))))
+      .filter(col("rk") === 1)
+      .withColumn("pad", lit(1.0) -
+        least(col("ar"), col("b.bar")) / greatest(col("ar"), col("b.bar")))
+      .groupBy(col("b.bucket").as("bucket"))
+      .agg(count(lit(1)).as("n_images"),
+        round(avg("pad"), 4).as("avg_pad"),
+        round(min("ar"), 4).as("min_ar"),
+        round(max("ar"), 4).as("max_ar"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, Q] = Map(
+    "m15_aspect_bucket" -> m15_aspect_bucket,
     "m14_scene_detect" -> m14_scene_detect,
     "m13_channel_stats" -> m13_channel_stats,
     "m12_shard_pack" -> m12_shard_pack,

@@ -1714,7 +1714,47 @@ object Similarity {
           .as("hot_decile_share"))
   }
 
+  // v33: METRIC RANK AGREEMENT — "does switching cosine → raw dot
+  // product change retrieval?" (it does exactly when corpus norms
+  // vary — the drift v06/v21 quantization must preserve): per query,
+  // the top-10 overlap between the two rankings and a Kendall-tau
+  // concordance over the cosine-top-10. Both metrics come from ONE
+  // dot pass (+ norms); each top-10 is a bounded map-side heap
+  // (TopK.topk_by — the v05 discipline, never a corpus-wide rank
+  // window), and the tau pair frame is 45 rows per query.
+  val v33_metric_rank_agreement: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val scored = emb.filter(col("vec_id") >= 5).crossJoin(broadcast(qs))
+      .select(col("qid"), col("vec_id"),
+        Vec.dot(col("embedding"), col("qv")).as("dot"),
+        Vec.cosine(col("embedding"), col("qv")).as("cos"))
+    def top10(ord: String): DataFrame = scored.groupBy("qid")
+      .agg(graft.functions.TopK.topk_by(
+        struct(col("vec_id"), col("dot")), col(ord), col("vec_id"), 10)
+        .as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "r")))
+      .select(col("qid"), (col("pos") + 1).as("rk"),
+        col("r.vec_id").as("vec_id"), col("r.dot").as("dotv"))
+    val byCos = top10("cos")
+    val byDot = top10("dot").select(col("qid"), col("vec_id"))
+    val overlap = byCos.join(byDot, Seq("qid", "vec_id"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("n_overlap"))
+    val tau = byCos.as("a").join(byCos.as("b"),
+        col("a.qid") === col("b.qid") && col("a.rk") < col("b.rk"))
+      .groupBy(col("a.qid").as("qid"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((col("a.dotv") > col("b.dotv")).cast("long")).as("conc"))
+    overlap.join(tau, Seq("qid"))
+      .select(col("qid"), col("n_overlap"),
+        round((col("conc") * 2.0 - col("n_pairs")) / col("n_pairs"), 4)
+          .as("tau"))
+      .orderBy("qid")
+  }
+
   val queries: Map[String, Q] = Map(
+    "v33_metric_rank_agreement" -> v33_metric_rank_agreement,
     "v32_cell_balance" -> v32_cell_balance,
     "v31_dim_separability" -> v31_dim_separability,
     "v30_ood_zscore" -> v30_ood_zscore,
@@ -1751,6 +1791,40 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "v33_metric_rank_agreement" ->
+      """WITH qs AS (
+        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |  WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT qid, b.vec_id,
+        |    list_dot_product(b.embedding::DOUBLE[], qv::DOUBLE[]) AS dot,
+        |    list_dot_product(b.embedding::DOUBLE[], qv::DOUBLE[]) /
+        |      (sqrt(list_dot_product(b.embedding::DOUBLE[],
+        |         b.embedding::DOUBLE[])) *
+        |       sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))) AS cos
+        |  FROM embeddings b, qs WHERE b.vec_id >= 5),
+        |bycos AS (
+        |  SELECT qid, vec_id, dot,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, vec_id) AS rk
+        |  FROM scored QUALIFY rk <= 10),
+        |bydot AS (
+        |  SELECT qid, vec_id,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY dot DESC, vec_id) AS rk
+        |  FROM scored QUALIFY rk <= 10),
+        |ov AS (
+        |  SELECT a.qid, count(*)::BIGINT AS n_overlap
+        |  FROM bycos a JOIN bydot b ON a.qid = b.qid AND a.vec_id = b.vec_id
+        |  GROUP BY 1),
+        |tau AS (
+        |  SELECT a.qid, count(*)::BIGINT AS n_pairs,
+        |    sum(CASE WHEN a.dot > b.dot THEN 1 ELSE 0 END)::BIGINT AS conc
+        |  FROM bycos a JOIN bycos b ON a.qid = b.qid AND a.rk < b.rk
+        |  GROUP BY 1)
+        |SELECT ov.qid, n_overlap,
+        |  round((conc * 2.0 - n_pairs) / n_pairs, 4) AS tau
+        |FROM ov JOIN tau ON ov.qid = tau.qid ORDER BY ov.qid""".stripMargin,
     "v31_dim_separability" ->
       """WITH dims AS (
         |  SELECT label, (i - 1)::INT AS pos, embedding[i]::DOUBLE AS x

@@ -1447,7 +1447,56 @@ object SourceSinks {
     materializeThenCleanup(s, out, dir)
   }
 
+  // x36: CLUSTERING ADVISOR — the metadata-only "how well would this
+  // layout cluster on the query column?" report (the Iceberg/Delta
+  // overlap-depth metric) BEFORE any rewrite: per candidate layout the
+  // per-file zone map [min,max] over o_orderdate is one keyed agg (a
+  // real planner reads it from the manifest x33 records), and the
+  // overlap profile is a +1/−1 sweep over the bounded ≤2F-endpoint
+  // axis — max depth = files a point query must open at worst; the
+  // span-weighted avg depth prices the average scan. by_year clusters
+  // (depth 1), custkey-hash interleaves (depth = F): exactly the
+  // contrast x33's skipping exploits and x13/x15 re-layouts fix. At
+  // 100 TB this never touches data — only the file-count-bounded
+  // manifest.
+  val x36_clustering_advisor: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val epoch = lit("1970-01-01").cast("date")
+    val base = Tables.orders(s, d)
+      .select(datediff(to_date(col("o_orderdate")), epoch).as("day"),
+        year(to_date(col("o_orderdate"))).as("yr"), col("o_custkey"))
+    def profile(manifest: DataFrame, layout: String): DataFrame = {
+      val events = manifest
+        .select(col("mn").as("pos"), lit(1L).as("delta"))
+        .unionAll(manifest.select((col("mx") + 1).as("pos"),
+          lit(-1L).as("delta")))
+        .groupBy("pos").agg(sum("delta").as("delta"))
+      val w = Window.orderBy("pos")
+      val nf = manifest.agg(count(lit(1)).as("n_files"))
+      events
+        .withColumn("depth", sum("delta").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("span",
+          (coalesce(lead("pos", 1).over(w), col("pos")) - col("pos"))
+            .cast("long"))
+        .agg(max("depth").as("max_depth"),
+          round(sum(col("depth") * col("span")) /
+            sum("span").cast("double"), 4).as("avg_depth"))
+        .crossJoin(broadcast(nf))
+        .select(lit(layout).as("layout"), col("n_files"),
+          col("max_depth"), col("avg_depth"))
+    }
+    val byYear = base.groupBy("yr")
+      .agg(min("day").as("mn"), max("day").as("mx"))
+    val byHash = base.groupBy(pmod(col("o_custkey"), lit(8)).as("h"))
+      .agg(min("day").as("mn"), max("day").as("mx"))
+    profile(byYear, "by_year")
+      .unionAll(profile(byHash, "by_custkey_hash"))
+      .orderBy("layout")
+  }
+
   val queries: Map[String, Q] = Map(
+    "x36_clustering_advisor" -> x36_clustering_advisor,
     "x35_encoding_audit" -> x35_encoding_audit,
     "x34_cow_delete" -> x34_cow_delete,
     "x33_zonemap_scan" -> x33_zonemap_scan,
@@ -1504,6 +1553,48 @@ object SourceSinks {
   }.mkString("", "\nUNION ALL\n", "\nORDER BY 1")
 
   val oracle: Map[String, String] = Map(
+    "x36_clustering_advisor" ->
+      """WITH base AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', o_orderdate::DATE)
+        |      ::INT AS day,
+        |    year(o_orderdate)::INT AS yr, o_custkey
+        |  FROM orders),
+        |my AS (SELECT yr, min(day) AS mn, max(day) AS mx
+        |       FROM base GROUP BY 1),
+        |mh AS (SELECT o_custkey % 8 AS h, min(day) AS mn, max(day) AS mx
+        |       FROM base GROUP BY 1),
+        |ey AS (
+        |  SELECT pos, sum(delta)::BIGINT AS delta FROM (
+        |    SELECT mn AS pos, 1 AS delta FROM my
+        |    UNION ALL SELECT mx + 1, -1 FROM my) GROUP BY 1),
+        |sy AS (
+        |  SELECT (sum(delta) OVER (ORDER BY pos
+        |      ROWS UNBOUNDED PRECEDING))::BIGINT AS depth,
+        |    coalesce(lead(pos) OVER (ORDER BY pos), pos) - pos AS span
+        |  FROM ey),
+        |py AS (
+        |  SELECT 'by_year' AS layout,
+        |    (SELECT count(*) FROM my)::BIGINT AS n_files,
+        |    max(depth)::BIGINT AS max_depth,
+        |    round(sum(depth * span) / sum(span)::DOUBLE, 4) AS avg_depth
+        |  FROM sy),
+        |eh AS (
+        |  SELECT pos, sum(delta)::BIGINT AS delta FROM (
+        |    SELECT mn AS pos, 1 AS delta FROM mh
+        |    UNION ALL SELECT mx + 1, -1 FROM mh) GROUP BY 1),
+        |sh AS (
+        |  SELECT (sum(delta) OVER (ORDER BY pos
+        |      ROWS UNBOUNDED PRECEDING))::BIGINT AS depth,
+        |    coalesce(lead(pos) OVER (ORDER BY pos), pos) - pos AS span
+        |  FROM eh),
+        |ph AS (
+        |  SELECT 'by_custkey_hash' AS layout,
+        |    (SELECT count(*) FROM mh)::BIGINT AS n_files,
+        |    max(depth)::BIGINT AS max_depth,
+        |    round(sum(depth * span) / sum(span)::DOUBLE, 4) AS avg_depth
+        |  FROM sh)
+        |SELECT * FROM py UNION ALL SELECT * FROM ph
+        |ORDER BY layout""".stripMargin,
     "x33_zonemap_scan" ->
       """SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
         |  sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents

@@ -2463,6 +2463,32 @@ class PipelineSpec extends AnyFunSuite {
     if (vocabSize <= 1000) assert(cov.last == 1.0)
   }
 
+  test("m15 aspect buckets partition the image corpus per the planted geometry") {
+    val rows = ops.Multimodal.m15_aspect_bucket(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // driver recompute of the bucket assignment from planted geometry
+    val recs = ops.Multimodal.mediaRecords(spark, sf).collect()
+      .filter(_.content_type.startsWith("image/"))
+    val expected = recs.map { r =>
+      val n = r.payload.length
+      val t = ops.Multimodal.AspectBuckets((r.doc_id % 5).toInt)._2
+      val h = math.max(1, math.round(math.sqrt(n / t)).toInt)
+      val w = math.max(1, ((n + h - 1) / h).toInt)
+      val ar = w.toDouble / h
+      ops.Multimodal.AspectBuckets
+        .minBy { case (nm, v) => (math.abs(math.log(ar) - math.log(v)), nm) }._1
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = rows.map(r =>
+      r.getAs[String]("bucket") -> r.getAs[Long]("n_images")).toMap
+    assert(got == expected, s"got $got expected $expected")
+    assert(got.values.sum == recs.length, "buckets must partition the corpus")
+    rows.foreach { r =>
+      val pad = r.getAs[Double]("avg_pad")
+      assert(pad >= 0.0 && pad < 1.0)
+      assert(r.getAs[Double]("min_ar") <= r.getAs[Double]("max_ar"))
+    }
+  }
+
   test("t46 OOV audit: train is the zero control; held-out OOV is genuine") {
     val rows = ops.TextAnalysis.t46_oov_audit(spark, sf).collect()
     assert(rows.map(_.getAs[String]("split")).sorted.toSeq ==
