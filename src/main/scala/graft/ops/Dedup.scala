@@ -1153,6 +1153,33 @@ object Dedup {
       .orderBy("source_a", "source_b")
   }
 
+  // d26: DUP-CLUSTER PROFILE — the report a dedup run ships to its
+  // operator (how much mass sits in big near-dup families, how much
+  // of the corpus is untouched, how many docs a keep-one policy
+  // removes): cluster-size spectrum over d06's connected components,
+  // one keyed agg to the cluster axis + one to the bounded size-bucket
+  // axis; singletons from corpus count minus clustered docs — no
+  // corpus pass beyond the d02 pair machinery it inherits.
+  val d26_cluster_profile: Q = (s, d) => {
+    val cl = ccClusters(d02_ngram_jaccard(s, d).select(col("d1"), col("d2")),
+      pointerJump = false, maxIter = 20)
+    val sizes = cl.groupBy("cluster").agg(count(lit(1)).as("size"))
+    val byBucket = sizes
+      .withColumn("bucket", when(col("size") >= 5, lit("5+"))
+        .otherwise(col("size").cast("string")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_clusters"), sum("size").as("n_docs_in"),
+        sum(col("size") - 1).as("n_removable"))
+    val tot = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val clustered = cl.agg(count(lit(1)).as("n_clustered"))
+    val single = tot.crossJoin(clustered)
+      .select(lit("singleton").as("bucket"),
+        (col("n_docs") - col("n_clustered")).as("n_clusters"),
+        (col("n_docs") - col("n_clustered")).as("n_docs_in"),
+        lit(0L).as("n_removable"))
+    byBucket.unionAll(single).orderBy("bucket")
+  }
+
   /** d21's span parameters — gram width, min consecutive-gram run (a
     * run of r k-grams = a shared word span of r+k−1 words), and the
     * gram document-frequency band (shared with the oracle). The lower
@@ -1281,6 +1308,7 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     "d24_source_sketch_overlap" -> d24_source_sketch_overlap,
     "d25_sketch_containment" -> d25_sketch_containment,
+    "d26_cluster_profile" -> d26_cluster_profile,
     "d23_threshold_sweep" -> d23_threshold_sweep,
     "d22_fuzzy_match" -> d22_fuzzy_match,
     "d21_substr_runs" -> d21_substr_runs,
@@ -1544,6 +1572,28 @@ object Dedup {
         |ORDER BY d1, d2""".stripMargin,
     "d17_soft_dedup" -> softDedupOracleSql,
     "d06_dup_clusters" -> ccOracleSql,
+    "d26_cluster_profile" ->
+      s"""$ccCtes,
+         |clusters AS (
+         |  SELECT min(rep) AS cluster, node FROM cc GROUP BY node),
+         |sizes AS (
+         |  SELECT cluster, count(*)::BIGINT AS size
+         |  FROM clusters GROUP BY 1),
+         |bkt AS (
+         |  SELECT CASE WHEN size >= 5 THEN '5+' ELSE size::VARCHAR END
+         |      AS bucket,
+         |    count(*)::BIGINT AS n_clusters, sum(size)::BIGINT AS n_docs_in,
+         |    sum(size - 1)::BIGINT AS n_removable
+         |  FROM sizes GROUP BY 1),
+         |sing AS (
+         |  SELECT 'singleton' AS bucket,
+         |    ((SELECT count(*) FROM documents) -
+         |     (SELECT count(*) FROM clusters))::BIGINT AS n_clusters,
+         |    ((SELECT count(*) FROM documents) -
+         |     (SELECT count(*) FROM clusters))::BIGINT AS n_docs_in,
+         |    0::BIGINT AS n_removable)
+         |SELECT * FROM bkt UNION ALL SELECT * FROM sing
+         |ORDER BY bucket""".stripMargin,
     // d07 computes the identical clustering as d06, just in O(log n)
     // rounds — same recursive-CTE ground truth.
     "d07_cc_pointer_jumping" -> ccOracleSql,

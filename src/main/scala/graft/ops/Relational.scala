@@ -2636,34 +2636,47 @@ object Relational {
   // identical doubles; the CI reads exact percentiles over the bounded
   // B-row replicate axis. Shuffle volume after map-side combine is
   // |priorities|×B rows per partition — NOT B× the data.
+  /** q101's deterministic Poisson(1) replicate weight for (id, b):
+    * md5-derived uniform → inverse CDF (cumulative e^-1·Σ 1/k!, capped
+    * at 6 — P(w>6) < 1e-4); identical decimal literals on both
+    * engines. Shared with s38's streaming fold so twin equality is
+    * structural.
+    */
+  def poissonWeight(id: Column, b: Column): Column = {
+    val u = (conv(substring(md5(concat(id.cast("string"),
+      lit("_"), b.cast("string"))), 1, 12), 16, 10)
+      .cast("double") + 1.0) / lit(math.pow(16, 12) + 1)
+    when(u < 0.36787944117144233, 0L)
+      .when(u < 0.7357588823428847, 1L)
+      .when(u < 0.9196986029286058, 2L)
+      .when(u < 0.9810118431238463, 3L)
+      .when(u < 0.9963401531726563, 4L)
+      .when(u < 0.9994058151824183, 5L)
+      .otherwise(6L)
+  }
+
+  /** q101's CI readout over a (prio, swc, sw) replicate-sum frame —
+    * exact integer sums in, exact percentiles over the B-row axis out.
+    */
+  def bootstrapReadout(repSums: DataFrame): DataFrame =
+    repSums
+      .select(col("prio"), (col("swc") / (col("sw") * 100.0)).as("mean_b"))
+      .groupBy(col("prio"))
+      .agg(round(expr("percentile(mean_b, 0.025)"), 4).as("ci_lo"),
+        round(expr("percentile(mean_b, 0.5)"), 4).as("boot_median"),
+        round(expr("percentile(mean_b, 0.975)"), 4).as("ci_hi"))
+      .orderBy("prio")
+
   val q101_bootstrap_ci: Q = (s, d) => {
     val B = 100
     val reps = Tables.orders(s, d)
       .select(col("o_orderpriority").as("prio"), col("o_orderkey"),
         expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
       .withColumn("b", explode(expr(s"sequence(1, $B)")))
-      .withColumn("u",
-        (conv(substring(md5(concat(col("o_orderkey").cast("string"),
-          lit("_"), col("b").cast("string"))), 1, 12), 16, 10)
-          .cast("double") + 1.0) / lit(math.pow(16, 12) + 1))
-      // Poisson(1) inverse CDF: cumulative e^-1·Σ 1/k!, capped at 6
-      // (P(w>6) < 1e-4); identical decimal literals on both engines
-      .withColumn("w",
-        when(col("u") < 0.36787944117144233, 0L)
-          .when(col("u") < 0.7357588823428847, 1L)
-          .when(col("u") < 0.9196986029286058, 2L)
-          .when(col("u") < 0.9810118431238463, 3L)
-          .when(col("u") < 0.9963401531726563, 4L)
-          .when(col("u") < 0.9994058151824183, 5L)
-          .otherwise(6L))
+      .withColumn("w", poissonWeight(col("o_orderkey"), col("b")))
       .groupBy(col("prio"), col("b"))
       .agg(sum(col("w") * col("cents")).as("swc"), sum("w").as("sw"))
-      .select(col("prio"), (col("swc") / (col("sw") * 100.0)).as("mean_b"))
-    reps.groupBy(col("prio"))
-      .agg(round(expr("percentile(mean_b, 0.025)"), 4).as("ci_lo"),
-        round(expr("percentile(mean_b, 0.5)"), 4).as("boot_median"),
-        round(expr("percentile(mean_b, 0.975)"), 4).as("ci_hi"))
-      .orderBy("prio")
+    bootstrapReadout(reps)
   }
 
   // q102: MANN-WHITNEY U TEST (two-sided normal approximation with tie
@@ -2758,7 +2771,38 @@ object Relational {
             (col("n") * col("n") * (col("n") - 1.0))), 4).as("z"))
   }
 
+  // q105: PRICE INDICES — Laspeyres / Paasche / Fisher per ship-year
+  // vs the 1995 base (the econ-panel readout over the part panel):
+  // per (part, year) the exact integer-cent revenue and quantity
+  // aggregate ONCE; each year joins the base-year frame on the part
+  // DIMENSION (≤|parts| rows — broadcast, q66's accepted shape) and
+  // the index sums ride that axis. Fisher = √(L·P), computed from the
+  // UNROUNDED components on both engines. Index ratios sit near 1.0,
+  // so 4-decimal rounding is far above parallel-sum ulp noise.
+  val q105_price_index: Q = (s, d) => {
+    val py = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"), year(to_date(col("l_shipdate"))).as("yr"))
+      .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+        .as("c"), sum("l_quantity").as("q"))
+      .withColumn("p", col("c") / (col("q") * 100.0))
+    val base = py.filter(col("yr") === 1995)
+      .select(col("l_partkey"), col("p").as("p0"), col("q").as("q0"))
+    py.filter(col("yr") =!= 1995)
+      .join(broadcast(base), "l_partkey")
+      .groupBy("yr")
+      .agg(count(lit(1)).as("n_common_parts"),
+        (sum(col("p") * col("q0")) / sum(col("p0") * col("q0")))
+          .as("lasp"),
+        (sum(col("p") * col("q")) / sum(col("p0") * col("q"))).as("paas"))
+      .select(col("yr"), col("n_common_parts"),
+        round(col("lasp"), 4).as("laspeyres"),
+        round(col("paas"), 4).as("paasche"),
+        round(sqrt(col("lasp") * col("paas")), 4).as("fisher"))
+      .orderBy("yr")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q105_price_index" -> q105_price_index,
     "q101_bootstrap_ci" -> q101_bootstrap_ci,
     "q102_mannwhitney" -> q102_mannwhitney,
     "q103_theilsen" -> q103_theilsen,
@@ -2888,6 +2932,26 @@ object Relational {
       |FROM det JOIN se USING (wd) ORDER BY day""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q105_price_index" ->
+      """WITH py AS (
+        |  SELECT l_partkey, year(l_shipdate)::INT AS yr,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+        |      AS c,
+        |    sum(l_quantity) AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |pp AS (SELECT l_partkey, yr, c / (q * 100.0) AS p, q FROM py),
+        |base AS (
+        |  SELECT l_partkey, p AS p0, q AS q0 FROM pp WHERE yr = 1995),
+        |ix AS (
+        |  SELECT yr, count(*)::BIGINT AS n_common_parts,
+        |    sum(p * q0) / sum(p0 * q0) AS lasp,
+        |    sum(p * q) / sum(p0 * q) AS paas
+        |  FROM pp JOIN base USING (l_partkey) WHERE yr <> 1995
+        |  GROUP BY 1)
+        |SELECT yr, n_common_parts, round(lasp, 4) AS laspeyres,
+        |  round(paas, 4) AS paasche,
+        |  round(sqrt(lasp * paas), 4) AS fisher
+        |FROM ix ORDER BY yr""".stripMargin,
     "q101_bootstrap_ci" ->
       """WITH reps AS (
         |  SELECT o_orderpriority AS prio, b,

@@ -1495,7 +1495,35 @@ object SourceSinks {
       .orderBy("layout")
   }
 
+  // x37: COMPACTION PLANNER — the metadata-only bin-packing pass an
+  // Iceberg/Delta maintenance job runs over small files (x11 EXECUTES
+  // a compaction; this PLANS one from manifest stats alone): monthly
+  // landed files (size proxy = rows × fixed row width) pack greedily
+  // in sort order into ~128 KiB groups via pure cumulative arithmetic
+  // — bin = bytes-before div target, so the plan is deterministic and
+  // needs NO sequential fold; one row out per planned group. The
+  // cumulative window rides the bounded month axis; at 100 TB the
+  // input is the file manifest, never the data.
+  val x37_compaction_planner: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val files = Tables.orders(s, d)
+      .groupBy((year(to_date(col("o_orderdate"))) * 12 +
+        month(to_date(col("o_orderdate"))) - 1).as("mon"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("bytes", col("n_rows") * 64L)
+    val w = Window.orderBy("mon")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .withColumn("cumb", coalesce(sum("bytes").over(w), lit(0L)))
+      .withColumn("bin", expr("cumb div 131072"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_files"), sum("bytes").as("total_bytes"),
+        min("mon").as("first_mon"), max("mon").as("last_mon"))
+      .orderBy("bin")
+  }
+
   val queries: Map[String, Q] = Map(
+    "x37_compaction_planner" -> x37_compaction_planner,
     "x36_clustering_advisor" -> x36_clustering_advisor,
     "x35_encoding_audit" -> x35_encoding_audit,
     "x34_cow_delete" -> x34_cow_delete,
@@ -1553,6 +1581,22 @@ object SourceSinks {
   }.mkString("", "\nUNION ALL\n", "\nORDER BY 1")
 
   val oracle: Map[String, String] = Map(
+    "x37_compaction_planner" ->
+      """WITH files AS (
+        |  SELECT (year(o_orderdate) * 12 + month(o_orderdate) - 1)::INT
+        |      AS mon,
+        |    count(*)::BIGINT AS n_rows, count(*)::BIGINT * 64 AS bytes
+        |  FROM orders GROUP BY 1),
+        |c AS (
+        |  SELECT mon, bytes,
+        |    coalesce(sum(bytes) OVER (ORDER BY mon
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cumb
+        |  FROM files)
+        |SELECT (cumb // 131072)::BIGINT AS bin, count(*)::BIGINT AS n_files,
+        |  sum(bytes)::BIGINT AS total_bytes,
+        |  min(mon) AS first_mon, max(mon) AS last_mon
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "x36_clustering_advisor" ->
       """WITH base AS (
         |  SELECT date_diff('day', DATE '1970-01-01', o_orderdate::DATE)

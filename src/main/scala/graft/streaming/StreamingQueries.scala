@@ -1495,6 +1495,48 @@ object StreamingQueries {
     } finally graft.sources.SourceSinks.deleteDir(dir)
   }
 
+  // s38: STREAMING BOOTSTRAP CI — q101's twin (25th pair): the
+  // Poisson-bootstrap replicate sums (Σw·cents, Σw per priority ×
+  // replicate) are plain COMMUTATIVE sums of hash-derived weights, so
+  // even the bootstrap is a streaming-mergeable statistic: a keyed
+  // update-mode aggregation over orderkey-sharded (non-chronological)
+  // delivery, state = the bounded 5×100 replicate grid of two
+  // counters. The snapshot takes each key's latest partial (max rows
+  // seen) and runs q101's OWN readout — twin equality is structural
+  // (shared poissonWeight + bootstrapReadout), and the oracle is
+  // q101's verbatim.
+  val s38_stream_bootstrap: Q = (s, d) => {
+    val feed = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority").as("prio"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sboot")
+    try {
+      (0 until 4).foreach { i =>
+        graft.sources.SourceSinks.landSingleParquet(
+          feed.filter(pmod(col("o_orderkey"), lit(4)) === i),
+          dir.resolve(f"b$i%02d.parquet"))
+      }
+      val landedSchema =
+        org.apache.spark.sql.types.StructType(feed.schema.fields)
+      val name = s"graft_sboot_${System.nanoTime()}"
+      val q = s.readStream.schema(landedSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+        .withColumn("b", explode(expr("sequence(1, 100)")))
+        .withColumn("w",
+          graft.ops.Relational.poissonWeight(col("o_orderkey"), col("b")))
+        .groupBy(col("prio"), col("b"))
+        .agg(sum(col("w") * col("cents")).as("swc"), sum("w").as("sw"),
+          count(lit(1)).as("n"))
+        .writeStream.outputMode("update").format("memory")
+        .queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      val snap = s.table(name).groupBy(col("prio"), col("b"))
+        .agg(max_by(struct(col("swc"), col("sw")), col("n")).as("st"))
+        .select(col("prio"), col("st.swc").as("swc"), col("st.sw").as("sw"))
+      graft.ops.Relational.bootstrapReadout(snap)
+    } finally graft.sources.SourceSinks.deleteDir(dir)
+  }
+
   val s36_stream_weighted_sample: Q = (s, d) => {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
@@ -1539,6 +1581,7 @@ object StreamingQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "s38_stream_bootstrap" -> s38_stream_bootstrap,
     "s37_stream_scorecard" -> s37_stream_scorecard,
     "s36_stream_weighted_sample" -> s36_stream_weighted_sample,
     "s35_stream_balance" -> s35_stream_balance,
@@ -1573,6 +1616,10 @@ object StreamingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // q101's batch oracle verbatim — the commutative replicate-sum fold
+    // must land every CI bound exactly where the batch keyed agg does
+    "s38_stream_bootstrap" ->
+      graft.ops.Relational.oracle("q101_bootstrap_ci"),
     "s37_stream_scorecard" ->
       """WITH t AS (
         |  SELECT

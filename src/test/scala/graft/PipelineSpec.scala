@@ -2463,6 +2463,26 @@ class PipelineSpec extends AnyFunSuite {
     if (vocabSize <= 1000) assert(cov.last == 1.0)
   }
 
+  test("d26 cluster profile conserves docs and matches d06's clusters") {
+    val rows = ops.Dedup.d26_cluster_profile(spark, sf).collect()
+    val byBucket = rows.map(r =>
+      r.getAs[String]("bucket") -> r).toMap
+    assert(byBucket.contains("singleton"))
+    val cl = ops.Dedup.d06_dup_clusters(spark, sf).collect()
+    val sizes = cl.groupBy(_.getAs[Long]("cluster")).values.map(_.length)
+    val expected = sizes.groupBy(sz => if (sz >= 5) "5+" else sz.toString)
+      .view.mapValues(_.size.toLong).toMap
+    expected.foreach { case (b, n) =>
+      assert(byBucket(b).getAs[Long]("n_clusters") == n, s"bucket $b")
+    }
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs_in")).sum == nDocs,
+      "profile buckets + singletons must partition the corpus")
+    // a keep-one policy removes exactly size-1 docs per cluster
+    assert(rows.map(_.getAs[Long]("n_removable")).sum ==
+      cl.length - sizes.size)
+  }
+
   test("m15 aspect buckets partition the image corpus per the planted geometry") {
     val rows = ops.Multimodal.m15_aspect_bucket(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -1628,6 +1628,22 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q105 price indices: Fisher between Laspeyres/Paasche bounds, base year near 1") {
+    val rows = ops.Relational.q105_price_index(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (l, p, f) = (r.getAs[Double]("laspeyres"),
+        r.getAs[Double]("paasche"), r.getAs[Double]("fisher"))
+      assert(l > 0 && p > 0 && f > 0)
+      // Fisher is the geometric mean: strictly between min and max
+      assert(f >= math.min(l, p) - 1e-9 && f <= math.max(l, p) + 1e-9)
+      assert(r.getAs[Long]("n_common_parts") > 0)
+      // synthetic prices are stationary: indices stay in a sane band
+      assert(l > 0.5 && l < 2.0 && p > 0.5 && p < 2.0)
+    }
+    assert(!rows.map(_.getAs[Int]("yr")).contains(1995))
+  }
+
   test("q101 bootstrap CI brackets the point estimate and is deterministic") {
     import org.apache.spark.sql.functions._
     val rows = ops.Relational.q101_bootstrap_ci(spark, sf).collect()

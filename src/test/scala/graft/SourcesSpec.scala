@@ -10,6 +10,32 @@ import java.nio.file.Files
 class SourcesSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("x37 compaction plan conserves files and bytes in contiguous month order") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.sources.SourceSinks.x37_compaction_planner(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val nMonths = Tables.orders(spark, sf)
+      .select(countDistinct(expr(
+        "year(to_date(o_orderdate)) * 12 + month(to_date(o_orderdate))")))
+      .collect().head.getLong(0)
+    assert(rows.map(_.getAs[Long]("n_files")).sum == nMonths)
+    val nOrders = Tables.orders(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("total_bytes")).sum == nOrders * 64)
+    // group count is the greedy prediction from total size vs target
+    assert(rows.length == ((nOrders * 64 + 131071) / 131072).toInt ||
+      rows.length == ((nOrders * 64) / 131072).toInt + 1)
+    // bins are contiguous, non-overlapping month ranges in plan order
+    val sorted = rows.sortBy(_.getAs[Long]("bin"))
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Int]("last_mon") < b.getAs[Int]("first_mon"))
+      case _ =>
+    }
+    sorted.foreach(r =>
+      assert(r.getAs[Int]("first_mon") <= r.getAs[Int]("last_mon")))
+  }
+
   test("x21 incremental scan reads ONLY the changed filesets, never A") {
     val df = graft.sources.SourceSinks.x21_incremental_scan(spark, sf)
     val rows = df.collect()

@@ -327,6 +327,15 @@ class StreamingSpec extends AnyFunSuite {
     got.foreach(r => assert(r(1).asInstanceOf[Long] <= nSup))
   }
 
+  test("s38 streaming bootstrap equals batch q101 under orderkey-sharded delivery") {
+    val got = StreamingQueries.s38_stream_bootstrap(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val exp = ops.Relational.q101_bootstrap_ci(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == exp,
+      "commutative replicate sums must be delivery-order independent")
+  }
+
   test("s37 streaming scorecard equals the batch check recompute") {
     import org.apache.spark.sql.functions._
     val got = StreamingQueries.s37_stream_scorecard(spark, sf).collect()
