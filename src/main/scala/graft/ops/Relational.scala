@@ -2779,12 +2779,12 @@ object Relational {
   // the index sums ride that axis. Fisher = √(L·P), computed from the
   // UNROUNDED components on both engines. Index ratios sit near 1.0,
   // so 4-decimal rounding is far above parallel-sum ulp noise.
-  val q105_price_index: Q = (s, d) => {
-    val py = Tables.lineitem(s, d)
-      .groupBy(col("l_partkey"), year(to_date(col("l_shipdate"))).as("yr"))
-      .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
-        .as("c"), sum("l_quantity").as("q"))
-      .withColumn("p", col("c") / (col("q") * 100.0))
+  /** q105's index readout over a (l_partkey, yr, c, q) panel of exact
+    * integer-cent revenue and quantity sums — shared with s39's
+    * streaming fold so twin equality is structural.
+    */
+  def priceIndexReadout(py0: DataFrame): DataFrame = {
+    val py = py0.withColumn("p", col("c") / (col("q") * 100.0))
     val base = py.filter(col("yr") === 1995)
       .select(col("l_partkey"), col("p").as("p0"), col("q").as("q0"))
     py.filter(col("yr") =!= 1995)
@@ -2801,7 +2801,80 @@ object Relational {
       .orderBy("yr")
   }
 
+  val q105_price_index: Q = (s, d) =>
+    priceIndexReadout(Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"), year(to_date(col("l_shipdate"))).as("yr"))
+      .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+        .as("c"), sum("l_quantity").as("q")))
+
+  // q106: COHORT LTV CURVES — cumulative revenue per customer by
+  // quarters-since-first-order, per first-order-quarter cohort (q46
+  // counts WHO returns; this prices WHAT they spend — the payback
+  // readout a growth team reads against CAC): per-customer first
+  // quarter from one keyed agg; (cohort, age) revenue cells from a
+  // second; the cumulative window rides the bounded cohort×age grid
+  // (≤27×27), partitioned by cohort. Integer cents + one division.
+  val q106_cohort_ltv: Q = (s, d) => {
+    val q = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        (year(to_date(col("o_orderdate"))) * 4 +
+          quarter(to_date(col("o_orderdate"))) - 1).as("qtr"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+    val first = q.groupBy("o_custkey").agg(min("qtr").as("q0"))
+    val cohortSize = first.groupBy(col("q0").as("cohort"))
+      .agg(count(lit(1)).as("n_customers"))
+    val cells = q.join(first, "o_custkey")
+      .groupBy(col("q0").as("cohort"), (col("qtr") - col("q0")).as("age"))
+      .agg(sum("cents").as("cents"))
+    val w = Window.partitionBy("cohort").orderBy("age")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_cents", sum("cents").over(w))
+      .join(broadcast(cohortSize), Seq("cohort"))
+      .select(col("cohort"), col("age").cast("int").as("age"),
+        col("n_customers"),
+        round(col("cum_cents") / (col("n_customers") * 100.0), 2)
+          .as("ltv_per_customer"))
+      .orderBy("cohort", "age")
+  }
+
+  // q107: SEGMENT MIGRATION MATRIX — spend-quintile transitions between
+  // the 1995-97 and 1998-01 periods (q52 scores a snapshot; this shows
+  // MOVEMENT, plus churn/new from the full-outer edge): quintile bounds
+  // are exact percentiles of integer-cent spend broadcast against each
+  // period's customer frame (q52's accepted shape); the matrix is one
+  // keyed agg over ≤36 cells.
+  val q107_segment_migration: Q = (s, d) => {
+    def spend(from: String, until: String): DataFrame =
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit(from) &&
+          col("o_orderdate") < lit(until))
+        .groupBy("o_custkey")
+        .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+          .as("cents"))
+    def seg(df: DataFrame): DataFrame = {
+      val b = df.agg(
+        expr("percentile(cents, array(0.2, 0.4, 0.6, 0.8))").as("b"))
+      df.crossJoin(broadcast(b))
+        .select(col("o_custkey"),
+          (0 to 3).map(i =>
+            (col("cents") >= element_at(col("b"), i + 1)).cast("int"))
+            .foldLeft(lit(1))(_ + _).cast("string").as("seg"))
+    }
+    val a = seg(spend("1995-01-01", "1998-01-01"))
+      .withColumnRenamed("seg", "seg_a")
+    val b = seg(spend("1998-01-01", "2002-01-01"))
+      .withColumnRenamed("seg", "seg_b")
+    a.join(b, Seq("o_custkey"), "full_outer")
+      .select(coalesce(col("seg_a"), lit("none")).as("seg_a"),
+        coalesce(col("seg_b"), lit("none")).as("seg_b"))
+      .groupBy("seg_a", "seg_b").agg(count(lit(1)).as("n_customers"))
+      .orderBy("seg_a", "seg_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q106_cohort_ltv" -> q106_cohort_ltv,
+    "q107_segment_migration" -> q107_segment_migration,
     "q105_price_index" -> q105_price_index,
     "q101_bootstrap_ci" -> q101_bootstrap_ci,
     "q102_mannwhitney" -> q102_mannwhitney,
@@ -2932,6 +3005,61 @@ object Relational {
       |FROM det JOIN se USING (wd) ORDER BY day""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q106_cohort_ltv" ->
+      """WITH q AS (
+        |  SELECT o_custkey,
+        |    (year(o_orderdate) * 4 + quarter(o_orderdate) - 1)::INT
+        |      AS qtr,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |f AS (SELECT o_custkey, min(qtr) AS q0 FROM q GROUP BY 1),
+        |cs AS (SELECT q0 AS cohort, count(*)::BIGINT AS n_customers
+        |       FROM f GROUP BY 1),
+        |cells AS (
+        |  SELECT q0 AS cohort, (qtr - q0)::INT AS age,
+        |    sum(cents)::BIGINT AS cents
+        |  FROM q JOIN f USING (o_custkey) GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT cohort, age,
+        |    (sum(cents) OVER (PARTITION BY cohort ORDER BY age
+        |      ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_cents
+        |  FROM cells)
+        |SELECT cohort, age, n_customers,
+        |  round(cum_cents / (n_customers * 100.0), 2) AS ltv_per_customer
+        |FROM cum JOIN cs USING (cohort) ORDER BY cohort, age""".stripMargin,
+    "q107_segment_migration" ->
+      """WITH sa AS (
+        |  SELECT o_custkey,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+        |      AS cents
+        |  FROM orders WHERE o_orderdate >= '1995-01-01'
+        |    AND o_orderdate < '1998-01-01' GROUP BY 1),
+        |ba AS (SELECT quantile_cont(cents, [0.2, 0.4, 0.6, 0.8]) AS b
+        |       FROM sa),
+        |ga AS (
+        |  SELECT o_custkey,
+        |    (1 + (cents >= b[1])::INT + (cents >= b[2])::INT
+        |       + (cents >= b[3])::INT + (cents >= b[4])::INT)::VARCHAR
+        |      AS seg_a
+        |  FROM sa, ba),
+        |sb AS (
+        |  SELECT o_custkey,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+        |      AS cents
+        |  FROM orders WHERE o_orderdate >= '1998-01-01'
+        |    AND o_orderdate < '2002-01-01' GROUP BY 1),
+        |bb AS (SELECT quantile_cont(cents, [0.2, 0.4, 0.6, 0.8]) AS b
+        |       FROM sb),
+        |gb AS (
+        |  SELECT o_custkey,
+        |    (1 + (cents >= b[1])::INT + (cents >= b[2])::INT
+        |       + (cents >= b[3])::INT + (cents >= b[4])::INT)::VARCHAR
+        |      AS seg_b
+        |  FROM sb, bb)
+        |SELECT coalesce(seg_a, 'none') AS seg_a,
+        |  coalesce(seg_b, 'none') AS seg_b, count(*)::BIGINT AS n_customers
+        |FROM ga FULL JOIN gb USING (o_custkey)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q105_price_index" ->
       """WITH py AS (
         |  SELECT l_partkey, year(l_shipdate)::INT AS yr,

@@ -1683,7 +1683,33 @@ object TextAnalysis {
       .orderBy("k")
   }
 
+  // t50: QUALITY-YIELD CURVE — "what fraction of docs and TOKENS
+  // survives a quality cut at τ?" for τ ∈ {0.3, 0.5, 0.7}: the
+  // curation-budget curve read before fixing t24's threshold (cutting
+  // docs is cheap; cutting TOKENS is what moves the training budget).
+  // Scores and token counts come from t28's OWN weightedSampleScores
+  // frame — structural consistency across the sampling/filter lanes —
+  // then one projection + per-τ conditional sums over the broadcast
+  // 3-row τ axis. Integer token sums; the only double is the rounded
+  // score both engines already agree on (t28's oracle).
+  val t50_quality_yield: Q = (s, d) => {
+    weightedSampleScores(s, d)
+      .select(col("doc_id"), col("score"),
+        col("n_tokens").cast("long").as("nt"))
+      .withColumn("tau", explode(array(lit(0.3), lit(0.5), lit(0.7))))
+      .groupBy("tau")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("score") >= col("tau")).cast("long")).as("n_kept"),
+        sum("nt").as("total_tokens"),
+        sum(when(col("score") >= col("tau"), col("nt")).otherwise(0L))
+          .as("tokens_kept"))
+      .withColumn("token_yield",
+        round(col("tokens_kept") / col("total_tokens").cast("double"), 4))
+      .orderBy("tau")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t50_quality_yield" -> t50_quality_yield,
     "t48_coverage_curve" -> t48_coverage_curve,
     "t47_truncation_loss" -> t47_truncation_loss,
     "t46_oov_audit" -> t46_oov_audit,
@@ -1740,6 +1766,31 @@ object TextAnalysis {
     s"len(list_filter($sqlToks, w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
   val oracle: Map[String, String] = Map(
+    "t50_quality_yield" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, length(text) AS len_chars,
+         |    len($sqlToks) AS n_tokens,
+         |    ${sqlHits(Seq("the", "a", "of"))} AS stop_hits,
+         |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+         |      AS punct_chars
+         |  FROM documents),
+         |sc AS (
+         |  SELECT doc_id, n_tokens::BIGINT AS nt,
+         |    round(least(n_tokens / 100.0, 1.0) * 0.5
+         |      + (stop_hits / n_tokens) * 0.3
+         |      + (1.0 - punct_chars / len_chars) * 0.2, 4) AS score
+         |  FROM m),
+         |x AS (
+         |  SELECT doc_id, score, nt, tau FROM sc,
+         |    (VALUES (0.3::DOUBLE), (0.5::DOUBLE), (0.7::DOUBLE)) t(tau))
+         |SELECT tau, count(*)::BIGINT AS n_docs,
+         |  sum(CASE WHEN score >= tau THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         |  sum(nt)::BIGINT AS total_tokens,
+         |  sum(CASE WHEN score >= tau THEN nt ELSE 0 END)::BIGINT
+         |    AS tokens_kept,
+         |  round(sum(CASE WHEN score >= tau THEN nt ELSE 0 END)
+         |    / sum(nt)::DOUBLE, 4) AS token_yield
+         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
     "t47_truncation_loss" ->
       s"""WITH base AS (
          |  SELECT source, len($sqlToks)::BIGINT AS n FROM documents),

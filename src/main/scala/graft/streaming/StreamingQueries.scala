@@ -1537,6 +1537,50 @@ object StreamingQueries {
     } finally graft.sources.SourceSinks.deleteDir(dir)
   }
 
+  // s39: STREAMING PRICE INDEX — q105's twin (26th pair): the
+  // (part, year) panel of integer-cent revenue and quantity sums is a
+  // pure commutative fold, so the whole index pipeline streams — a
+  // keyed update-mode aggregation over orderkey-sharded delivery,
+  // state bounded by the part×year DIMENSION panel (never the fact
+  // count); the snapshot takes each cell's latest partial and runs
+  // q105's OWN readout (shared priceIndexReadout), oracle verbatim.
+  val s39_stream_price_index: Q = (s, d) => {
+    val feed = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"),
+        year(to_date(col("l_shipdate"))).as("yr"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"),
+        col("l_quantity"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_spidx")
+    try {
+      (0 until 4).foreach { i =>
+        graft.sources.SourceSinks.landSingleParquet(
+          feed.filter(pmod(col("l_orderkey"), lit(4)) === i),
+          dir.resolve(f"b$i%02d.parquet"))
+      }
+      val landedSchema =
+        org.apache.spark.sql.types.StructType(feed.schema.fields)
+      val name = s"graft_spidx_${System.nanoTime()}"
+      val q = s.readStream.schema(landedSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+        .groupBy(col("l_partkey"), col("yr"))
+        .agg(sum("cents").as("c"), sum("l_quantity").as("q"),
+          count(lit(1)).as("n"))
+        .writeStream.outputMode("update").format("memory")
+        .queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      // localCheckpoint: the readout self-joins the panel (base-year vs
+      // current-year sides); through the memory-sink View lineage that
+      // self-join fails attribute resolution, so cut lineage at the
+      // bounded dimension panel first
+      val panel = s.table(name).groupBy(col("l_partkey"), col("yr"))
+        .agg(max_by(struct(col("c"), col("q")), col("n")).as("st"))
+        .select(col("l_partkey"), col("yr"),
+          col("st.c").as("c"), col("st.q").as("q"))
+        .localCheckpoint(true)
+      graft.ops.Relational.priceIndexReadout(panel)
+    } finally graft.sources.SourceSinks.deleteDir(dir)
+  }
+
   val s36_stream_weighted_sample: Q = (s, d) => {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
@@ -1581,6 +1625,7 @@ object StreamingQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "s39_stream_price_index" -> s39_stream_price_index,
     "s38_stream_bootstrap" -> s38_stream_bootstrap,
     "s37_stream_scorecard" -> s37_stream_scorecard,
     "s36_stream_weighted_sample" -> s36_stream_weighted_sample,
@@ -1620,6 +1665,10 @@ object StreamingQueries {
     // must land every CI bound exactly where the batch keyed agg does
     "s38_stream_bootstrap" ->
       graft.ops.Relational.oracle("q101_bootstrap_ci"),
+    // q105's batch oracle verbatim — the commutative panel fold must
+    // land every index exactly where the batch keyed agg does
+    "s39_stream_price_index" ->
+      graft.ops.Relational.oracle("q105_price_index"),
     "s37_stream_scorecard" ->
       """WITH t AS (
         |  SELECT

@@ -2463,6 +2463,23 @@ class PipelineSpec extends AnyFunSuite {
     if (vocabSize <= 1000) assert(cov.last == 1.0)
   }
 
+  test("t50 quality yield is monotone in tau and consistent with t28 scores") {
+    val rows = ops.TextAnalysis.t50_quality_yield(spark, sf).collect()
+    assert(rows.map(_.getAs[Double]("tau")).toSeq == Seq(0.3, 0.5, 0.7))
+    val kept = rows.map(_.getAs[Long]("n_kept"))
+    assert(kept.zip(kept.tail).forall { case (a, b) => a >= b },
+      "raising tau can only cut more docs")
+    val scored = ops.TextAnalysis.weightedSampleScores(spark, sf)
+      .select("score").collect().map(_.getDouble(0))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") == scored.length)
+      assert(r.getAs[Long]("n_kept") ==
+        scored.count(_ >= r.getAs[Double]("tau")))
+      val y = r.getAs[Double]("token_yield")
+      assert(y >= 0.0 && y <= 1.0)
+    }
+  }
+
   test("d26 cluster profile conserves docs and matches d06's clusters") {
     val rows = ops.Dedup.d26_cluster_profile(spark, sf).collect()
     val byBucket = rows.map(r =>

@@ -1644,6 +1644,55 @@ class RelationalSpec extends AnyFunSuite {
     assert(!rows.map(_.getAs[Int]("yr")).contains(1995))
   }
 
+  test("q106 cohort LTV is monotone in age and conserves revenue") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Relational.q106_cohort_ltv(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // LTV is a cumulative sum of nonnegative revenue: monotone per cohort
+    rows.groupBy(_.getAs[Int]("cohort")).values.foreach { g =>
+      val byAge = g.sortBy(_.getAs[Int]("age"))
+        .map(_.getAs[Double]("ltv_per_customer"))
+      assert(byAge.zip(byAge.tail).forall { case (a, b) => a <= b })
+    }
+    // cohort sizes partition the customer base
+    val nCust = Tables.orders(spark, sf)
+      .select(countDistinct(col("o_custkey"))).collect().head.getLong(0)
+    val sizes = rows.groupBy(_.getAs[Int]("cohort"))
+      .map(_._2.head.getAs[Long]("n_customers")).sum
+    assert(sizes == nCust)
+    // terminal LTV × cohort size sums to total corpus revenue (cents)
+    val total = rows.groupBy(_.getAs[Int]("cohort")).values.map { g =>
+      val last = g.maxBy(_.getAs[Int]("age"))
+      math.round(last.getAs[Double]("ltv_per_customer") * 100) *
+        last.getAs[Long]("n_customers")
+    }.sum
+    val exact = Tables.orders(spark, sf)
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")))
+      .collect().head.getLong(0)
+    // ltv is rounded to cents per customer: error ≤ half-cent × customers
+    assert(math.abs(total - exact) <= nCust)
+  }
+
+  test("q107 segment migration conserves customers across both periods") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Relational.q107_segment_migration(spark, sf).collect()
+    val cells = rows.map(r => ((r.getAs[String]("seg_a"),
+      r.getAs[String]("seg_b")), r.getAs[Long]("n_customers"))).toMap
+    val o = Tables.orders(spark, sf)
+    val custA = o.filter(col("o_orderdate") < lit("1998-01-01"))
+      .select(countDistinct("o_custkey")).collect().head.getLong(0)
+    val custB = o.filter(col("o_orderdate") >= lit("1998-01-01"))
+      .select(countDistinct("o_custkey")).collect().head.getLong(0)
+    assert(cells.filterKeys(_._1 != "none").values.sum == custA)
+    assert(cells.filterKeys(_._2 != "none").values.sum == custB)
+    // quintile rows in A are near-equal fifths
+    val rowA = cells.toSeq.filter(_._1._1 != "none")
+      .groupBy(_._1._1).view.mapValues(_.map(_._2).sum)
+    val fifth = custA / 5.0
+    rowA.values.foreach(n => assert(math.abs(n - fifth) < fifth * 0.2))
+    assert(!cells.contains(("none", "none")))
+  }
+
   test("q101 bootstrap CI brackets the point estimate and is deterministic") {
     import org.apache.spark.sql.functions._
     val rows = ops.Relational.q101_bootstrap_ci(spark, sf).collect()

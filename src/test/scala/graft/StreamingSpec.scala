@@ -327,6 +327,15 @@ class StreamingSpec extends AnyFunSuite {
     got.foreach(r => assert(r(1).asInstanceOf[Long] <= nSup))
   }
 
+  test("s39 streaming price index equals batch q105 under orderkey-sharded delivery") {
+    val got = StreamingQueries.s39_stream_price_index(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val exp = ops.Relational.q105_price_index(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == exp,
+      "the commutative panel fold must be delivery-order independent")
+  }
+
   test("s38 streaming bootstrap equals batch q101 under orderkey-sharded delivery") {
     val got = StreamingQueries.s38_stream_bootstrap(spark, sf)
       .collect().map(_.toSeq).toSeq
