@@ -992,7 +992,70 @@ object CdcQueries {
       .orderBy("seg_id")
   }
 
+  // c47 (rows-only; spec: pins the constructed compat pattern per
+  // subject): SCHEMA COMPATIBILITY MATRIX — the registry-side gate a
+  // producer runs before publishing a new schema version (Confluent's
+  // BACKWARD / FORWARD / FULL levels), evaluated with Avro's OWN
+  // resolution rules (org.apache.avro.SchemaCompatibility — not a
+  // hand-rolled field diff): v2 adds a nullable defaulted column
+  // (compatible both ways); v3 adds a REQUIRED no-default column,
+  // which breaks exactly the BACKWARD read (the v3 reader cannot fill
+  // it from older writers — the classic required-column lesson). The
+  // registry is bounded (schemas, not data), so
+  // the pairwise resolution check is driver-side by design — the same
+  // discipline as IVF centroids.
+  val c47_schema_compat: Q = (s, d) => {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val reg = new SchemaRegistry(s)
+    Tables.names.zipWithIndex.foreach { case (t, i) =>
+      val st = Tables.load(s, d, t).schema
+      reg.register(s"testdb.public.$t", st, 1000000L * (i + 1))
+      if (i % 2 == 0) {
+        val v2 = StructType(st.fields :+
+          StructField("added_v2", StringType, nullable = true))
+        reg.register(s"testdb.public.$t", v2, 1000000L * (i + 100))
+        if (i % 4 == 0) {
+          // a REQUIRED (no-default) column: the classic backward break —
+          // the v3 reader cannot fill it from older writers. Registered
+          // as a KEY column because pgtype-avro nullability is
+          // key-driven (pgtype.go:123-131): key columns keep their base
+          // type, no null union, no default.
+          val v3 = StructType(v2.fields :+
+            StructField("required_v3", LongType, nullable = false))
+          reg.registerJson(s"testdb.public.$t",
+            AvroSchemaGen.record(v3, t, "graft", keys = Set("required_v3")),
+            1000000L * (i + 200))
+        }
+      }
+    }
+    val versions = reg.all()
+      .select("subject", "schemaJson", "createdAtMicros")
+      .collect() // bounded: the registry holds schemas, not data
+      .groupBy(_.getString(0))
+      .map { case (subj, rs) =>
+        val parsed = rs.sortBy(_.getLong(2)).map(r =>
+          new org.apache.avro.Schema.Parser().parse(r.getString(1)))
+        def ok(reader: org.apache.avro.Schema,
+            writer: org.apache.avro.Schema): Boolean =
+          org.apache.avro.SchemaCompatibility
+            .checkReaderWriterCompatibility(reader, writer)
+            .getType ==
+            org.apache.avro.SchemaCompatibility
+              .SchemaCompatibilityType.COMPATIBLE
+        val adj = parsed.sliding(2).toSeq.collect { case Array(o, n) => (o, n) }
+        (subj, parsed.length.toLong,
+          adj.forall { case (o, n) => ok(n, o) },  // backward: new reads old
+          adj.forall { case (o, n) => ok(o, n) })  // forward: old reads new
+      }.toSeq.map { case (subj, n, bwd, fwd) =>
+        (subj, n, bwd, fwd, bwd && fwd)
+      }
+    import s.implicits._
+    versions.toDF("subject", "n_versions", "backward_ok", "forward_ok",
+      "full_ok").orderBy("subject")
+  }
+
   val queries: Map[String, Q] = Map(
+    "c47_schema_compat" -> c47_schema_compat,
     "c46_wal_retention_audit" -> c46_wal_retention_audit,
     "c45_watermark_merge" -> c45_watermark_merge,
     "c44_tx_boundary" -> c44_tx_boundary,

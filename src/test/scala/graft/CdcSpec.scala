@@ -1050,4 +1050,24 @@ class CdcSpec extends AnyFunSuite {
         f"${tx >> 32}%X/${tx & 0xFFFFFFFFL}%X", s"tx $tx lsn text")
     }
   }
+  test("c47 schema compat matrix follows the constructed version pattern") {
+    val rows = cdc.CdcQueries.c47_schema_compat(spark, sf).collect()
+    assert(rows.length == Tables.names.length)
+    for (r <- rows) {
+      val subj = r.getAs[String]("subject")
+      val t = subj.stripPrefix("testdb.public.")
+      val i = Tables.names.indexOf(t)
+      assert(i >= 0, s"unknown subject $subj")
+      val (nv, bwd, fwd) =
+        if (i % 4 == 0) (3L, false, true) // required v3 col breaks backward
+        else if (i % 2 == 0) (2L, true, true) // nullable add: safe both ways
+        else (1L, true, true) // single version: vacuously compatible
+      assert(r.getAs[Long]("n_versions") == nv, s"$subj versions")
+      assert(r.getAs[Boolean]("backward_ok") == bwd, s"$subj backward")
+      assert(r.getAs[Boolean]("forward_ok") == fwd, s"$subj forward")
+      assert(r.getAs[Boolean]("full_ok") == (bwd && fwd), s"$subj full")
+    }
+    // the matrix must carry real signal: at least one subject breaks
+    assert(rows.exists(!_.getAs[Boolean]("backward_ok")))
+  }
 }
