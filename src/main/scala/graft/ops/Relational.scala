@@ -2872,7 +2872,33 @@ object Relational {
       .orderBy("seg_a", "seg_b")
   }
 
+  // q108: NEWSVENDOR STOCKING LEVELS — the critical-fractile answer
+  // to "how much to stock per brand-week": q* = F⁻¹(cu/(cu+co)) of
+  // weekly demand, here the 2/3 fractile (margin = 2× holding cost)
+  // next to the median and the 95% service level, plus the implied
+  // safety stock. q99 classifies demand variability; this PRICES it.
+  // One keyed agg to the (brand, week) axis; exact percentiles per
+  // brand over its bounded week axis.
+  val q108_newsvendor: Q = (s, d) => {
+    val epoch = lit("1970-01-01").cast("date")
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"),
+        (datediff(to_date(col("l_shipdate")), epoch) / 7)
+          .cast("long").as("week"))
+      .agg(sum("l_quantity").as("q"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_weeks"),
+        round(expr("percentile(q, 0.5)"), 2).as("q_p50"),
+        round(expr("percentile(q, 0.6666666666666666)"), 2).as("q_crit"),
+        round(expr("percentile(q, 0.95)"), 2).as("q_p95"))
+      .withColumn("safety_stock", round(col("q_p95") - col("q_p50"), 2))
+      .orderBy("p_brand")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q108_newsvendor" -> q108_newsvendor,
     "q106_cohort_ltv" -> q106_cohort_ltv,
     "q107_segment_migration" -> q107_segment_migration,
     "q105_price_index" -> q105_price_index,
@@ -3005,6 +3031,21 @@ object Relational {
       |FROM det JOIN se USING (wd) ORDER BY day""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q108_newsvendor" ->
+      """WITH wk AS (
+        |  SELECT p_brand,
+        |    (date_diff('day', DATE '1970-01-01', l_shipdate::DATE) // 7)
+        |      ::BIGINT AS week,
+        |    sum(l_quantity) AS q
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  GROUP BY 1, 2)
+        |SELECT p_brand, count(*)::BIGINT AS n_weeks,
+        |  round(quantile_cont(q, 0.5), 2) AS q_p50,
+        |  round(quantile_cont(q, 0.6666666666666666), 2) AS q_crit,
+        |  round(quantile_cont(q, 0.95), 2) AS q_p95,
+        |  round(round(quantile_cont(q, 0.95), 2)
+        |    - round(quantile_cont(q, 0.5), 2), 2) AS safety_stock
+        |FROM wk GROUP BY 1 ORDER BY 1""".stripMargin,
     "q106_cohort_ltv" ->
       """WITH q AS (
         |  SELECT o_custkey,

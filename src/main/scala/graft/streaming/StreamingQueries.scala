@@ -1581,6 +1581,62 @@ object StreamingQueries {
     } finally graft.sources.SourceSinks.deleteDir(dir)
   }
 
+  // s40: STREAMING WAL RETENTION AUDIT — c46's twin (27th pair): every
+  // per-segment statistic (op counters, min/max LSN, checkpointed-LSN
+  // high-water) is a commutative fold, so the prune planner runs at
+  // the ingest edge — update-mode keyed agg over lsn-sharded
+  // (non-chronological) delivery, state bounded by the SEGMENT axis
+  // (log-length/1000, never the op count). The retention horizon
+  // derives in the snapshot as the global max of per-segment
+  // conditional maxes — no second pass over the stream. Oracle is
+  // c46's verbatim.
+  val s40_stream_retention: Q = (s, d) => {
+    val feed = graft.cdc.Envelope.flat(Tables.events(s, d))
+      .select(col("lsn_long"), col("tx_at"), col("op"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sret")
+    try {
+      (0 until 4).foreach { i =>
+        graft.sources.SourceSinks.landSingleParquet(
+          feed.filter(pmod(col("lsn_long"), lit(4)) === i),
+          dir.resolve(f"b$i%02d.parquet"))
+      }
+      val landedSchema =
+        org.apache.spark.sql.types.StructType(feed.schema.fields)
+      val name = s"graft_sret_${System.nanoTime()}"
+      val q = s.readStream.schema(landedSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+        .withColumn("seg_id", expr("lsn_long div 1000"))
+        .groupBy("seg_id")
+        .agg(count(lit(1)).as("n_ops"),
+          sum((col("op") === "c").cast("long")).as("n_insert"),
+          sum(col("op").isin("u", "u_pk").cast("long")).as("n_update"),
+          sum((col("op") === "d").cast("long")).as("n_delete"),
+          min("lsn_long").as("min_lsn"), max("lsn_long").as("max_lsn"),
+          max(when(col("tx_at") < lit("2024-01-15").cast("timestamp"),
+            col("lsn_long"))).as("ckpt_lsn"))
+        .writeStream.outputMode("update").format("memory")
+        .queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      val snap = s.table(name).groupBy("seg_id")
+        .agg(max_by(struct(col("n_ops"), col("n_insert"), col("n_update"),
+          col("n_delete"), col("min_lsn"), col("max_lsn"),
+          col("ckpt_lsn")), col("n_ops")).as("st"))
+        .select(col("seg_id"), col("st.n_ops").as("n_ops"),
+          col("st.n_insert").as("n_insert"),
+          col("st.n_update").as("n_update"),
+          col("st.n_delete").as("n_delete"),
+          col("st.min_lsn").as("min_lsn"), col("st.max_lsn").as("max_lsn"),
+          col("st.ckpt_lsn").as("ckpt_lsn"))
+      val hor = snap.agg(coalesce(max("ckpt_lsn"), lit(-1L)).as("horizon"))
+      snap.crossJoin(broadcast(hor))
+        .withColumn("prunable", col("max_lsn") <= col("horizon"))
+        .select(col("seg_id"), col("n_ops"), col("n_insert"),
+          col("n_update"), col("n_delete"), col("min_lsn"),
+          col("max_lsn"), col("prunable"))
+        .orderBy("seg_id")
+    } finally graft.sources.SourceSinks.deleteDir(dir)
+  }
+
   val s36_stream_weighted_sample: Q = (s, d) => {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
@@ -1625,6 +1681,7 @@ object StreamingQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "s40_stream_retention" -> s40_stream_retention,
     "s39_stream_price_index" -> s39_stream_price_index,
     "s38_stream_bootstrap" -> s38_stream_bootstrap,
     "s37_stream_scorecard" -> s37_stream_scorecard,
@@ -1669,6 +1726,10 @@ object StreamingQueries {
     // land every index exactly where the batch keyed agg does
     "s39_stream_price_index" ->
       graft.ops.Relational.oracle("q105_price_index"),
+    // c46's batch oracle verbatim — commutative segment counters must
+    // land every prunability verdict where the batch agg does
+    "s40_stream_retention" ->
+      graft.cdc.CdcQueries.oracle("c46_wal_retention_audit"),
     "s37_stream_scorecard" ->
       """WITH t AS (
         |  SELECT

@@ -1644,6 +1644,19 @@ class RelationalSpec extends AnyFunSuite {
     assert(!rows.map(_.getAs[Int]("yr")).contains(1995))
   }
 
+  test("q108 newsvendor fractiles are ordered and safety stock consistent") {
+    val rows = ops.Relational.q108_newsvendor(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p50, crit, p95) = (r.getAs[Double]("q_p50"),
+        r.getAs[Double]("q_crit"), r.getAs[Double]("q_p95"))
+      // quantiles of one distribution are monotone in p
+      assert(p50 <= crit + 1e-9 && crit <= p95 + 1e-9, s"$p50 $crit $p95")
+      assert(math.abs(r.getAs[Double]("safety_stock") - (p95 - p50)) < 0.011)
+      assert(r.getAs[Long]("n_weeks") > 0)
+    }
+  }
+
   test("q106 cohort LTV is monotone in age and conserves revenue") {
     import org.apache.spark.sql.functions._
     val rows = ops.Relational.q106_cohort_ltv(spark, sf).collect()

@@ -327,6 +327,15 @@ class StreamingSpec extends AnyFunSuite {
     got.foreach(r => assert(r(1).asInstanceOf[Long] <= nSup))
   }
 
+  test("s40 streaming retention audit equals batch c46 under lsn-sharded delivery") {
+    val got = StreamingQueries.s40_stream_retention(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val exp = cdc.CdcQueries.c46_wal_retention_audit(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == exp,
+      "commutative segment counters must be delivery-order independent")
+  }
+
   test("s39 streaming price index equals batch q105 under orderkey-sharded delivery") {
     val got = StreamingQueries.s39_stream_price_index(spark, sf)
       .collect().map(_.toSeq).toSeq
