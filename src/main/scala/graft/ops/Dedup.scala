@@ -361,6 +361,12 @@ object Dedup {
       maxIter: Int): DataFrame =
     ccClustersWithCache(pairsIn, pointerJump, maxIter)._1
 
+  /** Public CC entry for cross-family lanes (v34): min-label connected
+    * components over an undirected (d1, d2) pair frame.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame =
+    ccClusters(pairs, pointerJump = false, maxIter = 30)
+
   /** ccClusters plus the underlying materialized label table, for callers
     * that re-materialize the output (d09's localCheckpoint) and want the
     * handle to the blocks beneath the returned SELECT. The per-round

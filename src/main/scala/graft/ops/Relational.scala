@@ -2814,12 +2814,18 @@ object Relational {
   // quarter from one keyed agg; (cohort, age) revenue cells from a
   // second; the cumulative window rides the bounded cohort×age grid
   // (≤27×27), partitioned by cohort. Integer cents + one division.
-  val q106_cohort_ltv: Q = (s, d) => {
-    val q = Tables.orders(s, d)
+  val q106_cohort_ltv: Q = (s, d) =>
+    cohortLtvReadout(Tables.orders(s, d)
       .select(col("o_custkey"),
         (year(to_date(col("o_orderdate"))) * 4 +
           quarter(to_date(col("o_orderdate"))) - 1).as("qtr"),
-        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents")))
+
+  /** q106's LTV readout over any (o_custkey, qtr, cents) frame (rows
+    * may be pre-summed per pair — the grouping re-aggregates). Shared
+    * with s41's streaming fold so twin equality is structural.
+    */
+  def cohortLtvReadout(q: DataFrame): DataFrame = {
     val first = q.groupBy("o_custkey").agg(min("qtr").as("q0"))
     val cohortSize = first.groupBy(col("q0").as("cohort"))
       .agg(count(lit(1)).as("n_customers"))
@@ -2897,7 +2903,63 @@ object Relational {
       .orderBy("p_brand")
   }
 
+  // q109: DORMANCY / WIN-BACK — customers who went quiet ≥ 12 months
+  // and then returned: per reactivation-year, how many came back and
+  // what they spent on the win-back order (the lifecycle readout
+  // between q40's inactive list and q46's retention grid). One lag
+  // window PARTITIONED BY customer (scales with customers, never a
+  // global sort); integer-cent win-back revenue.
+  val q109_dormancy_winback: Q = (s, d) => {
+    // orderkey tie-break: same-day orders would otherwise make the
+    // lag attribution (which row "is" the win-back) engine-dependent
+    val w = Window.partitionBy("o_custkey").orderBy("ord_day", "o_orderkey")
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")),
+          lit("1970-01-01").cast("date")).as("ord_day"),
+        year(to_date(col("o_orderdate"))).as("yr"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+      .withColumn("gap_days", col("ord_day") - lag("ord_day", 1).over(w))
+      .filter(col("gap_days") >= 365)
+      .groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_winbacks"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        round(sum("cents") / 100.0, 2).as("winback_revenue"),
+        round(avg("gap_days"), 2).as("avg_gap_days"))
+      .orderBy("yr")
+  }
+
+  // q110: PARETO-SHARE DRIFT — the "is revenue concentrating?" trend:
+  // per year, the share of revenue held by the top 20% of that year's
+  // customers (q66 ranks parts once; this tracks the 80/20 number
+  // over TIME). The rank window is partitioned BY YEAR over the
+  // customer dimension — parallel across years, never global; shares
+  // divide exact integer-cent sums once.
+  val q110_pareto_drift: Q = (s, d) => {
+    val per = Tables.orders(s, d)
+      .groupBy(year(to_date(col("o_orderdate"))).as("yr"),
+        col("o_custkey"))
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+        .as("cents"))
+    val w = Window.partitionBy("yr")
+      .orderBy(col("cents").desc, col("o_custkey"))
+    per
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("yr")))
+      .groupBy("yr")
+      .agg(max("n").as("n_customers"),
+        sum("cents").as("tot"),
+        sum(when(col("rk") * 5 <= col("n"), col("cents")).otherwise(0L))
+          .as("top_cents"))
+      .select(col("yr"), col("n_customers"),
+        round(col("top_cents") / col("tot").cast("double"), 4)
+          .as("top20_share"))
+      .orderBy("yr")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q109_dormancy_winback" -> q109_dormancy_winback,
+    "q110_pareto_drift" -> q110_pareto_drift,
     "q108_newsvendor" -> q108_newsvendor,
     "q106_cohort_ltv" -> q106_cohort_ltv,
     "q107_segment_migration" -> q107_segment_migration,
@@ -3031,6 +3093,41 @@ object Relational {
       |FROM det JOIN se USING (wd) ORDER BY day""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q109_dormancy_winback" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    date_diff('day', DATE '1970-01-01', o_orderdate::DATE)
+        |      ::INT AS ord_day,
+        |    year(o_orderdate)::INT AS yr,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |g AS (
+        |  SELECT yr, o_custkey, cents,
+        |    ord_day - lag(ord_day) OVER (PARTITION BY o_custkey
+        |      ORDER BY ord_day, o_orderkey) AS gap_days
+        |  FROM o)
+        |SELECT yr, count(*)::BIGINT AS n_winbacks,
+        |  count(DISTINCT o_custkey)::BIGINT AS n_customers,
+        |  round(sum(cents) / 100.0, 2) AS winback_revenue,
+        |  round(avg(gap_days), 2) AS avg_gap_days
+        |FROM g WHERE gap_days >= 365
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q110_pareto_drift" ->
+      """WITH per AS (
+        |  SELECT year(o_orderdate)::INT AS yr, o_custkey,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+        |      AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT yr, cents,
+        |    row_number() OVER (PARTITION BY yr
+        |      ORDER BY cents DESC, o_custkey) AS rk,
+        |    count(*) OVER (PARTITION BY yr) AS n
+        |  FROM per)
+        |SELECT yr, max(n)::BIGINT AS n_customers,
+        |  round(sum(CASE WHEN rk * 5 <= n THEN cents ELSE 0 END)
+        |    / sum(cents)::DOUBLE, 4) AS top20_share
+        |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin,
     "q108_newsvendor" ->
       """WITH wk AS (
         |  SELECT p_brand,

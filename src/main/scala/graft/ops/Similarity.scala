@@ -1753,7 +1753,27 @@ object Similarity {
       .orderBy("qid")
   }
 
+  // v34 (rows-only; spec: histogram equals a driver union-find over
+  // d05's own verified pairs — pins the distributed CC on this graph):
+  // SEMANTIC CLUSTER REPORT — hyperplane-LSH candidate pairs (d05's
+  // machinery: ids-only shuffles, exact cosine verified only inside
+  // colliding buckets) fed to min-label connected components (d06's
+  // engine), then a cluster-size spectrum: the embedding-side twin of
+  // d26's text-cluster profile — what a curator reads to find template
+  // families in vector space. Never an O(n²) cross join.
+  val v34_semantic_clusters: Q = (s, d) => {
+    val pairs = graft.ops.Dedup.d05_embed_neardup(s, d)
+      .select(col("v1").as("d1"), col("v2").as("d2"))
+    graft.ops.Dedup.connectedComponents(pairs)
+      .groupBy("cluster").agg(count(lit(1)).as("size"))
+      .groupBy(col("size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_vecs", col("size") * col("n_clusters"))
+      .orderBy("size")
+  }
+
   val queries: Map[String, Q] = Map(
+    "v34_semantic_clusters" -> v34_semantic_clusters,
     "v33_metric_rank_agreement" -> v33_metric_rank_agreement,
     "v32_cell_balance" -> v32_cell_balance,
     "v31_dim_separability" -> v31_dim_separability,

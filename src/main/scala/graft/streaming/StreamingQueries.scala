@@ -1637,6 +1637,44 @@ object StreamingQueries {
     } finally graft.sources.SourceSinks.deleteDir(dir)
   }
 
+  // s41: STREAMING COHORT LTV — q106's twin (28th pair): the
+  // (customer, quarter) cent panel is a commutative fold and the
+  // cohort assignment (min quarter per customer) DERIVES from that
+  // panel in the snapshot, so no ordering contract is needed at all —
+  // orderkey-sharded delivery, update-mode keyed agg, state = the
+  // customer×quarter panel (the c04 apply-table pattern: bounded by
+  // the replicated KEY SPACE, never the op count). Snapshot runs
+  // q106's OWN readout (shared cohortLtvReadout); oracle verbatim.
+  val s41_stream_ltv: Q = (s, d) => {
+    val feed = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (year(to_date(col("o_orderdate"))) * 4 +
+          quarter(to_date(col("o_orderdate"))) - 1).as("qtr"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sltv")
+    try {
+      (0 until 4).foreach { i =>
+        graft.sources.SourceSinks.landSingleParquet(
+          feed.filter(pmod(col("o_orderkey"), lit(4)) === i),
+          dir.resolve(f"b$i%02d.parquet"))
+      }
+      val landedSchema =
+        org.apache.spark.sql.types.StructType(feed.schema.fields)
+      val name = s"graft_sltv_${System.nanoTime()}"
+      val q = s.readStream.schema(landedSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+        .groupBy(col("o_custkey"), col("qtr"))
+        .agg(sum("cents").as("cents"), count(lit(1)).as("n"))
+        .writeStream.outputMode("update").format("memory")
+        .queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      val panel = s.table(name).groupBy(col("o_custkey"), col("qtr"))
+        .agg(max_by(col("cents"), col("n")).as("cents"))
+        .localCheckpoint(true)
+      graft.ops.Relational.cohortLtvReadout(panel)
+    } finally graft.sources.SourceSinks.deleteDir(dir)
+  }
+
   val s36_stream_weighted_sample: Q = (s, d) => {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
@@ -1681,6 +1719,7 @@ object StreamingQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "s41_stream_ltv" -> s41_stream_ltv,
     "s40_stream_retention" -> s40_stream_retention,
     "s39_stream_price_index" -> s39_stream_price_index,
     "s38_stream_bootstrap" -> s38_stream_bootstrap,
@@ -1730,6 +1769,10 @@ object StreamingQueries {
     // land every prunability verdict where the batch agg does
     "s40_stream_retention" ->
       graft.cdc.CdcQueries.oracle("c46_wal_retention_audit"),
+    // q106's batch oracle verbatim — the cohort derives from the panel
+    // in the snapshot, so delivery needs no ordering contract at all
+    "s41_stream_ltv" ->
+      graft.ops.Relational.oracle("q106_cohort_ltv"),
     "s37_stream_scorecard" ->
       """WITH t AS (
         |  SELECT

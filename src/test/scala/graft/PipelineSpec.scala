@@ -2480,6 +2480,30 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("v34 semantic clusters equal a driver union-find over d05's pairs") {
+    val hist = ops.Similarity.v34_semantic_clusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("size") -> r.getAs[Long]("n_clusters")).toMap
+    val pairs = ops.Dedup.d05_embed_neardup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("v1"), r.getAs[Long]("v2")))
+    // driver union-find ground truth
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.toSeq.groupBy(find).values
+      .map(_.size.toLong).toSeq
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(hist == expected, s"got $hist expected $expected")
+    // conservation: vecs in clusters equal distinct endpoints
+    val nVecs = pairs.flatMap(p => Seq(p._1, p._2)).distinct.size
+    assert(hist.map { case (sz, n) => sz * n }.sum == nVecs)
+  }
+
   test("d26 cluster profile conserves docs and matches d06's clusters") {
     val rows = ops.Dedup.d26_cluster_profile(spark, sf).collect()
     val byBucket = rows.map(r =>

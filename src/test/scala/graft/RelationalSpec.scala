@@ -1644,6 +1644,46 @@ class RelationalSpec extends AnyFunSuite {
     assert(!rows.map(_.getAs[Int]("yr")).contains(1995))
   }
 
+  test("q109 winbacks match an exact per-customer gap recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Relational.q109_dormancy_winback(spark, sf).collect()
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_custkey"),
+        datediff(to_date(col("o_orderdate")),
+          lit("1970-01-01").cast("date")).as("d"),
+        year(to_date(col("o_orderdate"))).as("yr"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val winbacks = orders.groupBy(_._1).values.flatMap { g =>
+      val sorted = g.sortBy(_._2)
+      sorted.zip(sorted.tail).collect {
+        case (a, b) if b._2 - a._2 >= 365 => b._3
+      }
+    }.toSeq
+    val byYear = winbacks.groupBy(identity).view.mapValues(_.size.toLong)
+    assert(rows.map(_.getAs[Long]("n_winbacks")).sum == winbacks.size)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_winbacks") == byYear(r.getAs[Int]("yr")))
+      assert(r.getAs[Long]("n_customers") <= r.getAs[Long]("n_winbacks"))
+      assert(r.getAs[Double]("avg_gap_days") >= 365.0)
+    }
+  }
+
+  test("q110 pareto share: top-20% share in (0.2, 1] and counts match") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Relational.q110_pareto_drift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val perYear = Tables.orders(spark, sf)
+      .groupBy(year(to_date(col("o_orderdate"))).as("yr"))
+      .agg(countDistinct(col("o_custkey")).as("n")).collect()
+      .map(r => r.getAs[Int]("yr") -> r.getAs[Long]("n")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_customers") == perYear(r.getAs[Int]("yr")))
+      val s0 = r.getAs[Double]("top20_share")
+      // top-20% by construction holds at least ~20% of revenue
+      assert(s0 > 0.15 && s0 <= 1.0, s"share $s0")
+    }
+  }
+
   test("q108 newsvendor fractiles are ordered and safety stock consistent") {
     val rows = ops.Relational.q108_newsvendor(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -327,6 +327,15 @@ class StreamingSpec extends AnyFunSuite {
     got.foreach(r => assert(r(1).asInstanceOf[Long] <= nSup))
   }
 
+  test("s41 streaming cohort LTV equals batch q106 under orderkey-sharded delivery") {
+    val got = StreamingQueries.s41_stream_ltv(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val exp = ops.Relational.q106_cohort_ltv(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == exp,
+      "panel-derived cohorts need no delivery-order contract")
+  }
+
   test("s40 streaming retention audit equals batch c46 under lsn-sharded delivery") {
     val got = StreamingQueries.s40_stream_retention(spark, sf)
       .collect().map(_.toSeq).toSeq
