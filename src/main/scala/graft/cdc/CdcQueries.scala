@@ -1054,7 +1054,29 @@ object CdcQueries {
       "full_ok").orderBy("subject")
   }
 
+  // c48: MULTI-PUBLISHER CONFLICT AUDIT — when round-robin publishers
+  // (pub = lsn % 3: competing consumers applying to one replica, the
+  // failure mode c45's watermark merge exists to prevent) write the
+  // same key, who wins and how often was it contested? Per key one
+  // keyed agg (distinct publishers + max LSN); the last-writer-wins
+  // winner is the max-LSN publisher; per-publisher contest rates read
+  // from the bounded publisher axis. The audit a multi-master apply
+  // pipeline ships next to c43's replica consistency check.
+  val c48_conflict_audit: Q = (s, d) => {
+    flatEnv(s, d)
+      .groupBy(col("user_id"))
+      .agg(countDistinct(pmod(col("lsn_long"), lit(3))).as("n_pubs"),
+        max("lsn_long").as("max_lsn"))
+      .groupBy(pmod(col("max_lsn"), lit(3)).cast("int").as("pub"))
+      .agg(count(lit(1)).as("n_keys_won"),
+        sum((col("n_pubs") > 1).cast("long")).as("n_contested"),
+        round(sum((col("n_pubs") > 1).cast("long")) /
+          count(lit(1)).cast("double"), 4).as("contest_rate"))
+      .orderBy("pub")
+  }
+
   val queries: Map[String, Q] = Map(
+    "c48_conflict_audit" -> c48_conflict_audit,
     "c47_schema_compat" -> c47_schema_compat,
     "c46_wal_retention_audit" -> c46_wal_retention_audit,
     "c45_watermark_merge" -> c45_watermark_merge,
@@ -1282,6 +1304,19 @@ object CdcQueries {
        |FROM mstate WHERE last_op <> 'd' ORDER BY pk""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "c48_conflict_audit" ->
+      s"""WITH $sqlEnv, $sqlFlat,
+         |k AS (
+         |  SELECT user_id,
+         |    count(DISTINCT lsn_long % 3)::BIGINT AS n_pubs,
+         |    max(lsn_long) AS max_lsn
+         |  FROM flat GROUP BY 1)
+         |SELECT (max_lsn % 3)::INT AS pub, count(*)::BIGINT AS n_keys_won,
+         |  sum(CASE WHEN n_pubs > 1 THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_contested,
+         |  round(sum(CASE WHEN n_pubs > 1 THEN 1 ELSE 0 END)
+         |    / count(*)::DOUBLE, 4) AS contest_rate
+         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
     "c46_wal_retention_audit" ->
       s"""WITH $sqlEnv, $sqlFlat,
          |hor AS (

@@ -1159,6 +1159,29 @@ object Dedup {
       .orderBy("source_a", "source_b")
   }
 
+  // t51: DEDUP-AWARE TOKEN YIELD — the number a pretraining budget
+  // actually runs on: tokens per source BEFORE vs AFTER the d08
+  // keep-one policy (doc counts flatter sources with many short dups;
+  // token counts don't lie). Lives beside the keeplist machinery the
+  // way t17's corpus build does; one join of the keep flags to a
+  // token-count projection + per-source integer sums. Oracle rides
+  // the same recursive-CTE ground truth as d08.
+  val t51_dedup_token_yield: Q = (s, d) => {
+    val kl = d08_dedup_keeplist(s, d).select("doc_id", "keep")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(norm(col("text")), " ")).cast("long").as("nt"))
+      .join(kl, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        sum("nt").as("total_tokens"),
+        sum(when(col("keep"), col("nt")).otherwise(0L)).as("tokens_kept"))
+      .withColumn("token_yield",
+        round(col("tokens_kept") / col("total_tokens").cast("double"), 4))
+      .orderBy("source")
+  }
+
   // d26: DUP-CLUSTER PROFILE — the report a dedup run ships to its
   // operator (how much mass sits in big near-dup families, how much
   // of the corpus is untouched, how many docs a keep-one policy
@@ -1326,6 +1349,7 @@ object Dedup {
     "d16_dedup_eval" -> d16_dedup_eval,
     "d15_url_dedup" -> d15_url_dedup,
     "t17_corpus_build" -> t17_corpus_build,
+    "t51_dedup_token_yield" -> t51_dedup_token_yield,
     "s17_streaming_corpus" -> s17_streaming_corpus,
     "d14_bloom_membership" -> d14_bloom_membership,
     "d13_containment" -> d13_containment,
@@ -1604,6 +1628,22 @@ object Dedup {
     // rounds — same recursive-CTE ground truth.
     "d07_cc_pointer_jumping" -> ccOracleSql,
     "d08_dedup_keeplist" -> keeplistOracleSql,
+    "t51_dedup_token_yield" ->
+      s"""$ccCtes,
+         |lab AS (SELECT node, min(rep) AS cluster FROM cc GROUP BY node),
+         |kl AS (
+         |  SELECT d.doc_id, d.source,
+         |    len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+         |      ' '))::BIGINT AS nt,
+         |    d.doc_id = coalesce(l.cluster, d.doc_id) AS keep
+         |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.node)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         |  sum(nt)::BIGINT AS total_tokens,
+         |  sum(CASE WHEN keep THEN nt ELSE 0 END)::BIGINT AS tokens_kept,
+         |  round(sum(CASE WHEN keep THEN nt ELSE 0 END)
+         |    / sum(nt)::DOUBLE, 4) AS token_yield
+         |FROM kl GROUP BY 1 ORDER BY 1""".stripMargin,
     // d09 maintains the same keep-list incrementally — equality with the
     // batch ground truth IS the incremental-correctness proof.
     "d09_incremental_keeplist" -> keeplistOracleSql,

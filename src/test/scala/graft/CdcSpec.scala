@@ -1070,4 +1070,20 @@ class CdcSpec extends AnyFunSuite {
     // the matrix must carry real signal: at least one subject breaks
     assert(rows.exists(!_.getAs[Boolean]("backward_ok")))
   }
+  test("c48 conflict audit conserves keys and bounds contest rates") {
+    import org.apache.spark.sql.functions._
+    val rows = cdc.CdcQueries.c48_conflict_audit(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("pub")).sorted.toSeq == Seq(0, 1, 2))
+    val nKeys = Tables.events(spark, sf)
+      .select(countDistinct(col("user_id"))).collect().head.getLong(0)
+    assert(rows.map(_.getAs[Long]("n_keys_won")).sum == nKeys,
+      "every key has exactly one last writer")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_contested") <= r.getAs[Long]("n_keys_won"))
+      val c = r.getAs[Double]("contest_rate")
+      assert(c >= 0.0 && c <= 1.0)
+    }
+    // round-robin publishers writing shared keys must actually contest
+    assert(rows.map(_.getAs[Long]("n_contested")).sum > 0)
+  }
 }

@@ -2480,6 +2480,22 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("t51 token yield is consistent with d08's keep flags") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Dedup.t51_dedup_token_yield(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val kl = ops.Dedup.d08_dedup_keeplist(spark, sf).collect()
+    val keptDocs = kl.count(_.getAs[Boolean]("keep")).toLong
+    assert(rows.map(_.getAs[Long]("n_kept")).sum == keptDocs)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == kl.length)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("tokens_kept") <= r.getAs[Long]("total_tokens"))
+      val y = r.getAs[Double]("token_yield")
+      assert(y > 0.0 && y <= 1.0)
+    }
+  }
+
   test("v34 semantic clusters equal a driver union-find over d05's pairs") {
     val hist = ops.Similarity.v34_semantic_clusters(spark, sf).collect()
       .map(r => r.getAs[Long]("size") -> r.getAs[Long]("n_clusters")).toMap
