@@ -2801,11 +2801,53 @@ object Relational {
       .orderBy("yr")
   }
 
-  val q105_price_index: Q = (s, d) =>
-    priceIndexReadout(Tables.lineitem(s, d)
+  /** The (part, year) panel of exact integer-cent revenue and quantity
+    * — q105/q111's shared input, one keyed agg over lineitem.
+    */
+  def partYearPanel(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
       .groupBy(col("l_partkey"), year(to_date(col("l_shipdate"))).as("yr"))
       .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
-        .as("c"), sum("l_quantity").as("q")))
+        .as("c"), sum("l_quantity").as("q"))
+
+  val q105_price_index: Q = (s, d) =>
+    priceIndexReadout(partYearPanel(s, d))
+
+  // q111: REVENUE BRIDGE (price / volume / new / dropped) — the FP&A
+  // waterfall explaining each year's revenue change vs the prior year:
+  // over parts present BOTH years, price effect = Σ(p1−p0)·q1 and
+  // volume effect = Σp0·(q1−q0) (exact two-factor split — they sum to
+  // the common-part delta by construction, which the spec pins);
+  // parts only in the current year contribute new_revenue, only in
+  // the prior year dropped_revenue. One full-outer self-join of the
+  // bounded part×year panel on (part, year−1) — dimension-sized, and
+  // the bridge is one keyed agg per year.
+  val q111_revenue_bridge: Q = (s, d) => {
+    val panel = partYearPanel(s, d)
+      .withColumn("p", col("c") / (col("q") * 100.0))
+      .withColumn("r", col("c") / 100.0)
+    val cur = panel.select(col("l_partkey"), col("yr"),
+      col("p").as("p1"), col("q").as("q1"), col("r").as("r1"))
+    val prev = panel.select(col("l_partkey"), (col("yr") + 1).as("yr"),
+      col("p").as("p0"), col("q").as("q0"), col("r").as("r0"))
+    cur.join(prev, Seq("l_partkey", "yr"), "full_outer")
+      .filter(col("yr") > 1995 && col("yr") <= 2001)
+      .groupBy("yr")
+      .agg(
+        round(sum(when(col("p0").isNotNull && col("p1").isNotNull,
+          (col("p1") - col("p0")) * col("q1")).otherwise(0.0)), 2)
+          .as("price_effect"),
+        round(sum(when(col("p0").isNotNull && col("p1").isNotNull,
+          col("p0") * (col("q1") - col("q0"))).otherwise(0.0)), 2)
+          .as("volume_effect"),
+        round(sum(when(col("p0").isNull, col("r1")).otherwise(0.0)), 2)
+          .as("new_revenue"),
+        round(sum(when(col("p1").isNull, col("r0")).otherwise(0.0)), 2)
+          .as("dropped_revenue"),
+        sum((col("p0").isNotNull && col("p1").isNotNull).cast("long"))
+          .as("n_common_parts"))
+      .orderBy("yr")
+  }
 
   // q106: COHORT LTV CURVES — cumulative revenue per customer by
   // quarters-since-first-order, per first-order-quarter cohort (q46
@@ -2960,6 +3002,7 @@ object Relational {
   val queries: Map[String, Q] = Map(
     "q109_dormancy_winback" -> q109_dormancy_winback,
     "q110_pareto_drift" -> q110_pareto_drift,
+    "q111_revenue_bridge" -> q111_revenue_bridge,
     "q108_newsvendor" -> q108_newsvendor,
     "q106_cohort_ltv" -> q106_cohort_ltv,
     "q107_segment_migration" -> q107_segment_migration,
@@ -3093,6 +3136,37 @@ object Relational {
       |FROM det JOIN se USING (wd) ORDER BY day""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q111_revenue_bridge" ->
+      """WITH py AS (
+        |  SELECT l_partkey, year(l_shipdate)::INT AS yr,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+        |      AS c,
+        |    sum(l_quantity) AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |panel AS (
+        |  SELECT l_partkey, yr, c / (q * 100.0) AS p, q,
+        |    c / 100.0 AS r
+        |  FROM py),
+        |cur AS (SELECT l_partkey, yr, p AS p1, q AS q1, r AS r1
+        |        FROM panel),
+        |prev AS (SELECT l_partkey, yr + 1 AS yr, p AS p0, q AS q0,
+        |           r AS r0
+        |         FROM panel),
+        |j AS (
+        |  SELECT * FROM cur FULL JOIN prev USING (l_partkey, yr)
+        |  WHERE yr > 1995 AND yr <= 2001)
+        |SELECT yr,
+        |  round(sum(CASE WHEN p0 IS NOT NULL AND p1 IS NOT NULL
+        |    THEN (p1 - p0) * q1 ELSE 0.0 END), 2) AS price_effect,
+        |  round(sum(CASE WHEN p0 IS NOT NULL AND p1 IS NOT NULL
+        |    THEN p0 * (q1 - q0) ELSE 0.0 END), 2) AS volume_effect,
+        |  round(sum(CASE WHEN p0 IS NULL THEN r1 ELSE 0.0 END), 2)
+        |    AS new_revenue,
+        |  round(sum(CASE WHEN p1 IS NULL THEN r0 ELSE 0.0 END), 2)
+        |    AS dropped_revenue,
+        |  sum(CASE WHEN p0 IS NOT NULL AND p1 IS NOT NULL THEN 1
+        |    ELSE 0 END)::BIGINT AS n_common_parts
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q109_dormancy_winback" ->
       """WITH o AS (
         |  SELECT o_custkey, o_orderkey,

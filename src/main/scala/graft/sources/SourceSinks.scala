@@ -1522,7 +1522,47 @@ object SourceSinks {
       .orderBy("bin")
   }
 
+  // x38: FILE-SKIPPING EFFECTIVENESS — x36 scores a layout's overlap
+  // depth in the abstract; this prices it against an actual QUERY
+  // WORKLOAD: for each candidate predicate range (a month, a quarter,
+  // a two-year span) and each layout, the fraction of files a
+  // zone-map planner would skip. Pure manifest arithmetic on the
+  // bounded file×predicate axis — the report that justifies an x13/
+  // x15 re-layout before paying for it. Never touches data.
+  val x38_skip_effectiveness: Q = (s, d) => {
+    val epoch = lit("1970-01-01").cast("date")
+    val base = Tables.orders(s, d)
+      .select(datediff(to_date(col("o_orderdate")), epoch).as("day"),
+        year(to_date(col("o_orderdate"))).as("yr"), col("o_custkey"))
+    def manifest(g: DataFrame, layout: String): DataFrame =
+      g.withColumn("layout", lit(layout))
+    val my = manifest(base.groupBy("yr")
+      .agg(min("day").as("mn"), max("day").as("mx")).drop("yr"), "by_year")
+    val mh = manifest(base.groupBy(pmod(col("o_custkey"), lit(8)).as("h"))
+      .agg(min("day").as("mn"), max("day").as("mx")).drop("h"),
+      "by_custkey_hash")
+    val preds = Seq(
+      ("month_1996_06", "1996-06-01", "1996-07-01"),
+      ("quarter_1997_q1", "1997-01-01", "1997-04-01"),
+      ("years_1998_1999", "1998-01-01", "2000-01-01"))
+      .map { case (nm, f, u) =>
+        struct(lit(nm).as("pred"),
+          datediff(lit(f).cast("date"), epoch).as("lo"),
+          datediff(lit(u).cast("date"), epoch).as("hi")) }
+    my.unionAll(mh)
+      .withColumn("p", explode(array(preds: _*)))
+      .groupBy(col("layout"), col("p.pred").as("pred"))
+      .agg(count(lit(1)).as("n_files"),
+        sum((col("mx") >= col("p.lo") && col("mn") < col("p.hi"))
+          .cast("long")).as("files_hit"))
+      .withColumn("skip_rate",
+        round((col("n_files") - col("files_hit")) /
+          col("n_files").cast("double"), 4))
+      .orderBy("layout", "pred")
+  }
+
   val queries: Map[String, Q] = Map(
+    "x38_skip_effectiveness" -> x38_skip_effectiveness,
     "x37_compaction_planner" -> x37_compaction_planner,
     "x36_clustering_advisor" -> x36_clustering_advisor,
     "x35_encoding_audit" -> x35_encoding_audit,
@@ -1581,6 +1621,36 @@ object SourceSinks {
   }.mkString("", "\nUNION ALL\n", "\nORDER BY 1")
 
   val oracle: Map[String, String] = Map(
+    "x38_skip_effectiveness" ->
+      """WITH base AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', o_orderdate::DATE)
+        |      ::INT AS day,
+        |    year(o_orderdate)::INT AS yr, o_custkey
+        |  FROM orders),
+        |m AS (
+        |  SELECT 'by_year' AS layout, min(day) AS mn, max(day) AS mx
+        |  FROM base GROUP BY yr
+        |  UNION ALL
+        |  SELECT 'by_custkey_hash', min(day), max(day)
+        |  FROM base GROUP BY o_custkey % 8),
+        |preds AS (
+        |  SELECT * FROM (VALUES
+        |    ('month_1996_06',
+        |     date_diff('day', DATE '1970-01-01', DATE '1996-06-01')::INT,
+        |     date_diff('day', DATE '1970-01-01', DATE '1996-07-01')::INT),
+        |    ('quarter_1997_q1',
+        |     date_diff('day', DATE '1970-01-01', DATE '1997-01-01')::INT,
+        |     date_diff('day', DATE '1970-01-01', DATE '1997-04-01')::INT),
+        |    ('years_1998_1999',
+        |     date_diff('day', DATE '1970-01-01', DATE '1998-01-01')::INT,
+        |     date_diff('day', DATE '1970-01-01', DATE '2000-01-01')::INT))
+        |    t(pred, lo, hi))
+        |SELECT layout, pred, count(*)::BIGINT AS n_files,
+        |  sum(CASE WHEN mx >= lo AND mn < hi THEN 1 ELSE 0 END)::BIGINT
+        |    AS files_hit,
+        |  round((count(*) - sum(CASE WHEN mx >= lo AND mn < hi THEN 1
+        |    ELSE 0 END)) / count(*)::DOUBLE, 4) AS skip_rate
+        |FROM m, preds GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "x37_compaction_planner" ->
       """WITH files AS (
         |  SELECT (year(o_orderdate) * 12 + month(o_orderdate) - 1)::INT

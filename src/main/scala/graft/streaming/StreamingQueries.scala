@@ -1675,6 +1675,49 @@ object StreamingQueries {
     } finally graft.sources.SourceSinks.deleteDir(dir)
   }
 
+  // s42: STREAMING CONFLICT AUDIT — c48's twin (29th pair), and a NEW
+  // state discipline for the pair inventory: the per-key publisher
+  // set folds as a BITMASK OR (bit_or of 1<<pub — commutative,
+  // idempotent, 1 long) next to the max-LSN winner, so at-least-once
+  // REDELIVERY is also safe, not just reordering. Update-mode keyed
+  // agg over lsn-sharded delivery; state = (mask, max_lsn) per key
+  // (c04's apply-table bound); the snapshot derives distinct-pub
+  // counts via bit_count and runs c48's readout. Oracle verbatim.
+  val s42_stream_conflict: Q = (s, d) => {
+    val feed = graft.cdc.Envelope.flat(Tables.events(s, d))
+      .select(col("lsn_long"), col("user_id"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sconf")
+    try {
+      (0 until 4).foreach { i =>
+        graft.sources.SourceSinks.landSingleParquet(
+          feed.filter(pmod(col("lsn_long"), lit(4)) === i),
+          dir.resolve(f"b$i%02d.parquet"))
+      }
+      val landedSchema =
+        org.apache.spark.sql.types.StructType(feed.schema.fields)
+      val name = s"graft_sconf_${System.nanoTime()}"
+      val q = s.readStream.schema(landedSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+        .groupBy(col("user_id"))
+        .agg(expr("bit_or(shiftleft(1L, cast(pmod(lsn_long, 3) as int)))")
+          .as("mask"),
+          max("lsn_long").as("max_lsn"), count(lit(1)).as("n"))
+        .writeStream.outputMode("update").format("memory")
+        .queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name).groupBy(col("user_id"))
+        .agg(max_by(struct(col("mask"), col("max_lsn")), col("n")).as("st"))
+        .select(col("user_id"), bit_count(col("st.mask")).as("n_pubs"),
+          col("st.max_lsn").as("max_lsn"))
+        .groupBy(pmod(col("max_lsn"), lit(3)).cast("int").as("pub"))
+        .agg(count(lit(1)).as("n_keys_won"),
+          sum((col("n_pubs") > 1).cast("long")).as("n_contested"),
+          round(sum((col("n_pubs") > 1).cast("long")) /
+            count(lit(1)).cast("double"), 4).as("contest_rate"))
+        .orderBy("pub")
+    } finally graft.sources.SourceSinks.deleteDir(dir)
+  }
+
   val s36_stream_weighted_sample: Q = (s, d) => {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
@@ -1719,6 +1762,7 @@ object StreamingQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "s42_stream_conflict" -> s42_stream_conflict,
     "s41_stream_ltv" -> s41_stream_ltv,
     "s40_stream_retention" -> s40_stream_retention,
     "s39_stream_price_index" -> s39_stream_price_index,
@@ -1773,6 +1817,10 @@ object StreamingQueries {
     // in the snapshot, so delivery needs no ordering contract at all
     "s41_stream_ltv" ->
       graft.ops.Relational.oracle("q106_cohort_ltv"),
+    // c48's batch oracle verbatim — the bitmask-OR publisher fold is
+    // commutative AND idempotent, so redelivery is safe too
+    "s42_stream_conflict" ->
+      graft.cdc.CdcQueries.oracle("c48_conflict_audit"),
     "s37_stream_scorecard" ->
       """WITH t AS (
         |  SELECT

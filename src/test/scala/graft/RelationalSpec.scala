@@ -1644,6 +1644,31 @@ class RelationalSpec extends AnyFunSuite {
     assert(!rows.map(_.getAs[Int]("yr")).contains(1995))
   }
 
+  test("q111 revenue bridge: effects reconcile to the common-part delta") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Relational.q111_revenue_bridge(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // recompute common-part revenue delta per year pair from the panel
+    val panel = ops.Relational.partYearPanel(spark, sf).collect()
+      .map(r => ((r.getAs[Long]("l_partkey"), r.getAs[Int]("yr")),
+        r.getAs[Long]("c"))).toMap
+    rows.foreach { r =>
+      val yr = r.getAs[Int]("yr")
+      val common = panel.keys.filter(_._2 == yr)
+        .map(_._1).toSet & panel.keys.filter(_._2 == yr - 1).map(_._1).toSet
+      val delta = common.toSeq.map(p =>
+        panel((p, yr)) - panel((p, yr - 1))).sum / 100.0
+      val bridged = r.getAs[Double]("price_effect") +
+        r.getAs[Double]("volume_effect")
+      // two-factor decomposition is exact up to output rounding
+      assert(math.abs(bridged - delta) < 0.03,
+        s"$yr: $bridged vs $delta")
+      assert(r.getAs[Long]("n_common_parts") == common.size)
+      assert(r.getAs[Double]("new_revenue") >= 0)
+      assert(r.getAs[Double]("dropped_revenue") >= 0)
+    }
+  }
+
   test("q109 winbacks match an exact per-customer gap recompute") {
     import org.apache.spark.sql.functions._
     val rows = ops.Relational.q109_dormancy_winback(spark, sf).collect()

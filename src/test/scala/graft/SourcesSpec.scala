@@ -36,6 +36,24 @@ class SourcesSpec extends AnyFunSuite {
       assert(r.getAs[Int]("first_mon") <= r.getAs[Int]("last_mon")))
   }
 
+  test("x38 skip rates: clustered layout skips, hash layout cannot") {
+    val rows = graft.sources.SourceSinks.x38_skip_effectiveness(spark, sf)
+      .collect()
+    assert(rows.length == 6)
+    val byKey = rows.map(r => ((r.getAs[String]("layout"),
+      r.getAs[String]("pred")), r.getAs[Double]("skip_rate"))).toMap
+    // every file in the hash layout spans ~the full date range: the
+    // planner can never skip
+    byKey.filterKeys(_._1 == "by_custkey_hash").values
+      .foreach(s0 => assert(s0 == 0.0))
+    // the year-clustered layout must skip for the narrow predicates
+    assert(byKey(("by_year", "month_1996_06")) > 0.5)
+    assert(byKey(("by_year", "quarter_1997_q1")) > 0.5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("files_hit") <= r.getAs[Long]("n_files"))
+    }
+  }
+
   test("x21 incremental scan reads ONLY the changed filesets, never A") {
     val df = graft.sources.SourceSinks.x21_incremental_scan(spark, sf)
     val rows = df.collect()

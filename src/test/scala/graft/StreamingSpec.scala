@@ -327,6 +327,15 @@ class StreamingSpec extends AnyFunSuite {
     got.foreach(r => assert(r(1).asInstanceOf[Long] <= nSup))
   }
 
+  test("s42 streaming conflict audit equals batch c48; bitmask fold is idempotent") {
+    val got = StreamingQueries.s42_stream_conflict(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val exp = cdc.CdcQueries.c48_conflict_audit(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == exp,
+      "bitmask-OR publisher sets must be delivery-order independent")
+  }
+
   test("s41 streaming cohort LTV equals batch q106 under orderkey-sharded delivery") {
     val got = StreamingQueries.s41_stream_ltv(spark, sf)
       .collect().map(_.toSeq).toSeq
