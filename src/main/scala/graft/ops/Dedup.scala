@@ -1159,6 +1159,23 @@ object Dedup {
       .orderBy("source_a", "source_b")
   }
 
+  // d27: CROSS-SHARD DUPLICATE RATE — the number that decides whether
+  // a 100 TB dedup can run shard-parallel without a global pass:
+  // d02's verified near-dup pairs classified same- vs cross-shard
+  // under an 8-way doc-id hash sharding. A high cross rate says
+  // shard-local dedup misses most duplicates (hash sharding spreads
+  // near-dups uniformly — the result the lane demonstrates); content
+  // sharding (d03's LSH buckets) is what actually co-locates them.
+  val d27_cross_shard_rate: Q = (s, d) =>
+    d02_ngram_jaccard(s, d)
+      .select((pmod(col("d1"), lit(8)) === pmod(col("d2"), lit(8)))
+        .cast("long").as("same"))
+      .agg(count(lit(1)).as("n_pairs"), sum("same").as("n_same_shard"))
+      .select(col("n_pairs"), col("n_same_shard"),
+        (col("n_pairs") - col("n_same_shard")).as("n_cross_shard"),
+        round((col("n_pairs") - col("n_same_shard")) /
+          col("n_pairs").cast("double"), 4).as("cross_rate"))
+
   // t51: DEDUP-AWARE TOKEN YIELD — the number a pretraining budget
   // actually runs on: tokens per source BEFORE vs AFTER the d08
   // keep-one policy (doc counts flatter sources with many short dups;
@@ -1360,6 +1377,7 @@ object Dedup {
     "d04_simhash" -> d04_simhash,
     "d05_embed_neardup" -> d05_embed_neardup,
     "d06_dup_clusters" -> d06_dup_clusters,
+    "d27_cross_shard_rate" -> d27_cross_shard_rate,
     "d07_cc_pointer_jumping" -> d07_cc_pointer_jumping,
     "d08_dedup_keeplist" -> d08_dedup_keeplist,
     "d09_incremental_keeplist" -> d09_incremental_keeplist,
@@ -1580,6 +1598,33 @@ object Dedup {
       """SELECT md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS content_hash,
         |  min(doc_id) AS keeper_id, count(*)::BIGINT AS n_docs
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d27_cross_shard_rate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(t) >= 5 THEN
+        |    list_distinct([array_to_string(t[i:i+4], ' ') for i in range(1, len(t)-3)])
+        |    ELSE [] END AS shingles
+        |  FROM toks),
+        |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, a.n_sh AS n1, b.n_sh AS n2,
+        |    count(*) AS inter
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |dup AS (
+        |  SELECT d1, d2, CASE WHEN d1 % 8 = d2 % 8 THEN 1 ELSE 0 END AS same
+        |  FROM pairs WHERE round(inter / (n1 + n2 - inter), 6) >= 0.8),
+        |st AS (
+        |  SELECT count(*)::BIGINT AS n_pairs,
+        |    sum(same)::BIGINT AS n_same_shard
+        |  FROM dup)
+        |SELECT n_pairs, n_same_shard,
+        |  n_pairs - n_same_shard AS n_cross_shard,
+        |  round((n_pairs - n_same_shard) / n_pairs::DOUBLE, 4) AS cross_rate
+        |FROM st""".stripMargin,
     "d02_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id,

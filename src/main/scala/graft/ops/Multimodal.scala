@@ -1319,7 +1319,61 @@ object Multimodal {
       .orderBy("bucket")
   }
 
+  // m16 (rows-only; spec: bucket counts equal m15's, every canvas
+  // uniform per bucket, pad fraction complements the content area,
+  // deterministic checksums): LETTERBOX TRANSFORM — the step after
+  // m15's bucketing and before m11's collation: each image decodes
+  // (real PNG), NN-resizes to FIT its bucket's fixed canvas
+  // preserving aspect, and zero-pads the remainder (top-left anchor)
+  // — what an aspect-bucketed data loader materializes. All pixel
+  // work is the m04 mapPartitions batch pattern; the report is one
+  // keyed agg to the 5-bucket axis.
+  val m16_letterbox: Q = (s, d) => {
+    import s.implicits._
+    val rows = mediaRecords(s, d)
+      .filter(r => r.content_type.startsWith("image/"))
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { r =>
+          val n = r.payload.length
+          val t = AspectBuckets((r.doc_id % 5).toInt)._2
+          val h = math.max(1, math.round(math.sqrt(n / t)).toInt)
+          val w = math.max(1, ((n + h - 1) / h).toInt)
+          val (pix, pw, ph) = decodePng(encodePng(r.payload, w, h))
+          val ar = pw.toDouble / ph
+          val (bname, bar) = AspectBuckets.minBy { case (nm, v) =>
+            (math.abs(math.log(ar) - math.log(v)), nm) }
+          // fixed per-bucket canvas, area ≈ 48², aspect = bucket's
+          val cw = math.max(1, math.round(48 * math.sqrt(bar)).toInt)
+          val ch = math.max(1, math.round(48 / math.sqrt(bar)).toInt)
+          val scale = math.min(cw.toDouble / pw, ch.toDouble / ph)
+          val nw = math.max(1, math.floor(pw * scale).toInt)
+          val nh = math.max(1, math.floor(ph * scale).toInt)
+          val fit = resizeNN(pix, pw, ph, nw, nh)
+          val canvas = new Array[Byte](cw * ch)
+          var y = 0
+          while (y < nh) {
+            System.arraycopy(fit, y * nw, canvas, y * cw, nw)
+            y += 1
+          }
+          (r.doc_id, bname, cw, ch, nw.toLong * nh,
+            1.0 - nw.toLong * nh / (cw.toLong * ch).toDouble,
+            fnvBytes(canvas, 0, canvas.length))
+        }
+      }.toDF("doc_id", "bucket", "canvas_w", "canvas_h", "content_px",
+        "pad_fraction", "checksum")
+    rows.groupBy("bucket")
+      .agg(count(lit(1)).as("n_images"),
+        max("canvas_w").as("canvas_w"), max("canvas_h").as("canvas_h"),
+        round(avg("pad_fraction"), 4).as("avg_pad_fraction"),
+        sum("content_px").as("total_content_px"),
+        // xor fold: order-free, exact — a deterministic content probe
+        expr("bit_xor(checksum)").as("checksum_xor"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, Q] = Map(
+    "m16_letterbox" -> m16_letterbox,
     "m15_aspect_bucket" -> m15_aspect_bucket,
     "m14_scene_detect" -> m14_scene_detect,
     "m13_channel_stats" -> m13_channel_stats,

@@ -1772,7 +1772,34 @@ object Similarity {
       .orderBy("size")
   }
 
+  // v35: COSINE CALIBRATION HISTOGRAM — the threshold-setting curve
+  // behind d05/v19's cutoffs: pairwise cosine over a DETERMINISTIC
+  // pair sample (each vec paired with (vec_id + 197) mod n — hash-not-
+  // RNG, the oracle replays it exactly), binned 0.2-wide with per-bin
+  // min/max. One id-shifted self-join (n pairs, never n²);
+  // at 100 TB the sample size is the corpus, not its square.
+  val v35_cosine_calibration: Q = (s, d) => {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val cnt = e.agg(count(lit(1)).as("n"))
+    val scored = e.crossJoin(broadcast(cnt))
+      .select(col("vec_id"), col("embedding").as("ea"),
+        pmod(col("vec_id") + 197, col("n")).as("pid"))
+      .join(e.select(col("vec_id").as("pid"), col("embedding").as("eb")),
+        "pid")
+      .select(Vec.cosine(col("ea"), col("eb")).as("cos"))
+    scored
+      .withColumn("bin",
+        least(floor((col("cos") + 1.0) * 5).cast("long"), lit(9L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(min("cos"), 4).as("min_cos"),
+        round(max("cos"), 4).as("max_cos"))
+      .withColumn("bin_lo", round(col("bin") / 5.0 - 1.0, 1))
+      .orderBy("bin")
+  }
+
   val queries: Map[String, Q] = Map(
+    "v35_cosine_calibration" -> v35_cosine_calibration,
     "v34_semantic_clusters" -> v34_semantic_clusters,
     "v33_metric_rank_agreement" -> v33_metric_rank_agreement,
     "v32_cell_balance" -> v32_cell_balance,
@@ -1811,6 +1838,25 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "v35_cosine_calibration" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |n AS (SELECT count(*) AS n FROM e),
+        |p AS (
+        |  SELECT a.vec_id,
+        |    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        |      / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+        |           a.embedding::DOUBLE[])) *
+        |         sqrt(list_dot_product(b.embedding::DOUBLE[],
+        |           b.embedding::DOUBLE[]))) AS cos
+        |  FROM e a JOIN e b
+        |    ON b.vec_id = (a.vec_id + 197) % (SELECT n FROM n)),
+        |bn AS (
+        |  SELECT least(floor((cos + 1.0) * 5), 9)::BIGINT AS bin, cos
+        |  FROM p)
+        |SELECT bin, count(*)::BIGINT AS n_pairs,
+        |  round(min(cos), 4) AS min_cos, round(max(cos), 4) AS max_cos,
+        |  round(bin / 5.0 - 1.0, 1) AS bin_lo
+        |FROM bn GROUP BY bin ORDER BY bin""".stripMargin,
     "v33_metric_rank_agreement" ->
       """WITH qs AS (
         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings

@@ -2480,6 +2480,53 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("d27 cross-shard rate matches the pair classification") {
+    val row = ops.Dedup.d27_cross_shard_rate(spark, sf).collect().head
+    val pairs = ops.Dedup.d02_ngram_jaccard(spark, sf).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")))
+    assert(row.getAs[Long]("n_pairs") == pairs.length)
+    val same = pairs.count(p => p._1 % 8 == p._2 % 8).toLong
+    assert(row.getAs[Long]("n_same_shard") == same)
+    assert(row.getAs[Long]("n_cross_shard") == pairs.length - same)
+    // hash sharding spreads near-dups: most duplicate pairs cross shards
+    assert(row.getAs[Double]("cross_rate") > 0.5,
+      "shard-local dedup must be demonstrably insufficient under hashing")
+  }
+
+  test("v35 cosine calibration covers every vec once and bins conserve") {
+    val rows = ops.Similarity.v35_cosine_calibration(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == n,
+      "exactly one sampled pair per vector")
+    rows.foreach { r =>
+      val (lo, mn, mx) = (r.getAs[Double]("bin_lo"),
+        r.getAs[Double]("min_cos"), r.getAs[Double]("max_cos"))
+      assert(mn >= lo - 1e-9 && mn <= mx)
+      assert(mx <= lo + 0.2 + 1e-9 || r.getAs[Long]("bin") == 9L)
+    }
+  }
+
+  test("m16 letterbox canvases are uniform per bucket and match m15 counts") {
+    val m16 = ops.Multimodal.m16_letterbox(spark, sf).collect()
+    val m15 = ops.Multimodal.m15_aspect_bucket(spark, sf).collect()
+      .map(r => r.getAs[String]("bucket") -> r.getAs[Long]("n_images"))
+      .toMap
+    assert(m16.map(r => r.getAs[String]("bucket") ->
+      r.getAs[Long]("n_images")).toMap == m15,
+      "letterbox buckets must agree with the m15 assignment")
+    m16.foreach { r =>
+      val (cw, ch) = (r.getAs[Int]("canvas_w"), r.getAs[Int]("canvas_h"))
+      assert(cw > 0 && ch > 0)
+      val pad = r.getAs[Double]("avg_pad_fraction")
+      assert(pad >= 0.0 && pad < 1.0)
+      assert(r.getAs[Long]("total_content_px") <=
+        r.getAs[Long]("n_images") * cw.toLong * ch)
+    }
+    // determinism: the xor probes reproduce run-to-run
+    val again = ops.Multimodal.m16_letterbox(spark, sf).collect()
+    assert(m16.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
   test("t51 token yield is consistent with d08's keep flags") {
     import org.apache.spark.sql.functions._
     val rows = ops.Dedup.t51_dedup_token_yield(spark, sf).collect()
