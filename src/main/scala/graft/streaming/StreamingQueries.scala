@@ -1718,6 +1718,52 @@ object StreamingQueries {
     } finally graft.sources.SourceSinks.deleteDir(dir)
   }
 
+  // s43: STREAMING QUALITY YIELD — t50's twin (30th pair): the per-τ
+  // doc and token counters are pure conditional sums over the shared
+  // t28/t50 score projection (stateless per row), so the curation
+  // budget curve maintains itself at the ingest edge with a 3-row
+  // counter grid of state. Doc-id-sharded delivery, update-mode keyed
+  // agg, snapshot = max-n row per τ with t50's own yield expression;
+  // oracle verbatim.
+  val s43_stream_quality_yield: Q = (s, d) => {
+    val feed = graft.ops.TextAnalysis.weightedSampleScores(s, d)
+      .select(col("doc_id"), col("score"),
+        col("n_tokens").cast("long").as("nt"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqy")
+    try {
+      (0 until 4).foreach { i =>
+        graft.sources.SourceSinks.landSingleParquet(
+          feed.filter(pmod(col("doc_id"), lit(4)) === i),
+          dir.resolve(f"b$i%02d.parquet"))
+      }
+      val landedSchema =
+        org.apache.spark.sql.types.StructType(feed.schema.fields)
+      val name = s"graft_sqy_${System.nanoTime()}"
+      val q = s.readStream.schema(landedSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+        .withColumn("tau", explode(array(lit(0.3), lit(0.5), lit(0.7))))
+        .groupBy("tau")
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("score") >= col("tau")).cast("long")).as("n_kept"),
+          sum("nt").as("total_tokens"),
+          sum(when(col("score") >= col("tau"), col("nt")).otherwise(0L))
+            .as("tokens_kept"))
+        .writeStream.outputMode("update").format("memory")
+        .queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name).groupBy("tau")
+        .agg(max_by(struct(col("n_docs"), col("n_kept"),
+          col("total_tokens"), col("tokens_kept")), col("n_docs")).as("st"))
+        .select(col("tau"), col("st.n_docs").as("n_docs"),
+          col("st.n_kept").as("n_kept"),
+          col("st.total_tokens").as("total_tokens"),
+          col("st.tokens_kept").as("tokens_kept"))
+        .withColumn("token_yield",
+          round(col("tokens_kept") / col("total_tokens").cast("double"), 4))
+        .orderBy("tau")
+    } finally graft.sources.SourceSinks.deleteDir(dir)
+  }
+
   val s36_stream_weighted_sample: Q = (s, d) => {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
@@ -1762,6 +1808,7 @@ object StreamingQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "s43_stream_quality_yield" -> s43_stream_quality_yield,
     "s42_stream_conflict" -> s42_stream_conflict,
     "s41_stream_ltv" -> s41_stream_ltv,
     "s40_stream_retention" -> s40_stream_retention,
@@ -1821,6 +1868,9 @@ object StreamingQueries {
     // commutative AND idempotent, so redelivery is safe too
     "s42_stream_conflict" ->
       graft.cdc.CdcQueries.oracle("c48_conflict_audit"),
+    // t50's batch oracle verbatim — per-tau conditional sums commute
+    "s43_stream_quality_yield" ->
+      graft.ops.TextAnalysis.oracle("t50_quality_yield"),
     "s37_stream_scorecard" ->
       """WITH t AS (
         |  SELECT

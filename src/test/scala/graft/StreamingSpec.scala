@@ -327,6 +327,15 @@ class StreamingSpec extends AnyFunSuite {
     got.foreach(r => assert(r(1).asInstanceOf[Long] <= nSup))
   }
 
+  test("s43 streaming quality yield equals batch t50 under doc-id-sharded delivery") {
+    val got = StreamingQueries.s43_stream_quality_yield(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val exp = ops.TextAnalysis.t50_quality_yield(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == exp,
+      "per-tau conditional sums must be delivery-order independent")
+  }
+
   test("s42 streaming conflict audit equals batch c48; bitmask fold is idempotent") {
     val got = StreamingQueries.s42_stream_conflict(spark, sf)
       .collect().map(_.toSeq).toSeq
