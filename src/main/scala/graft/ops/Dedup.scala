@@ -1199,6 +1199,56 @@ object Dedup {
       .orderBy("source")
   }
 
+  // t52: PIPELINE FUNNEL — the per-stage attrition waterfall every
+  // data team tracks for a pretraining corpus: raw → eval-split
+  // held-out → quality cut (t50's τ=0.5 score) → dedup keep (d08) →
+  // decontaminated (d12's 8-gram rule), with docs AND tokens at each
+  // stage (tokens are what the budget buys). One pass computes all
+  // five cumulative stage flags, one aggregate all ten sums; stack()
+  // unpivots to the 5-row report. The oracle re-derives every stage
+  // from the same proven CTE fragments (recursive-CTE keeplist, t50's
+  // score, d12's contamination join) — a hash match proves the whole
+  // COMPOSITION, not just the pieces. t17 materializes the surviving
+  // corpus; this prices each cut.
+  val t52_pipeline_funnel: Q = (s, d) => {
+    val kl = d08_dedup_keeplist(s, d).select(col("doc_id"), col("keep"))
+    val contam = d12_decontamination(s, d)
+      .select(col("train_id").as("doc_id")).distinct()
+      .withColumn("contam", lit(true))
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(norm(col("text")), " ")).cast("long").as("nt"))
+      .join(graft.ops.TextAnalysis.weightedSampleScores(s, d)
+        .select("doc_id", "score"), "doc_id")
+      .join(kl, "doc_id")
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("contam", coalesce(col("contam"), lit(false)))
+      .withColumn("s2", col("doc_id") % 17 =!= 0)
+      .withColumn("s3", col("s2") && col("score") >= 0.5)
+      .withColumn("s4", col("s3") && col("keep"))
+      .withColumn("s5", col("s4") && !col("contam"))
+    base.agg(
+      count(lit(1)).as("d1"), sum("nt").as("t1"),
+      sum(col("s2").cast("long")).as("d2"),
+      sum(when(col("s2"), col("nt")).otherwise(0L)).as("t2"),
+      sum(col("s3").cast("long")).as("d3"),
+      sum(when(col("s3"), col("nt")).otherwise(0L)).as("t3"),
+      sum(col("s4").cast("long")).as("d4"),
+      sum(when(col("s4"), col("nt")).otherwise(0L)).as("t4"),
+      sum(col("s5").cast("long")).as("d5"),
+      sum(when(col("s5"), col("nt")).otherwise(0L)).as("t5"))
+      .select(expr("stack(5, '1_raw', d1, t1, '2_eval_held_out', d2, t2, " +
+        "'3_quality', d3, t3, '4_dedup', d4, t4, " +
+        "'5_decontaminated', d5, t5) as (stage, n_docs, n_tokens)"))
+      .withColumn("token_retention",
+        round(col("n_tokens") /
+          first(col("n_tokens")).over(org.apache.spark.sql.expressions
+            .Window.orderBy("stage").rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)), 4))
+      .orderBy("stage")
+  }
+
   // d26: DUP-CLUSTER PROFILE — the report a dedup run ships to its
   // operator (how much mass sits in big near-dup families, how much
   // of the corpus is untouched, how many docs a keep-one policy
@@ -1367,6 +1417,7 @@ object Dedup {
     "d15_url_dedup" -> d15_url_dedup,
     "t17_corpus_build" -> t17_corpus_build,
     "t51_dedup_token_yield" -> t51_dedup_token_yield,
+    "t52_pipeline_funnel" -> t52_pipeline_funnel,
     "s17_streaming_corpus" -> s17_streaming_corpus,
     "d14_bloom_membership" -> d14_bloom_membership,
     "d13_containment" -> d13_containment,
@@ -1673,6 +1724,78 @@ object Dedup {
     // rounds — same recursive-CTE ground truth.
     "d07_cc_pointer_jumping" -> ccOracleSql,
     "d08_dedup_keeplist" -> keeplistOracleSql,
+    "t52_pipeline_funnel" ->
+      s"""$ccCtes,
+         |lab AS (SELECT node, min(rep) AS cluster FROM cc GROUP BY node),
+         |kl AS (
+         |  SELECT d.doc_id, d.doc_id = coalesce(l.cluster, d.doc_id)
+         |    AS keep
+         |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.node),
+         |sh8 AS (
+         |  SELECT doc_id, CASE WHEN len(t) >= 8 THEN
+         |    list_distinct([array_to_string(t[i:i+7], ' ')
+         |      for i in range(1, len(t)-6)])
+         |    ELSE [] END AS shingles
+         |  FROM toks),
+         |ex8 AS (SELECT doc_id, unnest(shingles) AS s8 FROM sh8),
+         |contam AS (
+         |  SELECT DISTINCT tr.doc_id FROM ex8 tr JOIN ex8 ev
+         |    ON tr.s8 = ev.s8
+         |  WHERE tr.doc_id % 17 <> 0 AND ev.doc_id % 17 = 0),
+         |m AS (
+         |  SELECT doc_id, length(text) AS len_chars,
+         |    len(string_split(lower(trim(regexp_replace(text, '\\s+',
+         |      ' ', 'g'))), ' ')) AS n_tokens,
+         |    len(list_filter(string_split(lower(trim(regexp_replace(text,
+         |      '\\s+', ' ', 'g'))), ' '),
+         |      w -> w IN ('the', 'a', 'of'))) AS stop_hits,
+         |    length(text) - length(regexp_replace(text, '[.,!?;:]', '',
+         |      'g')) AS punct_chars
+         |  FROM documents),
+         |sc AS (
+         |  SELECT doc_id,
+         |    round(least(n_tokens / 100.0, 1.0) * 0.5
+         |      + (stop_hits / n_tokens) * 0.3
+         |      + (1.0 - punct_chars / len_chars) * 0.2, 4) AS score
+         |  FROM m),
+         |nt AS (
+         |  SELECT doc_id,
+         |    len(string_split(trim(regexp_replace(text, '\\s+', ' ',
+         |      'g')), ' '))::BIGINT AS nt
+         |  FROM documents),
+         |fl AS (
+         |  SELECT d.doc_id, nt.nt, sc.score, kl.keep,
+         |    d.doc_id IN (SELECT doc_id FROM contam) AS contam
+         |  FROM documents d
+         |  JOIN nt USING (doc_id) JOIN sc USING (doc_id)
+         |  JOIN kl USING (doc_id)),
+         |st AS (
+         |  SELECT doc_id, nt,
+         |    doc_id % 17 <> 0 AS s2,
+         |    (doc_id % 17 <> 0) AND score >= 0.5 AS s3,
+         |    (doc_id % 17 <> 0) AND score >= 0.5 AND keep AS s4,
+         |    (doc_id % 17 <> 0) AND score >= 0.5 AND keep AND NOT contam
+         |      AS s5
+         |  FROM fl),
+         |rows AS (
+         |  SELECT '1_raw' AS stage, count(*)::BIGINT AS n_docs,
+         |    sum(nt)::BIGINT AS n_tokens FROM st
+         |  UNION ALL SELECT '2_eval_held_out',
+         |    sum(CASE WHEN s2 THEN 1 ELSE 0 END)::BIGINT,
+         |    sum(CASE WHEN s2 THEN nt ELSE 0 END)::BIGINT FROM st
+         |  UNION ALL SELECT '3_quality',
+         |    sum(CASE WHEN s3 THEN 1 ELSE 0 END)::BIGINT,
+         |    sum(CASE WHEN s3 THEN nt ELSE 0 END)::BIGINT FROM st
+         |  UNION ALL SELECT '4_dedup',
+         |    sum(CASE WHEN s4 THEN 1 ELSE 0 END)::BIGINT,
+         |    sum(CASE WHEN s4 THEN nt ELSE 0 END)::BIGINT FROM st
+         |  UNION ALL SELECT '5_decontaminated',
+         |    sum(CASE WHEN s5 THEN 1 ELSE 0 END)::BIGINT,
+         |    sum(CASE WHEN s5 THEN nt ELSE 0 END)::BIGINT FROM st)
+         |SELECT stage, n_docs, n_tokens,
+         |  round(n_tokens / (SELECT n_tokens FROM rows
+         |    WHERE stage = '1_raw')::DOUBLE, 4) AS token_retention
+         |FROM rows ORDER BY stage""".stripMargin,
     "t51_dedup_token_yield" ->
       s"""$ccCtes,
          |lab AS (SELECT node, min(rep) AS cluster FROM cc GROUP BY node),

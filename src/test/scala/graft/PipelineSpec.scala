@@ -2480,6 +2480,31 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("t52 pipeline funnel is monotone and agrees with the stage lanes") {
+    val rows = ops.Dedup.t52_pipeline_funnel(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("stage")).toSeq ==
+      Seq("1_raw", "2_eval_held_out", "3_quality", "4_dedup",
+        "5_decontaminated"))
+    val docs = rows.map(_.getAs[Long]("n_docs"))
+    val toks = rows.map(_.getAs[Long]("n_tokens"))
+    assert(docs.zip(docs.tail).forall { case (a, b) => a >= b },
+      "each stage can only remove docs")
+    assert(toks.zip(toks.tail).forall { case (a, b) => a >= b })
+    assert(rows.head.getAs[Double]("token_retention") == 1.0)
+    assert(rows.last.getAs[Long]("n_docs") > 0, "the corpus must survive")
+    // cross-checks against the individual verified lanes
+    assert(docs(0) == Tables.documents(spark, sf).count())
+    val nHeld = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 17 =!= 0)
+      .count()
+    assert(docs(1) == nHeld)
+    val scored = ops.TextAnalysis.weightedSampleScores(spark, sf)
+      .select("doc_id", "score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(docs(2) == scored.count { case (id, sc) =>
+      id % 17 != 0 && sc >= 0.5 })
+  }
+
   test("d27 cross-shard rate matches the pair classification") {
     val row = ops.Dedup.d27_cross_shard_rate(spark, sf).collect().head
     val pairs = ops.Dedup.d02_ngram_jaccard(spark, sf).collect()
