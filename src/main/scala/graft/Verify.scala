@@ -29,6 +29,11 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        var c = e.getCause
+        while (c != null) {
+          System.err.println(s"[verify]   caused by: ${c.getClass.getName}: ${c.getMessage}")
+          c = c.getCause
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

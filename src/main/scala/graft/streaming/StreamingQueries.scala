@@ -1559,25 +1559,31 @@ object StreamingQueries {
       }
       val landedSchema =
         org.apache.spark.sql.types.StructType(feed.schema.fields)
-      val name = s"graft_spidx_${System.nanoTime()}"
+      // snapshot sink is FILES, not the memory sink: update mode emits
+      // every touched panel cell per trigger, and a dimension-sized
+      // panel (|parts|×|years| — 7M cells at sf5) × triggers would
+      // otherwise accumulate in DRIVER HEAP (found by the sf5 gate:
+      // OOM). foreachBatch appends the per-trigger updates to parquet;
+      // the snapshot reads them back and keeps each cell's latest.
+      val snapDir = dir.resolve("snap")
       val q = s.readStream.schema(landedSchema)
         .option("maxFilesPerTrigger", "1").parquet(dir.toString)
         .groupBy(col("l_partkey"), col("yr"))
         .agg(sum("cents").as("c"), sum("l_quantity").as("q"),
           count(lit(1)).as("n"))
-        .writeStream.outputMode("update").format("memory")
-        .queryName(name).start()
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("append").parquet(snapDir.toString)
+        }.start()
       try q.processAllAvailable() finally q.stop()
-      // localCheckpoint: the readout self-joins the panel (base-year vs
-      // current-year sides); through the memory-sink View lineage that
-      // self-join fails attribute resolution, so cut lineage at the
-      // bounded dimension panel first
-      val panel = s.table(name).groupBy(col("l_partkey"), col("yr"))
+      val panel = s.read.parquet(snapDir.toString)
+        .groupBy(col("l_partkey"), col("yr"))
         .agg(max_by(struct(col("c"), col("q")), col("n")).as("st"))
         .select(col("l_partkey"), col("yr"),
           col("st.c").as("c"), col("st.q").as("q"))
-        .localCheckpoint(true)
-      graft.ops.Relational.priceIndexReadout(panel)
+      // eager: the readout is bounded (|years| rows) and must
+      // materialize before the finally-block deletes the snapshot files
+      graft.ops.Relational.priceIndexReadout(panel).localCheckpoint(true)
     } finally graft.sources.SourceSinks.deleteDir(dir)
   }
 
@@ -1660,18 +1666,24 @@ object StreamingQueries {
       }
       val landedSchema =
         org.apache.spark.sql.types.StructType(feed.schema.fields)
-      val name = s"graft_sltv_${System.nanoTime()}"
+      // file-backed snapshot (s39's fix): the customer×quarter panel is
+      // key-space sized — update-mode snapshots must not pile up in
+      // driver heap
+      val snapDir = dir.resolve("snap")
       val q = s.readStream.schema(landedSchema)
         .option("maxFilesPerTrigger", "1").parquet(dir.toString)
         .groupBy(col("o_custkey"), col("qtr"))
         .agg(sum("cents").as("cents"), count(lit(1)).as("n"))
-        .writeStream.outputMode("update").format("memory")
-        .queryName(name).start()
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("append").parquet(snapDir.toString)
+        }.start()
       try q.processAllAvailable() finally q.stop()
-      val panel = s.table(name).groupBy(col("o_custkey"), col("qtr"))
+      val panel = s.read.parquet(snapDir.toString)
+        .groupBy(col("o_custkey"), col("qtr"))
         .agg(max_by(col("cents"), col("n")).as("cents"))
-        .localCheckpoint(true)
-      graft.ops.Relational.cohortLtvReadout(panel)
+      // eager: bounded cohort×age readout, snapshot files die in finally
+      graft.ops.Relational.cohortLtvReadout(panel).localCheckpoint(true)
     } finally graft.sources.SourceSinks.deleteDir(dir)
   }
 
@@ -1695,17 +1707,21 @@ object StreamingQueries {
       }
       val landedSchema =
         org.apache.spark.sql.types.StructType(feed.schema.fields)
-      val name = s"graft_sconf_${System.nanoTime()}"
+      // file-backed snapshot (s39's fix): the per-key panel scales with
+      // the KEY SPACE — update-mode snapshots must not pile up in heap
+      val snapDir = dir.resolve("snap")
       val q = s.readStream.schema(landedSchema)
         .option("maxFilesPerTrigger", "1").parquet(dir.toString)
         .groupBy(col("user_id"))
         .agg(expr("bit_or(shiftleft(1L, cast(pmod(lsn_long, 3) as int)))")
           .as("mask"),
           max("lsn_long").as("max_lsn"), count(lit(1)).as("n"))
-        .writeStream.outputMode("update").format("memory")
-        .queryName(name).start()
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("append").parquet(snapDir.toString)
+        }.start()
       try q.processAllAvailable() finally q.stop()
-      s.table(name).groupBy(col("user_id"))
+      s.read.parquet(snapDir.toString).groupBy(col("user_id"))
         .agg(max_by(struct(col("mask"), col("max_lsn")), col("n")).as("st"))
         .select(col("user_id"), bit_count(col("st.mask")).as("n_pubs"),
           col("st.max_lsn").as("max_lsn"))
@@ -1715,6 +1731,8 @@ object StreamingQueries {
           round(sum((col("n_pubs") > 1).cast("long")) /
             count(lit(1)).cast("double"), 4).as("contest_rate"))
         .orderBy("pub")
+        // eager: 3-row readout, snapshot files die in finally
+        .localCheckpoint(true)
     } finally graft.sources.SourceSinks.deleteDir(dir)
   }
 
