@@ -616,9 +616,13 @@ object StreamingQueries {
       // min click after tv and the min purchase after that click, and
       // since a late view can only move tv EARLIER, both answers live
       // in the k smallest timestamps — exact unless >k clicks (resp.
-      // purchases) precede the user's final anchor, which the spec
-      // pins against the batch funnel with corpus margin.
-      val K = 8
+      // purchases) precede the user's final anchor. K=64 clears the
+      // generator's per-user activity cap (≤32 events of any type per
+      // user at EVERY sf — verified sf1/sf5/sf10); the full-surface
+      // sf1 gate caught K=8 evicting qualifying clicks for 8 tail
+      // users (depth 2/3 demoted to 1), which is exactly the failure
+      // the bound trades for state, now sized with 2× margin.
+      val K = 64
       val fn: (Long, Iterator[(Long, String, Long)],
           GroupState[(Long, Seq[Long], Seq[Long], Long)]) =>
           (Long, Int, Long) = (uid, events, state) => {
@@ -1133,9 +1137,10 @@ object StreamingQueries {
           dir.resolve(f"b$i%02d.parquet"))
       }
       // state: (min view us or MaxValue, SORTED purchase us list — the
-      // k smallest purchases, k=8: sufficient unless >8 purchases
-      // precede the final first view; spec pins equality to batch)
-      val K = 8
+      // k smallest purchases; K=64 clears the generator's ≤32-per-type
+      // per-user cap at every sf — the full-surface sf1 gate caught
+      // K=8 evicting the qualifying purchase for tail users)
+      val K = 64
       val fn: (Long, Iterator[(Long, String, Long)],
           GroupState[(Long, Seq[Long], Long)]) =>
           (Long, Long, Long, Long) = (uid, events, state) => {
