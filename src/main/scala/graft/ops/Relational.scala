@@ -1761,31 +1761,73 @@ object Relational {
       .orderBy("month")
   }
 
-  /** q78's score-bucket count — the cross-bucket prefix axis. */
-  val AucBuckets = 64
+  /** Distinct-value cells a single rank bucket should carry — the knob
+    * that makes the exact-rank machinery's bucket count a DETERMINISTIC
+    * FUNCTION OF THE AXIS SIZE (m11's collateBuckets discipline): window
+    * parallelism grows with the corpus instead of a compile-time
+    * constant (the round-10 finding on the old fixed 64).
+    */
+  val RankBucketCells = 1L << 16
+
+  /** Rank-bucket count for a value axis with ~nDistinct distinct values:
+    * floor 64 (the old constant — small-SF plans keep their shape),
+    * growing linearly with the cell count, capped at 2^14 so the
+    * cross-bucket offset axis a single partition prefixes stays ≤16k
+    * rows at ANY corpus size. Beyond the cap per-bucket cells grow
+    * again — at 10^12 distinct values that is ~6e7 cells per bucket,
+    * still a comfortable single-partition sort.
+    */
+  def rankBuckets(nDistinct: Long): Int =
+    math.max(64L, math.min(1L << 14, nDistinct / RankBucketCells + 1)).toInt
+
+  /** Shared value→bucket assignment for the exact-rank machinery
+    * (midranks/q78/q85/q90 and the q66/q99/q110 cumulative-share lanes):
+    * ONE stats pass collects (min, max, approx distinct count) of `v`,
+    * sizes the bucket count from the cell count (rankBuckets), and
+    * assigns bucket = equi-width cell over v — in LOG domain when the
+    * axis is positive with a large multiplicative spread (revenue-like
+    * heavy tails put most DISTINCT values in the low decades; log
+    * spacing keeps per-bucket cell counts balanced where linear spacing
+    * would pile them into bucket 0 — the round-10 value-skew finding).
+    * The bucket is a monotone non-decreasing PURE function of v (equal
+    * values always co-bucket), so any boundary choice yields identical
+    * results — only parallelism changes; approx_count_distinct's
+    * sketch error is therefore not load-bearing. Adds `bucket`.
+    */
+  private[graft] def rankBucketed(in: DataFrame, v: String): DataFrame = {
+    val r = in.agg(min(col(v).cast("double")).as("mn"),
+      max(col(v).cast("double")).as("mx"),
+      approx_count_distinct(col(v)).as("nd")).head()
+    if (r.isNullAt(0)) return in.withColumn("bucket", lit(0L))
+    val (mn, mx, nd) = (r.getDouble(0), r.getDouble(1), r.getLong(2))
+    val b = rankBuckets(nd)
+    val useLog = mn > 0 && mx / mn > 1e3
+    val (fmn, fmx) = if (useLog) (math.log(mn), math.log(mx)) else (mn, mx)
+    val fv = if (useLog) log(col(v).cast("double")) else col(v).cast("double")
+    val bucket =
+      if (fmx > fmn)
+        least(greatest(floor((fv - lit(fmn)) / lit((fmx - fmn) / b)), lit(0L)),
+          lit(b - 1L))
+      else lit(0L)
+    in.withColumn("bucket", bucket)
+  }
 
   // q78: EXACT ROC AUC, distributed — the Mann-Whitney statistic
   // WITHOUT a global sort: AUC = Σ_s n⁺_s·(N⁻_{<s} + ½n⁻_s) / (n⁺n⁻)
   // over DISTINCT scores s (ties get the standard ½ credit). Scores
   // collapse to (bucket, score) cells in one keyed agg; within-bucket
   // cumulative negatives run in a bucket-partitioned window
-  // (parallelism = AucBuckets, each partition carrying ~1/B of the
-  // distinct scores); cross-bucket offsets are a prefix sum on the
-  // bounded B-row bucket axis, broadcast back. No single-partition
-  // pass ever sees the corpus — the 100 TB shape for an exact rank
-  // statistic. The U terms are integers-plus-halves (exactly
-  // representable doubles), so the sum is order-independent.
+  // (parallelism = rankBuckets(cells) — scales with the axis); cross-
+  // bucket offsets are a prefix sum on the bounded B-row bucket axis,
+  // broadcast back. No single-partition pass ever sees the corpus —
+  // the 100 TB shape for an exact rank statistic. The U terms are
+  // integers-plus-halves (exactly representable doubles), so the sum
+  // is order-independent.
   val q78_auc: Q = (s, d) => {
     val ev = Tables.events(s, d)
       .select(col("value").as("sc"),
         (col("event_type") === "purchase").cast("long").as("y"))
-    val bounds = ev.agg(min("sc").as("mn"), max("sc").as("mx"))
-    val cells = ev.crossJoin(broadcast(bounds))
-      .withColumn("bucket",
-        when(col("mx") > col("mn"),
-          least(floor((col("sc") - col("mn")) /
-            ((col("mx") - col("mn")) / AucBuckets)), lit(AucBuckets - 1L)))
-          .otherwise(lit(0L)))
+    val cells = rankBucketed(ev, "sc")
       .groupBy(col("bucket"), col("sc"))
       .agg(sum("y").as("np"), (count(lit(1)) - sum("y")).as("nn"))
     val win = Window.partitionBy("bucket").orderBy("sc")
@@ -1983,8 +2025,6 @@ object Relational {
         round(expr("percentile(delay_h, 0.9)"), 2).as("p90_h"))
   }
 
-  /** q85's rank-bucket count (q78's distributed-rank discipline). */
-  val GiniBuckets = 64
 
   // q85: GINI COEFFICIENT of customer spend — revenue-concentration
   // inequality (q66's ABC tells you the top bands; Gini is the single
@@ -2002,12 +2042,7 @@ object Relational {
       .groupBy(col("o_custkey"))
       .agg(sum("o_totalprice").as("x"),
         sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
-    val bounds = spend.agg(min("x").as("mn"), max("x").as("mx"))
-    val cells = spend.crossJoin(broadcast(bounds))
-      .withColumn("bucket", when(col("mx") > col("mn"),
-        least(floor((col("x") - col("mn")) /
-          ((col("mx") - col("mn")) / GiniBuckets)), lit(GiniBuckets - 1L)))
-        .otherwise(lit(0L)))
+    val cells = rankBucketed(spend, "x")
       .groupBy(col("bucket"), col("x"))
       .agg(count(lit(1)).as("c"), sum("cents").as("cc"))
     val win = Window.partitionBy("bucket").orderBy("x")
