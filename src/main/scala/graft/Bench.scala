@@ -21,13 +21,30 @@ object Bench {
     "d01_exact_dedup", "d02_ngram_jaccard", "d03_minhash_lsh",
     "v01_knn_brute", "t02_quality", "t03_token_count", "m01_binary_meta")
 
+  /** Extended panel: post-round-1 machinery the frozen headline set
+    * cannot see (round-11 lesson: a rank-machinery rewrite showed up
+    * in NO headline number) — the adaptive-bucket rank/Pareto lanes,
+    * bootstrap resampling, span dedup, IVF-PQ ANN, the pipeline
+    * funnel. Run via `runMain graft.Bench extended`; per-round numbers
+    * recorded in SCALE_r12.md+.
+    */
+  val extended: Seq[String] = Seq(
+    "q66_abc_analysis", "q78_auc", "q89_spearman", "q90_ks",
+    "q99_abc_xyz", "q110_pareto_drift", "t34_zipf_fit",
+    "q101_bootstrap_ci", "d18_span_dedup", "v28_ivfpq",
+    "t52_pipeline_funnel")
+
   // min-of-3: round-7's driver run landed +29% over round-6 on byte-
   // identical headline code — pure box noise; a third run tightens the
   // min estimator at ~30s extra driver cost.
   val Runs = 3
 
   def main(args: Array[String]): Unit = {
-    val names = if (args.nonEmpty) args.toSeq else headline
+    val names = args.toSeq match {
+      case Seq("extended") => extended
+      case Seq() => headline
+      case other => other
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)

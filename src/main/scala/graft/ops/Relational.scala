@@ -1396,24 +1396,84 @@ object Relational {
       .orderBy("day")
   }
 
+  /** Distributed descending cumulative share over `rc` (exact integer
+    * cents), tie-broken by `tieCol` asc — q66/q99's Pareto machinery
+    * WITHOUT a global single-partition window over an SF-proportional
+    * axis. Rows co-bucket by rc (rankBucketed: equal values always
+    * share a bucket, so the (rc desc, tieCol) order never straddles a
+    * boundary), the within-bucket running sum runs bucket-partitioned
+    * (parallelism = rankBuckets, adaptive in the axis cardinality),
+    * and the cross-bucket offset is a prefix over the bounded B-row
+    * bucket axis, broadcast back. cum = (offset + within)/total is
+    * the SAME exact integer sum the global window produced, divided
+    * by the same double — bit-identical class boundaries. Callers
+    * should persist `in` (the bucket stats pass is one extra action
+    * over it). Adds `cum` (running share) and `t` (total, double).
+    */
+  private[graft] def cumShareDesc(in: DataFrame, tieCol: String): DataFrame = {
+    val bucketed = rankBucketed(in, "rc")
+    val win = Window.partitionBy("bucket")
+      .orderBy(col("rc").desc, col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wb = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = bucketed.groupBy("bucket").agg(sum("rc").as("brc"))
+      .withColumn("rc_off", coalesce(sum("brc").over(wb), lit(0L)))
+    val tot = off.agg(sum("brc").cast("double").as("t"))
+    bucketed
+      .withColumn("rc_in", sum("rc").over(win))
+      .join(broadcast(off.select("bucket", "rc_off")), Seq("bucket"))
+      .crossJoin(broadcast(tot))
+      .withColumn("cum", (col("rc_off") + col("rc_in")) / col("t"))
+  }
+
+  /** Exact 1-based descending rank (row_number under (v desc, tieCol
+    * asc) order), optionally per `partCols` group, WITHOUT a
+    * single-partition rank window over a data-proportional axis:
+    * rows co-bucket by v (rankBucketed — equal values always share a
+    * bucket, so the order never straddles a boundary), row_number
+    * runs per (partCols, bucket), and the cross-bucket rank offset is
+    * a count prefix over the bounded |groups|×B bucket axis,
+    * broadcast back. rk = offset + within is the exact integer rank
+    * the global window would produce. Callers should persist `in`
+    * (the bucket stats pass is one extra action). Adds `rk` (long).
+    */
+  private[graft] def bucketRank(in: DataFrame, v: String, tieCol: String,
+      partCols: Seq[String] = Nil): DataFrame = {
+    val bucketed = rankBucketed(in, v)
+    val pc = partCols.map(col)
+    val win = Window.partitionBy(pc :+ col("bucket"): _*)
+      .orderBy(col(v).desc, col(tieCol))
+    val wb = Window.partitionBy(pc: _*).orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = bucketed.groupBy(pc :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("rk_off", coalesce(sum("bn").over(wb), lit(0L)))
+    bucketed
+      .withColumn("rk_in", row_number().over(win))
+      .join(broadcast(off.select(
+        (partCols :+ "bucket").map(col) :+ col("rk_off"): _*)),
+        partCols :+ "bucket")
+      .withColumn("rk", col("rk_off") + col("rk_in"))
+  }
+
   // q66: ABC ANALYSIS — the cumulative-share Pareto classification
   // (A = first 80% of revenue, B = next 15%, C = tail) every inventory/
   // curriculum prioritization runs. Revenue per part in INTEGER CENTS
   // (x17's exactness discipline — a float running sum would flip class
   // boundaries between engines), ONE data-proportional agg from
-  // lineitem to the part axis; the running share and class cut are
-  // windows over that axis, and the final rollup is ≤3 rows.
+  // lineitem to the part axis; the running share rides cumShareDesc's
+  // bucket-partitioned prefix (no global window over the part axis —
+  // the part dimension scales with SF), and the final rollup is ≤3
+  // rows.
   val q66_abc_analysis: Q = (s, d) => {
     val rev = Tables.lineitem(s, d)
       .groupBy(col("l_partkey"))
       .agg(sum(expr(
         "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"))
         .as("rc"))
-    val tot = rev.agg(sum("rc").cast("double").as("t"))
-    rev.crossJoin(broadcast(tot))
-      .withColumn("cum", sum("rc").over(Window.orderBy(col("rc").desc,
-        col("l_partkey")).rowsBetween(Window.unboundedPreceding,
-        Window.currentRow)) / col("t"))
+      .persist() // feeds the bucket stats pass + the scored plan
+    val out = cumShareDesc(rev, "l_partkey")
       .withColumn("abc_class",
         when(col("cum") <= 0.8, "A").when(col("cum") <= 0.95, "B")
           .otherwise("C"))
@@ -1422,6 +1482,9 @@ object Relational {
         round(sum("rc") / 100.0, 2).as("revenue"),
         round(sum("rc") / first(col("t")), 4).as("share"))
       .orderBy("abc_class")
+      .localCheckpoint(true)
+    rev.unpersist()
+    out
   }
 
   // q67: PERIOD-OVER-PERIOD CONTRIBUTION ANALYSIS — "revenue moved X;
@@ -1793,6 +1856,15 @@ object Relational {
     * values always co-bucket), so any boundary choice yields identical
     * results — only parallelism changes; approx_count_distinct's
     * sketch error is therefore not load-bearing. Adds `bucket`.
+    *
+    * NOTE: the stats pass is an EAGER action at plan-construction time
+    * (one scan+agg job when a caller builds its DataFrame, including
+    * explain-only paths). Deliberate: the bucket count must be a plan
+    * literal for the downstream window partitioning, and the stats
+    * frame is three scalars — the alternative (crossJoin(broadcast))
+    * cannot size B adaptively. Null `v` routes to bucket 0 explicitly,
+    * consistent with Spark's ASC NULLS FIRST window ordering (null
+    * sorts below every value globally).
     */
   private[graft] def rankBucketed(in: DataFrame, v: String): DataFrame = {
     val r = in.agg(min(col(v).cast("double")).as("mn"),
@@ -1806,8 +1878,9 @@ object Relational {
     val fv = if (useLog) log(col(v).cast("double")) else col(v).cast("double")
     val bucket =
       if (fmx > fmn)
-        least(greatest(floor((fv - lit(fmn)) / lit((fmx - fmn) / b)), lit(0L)),
-          lit(b - 1L))
+        when(col(v).isNull, lit(0L)).otherwise(
+          least(greatest(floor((fv - lit(fmn)) / lit((fmx - fmn) / b)), lit(0L)),
+            lit(b - 1L)))
       else lit(0L)
     in.withColumn("bucket", bucket)
   }
@@ -2178,19 +2251,14 @@ object Relational {
     * value, the 1-based average rank under the midrank tie convention —
     * q78/q85's machinery packaged for reuse. (bucket, v) cells from one
     * keyed agg, within-bucket exclusive prefix in a bucket-partitioned
-    * window (parallelism = RankBuckets), cross-bucket offsets on the
-    * bounded B-row axis broadcast back. No single partition ever sees
-    * the corpus. Returns (v, c, midrank); midranks are integers or
-    * half-integers — exactly representable, order-independent.
+    * window (parallelism = rankBuckets, adaptive in the cell count),
+    * cross-bucket offsets on the bounded B-row axis broadcast back. No
+    * single partition ever sees the corpus. Returns (v, c, midrank);
+    * midranks are integers or half-integers — exactly representable,
+    * order-independent.
     */
   private[graft] def midranks(in: DataFrame): DataFrame = {
-    val b = AucBuckets
-    val bounds = in.agg(min("v").as("mn"), max("v").as("mx"))
-    val cells = in.crossJoin(broadcast(bounds))
-      .withColumn("bucket", when(col("mx") > col("mn"),
-        least(floor((col("v") - col("mn")) /
-          ((col("mx") - col("mn")) / b)), lit(b - 1L)))
-        .otherwise(lit(0L)))
+    val cells = rankBucketed(in, "v")
       .groupBy(col("bucket"), col("v"))
       .agg(count(lit(1)).as("c"))
     val win = Window.partitionBy("bucket").orderBy("v")
@@ -2243,17 +2311,11 @@ object Relational {
   // per cell, identical on any engine), so D, its argmax location, and
   // the min-value tie-break are all deterministic — no rounding hazard.
   val q90_ks: Q = (s, d) => {
-    val b = AucBuckets
     val ev = Tables.events(s, d)
       .filter(col("event_type").isin("view", "purchase"))
       .select(col("value").as("v"),
         (col("event_type") === "purchase").cast("long").as("g"))
-    val bounds = ev.agg(min("v").as("mn"), max("v").as("mx"))
-    val cells = ev.crossJoin(broadcast(bounds))
-      .withColumn("bucket", when(col("mx") > col("mn"),
-        least(floor((col("v") - col("mn")) /
-          ((col("mx") - col("mn")) / b)), lit(b - 1L)))
-        .otherwise(lit(0L)))
+    val cells = rankBucketed(ev, "v")
       .groupBy(col("bucket"), col("v"))
       .agg(sum("g").as("c1"), (count(lit(1)) - sum("g")).as("c0"))
     val win = Window.partitionBy("bucket").orderBy("v")
@@ -2561,10 +2623,13 @@ object Relational {
   // grid inventory planners set safety stock from (AX: automate; CZ:
   // drop). Weekly demand CV per part is one keyed agg to the
   // (part, week) axis + one algebraic (n, Σ, Σ²) rollup per part —
-  // gaps count as zero-demand weeks via the part's OWN observed span
-  // (weeks-present vs span arithmetic, no calendar spine join). The
-  // ABC rank window rides the part DIMENSION (q66's accepted shape);
-  // the matrix rollup is ≤9 rows. Integer-cents revenue throughout.
+  // gaps count as zero-demand weeks over the GLOBAL corpus week span
+  // (every part is judged against the same horizon, the standard
+  // inventory-planning convention; a part sold only one week of a
+  // seven-year corpus IS erratic). The ABC running share rides
+  // cumShareDesc's bucket-partitioned prefix (shared with q66 — no
+  // global window over the part axis); the matrix rollup is ≤9 rows.
+  // Integer-cents revenue throughout.
   val q99_abc_xyz: Q = (s, d) => {
     val epoch = lit("1970-01-01").cast("date")
     val wk = Tables.lineitem(s, d)
@@ -2591,11 +2656,8 @@ object Relational {
           col("mean_q") * col("mean_q"), lit(0.0))) / col("mean_q"))
       .withColumn("xyz_class",
         when(col("cv") < 0.5, "X").when(col("cv") < 1.0, "Y").otherwise("Z"))
-    val tot = per.agg(sum("rc").cast("double").as("t"))
-    per.crossJoin(broadcast(tot))
-      .withColumn("cum", sum("rc").over(Window.orderBy(col("rc").desc,
-        col("l_partkey")).rowsBetween(Window.unboundedPreceding,
-        Window.currentRow)) / col("t"))
+      .persist() // feeds the bucket stats pass + the scored plan
+    val out = cumShareDesc(per, "l_partkey")
       .withColumn("abc_class",
         when(col("cum") <= 0.8, "A").when(col("cum") <= 0.95, "B")
           .otherwise("C"))
@@ -2603,6 +2665,9 @@ object Relational {
       .agg(count(lit(1)).as("n_parts"),
         round(sum("rc") / first(col("t")), 4).as("rev_share"))
       .orderBy("abc_class", "xyz_class")
+      .localCheckpoint(true)
+    per.unpersist()
+    out
   }
 
   // q100: CROSS-TABLE DATA-QUALITY SCORECARD — the dbt-test-style audit
@@ -3009,20 +3074,24 @@ object Relational {
   // q110: PARETO-SHARE DRIFT — the "is revenue concentrating?" trend:
   // per year, the share of revenue held by the top 20% of that year's
   // customers (q66 ranks parts once; this tracks the 80/20 number
-  // over TIME). The rank window is partitioned BY YEAR over the
-  // customer dimension — parallel across years, never global; shares
-  // divide exact integer-cent sums once.
+  // over TIME). A year's customer axis is SF-proportional, so the
+  // per-year rank never runs in one partition: ranks come from the
+  // two-level bucket machinery — cents co-bucket via rankBucketed,
+  // row_number runs per (year, bucket), and the cross-bucket rank
+  // offset is a prefix over the bounded |years|×B axis, broadcast
+  // back. rk = offset + within is the exact same integer rank the
+  // per-year window produced; shares divide exact integer-cent sums
+  // once.
   val q110_pareto_drift: Q = (s, d) => {
     val per = Tables.orders(s, d)
       .groupBy(year(to_date(col("o_orderdate"))).as("yr"),
         col("o_custkey"))
       .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)"))
         .as("cents"))
-    val w = Window.partitionBy("yr")
-      .orderBy(col("cents").desc, col("o_custkey"))
-    per
-      .withColumn("rk", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("yr")))
+      .persist() // feeds the bucket stats pass + the ranked plan
+    val nyr = per.groupBy("yr").agg(count(lit(1)).as("n"))
+    val out = bucketRank(per, "cents", "o_custkey", Seq("yr"))
+      .join(broadcast(nyr), Seq("yr"))
       .groupBy("yr")
       .agg(max("n").as("n_customers"),
         sum("cents").as("tot"),
@@ -3032,6 +3101,9 @@ object Relational {
         round(col("top_cents") / col("tot").cast("double"), 4)
           .as("top20_share"))
       .orderBy("yr")
+      .localCheckpoint(true)
+    per.unpersist()
+    out
   }
 
   val queries: Map[String, Q] = Map(

@@ -233,7 +233,12 @@ object TextAnalysis {
   }
 
   // t07: corpus vocabulary profile — token frequencies with Zipf rank,
-  // top 30. Explode→agg is the one shuffle; the rank is a TakeOrdered.
+  // top 30. Explode→agg is the one shuffle; limit(30) plans as a
+  // distributed TakeOrderedAndProject (per-partition heaps, driver
+  // merge of 30-row tops), and ONLY THEN does the row_number window
+  // run — over the already-materialized 30 rows, a constant-size
+  // single partition at any corpus scale (t34 ranks the FULL vocab
+  // and needs the bucket machinery; this lane does not).
   val t07_vocab: Q = (s, d) =>
     Tables.documents(s, d)
       .select(explode(toks(col("text"))).as("tok"))
@@ -1094,21 +1099,26 @@ object TextAnalysis {
   // t34: ZIPF RANK-FREQUENCY FIT over the corpus vocabulary — the
   // distribution sanity check of a scraped corpus (natural language
   // fits log f ≈ c + s·log r with s near −1; generated/spam text
-  // doesn't). Vocabulary is the Heaps-bounded dict (t07/t18's scale
-  // argument: the type count grows ~√corpus, so the global rank window
-  // runs on a frame orders of magnitude smaller than the data); the
-  // log-log fit is the native regr_* moment pass of q64.
+  // doesn't). Vocabulary is Heaps-bounded (~√corpus types) but still
+  // grows with SF, so the rank comes from the two-level bucket
+  // machinery (Relational.bucketRank: row_number per frequency
+  // bucket + a broadcast count prefix over the bounded bucket axis —
+  // never a single-partition window over the vocab); the log-log fit
+  // is the native regr_* moment pass of q64.
   val t34_zipf_fit: Q = (s, d) => {
-    Tables.documents(s, d)
+    val vocab = Tables.documents(s, d)
       .select(explode(toks(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).cast("double").as("n"))
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("n").desc, col("tok")))
-          .cast("double"))
+      .persist() // feeds the bucket stats pass + the ranked plan
+    val out = Relational.bucketRank(vocab, "n", "tok")
+      .withColumn("rank", col("rk").cast("double"))
       .agg(count(lit(1)).as("n_types"),
         round(expr("regr_slope(log10(n), log10(rank))"), 4).as("slope"),
         round(expr("regr_intercept(log10(n), log10(rank))"), 4).as("intercept"),
         round(expr("regr_r2(log10(n), log10(rank))"), 6).as("r2"))
+      .localCheckpoint(true)
+    vocab.unpersist()
+    out
   }
 
   /** t35/t36 unigram-LM tokenizer parameters (Kudo 2018 /

@@ -597,9 +597,68 @@ object StreamingQueries {
   // user (max_by seq). State is bounded by per-user click/purchase
   // activity. The ≤4-row depth rollup hash-matches q44's batch oracle
   // verbatim.
-  val s24_stream_funnel: Q = (s, d) => {
+  /** s24's engine over a landed batch directory (files of
+    * (user_id, event_type, us), one per trigger): bounded
+    * (tv, k-min clicks, k-min purchases) state per user. Returns the
+    * raw emission table (user_id, depth, seq, n_evicted), where
+    * n_evicted counts candidate timestamps the k-min bound dropped —
+    * the bound's exactness trade made OBSERVABLE: a user's final
+    * depth is exact whenever their final n_evicted is 0 (nothing was
+    * ever discarded), and the production k is sized so the corpus
+    * never evicts. Public so the spec can drive it with a small k,
+    * plant a >k-crowded user, and pin the counter > 0.
+    */
+  def streamFunnel(s: SparkSession, dir: String, k: Int, winUs: Long): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val fn: (Long, Iterator[(Long, String, Long)],
+        GroupState[(Long, Seq[Long], Seq[Long], Long, Long)]) =>
+        (Long, Int, Long, Long) = (uid, events, state) => {
+      var (tv, clicks, purchases, seq, nev) = state.getOption.getOrElse(
+        (Long.MaxValue, Seq.empty[Long], Seq.empty[Long], 0L, 0L))
+      events.foreach { case (_, t, us) =>
+        t match {
+          case "view" => if (us < tv) tv = us
+          case "click" =>
+            clicks = (us +: clicks).sorted
+            if (clicks.size > k) { clicks = clicks.take(k); nev += 1 }
+          case "purchase" =>
+            purchases = (us +: purchases).sorted
+            if (purchases.size > k) { purchases = purchases.take(k); nev += 1 }
+          case _ => ()
+        }
+      }
+      seq += 1
+      state.update((tv, clicks, purchases, seq, nev))
+      val depth =
+        if (tv == Long.MaxValue) 0
+        else {
+          val inW = clicks.filter(c => c > tv && c <= tv + winUs)
+          if (inW.isEmpty) 1
+          else {
+            val tc = inW.min
+            if (purchases.exists(p => p > tc && p <= tc + winUs)) 3 else 2
+          }
+        }
+      (uid, depth, seq, nev)
+    }
+    import org.apache.spark.sql.types._
+    val landedSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("us", LongType)))
+    val name = s"graft_sfun_${System.nanoTime()}"
+    val q = s.readStream.schema(landedSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+      .toDF("user_id", "depth", "seq", "n_evicted")
+      .writeStream.outputMode("update").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+  }
+
+  val s24_stream_funnel: Q = (s, d) => {
     val W = 6L * 3600 * 1000000
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("event_type"),
@@ -611,57 +670,19 @@ object StreamingQueries {
           ev.filter(pmod(col("event_id"), lit(4)) === i).drop("event_id"),
           dir.resolve(f"b$i%02d.parquet"))
       }
-      // state: (tv, k-min clicks, k-min purchases, seq) — BOUNDED per
-      // user (round-9 caveat closed the s31 way): the funnel needs the
-      // min click after tv and the min purchase after that click, and
-      // since a late view can only move tv EARLIER, both answers live
-      // in the k smallest timestamps — exact unless >k clicks (resp.
-      // purchases) precede the user's final anchor. K=64 clears the
-      // generator's per-user activity cap (≤32 events of any type per
-      // user at EVERY sf — verified sf1/sf5/sf10); the full-surface
-      // sf1 gate caught K=8 evicting qualifying clicks for 8 tail
-      // users (depth 2/3 demoted to 1), which is exactly the failure
-      // the bound trades for state, now sized with 2× margin.
-      val K = 64
-      val fn: (Long, Iterator[(Long, String, Long)],
-          GroupState[(Long, Seq[Long], Seq[Long], Long)]) =>
-          (Long, Int, Long) = (uid, events, state) => {
-        var (tv, clicks, purchases, seq) =
-          state.getOption.getOrElse((Long.MaxValue, Seq.empty[Long], Seq.empty[Long], 0L))
-        events.foreach { case (_, t, us) =>
-          t match {
-            case "view" => if (us < tv) tv = us
-            case "click" => clicks = (us +: clicks).sorted.take(K)
-            case "purchase" => purchases = (us +: purchases).sorted.take(K)
-            case _ => ()
-          }
-        }
-        seq += 1
-        state.update((tv, clicks, purchases, seq))
-        val depth =
-          if (tv == Long.MaxValue) 0
-          else {
-            val inW = clicks.filter(c => c > tv && c <= tv + W)
-            if (inW.isEmpty) 1
-            else {
-              val tc = inW.min
-              if (purchases.exists(p => p > tc && p <= tc + W)) 3 else 2
-            }
-          }
-        (uid, depth, seq)
-      }
-      val name = s"graft_sfun_${System.nanoTime()}"
-      val landedSchema = org.apache.spark.sql.types.StructType(
-        ev.drop("event_id").schema.fields)
-      val q = s.readStream.schema(landedSchema)
-        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
-        .as[(Long, String, Long)]
-        .groupByKey(_._1)
-        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
-        .toDF("user_id", "depth", "seq")
-        .writeStream.outputMode("update").format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
-      s.table(name)
+      // state bound (round-9 caveat closed the s31 way): the funnel
+      // needs the min click after tv and the min purchase after that
+      // click, and since a late view can only move tv EARLIER, both
+      // answers live in the k smallest timestamps — exact unless >k
+      // clicks (resp. purchases) precede the user's final anchor.
+      // K=64 clears the generator's per-user activity cap (≤32 events
+      // of any type per user at EVERY sf — verified sf1/sf5/sf10);
+      // the full-surface sf1 gate caught K=8 evicting qualifying
+      // clicks for 8 tail users (depth 2/3 demoted to 1), which is
+      // exactly the failure the bound trades for state, now sized
+      // with 2× margin — and the emission's n_evicted counter makes
+      // any violation observable (the spec pins it).
+      streamFunnel(s, dir.toString, 64, W)
         .groupBy(col("user_id"))
         .agg(max_by(col("depth"), col("seq")).as("depth"))
         .groupBy(col("depth").cast("int").as("depth"))
@@ -1122,9 +1143,53 @@ object StreamingQueries {
   // batch answer, and k=8 covers this corpus with slack). The final
   // snapshot recomputes q84's profile from the per-user states and
   // hash-matches q84's oracle verbatim.
-  val s31_stream_time_to_convert: Q = (s, d) => {
+  /** s31's engine over a landed batch directory (files of
+    * (user_id, event_type, us), one per trigger): bounded
+    * (min view, k-min purchases) state per user. Returns the raw
+    * emission table (user_id, seq, fv, fp, n_evicted) — n_evicted
+    * counts purchase timestamps the k-min bound dropped, making the
+    * bound's exactness trade observable (s24's discipline): a user's
+    * final (fv, fp) is exact whenever their final n_evicted is 0.
+    * Public so the spec can drive it with a small k, plant a
+    * >k-crowded user, and pin the counter > 0.
+    */
+  def streamTimeToConvert(s: SparkSession, dir: String, k: Int): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val fn: (Long, Iterator[(Long, String, Long)],
+        GroupState[(Long, Seq[Long], Long, Long)]) =>
+        (Long, Long, Long, Long, Long) = (uid, events, state) => {
+      var (fv, ps, seq, nev) = state.getOption.getOrElse(
+        (Long.MaxValue, Seq.empty[Long], 0L, 0L))
+      events.foreach { case (_, t, us) =>
+        if (t == "view") { if (us < fv) fv = us }
+        else {
+          ps = (us +: ps).sorted
+          if (ps.size > k) { ps = ps.take(k); nev += 1 }
+        }
+      }
+      seq += 1
+      state.update((fv, ps, seq, nev))
+      val fp = ps.find(_ > fv).getOrElse(Long.MinValue)
+      (uid, seq, fv, fp, nev)
+    }
+    import org.apache.spark.sql.types._
+    val landedSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("us", LongType)))
+    val name = s"graft_sttc_${System.nanoTime()}"
+    val q = s.readStream.schema(landedSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+      .toDF("user_id", "seq", "fv", "fp", "n_evicted")
+      .writeStream.outputMode("update").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+  }
+
+  val s31_stream_time_to_convert: Q = (s, d) => {
     val ev = Tables.events(s, d)
       .filter(col("event_type").isin("view", "purchase"))
       .select(col("event_id"), col("user_id"), col("event_type"),
@@ -1139,34 +1204,9 @@ object StreamingQueries {
       // state: (min view us or MaxValue, SORTED purchase us list — the
       // k smallest purchases; K=64 clears the generator's ≤32-per-type
       // per-user cap at every sf — the full-surface sf1 gate caught
-      // K=8 evicting the qualifying purchase for tail users)
-      val K = 64
-      val fn: (Long, Iterator[(Long, String, Long)],
-          GroupState[(Long, Seq[Long], Long)]) =>
-          (Long, Long, Long, Long) = (uid, events, state) => {
-        var (fv, ps, seq) = state.getOption.getOrElse(
-          (Long.MaxValue, Seq.empty[Long], 0L))
-        events.foreach { case (_, t, us) =>
-          if (t == "view") { if (us < fv) fv = us }
-          else ps = (us +: ps).sorted.take(K)
-        }
-        seq += 1
-        state.update((fv, ps, seq))
-        val fp = ps.find(_ > fv).getOrElse(Long.MinValue)
-        (uid, seq, fv, fp)
-      }
-      val landedSchema = org.apache.spark.sql.types.StructType(
-        ev.drop("event_id").schema.fields)
-      val name = s"graft_sttc_${System.nanoTime()}"
-      val q = s.readStream.schema(landedSchema)
-        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
-        .as[(Long, String, Long)]
-        .groupByKey(_._1)
-        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
-        .toDF("user_id", "seq", "fv", "fp")
-        .writeStream.outputMode("update").format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
-      val conv = s.table(name)
+      // K=8 evicting the qualifying purchase for tail users; the
+      // emission's n_evicted counter makes any violation observable)
+      val conv = streamTimeToConvert(s, dir.toString, 64)
         .groupBy(col("user_id"))
         .agg(max_by(col("fv"), col("seq")).as("fv"),
           max_by(col("fp"), col("seq")).as("fp"))
@@ -1556,6 +1596,11 @@ object StreamingQueries {
         expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"),
         col("l_quantity"))
     val dir = java.nio.file.Files.createTempDirectory("graft_spidx")
+    // snapshot scratch is a SIBLING temp dir, never inside the
+    // monitored source dir: the file-stream source lists `dir` every
+    // trigger, and under recursiveFileLookup (or any future listing
+    // semantics) a nested scratch would be ingested as input
+    val snapDir = java.nio.file.Files.createTempDirectory("graft_spidx_snap")
     try {
       (0 until 4).foreach { i =>
         graft.sources.SourceSinks.landSingleParquet(
@@ -1570,8 +1615,13 @@ object StreamingQueries {
       // otherwise accumulate in DRIVER HEAP (found by the sf5 gate:
       // OOM). foreachBatch appends the per-trigger updates to parquet;
       // the snapshot reads them back and keeps each cell's latest.
-      val snapDir = dir.resolve("snap")
+      // recursiveFileLookup pins the sibling-scratch discipline: were
+      // the snapshot ever nested back inside the source dir, the
+      // stream would ingest its own output and the twin spec + oracle
+      // gate would fail loudly instead of depending on non-recursive
+      // listing semantics
       val q = s.readStream.schema(landedSchema)
+        .option("recursiveFileLookup", "true")
         .option("maxFilesPerTrigger", "1").parquet(dir.toString)
         .groupBy(col("l_partkey"), col("yr"))
         .agg(sum("cents").as("c"), sum("l_quantity").as("q"),
@@ -1589,7 +1639,10 @@ object StreamingQueries {
       // eager: the readout is bounded (|years| rows) and must
       // materialize before the finally-block deletes the snapshot files
       graft.ops.Relational.priceIndexReadout(panel).localCheckpoint(true)
-    } finally graft.sources.SourceSinks.deleteDir(dir)
+    } finally {
+      graft.sources.SourceSinks.deleteDir(dir)
+      graft.sources.SourceSinks.deleteDir(snapDir)
+    }
   }
 
   // s40: STREAMING WAL RETENTION AUDIT — c46's twin (27th pair): every
@@ -1663,6 +1716,8 @@ object StreamingQueries {
           quarter(to_date(col("o_orderdate"))) - 1).as("qtr"),
         expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
     val dir = java.nio.file.Files.createTempDirectory("graft_sltv")
+    // sibling scratch, outside the monitored source dir (s39's fix)
+    val snapDir = java.nio.file.Files.createTempDirectory("graft_sltv_snap")
     try {
       (0 until 4).foreach { i =>
         graft.sources.SourceSinks.landSingleParquet(
@@ -1674,8 +1729,8 @@ object StreamingQueries {
       // file-backed snapshot (s39's fix): the customer×quarter panel is
       // key-space sized — update-mode snapshots must not pile up in
       // driver heap
-      val snapDir = dir.resolve("snap")
       val q = s.readStream.schema(landedSchema)
+        .option("recursiveFileLookup", "true") // pins sibling scratch (s39)
         .option("maxFilesPerTrigger", "1").parquet(dir.toString)
         .groupBy(col("o_custkey"), col("qtr"))
         .agg(sum("cents").as("cents"), count(lit(1)).as("n"))
@@ -1689,7 +1744,10 @@ object StreamingQueries {
         .agg(max_by(col("cents"), col("n")).as("cents"))
       // eager: bounded cohort×age readout, snapshot files die in finally
       graft.ops.Relational.cohortLtvReadout(panel).localCheckpoint(true)
-    } finally graft.sources.SourceSinks.deleteDir(dir)
+    } finally {
+      graft.sources.SourceSinks.deleteDir(dir)
+      graft.sources.SourceSinks.deleteDir(snapDir)
+    }
   }
 
   // s42: STREAMING CONFLICT AUDIT — c48's twin (29th pair), and a NEW
@@ -1704,6 +1762,8 @@ object StreamingQueries {
     val feed = graft.cdc.Envelope.flat(Tables.events(s, d))
       .select(col("lsn_long"), col("user_id"))
     val dir = java.nio.file.Files.createTempDirectory("graft_sconf")
+    // sibling scratch, outside the monitored source dir (s39's fix)
+    val snapDir = java.nio.file.Files.createTempDirectory("graft_sconf_snap")
     try {
       (0 until 4).foreach { i =>
         graft.sources.SourceSinks.landSingleParquet(
@@ -1714,8 +1774,8 @@ object StreamingQueries {
         org.apache.spark.sql.types.StructType(feed.schema.fields)
       // file-backed snapshot (s39's fix): the per-key panel scales with
       // the KEY SPACE — update-mode snapshots must not pile up in heap
-      val snapDir = dir.resolve("snap")
       val q = s.readStream.schema(landedSchema)
+        .option("recursiveFileLookup", "true") // pins sibling scratch (s39)
         .option("maxFilesPerTrigger", "1").parquet(dir.toString)
         .groupBy(col("user_id"))
         .agg(expr("bit_or(shiftleft(1L, cast(pmod(lsn_long, 3) as int)))")
@@ -1738,7 +1798,10 @@ object StreamingQueries {
         .orderBy("pub")
         // eager: 3-row readout, snapshot files die in finally
         .localCheckpoint(true)
-    } finally graft.sources.SourceSinks.deleteDir(dir)
+    } finally {
+      graft.sources.SourceSinks.deleteDir(dir)
+      graft.sources.SourceSinks.deleteDir(snapDir)
+    }
   }
 
   // s43: STREAMING QUALITY YIELD — t50's twin (30th pair): the per-τ

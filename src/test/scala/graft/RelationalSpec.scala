@@ -1868,4 +1868,114 @@ class RelationalSpec extends AnyFunSuite {
     val mu = 2.0 * n1 * (signs.length - n1) / signs.length + 1
     assert((row.getAs[Double]("z") < 0) == (runs < mu))
   }
+
+  test("rankBuckets scales with the axis cardinality between floor and cap") {
+    import ops.Relational.{rankBuckets, RankBucketCells}
+    assert(rankBuckets(0L) == 64)
+    assert(rankBuckets(1000L) == 64) // small axes keep the round-1 shape
+    // linear growth once cells exceed 64 buckets' worth
+    assert(rankBuckets(100 * RankBucketCells) == 101)
+    assert(rankBuckets(1000 * RankBucketCells) == 1001)
+    // capped: the cross-bucket offset axis stays ≤16k rows at ANY size
+    assert(rankBuckets(Long.MaxValue / 4) == (1 << 14))
+  }
+
+  test("rankBucketed: adaptive bucket count, monotone non-overlapping ranges") {
+    import org.apache.spark.sql.functions._
+    // planted high-cardinality heavy-tailed axis: 5M distinct values
+    // spanning >1e3 multiplicative spread forces BOTH the adaptive
+    // sizing (>64 buckets) and the log-domain path to actually run
+    val in = spark.range(0, 5000000)
+      .select((pow(lit(1.000004), col("id")) * 1.0).as("v"))
+    val b = ops.Relational.rankBucketed(in, "v")
+    val perBucket = b.groupBy("bucket")
+      .agg(min("v").as("mn"), max("v").as("mx"), count(lit(1)).as("n"))
+      .collect().sortBy(_.getAs[Long]("bucket"))
+    assert(perBucket.length > 64,
+      s"adaptive sizing inert: only ${perBucket.length} buckets on a 5M-cell axis")
+    // bucket must be a monotone function of v: ranges never overlap
+    perBucket.sliding(2).foreach { p =>
+      if (p.length == 2)
+        assert(p(0).getAs[Double]("mx") <= p(1).getAs[Double]("mn"),
+          "bucket value ranges overlap — rank order would straddle buckets")
+    }
+    // log-domain balance: no bucket holds a majority of the axis
+    val maxShare = perBucket.map(_.getAs[Long]("n")).max.toDouble / 5000000
+    assert(maxShare < 0.5, s"one bucket holds ${maxShare * 100}% of the axis")
+    // nulls route to bucket 0 deterministically
+    val withNull = ops.Relational.rankBucketed(
+      spark.range(0, 100).select(
+        when(col("id") < 5, lit(null)).otherwise(col("id"))
+          .cast("double").as("v")), "v")
+    val nullBuckets = withNull.filter(col("v").isNull)
+      .select("bucket").distinct().collect()
+    assert(nullBuckets.map(_.getLong(0)).toSeq == Seq(0L))
+  }
+
+  test("cumShareDesc and bucketRank equal the single-window recompute exactly") {
+    import org.apache.spark.sql.functions._
+    // ties included: duplicate rc values must co-bucket and resolve
+    // by the tie column identically to the global window
+    val in = spark.range(0, 2000)
+      .select(col("id").as("k"), (pmod(col("id") * 37, lit(500))).as("rc"))
+      .persist()
+    val got = ops.Relational.cumShareDesc(in, "k")
+      .select("k", "cum").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Double]("cum"))).toMap
+    val rows = in.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (k, rc) => (-rc, k) }
+    val t = rows.map(_._2).sum.toDouble
+    var run = 0L
+    rows.foreach { case (k, rc) =>
+      run += rc
+      assert(got(k) == run / t, s"cumShareDesc diverges at k=$k")
+    }
+    val rk = ops.Relational.bucketRank(in, "rc", "k")
+      .select("k", "rk").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("rk"))).toMap
+    rows.zipWithIndex.foreach { case ((k, _), i) =>
+      assert(rk(k) == i + 1L, s"bucketRank diverges at k=$k")
+    }
+    // grouped variant: per-group ranks restart at 1
+    val g = in.withColumn("grp", pmod(col("k"), lit(3)))
+    val grk = ops.Relational.bucketRank(g, "rc", "k", Seq("grp"))
+      .select("grp", "k", "rk").collect()
+      .map(r => (r.getAs[Long]("grp"), r.getAs[Long]("k")) ->
+        r.getAs[Long]("rk")).toMap
+    val byGrp = in.collect().map(r => (r.getLong(0) % 3, r.getLong(0), r.getLong(1)))
+      .groupBy(_._1)
+    byGrp.foreach { case (grp, members) =>
+      members.sortBy { case (_, k, rc) => (-rc, k) }.zipWithIndex.foreach {
+        case ((_, k, _), i) =>
+          assert(grk((grp, k)) == i + 1L, s"grouped rank diverges at ($grp,$k)")
+      }
+    }
+    in.unpersist()
+  }
+
+  test("q66/q99/q110/t34 Pareto machinery: no unpartitioned data-axis window") {
+    import org.apache.spark.sql.functions._
+    // the lanes themselves are checkpoint-truncated; audit the shared
+    // helpers over a real SF-proportional axis (midranks' discipline)
+    val rev = Tables.lineitem(spark, sf).groupBy("l_partkey")
+      .agg(sum("l_extendedprice").cast("bigint").as("rc")).persist()
+    for (df <- Seq(ops.Relational.cumShareDesc(rev, "l_partkey"),
+      ops.Relational.bucketRank(rev, "rc", "l_partkey"),
+      ops.Relational.bucketRank(rev.withColumn("grp", pmod(col("l_partkey"), lit(5))),
+        "rc", "l_partkey", Seq("grp")))) {
+      df.collect()
+      val windows = PlanWalk.allNodes(df.queryExecution.executedPlan).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.exists(_.partitionSpec.nonEmpty),
+        "no bucket-partitioned window in the Pareto machinery")
+      windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+        // a global window may only prefix the collapsed bucket axis
+        val hasAgg = PlanWalk.allNodes(w.child)
+          .exists(_.getClass.getSimpleName.contains("Aggregate"))
+        assert(hasAgg, "global window over raw rows in the Pareto machinery")
+      }
+    }
+    rev.unpersist()
+  }
 }

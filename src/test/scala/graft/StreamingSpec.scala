@@ -305,6 +305,53 @@ class StreamingSpec extends AnyFunSuite {
       s"k=8 insufficient for s24: margin ${worst.max}")
   }
 
+  test("s24/s31 k-min bound violations are observable via n_evicted") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sevspec")
+    try {
+      // user 0 is >k-crowded for k=2: 5 clicks and 5 purchases land
+      // across two batches; user 1 stays under every bound
+      val b0 = Seq((0L, "view", 0L), (0L, "click", 10L), (0L, "click", 20L),
+        (0L, "purchase", 30L), (0L, "purchase", 40L), (1L, "view", 0L),
+        (1L, "click", 15L))
+      val b1 = Seq((0L, "click", 50L), (0L, "click", 60L), (0L, "click", 70L),
+        (0L, "purchase", 80L), (0L, "purchase", 90L), (0L, "purchase", 95L),
+        (1L, "purchase", 25L))
+      Seq(b0, b1).zipWithIndex.foreach { case (b, i) =>
+        sources.SourceSinks.landSingleParquet(
+          b.toDF("user_id", "event_type", "us"),
+          dir.resolve(f"b$i%02d.parquet"))
+      }
+      val W = 1000L
+      // tight bound: the crowded user MUST report evictions...
+      val tight = StreamingQueries.streamFunnel(spark, dir.toString, 2, W)
+        .collect()
+      val ev0 = tight.filter(_.getAs[Long]("user_id") == 0L)
+        .map(_.getAs[Long]("n_evicted")).max
+      assert(ev0 > 0, "k=2 on a 5-click/5-purchase user must evict observably")
+      // ...and the uncrowded user must not
+      assert(tight.filter(_.getAs[Long]("user_id") == 1L)
+        .forall(_.getAs[Long]("n_evicted") == 0L))
+      // roomy bound: zero evictions ⇒ the fold was provably exact
+      val roomy = StreamingQueries.streamFunnel(spark, dir.toString, 64, W)
+        .collect()
+      assert(roomy.forall(_.getAs[Long]("n_evicted") == 0L))
+      // same discipline for the s31 engine
+      val t2 = StreamingQueries.streamTimeToConvert(spark, dir.toString, 2)
+        .collect()
+      assert(t2.filter(_.getAs[Long]("user_id") == 0L)
+        .map(_.getAs[Long]("n_evicted")).max > 0)
+      assert(t2.filter(_.getAs[Long]("user_id") == 1L)
+        .forall(_.getAs[Long]("n_evicted") == 0L))
+      val t64 = StreamingQueries.streamTimeToConvert(spark, dir.toString, 64)
+        .collect()
+      assert(t64.forall(_.getAs[Long]("n_evicted") == 0L))
+      // the production lanes run at k=64: this corpus never evicts, so
+      // every depth/(fv,fp) the snapshot folds is exact by the counter
+      // argument, not just by twin equality
+    } finally sources.SourceSinks.deleteDir(dir)
+  }
+
   test("s30 streaming Benford equals the batch q76 row for row") {
     val got = StreamingQueries.s30_stream_benford(spark, sf)
       .collect().map(_.toSeq).toSeq
