@@ -1466,14 +1466,15 @@ object Relational {
   // bucket-partitioned prefix (no global window over the part axis —
   // the part dimension scales with SF), and the final rollup is ≤3
   // rows.
-  val q66_abc_analysis: Q = (s, d) => {
-    val rev = Tables.lineitem(s, d)
-      .groupBy(col("l_partkey"))
-      .agg(sum(expr(
-        "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"))
-        .as("rc"))
-      .persist() // feeds the bucket stats pass + the scored plan
-    val out = cumShareDesc(rev, "l_partkey")
+  /** q66's classification readout over a per-part integer-cents
+    * revenue panel (l_partkey, rc): ABC classes via cumShareDesc +
+    * the ≤3-row rollup. Shared by the batch lane and s44's streaming
+    * twin (which folds the SAME panel at the ingest edge — twin
+    * equality is structural, not re-derived). Caller persists `rev`
+    * (the bucket stats pass is one extra action over it).
+    */
+  private[graft] def abcReadout(rev: DataFrame): DataFrame =
+    cumShareDesc(rev, "l_partkey")
       .withColumn("abc_class",
         when(col("cum") <= 0.8, "A").when(col("cum") <= 0.95, "B")
           .otherwise("C"))
@@ -1482,7 +1483,15 @@ object Relational {
         round(sum("rc") / 100.0, 2).as("revenue"),
         round(sum("rc") / first(col("t")), 4).as("share"))
       .orderBy("abc_class")
-      .localCheckpoint(true)
+
+  val q66_abc_analysis: Q = (s, d) => {
+    val rev = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(sum(expr(
+        "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"))
+        .as("rc"))
+      .persist() // feeds the bucket stats pass + the scored plan
+    val out = abcReadout(rev).localCheckpoint(true)
     rev.unpersist()
     out
   }
@@ -3082,15 +3091,13 @@ object Relational {
   // back. rk = offset + within is the exact same integer rank the
   // per-year window produced; shares divide exact integer-cent sums
   // once.
-  val q110_pareto_drift: Q = (s, d) => {
-    val per = Tables.orders(s, d)
-      .groupBy(year(to_date(col("o_orderdate"))).as("yr"),
-        col("o_custkey"))
-      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)"))
-        .as("cents"))
-      .persist() // feeds the bucket stats pass + the ranked plan
+  /** q110's readout over a (yr, o_custkey, cents) panel: per-year
+    * top-20% revenue share via bucketRank. Shared by the batch lane
+    * and s45's streaming twin. Caller persists `per`.
+    */
+  private[graft] def paretoDriftReadout(per: DataFrame): DataFrame = {
     val nyr = per.groupBy("yr").agg(count(lit(1)).as("n"))
-    val out = bucketRank(per, "cents", "o_custkey", Seq("yr"))
+    bucketRank(per, "cents", "o_custkey", Seq("yr"))
       .join(broadcast(nyr), Seq("yr"))
       .groupBy("yr")
       .agg(max("n").as("n_customers"),
@@ -3101,7 +3108,16 @@ object Relational {
         round(col("top_cents") / col("tot").cast("double"), 4)
           .as("top20_share"))
       .orderBy("yr")
-      .localCheckpoint(true)
+  }
+
+  val q110_pareto_drift: Q = (s, d) => {
+    val per = Tables.orders(s, d)
+      .groupBy(year(to_date(col("o_orderdate"))).as("yr"),
+        col("o_custkey"))
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+        .as("cents"))
+      .persist() // feeds the bucket stats pass + the ranked plan
+    val out = paretoDriftReadout(per).localCheckpoint(true)
     per.unpersist()
     out
   }

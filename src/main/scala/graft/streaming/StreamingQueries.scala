@@ -1893,7 +1893,108 @@ object StreamingQueries {
     } finally graft.sources.SourceSinks.deleteDir(dir)
   }
 
+  // s44: STREAMING ABC CLASSIFICATION — q66's twin (31st pair): the
+  // per-part integer-cents revenue panel is a pure commutative fold
+  // (c04's apply-table bound: state scales with the PART key space,
+  // never the lineitem count), so Pareto concentration maintains
+  // itself at the ingest edge under orderkey-sharded (unordered)
+  // delivery. File-backed snapshot in a sibling scratch dir (s39's
+  // discipline); the snapshot takes each part's latest partial and
+  // runs q66's OWN readout (shared abcReadout — cumShareDesc's
+  // bucket-partitioned running share, twin equality structural).
+  // Oracle is q66's verbatim.
+  val s44_stream_abc: Q = (s, d) => {
+    val feed = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"),
+        expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+          .as("cents"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sabc")
+    // sibling scratch, outside the monitored source dir (s39's fix)
+    val snapDir = java.nio.file.Files.createTempDirectory("graft_sabc_snap")
+    try {
+      (0 until 4).foreach { i =>
+        graft.sources.SourceSinks.landSingleParquet(
+          feed.filter(pmod(col("l_orderkey"), lit(4)) === i),
+          dir.resolve(f"b$i%02d.parquet"))
+      }
+      val landedSchema =
+        org.apache.spark.sql.types.StructType(feed.schema.fields)
+      val q = s.readStream.schema(landedSchema)
+        .option("recursiveFileLookup", "true") // pins sibling scratch (s39)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+        .groupBy(col("l_partkey"))
+        .agg(sum("cents").as("rc"), count(lit(1)).as("n"))
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("append").parquet(snapDir.toString)
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      val panel = s.read.parquet(snapDir.toString)
+        .groupBy(col("l_partkey"))
+        .agg(max_by(col("rc"), col("n")).as("rc"))
+        .persist() // feeds the bucket stats pass + the scored plan
+      // eager: ≤3-row readout must materialize before finally deletes
+      // the snapshot files
+      val out = graft.ops.Relational.abcReadout(panel).localCheckpoint(true)
+      panel.unpersist()
+      out
+    } finally {
+      graft.sources.SourceSinks.deleteDir(dir)
+      graft.sources.SourceSinks.deleteDir(snapDir)
+    }
+  }
+
+  // s45: STREAMING PARETO-SHARE DRIFT — q110's twin (32nd pair): the
+  // (year, customer) cent panel folds commutatively under
+  // orderkey-sharded delivery (key-space-bounded state), and the
+  // per-year top-20% concentration derives ENTIRELY in the snapshot
+  // via q110's OWN readout (shared paretoDriftReadout — bucketRank's
+  // two-level exact ranks). File-backed snapshot, sibling scratch.
+  // Oracle is q110's verbatim.
+  val s45_stream_pareto_drift: Q = (s, d) => {
+    val feed = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(to_date(col("o_orderdate"))).as("yr"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_spar")
+    // sibling scratch, outside the monitored source dir (s39's fix)
+    val snapDir = java.nio.file.Files.createTempDirectory("graft_spar_snap")
+    try {
+      (0 until 4).foreach { i =>
+        graft.sources.SourceSinks.landSingleParquet(
+          feed.filter(pmod(col("o_orderkey"), lit(4)) === i),
+          dir.resolve(f"b$i%02d.parquet"))
+      }
+      val landedSchema =
+        org.apache.spark.sql.types.StructType(feed.schema.fields)
+      val q = s.readStream.schema(landedSchema)
+        .option("recursiveFileLookup", "true") // pins sibling scratch (s39)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+        .groupBy(col("yr"), col("o_custkey"))
+        .agg(sum("cents").as("cents"), count(lit(1)).as("n"))
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("append").parquet(snapDir.toString)
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      val panel = s.read.parquet(snapDir.toString)
+        .groupBy(col("yr"), col("o_custkey"))
+        .agg(max_by(col("cents"), col("n")).as("cents"))
+        .persist() // feeds the bucket stats pass + the ranked plan
+      // eager: |years|-row readout, snapshot files die in finally
+      val out = graft.ops.Relational.paretoDriftReadout(panel)
+        .localCheckpoint(true)
+      panel.unpersist()
+      out
+    } finally {
+      graft.sources.SourceSinks.deleteDir(dir)
+      graft.sources.SourceSinks.deleteDir(snapDir)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
+    "s45_stream_pareto_drift" -> s45_stream_pareto_drift,
+    "s44_stream_abc" -> s44_stream_abc,
     "s43_stream_quality_yield" -> s43_stream_quality_yield,
     "s42_stream_conflict" -> s42_stream_conflict,
     "s41_stream_ltv" -> s41_stream_ltv,
@@ -1934,6 +2035,14 @@ object StreamingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // q66's batch oracle verbatim — the commutative per-part cent fold
+    // must land every ABC class boundary exactly where batch does
+    "s44_stream_abc" ->
+      graft.ops.Relational.oracle("q66_abc_analysis"),
+    // q110's batch oracle verbatim — the (year, customer) panel fold
+    // must reproduce every per-year top-20% share exactly
+    "s45_stream_pareto_drift" ->
+      graft.ops.Relational.oracle("q110_pareto_drift"),
     // q101's batch oracle verbatim — the commutative replicate-sum fold
     // must land every CI bound exactly where the batch keyed agg does
     "s38_stream_bootstrap" ->

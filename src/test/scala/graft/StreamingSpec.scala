@@ -374,6 +374,24 @@ class StreamingSpec extends AnyFunSuite {
     got.foreach(r => assert(r(1).asInstanceOf[Long] <= nSup))
   }
 
+  test("s44 streaming ABC equals batch q66 under orderkey-sharded delivery") {
+    val got = StreamingQueries.s44_stream_abc(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val exp = ops.Relational.q66_abc_analysis(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == exp,
+      "panel fold + shared abcReadout must reproduce the batch classes")
+  }
+
+  test("s45 streaming Pareto drift equals batch q110 under orderkey-sharded delivery") {
+    val got = StreamingQueries.s45_stream_pareto_drift(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val exp = ops.Relational.q110_pareto_drift(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == exp,
+      "panel fold + shared paretoDriftReadout must reproduce batch shares")
+  }
+
   test("s43 streaming quality yield equals batch t50 under doc-id-sharded delivery") {
     val got = StreamingQueries.s43_stream_quality_yield(spark, sf)
       .collect().map(_.toSeq).toSeq
