@@ -1396,36 +1396,47 @@ object Relational {
       .orderBy("day")
   }
 
-  /** Distributed descending cumulative share over `rc` (exact integer
-    * cents), tie-broken by `tieCol` asc — q66/q99's Pareto machinery
-    * WITHOUT a global single-partition window over an SF-proportional
-    * axis. Rows co-bucket by rc (rankBucketed: equal values always
-    * share a bucket, so the (rc desc, tieCol) order never straddles a
-    * boundary), the within-bucket running sum runs bucket-partitioned
-    * (parallelism = rankBuckets, adaptive in the axis cardinality),
-    * and the cross-bucket offset is a prefix over the bounded B-row
-    * bucket axis, broadcast back. cum = (offset + within)/total is
-    * the SAME exact integer sum the global window produced, divided
-    * by the same double — bit-identical class boundaries. Callers
+  /** Distributed descending running sum of `sumCol` under (v desc,
+    * tieCol asc) order — the Pareto/waterfill machinery WITHOUT a
+    * global single-partition window over an SF-proportional axis.
+    * Rows co-bucket by v (rankBucketed: equal values always share a
+    * bucket, so the order never straddles a boundary), the
+    * within-bucket running sum runs bucket-partitioned (parallelism =
+    * rankBuckets, adaptive in the axis cardinality), and the
+    * cross-bucket offset is a prefix over the bounded B-row bucket
+    * axis, broadcast back. cum_sum = offset + within is the SAME
+    * exact integer sum the global window would produce. Callers
     * should persist `in` (the bucket stats pass is one extra action
-    * over it). Adds `cum` (running share) and `t` (total, double).
+    * over it). Adds `cum_sum` (running long sum) and `t` (long
+    * total).
     */
-  private[graft] def cumShareDesc(in: DataFrame, tieCol: String): DataFrame = {
-    val bucketed = rankBucketed(in, "rc")
+  private[graft] def cumSumDesc(in: DataFrame, v: String, tieCol: String,
+      sumCol: String): DataFrame = {
+    val bucketed = rankBucketed(in, v)
     val win = Window.partitionBy("bucket")
-      .orderBy(col("rc").desc, col(tieCol))
+      .orderBy(col(v).desc, col(tieCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wb = Window.orderBy(col("bucket").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val off = bucketed.groupBy("bucket").agg(sum("rc").as("brc"))
-      .withColumn("rc_off", coalesce(sum("brc").over(wb), lit(0L)))
-    val tot = off.agg(sum("brc").cast("double").as("t"))
+    val off = bucketed.groupBy("bucket").agg(sum(sumCol).as("bsum"))
+      .withColumn("sum_off", coalesce(sum("bsum").over(wb), lit(0L)))
+    val tot = off.agg(sum("bsum").as("t"))
     bucketed
-      .withColumn("rc_in", sum("rc").over(win))
-      .join(broadcast(off.select("bucket", "rc_off")), Seq("bucket"))
+      .withColumn("sum_in", sum(sumCol).over(win))
+      .join(broadcast(off.select("bucket", "sum_off")), Seq("bucket"))
       .crossJoin(broadcast(tot))
-      .withColumn("cum", (col("rc_off") + col("rc_in")) / col("t"))
+      .withColumn("cum_sum", col("sum_off") + col("sum_in"))
   }
+
+  /** q66/q99's running revenue share: cumSumDesc over integer cents
+    * with `rc` as both the order and the summed column; cum =
+    * cum_sum/t is the exact integer running sum divided once by the
+    * long total (the long/long column division promotes both to
+    * double, identical to the previous double-total formulation).
+    */
+  private[graft] def cumShareDesc(in: DataFrame, tieCol: String): DataFrame =
+    cumSumDesc(in, "rc", tieCol, "rc")
+      .withColumn("cum", col("cum_sum") / col("t"))
 
   /** Exact 1-based descending rank (row_number under (v desc, tieCol
     * asc) order), optionally per `partCols` group, WITHOUT a

@@ -1718,7 +1718,39 @@ object TextAnalysis {
       .orderBy("tau")
   }
 
+  // t53: TOKEN-BUDGET WATERFILL — the curation decision t50's yield
+  // curve informs: given a token budget (30% of the corpus), take
+  // documents in DESCENDING quality order until the budget is spent,
+  // and report the per-source allocation plus the score waterline
+  // where selection stopped. The greedy cut is an exact cumulative
+  // token sum over the (score desc, doc_id) order — at corpus scale
+  // that is a rank problem, so it rides cumSumDesc (bucket-partitioned
+  // running sums + broadcast B-row offsets, never a global window over
+  // the document axis). Budget and cut are exact integer arithmetic
+  // ((t*3) div 10, cum ≤ budget) — engine-identical; scores are t28's
+  // 4dp-rounded values both engines already agree on.
+  val t53_budget_waterfill: Q = (s, d) => {
+    val scored = weightedSampleScores(s, d)
+      .select(col("doc_id"), col("source"), col("score"),
+        col("n_tokens").cast("long").as("nt"))
+      .persist() // feeds the bucket stats pass + the scored plan
+    val out = graft.ops.Relational.cumSumDesc(scored, "score", "doc_id", "nt")
+      .withColumn("budget", expr("(t * 3) div 10"))
+      .filter(col("cum_sum") <= col("budget"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_taken"),
+        sum("nt").as("tokens_taken"),
+        min("score").as("waterline_score"),
+        round(sum("nt") / first("budget").cast("double"), 4)
+          .as("budget_share"))
+      .orderBy("source")
+      .localCheckpoint(true)
+    scored.unpersist()
+    out
+  }
+
   val queries: Map[String, Q] = Map(
+    "t53_budget_waterfill" -> t53_budget_waterfill,
     "t50_quality_yield" -> t50_quality_yield,
     "t48_coverage_curve" -> t48_coverage_curve,
     "t47_truncation_loss" -> t47_truncation_loss,
@@ -1776,6 +1808,34 @@ object TextAnalysis {
     s"len(list_filter($sqlToks, w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
   val oracle: Map[String, String] = Map(
+    "t53_budget_waterfill" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, source, length(text) AS len_chars,
+         |    len($sqlToks) AS n_tokens,
+         |    ${sqlHits(Seq("the", "a", "of"))} AS stop_hits,
+         |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+         |      AS punct_chars
+         |  FROM documents),
+         |sc AS (
+         |  SELECT doc_id, source, n_tokens::BIGINT AS nt,
+         |    round(least(n_tokens / 100.0, 1.0) * 0.5
+         |      + (stop_hits / n_tokens) * 0.3
+         |      + (1.0 - punct_chars / len_chars) * 0.2, 4) AS score
+         |  FROM m),
+         |cum AS (
+         |  SELECT source, score, nt,
+         |    sum(nt) OVER (ORDER BY score DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         |      AS cum_nt
+         |  FROM sc),
+         |b AS (SELECT (sum(nt)::BIGINT * 3) // 10 AS budget FROM sc)
+         |SELECT source, count(*)::BIGINT AS docs_taken,
+         |  sum(nt)::BIGINT AS tokens_taken,
+         |  min(score) AS waterline_score,
+         |  round(sum(nt) / (SELECT budget FROM b)::DOUBLE, 4)
+         |    AS budget_share
+         |FROM cum WHERE cum_nt <= (SELECT budget FROM b)
+         |GROUP BY source ORDER BY source""".stripMargin,
     "t50_quality_yield" ->
       s"""WITH m AS (
          |  SELECT doc_id, length(text) AS len_chars,

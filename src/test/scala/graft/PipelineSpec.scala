@@ -2480,6 +2480,34 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("t53 budget waterfill equals the exact greedy recompute") {
+    val got = ops.TextAnalysis.t53_budget_waterfill(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("docs_taken"), r.getAs[Long]("tokens_taken"),
+          r.getAs[Double]("waterline_score")))).toMap
+    // independent driver-side greedy fold over the same scored frame
+    val scored = ops.TextAnalysis.weightedSampleScores(spark, sf)
+      .select("doc_id", "source", "score", "n_tokens").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Double]("score"), r.getAs[Int]("n_tokens").toLong))
+    val budget = scored.map(_._4).sum * 3 / 10
+    var cum = 0L
+    val taken = scored.sortBy { case (id, _, sc, _) => (-sc, id) }
+      .takeWhile { case (_, _, _, nt) => { cum += nt; cum <= budget } }
+    assert(taken.nonEmpty && taken.map(_._4).sum <= budget)
+    // greedy optimality: every taken score >= every untaken score
+    val cut = taken.map(_._3).min
+    val untaken = scored.map(_._3).sorted.reverse.drop(taken.length)
+    assert(untaken.isEmpty || untaken.max <= cut + 1e-12)
+    taken.groupBy(_._2).foreach { case (src, g) =>
+      val (d, t, w) = got(src)
+      assert(d == g.length, s"$src docs_taken")
+      assert(t == g.map(_._4).sum, s"$src tokens_taken")
+      assert(w == g.map(_._3).min, s"$src waterline")
+    }
+    assert(got.keySet == taken.map(_._2).toSet)
+  }
+
   test("t52 pipeline funnel is monotone and agrees with the stage lanes") {
     val rows = ops.Dedup.t52_pipeline_funnel(spark, sf).collect()
     assert(rows.map(_.getAs[String]("stage")).toSeq ==
