@@ -1372,7 +1372,119 @@ object Multimodal {
       .orderBy("bucket")
   }
 
+  /** m17's 64-bit difference hash over a decoded grayscale raster:
+    * NN-downsample to 9×8, bit i = (row r, col c+1) brighter than
+    * (r, c) — the standard dHash (Krawetz). Deterministic: the PNG
+    * roundtrip is lossless and NN sampling is pure integer math.
+    */
+  private[graft] def dHash(pix: Array[Byte], w: Int, h: Int): Long = {
+    val g = resizeNN(pix, w, h, 9, 8)
+    var hsh = 0L
+    var i = 0
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if ((g(r * 9 + c + 1) & 0xFF) > (g(r * 9 + c) & 0xFF))
+          hsh |= 1L << i
+        i += 1; c += 1
+      }
+      r += 1
+    }
+    hsh
+  }
+
+  /** m17's hot-bucket cap: a band bucket larger than this is dropped
+    * from candidate generation (d03's boilerplate guard — bounds the
+    * per-bucket quadratic term). Uniform 16-bit band values exceed it
+    * only past ~65M images per band; beyond that corpus the documented
+    * move is wider bands (8×32-bit over a 256-bit pHash), trading
+    * guaranteed recall radius for candidate volume.
+    */
+  val PhashBucketCap = 1000
+
+  /** m17's per-image dHash frame (img_id, ph) over the image docs plus
+    * planted perturbed twins: every doc_id % 7 == 0 image also emits a
+    * copy with ONE body byte incremented (img_id = 2·doc_id+1 beside
+    * the base 2·doc_id) — a controlled near-identical pair, since one
+    * source byte moves at most a couple of 9×8 grid samples. Public so
+    * the spec can replay the exact all-pairs ground truth driver-side.
+    */
+  def imagePhashes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaRecords(s, d)
+      .filter(r => r.content_type.startsWith("image/"))
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { r =>
+          val n = r.payload.length
+          val h0 = math.max(1, math.floor(math.sqrt(n.toDouble)).toInt)
+          val w0 = math.max(1, ((n + h0 - 1) / h0).toInt)
+          val (pix, pw, ph) = decodePng(encodePng(r.payload, w0, h0))
+          val base = (r.doc_id * 2, dHash(pix, pw, ph))
+          val mlen = Magics(r.content_type).length
+          if (r.doc_id % 7 == 0 && n > mlen) {
+            val tw = r.payload.clone()
+            val p = mlen + (r.doc_id % (n - mlen)).toInt
+            tw(p) = (tw(p) + 1).toByte
+            val (px2, w2, h2) = decodePng(encodePng(tw, w0, h0))
+            Iterator(base, (r.doc_id * 2 + 1, dHash(px2, w2, h2)))
+          } else Iterator(base)
+        }
+      }.toDF("img_id", "ph")
+  }
+
+  // m17 (rows-only; spec: exact all-pairs driver recompute of both
+  // recall and candidate counts): PERCEPTUAL-HASH IMAGE NEAR-DUP —
+  // the image-side twin of d03's text MinHash: dHash every image
+  // (REAL PNG roundtrip, never the planted grid), then find pairs at
+  // Hamming distance ≤ 3 WITHOUT an all-pairs join — the 64-bit hash
+  // splits into 4×16-bit bands and a pair at distance ≤ 3 must agree
+  // on at least one band (pigeonhole: 3 flipped bits touch ≤ 3 of 4
+  // bands), so the band-bucket self-join has GUARANTEED recall at the
+  // radius; random collisions are pruned by the exact bit_count
+  // verify on the candidate set (d03's candidate→verify shape).
+  // Buckets over PhashBucketCap drop (hot-bucket guard, documented
+  // trade). The planted byte-flip twins make the lane's recall
+  // observable on a corpus whose organic images are all distinct.
+  val m17_phash_neardup: Q = (s, d) => {
+    val hashes = imagePhashes(s, d).persist()
+    val bands = hashes.select(col("img_id"), col("ph"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("b"),
+            expr(s"(ph >> ${b * 16}) & 65535").as("v"))): _*)).as("band"))
+      .select(col("img_id"), col("ph"), col("band.b"), col("band.v"))
+    val okBuckets = bands.groupBy("b", "v")
+      .agg(count(lit(1)).as("bn")).filter(col("bn") <= PhashBucketCap)
+    val pruned = bands.join(okBuckets.select("b", "v"), Seq("b", "v"))
+    val cand = pruned.as("x").join(pruned.as("y"),
+        col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
+          col("x.img_id") < col("y.img_id"))
+      .select(col("x.img_id").as("i1"), col("y.img_id").as("i2"),
+        col("x.ph").as("p1"), col("y.ph").as("p2"))
+      .distinct()
+    val scored = cand
+      .withColumn("dist", expr("bit_count(p1 ^ p2)"))
+      .withColumn("near", col("dist") <= 3)
+      .withColumn("twin",
+        col("i2") === col("i1") + 1 && col("i1") % 2 === 0)
+    val out = scored.agg(
+        count(lit(1)).as("n_candidate_pairs"),
+        sum(col("near").cast("long")).as("n_neardup_pairs"),
+        sum((col("near") && col("twin")).cast("long")).as("n_twins_found"),
+        round(avg(when(col("near"), col("dist"))), 4).as("mean_near_dist"))
+      .crossJoin(broadcast(hashes.agg(
+        count(lit(1)).as("n_images"),
+        sum((col("img_id") % 2).cast("long")).as("n_twins_planted"))))
+      .select("n_images", "n_twins_planted", "n_candidate_pairs",
+        "n_neardup_pairs", "n_twins_found", "mean_near_dist")
+      .localCheckpoint(true)
+    hashes.unpersist()
+    out
+  }
+
   val queries: Map[String, Q] = Map(
+    "m17_phash_neardup" -> m17_phash_neardup,
     "m16_letterbox" -> m16_letterbox,
     "m15_aspect_bucket" -> m15_aspect_bucket,
     "m14_scene_detect" -> m14_scene_detect,

@@ -2559,6 +2559,30 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("m17 phash near-dups match the exact all-pairs ground truth") {
+    val row = ops.Multimodal.m17_phash_neardup(spark, sf).collect().head
+    val hs = ops.Multimodal.imagePhashes(spark, sf).collect()
+      .map(r => (r.getAs[Long]("img_id"), r.getAs[Long]("ph")))
+    assert(row.getAs[Long]("n_images") == hs.length)
+    val planted = hs.count(_._1 % 2 == 1)
+    assert(row.getAs[Long]("n_twins_planted") == planted && planted > 0,
+      "the corpus must plant twins for recall to be observable")
+    // exact all-pairs ground truth at spec scale
+    val near = for {
+      i <- hs.indices.iterator; j <- (i + 1) until hs.length
+      if java.lang.Long.bitCount(hs(i)._2 ^ hs(j)._2) <= 3
+    } yield (math.min(hs(i)._1, hs(j)._1), math.max(hs(i)._1, hs(j)._1))
+    val nearSet = near.toSet
+    // pigeonhole recall: every dist≤3 pair shares a 16-bit band, so
+    // the banded join must find EVERY true near-dup pair
+    assert(row.getAs[Long]("n_neardup_pairs") == nearSet.size)
+    val twins = nearSet.count { case (a, b) => b == a + 1 && a % 2 == 0 }
+    assert(row.getAs[Long]("n_twins_found") == twins && twins > 0,
+      "at least one planted byte-flip twin must survive at distance <= 3")
+    // candidates are a superset of near-dups and bounded by the cap
+    assert(row.getAs[Long]("n_candidate_pairs") >= nearSet.size)
+  }
+
   test("m16 letterbox canvases are uniform per bucket and match m15 counts") {
     val m16 = ops.Multimodal.m16_letterbox(spark, sf).collect()
     val m15 = ops.Multimodal.m15_aspect_bucket(spark, sf).collect()
