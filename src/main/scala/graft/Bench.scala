@@ -57,6 +57,13 @@ object Bench {
       .master(master)
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      // single-digit-MB..100MB single-file tables (this box's parquet)
+      // otherwise scan as ONE split at the default 128m — the heavy
+      // pre-shuffle projections (explode+hash over documents) then run
+      // single-threaded regardless of core count (found at sf5: d18
+      // slower than at sf10 because 75MB = 1 split, 150MB = 2). 16m
+      // keeps scans parallel here; a real corpus arrives as many files
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
