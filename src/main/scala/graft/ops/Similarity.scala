@@ -1526,6 +1526,11 @@ object Similarity {
       .select(col("vec_id"), col("cell"),
         zip_with(col("embedding"), col("cent"),
           (x, c) => x.cast("double") - c).as("resid"))
+      // the persisted index lives CELL-partitioned — IVF's natural
+      // layout (probes touch whole cells), and it decouples the
+      // one-time build from the source file's row-group parallelism
+      // (Probe: the encode stage ran 2-wide off a 2-row-group file)
+      .repartition(col("cell"))
       .persist()
     val books = pqTrainOnSample(
       resid.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(256)
