@@ -1616,7 +1616,8 @@ class RelationalSpec extends AnyFunSuite {
       windows.foreach { w =>
         if (w.partitionSpec.isEmpty) {
           // a global window may only run on a collapsed post-aggregate
-          // axis (bucket offsets: ≤64 rows), never over raw table rows
+          // axis (bucket offsets: ≤2^14 rows, rankBuckets' cap), never
+          // over raw table rows
           val hasAgg = PlanWalk.allNodes(w.child)
             .exists(_.getClass.getSimpleName.contains("Aggregate"))
           assert(hasAgg, s"$name: global window over raw rows")
