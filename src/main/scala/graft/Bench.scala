@@ -25,8 +25,11 @@ object Bench {
     * cannot see (round-11 lesson: a rank-machinery rewrite showed up
     * in NO headline number) — the adaptive-bucket rank/Pareto lanes,
     * bootstrap resampling, span dedup, IVF-PQ ANN, the pipeline
-    * funnel. Run via `runMain graft.Bench extended`; per-round numbers
-    * recorded in SCALE_r12.md+.
+    * funnel. Since r13 the default (driver) run times it too and emits
+    * it as a separate "extended" map in the JSON line, so round-over-
+    * round regressions in post-round-1 machinery are mechanically
+    * diffable from BENCH_r*.json alone (r12 verdict task 7);
+    * `runMain graft.Bench extended` still runs it standalone.
     */
   val extended: Seq[String] = Seq(
     "q66_abc_analysis", "q78_auc", "q89_spearman", "q90_ks",
@@ -40,10 +43,13 @@ object Bench {
   val Runs = 3
 
   def main(args: Array[String]): Unit = {
-    val names = args.toSeq match {
-      case Seq("extended") => extended
-      case Seq() => headline
-      case other => other
+    // default (driver) run: headline TIMES AND TOTALS exactly as in
+    // every prior round ("value" stays headline-only for cross-round
+    // comparability), plus the extended panel as a separate map
+    val (names, extraNames) = args.toSeq match {
+      case Seq("extended") => (extended, Nil)
+      case Seq() => (headline, extended)
+      case other => (other, Nil)
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -74,42 +80,59 @@ object Bench {
     SparkEntry.queries("q01_pricing_agg")(spark, sfDir).count()
 
     var errors = Map.empty[String, String]
-    val raw = names.map { name =>
-      val fn = SparkEntry.queries(name)
-      val times = (1 to Runs).flatMap { _ =>
-        if (errors.contains(name)) None // fail fast after the first error
-        else {
-          val t0 = System.nanoTime()
-          try {
-            fn(spark, sfDir).count()
-            Some((System.nanoTime() - t0) / 1e9)
-          } catch {
-            case e: Throwable =>
-              errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
-              None
+    def timePanel(panel: Seq[String], runs: Int): Seq[(String, Seq[Double])] =
+      panel.map { name =>
+        val fn = SparkEntry.queries(name)
+        val times = (1 to runs).flatMap { _ =>
+          if (errors.contains(name)) None // fail fast after the first error
+          else {
+            val t0 = System.nanoTime()
+            try {
+              fn(spark, sfDir).count()
+              Some((System.nanoTime() - t0) / 1e9)
+            } catch {
+              case e: Throwable =>
+                errors += name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+                None
+            }
           }
         }
+        name -> times
       }
-      name -> times
-    }
-    val results = raw.map { case (name, times) =>
-      // ANY failed run marks the query failed — a flaky query's one good
-      // time is not trustworthy and must not enter the totals
-      name -> (if (times.isEmpty || errors.contains(name)) -1.0 else times.min)
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // ANY failed run marks the query failed — a flaky query's one good
+    // time is not trustworthy and must not enter the totals
+    def minOf(raw: Seq[(String, Seq[Double])]): Seq[(String, Double)] =
+      raw.map { case (name, times) =>
+        name -> (if (times.isEmpty || errors.contains(name)) -1.0 else times.min)
+      }
+    def mapJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // Per-run raw times make a noisy-box artifact diagnosable from the
     // JSON alone (round-8 verdict: the driver's 27.85s reading needed a
     // judge re-run to prove it was contention — the spread of three runs
     // would have shown it immediately).
-    val runsJson = raw.map { case (k, ts) =>
-      // NOT f"%.3f": String.format is locale-sensitive (a comma decimal
-      // separator would corrupt the JSON); Double.toString is not
-      "\"" + k + "\":" + ts.map(t => (math.rint(t * 1000) / 1000).toString)
-        .mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
+    def runsJsonOf(raw: Seq[(String, Seq[Double])]): String =
+      raw.map { case (k, ts) =>
+        // NOT f"%.3f": String.format is locale-sensitive (a comma decimal
+        // separator would corrupt the JSON); Double.toString is not
+        "\"" + k + "\":" + ts.map(t => (math.rint(t * 1000) / 1000).toString)
+          .mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+
+    val raw = timePanel(names, Runs)
+    val results = minOf(raw)
+    val qs = mapJson(results)
+    val runsJson = runsJsonOf(raw)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // extended panel: min-of-2 (it exists to catch round-over-round
+    // machinery regressions, not to be a precise absolute number; a
+    // third run of the 13-lane panel costs ~30 s of driver wall)
+    val extraJson =
+      if (extraNames.isEmpty) ""
+      else {
+        val rawX = timePanel(extraNames, math.max(2, Runs - 1))
+        s""","extended":${mapJson(minOf(rawX))},"extended_runs":${runsJsonOf(rawX)}"""
+      }
     def jsonEscape(s: String): String = s.flatMap {
       case '\\' => "\\\\"
       case '"' => "\\\""
@@ -120,7 +143,7 @@ object Bench {
       if (errors.isEmpty) ""
       else errors.map { case (k, v) => "\"" + k + "\":\"" + jsonEscape(v) + "\"" }
         .mkString(",\"errors\":{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"sf":"$sfDir"$errJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson$extraJson,"sf":"$sfDir"$errJson}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

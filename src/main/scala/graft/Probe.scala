@@ -33,16 +33,23 @@ object Probe {
         val s = e.stageInfo
         val wall = (for (a <- s.completionTime; b <- s.submissionTime)
           yield a - b).getOrElse(-1L)
-        stages += ((s.stageId, s.name.takeWhile(_ != '\n').take(60),
-          s.numTasks, wall, s.taskMetrics.executorRunTime))
+        // the bus thread appends while main reads below — synchronize
+        stages.synchronized {
+          stages += ((s.stageId, s.name.takeWhile(_ != '\n').take(60),
+            s.numTasks, wall, s.taskMetrics.executorRunTime))
+        }
       }
     })
     SparkEntry.queries(name)(spark, sfDir).count()
-    Thread.sleep(500) // let the listener bus drain
+    // deterministic drain: a slow bus would silently drop trailing
+    // stages from the report under a fixed sleep
+    org.apache.spark.graft.SchedulerShim
+      .waitListenerBusEmpty(spark.sparkContext, 30000)
     println(f"%nstage  tasks  wall_ms  task_cpu_ms  name")
-    stages.sortBy(_._1).foreach { case (id, nm, n, w, cpu) =>
-      println(f"$id%5d  $n%5d  $w%7d  $cpu%11d  $nm")
-    }
+    stages.synchronized(stages.sortBy(_._1).toList)
+      .foreach { case (id, nm, n, w, cpu) =>
+        println(f"$id%5d  $n%5d  $w%7d  $cpu%11d  $nm")
+      }
     spark.stop()
   }
 }

@@ -178,12 +178,15 @@ object CdcQueries {
     reg.latestBySubject().orderBy("subject")
   }
 
-  // c13 (rows-only): Structured Streaming apply — spec asserts equality
-  // with the batch apply on the same input.
+  // c13: Structured Streaming apply — oracle is c04's verbatim (the
+  // stream and batch apply share one contract); spec additionally
+  // asserts equality with the batch apply on the same input.
   val c13_stream_apply: Q = (s, d) =>
     StreamApply.run(s, d, queryName = s"graft_stream_apply_${System.nanoTime()}")
 
-  // c14 (rows-only): Avro single-object encode/decode roundtrip.
+  // c14: Avro single-object encode/decode roundtrip — oracle-checked:
+  // codec transparency means the decoded rows ARE the flat-envelope
+  // projection with both framing flags true.
   val c14_avro_roundtrip: Q = (s, d) => {
     implicit val spark: SparkSession = s
     AvroWal.roundtrip(flatEnv(s, d)).toDF().orderBy("lsn_long")
@@ -1448,6 +1451,19 @@ object CdcQueries {
     // equivalence is the contract: its oracle IS c04's
     "c33_jdbc_source" -> applyLatestOracle,
     "s15_jdbc_stream" -> applyLatestOracle,
+    // c13 runs the SAME apply through flatMapGroupsWithState under
+    // Structured Streaming — c04's oracle verbatim is the contract
+    // (converted from rows-only, r13)
+    "c13_stream_apply" -> applyLatestOracle,
+    // c14's codec is transparent by construction: the decoded rows must
+    // BE the walRecords projection of the flat envelope with both
+    // framing flags true — all SQL-recomputable (converted, r13)
+    "c14_avro_roundtrip" ->
+      s"""WITH $sqlEnv, $sqlFlat
+         |SELECT lsn_long, op, coalesce(pk_after, pk_before) AS pk,
+         |  after_value AS value, epoch_us(tx_at) AS tx_at_us,
+         |  TRUE AS magic_ok, TRUE AS fp_ok
+         |FROM flat WHERE op <> 't' ORDER BY lsn_long""".stripMargin,
     "c39_jdbc_evolution" -> jdbcEvolutionOracle,
     "c05_apply_upk" ->
       s"""WITH $sqlEnv, $sqlFlat, ${Apply.sqlApply("", "")}

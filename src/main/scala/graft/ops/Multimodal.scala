@@ -1445,8 +1445,11 @@ object Multimodal {
   // radius; random collisions are pruned by the exact bit_count
   // verify on the candidate set (d03's candidate→verify shape).
   // Buckets over PhashBucketCap drop (hot-bucket guard, documented
-  // trade). The planted byte-flip twins make the lane's recall
-  // observable on a corpus whose organic images are all distinct.
+  // trade) — and the drop is OBSERVABLE: n_dropped_buckets in the
+  // output row makes cap-induced recall loss loud (s24's n_evicted
+  // discipline); recall is guaranteed only while it reads 0. The
+  // planted byte-flip twins make the lane's recall observable on a
+  // corpus whose organic images are all distinct.
   val m17_phash_neardup: Q = (s, d) => {
     val hashes = imagePhashes(s, d).persist()
     val bands = hashes.select(col("img_id"), col("ph"),
@@ -1454,8 +1457,9 @@ object Multimodal {
           struct(lit(b).as("b"),
             expr(s"(ph >> ${b * 16}) & 65535").as("v"))): _*)).as("band"))
       .select(col("img_id"), col("ph"), col("band.b"), col("band.v"))
-    val okBuckets = bands.groupBy("b", "v")
-      .agg(count(lit(1)).as("bn")).filter(col("bn") <= PhashBucketCap)
+    val bucketCounts = bands.groupBy("b", "v")
+      .agg(count(lit(1)).as("bn"))
+    val okBuckets = bucketCounts.filter(col("bn") <= PhashBucketCap)
     val pruned = bands.join(okBuckets.select("b", "v"), Seq("b", "v"))
     val cand = pruned.as("x").join(pruned.as("y"),
         col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
@@ -1476,8 +1480,12 @@ object Multimodal {
       .crossJoin(broadcast(hashes.agg(
         count(lit(1)).as("n_images"),
         sum((col("img_id") % 2).cast("long")).as("n_twins_planted"))))
+      .crossJoin(broadcast(bucketCounts.agg(
+        coalesce(sum((col("bn") > PhashBucketCap).cast("long")), lit(0L))
+          .as("n_dropped_buckets"))))
       .select("n_images", "n_twins_planted", "n_candidate_pairs",
-        "n_neardup_pairs", "n_twins_found", "mean_near_dist")
+        "n_neardup_pairs", "n_twins_found", "mean_near_dist",
+        "n_dropped_buckets")
       .localCheckpoint(true)
     hashes.unpersist()
     out

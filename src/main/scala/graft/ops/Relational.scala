@@ -1882,7 +1882,10 @@ object Relational {
     * explain-only paths). Deliberate: the bucket count must be a plan
     * literal for the downstream window partitioning, and the stats
     * frame is three scalars — the alternative (crossJoin(broadcast))
-    * cannot size B adaptively. Null `v` routes to bucket 0 explicitly,
+    * cannot size B adaptively. graft.Explain detects and FLAGS the
+    * build-time job per lane, so plan-cache/audit tooling sees the
+    * eager action instead of being surprised by it.
+    * Null `v` routes to bucket 0 explicitly,
     * consistent with Spark's ASC NULLS FIRST window ordering (null
     * sorts below every value globally).
     */

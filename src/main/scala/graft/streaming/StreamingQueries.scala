@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -9,7 +9,8 @@ import graft.Tables
   * event-time operators expressed as batch plans (identical semantics at
   * any scale — one shuffle each); s05 runs the same tumbling aggregation
   * through a real Structured Streaming query with a watermark and is
-  * spec-checked equal to s01.
+  * spec-checked equal to s01 plus oracle-checked against s01's SQL
+  * (minus the batch-only exact count-distinct column).
   */
 object StreamingQueries {
   private type Q = (SparkSession, String) => DataFrame
@@ -142,10 +143,11 @@ object StreamingQueries {
       ev.filter(col("event_type") === "purchase")))
   }
 
-  // s08 (rows-only; spec: == s07): the same join as a real stream-stream
-  // inner join. Both sides carry 1-hour watermarks; the time-interval
-  // condition lets Spark bound join state eviction on both sides —
-  // exactly how a 100 TB/day CDC attribution pipeline stays finite-state.
+  // s08 (oracle: s07's verbatim; spec: == s07): the same join as a real
+  // stream-stream inner join. Both sides carry 1-hour watermarks; the
+  // time-interval condition lets Spark bound join state eviction on both
+  // sides — exactly how a 100 TB/day CDC attribution pipeline stays
+  // finite-state.
   val s08_stream_stream_join: Q = (s, d) => {
     val raw = Tables.load(s, d, "events")
     def stream = s.readStream.schema(raw.schema)
@@ -161,7 +163,8 @@ object StreamingQueries {
     attributionAgg(s.table(name))
   }
 
-  // s09 (rows-only; spec: == batch groupBy): per-user lifetime stats via
+  // s09 (oracle: the batch groupBy SQL; spec: == batch groupBy):
+  // per-user lifetime stats via
   // mapGroupsWithState — the exactly-one-output-per-group stateful API
   // (complementing flatMapGroupsWithState in graft.cdc.StreamApply).
   // State per user is one constant-size record regardless of stream
@@ -608,6 +611,25 @@ object StreamingQueries {
     * never evicts. Public so the spec can drive it with a small k,
     * plant a >k-crowded user, and pin the counter > 0.
     */
+  /** Landing-time schema pin for the fixed-schema funnel engines: the
+    * streamFunnel/streamTimeToConvert file-stream reads hardcode
+    * (user_id LONG, event_type STRING, us LONG); if the generator's
+    * physical types ever drift (the events ts column has,
+    * historically), the landing call site fails loudly here instead of
+    * the stream misreading parquet against a stale schema.
+    */
+  private def requireFunnelSchema(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val got = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    val want = Seq[(String, DataType)](("user_id", LongType),
+      ("event_type", StringType), ("us", LongType))
+    require(got == want,
+      s"landed funnel schema drifted to ${df.schema.simpleString}; " +
+        "streamFunnel/streamTimeToConvert read (user_id LONG, " +
+        "event_type STRING, us LONG)")
+    df
+  }
+
   def streamFunnel(s: SparkSession, dir: String, k: Int, winUs: Long): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
@@ -667,7 +689,8 @@ object StreamingQueries {
     try {
       (0 until 4).foreach { i =>
         graft.sources.SourceSinks.landSingleParquet(
-          ev.filter(pmod(col("event_id"), lit(4)) === i).drop("event_id"),
+          requireFunnelSchema(
+            ev.filter(pmod(col("event_id"), lit(4)) === i).drop("event_id")),
           dir.resolve(f"b$i%02d.parquet"))
       }
       // state bound (round-9 caveat closed the s31 way): the funnel
@@ -1198,7 +1221,8 @@ object StreamingQueries {
     try {
       (0 until 4).foreach { i =>
         graft.sources.SourceSinks.landSingleParquet(
-          ev.filter(pmod(col("event_id"), lit(4)) === i).drop("event_id"),
+          requireFunnelSchema(
+            ev.filter(pmod(col("event_id"), lit(4)) === i).drop("event_id")),
           dir.resolve(f"b$i%02d.parquet"))
       }
       // state: (min view us or MaxValue, SORTED purchase us list — the
@@ -1582,66 +1606,134 @@ object StreamingQueries {
     } finally graft.sources.SourceSinks.deleteDir(dir)
   }
 
+  /** Committed compacted-state versions under a snapshotTwin scratch
+    * dir, ascending. A version counts as committed iff its parquet
+    * `_SUCCESS` marker exists — the marker is the commit record, and
+    * retirement deletes it FIRST, so a crash mid-delete can never leave
+    * a half-deleted dir that still looks committed.
+    */
+  private def committedStates(
+      snapDir: java.nio.file.Path): Seq[(Long, java.nio.file.Path)] = {
+    val st = java.nio.file.Files.list(snapDir)
+    try {
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.toSeq
+        .filter(p => p.getFileName.toString.startsWith("state_v") &&
+          java.nio.file.Files.exists(p.resolve("_SUCCESS")))
+        .map(p => (p.getFileName.toString.stripPrefix("state_v").toLong, p))
+        .sortBy(_._1)
+    } finally st.close()
+  }
+
+  /** Shared harness for the file-backed streaming snapshot twins
+    * (s39/s41/s42/s44/s45): lands `feed` as `nShards` parquet files
+    * sharded by `pmod(shard, nShards)` (adversarial, non-chronological
+    * delivery), streams them back one file per trigger through an
+    * update-mode keyed aggregation (`keys` × `aggs`, plus an
+    * always-appended `n = count(*)` freshness counter), and COMPACTS
+    * the snapshot every trigger instead of appending forever:
+    * foreachBatch merges the batch's updated cells into the previous
+    * compacted state (latest cell wins by `n`, which strictly increases
+    * across a key's successive update-mode emissions) and writes the
+    * result to a batchId-versioned state dir. Scratch size is therefore
+    * bounded by the KEY SPACE, never by stream age — the previous
+    * append-forever design grew O(triggers × touched keys) on a
+    * perpetual stream (round-12 verdict item 1).
+    *
+    * Replay discipline: the merge base is the highest COMMITTED version
+    * strictly below the current batchId, so a replayed micro-batch
+    * re-merges against the true pre-batch state and overwrite-rewrites
+    * its own version — batchId-keyed idempotency, no duplicate rows
+    * under at-least-once foreachBatch semantics. Older versions are
+    * retired only after the new version commits.
+    *
+    * The snapshot scratch is a SIBLING temp dir, never inside the
+    * monitored source dir (which is read with recursiveFileLookup
+    * precisely so that nesting scratch back inside it would fail the
+    * gates loudly instead of depending on non-recursive listing
+    * semantics). The memory sink is not used because a dimension-sized
+    * panel × triggers accumulates in driver heap (sf5 OOM, round 10).
+    *
+    * `readout` receives the compacted panel (keys ++ agg columns ++
+    * `n`) and must return a BOUNDED frame; it is localCheckpoint'ed
+    * EAGERLY before the temp dirs die in the finally block. `probe`,
+    * when given, runs after the stream stops with (session, committed
+    * state dir, number of committed batches) — the scratch-bound spec
+    * uses it to assert rows ≤ key space after ≥8 triggers.
+    */
+  def snapshotTwin(s: SparkSession, feed: DataFrame, shard: Column,
+      keys: Seq[String], aggs: Seq[Column], nShards: Int = 4,
+      probe: (SparkSession, java.nio.file.Path, Long) => Unit = null)(
+      readout: DataFrame => DataFrame): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snaptwin")
+    val snapDir = java.nio.file.Files.createTempDirectory("graft_snaptwin_state")
+    try {
+      (0 until nShards).foreach { i =>
+        graft.sources.SourceSinks.landSingleParquet(
+          feed.filter(pmod(shard, lit(nShards)) === i),
+          dir.resolve(f"b$i%02d.parquet"))
+      }
+      val landedSchema =
+        org.apache.spark.sql.types.StructType(feed.schema.fields)
+      val q = s.readStream.schema(landedSchema)
+        .option("recursiveFileLookup", "true") // pins sibling scratch
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+        .groupBy(keys.map(col): _*)
+        .agg((aggs :+ count(lit(1)).as("n")).head,
+          (aggs :+ count(lit(1)).as("n")).tail: _*)
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          // runs on the driver, sequentially per batch
+          val ss = df.sparkSession
+          val valNames = df.columns.filterNot(keys.contains).toSeq
+          val base = committedStates(snapDir).filter(_._1 < batchId).lastOption
+          val merged = base
+            .map(b => ss.read.parquet(b._2.toString).unionByName(df))
+            .getOrElse(df)
+          merged.groupBy(keys.map(col): _*)
+            .agg(max_by(struct(valNames.map(col): _*), col("n")).as("st"))
+            .select(keys.map(col) ++
+              valNames.map(v => col("st." + v).as(v)): _*)
+            .write.mode("overwrite")
+            .parquet(snapDir.resolve(f"state_v$batchId%05d").toString)
+          committedStates(snapDir).filter(_._1 < batchId).foreach {
+            case (_, p) =>
+              java.nio.file.Files.deleteIfExists(p.resolve("_SUCCESS"))
+              graft.sources.SourceSinks.deleteDir(p)
+          }
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      val latest = committedStates(snapDir).last
+      if (probe != null) probe(s, latest._2, latest._1 + 1)
+      // the compacted panel: one row per touched key, latest partials
+      val panel = s.read.parquet(latest._2.toString)
+      // eager: the bounded readout must materialize before the
+      // finally-block deletes the state files
+      readout(panel).localCheckpoint(true)
+    } finally {
+      graft.sources.SourceSinks.deleteDir(dir)
+      graft.sources.SourceSinks.deleteDir(snapDir)
+    }
+  }
+
   // s39: STREAMING PRICE INDEX — q105's twin (26th pair): the
   // (part, year) panel of integer-cent revenue and quantity sums is a
   // pure commutative fold, so the whole index pipeline streams — a
   // keyed update-mode aggregation over orderkey-sharded delivery,
   // state bounded by the part×year DIMENSION panel (never the fact
-  // count); the snapshot takes each cell's latest partial and runs
-  // q105's OWN readout (shared priceIndexReadout), oracle verbatim.
+  // count); the compacted snapshot holds each cell's latest partial
+  // and q105's OWN readout (shared priceIndexReadout) runs over it,
+  // oracle verbatim.
   val s39_stream_price_index: Q = (s, d) => {
     val feed = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey"),
         year(to_date(col("l_shipdate"))).as("yr"),
         expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"),
         col("l_quantity"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_spidx")
-    // snapshot scratch is a SIBLING temp dir, never inside the
-    // monitored source dir: the file-stream source lists `dir` every
-    // trigger, and under recursiveFileLookup (or any future listing
-    // semantics) a nested scratch would be ingested as input
-    val snapDir = java.nio.file.Files.createTempDirectory("graft_spidx_snap")
-    try {
-      (0 until 4).foreach { i =>
-        graft.sources.SourceSinks.landSingleParquet(
-          feed.filter(pmod(col("l_orderkey"), lit(4)) === i),
-          dir.resolve(f"b$i%02d.parquet"))
-      }
-      val landedSchema =
-        org.apache.spark.sql.types.StructType(feed.schema.fields)
-      // snapshot sink is FILES, not the memory sink: update mode emits
-      // every touched panel cell per trigger, and a dimension-sized
-      // panel (|parts|×|years| — 7M cells at sf5) × triggers would
-      // otherwise accumulate in DRIVER HEAP (found by the sf5 gate:
-      // OOM). foreachBatch appends the per-trigger updates to parquet;
-      // the snapshot reads them back and keeps each cell's latest.
-      // recursiveFileLookup pins the sibling-scratch discipline: were
-      // the snapshot ever nested back inside the source dir, the
-      // stream would ingest its own output and the twin spec + oracle
-      // gate would fail loudly instead of depending on non-recursive
-      // listing semantics
-      val q = s.readStream.schema(landedSchema)
-        .option("recursiveFileLookup", "true")
-        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
-        .groupBy(col("l_partkey"), col("yr"))
-        .agg(sum("cents").as("c"), sum("l_quantity").as("q"),
-          count(lit(1)).as("n"))
-        .writeStream.outputMode("update")
-        .foreachBatch { (df: DataFrame, _: Long) =>
-          df.write.mode("append").parquet(snapDir.toString)
-        }.start()
-      try q.processAllAvailable() finally q.stop()
-      val panel = s.read.parquet(snapDir.toString)
-        .groupBy(col("l_partkey"), col("yr"))
-        .agg(max_by(struct(col("c"), col("q")), col("n")).as("st"))
-        .select(col("l_partkey"), col("yr"),
-          col("st.c").as("c"), col("st.q").as("q"))
-      // eager: the readout is bounded (|years| rows) and must
-      // materialize before the finally-block deletes the snapshot files
-      graft.ops.Relational.priceIndexReadout(panel).localCheckpoint(true)
-    } finally {
-      graft.sources.SourceSinks.deleteDir(dir)
-      graft.sources.SourceSinks.deleteDir(snapDir)
+    snapshotTwin(s, feed, col("l_orderkey"), Seq("l_partkey", "yr"),
+      Seq(sum("cents").as("c"), sum("l_quantity").as("q"))) { panel =>
+      graft.ops.Relational.priceIndexReadout(
+        panel.select(col("l_partkey"), col("yr"), col("c"), col("q")))
     }
   }
 
@@ -1715,38 +1807,11 @@ object StreamingQueries {
         (year(to_date(col("o_orderdate"))) * 4 +
           quarter(to_date(col("o_orderdate"))) - 1).as("qtr"),
         expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_sltv")
-    // sibling scratch, outside the monitored source dir (s39's fix)
-    val snapDir = java.nio.file.Files.createTempDirectory("graft_sltv_snap")
-    try {
-      (0 until 4).foreach { i =>
-        graft.sources.SourceSinks.landSingleParquet(
-          feed.filter(pmod(col("o_orderkey"), lit(4)) === i),
-          dir.resolve(f"b$i%02d.parquet"))
-      }
-      val landedSchema =
-        org.apache.spark.sql.types.StructType(feed.schema.fields)
-      // file-backed snapshot (s39's fix): the customer×quarter panel is
-      // key-space sized — update-mode snapshots must not pile up in
-      // driver heap
-      val q = s.readStream.schema(landedSchema)
-        .option("recursiveFileLookup", "true") // pins sibling scratch (s39)
-        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
-        .groupBy(col("o_custkey"), col("qtr"))
-        .agg(sum("cents").as("cents"), count(lit(1)).as("n"))
-        .writeStream.outputMode("update")
-        .foreachBatch { (df: DataFrame, _: Long) =>
-          df.write.mode("append").parquet(snapDir.toString)
-        }.start()
-      try q.processAllAvailable() finally q.stop()
-      val panel = s.read.parquet(snapDir.toString)
-        .groupBy(col("o_custkey"), col("qtr"))
-        .agg(max_by(col("cents"), col("n")).as("cents"))
-      // eager: bounded cohort×age readout, snapshot files die in finally
-      graft.ops.Relational.cohortLtvReadout(panel).localCheckpoint(true)
-    } finally {
-      graft.sources.SourceSinks.deleteDir(dir)
-      graft.sources.SourceSinks.deleteDir(snapDir)
+    snapshotTwin(s, feed, col("o_orderkey"), Seq("o_custkey", "qtr"),
+      Seq(sum("cents").as("cents"))) { panel =>
+      // bounded cohort×age readout over the compacted panel
+      graft.ops.Relational.cohortLtvReadout(
+        panel.select(col("o_custkey"), col("qtr"), col("cents")))
     }
   }
 
@@ -1761,46 +1826,19 @@ object StreamingQueries {
   val s42_stream_conflict: Q = (s, d) => {
     val feed = graft.cdc.Envelope.flat(Tables.events(s, d))
       .select(col("lsn_long"), col("user_id"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_sconf")
-    // sibling scratch, outside the monitored source dir (s39's fix)
-    val snapDir = java.nio.file.Files.createTempDirectory("graft_sconf_snap")
-    try {
-      (0 until 4).foreach { i =>
-        graft.sources.SourceSinks.landSingleParquet(
-          feed.filter(pmod(col("lsn_long"), lit(4)) === i),
-          dir.resolve(f"b$i%02d.parquet"))
-      }
-      val landedSchema =
-        org.apache.spark.sql.types.StructType(feed.schema.fields)
-      // file-backed snapshot (s39's fix): the per-key panel scales with
-      // the KEY SPACE — update-mode snapshots must not pile up in heap
-      val q = s.readStream.schema(landedSchema)
-        .option("recursiveFileLookup", "true") // pins sibling scratch (s39)
-        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
-        .groupBy(col("user_id"))
-        .agg(expr("bit_or(shiftleft(1L, cast(pmod(lsn_long, 3) as int)))")
-          .as("mask"),
-          max("lsn_long").as("max_lsn"), count(lit(1)).as("n"))
-        .writeStream.outputMode("update")
-        .foreachBatch { (df: DataFrame, _: Long) =>
-          df.write.mode("append").parquet(snapDir.toString)
-        }.start()
-      try q.processAllAvailable() finally q.stop()
-      s.read.parquet(snapDir.toString).groupBy(col("user_id"))
-        .agg(max_by(struct(col("mask"), col("max_lsn")), col("n")).as("st"))
-        .select(col("user_id"), bit_count(col("st.mask")).as("n_pubs"),
-          col("st.max_lsn").as("max_lsn"))
+    snapshotTwin(s, feed, col("lsn_long"), Seq("user_id"),
+      Seq(expr("bit_or(shiftleft(1L, cast(pmod(lsn_long, 3) as int)))")
+        .as("mask"), max("lsn_long").as("max_lsn"))) { panel =>
+      // 3-row readout (c48's) over the compacted per-key panel
+      panel
+        .select(col("user_id"), bit_count(col("mask")).as("n_pubs"),
+          col("max_lsn"))
         .groupBy(pmod(col("max_lsn"), lit(3)).cast("int").as("pub"))
         .agg(count(lit(1)).as("n_keys_won"),
           sum((col("n_pubs") > 1).cast("long")).as("n_contested"),
           round(sum((col("n_pubs") > 1).cast("long")) /
             count(lit(1)).cast("double"), 4).as("contest_rate"))
         .orderBy("pub")
-        // eager: 3-row readout, snapshot files die in finally
-        .localCheckpoint(true)
-    } finally {
-      graft.sources.SourceSinks.deleteDir(dir)
-      graft.sources.SourceSinks.deleteDir(snapDir)
     }
   }
 
@@ -1898,8 +1936,8 @@ object StreamingQueries {
   // (c04's apply-table bound: state scales with the PART key space,
   // never the lineitem count), so Pareto concentration maintains
   // itself at the ingest edge under orderkey-sharded (unordered)
-  // delivery. File-backed snapshot in a sibling scratch dir (s39's
-  // discipline); the snapshot takes each part's latest partial and
+  // delivery. Compacted file-backed snapshot (snapshotTwin); the
+  // snapshot holds each part's latest partial and
   // runs q66's OWN readout (shared abcReadout — cumShareDesc's
   // bucket-partitioned running share, twin equality structural).
   // Oracle is q66's verbatim.
@@ -1908,39 +1946,12 @@ object StreamingQueries {
       .select(col("l_orderkey"), col("l_partkey"),
         expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)")
           .as("cents"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_sabc")
-    // sibling scratch, outside the monitored source dir (s39's fix)
-    val snapDir = java.nio.file.Files.createTempDirectory("graft_sabc_snap")
-    try {
-      (0 until 4).foreach { i =>
-        graft.sources.SourceSinks.landSingleParquet(
-          feed.filter(pmod(col("l_orderkey"), lit(4)) === i),
-          dir.resolve(f"b$i%02d.parquet"))
-      }
-      val landedSchema =
-        org.apache.spark.sql.types.StructType(feed.schema.fields)
-      val q = s.readStream.schema(landedSchema)
-        .option("recursiveFileLookup", "true") // pins sibling scratch (s39)
-        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
-        .groupBy(col("l_partkey"))
-        .agg(sum("cents").as("rc"), count(lit(1)).as("n"))
-        .writeStream.outputMode("update")
-        .foreachBatch { (df: DataFrame, _: Long) =>
-          df.write.mode("append").parquet(snapDir.toString)
-        }.start()
-      try q.processAllAvailable() finally q.stop()
-      val panel = s.read.parquet(snapDir.toString)
-        .groupBy(col("l_partkey"))
-        .agg(max_by(col("rc"), col("n")).as("rc"))
-        .persist() // feeds the bucket stats pass + the scored plan
-      // eager: ≤3-row readout must materialize before finally deletes
-      // the snapshot files
-      val out = graft.ops.Relational.abcReadout(panel).localCheckpoint(true)
-      panel.unpersist()
-      out
-    } finally {
-      graft.sources.SourceSinks.deleteDir(dir)
-      graft.sources.SourceSinks.deleteDir(snapDir)
+    snapshotTwin(s, feed, col("l_orderkey"), Seq("l_partkey"),
+      Seq(sum("cents").as("rc"))) { panel =>
+      // ≤3-row readout; the compacted panel is one small parquet scan,
+      // cheap for abcReadout's stats pass + scored plan (no persist)
+      graft.ops.Relational.abcReadout(
+        panel.select(col("l_partkey"), col("rc")))
     }
   }
 
@@ -1949,46 +1960,19 @@ object StreamingQueries {
   // orderkey-sharded delivery (key-space-bounded state), and the
   // per-year top-20% concentration derives ENTIRELY in the snapshot
   // via q110's OWN readout (shared paretoDriftReadout — bucketRank's
-  // two-level exact ranks). File-backed snapshot, sibling scratch.
-  // Oracle is q110's verbatim.
+  // two-level exact ranks). Compacted file-backed snapshot
+  // (snapshotTwin). Oracle is q110's verbatim.
   val s45_stream_pareto_drift: Q = (s, d) => {
     val feed = Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_custkey"),
         year(to_date(col("o_orderdate"))).as("yr"),
         expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_spar")
-    // sibling scratch, outside the monitored source dir (s39's fix)
-    val snapDir = java.nio.file.Files.createTempDirectory("graft_spar_snap")
-    try {
-      (0 until 4).foreach { i =>
-        graft.sources.SourceSinks.landSingleParquet(
-          feed.filter(pmod(col("o_orderkey"), lit(4)) === i),
-          dir.resolve(f"b$i%02d.parquet"))
-      }
-      val landedSchema =
-        org.apache.spark.sql.types.StructType(feed.schema.fields)
-      val q = s.readStream.schema(landedSchema)
-        .option("recursiveFileLookup", "true") // pins sibling scratch (s39)
-        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
-        .groupBy(col("yr"), col("o_custkey"))
-        .agg(sum("cents").as("cents"), count(lit(1)).as("n"))
-        .writeStream.outputMode("update")
-        .foreachBatch { (df: DataFrame, _: Long) =>
-          df.write.mode("append").parquet(snapDir.toString)
-        }.start()
-      try q.processAllAvailable() finally q.stop()
-      val panel = s.read.parquet(snapDir.toString)
-        .groupBy(col("yr"), col("o_custkey"))
-        .agg(max_by(col("cents"), col("n")).as("cents"))
-        .persist() // feeds the bucket stats pass + the ranked plan
-      // eager: |years|-row readout, snapshot files die in finally
-      val out = graft.ops.Relational.paretoDriftReadout(panel)
-        .localCheckpoint(true)
-      panel.unpersist()
-      out
-    } finally {
-      graft.sources.SourceSinks.deleteDir(dir)
-      graft.sources.SourceSinks.deleteDir(snapDir)
+    snapshotTwin(s, feed, col("o_orderkey"), Seq("yr", "o_custkey"),
+      Seq(sum("cents").as("cents"))) { panel =>
+      // |years|-row readout; compacted panel = one small scan, so the
+      // bucket stats pass + ranked plan re-read it cheaply (no persist)
+      graft.ops.Relational.paretoDriftReadout(
+        panel.select(col("yr"), col("o_custkey"), col("cents")))
     }
   }
 
@@ -2207,6 +2191,24 @@ object StreamingQueries {
         |  event_type, count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value,
         |  count(DISTINCT user_id)::BIGINT AS n_users
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // s01's batch SQL minus the (batch-only) exact n_users column — the
+    // watermarked real-streaming run must land every window cell where
+    // the batch tumbling agg does (converted from rows-only, r13)
+    "s05_watermark_agg" ->
+      """SELECT (epoch_us(ts::TIMESTAMP) // 21600000000) * 21600000000 AS window_start_us,
+        |  event_type, count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // s07's batch oracle verbatim — the watermarked stream-stream inner
+    // join must emit exactly the batch interval join's attribution rows
+    // (converted from rows-only, r13)
+    "s08_stream_stream_join" -> intervalJoinOracle,
+    // the mapGroupsWithState lifetime counters fold commutatively, so
+    // the batch groupBy is the exact contract (converted, r13)
+    "s09_stateful_counter" ->
+      """SELECT user_id, count(*)::BIGINT AS n_events,
+        |  round(sum(value), 2) AS sum_value,
+        |  max(epoch_us(ts::TIMESTAMP)) AS last_us
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "s12_stream_static_join" ->
       """SELECT n_name, count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
         |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
@@ -2266,16 +2268,23 @@ object StreamingQueries {
       """SELECT event_type, hour(ts::TIMESTAMP)::INT AS hour_of_day,
         |  count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "s07_interval_join" ->
-      """SELECT p.event_id, count(*)::BIGINT AS n_clicks_30m,
-        |  round(sum(c.value), 2) AS click_value
-        |FROM (SELECT event_id, user_id, ts::TIMESTAMP AS p_ts
-        |      FROM events WHERE event_type = 'purchase') p
-        |JOIN (SELECT user_id, ts::TIMESTAMP AS c_ts, value
-        |      FROM events WHERE event_type = 'click') c
-        |  ON p.user_id = c.user_id
-        | AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE
-        | AND c.c_ts < p.p_ts
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s07_interval_join" -> intervalJoinOracle,
   )
+
+  /** Attribution-join oracle shared verbatim by s07 (batch) and s08
+    * (the real watermarked stream-stream join): identical SQL, so s08's
+    * oracle pass proves the streaming join's state eviction never
+    * dropped a qualifying pair.
+    */
+  private lazy val intervalJoinOracle: String =
+    """SELECT p.event_id, count(*)::BIGINT AS n_clicks_30m,
+      |  round(sum(c.value), 2) AS click_value
+      |FROM (SELECT event_id, user_id, ts::TIMESTAMP AS p_ts
+      |      FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT user_id, ts::TIMESTAMP AS c_ts, value
+      |      FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      | AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE
+      | AND c.c_ts < p.p_ts
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

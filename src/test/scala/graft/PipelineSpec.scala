@@ -2573,6 +2573,11 @@ class PipelineSpec extends AnyFunSuite {
       if java.lang.Long.bitCount(hs(i)._2 ^ hs(j)._2) <= 3
     } yield (math.min(hs(i)._1, hs(j)._1), math.max(hs(i)._1, hs(j)._1))
     val nearSet = near.toSet
+    // the cap-drop counter makes recall loss observable; at spec scale
+    // no 16-bit band bucket can exceed the cap, so recall is total —
+    // and the exact-equality assertion below is valid ONLY under this
+    assert(row.getAs[Long]("n_dropped_buckets") == 0L,
+      "fixture buckets must all be under PhashBucketCap")
     // pigeonhole recall: every dist≤3 pair shares a 16-bit band, so
     // the banded join must find EVERY true near-dup pair
     assert(row.getAs[Long]("n_neardup_pairs") == nearSet.size)
@@ -3038,5 +3043,40 @@ class PipelineSpec extends AnyFunSuite {
     val again = Similarity.v28_ivfpq(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
     assert(got.sameElements(again))
+  }
+
+  test("README corpus walkthrough composes end to end") {
+    import org.apache.spark.sql.functions._
+    // the README's four-step "build a training corpus" page, verbatim:
+    // CDC apply → corpus build → funnel pricing → budget cut, each
+    // artifact written and read back non-empty
+    val out = java.nio.file.Files.createTempDirectory("graft_readme")
+    try {
+      val replica = graft.cdc.Apply.latest(
+        graft.cdc.Envelope.flat(Tables.events(spark, sf)))
+      replica.write.mode("overwrite").parquet(s"$out/replica")
+      ops.Dedup.t17_corpus_build(spark, sf)
+        .write.mode("overwrite").parquet(s"$out/corpus_mix")
+      ops.Dedup.t52_pipeline_funnel(spark, sf)
+        .write.mode("overwrite").parquet(s"$out/funnel")
+      ops.TextAnalysis.t53_budget_waterfill(spark, sf)
+        .write.mode("overwrite").parquet(s"$out/budget_allocation")
+      val mix = spark.read.parquet(s"$out/corpus_mix")
+      val funnel = spark.read.parquet(s"$out/funnel").collect()
+      val budget = spark.read.parquet(s"$out/budget_allocation").collect()
+      assert(spark.read.parquet(s"$out/replica").count() > 0)
+      assert(mix.count() > 0)
+      assert(funnel.length == 5, "funnel must price all five stages")
+      // attrition is monotone: each stage keeps ≤ the previous one
+      val toks = funnel.sortBy(_.getAs[String]("stage"))
+        .map(_.getAs[Long]("n_tokens"))
+      assert(toks.sliding(2).forall(p => p(1) <= p(0)))
+      // the budget cut spends ≤ 30% of corpus tokens (t53's own axis:
+      // the weightedSampleScores token projection)
+      val totalT = ops.TextAnalysis.weightedSampleScores(spark, sf)
+        .agg(sum(col("n_tokens").cast("long"))).head.getLong(0)
+      assert(budget.nonEmpty &&
+        budget.map(_.getAs[Long]("tokens_taken")).sum <= totalT * 3 / 10)
+    } finally graft.sources.SourceSinks.deleteDir(out)
   }
 }

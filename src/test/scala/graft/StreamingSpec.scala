@@ -374,6 +374,38 @@ class StreamingSpec extends AnyFunSuite {
     got.foreach(r => assert(r(1).asInstanceOf[Long] <= nSup))
   }
 
+  test("snapshotTwin scratch is bounded by key space after ≥8 triggers") {
+    import org.apache.spark.sql.functions._
+    // The round-12 design appended every trigger's update-mode emission
+    // forever — O(triggers × touched keys) scratch, unbounded on a
+    // perpetual stream. The compacting harness must keep the committed
+    // state at ≤ one row per key no matter how many triggers ran.
+    val feed = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
+    val keySpace = feed.select("l_partkey").distinct().count()
+    var probed = false
+    val panel = StreamingQueries.snapshotTwin(
+      spark, feed, col("l_orderkey"), Seq("l_partkey"),
+      Seq(sum("cents").as("rc")), nShards = 8,
+      probe = (ss, stateDir, nBatches) => {
+        assert(nBatches >= 8,
+          s"8 shards at one file per trigger must run ≥8 batches, got $nBatches")
+        val scratchRows = ss.read.parquet(stateDir.toString).count()
+        assert(scratchRows <= keySpace,
+          s"compacted scratch ($scratchRows rows) must be bounded by the " +
+            s"key space ($keySpace), not by trigger count")
+        probed = true
+      })(p => p.select(col("l_partkey"), col("rc")))
+    assert(probed, "probe must have run before the scratch dirs died")
+    // and compaction must not have changed the answer: the panel is the
+    // plain batch fold
+    val got = panel.collect().map(_.toSeq).toSet
+    val exp = feed.groupBy("l_partkey")
+      .agg(sum("cents").as("rc")).collect().map(_.toSeq).toSet
+    assert(got == exp, "compacted panel must equal the batch fold exactly")
+  }
+
   test("s44 streaming ABC equals batch q66 under orderkey-sharded delivery") {
     val got = StreamingQueries.s44_stream_abc(spark, sf)
       .collect().map(_.toSeq).toSeq

@@ -35,8 +35,14 @@ operators' constants depend on is preserved:
   embeddings        4*sf*2k unit-normalized 64-dim float vectors,
                     label U(0,9) (no cluster structure, like the original)
 
-Multiple parquet row groups per file (unlike the single-row-group driver
-files) so executor-side scan parallelism at sf1 is realistic.
+Row-group layout (r13): row groups are ATOMIC scan units — Spark's
+maxPartitionBytes cannot split inside one, so scan parallelism on a
+single-file table equals its row-group count (the round-12 d18 sf5>sf10
+inversion root cause). Every table therefore writes AT LEAST 8 row
+groups (rows/8, floor 1) capped at a per-table row count that keeps
+groups ≲16 MB, so local scans parallelize like a real multi-file corpus
+at every sf. Content is unchanged — layout only, generator stays
+deterministic (same SEED, same RNG call order).
 """
 import sys, os, json
 import numpy as np
@@ -68,9 +74,16 @@ LANGW = [0.40, 0.15, 0.15, 0.15, 0.15]
 DAY_US = 86_400_000_000
 
 
-def write(outdir, name, table, row_group_rows):
+def rg_rows(n_rows, cap_rows):
+    """Row-group size: ≥8 groups per table (scan-parallelism floor),
+    capped so groups stay ≲16 MB for the wide tables."""
+    return max(1, min(cap_rows, -(-n_rows // 8)))
+
+
+def write(outdir, name, table, cap_rows):
     pq.write_table(table, os.path.join(outdir, f"{name}.parquet"),
-                   row_group_size=row_group_rows, compression="snappy")
+                   row_group_size=rg_rows(table.num_rows, cap_rows),
+                   compression="snappy")
     print(f"  {name}: {table.num_rows} rows")
 
 
@@ -119,7 +132,7 @@ def main():
         "c_nationkey": pa.array(rng.integers(0, 25, n_cust).astype(np.int32)),
         "c_acctbal": pa.array(np.round(rng.uniform(-1000, 10000, n_cust), 2)),
         "c_mktsegment": pa.array(np.array(MKTSEG)[rng.integers(0, 5, n_cust)]),
-    }), 1 << 19)
+    }), 1 << 17)
 
     sk = np.arange(n_supp, dtype=np.int64)
     write(outdir, "supplier", pa.table({
@@ -127,7 +140,7 @@ def main():
         "s_name": pa.array([f"Supplier#{i:09d}" for i in sk]),
         "s_nationkey": pa.array(rng.integers(0, 25, n_supp).astype(np.int32)),
         "s_acctbal": pa.array(np.round(rng.uniform(-1000, 10000, n_supp), 2)),
-    }), 1 << 19)
+    }), 1 << 17)
 
     pk = np.arange(n_part, dtype=np.int64)
     names = np.char.add(np.char.add(
@@ -140,7 +153,7 @@ def main():
         "p_type": pa.array(np.array(PTYPE)[rng.integers(0, 6, n_part)]),
         "p_size": pa.array(rng.integers(1, 51, n_part).astype(np.int32)),
         "p_retailprice": pa.array(900.0 + (pk % 1000) / 10.0),
-    }), 1 << 19)
+    }), 1 << 17)
 
     ok = np.arange(n_ord, dtype=np.int64)
     od_base = np.datetime64("1995-01-01", "us").astype(np.int64)
@@ -152,7 +165,7 @@ def main():
         "o_totalprice": pa.array(np.round(rng.uniform(1000, 500000, n_ord), 2)),
         "o_orderdate": ts_ms(od_base + od_days * DAY_US),
         "o_orderpriority": pa.array(np.array(OPRIO)[rng.integers(0, 5, n_ord)]),
-    }), 1 << 19)
+    }), 1 << 17)
 
     nline = rng.poisson(4.0, n_ord)
     lok = np.repeat(ok, nline)
@@ -172,7 +185,7 @@ def main():
         "l_returnflag": pa.array(np.array(["A", "N", "R"])[rng.integers(0, 3, n_li)]),
         "l_linestatus": pa.array(np.array(["O", "F"])[rng.integers(0, 2, n_li)]),
         "l_shipdate": ts_ms(sd_base + rng.integers(0, 2499, n_li) * DAY_US),
-    }), 1 << 19)
+    }), 1 << 17)
 
     # events: fixed 30-day window, exponential inter-arrival gaps
     ev_base = np.datetime64("2024-01-01", "us").astype(np.int64)
@@ -186,7 +199,7 @@ def main():
         "event_type": pa.array(np.array(ETYPES)[rng.integers(0, 5, n_ev)]),
         "value": pa.array(np.round(rng.exponential(50.0, n_ev), 2)),
         "props": pa.array([f'{{"k": {k}}}' for k in rng.integers(0, 100, n_ev)]),
-    }), 1 << 19)
+    }), 1 << 17)
 
     # documents: word salad + 5% planted near-dups (base doc + " dup")
     vocab = np.array(VOCAB)
@@ -203,7 +216,7 @@ def main():
         "lang": pa.array(np.array(LANGS)[rng.choice(5, n_doc, p=LANGW)]),
         "source": pa.array([f"src{k}" for k in rng.integers(0, 20, n_doc)]),
         "n_chars": pa.array(np.array([len(t) for t in texts], dtype=np.int64)),
-    }), 1 << 17)
+    }), 1 << 15)
 
     # embeddings: unit-normalized 64-dim, uniform labels
     V = rng.standard_normal((n_emb, 64)).astype(np.float32)
@@ -212,7 +225,7 @@ def main():
         "vec_id": pa.array(np.arange(n_emb, dtype=np.int64)),
         "embedding": pa.array(list(V), pa.list_(pa.float32())),
         "label": pa.array(rng.integers(0, 10, n_emb).astype(np.int32)),
-    }), 1 << 16)
+    }), 1 << 15)
 
     with open(os.path.join(outdir, "GENERATED.json"), "w") as f:
         json.dump({"sf": sf, "seed": SEED, "generator": "tools/gen_sf.py"}, f)
