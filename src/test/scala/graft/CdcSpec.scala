@@ -65,14 +65,51 @@ class CdcSpec extends AnyFunSuite {
     assert(got == orig)
   }
 
-  test("streaming apply equals batch apply (modulo truncate)") {
-    val batch = Apply.latest(
-      Envelope.flat(Tables.events(spark, sf)).filter(col("op") =!= "t"))
+  test("streaming apply equals batch apply (truncates included)") {
+    // r13: the stream now carries truncates as sentinel-key half-events
+    // and applies the liveEvents cut in the snapshot, so the contract is
+    // FULL equality with the truncate-aware batch apply (c04's oracle)
+    val batch = Apply.latest(Envelope.flat(Tables.events(spark, sf)))
       .select(col("pk"), round(col("last_value"), 2).as("value"), col("last_ord"))
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
     val streamed = StreamApply.run(spark, sf, s"apply_spec_${System.nanoTime()}")
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
     assert(streamed == batch)
+  }
+
+  test("streaming apply honors a LATE truncate (the sf1 divergence class)") {
+    // At small sf every key has post-truncate activity, so ignoring
+    // truncates is invisible (the pre-r13 defect the c04-oracle
+    // conversion caught at sf1). Plant the last truncate near the END
+    // of a small log so it actually wipes keys, and pin both engines.
+    val dir = java.nio.file.Files.createTempDirectory("graft_c13t")
+    try {
+      // remap event_ids: 900 → 5004 (a % 5003 == 1 truncate, late in
+      // lsn order), 990+ → +5010 (a small post-truncate tail)
+      val ev = Tables.events(spark, sf)
+        .filter(col("event_id") < 1000)
+        .withColumn("event_id",
+          when(col("event_id") === 900, lit(5004L))
+            .when(col("event_id") >= 990, col("event_id") + 5010)
+            .otherwise(col("event_id")))
+      graft.sources.SourceSinks.landSingleParquet(
+        ev, dir.resolve("events.parquet"))
+      val landed = spark.read.parquet(dir.resolve("events.parquet").toString)
+      val batch = Apply.latest(Envelope.flat(landed))
+        .select(col("pk"), round(col("last_value"), 2).as("value"),
+          col("last_ord"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+      val noTrunc = Apply.latest(
+        Envelope.flat(landed).filter(col("op") =!= "t"))
+        .collect().length
+      assert(batch.size < noTrunc,
+        "the planted truncate must actually wipe keys for this test to bite")
+      val streamed = StreamApply
+        .run(spark, dir.toString, s"apply_trunc_${System.nanoTime()}")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+      assert(streamed == batch,
+        "streamed state must honor the truncate horizon exactly")
+    } finally graft.sources.SourceSinks.deleteDir(dir)
   }
 
   test("schema registry returns latest by subject and looks up by fingerprint") {
