@@ -1455,6 +1455,23 @@ object CdcQueries {
     // Structured Streaming — c04's oracle verbatim is the contract
     // (converted from rows-only, r13)
     "c13_stream_apply" -> applyLatestOracle,
+    // c17's registry seeding is deterministic (even-indexed tables gain
+    // exactly added_v2 as a second version), so the evolution diff has
+    // a closed-form oracle — c01's class: the SQL encodes the EXPECTED
+    // semantics (2 versions and added_cols='added_v2' iff even index,
+    // nothing ever removed), so a drift in registry ordering, JSON
+    // field extraction, or the array diff breaks the hash (converted
+    // from rows-only, r13)
+    "c17_schema_evolution" ->
+      """WITH t(tbl, idx) AS (VALUES
+        |  ('region', 0), ('nation', 1), ('customer', 2), ('supplier', 3),
+        |  ('part', 4), ('orders', 5), ('lineitem', 6), ('events', 7),
+        |  ('documents', 8), ('embeddings', 9))
+        |SELECT 'testdb.public.' || tbl AS subject,
+        |  (CASE WHEN idx % 2 = 0 THEN 2 ELSE 1 END)::BIGINT AS n_versions,
+        |  CASE WHEN idx % 2 = 0 THEN 'added_v2' ELSE '' END AS added_cols,
+        |  '' AS removed_cols
+        |FROM t ORDER BY subject""".stripMargin,
     // c14's codec is transparent by construction: the decoded rows must
     // BE the walRecords projection of the flat envelope with both
     // framing flags true — all SQL-recomputable (converted, r13)

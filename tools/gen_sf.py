@@ -38,8 +38,8 @@ operators' constants depend on is preserved:
 Row-group layout (r13): row groups are ATOMIC scan units — Spark's
 maxPartitionBytes cannot split inside one, so scan parallelism on a
 single-file table equals its row-group count (the round-12 d18 sf5>sf10
-inversion root cause). Every table therefore writes AT LEAST 8 row
-groups (rows/8, floor 1) capped at a per-table row count that keeps
+inversion root cause). Every table therefore writes AT LEAST 32 row
+groups (rows/32, floor 1) capped at a per-table row count that keeps
 groups ≲16 MB, so local scans parallelize like a real multi-file corpus
 at every sf. Content is unchanged — layout only, generator stays
 deterministic (same SEED, same RNG call order).
@@ -75,9 +75,12 @@ DAY_US = 86_400_000_000
 
 
 def rg_rows(n_rows, cap_rows):
-    """Row-group size: ≥8 groups per table (scan-parallelism floor),
-    capped so groups stay ≲16 MB for the wide tables."""
-    return max(1, min(cap_rows, -(-n_rows // 8)))
+    """Row-group size: >=32 groups per table (the local[32] scan-
+    parallelism floor — 8 groups left sf5 documents scanning 8-wide
+    while sf10's 16 groups ran 16-wide, reproducing the inversion the
+    layout exists to kill), capped so groups stay <=16 MB for the wide
+    tables."""
+    return max(1, min(cap_rows, -(-n_rows // 32)))
 
 
 def write(outdir, name, table, cap_rows):
