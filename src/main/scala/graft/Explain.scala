@@ -6,12 +6,13 @@ import org.apache.spark.sql.SparkSession
   * (pushdown, broadcast, shuffle count, codegen spans).
   * Usage: runMain graft.Explain <sfDir> [query ...]
   *
-  * Lanes built on the adaptive rank machinery (rankBucketed — q78/q85/
-  * q89/q90/q102, the cumulative-share lanes, …) run a small stats job at
-  * plan-CONSTRUCTION time (the bucket count must be a plan literal);
-  * Explain detects and FLAGS those jobs per lane, so plan-cache/audit
-  * tooling is never surprised by a "plan build" that touched the
-  * cluster.
+  * Explain also detects and FLAGS any Spark job executed during plan
+  * CONSTRUCTION per lane (e.g. an index-build step), so plan-cache/
+  * audit tooling is never surprised by a "plan build" that touched
+  * the cluster. The adaptive rank machinery (rankBucketed) is lazy —
+  * its stats pass rides the plan as a broadcast subplan — so the
+  * rank lanes (q78/q85/q89/q90/q102, the cumulative-share lanes, …)
+  * are pure plan-only builds and come out clean here.
   */
 object Explain {
   def main(args: Array[String]): Unit = {
@@ -42,7 +43,7 @@ object Explain {
       })
     // parquet footer/listing jobs run on EVERY spark.read.parquet —
     // universal scan metadata, not an eager compute; the flag is for
-    // lanes whose build runs a real action (rankBucketed's stats head())
+    // lanes whose build runs a real action (an index-build step)
     def isScanMeta(s: String): Boolean =
       s.startsWith("parquet at ") || s.startsWith("json at ") ||
         s.startsWith("csv at ") || s.startsWith("orc at ") ||
@@ -57,9 +58,9 @@ object Explain {
         .filterNot(isScanMeta).sorted
       if (eager.nonEmpty)
         println("NOTE: Spark action(s) executed during plan CONSTRUCTION " +
-          s"at [${eager.mkString("; ")}] (adaptive bucket sizing — " +
-          "rankBucketed's stats pass, or an index-build step); this " +
-          "lane's DataFrame build is not a pure plan-only path.")
+          s"at [${eager.mkString("; ")}] (an index-build or landing " +
+          "step); this lane's DataFrame build is not a pure plan-only " +
+          "path.")
       df.explain("formatted")
     }
     spark.stop()

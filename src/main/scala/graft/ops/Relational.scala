@@ -1406,7 +1406,7 @@ object Relational {
     * cross-bucket offset is a prefix over the bounded B-row bucket
     * axis, broadcast back. cum_sum = offset + within is the SAME
     * exact integer sum the global window would produce. Callers
-    * should persist `in` (the bucket stats pass is one extra action
+    * should persist `in` (the bucket stats subplan is one extra scan
     * over it). Adds `cum_sum` (running long sum) and `t` (long
     * total).
     */
@@ -1447,7 +1447,7 @@ object Relational {
     * a count prefix over the bounded |groups|×B bucket axis,
     * broadcast back. rk = offset + within is the exact integer rank
     * the global window would produce. Callers should persist `in`
-    * (the bucket stats pass is one extra action). Adds `rk` (long).
+    * (the bucket stats subplan is one extra scan). Adds `rk` (long).
     */
   private[graft] def bucketRank(in: DataFrame, v: String, tieCol: String,
       partCols: Seq[String] = Nil): DataFrame = {
@@ -1495,17 +1495,15 @@ object Relational {
         round(sum("rc") / first(col("t")), 4).as("share"))
       .orderBy("abc_class")
 
-  val q66_abc_analysis: Q = (s, d) => {
-    val rev = Tables.lineitem(s, d)
+  val q66_abc_analysis: Q = (s, d) =>
+    // pure plan-only build: the panel agg is a shuffle exchange that
+    // ReuseExchange shares across the (now lazy) bucket-stats subplan
+    // and the ranked plan — lineitem scans once, no cache needed
+    abcReadout(Tables.lineitem(s, d)
       .groupBy(col("l_partkey"))
       .agg(sum(expr(
         "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"))
-        .as("rc"))
-      .persist() // feeds the bucket stats pass + the scored plan
-    val out = abcReadout(rev).localCheckpoint(true)
-    rev.unpersist()
-    out
-  }
+        .as("rc")))
 
   // q67: PERIOD-OVER-PERIOD CONTRIBUTION ANALYSIS — "revenue moved X;
   // which segments moved it?": the BI decomposition behind every
@@ -1877,35 +1875,39 @@ object Relational {
     * results — only parallelism changes; approx_count_distinct's
     * sketch error is therefore not load-bearing. Adds `bucket`.
     *
-    * NOTE: the stats pass is an EAGER action at plan-construction time
-    * (one scan+agg job when a caller builds its DataFrame, including
-    * explain-only paths). Deliberate: the bucket count must be a plan
-    * literal for the downstream window partitioning, and the stats
-    * frame is three scalars — the alternative (crossJoin(broadcast))
-    * cannot size B adaptively. graft.Explain detects and FLAGS the
-    * build-time job per lane, so plan-cache/audit tooling sees the
-    * eager action instead of being surprised by it.
-    * Null `v` routes to bucket 0 explicitly,
+    * The stats pass is LAZY: it rides the plan as a broadcast 1-row
+    * agg subplan (crossJoin(broadcast)), and the rankBuckets sizing
+    * formula is expressed in Column math over the broadcast `nd` —
+    * no plan literal is actually needed, because every downstream
+    * consumer partitions/joins on the `bucket` COLUMN, never on the
+    * bucket count. Building a rank-lane DataFrame therefore runs no
+    * job (plan-cache/explain-safe), and Spark's ReuseExchange dedupes
+    * the stats broadcast when the bucketed frame is used on several
+    * branches of one action. Null `v` routes to bucket 0 explicitly,
     * consistent with Spark's ASC NULLS FIRST window ordering (null
     * sorts below every value globally).
     */
   private[graft] def rankBucketed(in: DataFrame, v: String): DataFrame = {
-    val r = in.agg(min(col(v).cast("double")).as("mn"),
-      max(col(v).cast("double")).as("mx"),
-      approx_count_distinct(col(v)).as("nd")).head()
-    if (r.isNullAt(0)) return in.withColumn("bucket", lit(0L))
-    val (mn, mx, nd) = (r.getDouble(0), r.getDouble(1), r.getLong(2))
-    val b = rankBuckets(nd)
-    val useLog = mn > 0 && mx / mn > 1e3
-    val (fmn, fmx) = if (useLog) (math.log(mn), math.log(mx)) else (mn, mx)
-    val fv = if (useLog) log(col(v).cast("double")) else col(v).cast("double")
+    val stats = in.agg(min(col(v).cast("double")).as("__rb_mn"),
+      max(col(v).cast("double")).as("__rb_mx"),
+      approx_count_distinct(col(v)).as("__rb_nd"))
+    // rankBuckets(nd) in Column math: nd ≥ 0, so the double-division
+    // cast truncation IS floor; beyond ~2^30 distinct the cap wins
+    // before double precision matters
+    val b = greatest(lit(64L), least(lit(1L << 14),
+      (col("__rb_nd") / lit(RankBucketCells)).cast("long") + lit(1L)))
+    val useLog = col("__rb_mn") > 0 && col("__rb_mx") / col("__rb_mn") > lit(1e3)
+    val fmn = when(useLog, log(col("__rb_mn"))).otherwise(col("__rb_mn"))
+    val fmx = when(useLog, log(col("__rb_mx"))).otherwise(col("__rb_mx"))
+    val dv = col(v).cast("double")
+    val fv = when(useLog, log(dv)).otherwise(dv)
     val bucket =
-      if (fmx > fmn)
-        when(col(v).isNull, lit(0L)).otherwise(
-          least(greatest(floor((fv - lit(fmn)) / lit((fmx - fmn) / b)), lit(0L)),
-            lit(b - 1L)))
-      else lit(0L)
-    in.withColumn("bucket", bucket)
+      when(col("__rb_mn").isNull || col(v).isNull || !(fmx > fmn), lit(0L))
+        .otherwise(least(greatest(
+          floor((fv - fmn) / ((fmx - fmn) / b)), lit(0L)), b - lit(1L)))
+    in.crossJoin(broadcast(stats))
+      .withColumn("bucket", bucket)
+      .drop("__rb_mn", "__rb_mx", "__rb_nd")
   }
 
   // q78: EXACT ROC AUC, distributed — the Mann-Whitney statistic
@@ -2133,11 +2135,15 @@ object Relational {
   // matter). Total spend reports in EXACT integer cents (a 2dp-rounded
   // double sum at 1e10 scale would be nondeterministic under parallel
   // summation order); Gini itself is an O(1) ratio, 6dp-safe.
-  val q85_gini: Q = (s, d) => {
-    val spend = Tables.orders(s, d)
-      .groupBy(col("o_custkey"))
-      .agg(sum("o_totalprice").as("x"),
-        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+  /** q85's Gini readout over a per-customer (x, cents) spend panel —
+    * the rank·x sum via the bucket machinery, one O(1) ratio out.
+    * Shared by the batch lane and s46's streaming twin (which folds
+    * the SAME panel at the ingest edge — twin equality structural;
+    * per-key double partials can differ from the batch sum order by
+    * ulps, but equal-value cells split/merge without moving Σrank·x,
+    * and the 6dp round absorbs the residue — the q89 argument).
+    */
+  private[graft] def giniReadout(spend: DataFrame): DataFrame = {
     val cells = rankBucketed(spend, "x")
       .groupBy(col("bucket"), col("x"))
       .agg(count(lit(1)).as("c"), sum("cents").as("cc"))
@@ -2158,6 +2164,12 @@ object Relational {
         round(lit(2.0) * col("srx") / (col("n") * col("t")) -
           (col("n") + lit(1.0)) / col("n"), 6).as("gini"))
   }
+
+  val q85_gini: Q = (s, d) =>
+    giniReadout(Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum("o_totalprice").as("x"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents")))
 
   // q86: THEIL T INDEX of customer spend with BETWEEN/WITHIN-nation
   // decomposition — the inequality number q85's Gini cannot give you:
@@ -2626,19 +2638,26 @@ object Relational {
   // (exact equivalence, not approximation). Scoped to one ship-year to
   // bound the oracle's expansion; at 100 TB the documented swap is
   // approx_percentile (q39's trade). One keyed agg, ≤|flags| rows out.
-  val q98_weighted_median: Q = (s, d) => {
-    Tables.lineitem(s, d)
-      .filter(col("l_shipdate") >= lit("1996-01-01") &&
-        col("l_shipdate") < lit("1997-01-01"))
-      .select(col("l_returnflag"),
-        (col("l_extendedprice") / col("l_quantity")).as("unit_price"),
-        col("l_quantity").cast("long").as("q"))
-      .groupBy(col("l_returnflag"))
+  /** q98's percentile readout over a (l_returnflag, unit_price, q)
+    * weighted-value panel. Exact percentile with frequency semantics
+    * is COLLAPSE-INVARIANT (grouping equal values and summing their
+    * integer weights changes nothing), so the batch lane feeds it raw
+    * per-line rows while s47's streaming twin feeds the value-collapsed
+    * state panel — twin equality is exact, not ulp-argued. */
+  private[graft] def wmedianReadout(panel: DataFrame): DataFrame =
+    panel.groupBy(col("l_returnflag"))
       .agg(sum("q").as("units"),
         round(expr("percentile(unit_price, 0.5, q)"), 4).as("wmedian"),
         round(expr("percentile(unit_price, 0.9, q)"), 4).as("wp90"))
       .orderBy("l_returnflag")
-  }
+
+  val q98_weighted_median: Q = (s, d) =>
+    wmedianReadout(Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01"))
+      .select(col("l_returnflag"),
+        (col("l_extendedprice") / col("l_quantity")).as("unit_price"),
+        col("l_quantity").cast("long").as("q")))
 
   // q99: ABC/XYZ INVENTORY MATRIX — q66's ABC (revenue concentration)
   // crossed with the XYZ demand-variability axis (CV of weekly demand
@@ -2679,8 +2698,9 @@ object Relational {
           col("mean_q") * col("mean_q"), lit(0.0))) / col("mean_q"))
       .withColumn("xyz_class",
         when(col("cv") < 0.5, "X").when(col("cv") < 1.0, "Y").otherwise("Z"))
-      .persist() // feeds the bucket stats pass + the scored plan
-    val out = cumShareDesc(per, "l_partkey")
+    // plan-only build: ReuseExchange shares the scored-panel agg across
+    // the lazy bucket-stats subplan and the scored plan (q66's pattern)
+    cumShareDesc(per, "l_partkey")
       .withColumn("abc_class",
         when(col("cum") <= 0.8, "A").when(col("cum") <= 0.95, "B")
           .otherwise("C"))
@@ -2688,9 +2708,6 @@ object Relational {
       .agg(count(lit(1)).as("n_parts"),
         round(sum("rc") / first(col("t")), 4).as("rev_share"))
       .orderBy("abc_class", "xyz_class")
-      .localCheckpoint(true)
-    per.unpersist()
-    out
   }
 
   // q100: CROSS-TABLE DATA-QUALITY SCORECARD — the dbt-test-style audit
@@ -2972,6 +2989,46 @@ object Relational {
       .orderBy("yr")
   }
 
+  // q112: KRUSKAL-WALLIS H — the nonparametric ANOVA (q81's question
+  // when spend is heavy-tailed enough that a variance-based F-test is
+  // the wrong instrument): does customer spend DISTRIBUTION differ
+  // across market segments? Ranks run over INTEGER CENTS (exact ties
+  // on both engines — no double-sum ulp in the rank key), midranks
+  // come from the distributed rank machinery (q89's pass —
+  // bucket-partitioned, no global sort, plan-only build), per-group
+  // rank sums are exact integers-or-halves, and H plus the standard
+  // tie correction H/(1 − Σ(t³−t)/(N³−N)) are O(1) arithmetic on the
+  // bounded segment axis (N³ in DOUBLE — a long overflows past ~2M
+  // rows). 4dp round absorbs cross-engine group-order ulps.
+  val q112_kruskal_wallis: Q = (s, d) => {
+    val spend = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("cents"))
+      .join(Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+        "o_custkey")
+    val mr = midranks(spend.select(col("cents").as("v")))
+    val ties = mr.agg(
+      sum(col("c").cast("double") * col("c") * col("c") - col("c")).as("tt"))
+    val g = spend
+      .join(mr.select(col("v").as("cents"), col("midrank")), Seq("cents"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("ng"), sum("midrank").as("smr"))
+    val tot = g.agg(sum("ng").cast("double").as("n"))
+    g.crossJoin(broadcast(tot))
+      .agg(count(lit(1)).as("k"), first("n").as("n"),
+        sum(col("ng") * pow(col("smr") / col("ng") -
+          (col("n") + lit(1.0)) / 2, 2)).as("ss"))
+      .crossJoin(broadcast(ties))
+      .select(col("k").as("n_groups"), col("n").cast("long").as("n_customers"),
+        round(lit(12.0) / (col("n") * (col("n") + lit(1.0))) * col("ss"), 4)
+          .as("h"),
+        round(lit(12.0) / (col("n") * (col("n") + lit(1.0))) * col("ss") /
+          (lit(1.0) - col("tt") /
+            (col("n") * col("n") * col("n") - col("n"))), 4)
+          .as("h_corrected"))
+  }
+
   // q106: COHORT LTV CURVES — cumulative revenue per customer by
   // quarters-since-first-order, per first-order-quarter cohort (q46
   // counts WHO returns; this prices WHAT they spend — the payback
@@ -3124,22 +3181,20 @@ object Relational {
       .orderBy("yr")
   }
 
-  val q110_pareto_drift: Q = (s, d) => {
-    val per = Tables.orders(s, d)
+  val q110_pareto_drift: Q = (s, d) =>
+    // plan-only build: ReuseExchange shares the panel agg across the
+    // lazy bucket-stats subplan and the ranked plan (q66's pattern)
+    paretoDriftReadout(Tables.orders(s, d)
       .groupBy(year(to_date(col("o_orderdate"))).as("yr"),
         col("o_custkey"))
       .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)"))
-        .as("cents"))
-      .persist() // feeds the bucket stats pass + the ranked plan
-    val out = paretoDriftReadout(per).localCheckpoint(true)
-    per.unpersist()
-    out
-  }
+        .as("cents")))
 
   val queries: Map[String, Q] = Map(
     "q109_dormancy_winback" -> q109_dormancy_winback,
     "q110_pareto_drift" -> q110_pareto_drift,
     "q111_revenue_bridge" -> q111_revenue_bridge,
+    "q112_kruskal_wallis" -> q112_kruskal_wallis,
     "q108_newsvendor" -> q108_newsvendor,
     "q106_cohort_ltv" -> q106_cohort_ltv,
     "q107_segment_migration" -> q107_segment_migration,
@@ -3273,6 +3328,36 @@ object Relational {
       |FROM det JOIN se USING (wd) ORDER BY day""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q112_kruskal_wallis" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |sm AS (
+        |  SELECT cents, c_mktsegment
+        |  FROM spend JOIN customer ON c_custkey = o_custkey),
+        |vc AS (SELECT cents, count(*) AS c FROM sm GROUP BY 1),
+        |rk AS (
+        |  SELECT cents,
+        |    coalesce(sum(c) OVER (ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + (c + 1.0) / 2 AS midrank
+        |  FROM vc),
+        |g AS (
+        |  SELECT c_mktsegment, count(*) AS ng, sum(midrank) AS smr
+        |  FROM sm JOIN rk USING (cents) GROUP BY 1),
+        |t AS (SELECT sum(ng)::DOUBLE AS n FROM g),
+        |ties AS (SELECT sum(c::DOUBLE * c * c - c) AS tt FROM vc),
+        |agg AS (
+        |  SELECT count(*)::BIGINT AS k, first(n) AS n,
+        |    sum(ng * pow(smr / ng - (n + 1.0) / 2, 2)) AS ss
+        |  FROM g, t)
+        |SELECT k AS n_groups, n::BIGINT AS n_customers,
+        |  round(12.0 / (n * (n + 1.0)) * ss, 4) AS h,
+        |  round(12.0 / (n * (n + 1.0)) * ss /
+        |    (1.0 - tt / (n * n * n - n)), 4) AS h_corrected
+        |FROM agg, ties""".stripMargin,
     "q111_revenue_bridge" ->
       """WITH py AS (
         |  SELECT l_partkey, year(l_shipdate)::INT AS yr,

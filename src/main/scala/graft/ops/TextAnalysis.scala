@@ -1109,16 +1109,14 @@ object TextAnalysis {
     val vocab = Tables.documents(s, d)
       .select(explode(toks(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).cast("double").as("n"))
-      .persist() // feeds the bucket stats pass + the ranked plan
-    val out = Relational.bucketRank(vocab, "n", "tok")
+    // plan-only build: ReuseExchange shares the vocab agg across the
+    // lazy bucket-stats subplan and the ranked plan (q66's pattern)
+    Relational.bucketRank(vocab, "n", "tok")
       .withColumn("rank", col("rk").cast("double"))
       .agg(count(lit(1)).as("n_types"),
         round(expr("regr_slope(log10(n), log10(rank))"), 4).as("slope"),
         round(expr("regr_intercept(log10(n), log10(rank))"), 4).as("intercept"),
         round(expr("regr_r2(log10(n), log10(rank))"), 6).as("r2"))
-      .localCheckpoint(true)
-    vocab.unpersist()
-    out
   }
 
   /** t35/t36 unigram-LM tokenizer parameters (Kudo 2018 /
@@ -1733,8 +1731,12 @@ object TextAnalysis {
     val scored = weightedSampleScores(s, d)
       .select(col("doc_id"), col("source"), col("score"),
         col("n_tokens").cast("long").as("nt"))
-      .persist() // feeds the bucket stats pass + the scored plan
-    val out = graft.ops.Relational.cumSumDesc(scored, "score", "doc_id", "nt")
+      // the scored panel is a narrow map (no natural exchange), so pin
+      // an explicit doc_id exchange: ReuseExchange shares the tokenized
+      // panel across the lazy bucket-stats subplan and the scored plan —
+      // documents tokenize ONCE, and the plan stays action-free at build
+      .repartition(col("doc_id"))
+    graft.ops.Relational.cumSumDesc(scored, "score", "doc_id", "nt")
       .withColumn("budget", expr("(t * 3) div 10"))
       .filter(col("cum_sum") <= col("budget"))
       .groupBy(col("source"))
@@ -1744,9 +1746,6 @@ object TextAnalysis {
         round(sum("nt") / first("budget").cast("double"), 4)
           .as("budget_share"))
       .orderBy("source")
-      .localCheckpoint(true)
-    scored.unpersist()
-    out
   }
 
   val queries: Map[String, Q] = Map(

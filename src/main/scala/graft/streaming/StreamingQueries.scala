@@ -1976,7 +1976,52 @@ object StreamingQueries {
     }
   }
 
+  // s46: STREAMING GINI — q85's twin (33rd pair): the per-customer
+  // (Σ totalprice, Σ cents) spend panel folds commutatively; delivery
+  // is CUSTOMER-sharded so each key's double partial accumulates in
+  // one shard (the cents side is exact regardless). Snapshot runs
+  // q85's OWN readout (shared giniReadout — rank·x via the bucket
+  // machinery); equal-value cells split/merge without moving Σrank·x,
+  // so residual double-order ulps die in the 6dp round (the q89
+  // argument). State is bounded by the CUSTOMER key space, never the
+  // order count. Oracle is q85's verbatim.
+  val s46_stream_gini: Q = (s, d) => {
+    val feed = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_totalprice").as("xp"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+    snapshotTwin(s, feed, col("o_custkey"), Seq("o_custkey"),
+      Seq(sum("xp").as("x"), sum("cents").as("cents"))) { panel =>
+      graft.ops.Relational.giniReadout(panel.select(col("x"), col("cents")))
+    }
+  }
+
+  // s47: STREAMING WEIGHTED MEDIAN — q98's twin (34th pair) and the
+  // first VALUE-AXIS state discipline: state keys on the observed
+  // (returnflag, unit_price) value itself and folds integer quantity
+  // weights — bounded by the price axis, never the line count. Exact
+  // percentile with frequency semantics is collapse-invariant, so the
+  // snapshot's value-collapsed panel through q98's OWN readout (shared
+  // wmedianReadout) equals the batch lane EXACTLY — no ulp argument
+  // needed (unit_price is per-row derived, weights are longs). At
+  // 100 TB the exact panel swaps for approx_percentile in the same
+  // fold (q39's documented trade). Oracle is q98's verbatim.
+  val s47_stream_wmedian: Q = (s, d) => {
+    val feed = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01"))
+      .select(col("l_orderkey"), col("l_returnflag"),
+        (col("l_extendedprice") / col("l_quantity")).as("unit_price"),
+        col("l_quantity").cast("long").as("q"))
+    snapshotTwin(s, feed, col("l_orderkey"), Seq("l_returnflag", "unit_price"),
+      Seq(sum("q").as("q"))) { panel =>
+      graft.ops.Relational.wmedianReadout(
+        panel.select(col("l_returnflag"), col("unit_price"), col("q")))
+    }
+  }
+
   val queries: Map[String, Q] = Map(
+    "s46_stream_gini" -> s46_stream_gini,
+    "s47_stream_wmedian" -> s47_stream_wmedian,
     "s45_stream_pareto_drift" -> s45_stream_pareto_drift,
     "s44_stream_abc" -> s44_stream_abc,
     "s43_stream_quality_yield" -> s43_stream_quality_yield,
@@ -2019,6 +2064,15 @@ object StreamingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // q85's batch oracle verbatim — the per-customer spend fold plus
+    // the shared giniReadout must land the 6dp Gini exactly
+    "s46_stream_gini" ->
+      graft.ops.Relational.oracle("q85_gini"),
+    // q98's batch oracle verbatim — collapse-invariant weighted
+    // percentiles over the value-axis state panel are EXACTLY the
+    // batch per-line formulation
+    "s47_stream_wmedian" ->
+      graft.ops.Relational.oracle("q98_weighted_median"),
     // q66's batch oracle verbatim — the commutative per-part cent fold
     // must land every ABC class boundary exactly where batch does
     "s44_stream_abc" ->

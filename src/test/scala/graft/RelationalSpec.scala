@@ -1821,6 +1821,36 @@ class RelationalSpec extends AnyFunSuite {
     assert(u1 >= 0 && u1 <= n1.toDouble * n2)
   }
 
+  test("q112 Kruskal-Wallis H matches an exact driver recompute") {
+    import org.apache.spark.sql.functions._
+    val g = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("cents"))
+      .join(Tables.customer(spark, sf)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+        "o_custkey")
+      .select("c_mktsegment", "cents").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val n = g.length.toDouble
+    val midrank = g.map(_._2).sorted.zipWithIndex.groupBy(_._1)
+      .map { case (v, xs) => v -> (xs.map(_._2 + 1.0).sum / xs.length) }
+    val ss = g.groupBy(_._1).values.map { xs =>
+      val smr = xs.map(x => midrank(x._2)).sum
+      xs.length * math.pow(smr / xs.length - (n + 1) / 2, 2)
+    }.sum
+    val h = 12.0 / (n * (n + 1)) * ss
+    val tt = g.groupBy(_._2).map(_._2.length.toDouble)
+      .map(c => c * c * c - c).sum
+    val hc = h / (1.0 - tt / (n * n * n - n))
+    val row = ops.Relational.q112_kruskal_wallis(spark, sf).collect().head
+    assert(row.getAs[Long]("n_groups") == 5L)
+    assert(row.getAs[Long]("n_customers") == g.length.toLong)
+    assert(math.abs(row.getAs[Double]("h") - h) < 1e-3)
+    assert(math.abs(row.getAs[Double]("h_corrected") - hc) < 1e-3)
+    // the tie correction divides by C ≤ 1, so it can only grow H
+    assert(row.getAs[Double]("h_corrected") >= row.getAs[Double]("h"))
+  }
+
   test("q103 Theil-Sen slope equals the exact pairwise-median recompute") {
     import org.apache.spark.sql.functions._
     val day = Tables.lineitem(spark, sf)

@@ -424,6 +424,24 @@ class StreamingSpec extends AnyFunSuite {
       "panel fold + shared paretoDriftReadout must reproduce batch shares")
   }
 
+  test("s46 streaming Gini equals batch q85 under customer-sharded delivery") {
+    val got = StreamingQueries.s46_stream_gini(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val exp = ops.Relational.q85_gini(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == exp,
+      "spend-panel fold + shared giniReadout must reproduce the batch Gini")
+  }
+
+  test("s47 streaming weighted median equals batch q98 exactly (collapse invariance)") {
+    val got = StreamingQueries.s47_stream_wmedian(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val exp = ops.Relational.q98_weighted_median(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == exp,
+      "value-axis state + shared wmedianReadout must equal the per-line batch")
+  }
+
   test("s43 streaming quality yield equals batch t50 under doc-id-sharded delivery") {
     val got = StreamingQueries.s43_stream_quality_yield(spark, sf)
       .collect().map(_.toSeq).toSeq
