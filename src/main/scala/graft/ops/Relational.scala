@@ -2027,7 +2027,8 @@ object Relational {
         .select("c_custkey", "c_mktsegment")), col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_custkey"), col("c_mktsegment"))
       .agg(sum("o_totalprice").as("spend"))
-      .persist() // two passes: group means, then centered squares
+    // the spend panel ends at a shuffle exchange, so ReuseExchange
+    // shares it across both passes — plan-only build, no cache
     val means = spend.groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).cast("double").as("ng"), avg("spend").as("mg"))
     val grand = spend.agg(avg("spend").as("m"), count(lit(1)).as("n"))
@@ -2036,14 +2037,11 @@ object Relational {
     val ssb = means.crossJoin(broadcast(grand))
       .agg(sum(col("ng") * pow(col("mg") - col("m"), 2)).as("ssb"),
         count(lit(1)).as("k"), first("n").as("n"))
-    val out = ssb.crossJoin(broadcast(ssw))
+    ssb.crossJoin(broadcast(ssw))
       .select(col("k"), col("n"),
         round((col("ssb") / (col("k") - 1)) /
           (col("ssw") / (col("n") - col("k"))), 4).as("f_stat"),
         round(col("ssb") / (col("ssb") + col("ssw")), 6).as("eta_sq"))
-      .localCheckpoint(true)
-    spend.unpersist()
-    out
   }
 
   // q82: INTER-PURCHASE CYCLE — the replenishment-cadence histogram:
@@ -2322,18 +2320,16 @@ object Relational {
     val base = Tables.orders(s, d)
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).cast("double").as("x"), sum("o_totalprice").as("y"))
-      .persist() // feeds two rank passes plus the scoring join
+    // base ends at a shuffle exchange — ReuseExchange shares it across
+    // both rank passes and the scoring join; plan-only build, no cache
     val rx = midranks(base.select(col("x").as("v")))
       .select(col("v").as("x"), col("midrank").as("rx"))
     val ry = midranks(base.select(col("y").as("v")))
       .select(col("v").as("y"), col("midrank").as("ry"))
-    val out = base.join(rx, Seq("x")).join(ry, Seq("y"))
+    base.join(rx, Seq("x")).join(ry, Seq("y"))
       .agg(count(lit(1)).as("n_customers"),
         round(corr(col("rx"), col("ry")), 6).as("spearman_rho"),
         round(corr(col("x"), col("y")), 6).as("pearson_r"))
-      .localCheckpoint(true)
-    base.unpersist()
-    out
   }
 
   // q90: TWO-SAMPLE KOLMOGOROV-SMIRNOV — the distribution-drift test
@@ -2394,7 +2390,8 @@ object Relational {
     val daily = Tables.orders(s, d)
       .groupBy(to_date(col("o_orderdate")).as("day"))
       .agg(sum("o_totalprice").as("y"))
-      .persist() // three consumers: the pair join (twice) + n + ties
+    // the day-axis panel ends at a shuffle exchange — ReuseExchange
+    // shares it across the pair join (twice), n and ties; no cache
     val a = daily.select(col("day").as("di"), col("y").as("yi"))
     val b = daily.select(col("day").as("dj"), col("y").as("yj"))
     val st = a.join(b, col("di") < col("dj"))
@@ -2404,7 +2401,7 @@ object Relational {
       .filter(col("t") > 1)
       .agg(coalesce(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)),
         lit(0L)).cast("double").as("tt"))
-    val out = st.crossJoin(nn).crossJoin(ties)
+    st.crossJoin(nn).crossJoin(ties)
       .withColumn("variance",
         (col("n") * (col("n") - 1) * (col("n") * 2 + 5) - col("tt")) / 18.0)
       .withColumn("zraw",
@@ -2419,9 +2416,6 @@ object Relational {
         when(col("zraw") > 1.96, "increasing")
           .when(col("zraw") < -1.96, "decreasing")
           .otherwise("no_trend").as("trend"))
-      .localCheckpoint(true)
-    daily.unpersist()
-    out
   }
 
   // q92: CROSS-CORRELATION FUNCTION between the daily view and purchase
@@ -2504,7 +2498,9 @@ object Relational {
       .filter(col("in_exp") === 1)
       .withColumn("variant",
         when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B"))
-      .persist() // pooled moments + adjusted scoring + variant rollup
+    // the per-user panel sits on a shuffle exchange — ReuseExchange
+    // shares it across the pooled moments, the adjusted scoring and
+    // the variant rollup; plan-only build, no cache
     val st = per.agg(expr("covar_samp(x, y)").as("cxy"),
       expr("var_samp(x)").as("vx"), avg("x").as("mx"),
       expr("var_samp(y)").as("vy"))
@@ -2515,15 +2511,12 @@ object Relational {
     val vr = adj.agg(
       round(lit(1.0) - expr("var_samp(yc)") / first("vy"), 4)
         .as("var_reduction"))
-    val out = adj.groupBy("variant")
+    adj.groupBy("variant")
       .agg(count(lit(1)).as("n_users"),
         round(avg("y"), 4).as("mean_y"),
         round(avg("yc"), 4).as("mean_y_cuped"))
       .crossJoin(broadcast(vr))
       .orderBy("variant")
-      .localCheckpoint(true)
-    per.unpersist()
-    out
   }
 
   // q95: CLAMPED RUNNING BALANCE (inventory semantics) — stock that can
