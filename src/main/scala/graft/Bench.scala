@@ -86,6 +86,10 @@ object Bench {
         val times = (1 to runs).flatMap { _ =>
           if (errors.contains(name)) None // fail fast after the first error
           else {
+            // lanes persist() shared panels lazily; clear BEFORE timing
+            // so every run pays the full cost (a warm cache from the
+            // previous run would make min-of-3 measure cache reads)
+            spark.catalog.clearCache()
             val t0 = System.nanoTime()
             try {
               fn(spark, sfDir).count()

@@ -37,6 +37,10 @@ object Verify {
           c = c.getCause
         }
       }
+      // lanes persist() their shared panels LAZILY (dedup across
+      // pruning-divergent branches); release them here so cached
+      // blocks never accumulate across the 375-lane run
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

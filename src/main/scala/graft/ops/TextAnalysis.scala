@@ -1109,8 +1109,9 @@ object TextAnalysis {
     val vocab = Tables.documents(s, d)
       .select(explode(toks(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).cast("double").as("n"))
-    // plan-only build: ReuseExchange shares the vocab agg across the
-    // lazy bucket-stats subplan and the ranked plan (q66's pattern)
+      // LAZY persist (q66's pattern): dedupes the tokenize+count across
+      // the pruning-divergent rank branches; no build job
+      .persist()
     Relational.bucketRank(vocab, "n", "tok")
       .withColumn("rank", col("rk").cast("double"))
       .agg(count(lit(1)).as("n_types"),
@@ -1731,11 +1732,10 @@ object TextAnalysis {
     val scored = weightedSampleScores(s, d)
       .select(col("doc_id"), col("source"), col("score"),
         col("n_tokens").cast("long").as("nt"))
-      // the scored panel is a narrow map (no natural exchange), so pin
-      // an explicit doc_id exchange: ReuseExchange shares the tokenized
-      // panel across the lazy bucket-stats subplan and the scored plan —
-      // documents tokenize ONCE, and the plan stays action-free at build
-      .repartition(col("doc_id"))
+      // LAZY persist (q66's pattern): the scored panel is a narrow map,
+      // and per-branch column pruning would re-tokenize documents per
+      // consumer; the cache dedupes it with no build job
+      .persist()
     graft.ops.Relational.cumSumDesc(scored, "score", "doc_id", "nt")
       .withColumn("budget", expr("(t * 3) div 10"))
       .filter(col("cum_sum") <= col("budget"))
