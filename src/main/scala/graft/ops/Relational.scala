@@ -1335,10 +1335,18 @@ object Relational {
   // contingency table (the only data-proportional step); marginals and
   // expected counts are window sums over that bounded table, and the
   // statistic/dof fold is a scalar aggregation of it.
-  val q63_chisq: Q = (s, d) => {
-    val obs = Tables.events(s, d)
+  val q63_chisq: Q = (s, d) =>
+    chisqReadout(Tables.events(s, d)
       .groupBy(col("event_type"), (dayofweek(to_date(col("ts"))) - 1).as("wd"))
-      .agg(count(lit(1)).cast("double").as("o"))
+      .agg(count(lit(1)).cast("double").as("o")))
+
+  /** q63's statistic over any (event_type, wd, o) contingency cells.
+    * Shared with s50's streaming fold: the cells are exact integer
+    * counts widened to double (every count ≪ 2^53), so twin equality
+    * is EXACT — the marginal/expected/χ² arithmetic runs on identical
+    * operands in an identical tree on both paths.
+    */
+  private[graft] def chisqReadout(obs: DataFrame): DataFrame =
     obs
       .withColumn("rt", sum("o").over(Window.partitionBy("event_type")))
       .withColumn("ct", sum("o").over(Window.partitionBy("wd")))
@@ -1349,7 +1357,6 @@ object Relational {
         ((countDistinct("event_type") - 1) * (countDistinct("wd") - 1))
           .cast("int").as("dof"),
         sum("o").cast("long").as("n"))
-  }
 
   // q64: ORDINARY-LEAST-SQUARES simple regression of extended price on
   // quantity — slope/intercept/R², entirely via the native streaming
@@ -2201,9 +2208,21 @@ object Relational {
   // and the global terms ride a 25-row broadcast axis. All outputs are
   // scale-free ratios of like-magnitude sums (non-terminating logs →
   // 6dp boundary landings measure-zero under parallel-sum ulp noise).
-  val q86_theil: Q = (s, d) => {
-    val spend = Tables.orders(s, d).groupBy(col("o_custkey"))
-      .agg(sum("o_totalprice").as("x"))
+  val q86_theil: Q = (s, d) =>
+    theilReadout(s, d, Tables.orders(s, d).groupBy(col("o_custkey"))
+      .agg(sum("o_totalprice").as("x")))
+
+  /** q86's Theil decomposition over a per-customer (o_custkey, x) spend
+    * panel — nation join + per-group sufficient statistics
+    * (n_g, Σx, Σx·ln x), global terms on the 25-row broadcast axis.
+    * Shared by the batch lane and s48's streaming twin: x·ln x is NOT
+    * a fold over orders (ln of a sum), so the twin keys state on the
+    * CUSTOMER axis and this readout derives the log terms from each
+    * customer's FINAL Σx; within-nation re-sum ulps die in the 6dp
+    * round (the q85/q89 argument).
+    */
+  private[graft] def theilReadout(s: SparkSession, d: String,
+      spend: DataFrame): DataFrame = {
     val byNation = spend
       .join(Tables.customer(s, d)
         .select(col("c_custkey").as("o_custkey"), col("c_nationkey")), "o_custkey")
@@ -3061,6 +3080,97 @@ object Relational {
           .as("h_corrected"))
   }
 
+  // q113: MUTUAL INFORMATION between customer market segment and order
+  // priority — the dependence audit q63's chi-squared cannot price in
+  // nats: MI decomposes into per-cell PMI contributions, so WHICH
+  // (segment, priority) cells carry the association falls out of the
+  // same pass. ONE keyed agg collapses the join to the bounded
+  // |seg|·|pri| contingency table (the only data-proportional step);
+  // marginals are window sums over that ≤25-row table (bounded axis —
+  // the q63 discipline) and every log argument is a ratio of EXACT
+  // integer counts (products ≤2^53 stay exact in double), so the
+  // 6dp-rounded logs are deterministic under any parallel sum order.
+  val q113_mutual_info: Q = (s, d) =>
+    miReadout(Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderpriority").as("pri"))
+      .join(Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"),
+          col("c_mktsegment").as("seg")), "o_custkey")
+      .groupBy(col("seg"), col("pri"))
+      .agg(count(lit(1)).as("n_xy")))
+
+  /** q113's PMI/MI readout over any (seg, pri, n_xy) contingency cells
+    * (rows may be pre-counted — the marginals re-sum). Shared with
+    * s49's streaming fold: counts are exact longs, so twin equality is
+    * EXACT, no ulp argument needed.
+    */
+  private[graft] def miReadout(cells: DataFrame): DataFrame = {
+    val ratio = col("n_xy").cast("double") * col("n").cast("double") /
+      (col("n_x").cast("double") * col("n_y").cast("double"))
+    cells
+      .withColumn("n_x", sum("n_xy").over(Window.partitionBy("seg")))
+      .withColumn("n_y", sum("n_xy").over(Window.partitionBy("pri")))
+      .withColumn("n", sum("n_xy").over(Window.partitionBy()))
+      .select(col("seg"), col("pri"), col("n_xy"),
+        round(log(ratio), 6).as("pmi"),
+        round(col("n_xy").cast("double") / col("n").cast("double") *
+          log(ratio), 6).as("mi_term"))
+      .orderBy("seg", "pri")
+  }
+
+  // q114: BENJAMINI-HOCHBERG FDR CONTROL over the per-nation account-
+  // balance z-tests — the multiple-testing closure the single-test
+  // lanes (q62/q63/q81/q102) leave open: run 25 nation-vs-complement
+  // tests and an uncorrected α=0.05 expects ~1.25 false discoveries,
+  // so WHICH nations survive FDR is the honest readout. One keyed agg
+  // to per-nation sufficient statistics (n, Σx, Σx²); the complement's
+  // stats derive from the broadcast global sums (no second scan); the
+  // normal tail rides Abramowitz-Stegun 26.2.17 (published polynomial,
+  // identical double tree on both engines) COMPUTED FROM THE 4dp-
+  // ROUNDED z so everything downstream of the single measure-zero
+  // rounding boundary is bit-deterministic; the BH step-up is a
+  // running min over the bounded 25-row p-axis (never a global sort
+  // over raw rows).
+  val q114_fdr_bh: Q = (s, d) => {
+    val g = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("c_nationkey"), col("n_name"))),
+        "c_nationkey")
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).cast("double").as("ng"),
+        sum("c_acctbal").as("s1"),
+        sum(col("c_acctbal") * col("c_acctbal")).as("s2"))
+    val glob = g.agg(sum("ng").as("gn"), sum("s1").as("gs1"),
+      sum("s2").as("gs2"), count(lit(1)).cast("double").as("m"))
+    val nc = col("gn") - col("ng")
+    val mg = col("s1") / col("ng")
+    val mc = (col("gs1") - col("s1")) / nc
+    val vg = (col("s2") - col("s1") * col("s1") / col("ng")) / (col("ng") - 1)
+    val vc = ((col("gs2") - col("s2")) -
+      (col("gs1") - col("s1")) * (col("gs1") - col("s1")) / nc) / (nc - 1)
+    val z = round((mg - mc) / sqrt(vg / col("ng") + vc / nc), 4)
+    val x = abs(col("z"))
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * x)
+    val poly = t * (lit(0.319381530) + t * (lit(-0.356563782) +
+      t * (lit(1.781477937) + t * (lit(-1.821255978) +
+        t * lit(1.330274429)))))
+    val p = lit(2.0) * (exp(-x * x / lit(2.0)) * lit(0.3989422804014327)) * poly
+    val rk = row_number()
+      .over(Window.orderBy(col("p").asc, col("n_name").asc))
+    val tail = Window.orderBy(col("p").desc, col("n_name").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.crossJoin(broadcast(glob))
+      .withColumn("z", z)
+      .withColumn("p", p)
+      .withColumn("padj_raw", col("p") * col("m") / rk)
+      .withColumn("p_adj", least(min("padj_raw").over(tail), lit(1.0)))
+      .select(col("n_name"), col("ng").cast("long").as("n_customers"),
+        col("z"), round(col("p"), 6).as("p_value"),
+        round(col("p_adj"), 6).as("p_adj"),
+        (col("p_adj") <= 0.05).cast("int").as("discovery"))
+      .orderBy("n_name")
+  }
+
   // q106: COHORT LTV CURVES — cumulative revenue per customer by
   // quarters-since-first-order, per first-order-quarter cohort (q46
   // counts WHO returns; this prices WHAT they spend — the payback
@@ -3228,6 +3338,8 @@ object Relational {
     "q110_pareto_drift" -> q110_pareto_drift,
     "q111_revenue_bridge" -> q111_revenue_bridge,
     "q112_kruskal_wallis" -> q112_kruskal_wallis,
+    "q113_mutual_info" -> q113_mutual_info,
+    "q114_fdr_bh" -> q114_fdr_bh,
     "q108_newsvendor" -> q108_newsvendor,
     "q106_cohort_ltv" -> q106_cohort_ltv,
     "q107_segment_migration" -> q107_segment_migration,
@@ -3361,6 +3473,61 @@ object Relational {
       |FROM det JOIN se USING (wd) ORDER BY day""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q113_mutual_info" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment AS seg, o_orderpriority AS pri
+        |  FROM orders JOIN customer ON c_custkey = o_custkey),
+        |cells AS (SELECT seg, pri, count(*) AS n_xy FROM j GROUP BY 1, 2),
+        |w AS (
+        |  SELECT seg, pri, n_xy,
+        |    sum(n_xy) OVER (PARTITION BY seg) AS n_x,
+        |    sum(n_xy) OVER (PARTITION BY pri) AS n_y,
+        |    sum(n_xy) OVER () AS n
+        |  FROM cells)
+        |SELECT seg, pri, n_xy,
+        |  round(ln(CAST(n_xy AS DOUBLE) * CAST(n AS DOUBLE) /
+        |    (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))), 6) AS pmi,
+        |  round(CAST(n_xy AS DOUBLE) / CAST(n AS DOUBLE) *
+        |    ln(CAST(n_xy AS DOUBLE) * CAST(n AS DOUBLE) /
+        |      (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))), 6) AS mi_term
+        |FROM w ORDER BY seg, pri""".stripMargin,
+    "q114_fdr_bh" ->
+      """WITH g AS (
+        |  SELECT n_name, count(*)::DOUBLE AS ng, sum(c_acctbal) AS s1,
+        |    sum(c_acctbal * c_acctbal) AS s2
+        |  FROM customer JOIN nation ON n_nationkey = c_nationkey
+        |  GROUP BY 1),
+        |tot AS (
+        |  SELECT sum(ng) AS gn, sum(s1) AS gs1, sum(s2) AS gs2,
+        |    count(*)::DOUBLE AS m
+        |  FROM g),
+        |zt AS (
+        |  SELECT n_name, ng, m,
+        |    round((s1 / ng - (gs1 - s1) / (gn - ng)) /
+        |      sqrt((s2 - s1 * s1 / ng) / (ng - 1) / ng +
+        |        ((gs2 - s2) - (gs1 - s1) * (gs1 - s1) / (gn - ng)) /
+        |          (gn - ng - 1) / (gn - ng)), 4) AS z
+        |  FROM g, tot),
+        |pv AS (
+        |  SELECT n_name, ng, m, z,
+        |    2.0 * (exp(-abs(z) * abs(z) / 2.0) * 0.3989422804014327) *
+        |      ((1.0 / (1.0 + 0.2316419 * abs(z))) * (0.319381530 +
+        |        (1.0 / (1.0 + 0.2316419 * abs(z))) * (-0.356563782 +
+        |        (1.0 / (1.0 + 0.2316419 * abs(z))) * (1.781477937 +
+        |        (1.0 / (1.0 + 0.2316419 * abs(z))) * (-1.821255978 +
+        |        (1.0 / (1.0 + 0.2316419 * abs(z))) * 1.330274429))))) AS p
+        |  FROM zt),
+        |bh AS (
+        |  SELECT n_name, ng, z, p,
+        |    least(min(p * m / rk) OVER (ORDER BY p DESC, n_name DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0)
+        |      AS p_adj
+        |  FROM (SELECT *, row_number() OVER (ORDER BY p ASC, n_name ASC)
+        |          AS rk FROM pv))
+        |SELECT n_name, ng::BIGINT AS n_customers, z,
+        |  round(p, 6) AS p_value, round(p_adj, 6) AS p_adj,
+        |  CAST(p_adj <= 0.05 AS INT) AS discovery
+        |FROM bh ORDER BY n_name""".stripMargin,
     "q112_kruskal_wallis" ->
       """WITH spend AS (
         |  SELECT o_custkey,

@@ -2019,7 +2019,72 @@ object StreamingQueries {
     }
   }
 
+  // s48: STREAMING THEIL — q86's twin (35th pair): the per-customer
+  // spend panel folds commutatively under CUSTOMER-sharded delivery
+  // (each key's double partial accumulates in one shard, the s46
+  // argument). x·ln x is NOT a fold over orders (ln of a sum) — which
+  // is exactly why state keys on the CUSTOMER axis (c04's apply-table
+  // bound: state scales with the customer key space, never the order
+  // count) and the snapshot derives the log terms from each customer's
+  // FINAL Σx via q86's OWN readout (shared theilReadout — nation join
+  // + per-group sufficient statistics); within-nation re-sum ulps die
+  // in the 6dp round. Oracle is q86's verbatim.
+  val s48_stream_theil: Q = (s, d) => {
+    val feed = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_totalprice").as("xp"))
+    snapshotTwin(s, feed, col("o_custkey"), Seq("o_custkey"),
+      Seq(sum("xp").as("x"))) { panel =>
+      graft.ops.Relational.theilReadout(s, d,
+        panel.select(col("o_custkey"), col("x")))
+    }
+  }
+
+  // s49: STREAMING MUTUAL INFORMATION — q113's twin (36th pair) on the
+  // VALUE-AXIS state discipline (s47's): state keys on the observed
+  // (segment, priority) cell and folds exact integer counts — bounded
+  // by the ≤25-cell contingency axis, never the order count. Counts
+  // are longs, so the snapshot's cell panel through q113's OWN readout
+  // (shared miReadout) equals the batch lane EXACTLY — no ulp argument
+  // needed. Oracle is q113's verbatim.
+  val s49_stream_mi: Q = (s, d) => {
+    val feed = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderpriority").as("pri"))
+      .join(Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"),
+          col("c_mktsegment").as("seg")), "o_custkey")
+      .select(col("o_orderkey"), col("seg"), col("pri"))
+    snapshotTwin(s, feed, col("o_orderkey"), Seq("seg", "pri"),
+      Seq(count(lit(1)).as("n_xy"))) { panel =>
+      graft.ops.Relational.miReadout(
+        panel.select(col("seg"), col("pri"), col("n_xy")))
+    }
+  }
+
+  // s50: STREAMING CHI-SQUARED — q63's twin (37th pair), value-axis
+  // state like s47/s49: state keys on the observed (event_type,
+  // weekday) cell and folds exact integer counts — bounded by the
+  // ≤|types|·7-cell contingency axis, never the event count. The
+  // snapshot widens counts to double and runs q63's OWN readout
+  // (shared chisqReadout); counts ≪ 2^53 make the widening exact, so
+  // the only cross-path noise is the 35-cell χ² sum order, absorbed
+  // by the 4dp round. Oracle is q63's verbatim.
+  val s50_stream_chisq: Q = (s, d) => {
+    val feed = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        (dayofweek(to_date(col("ts"))) - 1).as("wd"))
+    snapshotTwin(s, feed, col("event_id"), Seq("event_type", "wd"),
+      Seq(count(lit(1)).as("cnt"))) { panel =>
+      graft.ops.Relational.chisqReadout(
+        panel.select(col("event_type"), col("wd"),
+          col("cnt").cast("double").as("o")))
+    }
+  }
+
   val queries: Map[String, Q] = Map(
+    "s50_stream_chisq" -> s50_stream_chisq,
+    "s48_stream_theil" -> s48_stream_theil,
+    "s49_stream_mi" -> s49_stream_mi,
     "s46_stream_gini" -> s46_stream_gini,
     "s47_stream_wmedian" -> s47_stream_wmedian,
     "s45_stream_pareto_drift" -> s45_stream_pareto_drift,
@@ -2064,6 +2129,18 @@ object StreamingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // q63's batch oracle verbatim — the cell-count fold is exact, so
+    // the shared chisqReadout must hash-match the batch statistic
+    "s50_stream_chisq" ->
+      graft.ops.Relational.oracle("q63_chisq"),
+    // q86's batch oracle verbatim — the per-customer spend fold plus
+    // the shared theilReadout must land the 6dp decomposition exactly
+    "s48_stream_theil" ->
+      graft.ops.Relational.oracle("q86_theil"),
+    // q113's batch oracle verbatim — the cell-count fold is exact, so
+    // the shared miReadout must hash-match the batch lane
+    "s49_stream_mi" ->
+      graft.ops.Relational.oracle("q113_mutual_info"),
     // q85's batch oracle verbatim — the per-customer spend fold plus
     // the shared giniReadout must land the 6dp Gini exactly
     "s46_stream_gini" ->

@@ -1851,6 +1851,85 @@ class RelationalSpec extends AnyFunSuite {
     assert(row.getAs[Double]("h_corrected") >= row.getAs[Double]("h"))
   }
 
+  test("q113 mutual information matches an exact driver recompute") {
+    import org.apache.spark.sql.functions._
+    val joint = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderpriority").as("pri"))
+      .join(Tables.customer(spark, sf)
+        .select(col("c_custkey").as("o_custkey"),
+          col("c_mktsegment").as("seg")), "o_custkey")
+      .groupBy("seg", "pri").count().collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val n = joint.values.sum.toDouble
+    val nx = joint.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val ny = joint.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val got = ops.Relational.q113_mutual_info(spark, sf).collect()
+    assert(got.length == joint.size)
+    var mi = 0.0
+    got.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      val pmi = math.log(joint(k) * n / (nx(k._1).toDouble * ny(k._2)))
+      assert(r.getAs[Long]("n_xy") == joint(k))
+      assert(math.abs(r.getAs[Double]("pmi") - pmi) < 1e-5)
+      assert(math.abs(r.getAs[Double]("mi_term") - joint(k) / n * pmi) < 1e-5)
+      mi += r.getAs[Double]("mi_term")
+    }
+    // MI = Σ mi_term is nonnegative (Gibbs); 6dp-rounded terms can
+    // push the sum a hair below zero only by cell-count ulps
+    assert(mi >= -1e-4, s"MI must be nonnegative, got $mi")
+  }
+
+  test("q114 BH step-up matches an exact driver recompute and is monotone") {
+    import org.apache.spark.sql.functions._
+    val g = Tables.customer(spark, sf)
+      .join(Tables.nation(spark, sf)
+        .select(col("n_nationkey").as("c_nationkey"), col("n_name")),
+        "c_nationkey")
+      .select("n_name", "c_acctbal").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    val all = g.values.flatten.toSeq
+    val (gn, gs1, gs2) =
+      (all.size.toDouble, all.sum, all.map(x => x * x).sum)
+    def pOf(z: Double): Double = {
+      val x = math.abs(z)
+      val t = 1.0 / (1.0 + 0.2316419 * x)
+      val poly = t * (0.319381530 + t * (-0.356563782 + t * (1.781477937 +
+        t * (-1.821255978 + t * 1.330274429))))
+      2.0 * (math.exp(-x * x / 2.0) * 0.3989422804014327) * poly
+    }
+    val p = g.map { case (name, xs) =>
+      val (ng, s1, s2) = (xs.size.toDouble, xs.sum, xs.map(x => x * x).sum)
+      val (nc, c1, c2) = (gn - ng, gs1 - s1, gs2 - s2)
+      val vg = (s2 - s1 * s1 / ng) / (ng - 1)
+      val vc = (c2 - c1 * c1 / nc) / (nc - 1)
+      val z = BigDecimal((s1 / ng - c1 / nc) / math.sqrt(vg / ng + vc / nc))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      name -> pOf(z)
+    }
+    val m = p.size.toDouble
+    val ranked = p.toSeq.sortBy(x => (x._2, x._1)).zipWithIndex
+      .map { case ((name, pv), i) => (name, pv, pv * m / (i + 1)) }
+    val padj = ranked.indices.map { i =>
+      ranked(i)._1 -> math.min(ranked.drop(i).map(_._3).min, 1.0)
+    }.toMap
+    val got = ops.Relational.q114_fdr_bh(spark, sf).collect()
+    assert(got.length == p.size)
+    got.foreach { r =>
+      val name = r.getString(0)
+      assert(r.getAs[Long]("n_customers") == g(name).size.toLong)
+      assert(math.abs(r.getAs[Double]("p_value") - p(name)) < 1e-5)
+      assert(math.abs(r.getAs[Double]("p_adj") - padj(name)) < 1e-5)
+      // BH can only raise a p-value, never lower it
+      assert(r.getAs[Double]("p_adj") >= r.getAs[Double]("p_value") - 1e-9)
+      assert(r.getAs[Int]("discovery") ==
+        (if (padj(name) <= 0.05) 1 else 0))
+    }
+    // step-up is monotone: sorting by p must sort p_adj too
+    val byP = got.sortBy(_.getAs[Double]("p_value")).map(_.getAs[Double]("p_adj"))
+    assert(byP.zip(byP.tail).forall { case (a, b) => a <= b + 1e-9 })
+  }
+
   test("q103 Theil-Sen slope equals the exact pairwise-median recompute") {
     import org.apache.spark.sql.functions._
     val day = Tables.lineitem(spark, sf)

@@ -433,6 +433,33 @@ class StreamingSpec extends AnyFunSuite {
       "spend-panel fold + shared giniReadout must reproduce the batch Gini")
   }
 
+  test("s48 streaming Theil equals batch q86 under customer-sharded delivery") {
+    val got = StreamingQueries.s48_stream_theil(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val exp = ops.Relational.q86_theil(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == exp,
+      "spend-panel fold + shared theilReadout must reproduce the batch decomposition")
+  }
+
+  test("s49 streaming mutual information equals batch q113 exactly (count fold)") {
+    val got = StreamingQueries.s49_stream_mi(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val exp = ops.Relational.q113_mutual_info(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == exp,
+      "value-axis count state + shared miReadout must equal the per-order batch")
+  }
+
+  test("s50 streaming chi-squared equals batch q63 exactly (count fold)") {
+    val got = StreamingQueries.s50_stream_chisq(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val exp = ops.Relational.q63_chisq(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == exp,
+      "value-axis count state + shared chisqReadout must equal the batch test")
+  }
+
   test("s47 streaming weighted median equals batch q98 exactly (collapse invariance)") {
     val got = StreamingQueries.s47_stream_wmedian(spark, sf)
       .collect().map(_.toSeq).toSeq
