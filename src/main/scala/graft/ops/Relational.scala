@@ -2430,10 +2430,22 @@ object Relational {
   // constant work at any scale. S is an exact signed count, the
   // variance is exact integer arithmetic, and z is one division+sqrt
   // of identical values on both engines — 4dp-deterministic.
-  val q91_mann_kendall: Q = (s, d) => {
-    val daily = Tables.orders(s, d)
+  val q91_mann_kendall: Q = (s, d) =>
+    mkReadout(Tables.orders(s, d)
       .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(sum("o_totalprice").as("y"))
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("y")))
+
+  /** q91's S/variance/z readout over any (day, y) daily panel — y in
+    * EXACT INTEGER CENTS so signs, tie groups, and the variance are
+    * order-independent longs; the per-day cent fold is commutative,
+    * which is what lets s51 stream it and feed this readout an
+    * IDENTICAL panel (twin equality exact, no ulp argument). The
+    * oracle keeps summing raw doubles: sign and tie agreement between
+    * the two formulations needs two days' revenues within an ulp of
+    * each other — measure-zero on a 2400-day axis of thousand-order
+    * sums (and the double path had the same hazard engine-vs-engine).
+    */
+  private[graft] def mkReadout(daily: DataFrame): DataFrame = {
     // the day-axis panel ends at a shuffle exchange — ReuseExchange
     // shares it across the pair join (twice), n and ties; no cache
     val a = daily.select(col("day").as("di"), col("y").as("yi"))
@@ -3131,15 +3143,25 @@ object Relational {
   // rounding boundary is bit-deterministic; the BH step-up is a
   // running min over the bounded 25-row p-axis (never a global sort
   // over raw rows).
-  val q114_fdr_bh: Q = (s, d) => {
-    val g = Tables.customer(s, d)
+  val q114_fdr_bh: Q = (s, d) =>
+    fdrReadout(Tables.customer(s, d)
       .join(broadcast(Tables.nation(s, d)
         .select(col("n_nationkey").as("c_nationkey"), col("n_name"))),
         "c_nationkey")
       .groupBy(col("n_name"))
       .agg(count(lit(1)).cast("double").as("ng"),
         sum("c_acctbal").as("s1"),
-        sum(col("c_acctbal") * col("c_acctbal")).as("s2"))
+        sum(col("c_acctbal") * col("c_acctbal")).as("s2")))
+
+  /** q114's z → p → BH step-up readout over any (n_name, ng, s1, s2)
+    * sufficient-statistics frame (rows may be pre-folded — the global
+    * re-derives by summing the 25-row axis). Shared with s52's
+    * streaming fold: the group stats are double sums, so twin equality
+    * rests on the 4dp z round absorbing fold-order ulps — the same
+    * argument s46/s48 carry, and everything past the rounded z is
+    * bit-deterministic by construction.
+    */
+  private[graft] def fdrReadout(g: DataFrame): DataFrame = {
     val glob = g.agg(sum("ng").as("gn"), sum("s1").as("gs1"),
       sum("s2").as("gs2"), count(lit(1)).cast("double").as("m"))
     val nc = col("gn") - col("ng")
@@ -3169,6 +3191,128 @@ object Relational {
         round(col("p_adj"), 6).as("p_adj"),
         (col("p_adj") <= 0.05).cast("int").as("discovery"))
       .orderBy("n_name")
+  }
+
+  // q115: THEIL'S U (uncertainty coefficient) between market segment
+  // and order priority — q113's MI normalized to [0,1] and made
+  // DIRECTIONAL (U(pri|seg) ≠ U(seg|pri) when the axes carry different
+  // entropy), the readout a feature-selection pass ranks categorical
+  // columns by. Every quantity is a sum over the SAME bounded ≤25-cell
+  // contingency table q113 rides: H(seg) = Σ_cells (n_xy/n)·(−ln n_x/n)
+  // telescopes the y-axis away (Σ_y n_xy = n_x), so entropies and MI
+  // are ONE aggregation over the cells — no second pass, no new
+  // data-proportional step beyond the keyed count collapse. Log
+  // arguments are ratios of exact integer counts; the ≤25-term sum
+  // order is the only cross-engine noise, absorbed by the 6dp round
+  // (q63 survives the same argument at 4dp over 35 cells).
+  val q115_theils_u: Q = (s, d) =>
+    theilsUReadout(Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderpriority").as("pri"))
+      .join(Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"),
+          col("c_mktsegment").as("seg")), "o_custkey")
+      .groupBy(col("seg"), col("pri"))
+      .agg(count(lit(1)).as("n_xy")))
+
+  /** q115's entropy/U readout over any (seg, pri, n_xy) contingency
+    * cells (rows may be pre-counted — marginals re-sum). Shared with
+    * s53's streaming fold: counts are exact longs, so the twin feeds
+    * the readout an identical panel and equality needs only the
+    * 6dp round to absorb the ≤25-term sum order.
+    */
+  private[graft] def theilsUReadout(cells: DataFrame): DataFrame = {
+    val nxy = col("n_xy").cast("double")
+    val px = col("n_x").cast("double") / col("n").cast("double")
+    val py = col("n_y").cast("double") / col("n").cast("double")
+    cells
+      .withColumn("n_x", sum("n_xy").over(Window.partitionBy("seg")))
+      .withColumn("n_y", sum("n_xy").over(Window.partitionBy("pri")))
+      .withColumn("n", sum("n_xy").over(Window.partitionBy()))
+      .agg(
+        first(col("n")).as("nn"),
+        sum(nxy / col("n") * -log(px)).as("hx"),
+        sum(nxy / col("n") * -log(py)).as("hy"),
+        sum(nxy / col("n") * log(nxy * col("n").cast("double") /
+          (col("n_x").cast("double") * col("n_y").cast("double"))))
+          .as("mi"))
+      .select(col("nn").cast("long").as("n"),
+        round(col("hx"), 6).as("h_seg"),
+        round(col("hy"), 6).as("h_pri"),
+        round(col("mi"), 6).as("mi"),
+        round(col("mi") / col("hx"), 6).as("u_seg_given_pri"),
+        round(col("mi") / col("hy"), 6).as("u_pri_given_seg"),
+        round(lit(2.0) * col("mi") / (col("hx") + col("hy")), 6)
+          .as("u_symmetric"))
+  }
+
+  // q116: ODDS RATIO with Woolf confidence interval — does discounting
+  // associate with returns? The 2×2 epidemiology readout (exposure =
+  // discount ≥ 5%, outcome = returnflag 'R') the single-test lanes
+  // don't cover: OR = ad/bc with the Woolf log-scale CI
+  // exp(ln OR ± 1.96·√(1/a+1/b+1/c+1/d)), plus the risk ratio for the
+  // absolute-scale reading. ONE conditional aggregation collapses any
+  // corpus to four exact long counts (map-side partials — nothing but
+  // the four counters moves); everything after is scalar arithmetic on
+  // a 1-row frame, deterministic through the 6dp round because each
+  // value is a single division/log/exp chain on exact integers.
+  val q116_odds_ratio: Q = (s, d) => {
+    val e = col("l_discount") >= 0.05
+    val r = col("l_returnflag") === "R"
+    val cnt = (p: Column) => sum(when(p, 1L).otherwise(0L))
+    Tables.lineitem(s, d)
+      .agg(cnt(e && r).as("a"), cnt(e && !r).as("b"),
+        cnt(!e && r).as("c"), cnt(!e && !r).as("dd"))
+      .select(col("a"), col("b"), col("c"), col("dd").as("d"),
+        round(col("a") * col("dd").cast("double") /
+          (col("b").cast("double") * col("c")), 6).as("odds_ratio"),
+        round(exp(log(col("a") * col("dd").cast("double") /
+            (col("b").cast("double") * col("c"))) -
+          lit(1.96) * sqrt(lit(1.0) / col("a") + lit(1.0) / col("b") +
+            lit(1.0) / col("c") + lit(1.0) / col("dd"))), 6).as("ci_lo"),
+        round(exp(log(col("a") * col("dd").cast("double") /
+            (col("b").cast("double") * col("c"))) +
+          lit(1.96) * sqrt(lit(1.0) / col("a") + lit(1.0) / col("b") +
+            lit(1.0) / col("c") + lit(1.0) / col("dd"))), 6).as("ci_hi"),
+        round((col("a").cast("double") / (col("a") + col("b"))) /
+          (col("c").cast("double") / (col("c") + col("dd"))), 6)
+          .as("risk_ratio"))
+  }
+
+  // q117: CRAMÉR'S V — the effect size q63's chi-squared refuses to be
+  // (χ² grows linearly with n at fixed association, so "significant"
+  // says nothing about STRENGTH at corpus scale; V = √(φ²/min(r−1,c−1))
+  // is scale-free), plus the Bergsma bias-corrected Ṽ that kills the
+  // small-sample inflation. Rides q63's exact (event_type, weekday)
+  // cell collapse — the only data-proportional step — then marginals
+  // as window sums over the bounded ≤35-cell table and ONE aggregation
+  // for χ², r, c, n together. All inputs exact integer counts; the
+  // cell-sum order is the only noise, absorbed by the rounds.
+  val q117_cramers_v: Q = (s, d) => {
+    val cells = Tables.events(s, d)
+      .select(col("event_type"),
+        (dayofweek(to_date(col("ts"))) - 1).as("wd"))
+      .groupBy(col("event_type"), col("wd"))
+      .agg(count(lit(1)).cast("double").as("o"))
+    val stats = cells
+      .withColumn("rt", sum("o").over(Window.partitionBy("event_type")))
+      .withColumn("ct", sum("o").over(Window.partitionBy("wd")))
+      .withColumn("n", sum("o").over(Window.partitionBy()))
+      .withColumn("e", col("rt") * col("ct") / col("n"))
+      .agg(sum(pow(col("o") - col("e"), 2) / col("e")).as("chi2raw"),
+        countDistinct("event_type").cast("double").as("r"),
+        countDistinct("wd").cast("double").as("c"),
+        sum("o").as("nd"))
+    val phi2 = col("chi2raw") / col("nd")
+    val phi2c = greatest(lit(0.0),
+      phi2 - (col("r") - 1) * (col("c") - 1) / (col("nd") - 1))
+    val rc = col("r") - pow(col("r") - 1, 2) / (col("nd") - 1)
+    val cc = col("c") - pow(col("c") - 1, 2) / (col("nd") - 1)
+    stats.select(
+      round(col("chi2raw"), 4).as("chi2"),
+      ((col("r") - 1) * (col("c") - 1)).cast("int").as("dof"),
+      col("nd").cast("long").as("n"),
+      round(sqrt(phi2 / least(col("r") - 1, col("c") - 1)), 6).as("v"),
+      round(sqrt(phi2c / least(rc - 1, cc - 1)), 6).as("v_corrected"))
   }
 
   // q106: COHORT LTV CURVES — cumulative revenue per customer by
@@ -3340,6 +3484,9 @@ object Relational {
     "q112_kruskal_wallis" -> q112_kruskal_wallis,
     "q113_mutual_info" -> q113_mutual_info,
     "q114_fdr_bh" -> q114_fdr_bh,
+    "q115_theils_u" -> q115_theils_u,
+    "q116_odds_ratio" -> q116_odds_ratio,
+    "q117_cramers_v" -> q117_cramers_v,
     "q108_newsvendor" -> q108_newsvendor,
     "q106_cohort_ltv" -> q106_cohort_ltv,
     "q107_segment_migration" -> q107_segment_migration,
@@ -3528,6 +3675,72 @@ object Relational {
         |  round(p, 6) AS p_value, round(p_adj, 6) AS p_adj,
         |  CAST(p_adj <= 0.05 AS INT) AS discovery
         |FROM bh ORDER BY n_name""".stripMargin,
+    "q115_theils_u" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment AS seg, o_orderpriority AS pri
+        |  FROM orders JOIN customer ON c_custkey = o_custkey),
+        |cells AS (SELECT seg, pri, count(*) AS n_xy FROM j GROUP BY 1, 2),
+        |w AS (
+        |  SELECT seg, pri, n_xy,
+        |    sum(n_xy) OVER (PARTITION BY seg) AS n_x,
+        |    sum(n_xy) OVER (PARTITION BY pri) AS n_y,
+        |    sum(n_xy) OVER () AS n
+        |  FROM cells),
+        |agg AS (
+        |  SELECT max(n) AS nn,
+        |    sum(n_xy::DOUBLE / n * -ln(n_x::DOUBLE / n)) AS hx,
+        |    sum(n_xy::DOUBLE / n * -ln(n_y::DOUBLE / n)) AS hy,
+        |    sum(n_xy::DOUBLE / n * ln(n_xy::DOUBLE * n /
+        |      (n_x::DOUBLE * n_y::DOUBLE))) AS mi
+        |  FROM w)
+        |SELECT nn::BIGINT AS n, round(hx, 6) AS h_seg,
+        |  round(hy, 6) AS h_pri, round(mi, 6) AS mi,
+        |  round(mi / hx, 6) AS u_seg_given_pri,
+        |  round(mi / hy, 6) AS u_pri_given_seg,
+        |  round(2.0 * mi / (hx + hy), 6) AS u_symmetric
+        |FROM agg""".stripMargin,
+    "q116_odds_ratio" ->
+      """WITH t AS (
+        |  SELECT
+        |    sum(CASE WHEN l_discount >= 0.05 AND l_returnflag = 'R'
+        |      THEN 1 ELSE 0 END)::BIGINT AS a,
+        |    sum(CASE WHEN l_discount >= 0.05 AND l_returnflag <> 'R'
+        |      THEN 1 ELSE 0 END)::BIGINT AS b,
+        |    sum(CASE WHEN l_discount < 0.05 AND l_returnflag = 'R'
+        |      THEN 1 ELSE 0 END)::BIGINT AS c,
+        |    sum(CASE WHEN l_discount < 0.05 AND l_returnflag <> 'R'
+        |      THEN 1 ELSE 0 END)::BIGINT AS d
+        |  FROM lineitem)
+        |SELECT a, b, c, d,
+        |  round(a * d::DOUBLE / (b::DOUBLE * c), 6) AS odds_ratio,
+        |  round(exp(ln(a * d::DOUBLE / (b::DOUBLE * c)) -
+        |    1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 6) AS ci_lo,
+        |  round(exp(ln(a * d::DOUBLE / (b::DOUBLE * c)) +
+        |    1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 6) AS ci_hi,
+        |  round((a::DOUBLE / (a + b)) / (c::DOUBLE / (c + d)), 6)
+        |    AS risk_ratio
+        |FROM t""".stripMargin,
+    "q117_cramers_v" ->
+      """WITH obs AS (
+        |  SELECT event_type, dayofweek(ts::DATE) AS wd, count(*)::DOUBLE AS o
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT *, sum(o) OVER (PARTITION BY event_type) AS rt,
+        |    sum(o) OVER (PARTITION BY wd) AS ct, sum(o) OVER () AS n
+        |  FROM obs),
+        |agg AS (
+        |  SELECT sum(pow(o - rt*ct/n, 2) / (rt*ct/n)) AS chi2raw,
+        |    count(DISTINCT event_type)::DOUBLE AS r,
+        |    count(DISTINCT wd)::DOUBLE AS c, sum(o) AS nd
+        |  FROM m)
+        |SELECT round(chi2raw, 4) AS chi2,
+        |  ((r - 1) * (c - 1))::INT AS dof, nd::BIGINT AS n,
+        |  round(sqrt(chi2raw / nd / least(r - 1, c - 1)), 6) AS v,
+        |  round(sqrt(greatest(0.0, chi2raw / nd -
+        |      (r - 1) * (c - 1) / (nd - 1)) /
+        |    least(r - pow(r - 1, 2) / (nd - 1) - 1,
+        |      c - pow(c - 1, 2) / (nd - 1) - 1)), 6) AS v_corrected
+        |FROM agg""".stripMargin,
     "q112_kruskal_wallis" ->
       """WITH spend AS (
         |  SELECT o_custkey,

@@ -2081,7 +2081,74 @@ object StreamingQueries {
     }
   }
 
+  // s51: STREAMING MANN-KENDALL — q91's twin (38th pair) on the
+  // CALENDAR-AXIS state discipline: state keys on the day and folds
+  // the revenue in EXACT INTEGER CENTS — bounded by the ≤2400-day
+  // calendar, never the order count. The cent fold is a commutative
+  // long sum, so the compacted panel is bit-identical to the batch
+  // daily panel and q91's OWN readout (shared mkReadout) makes twin
+  // equality EXACT — signs, ties, variance and all; no ulp argument.
+  // Oracle is q91's verbatim.
+  val s51_stream_mann_kendall: Q = (s, d) => {
+    val feed = Tables.orders(s, d)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("day"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+    snapshotTwin(s, feed, col("o_orderkey"), Seq("day"),
+      Seq(sum("cents").as("y"))) { panel =>
+      graft.ops.Relational.mkReadout(panel.select(col("day"), col("y")))
+    }
+  }
+
+  // s52: STREAMING BH-FDR — q114's twin (39th pair): the per-nation
+  // sufficient statistics (n, Σx, Σx²) are commutative folds, so the
+  // multiple-testing monitor runs at the ingest edge — state bounded
+  // by the 25-nation axis, never the customer count. The folds are
+  // double sums under customer-sharded delivery, so twin equality
+  // rests on q114's own discipline: the z is 4dp-rounded BEFORE the
+  // tail polynomial, and everything downstream of that single
+  // measure-zero boundary (p, BH step-up, discovery) is
+  // bit-deterministic — the s46/s48 argument. Oracle is q114's
+  // verbatim.
+  val s52_stream_fdr: Q = (s, d) => {
+    val feed = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("c_nationkey"), col("n_name"))),
+        "c_nationkey")
+      .select(col("c_custkey"), col("n_name"), col("c_acctbal"))
+    snapshotTwin(s, feed, col("c_custkey"), Seq("n_name"),
+      Seq(count(lit(1)).cast("double").as("ng"),
+        sum("c_acctbal").as("s1"),
+        sum(col("c_acctbal") * col("c_acctbal")).as("s2"))) { panel =>
+      graft.ops.Relational.fdrReadout(
+        panel.select(col("n_name"), col("ng"), col("s1"), col("s2")))
+    }
+  }
+
+  // s53: STREAMING THEIL'S U — q115's twin (40th pair), value-axis
+  // state like s49 (same feed, same ≤25-cell contingency axis): exact
+  // long count folds, so the snapshot panel through q115's OWN
+  // readout (shared theilsUReadout) equals the batch lane with only
+  // the readout's own ≤25-term sum order in play — absorbed by the
+  // 6dp round exactly as in batch. Oracle is q115's verbatim.
+  val s53_stream_theils_u: Q = (s, d) => {
+    val feed = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderpriority").as("pri"))
+      .join(Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"),
+          col("c_mktsegment").as("seg")), "o_custkey")
+      .select(col("o_orderkey"), col("seg"), col("pri"))
+    snapshotTwin(s, feed, col("o_orderkey"), Seq("seg", "pri"),
+      Seq(count(lit(1)).as("n_xy"))) { panel =>
+      graft.ops.Relational.theilsUReadout(
+        panel.select(col("seg"), col("pri"), col("n_xy")))
+    }
+  }
+
   val queries: Map[String, Q] = Map(
+    "s53_stream_theils_u" -> s53_stream_theils_u,
+    "s52_stream_fdr" -> s52_stream_fdr,
+    "s51_stream_mann_kendall" -> s51_stream_mann_kendall,
     "s50_stream_chisq" -> s50_stream_chisq,
     "s48_stream_theil" -> s48_stream_theil,
     "s49_stream_mi" -> s49_stream_mi,
@@ -2129,6 +2196,19 @@ object StreamingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // q91's batch oracle verbatim — the day-axis cent fold is an exact
+    // long sum, so the shared mkReadout must hash-match the batch test
+    "s51_stream_mann_kendall" ->
+      graft.ops.Relational.oracle("q91_mann_kendall"),
+    // q114's batch oracle verbatim — per-nation sufficient-stat folds
+    // through the shared fdrReadout land the same 4dp z, and the whole
+    // BH chain is deterministic downstream of it
+    "s52_stream_fdr" ->
+      graft.ops.Relational.oracle("q114_fdr_bh"),
+    // q115's batch oracle verbatim — the cell-count fold is exact, so
+    // the shared theilsUReadout must hash-match the batch lane
+    "s53_stream_theils_u" ->
+      graft.ops.Relational.oracle("q115_theils_u"),
     // q63's batch oracle verbatim — the cell-count fold is exact, so
     // the shared chisqReadout must hash-match the batch statistic
     "s50_stream_chisq" ->

@@ -1930,6 +1930,102 @@ class RelationalSpec extends AnyFunSuite {
     assert(byP.zip(byP.tail).forall { case (a, b) => a <= b + 1e-9 })
   }
 
+  test("q115 Theil's U matches an exact driver recompute") {
+    import org.apache.spark.sql.functions._
+    val joint = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderpriority").as("pri"))
+      .join(Tables.customer(spark, sf)
+        .select(col("c_custkey").as("o_custkey"),
+          col("c_mktsegment").as("seg")), "o_custkey")
+      .groupBy("seg", "pri").count().collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val n = joint.values.sum.toDouble
+    val nx = joint.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val ny = joint.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    def h(m: Map[String, Long]): Double =
+      m.values.map(c => -c / n * math.log(c / n)).sum
+    val mi = joint.map { case ((x, y), c) =>
+      c / n * math.log(c * n / (nx(x).toDouble * ny(y))) }.sum
+    val (hx, hy) = (h(nx), h(ny))
+    val r = ops.Relational.q115_theils_u(spark, sf).collect().head
+    assert(r.getAs[Long]("n") == joint.values.sum)
+    assert(math.abs(r.getAs[Double]("h_seg") - hx) < 1e-5)
+    assert(math.abs(r.getAs[Double]("h_pri") - hy) < 1e-5)
+    assert(math.abs(r.getAs[Double]("mi") - mi) < 1e-5)
+    assert(math.abs(r.getAs[Double]("u_seg_given_pri") - mi / hx) < 1e-5)
+    assert(math.abs(r.getAs[Double]("u_pri_given_seg") - mi / hy) < 1e-5)
+    assert(math.abs(r.getAs[Double]("u_symmetric") -
+      2 * mi / (hx + hy)) < 1e-5)
+    // U is a normalized MI: every variant must land in [0, 1]
+    Seq("u_seg_given_pri", "u_pri_given_seg", "u_symmetric").foreach { c =>
+      val u = r.getAs[Double](c)
+      assert(u >= -1e-9 && u <= 1 + 1e-9, s"$c out of [0,1]: $u")
+    }
+  }
+
+  test("q116 odds ratio matches an exact 2x2 driver recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = Tables.lineitem(spark, sf)
+      .select((col("l_discount") >= 0.05).as("e"),
+        (col("l_returnflag") === "R").as("r"))
+      .groupBy("e", "r").count().collect()
+      .map(x => ((x.getBoolean(0), x.getBoolean(1)), x.getLong(2))).toMap
+    val (a, b) = (rows((true, true)), rows((true, false)))
+    val (c, d) = (rows((false, true)), rows((false, false)))
+    val or = a * d.toDouble / (b.toDouble * c)
+    val se = math.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+    val got = ops.Relational.q116_odds_ratio(spark, sf).collect().head
+    assert(got.getAs[Long]("a") == a && got.getAs[Long]("b") == b &&
+      got.getAs[Long]("c") == c && got.getAs[Long]("d") == d)
+    assert(math.abs(got.getAs[Double]("odds_ratio") - or) < 1e-5)
+    assert(math.abs(got.getAs[Double]("ci_lo") -
+      math.exp(math.log(or) - 1.96 * se)) < 1e-5)
+    assert(math.abs(got.getAs[Double]("ci_hi") -
+      math.exp(math.log(or) + 1.96 * se)) < 1e-5)
+    assert(math.abs(got.getAs[Double]("risk_ratio") -
+      (a.toDouble / (a + b)) / (c.toDouble / (c + d))) < 1e-5)
+    // the CI must bracket the point estimate
+    assert(got.getAs[Double]("ci_lo") <= got.getAs[Double]("odds_ratio"))
+    assert(got.getAs[Double]("ci_hi") >= got.getAs[Double]("odds_ratio"))
+  }
+
+  test("q117 Cramér's V matches q63's chi2 and an exact recompute") {
+    import org.apache.spark.sql.functions._
+    val cells = Tables.events(spark, sf)
+      .select(col("event_type"),
+        (dayofweek(to_date(col("ts"))) - 1).as("wd"))
+      .groupBy("event_type", "wd").count().collect()
+      .map(r => ((r.getString(0), r.getInt(1)), r.getLong(2))).toMap
+    val n = cells.values.sum.toDouble
+    val rt = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val ct = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val chi2 = cells.map { case ((r, c), o) =>
+      val e = rt(r) * ct(c) / n
+      (o - e) * (o - e) / e
+    }.sum
+    val (r, c) = (rt.size.toDouble, ct.size.toDouble)
+    val phi2 = chi2 / n
+    val v = math.sqrt(phi2 / math.min(r - 1, c - 1))
+    val phi2c = math.max(0.0, phi2 - (r - 1) * (c - 1) / (n - 1))
+    val vc = math.sqrt(phi2c / math.min(
+      r - (r - 1) * (r - 1) / (n - 1) - 1,
+      c - (c - 1) * (c - 1) / (n - 1) - 1))
+    val got = ops.Relational.q117_cramers_v(spark, sf).collect().head
+    assert(got.getAs[Long]("n") == cells.values.sum)
+    assert(got.getAs[Int]("dof") == ((rt.size - 1) * (ct.size - 1)))
+    assert(math.abs(got.getAs[Double]("chi2") - chi2) < 1e-2)
+    assert(math.abs(got.getAs[Double]("v") - v) < 1e-5)
+    assert(math.abs(got.getAs[Double]("v_corrected") - vc) < 1e-5)
+    // chi2 must agree with q63's lane on the same cells
+    val q63chi2 = ops.Relational.q63_chisq(spark, sf)
+      .collect().head.getAs[Double]("chi2")
+    assert(math.abs(got.getAs[Double]("chi2") - q63chi2) < 1e-9)
+    // V is scale-free: both variants in [0, 1], corrected ≤ raw + eps
+    assert(v >= 0 && v <= 1 && vc >= 0 && vc <= 1)
+    assert(got.getAs[Double]("v_corrected") <=
+      got.getAs[Double]("v") + 1e-9)
+  }
+
   test("q103 Theil-Sen slope equals the exact pairwise-median recompute") {
     import org.apache.spark.sql.functions._
     val day = Tables.lineitem(spark, sf)

@@ -451,6 +451,33 @@ class StreamingSpec extends AnyFunSuite {
       "value-axis count state + shared miReadout must equal the per-order batch")
   }
 
+  test("s51 streaming Mann-Kendall equals batch q91 exactly (cent fold)") {
+    val got = StreamingQueries.s51_stream_mann_kendall(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val exp = ops.Relational.q91_mann_kendall(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == exp,
+      "day-axis cent state + shared mkReadout must equal the batch test")
+  }
+
+  test("s52 streaming BH-FDR equals batch q114 under customer-sharded delivery") {
+    val got = StreamingQueries.s52_stream_fdr(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val exp = ops.Relational.q114_fdr_bh(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == exp,
+      "nation-axis sufficient-stat state + shared fdrReadout must equal batch")
+  }
+
+  test("s53 streaming Theil's U equals batch q115 exactly (count fold)") {
+    val got = StreamingQueries.s53_stream_theils_u(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val exp = ops.Relational.q115_theils_u(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == exp,
+      "value-axis count state + shared theilsUReadout must equal the batch")
+  }
+
   test("s50 streaming chi-squared equals batch q63 exactly (count fold)") {
     val got = StreamingQueries.s50_stream_chisq(spark, sf)
       .collect().map(_.toSeq).toSeq
