@@ -1166,6 +1166,39 @@ object Dedup {
   // shard-local dedup misses most duplicates (hash sharding spreads
   // near-dups uniformly — the result the lane demonstrates); content
   // sharding (d03's LSH buckets) is what actually co-locates them.
+  // d28: CAPTURE-RECAPTURE DUP-MASS ESTIMATION — how many near-dup
+  // pairs does the corpus hold, estimated WITHOUT the full candidate
+  // join (the Lincoln-Petersen/Chapman estimator ecology uses for
+  // population counts, applied to the pair universe): two deterministic
+  // "captures" (A = both endpoints with even doc_id, B = both endpoints
+  // with doc_id mod 3 < 2 — independent classes by CRT over uniform
+  // ids), then N̂ = (n1+1)(n2+1)/(m+1) − 1 from the capture/recapture
+  // counts. At 100 TB the production form runs d02's shingle join ONLY
+  // over each sampled slice (a pA²+pB² fraction of the work) and skips
+  // the true count; this lane keeps the exact N alongside so the
+  // estimator's bias is OBSERVABLE (rel_err is the readout, the d16
+  // discipline — planted dups need not respect the independence
+  // assumption, and the number says by how much). All counts exact
+  // longs; Chapman + rel_err are single divisions, 2dp/4dp rounds.
+  val d28_dup_estimate: Q = (s, d) => {
+    val pairs = d02_ngram_jaccard(s, d)
+      .select(
+        (pmod(col("d1"), lit(2)) === 0 && pmod(col("d2"), lit(2)) === 0)
+          .cast("long").as("in_a"),
+        (pmod(col("d1"), lit(3)) < 2 && pmod(col("d2"), lit(3)) < 2)
+          .cast("long").as("in_b"))
+    pairs
+      .agg(count(lit(1)).as("n_true"), sum("in_a").as("n1"),
+        sum("in_b").as("n2"),
+        sum(col("in_a") * col("in_b")).as("m"))
+      .select(col("n_true"), col("n1"), col("n2"), col("m"),
+        round((col("n1") + 1) * (col("n2") + 1).cast("double") /
+          (col("m") + 1) - 1, 2).as("n_hat"),
+        round(((col("n1") + 1) * (col("n2") + 1).cast("double") /
+          (col("m") + 1) - 1 - col("n_true")) /
+          col("n_true").cast("double"), 4).as("rel_err"))
+  }
+
   val d27_cross_shard_rate: Q = (s, d) =>
     d02_ngram_jaccard(s, d)
       .select((pmod(col("d1"), lit(8)) === pmod(col("d2"), lit(8)))
@@ -1429,6 +1462,7 @@ object Dedup {
     "d05_embed_neardup" -> d05_embed_neardup,
     "d06_dup_clusters" -> d06_dup_clusters,
     "d27_cross_shard_rate" -> d27_cross_shard_rate,
+    "d28_dup_estimate" -> d28_dup_estimate,
     "d07_cc_pointer_jumping" -> d07_cc_pointer_jumping,
     "d08_dedup_keeplist" -> d08_dedup_keeplist,
     "d09_incremental_keeplist" -> d09_incremental_keeplist,
@@ -1649,6 +1683,36 @@ object Dedup {
       """SELECT md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS content_hash,
         |  min(doc_id) AS keeper_id, count(*)::BIGINT AS n_docs
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d28_dup_estimate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(t) >= 5 THEN
+        |    list_distinct([array_to_string(t[i:i+4], ' ') for i in range(1, len(t)-3)])
+        |    ELSE [] END AS shingles
+        |  FROM toks),
+        |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, a.n_sh AS n1, b.n_sh AS n2,
+        |    count(*) AS inter
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |dup AS (
+        |  SELECT d1, d2,
+        |    CASE WHEN d1 % 2 = 0 AND d2 % 2 = 0 THEN 1 ELSE 0 END AS in_a,
+        |    CASE WHEN d1 % 3 < 2 AND d2 % 3 < 2 THEN 1 ELSE 0 END AS in_b
+        |  FROM pairs WHERE round(inter / (n1 + n2 - inter), 6) >= 0.8),
+        |st AS (
+        |  SELECT count(*)::BIGINT AS n_true, sum(in_a)::BIGINT AS n1,
+        |    sum(in_b)::BIGINT AS n2, sum(in_a * in_b)::BIGINT AS m
+        |  FROM dup)
+        |SELECT n_true, n1, n2, m,
+        |  round((n1 + 1) * (n2 + 1)::DOUBLE / (m + 1) - 1, 2) AS n_hat,
+        |  round(((n1 + 1) * (n2 + 1)::DOUBLE / (m + 1) - 1 - n_true)
+        |    / n_true::DOUBLE, 4) AS rel_err
+        |FROM st""".stripMargin,
     "d27_cross_shard_rate" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -1491,7 +1491,89 @@ object Multimodal {
     out
   }
 
+  /** m18's analysis bins over the 64-sample frame: DFT bins 1..32
+    * (real input → bins above Nyquist are mirrors), banded low 1-5 /
+    * mid 6-16 / high 17-32 (shared with the spec's recompute).
+    */
+  val SpectralBins = 32
+  val SpectralLowHi = 5
+  val SpectralMidHi = 16
+
+  // m18 (rows-only; spec: ≡ independent per-frame DFT recompute,
+  // Parseval power cross-check): SPECTRAL FEATURES — the frequency-
+  // domain half of the audio front end m05's time-domain stats stop
+  // short of (the precursor to mel filterbanks/MFCCs a speech-data
+  // pipeline computes per frame): per 64-sample pre-emphasized frame,
+  // a real 64-point DFT (naive O(N²) — N=64 makes that 4096 mults, far
+  // cheaper than the container decode it follows), banded energies
+  // (low/mid/high thirds of the 1..32 usable bins) and the spectral
+  // centroid in bin units. The cos/sin tables build ONCE per partition
+  // (mapPartitions — the m05 one-init-per-partition shape); pixels...
+  // samples never cross an executor boundary, output is a bounded
+  // 6-double row per frame. Pure per-row compute: scales linearly,
+  // no shuffle anywhere until the final presentation sort.
+  val m18_spectral_features: Q = (s, d) => {
+    import s.implicits._
+    val N = AudioFrameLen
+    mediaRecords(s, d)
+      .filter(r => r.content_type == "audio/wav")
+      .mapPartitions { it =>
+        // per-partition trig tables: cos/sin for all (k, i) once
+        val cosT = Array.tabulate(SpectralBins + 1, N)((k, i) =>
+          math.cos(2.0 * math.Pi * k * i / N))
+        val sinT = Array.tabulate(SpectralBins + 1, N)((k, i) =>
+          math.sin(2.0 * math.Pi * k * i / N))
+        it.flatMap { r =>
+          val body = 12
+          val nRaw = (r.payload.length - body) / 2
+          val x = new Array[Int](math.max(nRaw, 0))
+          var k = 0
+          while (k < x.length) {
+            val off = body + 2 * k
+            x(k) = ((r.payload(off) & 0xFF) |
+              (r.payload(off + 1) << 8)).toShort.toInt
+            k += 1
+          }
+          val y = new Array[Int](math.max(x.length - 1, 0))
+          var j = 0
+          while (j < y.length) { y(j) = x(j + 1) - x(j); j += 1 }
+          val nFrames = if (y.length < N) 0 else (y.length - N) / AudioHop + 1
+          Iterator.range(0, nFrames).map { f =>
+            val start = f * AudioHop
+            var eLow = 0.0; var eMid = 0.0; var eHigh = 0.0
+            var magSum = 0.0; var magWSum = 0.0
+            var b = 1
+            while (b <= SpectralBins) {
+              var re = 0.0; var im = 0.0
+              var i = 0
+              while (i < N) {
+                re += y(start + i) * cosT(b)(i)
+                im -= y(start + i) * sinT(b)(i)
+                i += 1
+              }
+              val p = re * re + im * im
+              if (b <= SpectralLowHi) eLow += p
+              else if (b <= SpectralMidHi) eMid += p
+              else eHigh += p
+              val mag = math.sqrt(p)
+              magSum += mag; magWSum += b * mag
+              b += 1
+            }
+            val centroid = if (magSum == 0.0) 0.0 else magWSum / magSum
+            // energies round to integers (they are O(1e9+) sums of
+            // squared magnitudes — fractional bits are DFT noise);
+            // centroid to 4dp bin units
+            (r.doc_id, f, math.rint(eLow), math.rint(eMid),
+              math.rint(eHigh), math.rint(centroid * 1e4) / 1e4)
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "e_low", "e_mid", "e_high", "centroid")
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val queries: Map[String, Q] = Map(
+    "m18_spectral_features" -> m18_spectral_features,
     "m17_phash_neardup" -> m17_phash_neardup,
     "m16_letterbox" -> m16_letterbox,
     "m15_aspect_bucket" -> m15_aspect_bucket,

@@ -3315,6 +3315,42 @@ object Relational {
       round(sqrt(phi2c / least(rc - 1, cc - 1)), 6).as("v_corrected"))
   }
 
+  // q118: WALD'S SPRT — sequential probability ratio test on the daily
+  // purchase share (H0: p = 0.48 vs H1: p = 0.52, α = β = 0.05) — the
+  // SEQUENTIAL closure of the fixed-horizon tests (q62/q114 decide once
+  // at the end; SPRT decides the moment the evidence suffices, the
+  // readout an always-on experiment monitor needs): per-day LLR =
+  // conv·ln(p1/p0) + (trials−conv)·ln(q1/q0), cumulated over the
+  // CALENDAR-bounded day axis (≤366 rows — one keyed agg collapses any
+  // corpus to it, the q65/q91 discipline), compared against the Wald
+  // boundaries ±ln((1−β)/α) = ±ln 19. Counts are exact longs; both
+  // engines cumulate the same ≤366-term sequence in day order, so the
+  // only cross-engine noise is an ulp in the two log constants —
+  // scaled by counts it stays ~1e-10, absorbed by the 6dp round; the
+  // boundary comparison runs on the ROUNDED cum so the state flag
+  // cannot flip on sub-round noise.
+  val q118_sprt: Q = (s, d) => {
+    val llrDay = col("conversions") * log(lit(0.52) / lit(0.48)) +
+      (col("trials") - col("conversions")) * log(lit(0.48) / lit(0.52))
+    val bHi = round(log(lit(19.0)), 6)
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("trials"),
+        sum((col("event_type") === "purchase").cast("long"))
+          .as("conversions"))
+      .withColumn("llr_raw", llrDay)
+      .withColumn("llr_cum", round(sum(col("llr_raw")).over(w), 6))
+      .select(col("day"), col("trials"), col("conversions"),
+        round(col("llr_raw"), 6).as("llr_day"), col("llr_cum"),
+        when(col("llr_cum") >= bHi, "accept_h1")
+          .when(col("llr_cum") <= -bHi, "accept_h0")
+          .otherwise("continue").as("state"))
+      .orderBy("day")
+  }
+
   // q106: COHORT LTV CURVES — cumulative revenue per customer by
   // quarters-since-first-order, per first-order-quarter cohort (q46
   // counts WHO returns; this prices WHAT they spend — the payback
@@ -3487,6 +3523,7 @@ object Relational {
     "q115_theils_u" -> q115_theils_u,
     "q116_odds_ratio" -> q116_odds_ratio,
     "q117_cramers_v" -> q117_cramers_v,
+    "q118_sprt" -> q118_sprt,
     "q108_newsvendor" -> q108_newsvendor,
     "q106_cohort_ltv" -> q106_cohort_ltv,
     "q107_segment_migration" -> q107_segment_migration,
@@ -3741,6 +3778,28 @@ object Relational {
         |    least(r - pow(r - 1, 2) / (nd - 1) - 1,
         |      c - pow(c - 1, 2) / (nd - 1) - 1)), 6) AS v_corrected
         |FROM agg""".stripMargin,
+    "q118_sprt" ->
+      """WITH daily AS (
+        |  SELECT ts::DATE AS day, count(*)::BIGINT AS trials,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+        |      AS conversions
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1),
+        |llr AS (
+        |  SELECT *, conversions * ln(0.52 / 0.48) +
+        |    (trials - conversions) * ln(0.48 / 0.52) AS llr_raw
+        |  FROM daily),
+        |cum AS (
+        |  SELECT *, round(sum(llr_raw) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+        |    AS llr_cum
+        |  FROM llr)
+        |SELECT day, trials, conversions,
+        |  round(llr_raw, 6) AS llr_day, llr_cum,
+        |  CASE WHEN llr_cum >= round(ln(19.0), 6) THEN 'accept_h1'
+        |       WHEN llr_cum <= -round(ln(19.0), 6) THEN 'accept_h0'
+        |       ELSE 'continue' END AS state
+        |FROM cum ORDER BY day""".stripMargin,
     "q112_kruskal_wallis" ->
       """WITH spend AS (
         |  SELECT o_custkey,

@@ -292,6 +292,66 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.exists(_._6 > 0))
   }
 
+  test("m18 spectral features: DFT recomputed independently, Parseval holds") {
+    val got = Multimodal.m18_spectral_features(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)),
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(got.nonEmpty)
+    val recs = Multimodal.mediaRecords(spark, sf).collect()
+      .filter(_.content_type == "audio/wav")
+    val N = Multimodal.AudioFrameLen
+    var checked = 0
+    recs.foreach { r =>
+      val bb = java.nio.ByteBuffer.wrap(r.payload, 12, r.payload.length - 12)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val raw = Array.fill((r.payload.length - 12) / 2)(bb.getShort().toInt)
+      val y = if (raw.length < 2) Array.empty[Int]
+        else raw.sliding(2).map(p => p(1) - p(0)).toArray
+      y.sliding(N, Multimodal.AudioHop).filter(_.length == N).zipWithIndex
+        .foreach { case (w, f) =>
+          var eL = 0.0; var eM = 0.0; var eH = 0.0
+          var ms = 0.0; var mws = 0.0
+          (1 to Multimodal.SpectralBins).foreach { b =>
+            var re = 0.0; var im = 0.0
+            w.indices.foreach { i =>
+              re += w(i) * math.cos(2.0 * math.Pi * b * i / N)
+              im -= w(i) * math.sin(2.0 * math.Pi * b * i / N)
+            }
+            val p = re * re + im * im
+            if (b <= Multimodal.SpectralLowHi) eL += p
+            else if (b <= Multimodal.SpectralMidHi) eM += p
+            else eH += p
+            ms += math.sqrt(p); mws += b * math.sqrt(p)
+          }
+          val g = got((r.doc_id, f))
+          // tolerance: the operator rint-rounds energies to integers
+          // (±0.5) and accumulates in a different grouping than this
+          // recompute (relative 1e-9-ish on O(1e9) sums)
+          def close(a: Double, b: Double) =
+            math.abs(a - b) <= 0.6 + 1e-8 * math.abs(b)
+          assert(close(g._1, eL) && close(g._2, eM) && close(g._3, eH),
+            s"band energies diverge for doc ${r.doc_id} frame $f")
+          val cExp = if (ms == 0.0) 0.0 else mws / ms
+          assert(math.abs(g._4 - cExp) < 1e-3)
+          assert(g._4 >= 0.0 && g._4 <= Multimodal.SpectralBins + 1e-9)
+          // Parseval over the real spectrum: Σ_{k=1..N-1}|X_k|² =
+          // N·Σy² − |X_0|², and bins 33..63 mirror 1..31 — so the
+          // banded energies must reconstruct the time-domain power
+          val sumSq = w.map(v => v.toDouble * v).sum
+          val x0 = w.map(_.toDouble).sum
+          var x32re = 0.0
+          w.indices.foreach { i => x32re += w(i) * (if (i % 2 == 0) 1 else -1) }
+          val full = 2 * (eL + eM + eH) - (x32re * x32re)
+          assert(math.abs(full - (N * sumSq - x0 * x0)) <=
+            1e-6 * math.max(1.0, N * sumSq),
+            s"Parseval fails for doc ${r.doc_id} frame $f")
+          checked += 1
+        }
+    }
+    assert(checked == got.size, "spec must cover every emitted frame")
+  }
+
   test("d13 shuffles never carry document text (ids+hashes only)") {
     val df = Dedup.d13_containment(spark, sf)
     df.collect() // materialize so AQE's final plan is available
@@ -2544,6 +2604,25 @@ class PipelineSpec extends AnyFunSuite {
     // hash sharding spreads near-dups: most duplicate pairs cross shards
     assert(row.getAs[Double]("cross_rate") > 0.5,
       "shard-local dedup must be demonstrably insufficient under hashing")
+  }
+
+  test("d28 capture-recapture estimate matches the Chapman recompute") {
+    val row = ops.Dedup.d28_dup_estimate(spark, sf).collect().head
+    val pairs = ops.Dedup.d02_ngram_jaccard(spark, sf).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")))
+    val n1 = pairs.count(p => p._1 % 2 == 0 && p._2 % 2 == 0).toLong
+    val n2 = pairs.count(p => p._1 % 3 < 2 && p._2 % 3 < 2).toLong
+    val m = pairs.count(p => p._1 % 2 == 0 && p._2 % 2 == 0 &&
+      p._1 % 3 < 2 && p._2 % 3 < 2).toLong
+    assert(row.getAs[Long]("n_true") == pairs.length)
+    assert(row.getAs[Long]("n1") == n1 && row.getAs[Long]("n2") == n2 &&
+      row.getAs[Long]("m") == m)
+    val chapman = (n1 + 1) * (n2 + 1).toDouble / (m + 1) - 1
+    assert(math.abs(row.getAs[Double]("n_hat") - chapman) < 1e-2 + 1e-9)
+    assert(math.abs(row.getAs[Double]("rel_err") -
+      (chapman - pairs.length) / pairs.length) < 1e-4 + 1e-9)
+    // recapture never exceeds either capture (set containment)
+    assert(m <= n1 && m <= n2)
   }
 
   test("v35 cosine calibration covers every vec once and bins conserve") {

@@ -2026,6 +2026,44 @@ class RelationalSpec extends AnyFunSuite {
       got.getAs[Double]("v") + 1e-9)
   }
 
+  test("q118 SPRT path matches an exact driver recompute") {
+    import org.apache.spark.sql.functions._
+    val daily = Tables.events(spark, sf)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("trials"),
+        sum((col("event_type") === "purchase").cast("long")).as("conv"))
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0), r.getLong(1), r.getLong(2)))
+    val (l1, l0) = (math.log(0.52 / 0.48), math.log(0.48 / 0.52))
+    val bHi = math.rint(math.log(19.0) * 1e6) / 1e6
+    var cum = 0.0
+    val exp = daily.map { case (day, n, c) =>
+      val llr = c * l1 + (n - c) * l0
+      cum += llr
+      val cumR = math.rint(cum * 1e6) / 1e6
+      val st = if (cumR >= bHi) "accept_h1"
+        else if (cumR <= -bHi) "accept_h0" else "continue"
+      (day.toString, n, c, math.rint(llr * 1e6) / 1e6, cumR, st)
+    }
+    val got = ops.Relational.q118_sprt(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getString(5)))
+    assert(got.length == daily.length && got.nonEmpty)
+    got.zip(exp).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3)
+      assert(math.abs(g._4 - e._4) < 1e-5 && math.abs(g._5 - e._5) < 1e-5)
+      assert(g._6 == e._6, s"state diverges at ${g._1}: ${g._6} vs ${e._6}")
+    }
+    // the LLR path is a cumulative sum: successive rows differ by
+    // exactly that day's llr (internal consistency of the window)
+    got.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(math.abs((b._5 - a._5) - b._4) < 2e-6)
+      case _ => ()
+    }
+  }
+
   test("q103 Theil-Sen slope equals the exact pairwise-median recompute") {
     import org.apache.spark.sql.functions._
     val day = Tables.lineitem(spark, sf)
