@@ -3255,13 +3255,23 @@ object Relational {
   // the four counters moves); everything after is scalar arithmetic on
   // a 1-row frame, deterministic through the 6dp round because each
   // value is a single division/log/exp chain on exact integers.
-  val q116_odds_ratio: Q = (s, d) => {
-    val e = col("l_discount") >= 0.05
-    val r = col("l_returnflag") === "R"
-    val cnt = (p: Column) => sum(when(p, 1L).otherwise(0L))
-    Tables.lineitem(s, d)
-      .agg(cnt(e && r).as("a"), cnt(e && !r).as("b"),
-        cnt(!e && r).as("c"), cnt(!e && !r).as("dd"))
+  val q116_odds_ratio: Q = (s, d) =>
+    oddsRatioReadout(Tables.lineitem(s, d)
+      .groupBy((col("l_discount") >= 0.05).as("e"),
+        (col("l_returnflag") === "R").as("r"))
+      .agg(count(lit(1)).as("cnt")))
+
+  /** q116's 2×2 → OR/CI readout over any (e, r, cnt) cell frame (rows
+    * may be pre-counted — the four corners re-sum). Shared with s56's
+    * streaming fold: counts are exact longs, twin equality EXACT.
+    */
+  private[graft] def oddsRatioReadout(cells: DataFrame): DataFrame = {
+    val pick = (pe: Boolean, pr: Boolean) =>
+      sum(when(col("e") === pe && col("r") === pr, col("cnt"))
+        .otherwise(0L))
+    cells
+      .agg(pick(true, true).as("a"), pick(true, false).as("b"),
+        pick(false, true).as("c"), pick(false, false).as("dd"))
       .select(col("a"), col("b"), col("c"), col("dd").as("d"),
         round(col("a") * col("dd").cast("double") /
           (col("b").cast("double") * col("c")), 6).as("odds_ratio"),
@@ -3287,12 +3297,19 @@ object Relational {
   // as window sums over the bounded ≤35-cell table and ONE aggregation
   // for χ², r, c, n together. All inputs exact integer counts; the
   // cell-sum order is the only noise, absorbed by the rounds.
-  val q117_cramers_v: Q = (s, d) => {
-    val cells = Tables.events(s, d)
+  val q117_cramers_v: Q = (s, d) =>
+    cramersVReadout(Tables.events(s, d)
       .select(col("event_type"),
         (dayofweek(to_date(col("ts"))) - 1).as("wd"))
       .groupBy(col("event_type"), col("wd"))
-      .agg(count(lit(1)).cast("double").as("o"))
+      .agg(count(lit(1)).cast("double").as("o")))
+
+  /** q117's χ²/V readout over any (event_type, wd, o) contingency
+    * cells (rows may be pre-counted — marginals re-sum). Shared with
+    * s55's streaming fold: counts are exact, so only the ≤35-term sum
+    * order separates the paths, absorbed by the rounds.
+    */
+  private[graft] def cramersVReadout(cells: DataFrame): DataFrame = {
     val stats = cells
       .withColumn("rt", sum("o").over(Window.partitionBy("event_type")))
       .withColumn("ct", sum("o").over(Window.partitionBy("wd")))
@@ -3329,18 +3346,26 @@ object Relational {
   // scaled by counts it stays ~1e-10, absorbed by the 6dp round; the
   // boundary comparison runs on the ROUNDED cum so the state flag
   // cannot flip on sub-round noise.
-  val q118_sprt: Q = (s, d) => {
+  val q118_sprt: Q = (s, d) =>
+    sprtReadout(Tables.events(s, d)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("trials"),
+        sum((col("event_type") === "purchase").cast("long"))
+          .as("conversions")))
+
+  /** q118's LLR-path readout over any (day, trials, conversions) daily
+    * panel — counts are exact longs, so s54's streaming fold feeds an
+    * IDENTICAL panel and twin equality is EXACT (both paths cumulate
+    * the same ≤366-term sequence in day order).
+    */
+  private[graft] def sprtReadout(daily: DataFrame): DataFrame = {
     val llrDay = col("conversions") * log(lit(0.52) / lit(0.48)) +
       (col("trials") - col("conversions")) * log(lit(0.48) / lit(0.52))
     val bHi = round(log(lit(19.0)), 6)
     val w = Window.orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, d)
-      .filter(col("event_type").isin("view", "purchase"))
-      .groupBy(to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("trials"),
-        sum((col("event_type") === "purchase").cast("long"))
-          .as("conversions"))
+    daily
       .withColumn("llr_raw", llrDay)
       .withColumn("llr_cum", round(sum(col("llr_raw")).over(w), 6))
       .select(col("day"), col("trials"), col("conversions"),

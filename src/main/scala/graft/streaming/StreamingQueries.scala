@@ -2145,7 +2145,68 @@ object StreamingQueries {
     }
   }
 
+  // s54: STREAMING SPRT — q118's twin (41st pair), and the lane SPRT
+  // was invented for (a sequential test exists to monitor evidence AS
+  // IT ARRIVES): state keys on the day and folds exact (trials,
+  // conversions) counts — calendar-bounded, never the event count.
+  // Long folds make the compacted daily panel bit-identical to batch;
+  // q118's OWN readout (shared sprtReadout) cumulates the same
+  // sequence in day order, so twin equality is EXACT. Oracle is
+  // q118's verbatim.
+  val s54_stream_sprt: Q = (s, d) => {
+    val feed = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), to_date(col("ts")).as("day"),
+        (col("event_type") === "purchase").cast("long").as("pur"))
+    snapshotTwin(s, feed, col("event_id"), Seq("day"),
+      Seq(count(lit(1)).as("trials"), sum("pur").as("conversions"))) {
+      panel =>
+        graft.ops.Relational.sprtReadout(
+          panel.select(col("day"), col("trials"), col("conversions")))
+    }
+  }
+
+  // s55: STREAMING CRAMÉR'S V — q117's twin (42nd pair), value-axis
+  // state on the observed (event_type, weekday) cell exactly like s50
+  // (they share the contingency axis, different readouts): exact long
+  // count folds, snapshot widens to double and runs the shared
+  // cramersVReadout — only the ≤35-term χ² sum order separates the
+  // paths, absorbed by the rounds. Oracle is q117's verbatim.
+  val s55_stream_cramers_v: Q = (s, d) => {
+    val feed = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        (dayofweek(to_date(col("ts"))) - 1).as("wd"))
+    snapshotTwin(s, feed, col("event_id"), Seq("event_type", "wd"),
+      Seq(count(lit(1)).as("cnt"))) { panel =>
+      graft.ops.Relational.cramersVReadout(
+        panel.select(col("event_type"), col("wd"),
+          col("cnt").cast("double").as("o")))
+    }
+  }
+
+  // s56: STREAMING ODDS RATIO — q116's twin (43rd pair), the smallest
+  // state discipline on the board: FOUR cells of (exposure, outcome)
+  // state whatever the corpus size. Exact long count folds through
+  // q116's OWN readout (shared oddsRatioReadout) — twin equality
+  // EXACT; the lane exists because a 2×2 monitor is the canonical
+  // always-on safety readout (exposure × adverse-outcome) and the fold
+  // shape proves it never needs more than four counters of state.
+  // Oracle is q116's verbatim.
+  val s56_stream_odds_ratio: Q = (s, d) => {
+    val feed = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), (col("l_discount") >= 0.05).as("e"),
+        (col("l_returnflag") === "R").as("r"))
+    snapshotTwin(s, feed, col("l_orderkey"), Seq("e", "r"),
+      Seq(count(lit(1)).as("cnt"))) { panel =>
+      graft.ops.Relational.oddsRatioReadout(
+        panel.select(col("e"), col("r"), col("cnt")))
+    }
+  }
+
   val queries: Map[String, Q] = Map(
+    "s56_stream_odds_ratio" -> s56_stream_odds_ratio,
+    "s55_stream_cramers_v" -> s55_stream_cramers_v,
+    "s54_stream_sprt" -> s54_stream_sprt,
     "s53_stream_theils_u" -> s53_stream_theils_u,
     "s52_stream_fdr" -> s52_stream_fdr,
     "s51_stream_mann_kendall" -> s51_stream_mann_kendall,
@@ -2196,6 +2257,18 @@ object StreamingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // q118's batch oracle verbatim — the day-axis count fold is exact,
+    // so the shared sprtReadout must hash-match the batch LLR path
+    "s54_stream_sprt" ->
+      graft.ops.Relational.oracle("q118_sprt"),
+    // q117's batch oracle verbatim — the cell-count fold is exact, so
+    // the shared cramersVReadout must hash-match the batch effect size
+    "s55_stream_cramers_v" ->
+      graft.ops.Relational.oracle("q117_cramers_v"),
+    // q116's batch oracle verbatim — four exact counters of state
+    // through the shared oddsRatioReadout
+    "s56_stream_odds_ratio" ->
+      graft.ops.Relational.oracle("q116_odds_ratio"),
     // q91's batch oracle verbatim — the day-axis cent fold is an exact
     // long sum, so the shared mkReadout must hash-match the batch test
     "s51_stream_mann_kendall" ->

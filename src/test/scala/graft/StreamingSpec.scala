@@ -451,6 +451,33 @@ class StreamingSpec extends AnyFunSuite {
       "value-axis count state + shared miReadout must equal the per-order batch")
   }
 
+  test("s54 streaming SPRT equals batch q118 exactly (count fold)") {
+    val got = StreamingQueries.s54_stream_sprt(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val exp = ops.Relational.q118_sprt(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == exp,
+      "day-axis count state + shared sprtReadout must equal the batch path")
+  }
+
+  test("s55 streaming Cramér's V equals batch q117 exactly (count fold)") {
+    val got = StreamingQueries.s55_stream_cramers_v(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val exp = ops.Relational.q117_cramers_v(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == exp,
+      "value-axis count state + shared cramersVReadout must equal the batch")
+  }
+
+  test("s56 streaming odds ratio equals batch q116 exactly (4-cell fold)") {
+    val got = StreamingQueries.s56_stream_odds_ratio(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val exp = ops.Relational.q116_odds_ratio(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == exp,
+      "four counters of state + shared oddsRatioReadout must equal the batch")
+  }
+
   test("s51 streaming Mann-Kendall equals batch q91 exactly (cent fold)") {
     val got = StreamingQueries.s51_stream_mann_kendall(spark, sf)
       .collect().map(_.toSeq).toSeq
