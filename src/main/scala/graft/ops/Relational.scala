@@ -2296,11 +2296,23 @@ object Relational {
   // self-join (≤366·14 rows), and the Q cumulation are bounded-axis
   // math — the only global windows sit above aggregates, the
   // sanctioned rank-lane shape. ACF values are scale-free ratios.
-  val q88_acf: Q = (s, d) => {
-    val daily = Tables.orders(s, d)
+  val q88_acf: Q = (s, d) =>
+    acfReadout(Tables.orders(s, d)
       .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(sum("o_totalprice").as("y"))
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("y")))
+
+  /** q88's ACF/Ljung-Box readout over any (day, y) daily panel — y in
+    * EXACT INTEGER CENTS (the q91 discipline: the per-day fold is a
+    * commutative long sum, which is what lets s58 stream it and feed
+    * this readout an IDENTICAL panel). The autocorrelation is a ratio
+    * of like-scaled sums, so the cents-vs-dollars unit cancels — the
+    * 6dp ACF and 4dp Ljung-Box values are unchanged from the double
+    * formulation, and the oracle keeps summing raw doubles.
+    */
+  private[graft] def acfReadout(dailyCents: DataFrame): DataFrame = {
+    val daily = dailyCents
       .withColumn("rn", row_number().over(Window.orderBy("day")))
+    val s = daily.sparkSession
     val stats = daily.agg(avg("y").as("mu"), count(lit(1)).as("n"))
     val dm = daily.crossJoin(broadcast(stats))
       .select(col("rn"), (col("y") - col("mu")).as("e"), col("n"))
@@ -2482,13 +2494,22 @@ object Relational {
   // the same day cell); demeaning, the lag self-join (≤|days|·15
   // rows), and the normalization ride the calendar-bounded axis. CCF
   // values are scale-free ratios of like-magnitude sums.
-  val q92_ccf: Q = (s, d) => {
-    val daily = Tables.events(s, d)
+  val q92_ccf: Q = (s, d) =>
+    ccfReadout(Tables.events(s, d)
       .filter(col("event_type").isin("view", "purchase"))
       .groupBy(to_date(col("ts")).as("day"))
       .agg(sum((col("event_type") === "view").cast("long")).as("x"),
-        sum((col("event_type") === "purchase").cast("long")).as("y"))
+        sum((col("event_type") === "purchase").cast("long")).as("y")))
+
+  /** q92's CCF readout over any (day, x, y) daily count panel — counts
+    * are exact longs (commutative folds), so s57's streaming state
+    * feeds this readout an IDENTICAL panel; the demeaned products are
+    * the readout's own arithmetic on that panel either way.
+    */
+  private[graft] def ccfReadout(dailyCounts: DataFrame): DataFrame = {
+    val daily = dailyCounts
       .withColumn("rn", row_number().over(Window.orderBy("day")))
+    val s = daily.sparkSession
     val stats = daily.agg(avg("x").as("mx"), avg("y").as("my"))
     val dm = daily.crossJoin(broadcast(stats))
       .select(col("rn"), (col("x") - col("mx")).as("ex"),
@@ -3376,6 +3397,95 @@ object Relational {
       .orderBy("day")
   }
 
+  // q119: DIFFERENCE-IN-DIFFERENCES — the quasi-experimental closure
+  // of the A/B block (q62 needs randomization, q94 needs a covariate;
+  // DiD needs only a parallel-trends story): treated = AUTOMOBILE-
+  // segment customers, pre = 1995-96 vs post = 1997-98, outcome = mean
+  // order value. ONE conditional keyed agg collapses any corpus to the
+  // FOUR (group, period) cells' sufficient statistics (n, Σx, Σx²);
+  // DiD = (Δtreated − Δcontrol), the pooled SE is Σ var_i/n_i over the
+  // four cells, and the p-value rides q114's exact discipline — the
+  // A&S 26.2.17 tail computed FROM THE 4dp-ROUNDED z, everything
+  // downstream bit-deterministic. Cell sums are doubles; the 4dp/6dp
+  // rounds absorb fold-order ulps (the q114 argument).
+  val q119_did: Q = (s, d) =>
+    didReadout(Tables.orders(s, d)
+      .filter(col("o_orderdate") >= "1995-01-01" &&
+        col("o_orderdate") < "1999-01-01")
+      .join(Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"),
+          (col("c_mktsegment") === "AUTOMOBILE").as("treated")),
+        "o_custkey")
+      .groupBy(col("treated"),
+        (col("o_orderdate") >= "1997-01-01").as("post"))
+      .agg(count(lit(1)).cast("double").as("ng"),
+        sum("o_totalprice").as("s1"),
+        sum(col("o_totalprice") * col("o_totalprice")).as("s2")))
+
+  /** q119's 2×2 panel → DiD/SE/z readout over any (treated, post, ng,
+    * s1, s2) sufficient-statistics frame (rows may be pre-folded — the
+    * corners re-sum). Shared with s59's streaming fold should one
+    * land; the z is 4dp-rounded before the tail polynomial (q114).
+    */
+  private[graft] def didReadout(cells: DataFrame): DataFrame = {
+    val pick = (t: Boolean, p: Boolean, c: String) =>
+      sum(when(col("treated") === t && col("post") === p, col(c))
+        .otherwise(lit(0.0)))
+    val g = cells.agg(
+      pick(true, false, "ng").as("n10"), pick(true, true, "ng").as("n11"),
+      pick(false, false, "ng").as("n00"), pick(false, true, "ng").as("n01"),
+      pick(true, false, "s1").as("a10"), pick(true, true, "s1").as("a11"),
+      pick(false, false, "s1").as("a00"), pick(false, true, "s1").as("a01"),
+      pick(true, false, "s2").as("b10"), pick(true, true, "s2").as("b11"),
+      pick(false, false, "s2").as("b00"), pick(false, true, "s2").as("b01"))
+    def m(i: String) = col("a" + i) / col("n" + i)
+    def v(i: String) =
+      (col("b" + i) - col("a" + i) * col("a" + i) / col("n" + i)) /
+        (col("n" + i) - 1) / col("n" + i)
+    val did = (m("11") - m("10")) - (m("01") - m("00"))
+    val se = sqrt(v("11") + v("10") + v("01") + v("00"))
+    val z = round(did / se, 4)
+    val x = abs(col("z"))
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * x)
+    val poly = t * (lit(0.319381530) + t * (lit(-0.356563782) +
+      t * (lit(1.781477937) + t * (lit(-1.821255978) +
+        t * lit(1.330274429)))))
+    val p = lit(2.0) * (exp(-x * x / lit(2.0)) * lit(0.3989422804014327)) * poly
+    g.withColumn("z", z)
+      .select(
+        round(m("10"), 4).as("pre_treated"),
+        round(m("11"), 4).as("post_treated"),
+        round(m("00"), 4).as("pre_control"),
+        round(m("01"), 4).as("post_control"),
+        round(did, 4).as("did"),
+        round(se, 4).as("se"),
+        col("z"),
+        round(p, 6).as("p_value"),
+        (round(p, 6) <= 0.05).cast("int").as("significant"))
+  }
+
+  // q120: PLACEBO DiD — the parallel-trends AUDIT q119 assumes (the
+  // methodological closure: before trusting a DiD, re-run it entirely
+  // INSIDE the pre-period with a fake treatment date — any "effect"
+  // there is trend divergence, not treatment): same four-cell
+  // machinery, same readout (didReadout verbatim), periods 1995 vs
+  // 1996 with treatment pretended at 1996-01-01. The pair q119+q120
+  // is the publishable unit; a significant placebo invalidates the
+  // main estimate. Uniform-generator data must read null on both.
+  val q120_placebo_did: Q = (s, d) =>
+    didReadout(Tables.orders(s, d)
+      .filter(col("o_orderdate") >= "1995-01-01" &&
+        col("o_orderdate") < "1997-01-01")
+      .join(Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"),
+          (col("c_mktsegment") === "AUTOMOBILE").as("treated")),
+        "o_custkey")
+      .groupBy(col("treated"),
+        (col("o_orderdate") >= "1996-01-01").as("post"))
+      .agg(count(lit(1)).cast("double").as("ng"),
+        sum("o_totalprice").as("s1"),
+        sum(col("o_totalprice") * col("o_totalprice")).as("s2")))
+
   // q106: COHORT LTV CURVES — cumulative revenue per customer by
   // quarters-since-first-order, per first-order-quarter cohort (q46
   // counts WHO returns; this prices WHAT they spend — the payback
@@ -3549,6 +3659,8 @@ object Relational {
     "q116_odds_ratio" -> q116_odds_ratio,
     "q117_cramers_v" -> q117_cramers_v,
     "q118_sprt" -> q118_sprt,
+    "q119_did" -> q119_did,
+    "q120_placebo_did" -> q120_placebo_did,
     "q108_newsvendor" -> q108_newsvendor,
     "q106_cohort_ltv" -> q106_cohort_ltv,
     "q107_segment_migration" -> q107_segment_migration,
@@ -3681,6 +3793,61 @@ object Relational {
       |  round(detrended - seasonal, 4) AS residual
       |FROM det JOIN se USING (wd) ORDER BY day""".stripMargin
 
+  /** q119/q120's shared DuckDB oracle: the four-cell DiD over
+    * [lo, hi) with treatment pretended at `cut` (q120 re-runs the
+    * whole estimator inside q119's pre-period as the placebo audit).
+    */
+  private def didOracleSql(lo: String, hi: String, cut: String): String =
+    s"""WITH cells AS (
+       |  SELECT (c_mktsegment = 'AUTOMOBILE') AS treated,
+       |    (o_orderdate >= '$cut') AS post,
+       |    count(*)::DOUBLE AS ng, sum(o_totalprice) AS s1,
+       |    sum(o_totalprice * o_totalprice) AS s2
+       |  FROM orders JOIN customer ON c_custkey = o_custkey
+       |  WHERE o_orderdate >= '$lo' AND o_orderdate < '$hi'
+       |  GROUP BY 1, 2),
+       |g AS (
+       |  SELECT
+       |    sum(CASE WHEN treated AND NOT post THEN ng ELSE 0 END) AS n10,
+       |    sum(CASE WHEN treated AND post THEN ng ELSE 0 END) AS n11,
+       |    sum(CASE WHEN NOT treated AND NOT post THEN ng ELSE 0 END) AS n00,
+       |    sum(CASE WHEN NOT treated AND post THEN ng ELSE 0 END) AS n01,
+       |    sum(CASE WHEN treated AND NOT post THEN s1 ELSE 0 END) AS a10,
+       |    sum(CASE WHEN treated AND post THEN s1 ELSE 0 END) AS a11,
+       |    sum(CASE WHEN NOT treated AND NOT post THEN s1 ELSE 0 END) AS a00,
+       |    sum(CASE WHEN NOT treated AND post THEN s1 ELSE 0 END) AS a01,
+       |    sum(CASE WHEN treated AND NOT post THEN s2 ELSE 0 END) AS b10,
+       |    sum(CASE WHEN treated AND post THEN s2 ELSE 0 END) AS b11,
+       |    sum(CASE WHEN NOT treated AND NOT post THEN s2 ELSE 0 END) AS b00,
+       |    sum(CASE WHEN NOT treated AND post THEN s2 ELSE 0 END) AS b01
+       |  FROM cells),
+       |dd AS (
+       |  SELECT n10, n11, n00, n01, a10, a11, a00, a01,
+       |    (a11/n11 - a10/n10) - (a01/n01 - a00/n00) AS did,
+       |    sqrt((b11 - a11*a11/n11) / (n11 - 1) / n11 +
+       |         (b10 - a10*a10/n10) / (n10 - 1) / n10 +
+       |         (b01 - a01*a01/n01) / (n01 - 1) / n01 +
+       |         (b00 - a00*a00/n00) / (n00 - 1) / n00) AS se
+       |  FROM g),
+       |zt AS (SELECT *, round(did / se, 4) AS z FROM dd),
+       |pv AS (
+       |  SELECT *,
+       |    2.0 * (exp(-abs(z) * abs(z) / 2.0) * 0.3989422804014327) *
+       |      ((1.0 / (1.0 + 0.2316419 * abs(z))) * (0.319381530 +
+       |        (1.0 / (1.0 + 0.2316419 * abs(z))) * (-0.356563782 +
+       |        (1.0 / (1.0 + 0.2316419 * abs(z))) * (1.781477937 +
+       |        (1.0 / (1.0 + 0.2316419 * abs(z))) * (-1.821255978 +
+       |        (1.0 / (1.0 + 0.2316419 * abs(z))) * 1.330274429))))) AS p
+       |  FROM zt)
+       |SELECT round(a10/n10, 4) AS pre_treated,
+       |  round(a11/n11, 4) AS post_treated,
+       |  round(a00/n00, 4) AS pre_control,
+       |  round(a01/n01, 4) AS post_control,
+       |  round(did, 4) AS did, round(se, 4) AS se, z,
+       |  round(p, 6) AS p_value,
+       |  CAST(round(p, 6) <= 0.05 AS INT) AS significant
+       |FROM pv""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q113_mutual_info" ->
       """WITH j AS (
@@ -3803,6 +3970,10 @@ object Relational {
         |    least(r - pow(r - 1, 2) / (nd - 1) - 1,
         |      c - pow(c - 1, 2) / (nd - 1) - 1)), 6) AS v_corrected
         |FROM agg""".stripMargin,
+    "q119_did" -> didOracleSql("1995-01-01", "1999-01-01", "1997-01-01"),
+    "q120_placebo_did" ->
+      didOracleSql("1995-01-01", "1997-01-01", "1996-01-01"),
+
     "q118_sprt" ->
       """WITH daily AS (
         |  SELECT ts::DATE AS day, count(*)::BIGINT AS trials,

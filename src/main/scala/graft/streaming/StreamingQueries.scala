@@ -2203,7 +2203,47 @@ object StreamingQueries {
     }
   }
 
+  // s57: STREAMING CROSS-CORRELATION — q92's twin (44th pair) on the
+  // calendar-axis state discipline: state keys on the day and folds
+  // exact (view, purchase) counts — bounded by the ≤366-day axis,
+  // never the event count. Long folds make the compacted daily panel
+  // bit-identical to batch; q92's OWN readout (shared ccfReadout)
+  // does all the demeaned-product arithmetic over that panel either
+  // way, so the only cross-run noise is the readout's own ≤30-term
+  // sum order, absorbed by the 6dp round. Oracle is q92's verbatim.
+  val s57_stream_ccf: Q = (s, d) => {
+    val feed = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), to_date(col("ts")).as("day"),
+        (col("event_type") === "view").cast("long").as("v"),
+        (col("event_type") === "purchase").cast("long").as("p"))
+    snapshotTwin(s, feed, col("event_id"), Seq("day"),
+      Seq(sum("v").as("x"), sum("p").as("y"))) { panel =>
+      graft.ops.Relational.ccfReadout(
+        panel.select(col("day"), col("x"), col("y")))
+    }
+  }
+
+  // s58: STREAMING ACF — q88's twin (45th pair): per-day revenue folds
+  // in EXACT INTEGER CENTS (q88 moved to the q91 cent discipline —
+  // autocorrelation is a ratio of like-scaled sums, so the unit
+  // cancels and the batch values are unchanged); the compacted
+  // calendar panel through q88's OWN readout (shared acfReadout)
+  // equals batch up to the readout's internal sum order, absorbed by
+  // the 6dp/4dp rounds. Oracle is q88's verbatim.
+  val s58_stream_acf: Q = (s, d) => {
+    val feed = Tables.orders(s, d)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("day"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+    snapshotTwin(s, feed, col("o_orderkey"), Seq("day"),
+      Seq(sum("cents").as("y"))) { panel =>
+      graft.ops.Relational.acfReadout(panel.select(col("day"), col("y")))
+    }
+  }
+
   val queries: Map[String, Q] = Map(
+    "s58_stream_acf" -> s58_stream_acf,
+    "s57_stream_ccf" -> s57_stream_ccf,
     "s56_stream_odds_ratio" -> s56_stream_odds_ratio,
     "s55_stream_cramers_v" -> s55_stream_cramers_v,
     "s54_stream_sprt" -> s54_stream_sprt,
@@ -2257,6 +2297,14 @@ object StreamingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // q92's batch oracle verbatim — the day-axis count fold is exact,
+    // so the shared ccfReadout must hash-match the batch CCF
+    "s57_stream_ccf" ->
+      graft.ops.Relational.oracle("q92_ccf"),
+    // q88's batch oracle verbatim — the day-axis cent fold is exact
+    // and the autocorrelation ratio is unit-invariant
+    "s58_stream_acf" ->
+      graft.ops.Relational.oracle("q88_acf"),
     // q118's batch oracle verbatim — the day-axis count fold is exact,
     // so the shared sprtReadout must hash-match the batch LLR path
     "s54_stream_sprt" ->

@@ -2064,6 +2064,64 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q119 DiD matches an exact four-cell driver recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= "1995-01-01" &&
+        col("o_orderdate") < "1999-01-01")
+      .join(Tables.customer(spark, sf)
+        .select(col("c_custkey").as("o_custkey"),
+          (col("c_mktsegment") === "AUTOMOBILE").as("t")), "o_custkey")
+      .select(col("t"), (col("o_orderdate") >= "1997-01-01").as("p"),
+        col("o_totalprice")).collect()
+      .map(r => ((r.getBoolean(0), r.getBoolean(1)), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def mv(k: (Boolean, Boolean)): (Double, Double, Double) = {
+      val xs = rows(k)
+      val n = xs.size.toDouble
+      val m = xs.sum / n
+      val v = xs.map(x => (x - m) * (x - m)).sum / (n - 1) / n
+      (n, m, v)
+    }
+    val (t0, t1, c0, c1) =
+      (mv((true, false)), mv((true, true)), mv((false, false)),
+        mv((false, true)))
+    val did = (t1._2 - t0._2) - (c1._2 - c0._2)
+    val se = math.sqrt(t1._3 + t0._3 + c1._3 + c0._3)
+    val got = ops.Relational.q119_did(spark, sf).collect().head
+    assert(math.abs(got.getAs[Double]("pre_treated") - t0._2) < 1e-3)
+    assert(math.abs(got.getAs[Double]("post_treated") - t1._2) < 1e-3)
+    assert(math.abs(got.getAs[Double]("pre_control") - c0._2) < 1e-3)
+    assert(math.abs(got.getAs[Double]("post_control") - c1._2) < 1e-3)
+    assert(math.abs(got.getAs[Double]("did") - did) < 1e-3)
+    assert(math.abs(got.getAs[Double]("se") - se) < 1e-3)
+    assert(math.abs(got.getAs[Double]("z") - did / se) < 1e-3)
+    // the DiD identity: did reconstructs from the four reported means
+    assert(math.abs(got.getAs[Double]("did") -
+      ((got.getAs[Double]("post_treated") - got.getAs[Double]("pre_treated"))
+        - (got.getAs[Double]("post_control") -
+          got.getAs[Double]("pre_control")))) < 3e-4)
+    // uniform generator: segments don't move order value → no effect
+    assert(got.getAs[Int]("significant") == 0,
+      "planted-null data must not produce a significant DiD")
+  }
+
+  test("q120 placebo DiD reads null on planted-null data (parallel trends)") {
+    val got = ops.Relational.q120_placebo_did(spark, sf).collect()
+    assert(got.length == 1)
+    val r = got.head
+    // the whole point of the placebo: a fake treatment date inside the
+    // pre-period must NOT find an effect on trend-parallel data
+    assert(r.getAs[Int]("significant") == 0,
+      s"placebo found an effect: z=${r.getAs[Double]("z")}")
+    // same readout as q119: the DiD identity must reconstruct
+    assert(math.abs(r.getAs[Double]("did") -
+      ((r.getAs[Double]("post_treated") - r.getAs[Double]("pre_treated"))
+        - (r.getAs[Double]("post_control") -
+          r.getAs[Double]("pre_control")))) < 3e-4)
+    assert(r.getAs[Double]("se") > 0)
+  }
+
   test("q103 Theil-Sen slope equals the exact pairwise-median recompute") {
     import org.apache.spark.sql.functions._
     val day = Tables.lineitem(spark, sf)

@@ -451,6 +451,24 @@ class StreamingSpec extends AnyFunSuite {
       "value-axis count state + shared miReadout must equal the per-order batch")
   }
 
+  test("s57 streaming CCF equals batch q92 (count fold through ccfReadout)") {
+    val got = StreamingQueries.s57_stream_ccf(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val exp = ops.Relational.q92_ccf(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == exp,
+      "day-axis count state + shared ccfReadout must equal the batch CCF")
+  }
+
+  test("s58 streaming ACF equals batch q88 (cent fold through acfReadout)") {
+    val got = StreamingQueries.s58_stream_acf(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val exp = ops.Relational.q88_acf(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == exp,
+      "day-axis cent state + shared acfReadout must equal the batch ACF")
+  }
+
   test("s54 streaming SPRT equals batch q118 exactly (count fold)") {
     val got = StreamingQueries.s54_stream_sprt(spark, sf)
       .collect().map(_.toSeq).toSeq
