@@ -35,7 +35,11 @@ object Bench {
     "q66_abc_analysis", "q78_auc", "q89_spearman", "q90_ks",
     "q99_abc_xyz", "q110_pareto_drift", "t34_zipf_fit",
     "q101_bootstrap_ci", "d18_span_dedup", "v28_ivfpq",
-    "t52_pipeline_funnel", "t53_budget_waterfill", "m17_phash_neardup")
+    "t52_pipeline_funnel", "t53_budget_waterfill", "m17_phash_neardup",
+    // r13 third-session machinery worth tracking round-over-round:
+    // d28 re-runs the d02 shingle join under the estimator, q118 is
+    // the calendar-axis sequential-test scan, q119 the 4-cell DiD join
+    "d28_dup_estimate", "q118_sprt", "q119_did")
 
   // min-of-3: round-7's driver run landed +29% over round-6 on byte-
   // identical headline code — pure box noise; a third run tightens the
