@@ -19,7 +19,7 @@ object Dedup {
   private type Q = (SparkSession, String) => DataFrame
 
   /** Whitespace-normalized text. */
-  private def norm(c: Column): Column =
+  private[graft] def norm(c: Column): Column =
     trim(regexp_replace(c, "\\s+", " "))
 
   /** Word 5-gram shingle list (with duplicates), [] for docs under 5

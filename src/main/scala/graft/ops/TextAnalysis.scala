@@ -1748,7 +1748,41 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  // t54: QUALITY-SCORE CALIBRATION AUDIT — is t02's score actually
+  // separating the corpus (the question every filter threshold
+  // assumes away): score quintiles × (doc count, mean tokens, exact-
+  // dup share). Scores collapse to EXACT basis points (the 4dp round
+  // is t02's own output contract, so ×10⁴ is an integer — the q107
+  // trick that makes percentile bounds comparable across engines);
+  // quintile bounds are exact percentiles broadcast back (q52/q107's
+  // accepted shape — no global sort, no ntile window over the
+  // corpus); the dup flag rides d01's md5(norm) groups via one keyed
+  // count + an id-hash join back. Everything after the two keyed
+  // collapses is arithmetic on the bounded 5-row axis.
+  val t54_quality_calibration: Q = (s, d) => {
+    val sc = t02_quality(s, d).select(col("doc_id"), col("n_tokens"),
+      expr("cast(round(score * 10000) as bigint)").as("bp"))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), md5(Dedup.norm(col("text"))).as("h"))
+    val flags = docs
+      .join(docs.groupBy("h").agg(count(lit(1)).as("nh")), "h")
+      .select(col("doc_id"), (col("nh") > 1).cast("long").as("dup"))
+    val j = sc.join(flags, "doc_id")
+    val b = j.agg(expr("percentile(bp, array(0.2, 0.4, 0.6, 0.8))").as("b"))
+    j.crossJoin(broadcast(b))
+      .select(col("n_tokens"), col("dup"),
+        (0 to 3).map(i =>
+          (col("bp") >= element_at(col("b"), i + 1)).cast("int"))
+          .foldLeft(lit(1))(_ + _).as("quintile"))
+      .groupBy("quintile")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("n_tokens"), 4).as("mean_tokens"),
+        round(sum("dup") / count(lit(1)).cast("double"), 4).as("dup_share"))
+      .orderBy("quintile")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t54_quality_calibration" -> t54_quality_calibration,
     "t53_budget_waterfill" -> t53_budget_waterfill,
     "t50_quality_yield" -> t50_quality_yield,
     "t48_coverage_curve" -> t48_coverage_curve,
@@ -1807,6 +1841,38 @@ object TextAnalysis {
     s"len(list_filter($sqlToks, w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
   val oracle: Map[String, String] = Map(
+    "t54_quality_calibration" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, length(text) AS len_chars,
+         |    len($sqlToks) AS n_tokens,
+         |    ${sqlHits(Seq("the", "a", "of"))} AS stop_hits,
+         |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct_chars
+         |  FROM documents),
+         |sc AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(round(round(least(n_tokens / 100.0, 1.0) * 0.5
+         |      + (stop_hits / n_tokens) * 0.3
+         |      + (1.0 - punct_chars / len_chars) * 0.2, 4) * 10000)
+         |      AS BIGINT) AS bp
+         |  FROM m),
+         |dupf AS (
+         |  SELECT doc_id,
+         |    (count(*) OVER (PARTITION BY
+         |      md5(trim(regexp_replace(text, '\\s+', ' ', 'g')))) > 1)::INT
+         |      AS dup
+         |  FROM documents),
+         |j AS (SELECT sc.doc_id, n_tokens, bp, dup
+         |      FROM sc JOIN dupf ON sc.doc_id = dupf.doc_id),
+         |b AS (SELECT quantile_cont(bp, [0.2, 0.4, 0.6, 0.8]) AS b FROM j),
+         |g AS (
+         |  SELECT n_tokens, dup,
+         |    1 + (bp >= b[1])::INT + (bp >= b[2])::INT
+         |      + (bp >= b[3])::INT + (bp >= b[4])::INT AS quintile
+         |  FROM j, b)
+         |SELECT quintile, count(*)::BIGINT AS n_docs,
+         |  round(avg(n_tokens), 4) AS mean_tokens,
+         |  round(sum(dup) / count(*)::DOUBLE, 4) AS dup_share
+         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     "t53_budget_waterfill" ->
       s"""WITH m AS (
          |  SELECT doc_id, source, length(text) AS len_chars,

@@ -2241,7 +2241,36 @@ object StreamingQueries {
     }
   }
 
+  // s59: STREAMING DiD — q119's twin (46th pair): the four (group,
+  // period) sufficient-statistic cells are commutative folds, so the
+  // quasi-experiment monitors at the ingest edge with FOUR rows of
+  // state (s56's discipline with moments instead of counts). Double
+  // s1/s2 folds under orderkey-sharded delivery ride q119's own
+  // 4dp-rounded-z boundary (the s52 argument); the readout is
+  // didReadout verbatim, oracle q119's verbatim.
+  val s59_stream_did: Q = (s, d) => {
+    val feed = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= "1995-01-01" &&
+        col("o_orderdate") < "1999-01-01")
+      .join(Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"),
+          (col("c_mktsegment") === "AUTOMOBILE").as("treated")),
+        "o_custkey")
+      .select(col("o_orderkey"), col("treated"),
+        (col("o_orderdate") >= "1997-01-01").as("post"),
+        col("o_totalprice"))
+    snapshotTwin(s, feed, col("o_orderkey"), Seq("treated", "post"),
+      Seq(count(lit(1)).cast("double").as("ng"),
+        sum("o_totalprice").as("s1"),
+        sum(col("o_totalprice") * col("o_totalprice")).as("s2"))) {
+      panel =>
+        graft.ops.Relational.didReadout(panel.select(col("treated"),
+          col("post"), col("ng"), col("s1"), col("s2")))
+    }
+  }
+
   val queries: Map[String, Q] = Map(
+    "s59_stream_did" -> s59_stream_did,
     "s58_stream_acf" -> s58_stream_acf,
     "s57_stream_ccf" -> s57_stream_ccf,
     "s56_stream_odds_ratio" -> s56_stream_odds_ratio,
@@ -2297,6 +2326,10 @@ object StreamingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // q119's batch oracle verbatim — four cells of moment state
+    // through the shared didReadout, z 4dp-rounded before the tail
+    "s59_stream_did" ->
+      graft.ops.Relational.oracle("q119_did"),
     // q92's batch oracle verbatim — the day-axis count fold is exact,
     // so the shared ccfReadout must hash-match the batch CCF
     "s57_stream_ccf" ->

@@ -2625,6 +2625,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(m <= n1 && m <= n2)
   }
 
+  test("t54 quality calibration: quintiles partition the corpus, stats recompute") {
+    import org.apache.spark.sql.functions._
+    val got = ops.TextAnalysis.t54_quality_calibration(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(got.map(_.getAs[Long]("n_docs")).sum == total,
+      "quintiles must partition every document exactly once")
+    assert(got.map(_.getAs[Int]("quintile")).toSeq == (1 to got.length),
+      "quintile ids must be the contiguous 1..k axis")
+    assert(got.length >= 2 && got.length <= 5)
+    got.foreach { r =>
+      assert(r.getAs[Double]("dup_share") >= 0.0 &&
+        r.getAs[Double]("dup_share") <= 1.0)
+      assert(r.getAs[Double]("mean_tokens") > 0.0)
+    }
+    // driver recompute of the dup mass: Σ quintile dup counts must
+    // equal the corpus-wide count of docs in >1-member hash groups
+    val dupDocs = Tables.documents(spark, sf)
+      .select(md5(trim(regexp_replace(col("text"), "\\s+", " "))).as("h"))
+      .groupBy("h").count().filter(col("count") > 1)
+      .agg(coalesce(sum("count"), lit(0L))).collect().head.getLong(0)
+    val gotDup = got.map(r => math.rint(
+      r.getAs[Double]("dup_share") * r.getAs[Long]("n_docs")).toLong).sum
+    // per-quintile shares are 4dp-rounded → tolerate ±1 doc per row
+    assert(math.abs(gotDup - dupDocs) <= got.length.toLong,
+      s"dup mass diverges: $gotDup vs $dupDocs")
+  }
+
   test("v35 cosine calibration covers every vec once and bins conserve") {
     val rows = ops.Similarity.v35_cosine_calibration(spark, sf).collect()
     val n = Tables.embeddings(spark, sf).count()

@@ -451,6 +451,15 @@ class StreamingSpec extends AnyFunSuite {
       "value-axis count state + shared miReadout must equal the per-order batch")
   }
 
+  test("s59 streaming DiD equals batch q119 (four-cell moment fold)") {
+    val got = StreamingQueries.s59_stream_did(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val exp = ops.Relational.q119_did(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == exp,
+      "four cells of moment state + shared didReadout must equal the batch")
+  }
+
   test("s57 streaming CCF equals batch q92 (count fold through ccfReadout)") {
     val got = StreamingQueries.s57_stream_ccf(spark, sf)
       .collect().map(_.toSeq).toSeq
