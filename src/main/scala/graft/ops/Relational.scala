@@ -1552,6 +1552,15 @@ object Relational {
       .groupBy(col("c_mktsegment"),
         date_format(col("o_orderdate"), "yyyy-MM").as("m"))
       .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("rc"))
+    contributionReadout(rev)
+  }
+
+  /** q67's delta/share readout over any (c_mktsegment, m, rc) cell
+    * frame — rc in exact integer cents (commutative fold), so s61's
+    * streaming state feeds an identical panel. The share window rides
+    * the bounded ≤5-segment axis.
+    */
+  private[graft] def contributionReadout(rev: DataFrame): DataFrame = {
     rev.groupBy(col("c_mktsegment"))
       .agg(
         (sum(when(col("m") === "1997-01", col("rc")).otherwise(0L)) / 100.0)
@@ -1857,13 +1866,22 @@ object Relational {
   // ROUNDED monthly revenue (2dp doubles both engines agree on, so the
   // ratio is deterministic regardless of parallel-sum order), lag(1) =
   // MoM and lag(12) = YoY on the bounded month axis.
-  val q77_yoy_growth: Q = (s, d) => {
-    val monthly = Tables.orders(s, d)
+  val q77_yoy_growth: Q = (s, d) =>
+    yoyReadout(Tables.orders(s, d)
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
-      .agg(round(sum("o_totalprice"), 2).as("revenue"),
-        count(lit(1)).as("n_orders"))
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("rc"),
+        count(lit(1)).as("n_orders")))
+
+  /** q77's growth readout over any (month, rc, n_orders) monthly panel
+    * — rc in EXACT INTEGER CENTS (the q91 discipline: the per-month
+    * fold is a commutative long sum, so s60 streams it and feeds an
+    * IDENTICAL panel; revenue = rc/100 rounds to the same 2dp the
+    * double formulation produced, growth ratios derive from it).
+    */
+  private[graft] def yoyReadout(monthly: DataFrame): DataFrame = {
     val w = Window.orderBy("month")
     monthly
+      .withColumn("revenue", round(col("rc") / 100.0, 2))
       .withColumn("pm", lag(col("revenue"), 1).over(w))
       .withColumn("py", lag(col("revenue"), 12).over(w))
       .select(col("month"), col("n_orders"), col("revenue"),

@@ -2269,7 +2269,49 @@ object StreamingQueries {
     }
   }
 
+  // s60: STREAMING YoY/MoM GROWTH — q77's twin (47th pair): the
+  // monthly revenue panel folds in EXACT INTEGER CENTS (q77 moved to
+  // the q91 cent discipline — revenue = rc/100 lands the same 2dp),
+  // state bounded by the ≤84-month calendar; the shared yoyReadout
+  // derives the growth ratios from the identical panel, twin equality
+  // EXACT. Oracle is q77's verbatim.
+  val s60_stream_yoy: Q = (s, d) => {
+    val feed = Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+    snapshotTwin(s, feed, col("o_orderkey"), Seq("month"),
+      Seq(sum("cents").as("rc"), count(lit(1)).as("n_orders"))) { panel =>
+      graft.ops.Relational.yoyReadout(
+        panel.select(col("month"), col("rc"), col("n_orders")))
+    }
+  }
+
+  // s61: STREAMING CONTRIBUTION — q67's twin (48th pair): the
+  // (segment, month) cent cells of the two-month comparison window
+  // fold commutatively (≤10 rows of state); the shared
+  // contributionReadout prices the delta decomposition over the
+  // identical panel, twin equality EXACT. Oracle is q67's verbatim.
+  val s61_stream_contribution: Q = (s, d) => {
+    val feed = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-03-01").cast("timestamp"))
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_mktsegment"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("m"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+    snapshotTwin(s, feed, col("o_orderkey"), Seq("c_mktsegment", "m"),
+      Seq(sum("cents").as("rc"))) { panel =>
+      graft.ops.Relational.contributionReadout(
+        panel.select(col("c_mktsegment"), col("m"), col("rc")))
+    }
+  }
+
   val queries: Map[String, Q] = Map(
+    "s61_stream_contribution" -> s61_stream_contribution,
+    "s60_stream_yoy" -> s60_stream_yoy,
     "s59_stream_did" -> s59_stream_did,
     "s58_stream_acf" -> s58_stream_acf,
     "s57_stream_ccf" -> s57_stream_ccf,
@@ -2326,6 +2368,12 @@ object StreamingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // q77's batch oracle verbatim — the month-axis cent fold is exact
+    "s60_stream_yoy" ->
+      graft.ops.Relational.oracle("q77_yoy_growth"),
+    // q67's batch oracle verbatim — ≤10 (segment, month) cent cells
+    "s61_stream_contribution" ->
+      graft.ops.Relational.oracle("q67_contribution"),
     // q119's batch oracle verbatim — four cells of moment state
     // through the shared didReadout, z 4dp-rounded before the tail
     "s59_stream_did" ->

@@ -451,6 +451,24 @@ class StreamingSpec extends AnyFunSuite {
       "value-axis count state + shared miReadout must equal the per-order batch")
   }
 
+  test("s60 streaming YoY equals batch q77 exactly (cent fold)") {
+    val got = StreamingQueries.s60_stream_yoy(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val exp = ops.Relational.q77_yoy_growth(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == exp,
+      "month-axis cent state + shared yoyReadout must equal the batch")
+  }
+
+  test("s61 streaming contribution equals batch q67 exactly (cent fold)") {
+    val got = StreamingQueries.s61_stream_contribution(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val exp = ops.Relational.q67_contribution(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == exp,
+      "segment-month cent state + shared contributionReadout must equal batch")
+  }
+
   test("s59 streaming DiD equals batch q119 (four-cell moment fold)") {
     val got = StreamingQueries.s59_stream_did(spark, sf)
       .collect().map(_.toSeq).toSeq
