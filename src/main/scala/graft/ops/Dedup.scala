@@ -84,7 +84,12 @@ object Dedup {
   // d02: exact n-gram Jaccard near-dup pairs. Candidates = docs sharing at
   // least one shingle (the shared-shingle join bounds work to colliding
   // keys); intersection counted per pair, union from the carried set sizes.
-  val d02_ngram_jaccard: Q = (s, d) => {
+  // The UNSORTED pair frame is the library surface (`ngramJaccardPairs`)
+  // — every internal consumer (d06/d08/d16/d19/d26/d27/d28/t38) feeds it
+  // into further joins or full-collapse aggregates, where d02's
+  // presentation sort would be a dead global exchange; only the d02 lane
+  // itself pays for the ordered readout.
+  private[graft] def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
     // A shingle held by exactly one doc cannot form a pair, and in a real
     // corpus that is the vast majority of shingle rows. One window count
     // over the already-s-partitioned table drops them before the
@@ -104,8 +109,10 @@ object Dedup {
         round(col("inter") / (col("n1") + col("n2") - col("inter")), 6))
       .filter(col("jaccard") >= 0.8)
       .select("d1", "d2", "jaccard")
-      .orderBy("d1", "d2")
   }
+
+  val d02_ngram_jaccard: Q = (s, d) =>
+    ngramJaccardPairs(s, d).orderBy("d1", "d2")
 
   /** 128-perm MinHash signature from an array of shingle hashes:
     * perm_i(x) = XXH64(x, seed=i), all 128 mins in one native pass
@@ -420,7 +427,7 @@ object Dedup {
   // rounds converge. Oracle: DuckDB recursive CTE over the identical
   // pair set.
   val d06_dup_clusters: Q = (s, d) =>
-    ccClusters(d02_ngram_jaccard(s, d).select(col("d1"), col("d2")),
+    ccClusters(ngramJaccardPairs(s, d).select(col("d1"), col("d2")),
       pointerJump = false, maxIter = 20)
       .orderBy("cluster", "doc_id")
 
@@ -428,7 +435,7 @@ object Dedup {
   // the web-scale path §4 promises (O(log n) rounds instead of
   // O(diameter)). Same output, same recursive-CTE oracle as d06.
   val d07_cc_pointer_jumping: Q = (s, d) =>
-    ccClusters(d02_ngram_jaccard(s, d).select(col("d1"), col("d2")),
+    ccClusters(ngramJaccardPairs(s, d).select(col("d1"), col("d2")),
       pointerJump = true, maxIter = 30)
       .orderBy("cluster", "doc_id")
 
@@ -443,7 +450,7 @@ object Dedup {
   // interface, identical downstream plan (PipelineSpec checks the d03
   // variant agrees on ≥90% of drops).
   val d08_dedup_keeplist: Q = (s, d) => {
-    val labels = ccClusters(d02_ngram_jaccard(s, d).select(col("d1"), col("d2")),
+    val labels = ccClusters(ngramJaccardPairs(s, d).select(col("d1"), col("d2")),
       pointerJump = true, maxIter = 30)
     keeplist(Tables.documents(s, d), labels)
   }
@@ -875,7 +882,7 @@ object Dedup {
     // ran both lanes twice — the "costs the same at 100 TB as the lanes
     // it audits" claim was off by 2×; a spec pins executions via x06's
     // QueryExecutionListener).
-    val exact = d02_ngram_jaccard(s, d)
+    val exact = ngramJaccardPairs(s, d)
       .select(col("d1"), col("d2"), lit(1).as("in_exact"))
     val approx = d03_minhash_lsh(s, d)
       .select(col("d1"), col("d2"), lit(1).as("in_approx"))
@@ -906,7 +913,7 @@ object Dedup {
   // weight 1. Cost shape ≡ d08 plus ONE count aggregation on the cluster
   // key and an id-only join back — no payload in any shuffle.
   val d17_soft_dedup: Q = (s, d) => {
-    val labels = ccClusters(d02_ngram_jaccard(s, d).select(col("d1"), col("d2")),
+    val labels = ccClusters(ngramJaccardPairs(s, d).select(col("d1"), col("d2")),
       pointerJump = true, maxIter = 30)
     val docs = Tables.documents(s, d).select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
@@ -1040,7 +1047,7 @@ object Dedup {
     val cfg = Seq((64, 2), (32, 4), (16, 8), (8, 16)).toDF("bands", "rpb")
     def scurve(sim: Column): Column =
       lit(1.0) - pow(lit(1.0) - pow(sim, col("rpb")), col("bands"))
-    d02_ngram_jaccard(s, d).select(col("jaccard"))
+    ngramJaccardPairs(s, d).select(col("jaccard"))
       .crossJoin(broadcast(cfg))
       .groupBy(col("bands"), col("rpb"))
       .agg(count(lit(1)).as("n_true_pairs"),
@@ -1181,7 +1188,7 @@ object Dedup {
   // assumption, and the number says by how much). All counts exact
   // longs; Chapman + rel_err are single divisions, 2dp/4dp rounds.
   val d28_dup_estimate: Q = (s, d) => {
-    val pairs = d02_ngram_jaccard(s, d)
+    val pairs = ngramJaccardPairs(s, d)
       .select(
         (pmod(col("d1"), lit(2)) === 0 && pmod(col("d2"), lit(2)) === 0)
           .cast("long").as("in_a"),
@@ -1194,13 +1201,17 @@ object Dedup {
       .select(col("n_true"), col("n1"), col("n2"), col("m"),
         round((col("n1") + 1) * (col("n2") + 1).cast("double") /
           (col("m") + 1) - 1, 2).as("n_hat"),
-        round(((col("n1") + 1) * (col("n2") + 1).cast("double") /
-          (col("m") + 1) - 1 - col("n_true")) /
-          col("n_true").cast("double"), 4).as("rel_err"))
+        // rel_err is undefined when the corpus holds no near-dup pairs:
+        // emit an explicit null instead of a 0/0 NaN (m+1 Chapman guard
+        // discipline; the oracle mirrors the CASE)
+        when(col("n_true") > 0,
+          round(((col("n1") + 1) * (col("n2") + 1).cast("double") /
+            (col("m") + 1) - 1 - col("n_true")) /
+            col("n_true").cast("double"), 4)).as("rel_err"))
   }
 
   val d27_cross_shard_rate: Q = (s, d) =>
-    d02_ngram_jaccard(s, d)
+    ngramJaccardPairs(s, d)
       .select((pmod(col("d1"), lit(8)) === pmod(col("d2"), lit(8)))
         .cast("long").as("same"))
       .agg(count(lit(1)).as("n_pairs"), sum("same").as("n_same_shard"))
@@ -1290,7 +1301,7 @@ object Dedup {
   // axis; singletons from corpus count minus clustered docs — no
   // corpus pass beyond the d02 pair machinery it inherits.
   val d26_cluster_profile: Q = (s, d) => {
-    val cl = ccClusters(d02_ngram_jaccard(s, d).select(col("d1"), col("d2")),
+    val cl = ccClusters(ngramJaccardPairs(s, d).select(col("d1"), col("d2")),
       pointerJump = false, maxIter = 20)
     val sizes = cl.groupBy("cluster").agg(count(lit(1)).as("size"))
     val byBucket = sizes
@@ -1710,8 +1721,9 @@ object Dedup {
         |  FROM dup)
         |SELECT n_true, n1, n2, m,
         |  round((n1 + 1) * (n2 + 1)::DOUBLE / (m + 1) - 1, 2) AS n_hat,
-        |  round(((n1 + 1) * (n2 + 1)::DOUBLE / (m + 1) - 1 - n_true)
-        |    / n_true::DOUBLE, 4) AS rel_err
+        |  CASE WHEN n_true > 0 THEN
+        |    round(((n1 + 1) * (n2 + 1)::DOUBLE / (m + 1) - 1 - n_true)
+        |      / n_true::DOUBLE, 4) END AS rel_err
         |FROM st""".stripMargin,
     "d27_cross_shard_rate" ->
       """WITH toks AS (

@@ -641,44 +641,57 @@ object Multimodal {
     (fmt, channels, rate, samples)
   }
 
+  /** Decode an audio payload to PCM samples — the ONE place the planted
+    * layout (12-byte pseudo-magic header, little-endian i16 body) is
+    * known, shared by m05 and m18 so a generator layout change fails
+    * BOTH lanes loudly instead of leaving one producing silent garbage
+    * frames. The container walk is real: the samples round through an
+    * actual RIFF/WAVE encode+parse — fmt fields, LIST skip, data locate
+    * (encodeWav/parseWav) — and any framing or sample drift raises.
+    */
+  def decodeAudioPayload(payload: Array[Byte]): Array[Short] = {
+    val body = 12 // the planted pseudo-magic ahead of the PCM bytes
+    val nRaw = (payload.length - body) / 2
+    val planted = new Array[Short](math.max(nRaw, 0))
+    var k = 0
+    while (k < planted.length) {
+      val off = body + 2 * k
+      planted(k) =
+        ((payload(off) & 0xFF) | (payload(off + 1) << 8)).toShort
+      k += 1
+    }
+    // a parse failure is loud, not garbage frames
+    val (fmt, channels, rate, x) = parseWav(encodeWav(planted))
+    require(fmt == 1 && channels == 1 && rate == WavSampleRate,
+      s"fmt drift: pcm=$fmt ch=$channels rate=$rate")
+    require(x.sameElements(planted), "container roundtrip lost samples")
+    x
+  }
+
+  /** Pre-emphasis y[i] = x[i+1] − x[i] (the DC-removing high-pass every
+    * speech front end applies), ONCE per record — frames overlap 2×, so
+    * the per-frame loops walk this array instead of re-differencing.
+    */
+  def preEmphasize(x: Array[Short]): Array[Int] = {
+    val y = new Array[Int](math.max(x.length - 1, 0))
+    var j = 0
+    while (j < y.length) { y(j) = x(j + 1) - x(j); j += 1 }
+    y
+  }
+
   // m05 (rows-only; spec: frame count formula, energy/peak/zc recomputed,
   // determinism, container roundtrip): AUDIO FRAMING — the STFT/feature
-  // front-end over PCM audio columns: each payload body as little-endian
-  // i16 samples, full pre-emphasis (y[i] = x[i] − x[i−1], the DC-removing
-  // high-pass every speech front end applies), then overlapping (frame,
-  // hop) windows with per-frame energy, peak, and zero-crossing count.
-  // The CONTAINER pass is real too: the samples round through an actual
-  // RIFF/WAVE file on the executor — fmt parse, unknown-chunk skip, data
-  // locate (encodeWav/parseWav) — before the DSP; the planted 12-byte
-  // pseudo-magic only marks the payload as the audio lane's.
+  // front-end over PCM audio columns: each payload body decoded by the
+  // shared decodeAudioPayload (real RIFF/WAVE container walk included),
+  // full pre-emphasis, then overlapping (frame, hop) windows with
+  // per-frame energy, peak, and zero-crossing count.
   // mapPartitions keeps the one-decoder-init-per-partition shape.
   val m05_audio_frames: Q = (s, d) => {
     import s.implicits._
     mediaRecords(s, d)
       .filter(r => r.content_type == "audio/wav")
       .mapPartitions(_.flatMap { r =>
-        val body = 12 // the planted pseudo-magic ahead of the PCM bytes
-        val nRaw = (r.payload.length - body) / 2
-        val planted = new Array[Short](math.max(nRaw, 0))
-        var k = 0
-        while (k < planted.length) {
-          val off = body + 2 * k
-          planted(k) =
-            ((r.payload(off) & 0xFF) | (r.payload(off + 1) << 8)).toShort
-          k += 1
-        }
-        // the real container walk: RIFF framing, fmt fields, LIST skip,
-        // data chunk — a parse failure is loud, not garbage frames
-        val (fmt, channels, rate, x) = parseWav(encodeWav(planted))
-        require(fmt == 1 && channels == 1 && rate == WavSampleRate,
-          s"fmt drift: pcm=$fmt ch=$channels rate=$rate")
-        require(x.sameElements(planted), "container roundtrip lost samples")
-        // pre-emphasize ONCE per record; the frame loop below is then a
-        // plain array walk (frames overlap 2×, and energy/zc would
-        // otherwise re-decode every sample per frame)
-        val y = new Array[Int](math.max(x.length - 1, 0))
-        var j = 0
-        while (j < y.length) { y(j) = x(j + 1) - x(j); j += 1 }
+        val y = preEmphasize(decodeAudioPayload(r.payload))
         val nFrames = if (y.length < AudioFrameLen) 0
           else (y.length - AudioFrameLen) / AudioHop + 1
         Iterator.range(0, nFrames).map { f =>
@@ -1524,19 +1537,9 @@ object Multimodal {
         val sinT = Array.tabulate(SpectralBins + 1, N)((k, i) =>
           math.sin(2.0 * math.Pi * k * i / N))
         it.flatMap { r =>
-          val body = 12
-          val nRaw = (r.payload.length - body) / 2
-          val x = new Array[Int](math.max(nRaw, 0))
-          var k = 0
-          while (k < x.length) {
-            val off = body + 2 * k
-            x(k) = ((r.payload(off) & 0xFF) |
-              (r.payload(off + 1) << 8)).toShort.toInt
-            k += 1
-          }
-          val y = new Array[Int](math.max(x.length - 1, 0))
-          var j = 0
-          while (j < y.length) { y(j) = x(j + 1) - x(j); j += 1 }
+          // shared with m05: same planted-layout decode, same loud
+          // container-roundtrip validation
+          val y = preEmphasize(decodeAudioPayload(r.payload))
           val nFrames = if (y.length < N) 0 else (y.length - N) / AudioHop + 1
           Iterator.range(0, nFrames).map { f =>
             val start = f * AudioHop

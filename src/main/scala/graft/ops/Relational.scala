@@ -319,6 +319,38 @@ object Relational {
         count(lit(1)).as("n_orders"))
       .orderBy("o_orderpriority")
 
+  /** The 100 TB percentile swap as ROUTED CODE, not prose: every lane
+    * whose scale note says "swaps for approx_percentile at 100 TB"
+    * (q52/q84/q98/q107/t54) computes its bounds through this helper in
+    * exact mode, and the error-pinned spec runs the SAME helper in both
+    * modes (q39's ≤ rank-error argument) — the swap is proven on the
+    * shared path, once, instead of re-asserted in prose per lane.
+    *
+    * exact=true → percentile(): buffers every value per group; what the
+    * DuckDB oracles replay. exact=false → approx_percentile
+    * (Greenwald-Khanna summary, default accuracy 10⁴): fixed-size
+    * MERGEABLE map-side state — one pass, no per-group value buffering,
+    * rank error ≤ n/accuracy. `freq` (integer repetition weights, q98)
+    * is exact-only by design: a weighted percentile's scale path is the
+    * value-COLLAPSED axis (wmedianReadout's collapse invariance), which
+    * already bounds state — there is nothing left to sketch.
+    */
+  private[graft] def pctileExactOrSketch(c: Column, fracs: Seq[Double],
+      exact: Boolean, freq: Option[Column] = None,
+      accuracy: Int = 10000): Column = {
+    val pct =
+      if (fracs.length == 1) lit(fracs.head) else array(fracs.map(lit): _*)
+    freq match {
+      case Some(f) =>
+        require(exact,
+          "weighted percentile scales via value collapse, not a GK sketch")
+        percentile(c, pct, f)
+      case None =>
+        if (exact) percentile(c, pct)
+        else percentile_approx(c, pct, lit(accuracy))
+    }
+  }
+
   // q24: pivot month × order-status revenue matrix. The pivot values are
   // declared (no extra distinct-collect job); each cell is a conditional
   // sum in ONE aggregation pass.
@@ -967,10 +999,11 @@ object Relational {
           .cast("double").as("recency"),
         count(lit(1)).cast("double").as("frequency"),
         round(sum("o_totalprice"), 2).as("monetary"))
+    val qs = Seq(0.2, 0.4, 0.6, 0.8)
     val bounds = per.agg(
-      expr("percentile(recency, array(0.2, 0.4, 0.6, 0.8))").as("rb"),
-      expr("percentile(frequency, array(0.2, 0.4, 0.6, 0.8))").as("fb"),
-      expr("percentile(monetary, array(0.2, 0.4, 0.6, 0.8))").as("mb"))
+      pctileExactOrSketch(col("recency"), qs, exact = true).as("rb"),
+      pctileExactOrSketch(col("frequency"), qs, exact = true).as("fb"),
+      pctileExactOrSketch(col("monetary"), qs, exact = true).as("mb"))
     def score(c: Column, b: Column): Column =
       (0 to 3).map(i => (c >= element_at(b, i + 1)).cast("int"))
         .foldLeft(lit(1))(_ + _)
@@ -2163,10 +2196,14 @@ object Relational {
     conv.agg(count(lit(1)).as("n_viewers"),
         count(col("delay_h")).as("n_converted"),
         round(count(col("delay_h")) / count(lit(1)).cast("double"), 4).as("cvr"),
-        round(expr("percentile(delay_h, 0.25)"), 2).as("p25_h"),
-        round(expr("percentile(delay_h, 0.5)"), 2).as("p50_h"),
-        round(expr("percentile(delay_h, 0.75)"), 2).as("p75_h"),
-        round(expr("percentile(delay_h, 0.9)"), 2).as("p90_h"))
+        round(pctileExactOrSketch(col("delay_h"), Seq(0.25), exact = true), 2)
+          .as("p25_h"),
+        round(pctileExactOrSketch(col("delay_h"), Seq(0.5), exact = true), 2)
+          .as("p50_h"),
+        round(pctileExactOrSketch(col("delay_h"), Seq(0.75), exact = true), 2)
+          .as("p75_h"),
+        round(pctileExactOrSketch(col("delay_h"), Seq(0.9), exact = true), 2)
+          .as("p90_h"))
   }
 
 
@@ -2735,8 +2772,10 @@ object Relational {
   private[graft] def wmedianReadout(panel: DataFrame): DataFrame =
     panel.groupBy(col("l_returnflag"))
       .agg(sum("q").as("units"),
-        round(expr("percentile(unit_price, 0.5, q)"), 4).as("wmedian"),
-        round(expr("percentile(unit_price, 0.9, q)"), 4).as("wp90"))
+        round(pctileExactOrSketch(col("unit_price"), Seq(0.5),
+          exact = true, freq = Some(col("q"))), 4).as("wmedian"),
+        round(pctileExactOrSketch(col("unit_price"), Seq(0.9),
+          exact = true, freq = Some(col("q"))), 4).as("wp90"))
       .orderBy("l_returnflag")
 
   val q98_weighted_median: Q = (s, d) =>
@@ -3397,6 +3436,15 @@ object Relational {
     * panel — counts are exact longs, so s54's streaming fold feeds an
     * IDENTICAL panel and twin equality is EXACT (both paths cumulate
     * the same ≤366-term sequence in day order).
+    *
+    * Two readout columns, two contracts: `state` is the per-day MONITOR
+    * readout (where the LLR path sits vs the Wald boundaries that day —
+    * it can revert to 'continue' after a crossing, by design), while
+    * `decision` is the SPRT itself — a true sequential test stops at
+    * the FIRST boundary crossing, so the first non-continue state wins
+    * and is sticky ever after. Reading the final row's `decision` gives
+    * the test's verdict; reading its `state` gives only that day's
+    * boundary position.
     */
   private[graft] def sprtReadout(daily: DataFrame): DataFrame = {
     val llrDay = col("conversions") * log(lit(0.52) / lit(0.48)) +
@@ -3407,11 +3455,17 @@ object Relational {
     daily
       .withColumn("llr_raw", llrDay)
       .withColumn("llr_cum", round(sum(col("llr_raw")).over(w), 6))
-      .select(col("day"), col("trials"), col("conversions"),
-        round(col("llr_raw"), 6).as("llr_day"), col("llr_cum"),
+      .withColumn("state",
         when(col("llr_cum") >= bHi, "accept_h1")
           .when(col("llr_cum") <= -bHi, "accept_h0")
-          .otherwise("continue").as("state"))
+          .otherwise("continue"))
+      .select(col("day"), col("trials"), col("conversions"),
+        round(col("llr_raw"), 6).as("llr_day"), col("llr_cum"),
+        col("state"),
+        coalesce(
+          first(when(col("state") =!= "continue", col("state")),
+            ignoreNulls = true).over(w),
+          lit("continue")).as("decision"))
       .orderBy("day")
   }
 
@@ -3556,8 +3610,8 @@ object Relational {
         .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)"))
           .as("cents"))
     def seg(df: DataFrame): DataFrame = {
-      val b = df.agg(
-        expr("percentile(cents, array(0.2, 0.4, 0.6, 0.8))").as("b"))
+      val b = df.agg(pctileExactOrSketch(col("cents"),
+        Seq(0.2, 0.4, 0.6, 0.8), exact = true).as("b"))
       df.crossJoin(broadcast(b))
         .select(col("o_custkey"),
           (0 to 3).map(i =>
@@ -4007,13 +4061,20 @@ object Relational {
         |  SELECT *, round(sum(llr_raw) OVER (ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
         |    AS llr_cum
-        |  FROM llr)
+        |  FROM llr),
+        |st AS (
+        |  SELECT *,
+        |    CASE WHEN llr_cum >= round(ln(19.0), 6) THEN 'accept_h1'
+        |         WHEN llr_cum <= -round(ln(19.0), 6) THEN 'accept_h0'
+        |         ELSE 'continue' END AS state
+        |  FROM cum)
         |SELECT day, trials, conversions,
-        |  round(llr_raw, 6) AS llr_day, llr_cum,
-        |  CASE WHEN llr_cum >= round(ln(19.0), 6) THEN 'accept_h1'
-        |       WHEN llr_cum <= -round(ln(19.0), 6) THEN 'accept_h0'
-        |       ELSE 'continue' END AS state
-        |FROM cum ORDER BY day""".stripMargin,
+        |  round(llr_raw, 6) AS llr_day, llr_cum, state,
+        |  coalesce(first_value(CASE WHEN state <> 'continue' THEN state END
+        |      IGNORE NULLS) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    'continue') AS decision
+        |FROM st ORDER BY day""".stripMargin,
     "q112_kruskal_wallis" ->
       """WITH spend AS (
         |  SELECT o_custkey,

@@ -1373,7 +1373,7 @@ object TextAnalysis {
     val splits = Tables.documents(s, d)
       .select(col("doc_id"), when(pct < 90, "train")
         .when(pct < 95, "val").otherwise("test").as("split"))
-    val pairs = graft.ops.Dedup.d02_ngram_jaccard(s, d)
+    val pairs = graft.ops.Dedup.ngramJaccardPairs(s, d)
     pairs
       .join(splits.select(col("doc_id").as("d1"), col("split").as("split_a")),
         Seq("d1"))
@@ -1768,7 +1768,14 @@ object TextAnalysis {
       .join(docs.groupBy("h").agg(count(lit(1)).as("nh")), "h")
       .select(col("doc_id"), (col("nh") > 1).cast("long").as("dup"))
     val j = sc.join(flags, "doc_id")
-    val b = j.agg(expr("percentile(bp, array(0.2, 0.4, 0.6, 0.8))").as("b"))
+    // bounds rounded to 4dp BEFORE the >= comparisons: the interpolated
+    // quantile has at most one true decimal (f ∈ {0,.2,.4,.6,.8}), so
+    // the round is exact and absorbs the cross-engine ulp noise that
+    // could otherwise flip a doc sitting on an integer-bp boundary
+    val b = j.agg(transform(
+      graft.ops.Relational.pctileExactOrSketch(col("bp"),
+        Seq(0.2, 0.4, 0.6, 0.8), exact = true),
+      x => round(x, 4)).as("b"))
     j.crossJoin(broadcast(b))
       .select(col("n_tokens"), col("dup"),
         (0 to 3).map(i =>
@@ -1863,7 +1870,8 @@ object TextAnalysis {
          |  FROM documents),
          |j AS (SELECT sc.doc_id, n_tokens, bp, dup
          |      FROM sc JOIN dupf ON sc.doc_id = dupf.doc_id),
-         |b AS (SELECT quantile_cont(bp, [0.2, 0.4, 0.6, 0.8]) AS b FROM j),
+         |b AS (SELECT [round(x, 4) for x in
+         |        quantile_cont(bp, [0.2, 0.4, 0.6, 0.8])] AS b FROM j),
          |g AS (
          |  SELECT n_tokens, dup,
          |    1 + (bp >= b[1])::INT + (bp >= b[2])::INT

@@ -136,6 +136,46 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("pctileExactOrSketch: sketch mode tracks exact mode within the GK rank-error bound on the shared path") {
+    import org.apache.spark.sql.functions._
+    // q52/q84/q98/q107/t54 route their bounds through this helper in
+    // exact mode; this pins the documented 100 TB swap ON THAT PATH:
+    // flipping only the mode bit lands within accuracy⁻¹ rank error
+    // (q39's argument, proven once on the shared helper).
+    val qs = Seq(0.2, 0.4, 0.6, 0.8)
+    // cast to double up front: exact percentile always lands double, but
+    // approx_percentile returns the INPUT type — a bigint column would
+    // make the two modes schema-incomparable
+    val spend = Tables.orders(spark, sf)
+      .groupBy("o_custkey")
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+        .cast("double").as("cents"))
+      .persist()
+    try {
+      def bounds(exact: Boolean): Seq[Double] = spend
+        .agg(ops.Relational.pctileExactOrSketch(col("cents"), qs, exact)
+          .as("b"))
+        .head.getSeq[Double](0)
+      val (ex, sk) = (bounds(exact = true), bounds(exact = false))
+      assert(ex.length == 4 && sk.length == 4)
+      // rank-error bound: the sketch quantile's RANK is within
+      // n/accuracy of the target rank; convert via the empirical CDF
+      val n = spend.count().toDouble
+      def rankOf(v: Double): Double =
+        spend.filter(col("cents") <= v).count().toDouble
+      qs.zip(sk).foreach { case (q, b) =>
+        val err = math.abs(rankOf(b) - q * n) / n
+        assert(err <= 1.0 / 10000 + 1.0 / n,
+          f"sketch q=$q rank error $err%.6f exceeds the GK bound")
+      }
+      // weighted mode is exact-only by contract
+      intercept[IllegalArgumentException] {
+        ops.Relational.pctileExactOrSketch(col("cents"), Seq(0.5),
+          exact = false, freq = Some(lit(1L)))
+      }
+    } finally spend.unpersist()
+  }
+
   test("q41 binned range join equals the naive non-equi join, BNLJ-free") {
     import org.apache.spark.sql.functions._
     val df = ops.Relational.q41_range_join(spark, sf)
@@ -2038,22 +2078,33 @@ class RelationalSpec extends AnyFunSuite {
     val (l1, l0) = (math.log(0.52 / 0.48), math.log(0.48 / 0.52))
     val bHi = math.rint(math.log(19.0) * 1e6) / 1e6
     var cum = 0.0
+    var decided = "continue" // a true SPRT stops at the FIRST crossing
     val exp = daily.map { case (day, n, c) =>
       val llr = c * l1 + (n - c) * l0
       cum += llr
       val cumR = math.rint(cum * 1e6) / 1e6
       val st = if (cumR >= bHi) "accept_h1"
         else if (cumR <= -bHi) "accept_h0" else "continue"
-      (day.toString, n, c, math.rint(llr * 1e6) / 1e6, cumR, st)
+      if (decided == "continue" && st != "continue") decided = st
+      (day.toString, n, c, math.rint(llr * 1e6) / 1e6, cumR, st, decided)
     }
     val got = ops.Relational.q118_sprt(spark, sf).collect()
       .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
-        r.getDouble(3), r.getDouble(4), r.getString(5)))
+        r.getDouble(3), r.getDouble(4), r.getString(5), r.getString(6)))
     assert(got.length == daily.length && got.nonEmpty)
     got.zip(exp).foreach { case (g, e) =>
       assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3)
       assert(math.abs(g._4 - e._4) < 1e-5 && math.abs(g._5 - e._5) < 1e-5)
       assert(g._6 == e._6, s"state diverges at ${g._1}: ${g._6} vs ${e._6}")
+      assert(g._7 == e._7,
+        s"decision diverges at ${g._1}: ${g._7} vs ${e._7} — the SPRT " +
+          "verdict is the first boundary crossing, sticky ever after")
+    }
+    // the decision column is absorbing: once non-continue, never reverts
+    got.sliding(2).foreach {
+      case Array(a, b) if a._7 != "continue" =>
+        assert(b._7 == a._7, "decision must be absorbing")
+      case _ => ()
     }
     // the LLR path is a cumulative sum: successive rows differ by
     // exactly that day's llr (internal consistency of the window)

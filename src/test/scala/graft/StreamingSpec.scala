@@ -388,10 +388,10 @@ class StreamingSpec extends AnyFunSuite {
     val panel = StreamingQueries.snapshotTwin(
       spark, feed, col("l_orderkey"), Seq("l_partkey"),
       Seq(sum("cents").as("rc")), nShards = 8,
-      probe = (ss, stateDir, nBatches) => {
+      probe = (ss, stateRoot, nBatches) => {
         assert(nBatches >= 8,
           s"8 shards at one file per trigger must run ≥8 batches, got $nBatches")
-        val scratchRows = ss.read.parquet(stateDir.toString).count()
+        val scratchRows = StreamingQueries.snapshotPanel(ss, stateRoot).count()
         assert(scratchRows <= keySpace,
           s"compacted scratch ($scratchRows rows) must be bounded by the " +
             s"key space ($keySpace), not by trigger count")
@@ -404,6 +404,131 @@ class StreamingSpec extends AnyFunSuite {
     val exp = feed.groupBy("l_partkey")
       .agg(sum("cents").as("rc")).collect().map(_.toSeq).toSet
     assert(got == exp, "compacted panel must equal the batch fold exactly")
+  }
+
+  test("snapshotTwin compaction is incremental: untouched buckets stay byte-identical, rewrites bounded by touched buckets") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // The round-13 design merged the FULL panel every trigger — a
+    // key-space-sized shuffle and rewrite per micro-batch. The bucketed
+    // compaction must (a) leave every bucket the batch does not touch
+    // byte-identical on disk, (b) rewrite no more rows than the touched
+    // buckets hold, and (c) stay batchId-idempotent per bucket.
+    val snapDir = java.nio.file.Files.createTempDirectory("graft_bktspec")
+    def fingerprints(): Map[String, String] = {
+      val st = java.nio.file.Files.walk(snapDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .map { p =>
+            val md = java.security.MessageDigest.getInstance("SHA-256")
+            val h = md.digest(java.nio.file.Files.readAllBytes(p))
+            snapDir.relativize(p).toString -> h.map("%02x".format(_)).mkString
+          }.toMap
+      } finally st.close()
+    }
+    try {
+      val nKeys = 200
+      val b0 = (0 until nKeys).map(k => (k.toLong, k * 10L, 1L))
+        .toDF("k", "v", "n")
+      StreamingQueries.mergeSnapshotBatch(snapDir, Seq("k"), 0L, b0)
+      val before = fingerprints()
+      // batch 1 updates a single key — exactly one touched bucket
+      val oneKey = 7L
+      val b1 = Seq((oneKey, 999L, 2L)).toDF("k", "v", "n")
+      StreamingQueries.mergeSnapshotBatch(snapDir, Seq("k"), 1L, b1)
+      val after = fingerprints()
+      val nB = StreamingQueries.snapshotBuckets
+      val bkt = b1.select(pmod(hash(col("k")), lit(nB))).head.getInt(0)
+      val touchedPrefix = f"bkt_$bkt%02d"
+      // (a) untouched buckets: identical file set, identical bytes
+      assert(before.filterNot(_._1.startsWith(touchedPrefix)) ==
+        after.filterNot(_._1.startsWith(touchedPrefix)),
+        "a trigger must not write, move, or retire files in buckets " +
+          "its batch does not touch")
+      // the touched bucket DID advance to a committed v1
+      assert(after.keys.exists(p => p.startsWith(touchedPrefix) &&
+        p.contains("state_v00001")),
+        "the touched bucket must commit a new version")
+      // (b) rewritten rows ≤ keys hashing into the touched bucket ≪ keys
+      val bucketKeys = b0.select(pmod(hash(col("k")), lit(nB)).as("b"))
+        .filter(col("b") === bkt).count()
+      val rewritten = spark.read.parquet(
+        snapDir.resolve(touchedPrefix).resolve("state_v00001").toString)
+      assert(rewritten.count() <= bucketKeys && bucketKeys < nKeys,
+        s"per-trigger rewrite (${rewritten.count()} rows) must be bounded " +
+          s"by the touched bucket's keys ($bucketKeys), not the key space")
+      // the merge itself took effect: n=2 wins for the updated key
+      assert(rewritten.filter(col("k") === oneKey)
+        .select("v").head.getLong(0) == 999L)
+      // (c) at-least-once replay of batch 1 is idempotent
+      StreamingQueries.mergeSnapshotBatch(snapDir, Seq("k"), 1L, b1)
+      val panel = StreamingQueries.snapshotPanel(spark, snapDir)
+        .collect().map(_.toSeq).toSet
+      val expect = (0 until nKeys).map(k =>
+        if (k.toLong == oneKey) Seq[Any](oneKey, 999L, 2L)
+        else Seq[Any](k.toLong, k * 10L, 1L)).toSet
+      assert(panel == expect,
+        "replayed batch must leave the compacted panel unchanged")
+      // retention stays bounded: ≤2 committed versions (base + latest)
+      // per bucket, never a version per trigger
+      (0 until nB).foreach { b =>
+        val bd = snapDir.resolve(f"bkt_$b%02d")
+        if (java.nio.file.Files.isDirectory(bd)) {
+          val st = java.nio.file.Files.list(bd)
+          val vs = try {
+            import scala.jdk.CollectionConverters._
+            st.iterator().asScala.count(
+              _.getFileName.toString.startsWith("state_v"))
+          } finally st.close()
+          assert(vs <= 2, s"bucket $b holds $vs versions; retention " +
+            "must keep only the merge base and the latest commit")
+        }
+      }
+    } finally graft.sources.SourceSinks.deleteDir(snapDir)
+  }
+
+  test("s56 per-trigger prefix consistency: after each batch the readout equals the batch lane over delivered shards") {
+    import org.apache.spark.sql.functions._
+    // The twins' oracles verify only the FINAL drained state; a monitor
+    // reads the panel after EVERY trigger. This pins the contract on
+    // s56 (4 cells, cheapest): replaying its exact trigger sequence —
+    // batch k carries the cumulative agg values of keys shard k touches,
+    // which is precisely what the update-mode state store emits — the
+    // compacted panel's readout after batch k must equal q116's batch
+    // readout over shards 0..k.
+    val nShards = 4
+    val feed = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), (col("l_discount") >= 0.05).as("e"),
+        (col("l_returnflag") === "R").as("r"))
+      .withColumn("_shard", pmod(col("l_orderkey"), lit(nShards)))
+      .persist()
+    val snapDir = java.nio.file.Files.createTempDirectory("graft_prefixspec")
+    try {
+      (0 until nShards).foreach { k =>
+        val sofar = feed.filter(col("_shard") <= k)
+        val emitted = sofar.groupBy(col("e"), col("r"))
+          .agg(count(lit(1)).as("cnt"), count(lit(1)).as("n"))
+          .join(feed.filter(col("_shard") === k).select("e", "r").distinct(),
+            Seq("e", "r"), "left_semi")
+        StreamingQueries.mergeSnapshotBatch(snapDir, Seq("e", "r"),
+          k.toLong, emitted)
+        val got = ops.Relational.oddsRatioReadout(
+          StreamingQueries.snapshotPanel(spark, snapDir)
+            .select(col("e"), col("r"), col("cnt")))
+          .collect().map(_.toSeq).toSeq
+        val exp = ops.Relational.oddsRatioReadout(
+          sofar.groupBy(col("e"), col("r")).agg(count(lit(1)).as("cnt")))
+          .collect().map(_.toSeq).toSeq
+        assert(got == exp,
+          s"after trigger $k the snapshot readout must equal the batch " +
+            s"lane over shards 0..$k — the panel is monitor-consistent " +
+            "at every trigger, not only when drained")
+      }
+    } finally {
+      feed.unpersist()
+      graft.sources.SourceSinks.deleteDir(snapDir)
+    }
   }
 
   test("s44 streaming ABC equals batch q66 under orderkey-sharded delivery") {

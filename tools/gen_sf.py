@@ -1,7 +1,23 @@
 #!/usr/bin/env python3
 """Deterministic sf-scaled testdata generator (dev tooling, NOT library code).
 
-Usage: python3 tools/gen_sf.py <sf> <outDir>     e.g. gen_sf.py 1 testdata/sf1
+Usage: python3 tools/gen_sf.py <sf> <outDir> [--effect]
+       e.g. gen_sf.py 1 testdata/sf1
+
+--effect plants KNOWN effects the statistical-inference lanes must
+DETECT (the c43 planted-drift discipline applied to the inference
+block — on the default uniform/independent data q116/q118/q119 are
+structurally null, so their detection path never fires):
+
+  orders     AUTOMOBILE customers' post-1997-01-01 totalprice ×1.15
+             (q119 DiD must read significant=1; q120's placebo stays
+             inside the pre-period and must stay null)
+  lineitem   lines with l_discount >= 0.05 redraw l_returnflag with
+             p(R)=0.40 vs the 1/3 baseline (q116 odds ratio ~1.33,
+             CI excludes 1)
+  events     event_type redrawn with purchase share 0.24 / view 0.16
+             (purchase fraction among view+purchase = 0.6 > 0.52, so
+             q118's SPRT must cross accept_h1)
 
 Replicates the driver-generated tables' observed schema and distributions
 (studied from /root/testdata/sf0.001-0.1) at a larger scale factor, so the
@@ -109,6 +125,7 @@ def ts_ns(us):
 def main():
     sf = float(sys.argv[1])
     outdir = sys.argv[2]
+    effect = "--effect" in sys.argv[3:]
     os.makedirs(outdir, exist_ok=True)
     rng = np.random.default_rng(SEED)
 
@@ -128,13 +145,18 @@ def main():
         "n_name": pa.array(NATIONS),
         "n_regionkey": pa.array(np.arange(25, dtype=np.int32) % 5)}), 25)
 
+    # effect mode may add EXTRA rng draws but never reorders the default
+    # path's calls — same seed, same default output as every prior round
     ck = np.arange(n_cust, dtype=np.int64)
+    c_nationkey = rng.integers(0, 25, n_cust).astype(np.int32)
+    c_acctbal = np.round(rng.uniform(-1000, 10000, n_cust), 2)
+    cust_seg = np.array(MKTSEG)[rng.integers(0, 5, n_cust)]
     write(outdir, "customer", pa.table({
         "c_custkey": pa.array(ck),
         "c_name": pa.array([f"Customer#{i:09d}" for i in ck]),
-        "c_nationkey": pa.array(rng.integers(0, 25, n_cust).astype(np.int32)),
-        "c_acctbal": pa.array(np.round(rng.uniform(-1000, 10000, n_cust), 2)),
-        "c_mktsegment": pa.array(np.array(MKTSEG)[rng.integers(0, 5, n_cust)]),
+        "c_nationkey": pa.array(c_nationkey),
+        "c_acctbal": pa.array(c_acctbal),
+        "c_mktsegment": pa.array(cust_seg),
     }), 1 << 17)
 
     sk = np.arange(n_supp, dtype=np.int64)
@@ -161,11 +183,23 @@ def main():
     ok = np.arange(n_ord, dtype=np.int64)
     od_base = np.datetime64("1995-01-01", "us").astype(np.int64)
     od_days = rng.integers(0, 2405, n_ord)
+    o_custkey = rng.integers(0, n_cust, n_ord)
+    o_orderstatus = np.array(OSTATUS)[rng.integers(0, 3, n_ord)]
+    o_totalprice = np.round(rng.uniform(1000, 500000, n_ord), 2)
+    if effect:
+        # planted DiD: treated (AUTOMOBILE) × post (>= 1997-01-01, day
+        # 731 of the 1995-01-01 axis) orders shift +15% — q119 must
+        # detect it; q120's placebo window ends before the shift
+        post = od_days >= 731
+        treated = cust_seg[o_custkey] == "AUTOMOBILE"
+        o_totalprice = np.where(treated & post,
+                                np.round(o_totalprice * 1.15, 2),
+                                o_totalprice)
     write(outdir, "orders", pa.table({
         "o_orderkey": pa.array(ok),
-        "o_custkey": pa.array(rng.integers(0, n_cust, n_ord)),
-        "o_orderstatus": pa.array(np.array(OSTATUS)[rng.integers(0, 3, n_ord)]),
-        "o_totalprice": pa.array(np.round(rng.uniform(1000, 500000, n_ord), 2)),
+        "o_custkey": pa.array(o_custkey),
+        "o_orderstatus": pa.array(o_orderstatus),
+        "o_totalprice": pa.array(o_totalprice),
         "o_orderdate": ts_ms(od_base + od_days * DAY_US),
         "o_orderpriority": pa.array(np.array(OPRIO)[rng.integers(0, 5, n_ord)]),
     }), 1 << 17)
@@ -176,18 +210,37 @@ def main():
     lno = np.concatenate([np.arange(1, k + 1) for k in nline]) \
         if n_li else np.array([], dtype=np.int64)
     sd_base = np.datetime64("1995-01-02", "us").astype(np.int64)
+    l_partkey = rng.integers(0, n_part, n_li)
+    l_suppkey = rng.integers(0, n_supp, n_li)
+    l_quantity = rng.integers(1, 51, n_li).astype(np.float64)
+    l_extendedprice = np.round(rng.uniform(900, 105000, n_li), 2)
+    l_discount = rng.integers(0, 11, n_li) / 100.0
+    l_tax = rng.integers(0, 9, n_li) / 100.0
+    l_returnflag = np.array(["A", "N", "R"])[rng.integers(0, 3, n_li)]
+    l_linestatus = np.array(["O", "F"])[rng.integers(0, 2, n_li)]
+    l_shipdays = rng.integers(0, 2499, n_li)
+    if effect:
+        # planted odds ratio: discounted lines return with p(R)=0.40
+        # (vs 1/3 baseline) — q116's CI must exclude 1
+        exposed = l_discount >= 0.05
+        redraw = rng.random(n_li)
+        l_returnflag = np.where(
+            exposed,
+            np.where(redraw < 0.40, "R",
+                     np.where(redraw < 0.70, "A", "N")),
+            l_returnflag)
     write(outdir, "lineitem", pa.table({
         "l_orderkey": pa.array(lok),
-        "l_partkey": pa.array(rng.integers(0, n_part, n_li)),
-        "l_suppkey": pa.array(rng.integers(0, n_supp, n_li)),
+        "l_partkey": pa.array(l_partkey),
+        "l_suppkey": pa.array(l_suppkey),
         "l_linenumber": pa.array(lno.astype(np.int32)),
-        "l_quantity": pa.array(rng.integers(1, 51, n_li).astype(np.float64)),
-        "l_extendedprice": pa.array(np.round(rng.uniform(900, 105000, n_li), 2)),
-        "l_discount": pa.array(rng.integers(0, 11, n_li) / 100.0),
-        "l_tax": pa.array(rng.integers(0, 9, n_li) / 100.0),
-        "l_returnflag": pa.array(np.array(["A", "N", "R"])[rng.integers(0, 3, n_li)]),
-        "l_linestatus": pa.array(np.array(["O", "F"])[rng.integers(0, 2, n_li)]),
-        "l_shipdate": ts_ms(sd_base + rng.integers(0, 2499, n_li) * DAY_US),
+        "l_quantity": pa.array(l_quantity),
+        "l_extendedprice": pa.array(l_extendedprice),
+        "l_discount": pa.array(l_discount),
+        "l_tax": pa.array(l_tax),
+        "l_returnflag": pa.array(l_returnflag),
+        "l_linestatus": pa.array(l_linestatus),
+        "l_shipdate": ts_ms(sd_base + l_shipdays * DAY_US),
     }), 1 << 17)
 
     # events: fixed 30-day window, exponential inter-arrival gaps
@@ -195,11 +248,19 @@ def main():
     mean_gap_us = 30 * DAY_US / n_ev
     gaps = rng.exponential(mean_gap_us, n_ev)
     ts_us = ev_base + np.cumsum(gaps).astype(np.int64)
+    ev_user = rng.integers(0, max(n_cust // 10, 1), n_ev)
+    if effect:
+        # planted SPRT drift: purchase share among view+purchase = 0.6
+        # (> the 0.52 H1) — q118's LLR path must cross accept_h1
+        etypes = np.array(ETYPES)[rng.choice(
+            5, n_ev, p=[0.20, 0.20, 0.24, 0.20, 0.16])]
+    else:
+        etypes = np.array(ETYPES)[rng.integers(0, 5, n_ev)]
     write(outdir, "events", pa.table({
         "event_id": pa.array(np.arange(n_ev, dtype=np.int64)),
         "ts": ts_ns(ts_us),
-        "user_id": pa.array(rng.integers(0, max(n_cust // 10, 1), n_ev)),
-        "event_type": pa.array(np.array(ETYPES)[rng.integers(0, 5, n_ev)]),
+        "user_id": pa.array(ev_user),
+        "event_type": pa.array(etypes),
         "value": pa.array(np.round(rng.exponential(50.0, n_ev), 2)),
         "props": pa.array([f'{{"k": {k}}}' for k in rng.integers(0, 100, n_ev)]),
     }), 1 << 17)
@@ -231,7 +292,8 @@ def main():
     }), 1 << 15)
 
     with open(os.path.join(outdir, "GENERATED.json"), "w") as f:
-        json.dump({"sf": sf, "seed": SEED, "generator": "tools/gen_sf.py"}, f)
+        json.dump({"sf": sf, "seed": SEED, "effect": effect,
+                   "generator": "tools/gen_sf.py"}, f)
 
 
 if __name__ == "__main__":
