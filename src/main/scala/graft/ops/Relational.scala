@@ -291,13 +291,25 @@ object Relational {
   // `percentile` ≡ DuckDB's `quantile_cont` (linear interpolation). At
   // 100 TB you'd switch to approx_percentile (t-digest) and drop oracle
   // exactness; the plan shape (one partial+final agg) is identical.
+  // Percentiles run over EXACT INTEGER CENTS and round at 4dp: the
+  // interpolated value a + g·(b−a) over integer cents with g having ≤2
+  // decimals is a rational with ≤4 dollar-decimals, so the 4dp round
+  // maps both engines' ulp-near doubles onto the SAME grid point — a
+  // 2dp round of a raw-dollar percentile can land exactly on a .xx5
+  // half-boundary and flip by engine (caught on the planted-effect
+  // gate, where the ×1.15 shift manufactured such a boundary).
   val q23_percentile: Q = (s, d) => {
     Tables.orders(s, d)
+      .select(col("o_orderpriority"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
       .groupBy(col("o_orderpriority"))
       .agg(
-        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
-        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
-        round(expr("percentile(o_totalprice, 0.99)"), 2).as("p99"),
+        round(pctileExactOrSketch(col("cents"), Seq(0.5), exact = true) /
+          lit(100.0), 4).as("p50"),
+        round(pctileExactOrSketch(col("cents"), Seq(0.9), exact = true) /
+          lit(100.0), 4).as("p90"),
+        round(pctileExactOrSketch(col("cents"), Seq(0.99), exact = true) /
+          lit(100.0), 4).as("p99"),
         count(lit(1)).as("n_orders"))
       .orderBy("o_orderpriority")
   }
@@ -3558,6 +3570,54 @@ object Relational {
         sum("o_totalprice").as("s1"),
         sum(col("o_totalprice") * col("o_totalprice")).as("s2")))
 
+  // q121: DiD DESIGN POWER — the question q119's verdict alone cannot
+  // answer (a null DiD can mean "no effect" or "no power to see one",
+  // and the difference decides whether the experiment is DONE or just
+  // UNDERPOWERED): from the same four sufficient-stat cells, the
+  // minimum detectable effect at 80%/90% power (MDE = (z_{α/2}+z_pow)·SE)
+  // and the normal-approximation power at the observed effect. Closes
+  // the loop the planted-effect gate opened: on null data the lane must
+  // still report HOW LARGE an effect the design could have seen. All
+  // arithmetic on didReadout's 4dp-rounded did/se/z, so the Φ chain is
+  // bit-deterministic across engines (the q114 discipline).
+  val q121_did_power: Q = (s, d) =>
+    didPowerReadout(Tables.orders(s, d)
+      .filter(col("o_orderdate") >= "1995-01-01" &&
+        col("o_orderdate") < "1999-01-01")
+      .join(Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"),
+          (col("c_mktsegment") === "AUTOMOBILE").as("treated")),
+        "o_custkey")
+      .groupBy(col("treated"),
+        (col("o_orderdate") >= "1997-01-01").as("post"))
+      .agg(count(lit(1)).cast("double").as("ng"),
+        sum("o_totalprice").as("s1"),
+        sum(col("o_totalprice") * col("o_totalprice")).as("s2")))
+
+  /** q121's power readout over the same (treated, post, ng, s1, s2)
+    * cell frame didReadout takes — shared with s62's streaming fold.
+    * MDE multipliers: z_{0.025}=1.96 with z_{0.80}=0.8416 → 2.8016,
+    * z_{0.90}=1.2816 → 3.2416. Power at the observed effect is
+    * Φ(|z| − 1.96) via the A&S 26.2.17 tail on the 4dp-rounded z.
+    */
+  private[graft] def didPowerReadout(cells: DataFrame): DataFrame = {
+    def tail(x: Column): Column = {
+      val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * x)
+      val poly = t * (lit(0.319381530) + t * (lit(-0.356563782) +
+        t * (lit(1.781477937) + t * (lit(-1.821255978) +
+          t * lit(1.330274429)))))
+      exp(-x * x / lit(2.0)) * lit(0.3989422804014327) * poly
+    }
+    val u = abs(col("z")) - lit(1.96)
+    didReadout(cells)
+      .select(col("did"), col("se"), col("z"),
+        round(lit(2.8016) * col("se"), 4).as("mde_80"),
+        round(lit(3.2416) * col("se"), 4).as("mde_90"),
+        round(when(u >= 0, lit(1.0) - tail(u)).otherwise(tail(-u)), 6)
+          .as("power_observed"),
+        (abs(col("z")) >= 2.8016).cast("int").as("powered"))
+  }
+
   // q106: COHORT LTV CURVES — cumulative revenue per customer by
   // quarters-since-first-order, per first-order-quarter cohort (q46
   // counts WHO returns; this prices WHAT they spend — the payback
@@ -3588,10 +3648,17 @@ object Relational {
     cells
       .withColumn("cum_cents", sum("cents").over(w))
       .join(broadcast(cohortSize), Seq("cohort"))
+      // half-up in PURE INTEGER MATH: round(cum/n cents) =
+      // (2·cum + n) div (2n) for positive longs. A double division +
+      // round() flips engines when the exact value is x.xx5 (Spark
+      // rounds the double's shortest decimal repr, DuckDB multiplies
+      // first — caught on the planted-effect gate); the integer form
+      // is bit-identical everywhere, and /100.0 of an integer never
+      // re-rounds
       .select(col("cohort"), col("age").cast("int").as("age"),
         col("n_customers"),
-        round(col("cum_cents") / (col("n_customers") * 100.0), 2)
-          .as("ltv_per_customer"))
+        (expr("(2 * cum_cents + n_customers) div (2 * n_customers)") /
+          lit(100.0)).as("ltv_per_customer"))
       .orderBy("cohort", "age")
   }
 
@@ -3733,6 +3800,7 @@ object Relational {
     "q118_sprt" -> q118_sprt,
     "q119_did" -> q119_did,
     "q120_placebo_did" -> q120_placebo_did,
+    "q121_did_power" -> q121_did_power,
     "q108_newsvendor" -> q108_newsvendor,
     "q106_cohort_ltv" -> q106_cohort_ltv,
     "q107_segment_migration" -> q107_segment_migration,
@@ -3869,6 +3937,60 @@ object Relational {
     * [lo, hi) with treatment pretended at `cut` (q120 re-runs the
     * whole estimator inside q119's pre-period as the placebo audit).
     */
+  /** q121's oracle: didOracleSql's cell chain with the power readout on
+    * top — every Φ input derives from the 4dp-rounded z/se exactly as
+    * didPowerReadout does, so the tail chain is bit-deterministic.
+    */
+  private def didPowerOracleSql(lo: String, hi: String, cut: String): String =
+    s"""WITH cells AS (
+       |  SELECT (c_mktsegment = 'AUTOMOBILE') AS treated,
+       |    (o_orderdate >= '$cut') AS post,
+       |    count(*)::DOUBLE AS ng, sum(o_totalprice) AS s1,
+       |    sum(o_totalprice * o_totalprice) AS s2
+       |  FROM orders JOIN customer ON c_custkey = o_custkey
+       |  WHERE o_orderdate >= '$lo' AND o_orderdate < '$hi'
+       |  GROUP BY 1, 2),
+       |g AS (
+       |  SELECT
+       |    sum(CASE WHEN treated AND NOT post THEN ng ELSE 0 END) AS n10,
+       |    sum(CASE WHEN treated AND post THEN ng ELSE 0 END) AS n11,
+       |    sum(CASE WHEN NOT treated AND NOT post THEN ng ELSE 0 END) AS n00,
+       |    sum(CASE WHEN NOT treated AND post THEN ng ELSE 0 END) AS n01,
+       |    sum(CASE WHEN treated AND NOT post THEN s1 ELSE 0 END) AS a10,
+       |    sum(CASE WHEN treated AND post THEN s1 ELSE 0 END) AS a11,
+       |    sum(CASE WHEN NOT treated AND NOT post THEN s1 ELSE 0 END) AS a00,
+       |    sum(CASE WHEN NOT treated AND post THEN s1 ELSE 0 END) AS a01,
+       |    sum(CASE WHEN treated AND NOT post THEN s2 ELSE 0 END) AS b10,
+       |    sum(CASE WHEN treated AND post THEN s2 ELSE 0 END) AS b11,
+       |    sum(CASE WHEN NOT treated AND NOT post THEN s2 ELSE 0 END) AS b00,
+       |    sum(CASE WHEN NOT treated AND post THEN s2 ELSE 0 END) AS b01
+       |  FROM cells),
+       |dd AS (
+       |  SELECT
+       |    (a11/n11 - a10/n10) - (a01/n01 - a00/n00) AS did,
+       |    sqrt((b11 - a11*a11/n11) / (n11 - 1) / n11 +
+       |         (b10 - a10*a10/n10) / (n10 - 1) / n10 +
+       |         (b01 - a01*a01/n01) / (n01 - 1) / n01 +
+       |         (b00 - a00*a00/n00) / (n00 - 1) / n00) AS se
+       |  FROM g),
+       |zt AS (SELECT round(did, 4) AS did, round(se, 4) AS se,
+       |  round(did / se, 4) AS z FROM dd),
+       |ux AS (SELECT *, abs(z) - 1.96 AS u FROM zt),
+       |tt AS (SELECT *, 1.0 / (1.0 + 0.2316419 * abs(u)) AS t FROM ux),
+       |pw AS (
+       |  SELECT *,
+       |    (exp(-u * u / 2.0) * 0.3989422804014327) *
+       |      (t * (0.319381530 + t * (-0.356563782 + t * (1.781477937 +
+       |        t * (-1.821255978 + t * 1.330274429))))) AS tail
+       |  FROM tt)
+       |SELECT did, se, z,
+       |  round(2.8016 * se, 4) AS mde_80,
+       |  round(3.2416 * se, 4) AS mde_90,
+       |  round(CASE WHEN u >= 0 THEN 1.0 - tail ELSE tail END, 6)
+       |    AS power_observed,
+       |  CAST(abs(z) >= 2.8016 AS INT) AS powered
+       |FROM pw""".stripMargin
+
   private def didOracleSql(lo: String, hi: String, cut: String): String =
     s"""WITH cells AS (
        |  SELECT (c_mktsegment = 'AUTOMOBILE') AS treated,
@@ -4043,6 +4165,8 @@ object Relational {
         |      c - pow(c - 1, 2) / (nd - 1) - 1)), 6) AS v_corrected
         |FROM agg""".stripMargin,
     "q119_did" -> didOracleSql("1995-01-01", "1999-01-01", "1997-01-01"),
+    "q121_did_power" ->
+      didPowerOracleSql("1995-01-01", "1999-01-01", "1997-01-01"),
     "q120_placebo_did" ->
       didOracleSql("1995-01-01", "1997-01-01", "1996-01-01"),
 
@@ -4206,7 +4330,8 @@ object Relational {
         |      ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_cents
         |  FROM cells)
         |SELECT cohort, age, n_customers,
-        |  round(cum_cents / (n_customers * 100.0), 2) AS ltv_per_customer
+        |  ((2 * cum_cents + n_customers) // (2 * n_customers)) / 100.0
+        |    AS ltv_per_customer
         |FROM cum JOIN cs USING (cohort) ORDER BY cohort, age""".stripMargin,
     "q107_segment_migration" ->
       """WITH sa AS (
@@ -5512,12 +5637,14 @@ object Relational {
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
     "q23_percentile" ->
-      """SELECT o_orderpriority,
-        |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
-        |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
-        |  round(quantile_cont(o_totalprice, 0.99), 2) AS p99,
+      """WITH c AS (SELECT o_orderpriority,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT o_orderpriority,
+        |  round(quantile_cont(cents, 0.5) / 100.0, 4) AS p50,
+        |  round(quantile_cont(cents, 0.9) / 100.0, 4) AS p90,
+        |  round(quantile_cont(cents, 0.99) / 100.0, 4) AS p99,
         |  count(*)::BIGINT AS n_orders
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "q24_pivot" ->
       """SELECT month(o_orderdate)::INT AS order_month,
         |  coalesce(round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2), 0.0) AS f_total,

@@ -925,11 +925,16 @@ object SourceSinks {
       .mapPartitions { it => val f = bc.value; it.filter(r => f.mightContain(r._1)) }
       .toDF("l_orderkey", "l_extendedprice", "l_discount")
     val nPre = pre.persist().count()
+    // revenue in EXACT 1e-4-dollar integers (2dp price × 2dp discount),
+    // half-up to cents in pure integer math — a double product-sum +
+    // round(·,2) flips engines when the exact sum lands on x.xx5
+    // (caught on the planted-effect gate)
     val out = pre.join(dim, col("l_orderkey") === col("o_orderkey"))
       .groupBy(month(col("o_orderdate")).as("order_month"))
       .agg(count(lit(1)).as("n_items"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("revenue"))
+        (expr("((sum(cast(round(l_extendedprice * 100) as bigint) * " +
+          "(100 - cast(round(l_discount * 100) as bigint))) + 50) div 100)")
+          / lit(100.0)).as("revenue"))
       .orderBy("order_month")
     (out, (nPre, nFact))
   }
@@ -1836,7 +1841,9 @@ object SourceSinks {
     "x24_bloom_join" ->
       """SELECT month(o_orderdate)::INT AS order_month,
         |  count(*)::BIGINT AS n_items,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |  ((sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |    (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50) // 100)
+        |    / 100.0 AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1996
         |GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -2399,7 +2399,36 @@ object StreamingQueries {
     }
   }
 
+  // s62: STREAMING DiD POWER — q121's twin (49th pair): the same four
+  // sufficient-stat cells as s59 (s56's four-counter discipline with
+  // moments), so the always-on quasi-experiment monitor reads MDE and
+  // power from the ingest edge — "we could have seen an effect of X"
+  // is a per-trigger readout, not a post-hoc analysis. Shared
+  // didPowerReadout over the compacted panel; the Φ chain rides the
+  // 4dp-rounded z (s52's argument). Oracle is q121's verbatim.
+  val s62_stream_did_power: Q = (s, d) => {
+    val feed = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= "1995-01-01" &&
+        col("o_orderdate") < "1999-01-01")
+      .join(Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"),
+          (col("c_mktsegment") === "AUTOMOBILE").as("treated")),
+        "o_custkey")
+      .select(col("o_orderkey"), col("treated"),
+        (col("o_orderdate") >= "1997-01-01").as("post"),
+        col("o_totalprice"))
+    snapshotTwin(s, feed, col("o_orderkey"), Seq("treated", "post"),
+      Seq(count(lit(1)).cast("double").as("ng"),
+        sum("o_totalprice").as("s1"),
+        sum(col("o_totalprice") * col("o_totalprice")).as("s2"))) {
+      panel =>
+        graft.ops.Relational.didPowerReadout(panel.select(col("treated"),
+          col("post"), col("ng"), col("s1"), col("s2")))
+    }
+  }
+
   val queries: Map[String, Q] = Map(
+    "s62_stream_did_power" -> s62_stream_did_power,
     "s61_stream_contribution" -> s61_stream_contribution,
     "s60_stream_yoy" -> s60_stream_yoy,
     "s59_stream_did" -> s59_stream_did,
@@ -2468,6 +2497,10 @@ object StreamingQueries {
     // through the shared didReadout, z 4dp-rounded before the tail
     "s59_stream_did" ->
       graft.ops.Relational.oracle("q119_did"),
+    // q121's batch oracle verbatim — the same four cells through the
+    // shared didPowerReadout; MDE/power derive from the 4dp z/se
+    "s62_stream_did_power" ->
+      graft.ops.Relational.oracle("q121_did_power"),
     // q92's batch oracle verbatim — the day-axis count fold is exact,
     // so the shared ccfReadout must hash-match the batch CCF
     "s57_stream_ccf" ->

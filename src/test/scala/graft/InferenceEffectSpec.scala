@@ -59,6 +59,25 @@ class InferenceEffectSpec extends AnyFunSuite {
       "the balanced default stream must never cross a boundary")
   }
 
+  test("q121 DiD power: high power at the planted effect, near-α on default data, MDE published either way") {
+    val planted = ops.Relational.q121_did_power(spark, eff).head()
+    assert(planted.getAs[Double]("power_observed") > 0.5,
+      s"planted shift must have meaningful detection power, got " +
+        s"${planted.getAs[Double]("power_observed")}")
+    assert(planted.getAs[Double]("did") > 0.0)
+    val default = ops.Relational.q121_did_power(spark, sf).head()
+    // a null z is noise in (−2, 2), so power lands anywhere below the
+    // coin flip; the sharp claim is that the observed effect is NOT
+    // powered (|z| < 2.8016) while the design's MDE is still published
+    assert(default.getAs[Int]("powered") == 0 &&
+      default.getAs[Double]("power_observed") < 0.5,
+      "null data must read sub-coin-flip power — and still publish the MDE")
+    // the design's detectability is reported even when nothing fired:
+    // the MDE ladder is positive and ordered
+    assert(default.getAs[Double]("mde_80") > 0.0 &&
+      default.getAs[Double]("mde_90") > default.getAs[Double]("mde_80"))
+  }
+
   test("streaming twins detect on the planted fixture exactly like their batch lanes") {
     // twin equality is the standing contract on ANY corpus; asserting it
     // on the planted one proves the streaming monitors DETECT, not just

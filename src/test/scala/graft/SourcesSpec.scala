@@ -485,8 +485,9 @@ class SourcesSpec extends AnyFunSuite {
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(month(col("o_orderdate")).as("order_month"))
       .agg(count(lit(1)).as("n_items"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("revenue"))
+        (expr("((sum(cast(round(l_extendedprice * 100) as bigint) * " +
+          "(100 - cast(round(l_discount * 100) as bigint))) + 50) div 100)")
+          / lit(100.0)).as("revenue"))
       .orderBy("order_month")
       .collect().map(_.toSeq).toSeq
     assert(got.nonEmpty && got == exp)

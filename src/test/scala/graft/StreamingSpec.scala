@@ -603,6 +603,15 @@ class StreamingSpec extends AnyFunSuite {
       "four cells of moment state + shared didReadout must equal the batch")
   }
 
+  test("s62 streaming DiD power equals batch q121 (shared didPowerReadout)") {
+    val got = StreamingQueries.s62_stream_did_power(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val exp = ops.Relational.q121_did_power(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == exp,
+      "four cells of moment state + shared didPowerReadout must equal the batch")
+  }
+
   test("s57 streaming CCF equals batch q92 (count fold through ccfReadout)") {
     val got = StreamingQueries.s57_stream_ccf(spark, sf)
       .collect().map(_.toSeq).toSeq
