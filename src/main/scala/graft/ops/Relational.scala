@@ -2437,10 +2437,20 @@ object Relational {
   // Midranks are exact integers-or-halves, so the rank frame is
   // deterministic; rho is a scale-free ratio of like-magnitude moment
   // sums (6dp boundary landings measure-zero).
+  //
+  // y folds in EXACT INTEGER CENTS because the rank frames JOIN BACK on
+  // the value: a parallel double sum is ulp-nondeterministic in its
+  // shuffle merge order, so under multi-JVM executors the ry branch and
+  // the scoring branch could land ulp-different y for the same customer
+  // and the equi-join silently dropped them (~5% of rows at the sf1
+  // local-cluster gate — caught round 14). Joining on aggregated
+  // DOUBLES is the bug class; exact longs make the key deterministic,
+  // and corr() is scale-invariant so rho/r are unchanged by the unit.
   val q89_spearman: Q = (s, d) => {
     val base = Tables.orders(s, d)
       .groupBy(col("o_custkey"))
-      .agg(count(lit(1)).cast("double").as("x"), sum("o_totalprice").as("y"))
+      .agg(count(lit(1)).cast("double").as("x"),
+        sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("y"))
       // LAZY persist (q66's pattern): the two rank passes and the
       // scoring join prune base differently; the cache dedupes the
       // orders reduction across them with no build job
@@ -4734,7 +4744,8 @@ object Relational {
         |FROM v""".stripMargin,
     "q89_spearman" ->
       """WITH base AS (
-        |  SELECT o_custkey, count(*)::DOUBLE AS x, sum(o_totalprice) AS y
+        |  SELECT o_custkey, count(*)::DOUBLE AS x,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
         |  FROM orders GROUP BY 1),
         |rn AS (
         |  SELECT x, y,
