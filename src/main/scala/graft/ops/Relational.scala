@@ -2236,7 +2236,8 @@ object Relational {
     * the SAME panel at the ingest edge — twin equality structural;
     * per-key double partials can differ from the batch sum order by
     * ulps, but equal-value cells split/merge without moving Σrank·x,
-    * and the 6dp round absorbs the residue — the q89 argument).
+    * and the 6dp round absorbs the residue; x never JOINS back across
+    * materializations, so q89's double-key join hazard doesn't apply).
     */
   private[graft] def giniReadout(spend: DataFrame): DataFrame = {
     val cells = rankBucketed(spend, "x")
