@@ -1004,18 +1004,27 @@ object Relational {
   // percentile swaps for approx_percentile (q39's discipline); scores
   // at sketch boundaries can then differ by design.
   val q52_rfm: Q = (s, d) => {
+    // monetary folds in EXACT INTEGER CENTS: the bounds pass and the
+    // scoring pass each materialize `per`, and under multi-JVM
+    // executors a parallel double sum's merge order can differ between
+    // the two — a sum landing ulp-near a half-cent then rounds to a
+    // different monetary in each pass and a customer's quintile flips
+    // (q89's double-key class, comparison flavor). Exact longs make
+    // both materializations bit-identical; quintile boundaries are the
+    // same cut points ×100.
     val per = Tables.orders(s, d)
       .groupBy(col("o_custkey"))
       .agg(
         datediff(lit(RfmCutoff).cast("date"), max(col("o_orderdate")).cast("date"))
           .cast("double").as("recency"),
         count(lit(1)).cast("double").as("frequency"),
-        round(sum("o_totalprice"), 2).as("monetary"))
+        sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("mc"))
     val qs = Seq(0.2, 0.4, 0.6, 0.8)
     val bounds = per.agg(
       pctileExactOrSketch(col("recency"), qs, exact = true).as("rb"),
       pctileExactOrSketch(col("frequency"), qs, exact = true).as("fb"),
-      pctileExactOrSketch(col("monetary"), qs, exact = true).as("mb"))
+      pctileExactOrSketch(col("mc").cast("double"), qs, exact = true)
+        .as("mb"))
     def score(c: Column, b: Column): Column =
       (0 to 3).map(i => (c >= element_at(b, i + 1)).cast("int"))
         .foldLeft(lit(1))(_ + _)
@@ -1023,18 +1032,16 @@ object Relational {
       .select(
         (lit(6) - score(col("recency"), col("rb"))).as("r_score"),
         score(col("frequency"), col("fb")).as("f_score"),
-        score(col("monetary"), col("mb")).as("m_score"),
-        col("monetary"))
+        score(col("mc").cast("double"), col("mb")).as("m_score"),
+        col("mc"))
       .groupBy(col("r_score"), col("f_score"), col("m_score"))
       .agg(count(lit(1)).as("n_customers"),
-        // monetary is an EXACT 2dp decimal (rounded upstream), so a cell
-        // average sits exactly on .xx5 half-boundaries whenever Σcents·2
-        // ≡ n — parallel-sum ulp noise then decides the rounding side
-        // differently per engine (bitten at sf1, cell row 22:
-        // 1602341.195). Integer-cents sum + ONE double division is
-        // order-independent and identically rounded on both engines.
-        round(sum(round(col("monetary") * 100).cast("long")) /
-          (lit(100.0) * count(lit(1))), 2).as("avg_monetary"))
+        // cell average half-up in PURE INTEGER MATH (the q106
+        // discipline): a double division + round flips engines when
+        // the exact value is x.xx5 (bitten at sf1, cell row 22:
+        // 1602341.195)
+        (expr("(2 * sum(mc) + count(1)) div (2 * count(1))") /
+          lit(100.0)).as("avg_monetary"))
       .orderBy("r_score", "f_score", "m_score")
   }
 
@@ -1046,25 +1053,35 @@ object Relational {
   // shuffles once on c_custkey (spend) and once on c_mktsegment; at
   // 100 TB both medians swap for approx_percentile (q39's discipline).
   // All deviation doubles derive from the same formula on both engines.
+  // spend folds in EXACT INTEGER CENTS: the med pass, the dev pass, and
+  // the mad pass each re-materialize `spend`, so a parallel double sum
+  // rounding differently between materializations (multi-JVM merge
+  // order, q89's class) could move a customer across the 3·MAD line.
+  // With exact longs every pass agrees bit-for-bit; medians of longs
+  // interpolate to integers-or-halves (exactly representable), dev is
+  // exact halves, and the readout divides once onto the ≤3dp grid.
   val q53_mad_outliers: Q = (s, d) => {
     val spend = Tables.orders(s, d)
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"), col("c_custkey"))
-      .agg(round(sum("o_totalprice"), 2).as("spend"))
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("sc"))
     val med = spend.groupBy(col("c_mktsegment"))
-      .agg(expr("percentile(spend, 0.5)").as("med"))
+      .agg(expr("percentile(sc, 0.5)").as("med_c"))
     val dev = spend.join(broadcast(med), Seq("c_mktsegment"))
-      .withColumn("dev", abs(col("spend") - col("med")))
+      .withColumn("dev_c", abs(col("sc") - col("med_c")))
     val mad = dev.groupBy(col("c_mktsegment"))
-      .agg(expr("percentile(dev, 0.5)").as("mad"))
+      .agg(expr("percentile(dev_c, 0.5)").as("mad_c"))
     dev.join(broadcast(mad), Seq("c_mktsegment"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_customers"),
-        round(first("med"), 2).as("med"),
-        round(first("mad"), 2).as("mad"),
-        sum(when(col("dev") > lit(3) * col("mad"), 1L).otherwise(0L)).as("n_outliers"),
-        round(sum(when(col("dev") > lit(3) * col("mad"), 1L).otherwise(0L)) /
-          count(lit(1)), 4).as("pct_outliers"))
+        // med/mad cents are integers-or-halves → /100 lands on the
+        // exact 3dp grid; round(·,3) is a deterministic no-op normalize
+        round(first("med_c") / lit(100.0), 3).as("med"),
+        round(first("mad_c") / lit(100.0), 3).as("mad"),
+        sum(when(col("dev_c") > lit(3) * col("mad_c"), 1L).otherwise(0L))
+          .as("n_outliers"),
+        round(sum(when(col("dev_c") > lit(3) * col("mad_c"), 1L)
+          .otherwise(0L)) / count(lit(1)), 4).as("pct_outliers"))
       .orderBy("c_mktsegment")
   }
 
@@ -5283,42 +5300,45 @@ object Relational {
         |  SELECT o_custkey,
         |    date_diff('day', max(o_orderdate)::DATE, DATE '$RfmCutoff')::DOUBLE AS recency,
         |    count(*)::DOUBLE AS frequency,
-        |    round(sum(o_totalprice), 2) AS monetary
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS mc
         |  FROM orders GROUP BY 1),
         |b AS (
         |  SELECT quantile_cont(recency, [0.2, 0.4, 0.6, 0.8]) AS rb,
         |         quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fb,
-        |         quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mb
+        |         quantile_cont(mc::DOUBLE, [0.2, 0.4, 0.6, 0.8]) AS mb
         |  FROM per)
         |SELECT 6 - (1 + (recency >= rb[1])::INT + (recency >= rb[2])::INT
         |    + (recency >= rb[3])::INT + (recency >= rb[4])::INT) AS r_score,
         |  1 + (frequency >= fb[1])::INT + (frequency >= fb[2])::INT
         |    + (frequency >= fb[3])::INT + (frequency >= fb[4])::INT AS f_score,
-        |  1 + (monetary >= mb[1])::INT + (monetary >= mb[2])::INT
-        |    + (monetary >= mb[3])::INT + (monetary >= mb[4])::INT AS m_score,
+        |  1 + (mc::DOUBLE >= mb[1])::INT + (mc::DOUBLE >= mb[2])::INT
+        |    + (mc::DOUBLE >= mb[3])::INT + (mc::DOUBLE >= mb[4])::INT AS m_score,
         |  count(*)::BIGINT AS n_customers,
-        |  round(sum(CAST(round(monetary * 100) AS BIGINT)) /
-        |    (100.0 * count(*)), 2) AS avg_monetary
+        |  ((2 * sum(mc) + count(*)) // (2 * count(*))) / 100.0
+        |    AS avg_monetary
         |FROM per, b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q53_mad_outliers" ->
       """WITH spend AS (
-        |  SELECT c_mktsegment, c_custkey, round(sum(o_totalprice), 2) AS spend
+        |  SELECT c_mktsegment, c_custkey,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sc
         |  FROM orders JOIN customer ON o_custkey = c_custkey
         |  GROUP BY 1, 2),
         |med AS (
-        |  SELECT c_mktsegment, quantile_cont(spend, 0.5) AS med
+        |  SELECT c_mktsegment, quantile_cont(sc, 0.5) AS med_c
         |  FROM spend GROUP BY 1),
         |dev AS (
-        |  SELECT s.c_mktsegment, abs(spend - med) AS dev, med
+        |  SELECT s.c_mktsegment, abs(sc - med_c) AS dev_c, med_c
         |  FROM spend s JOIN med USING (c_mktsegment)),
         |m2 AS (
-        |  SELECT c_mktsegment, quantile_cont(dev, 0.5) AS mad
+        |  SELECT c_mktsegment, quantile_cont(dev_c, 0.5) AS mad_c
         |  FROM dev GROUP BY 1)
         |SELECT d.c_mktsegment, count(*)::BIGINT AS n_customers,
-        |  round(any_value(d.med), 2) AS med, round(any_value(m2.mad), 2) AS mad,
-        |  sum(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
-        |  round(sum(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END) / count(*), 4)
-        |    AS pct_outliers
+        |  round(any_value(d.med_c) / 100.0, 3) AS med,
+        |  round(any_value(m2.mad_c) / 100.0, 3) AS mad,
+        |  sum(CASE WHEN dev_c > 3 * mad_c THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_outliers,
+        |  round(sum(CASE WHEN dev_c > 3 * mad_c THEN 1 ELSE 0 END)
+        |    / count(*), 4) AS pct_outliers
         |FROM dev d JOIN m2 USING (c_mktsegment)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q54_triangles" ->

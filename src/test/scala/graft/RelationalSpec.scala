@@ -431,10 +431,11 @@ class RelationalSpec extends AnyFunSuite {
     val per = Tables.orders(spark, sf)
       .groupBy(col("o_custkey"))
       .agg(max(col("o_orderdate")).cast("date").as("last"),
-        count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("m"))
+        count(lit(1)).as("n"),
+        sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("mc"))
       .collect().map { r =>
         ((cutoff - r.getAs[java.sql.Date]("last").toLocalDate.toEpochDay).toDouble,
-          r.getAs[Long]("n").toDouble, r.getAs[Double]("m"))
+          r.getAs[Long]("n").toDouble, r.getAs[Long]("mc").toDouble)
       }
     assert(rows.map(_.getAs[Long]("n_customers")).sum == per.length)
     def bounds(xs: Array[Double]) = {
@@ -459,20 +460,22 @@ class RelationalSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val rows = ops.Relational.q53_mad_outliers(spark, sf).collect()
     assert(rows.nonEmpty)
+    // cents recompute — q53 folds exact integer cents so every
+    // materialization (med/dev/mad passes) agrees bit-for-bit
     val spend = Tables.orders(spark, sf)
       .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"), col("c_custkey"))
-      .agg(round(sum("o_totalprice"), 2).as("spend"))
-      .collect().map(r => (r.getAs[String]("c_mktsegment"), r.getAs[Double]("spend")))
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("sc"))
+      .collect().map(r => (r.getAs[String]("c_mktsegment"), r.getAs[Long]("sc")))
     rows.foreach { r =>
       val seg = r.getAs[String]("c_mktsegment")
-      val xs = spend.filter(_._1 == seg).map(_._2)
+      val xs = spend.filter(_._1 == seg).map(_._2.toDouble)
       assert(r.getAs[Long]("n_customers") == xs.length)
       val med = pctl(xs.sorted, 0.5)
       val devs = xs.map(x => math.abs(x - med))
       val mad = pctl(devs.sorted, 0.5)
-      assert(r.getAs[Double]("med") == rnd(med, 2))
-      assert(r.getAs[Double]("mad") == rnd(mad, 2))
+      assert(r.getAs[Double]("med") == rnd(med / 100.0, 3))
+      assert(r.getAs[Double]("mad") == rnd(mad / 100.0, 3))
       assert(r.getAs[Long]("n_outliers") == devs.count(_ > 3 * mad))
     }
   }
