@@ -2278,10 +2278,15 @@ object Relational {
           (col("n") + lit(1.0)) / col("n"), 6).as("gini"))
   }
 
+  // Rank axis in EXACT INTEGER CENTS (q52/q53/q89's discipline,
+  // belt-and-braces here): Gini is scale-invariant and the midrank-cell
+  // formula is tie-grouping-invariant, so ranking cents instead of the
+  // double dollar sum changes nothing mathematically while making the
+  // value axis bit-deterministic across engines and executor topologies.
   val q85_gini: Q = (s, d) =>
     giniReadout(Tables.orders(s, d)
       .groupBy(col("o_custkey"))
-      .agg(sum("o_totalprice").as("x"),
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("x"),
         sum(round(col("o_totalprice") * 100).cast("long")).as("cents")))
 
   // q86: THEIL T INDEX of customer spend with BETWEEN/WITHIN-nation
@@ -4857,13 +4862,15 @@ object Relational {
         |FROM r GROUP BY 1 ORDER BY n_name""".stripMargin,
     "q85_gini" ->
       """WITH spend AS (
-        |  SELECT o_custkey, sum(o_totalprice) AS x,
+        |  SELECT o_custkey,
         |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
         |  FROM orders GROUP BY 1),
-        |r AS (SELECT x, cents, row_number() OVER (ORDER BY x) AS rn FROM spend)
+        |r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn
+        |      FROM spend)
         |SELECT count(*)::BIGINT AS n_customers,
         |  sum(cents)::BIGINT AS total_cents,
-        |  round(2.0 * sum(rn * x) / (count(*) * sum(x)) -
+        |  round(2.0 * sum(rn * cents::DOUBLE) /
+        |    (count(*) * sum(cents::DOUBLE)) -
         |    (count(*) + 1.0) / count(*), 6) AS gini
         |FROM r""".stripMargin,
     "q84_time_to_convert" ->

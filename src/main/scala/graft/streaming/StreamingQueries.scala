@@ -2076,11 +2076,14 @@ object StreamingQueries {
   // argument). State is bounded by the CUSTOMER key space, never the
   // order count. Oracle is q85's verbatim.
   val s46_stream_gini: Q = (s, d) => {
+    // cents-only feed (q85 ranks on exact cents now): the streamed
+    // per-customer fold is an exact long, so the panel equals the batch
+    // spend frame bit-for-bit — twin equality EXACT, not ulp-argued
     val feed = Tables.orders(s, d)
-      .select(col("o_custkey"), col("o_totalprice").as("xp"),
+      .select(col("o_custkey"),
         expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
     snapshotTwin(s, feed, col("o_custkey"), Seq("o_custkey"),
-      Seq(sum("xp").as("x"), sum("cents").as("cents"))) { panel =>
+      Seq(sum("cents").as("x"), sum("cents").as("cents"))) { panel =>
       graft.ops.Relational.giniReadout(panel.select(col("x"), col("cents")))
     }
   }
