@@ -19,6 +19,27 @@ structurally null, so their detection path never fires):
              (purchase fraction among view+purchase = 0.6 > 0.52, so
              q118's SPRT must cross accept_h1)
 
+Round-15 additions (the DETECTOR block: q55/s22, q90, q91, q104, q53,
+s18, q69 had never fired either). All are DETERMINISTIC transforms —
+zero extra rng draws, so the r14 planted streams are bit-unchanged:
+
+  orders     ×(1 + 0.5·day/2404) linear drift over the order-date axis
+             (q91 Mann-Kendall must read "increasing"; the drift is
+             common to both DiD groups so q119 stays significant and
+             q120's placebo difference still cancels), and every
+             custkey ≡ 0 (mod 59) collapses to 2% spend (planted MAD
+             outliers for q53 — low side, so variance is not inflated)
+  lineitem   H2-1996 shipments (days 546..729 of the 1995-01-02 axis)
+             triple extendedprice — q104's 1996 sign sequence clusters
+             below-then-above the year median (too few runs)
+  events     purchase values shift +50 vs the view distribution (q90's
+             KS must reject); an order-preserving piecewise TIME WARP
+             squeezes original days 12..15 into [day12, day12+2h] (a
+             12x rate spike — q69 STL and s18 z-score must flag it)
+             and plays original days 22..30 at 1.5x rate (a sustained
+             level shift — q55/s22 CUSUM's max-|cusum| day must land
+             at the day-11/12 boundary, the largest level break)
+
 Replicates the driver-generated tables' observed schema and distributions
 (studied from /root/testdata/sf0.001-0.1) at a larger scale factor, so the
 CORRECTNESS protocol and bench can be exercised beyond sf0.1. The protocol
@@ -195,6 +216,19 @@ def main():
         o_totalprice = np.where(treated & post,
                                 np.round(o_totalprice * 1.15, 2),
                                 o_totalprice)
+        # r15 planted trend: +50% linear drift over the full order-date
+        # axis — q91 Mann-Kendall must read "increasing". Common to
+        # both DiD groups, so the q119 contrast keeps its sign and the
+        # q120 placebo difference still cancels in expectation.
+        o_totalprice = np.round(
+            o_totalprice * (1.0 + 0.5 * od_days / 2404.0), 2)
+        # r15 planted MAD outliers: every 59th customer collapses to 2%
+        # spend — LOW-side outliers so group variances are not inflated
+        # (a high-side multiplier would erode q119's significance).
+        # q53's dev > 3*MAD flag must catch every planted customer.
+        o_totalprice = np.where((o_custkey % 59) == 0,
+                                np.round(o_totalprice * 0.02, 2),
+                                o_totalprice)
     write(outdir, "orders", pa.table({
         "o_orderkey": pa.array(ok),
         "o_custkey": pa.array(o_custkey),
@@ -229,6 +263,15 @@ def main():
             np.where(redraw < 0.40, "R",
                      np.where(redraw < 0.70, "A", "N")),
             l_returnflag)
+        # r15 planted runs-test clustering: H2-1996 shipments (shipdays
+        # 546..729 of the 1995-01-02 axis = 1996-07-01..1996-12-31)
+        # triple extendedprice, so q104's above/below-median sign
+        # sequence over 1996 clusters into two long runs. x3 keeps the
+        # exact 2dp grid (the np.round re-lands it).
+        h2_1996 = (l_shipdays >= 546) & (l_shipdays < 730)
+        l_extendedprice = np.where(h2_1996,
+                                   np.round(l_extendedprice * 3.0, 2),
+                                   l_extendedprice)
     write(outdir, "lineitem", pa.table({
         "l_orderkey": pa.array(lok),
         "l_partkey": pa.array(l_partkey),
@@ -256,12 +299,36 @@ def main():
             5, n_ev, p=[0.20, 0.20, 0.24, 0.20, 0.16])]
     else:
         etypes = np.array(ETYPES)[rng.integers(0, 5, n_ev)]
+    ev_value = np.round(rng.exponential(50.0, n_ev), 2)
+    if effect:
+        # r15 planted KS shift: purchase values sit +50 above the view
+        # distribution (a pure location shift, D = 1 - e^-1 ~ 0.63) —
+        # q90's two-sample KS must reject. Deterministic, no draws.
+        ev_value = np.where(etypes == "purchase",
+                            np.round(ev_value + 50.0, 2), ev_value)
+        # r15 planted rate anomalies via an ORDER-PRESERVING piecewise
+        # time warp (event_id stays arrival order, no draws):
+        #   original days 12..15  -> [day12, day12+2h]   (12x-rate spike
+        #       -- q69 STL residual and s18 hourly z must flag it)
+        #   original days 15..22  -> 7 days from day12+2h (rate 1x)
+        #   original days 22..30  -> 5.33 days at 1.5x    (sustained
+        #       shift -- q55/s22 CUSUM max-|cusum| lands at day 11/12,
+        #       the largest level break on the warped axis)
+        off = (ts_us - ev_base).astype(np.float64)
+        d = float(DAY_US)
+        spike_end = 12 * d + 2 * 3600 * 1e6
+        off = np.where(
+            off < 12 * d, off,
+            np.where(off < 15 * d, 12 * d + (off - 12 * d) / 36.0,
+                     np.where(off < 22 * d, spike_end + (off - 15 * d),
+                              spike_end + 7 * d + (off - 22 * d) / 1.5)))
+        ts_us = off.astype(np.int64) + ev_base
     write(outdir, "events", pa.table({
         "event_id": pa.array(np.arange(n_ev, dtype=np.int64)),
         "ts": ts_ns(ts_us),
         "user_id": pa.array(ev_user),
         "event_type": pa.array(etypes),
-        "value": pa.array(np.round(rng.exponential(50.0, n_ev), 2)),
+        "value": pa.array(ev_value),
         "props": pa.array([f'{{"k": {k}}}' for k in rng.integers(0, 100, n_ev)]),
     }), 1 << 17)
 
