@@ -140,9 +140,13 @@ object Bench {
     val extraJson =
       if (extraNames.isEmpty) ""
       else {
+        // extended_runs carries ALL four timings (warm-up included) so
+        // the artifact is diagnosable on its own; only the min drops
+        // the first run
         val rawX = timePanel(extraNames, Runs + 1)
+        val timed = rawX
           .map { case (n, ts) => n -> (if (ts.length > 1) ts.tail else ts) }
-        s""","extended":${mapJson(minOf(rawX))},"extended_runs":${runsJsonOf(rawX)}"""
+        s""","extended":${mapJson(minOf(timed))},"extended_runs":${runsJsonOf(rawX)}"""
       }
     def jsonEscape(s: String): String = s.flatMap {
       case '\\' => "\\\\"

@@ -802,8 +802,16 @@ object Relational {
       .agg(countDistinct("o_custkey").as("n_active"))
     val size = first.groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
     active.join(broadcast(size), Seq("cohort"))
+      // retention in pure integer half-up division (the q106/x24
+      // discipline, r15 audit): n_active/cohort_size is an exact
+      // long/long rational, and any odd/32-reduced cohort size lands
+      // EXACTLY on the 5th-decimal 5 (odd·3125/10^5) — the one spot
+      // where Spark's shortest-repr HALF_UP and DuckDB's rint diverge.
+      // Small cohort cells make 32|size realistic, unlike the
+      // data-sized denominators elsewhere.
       .select(col("cohort"), col("offset_m"), col("n_active"), col("cohort_size"),
-        round(col("n_active").cast("double") / col("cohort_size"), 4).as("retention"))
+        (expr("(n_active * 20000 + cohort_size) div (cohort_size * 2)")
+          / 10000.0).as("retention"))
       .orderBy("cohort", "offset_m")
   }
 
@@ -962,13 +970,18 @@ object Relational {
   // broadcast to the bucketing scan (BroadcastNestedLoopJoin of a
   // single row — never a driver collect), then one keyed count agg on
   // the ≤20-value bucket id; the max value clamps into the last bucket.
-  // Bucket arithmetic is the IDENTICAL double expression on both
-  // engines so no boundary can flip. Scales as two scans + one
-  // 20-key shuffle at any corpus size (and the second scan reuses the
-  // first's pushed 1-column read schema).
+  // Bucket ASSIGNMENT is the IDENTICAL double expression on both
+  // engines so no cell can flip; the displayed EDGES are exact
+  // rationals (mn_cents + b·span_cents/20) that CAN land on a
+  // half-cent — the r15 planted gate caught the flip — so they report
+  // via pure integer half-up division over exact cents (the q106/q23
+  // discipline). Scales as two scans + one 20-key shuffle at any
+  // corpus size (and the second scan reuses the first's pushed
+  // 1-column read schema).
   val q51_histogram: Q = (s, d) => {
     val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("x"))
     val bounds = li.agg(min("x").as("mn"), max("x").as("mx"))
+    val b2 = 2 * HistogramBuckets
     li.crossJoin(broadcast(bounds))
       .withColumn("w", (col("mx") - col("mn")) / lit(HistogramBuckets))
       // degenerate all-equal column (mx == mn → w = 0): everything lands
@@ -979,10 +992,14 @@ object Relational {
             lit(HistogramBuckets - 1L)))
           .otherwise(lit(0L)).cast("int"))
       .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n"), first("mn").as("mn"), first("w").as("w"))
+      .agg(count(lit(1)).as("n"), first("mn").as("mn"), first("mx").as("mx"))
+      .withColumn("mnc", expr("cast(round(mn * 100) as bigint)"))
+      .withColumn("kc", expr("cast(round(mx * 100) as bigint)") - col("mnc"))
       .select(col("bucket"),
-        round(col("mn") + col("bucket") * col("w"), 2).as("lo"),
-        round(col("mn") + (col("bucket") + 1) * col("w"), 2).as("hi"),
+        (expr(s"(2*($HistogramBuckets*mnc + bucket*kc) + $HistogramBuckets)" +
+          s" div $b2") / 100.0).as("lo"),
+        (expr(s"(2*($HistogramBuckets*mnc + (bucket+1)*kc) + " +
+          s"$HistogramBuckets) div $b2") / 100.0).as("hi"),
         col("n"))
       .orderBy("bucket")
   }
@@ -2247,20 +2264,22 @@ object Relational {
   // matter). Total spend reports in EXACT integer cents (a 2dp-rounded
   // double sum at 1e10 scale would be nondeterministic under parallel
   // summation order); Gini itself is an O(1) ratio, 6dp-safe.
-  /** q85's Gini readout over a per-customer (x, cents) spend panel —
-    * the rank·x sum via the bucket machinery, one O(1) ratio out.
-    * Shared by the batch lane and s46's streaming twin (which folds
-    * the SAME panel at the ingest edge — twin equality structural;
-    * per-key double partials can differ from the batch sum order by
-    * ulps, but equal-value cells split/merge without moving Σrank·x,
-    * and the 6dp round absorbs the residue; x never JOINS back across
-    * materializations, so q89's double-key join hazard doesn't apply).
+  /** q85's Gini readout over a per-customer single-column `cents`
+    * spend panel (exact long) — the rank·x sum via the bucket
+    * machinery, one O(1) ratio out. Shared by the batch lane and
+    * s46's streaming twin (which folds the SAME panel at the ingest
+    * edge — twin equality is exact: the panel is an integer fold).
+    * The Gini ratio's denominator n·t is computed in DOUBLE: with t
+    * an exact bigint cent total, the bigint product n·t passes 2^63
+    * at roughly sf1.3 (5.6e18 at sf1) and, ANSI off, would wrap
+    * silently; the DuckDB oracle multiplies in double, and srx is
+    * already a double sum whose residue the 6dp round absorbs.
     */
   private[graft] def giniReadout(spend: DataFrame): DataFrame = {
-    val cells = rankBucketed(spend, "x")
-      .groupBy(col("bucket"), col("x"))
-      .agg(count(lit(1)).as("c"), sum("cents").as("cc"))
-    val win = Window.partitionBy("bucket").orderBy("x")
+    val cells = rankBucketed(spend, "cents")
+      .groupBy(col("bucket"), col("cents"))
+      .agg(count(lit(1)).as("c"))
+    val win = Window.partitionBy("bucket").orderBy("cents")
       .rowsBetween(Window.unboundedPreceding, -1)
     val wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
     val off = cells.groupBy("bucket").agg(sum("c").as("bc"))
@@ -2269,12 +2288,16 @@ object Relational {
       .withColumn("below_in", coalesce(sum("c").over(win), lit(0L)))
       .join(broadcast(off.select("bucket", "c_off")), Seq("bucket"))
       .agg(
-        sum(col("x") * (col("c") * (col("c_off") + col("below_in")) +
+        // rank factor in double: c·(c_off+below_in) is a bigint
+        // product bounded by n² (wraps past n ≈ 3e9); srx is a double
+        // sum anyway, so the cast costs nothing and removes the cliff
+        sum(col("cents") * (col("c").cast("double") *
+            (col("c_off") + col("below_in")) +
           col("c") * (col("c") + 1) / lit(2.0))).as("srx"),
-        sum("c").as("n"), sum(col("x") * col("c")).as("t"),
-        sum("cc").as("total_cents"))
-      .select(col("n").as("n_customers"), col("total_cents"),
-        round(lit(2.0) * col("srx") / (col("n") * col("t")) -
+        sum("c").as("n"), sum(col("cents") * col("c")).as("t"))
+      .select(col("n").as("n_customers"), col("t").as("total_cents"),
+        round(lit(2.0) * col("srx") /
+          (col("n").cast("double") * col("t").cast("double")) -
           (col("n") + lit(1.0)) / col("n"), 6).as("gini"))
   }
 
@@ -2286,8 +2309,7 @@ object Relational {
   val q85_gini: Q = (s, d) =>
     giniReadout(Tables.orders(s, d)
       .groupBy(col("o_custkey"))
-      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("x"),
-        sum(round(col("o_totalprice") * 100).cast("long")).as("cents")))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents")))
 
   // q86: THEIL T INDEX of customer spend with BETWEEN/WITHIN-nation
   // decomposition — the inequality number q85's Gini cannot give you:
@@ -5297,11 +5319,17 @@ object Relational {
         |b AS (
         |  SELECT least(floor((l_extendedprice - mn) / ((mx - mn) / $HistogramBuckets)),
         |           ${HistogramBuckets - 1})::INT AS bucket,
-        |         mn, (mx - mn) / $HistogramBuckets AS w
+        |         CAST(round(mn * 100) AS BIGINT) AS mnc,
+        |         CAST(round(mx * 100) AS BIGINT)
+        |           - CAST(round(mn * 100) AS BIGINT) AS kc
         |  FROM lineitem, s)
-        |SELECT bucket, round(mn + bucket * w, 2) AS lo,
-        |  round(mn + (bucket + 1) * w, 2) AS hi, count(*)::BIGINT AS n
-        |FROM b GROUP BY bucket, mn, w ORDER BY bucket""".stripMargin,
+        |SELECT bucket,
+        |  ((2*($HistogramBuckets*mnc + bucket*kc) + $HistogramBuckets)
+        |    // ${2 * HistogramBuckets}) / 100.0 AS lo,
+        |  ((2*($HistogramBuckets*mnc + (bucket+1)*kc) + $HistogramBuckets)
+        |    // ${2 * HistogramBuckets}) / 100.0 AS hi,
+        |  count(*)::BIGINT AS n
+        |FROM b GROUP BY bucket, mnc, kc ORDER BY bucket""".stripMargin,
     "q52_rfm" ->
       s"""WITH per AS (
         |  SELECT o_custkey,
@@ -5386,7 +5414,8 @@ object Relational {
         |sz AS (
         |  SELECT cohort, count(*)::BIGINT AS cohort_size FROM f GROUP BY 1)
         |SELECT cohort, offset_m, n_active, cohort_size,
-        |  round(n_active::DOUBLE / cohort_size, 4) AS retention
+        |  ((n_active * 20000 + cohort_size) // (cohort_size * 2)) / 10000.0
+        |    AS retention
         |FROM act JOIN sz USING (cohort) ORDER BY 1, 2""".stripMargin,
     "q41_range_join" ->
       """WITH bands AS (

@@ -575,14 +575,17 @@ object StreamingQueries {
     try q.processAllAvailable() finally q.stop()
     import scala.jdk.CollectionConverters._
     import s.implicits._
-    // edge rounding = Spark round()'s HALF_UP over the shortest decimal
-    // form — math.rint's half-even would diverge from q51's oracle on
-    // a .xx5 boundary
-    def r2(x: Double): Double = java.math.BigDecimal.valueOf(x)
-      .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()
+    // edges in pure integer half-up cents (q51's r15 form): the exact
+    // rational mn_c + b·K/20 CAN land on a half-cent, where a double
+    // round flips between engines — (2p+q) div 2q is the one rounding
+    // both sides compute identically
+    val mnc = math.round(mn * 100)
+    val kc = math.round(mx * 100) - mnc
+    def edge(i: Long): Double =
+      ((2 * (b * mnc + i * kc) + b) / (2L * b)) / 100.0
     state.asScala.toSeq.sorted
       .map { case (bucket, n) =>
-        (bucket, r2(mn + bucket * w), r2(mn + (bucket + 1) * w), n)
+        (bucket, edge(bucket.toLong), edge(bucket + 1L), n)
       }
       .toDF("bucket", "lo", "hi", "n")
       .orderBy("bucket")
@@ -1625,15 +1628,32 @@ object StreamingQueries {
     } finally st.close()
   }
 
-  /** Hash-bucket count for a snapshotTwin state dir. Each key lives in
-    * bucket `pmod(hash(keys), snapshotBuckets)`; a micro-batch rewrites
-    * ONLY the buckets its keys hash into, so per-trigger write volume is
-    * O(keys in touched buckets), never O(key space). 16 is sized for the
-    * test harness; on a production deployment the bucket count scales
-    * with the key cardinality (buckets ≈ key_space / target_file_keys)
-    * exactly like table bucketing.
+  /** Default hash-bucket count for a snapshotTwin state dir. Each key
+    * lives in bucket `pmod(hash(keys), B)`; a micro-batch rewrites ONLY
+    * the buckets its keys hash into, so per-trigger write volume is
+    * O(keys in touched buckets), never O(key space). 16 fits the small
+    * bounded test axes; sf-proportional lanes size B from their key
+    * cardinality via `sizedSnapshotBuckets` (round-14 verdict residual).
     */
   val snapshotBuckets = 16
+
+  /** Production sizing rule for a snapshotTwin bucket count:
+    * B ≈ key_space / targetKeysPerBucket, exactly like table bucketing,
+    * clamped to [snapshotBuckets, 4096] — the floor keeps small test
+    * axes on a meaningful multi-bucket layout, the cap bounds the
+    * state-dir fan-out (4096 dirs × target keys each covers a 2M-key
+    * axis at the default; raise the target, not the cap, beyond that).
+    * With B sized this way a touched bucket rewrites
+    * O(targetKeysPerBucket) rows REGARDLESS of key-space scale, so a
+    * 1-key micro-batch costs ⌈keys/B⌉ + batch rows, never O(key space)
+    * — the contract the single-key-batch spec pins.
+    */
+  def sizedSnapshotBuckets(keySpace: Long,
+      targetKeysPerBucket: Long = 512): Int = {
+    require(targetKeysPerBucket > 0, "targetKeysPerBucket must be positive")
+    val b = (keySpace + targetKeysPerBucket - 1) / targetKeysPerBucket
+    math.max(snapshotBuckets.toLong, math.min(4096L, b)).toInt
+  }
 
   /** Latest committed state version per bucket under a bucketed
     * snapshotTwin scratch dir, strictly below `below` (batchId-keyed
@@ -1769,7 +1789,8 @@ object StreamingQueries {
     */
   def snapshotTwin(s: SparkSession, feed: DataFrame, shard: Column,
       keys: Seq[String], aggs: Seq[Column], nShards: Int = 4,
-      probe: (SparkSession, java.nio.file.Path, Long) => Unit = null)(
+      probe: (SparkSession, java.nio.file.Path, Long) => Unit = null,
+      buckets: Int = snapshotBuckets)(
       readout: DataFrame => DataFrame): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory("graft_snaptwin")
     val snapDir = java.nio.file.Files.createTempDirectory("graft_snaptwin_state")
@@ -1790,13 +1811,19 @@ object StreamingQueries {
         .writeStream.outputMode("update")
         .foreachBatch { (df: DataFrame, batchId: Long) =>
           // runs on the driver, sequentially per batch
-          mergeSnapshotBatch(snapDir, keys, batchId, df)
+          mergeSnapshotBatch(snapDir, keys, batchId, df, buckets)
         }.start()
       try q.processAllAvailable() finally q.stop()
-      val states = latestBucketStates(snapDir)
+      val states = latestBucketStates(snapDir, buckets = buckets)
+      // an empty feed commits no bucket: fail loudly rather than let
+      // max-of-empty / a zero-path parquet read surface as an
+      // unrelated schema-inference error (ADVICE r14)
+      require(states.nonEmpty,
+        s"snapshotTwin: no committed snapshot state under $snapDir — " +
+          "the feed produced no micro-batch")
       if (probe != null) probe(s, snapDir, states.map(_._2).max + 1)
       // the compacted panel: one row per touched key, latest partials
-      val panel = snapshotPanel(s, snapDir)
+      val panel = snapshotPanel(s, snapDir, buckets)
       // eager: the bounded readout must materialize before the
       // finally-block deletes the state files
       readout(panel).localCheckpoint(true)
@@ -1820,8 +1847,11 @@ object StreamingQueries {
         year(to_date(col("l_shipdate"))).as("yr"),
         expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"),
         col("l_quantity"))
+    // key space = part dimension × ~7 ship years: size B by cardinality
+    // (the dimension count is a parquet-metadata read, not a feed scan)
     snapshotTwin(s, feed, col("l_orderkey"), Seq("l_partkey", "yr"),
-      Seq(sum("cents").as("c"), sum("l_quantity").as("q"))) { panel =>
+      Seq(sum("cents").as("c"), sum("l_quantity").as("q")),
+      buckets = sizedSnapshotBuckets(Tables.part(s, d).count() * 7)) { panel =>
       graft.ops.Relational.priceIndexReadout(
         panel.select(col("l_partkey"), col("yr"), col("c"), col("q")))
     }
@@ -1897,8 +1927,11 @@ object StreamingQueries {
         (year(to_date(col("o_orderdate"))) * 4 +
           quarter(to_date(col("o_orderdate"))) - 1).as("qtr"),
         expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+    // key space = customer dimension × ~28 order quarters
     snapshotTwin(s, feed, col("o_orderkey"), Seq("o_custkey", "qtr"),
-      Seq(sum("cents").as("cents"))) { panel =>
+      Seq(sum("cents").as("cents")),
+      buckets =
+        sizedSnapshotBuckets(Tables.customer(s, d).count() * 28)) { panel =>
       // bounded cohort×age readout over the compacted panel
       graft.ops.Relational.cohortLtvReadout(
         panel.select(col("o_custkey"), col("qtr"), col("cents")))
@@ -1916,9 +1949,14 @@ object StreamingQueries {
   val s42_stream_conflict: Q = (s, d) => {
     val feed = graft.cdc.Envelope.flat(Tables.events(s, d))
       .select(col("lsn_long"), col("user_id"))
+    // key space = the events user axis, customer-scale in this star
+    // schema — size B from the customer dimension (order-of-magnitude
+    // is all bucket sizing needs; no feed scan)
     snapshotTwin(s, feed, col("lsn_long"), Seq("user_id"),
       Seq(expr("bit_or(shiftleft(1L, cast(pmod(lsn_long, 3) as int)))")
-        .as("mask"), max("lsn_long").as("max_lsn"))) { panel =>
+        .as("mask"), max("lsn_long").as("max_lsn")),
+      buckets =
+        sizedSnapshotBuckets(Tables.customer(s, d).count())) { panel =>
       // 3-row readout (c48's) over the compacted per-key panel
       panel
         .select(col("user_id"), bit_count(col("mask")).as("n_pubs"),
@@ -2036,8 +2074,10 @@ object StreamingQueries {
       .select(col("l_orderkey"), col("l_partkey"),
         expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)")
           .as("cents"))
+    // key space = the part dimension
     snapshotTwin(s, feed, col("l_orderkey"), Seq("l_partkey"),
-      Seq(sum("cents").as("rc"))) { panel =>
+      Seq(sum("cents").as("rc")),
+      buckets = sizedSnapshotBuckets(Tables.part(s, d).count())) { panel =>
       // ≤3-row readout; the compacted panel is one small parquet scan,
       // cheap for abcReadout's stats pass + scored plan (no persist)
       graft.ops.Relational.abcReadout(
@@ -2057,8 +2097,11 @@ object StreamingQueries {
       .select(col("o_orderkey"), col("o_custkey"),
         year(to_date(col("o_orderdate"))).as("yr"),
         expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+    // key space = customer dimension × ~7 order years
     snapshotTwin(s, feed, col("o_orderkey"), Seq("yr", "o_custkey"),
-      Seq(sum("cents").as("cents"))) { panel =>
+      Seq(sum("cents").as("cents")),
+      buckets =
+        sizedSnapshotBuckets(Tables.customer(s, d).count() * 7)) { panel =>
       // |years|-row readout; compacted panel = one small scan, so the
       // bucket stats pass + ranked plan re-read it cheaply (no persist)
       graft.ops.Relational.paretoDriftReadout(
@@ -2067,24 +2110,22 @@ object StreamingQueries {
   }
 
   // s46: STREAMING GINI — q85's twin (33rd pair): the per-customer
-  // (Σ totalprice, Σ cents) spend panel folds commutatively; delivery
-  // is CUSTOMER-sharded so each key's double partial accumulates in
-  // one shard (the cents side is exact regardless). Snapshot runs
-  // q85's OWN readout (shared giniReadout — rank·x via the bucket
-  // machinery); equal-value cells split/merge without moving Σrank·x,
-  // so residual double-order ulps die in the 6dp round (the q89
-  // argument). State is bounded by the CUSTOMER key space, never the
-  // order count. Oracle is q85's verbatim.
+  // Σ cents spend panel folds commutatively and EXACTLY (integer
+  // fold), so the state panel equals the batch spend frame
+  // bit-for-bit — twin equality structural, not ulp-argued. Snapshot
+  // runs q85's OWN readout (shared giniReadout — rank·x via the
+  // bucket machinery). State is bounded by the CUSTOMER key space,
+  // never the order count. Oracle is q85's verbatim.
   val s46_stream_gini: Q = (s, d) => {
-    // cents-only feed (q85 ranks on exact cents now): the streamed
-    // per-customer fold is an exact long, so the panel equals the batch
-    // spend frame bit-for-bit — twin equality EXACT, not ulp-argued
     val feed = Tables.orders(s, d)
       .select(col("o_custkey"),
         expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+    // key space = the customer dimension
     snapshotTwin(s, feed, col("o_custkey"), Seq("o_custkey"),
-      Seq(sum("cents").as("x"), sum("cents").as("cents"))) { panel =>
-      graft.ops.Relational.giniReadout(panel.select(col("x"), col("cents")))
+      Seq(sum("cents").as("cents")),
+      buckets =
+        sizedSnapshotBuckets(Tables.customer(s, d).count())) { panel =>
+      graft.ops.Relational.giniReadout(panel.select(col("cents")))
     }
   }
 
@@ -2125,8 +2166,11 @@ object StreamingQueries {
   val s48_stream_theil: Q = (s, d) => {
     val feed = Tables.orders(s, d)
       .select(col("o_custkey"), col("o_totalprice").as("xp"))
+    // key space = the customer dimension
     snapshotTwin(s, feed, col("o_custkey"), Seq("o_custkey"),
-      Seq(sum("xp").as("x"))) { panel =>
+      Seq(sum("xp").as("x")),
+      buckets =
+        sizedSnapshotBuckets(Tables.customer(s, d).count())) { panel =>
       graft.ops.Relational.theilReadout(s, d,
         panel.select(col("o_custkey"), col("x")))
     }
@@ -2670,18 +2714,10 @@ object StreamingQueries {
         |FROM r ORDER BY 1, 2""".stripMargin,
     // q51's batch oracle verbatim — the hash match proves the streamed
     // per-bucket fold lands every row where the batch scan does
+    // q51's batch oracle verbatim (was a drifted copy until r15 — the
+    // integer half-up edge fix would have had to land twice)
     "s23_stream_histogram" ->
-      s"""WITH s AS (
-        |  SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
-        |  FROM lineitem),
-        |b AS (
-        |  SELECT least(floor((l_extendedprice - mn) / ((mx - mn) / ${graft.ops.Relational.HistogramBuckets})),
-        |           ${graft.ops.Relational.HistogramBuckets - 1})::INT AS bucket,
-        |         mn, (mx - mn) / ${graft.ops.Relational.HistogramBuckets} AS w
-        |  FROM lineitem, s)
-        |SELECT bucket, round(mn + bucket * w, 2) AS lo,
-        |  round(mn + (bucket + 1) * w, 2) AS hi, count(*)::BIGINT AS n
-        |FROM b GROUP BY bucket, mn, w ORDER BY bucket""".stripMargin,
+      graft.ops.Relational.oracle("q51_histogram"),
     // q55's batch oracle verbatim — the hash match proves the streamed
     // per-day counts accumulated to exactly the batch table
     "s22_stream_cusum" ->

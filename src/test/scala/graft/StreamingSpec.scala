@@ -531,6 +531,102 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("sizedSnapshotBuckets sizes B from key cardinality; a 1-key batch rewrite is bounded by the bucket, not the key space") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Round-14 residual: snapshotBuckets was a fixed 16, so a touched
+    // bucket on a growing key space held key_space/16 rows. The sizing
+    // rule B ≈ keySpace / targetKeysPerBucket must (a) follow the rule
+    // with floor and cap, and (b) actually plumb through the merge: a
+    // 1-key batch over a sized layout rewrites roughly ⌈keys/B⌉ rows
+    // (one bucket's occupancy), never O(key space).
+    assert(StreamingQueries.sizedSnapshotBuckets(2000, 64) == 32)
+    assert(StreamingQueries.sizedSnapshotBuckets(10) ==
+      StreamingQueries.snapshotBuckets, "tiny axes keep the floor")
+    assert(StreamingQueries.sizedSnapshotBuckets(100000000L) == 4096,
+      "the cap bounds state-dir fan-out")
+    val nKeys = 2000
+    val nB = StreamingQueries.sizedSnapshotBuckets(nKeys, 64) // 32 > default
+    val snapDir = java.nio.file.Files.createTempDirectory("graft_sizedspec")
+    try {
+      val b0 = (0 until nKeys).map(k => (k.toLong, k * 10L, 1L))
+        .toDF("k", "v", "n")
+      StreamingQueries.mergeSnapshotBatch(snapDir, Seq("k"), 0L, b0, nB)
+      // the sized count reached the layout: buckets beyond the default
+      // 16 exist on disk
+      assert((16 until nB).exists(b => java.nio.file.Files.isDirectory(
+        snapDir.resolve(f"bkt_$b%02d"))),
+        "bucket dirs beyond the default 16 prove the count was plumbed")
+      val oneKey = 7L
+      val b1 = Seq((oneKey, 999L, 2L)).toDF("k", "v", "n")
+      StreamingQueries.mergeSnapshotBatch(snapDir, Seq("k"), 1L, b1, nB)
+      val bkt = b1.select(pmod(hash(col("k")), lit(nB))).head.getInt(0)
+      val bucketKeys = b0.select(pmod(hash(col("k")), lit(nB)).as("b"))
+        .filter(col("b") === bkt).count()
+      val rewritten = spark.read.parquet(snapDir.resolve(f"bkt_$bkt%02d")
+        .resolve("state_v00001").toString).count()
+      val perBucket = (nKeys + nB - 1) / nB
+      // exact bound: the touched bucket's own keys (+ the batch row);
+      // hash occupancy scatters around ⌈keys/B⌉, so the rule-level
+      // assertion carries a 3× occupancy slack
+      assert(rewritten <= bucketKeys + 1 && rewritten <= 3L * perBucket + 1,
+        s"1-key batch rewrote $rewritten rows; bucket holds $bucketKeys, " +
+          s"⌈keys/B⌉ = $perBucket — rewrite must be bucket-bounded")
+      assert(bucketKeys < nKeys / 4,
+        "a single bucket must hold a small fraction of the key space")
+      // panel is still exact after the sized merge
+      val panel = StreamingQueries.snapshotPanel(spark, snapDir, nB)
+      assert(panel.count() == nKeys.toLong)
+      assert(panel.filter(col("k") === oneKey).select("v").head.getLong(0)
+        == 999L)
+    } finally graft.sources.SourceSinks.deleteDir(snapDir)
+  }
+
+  test("s44 per-trigger prefix consistency on the sf-proportional part axis under the bucketed merge") {
+    import org.apache.spark.sql.functions._
+    // Round-14 proved the monitor contract on s56's 4-cell axis; the
+    // claim only matters if it holds on a DATA-PROPORTIONAL axis under
+    // the incremental bucketed merge. Replay s44's trigger sequence —
+    // batch k carries the cumulative cent sums of the parts shard k
+    // touches (exactly what the update-mode state store emits) — and
+    // after every trigger the compacted panel's abcReadout must equal
+    // q66's batch readout over shards 0..k, on a SIZED bucket layout.
+    val nShards = 4
+    val feed = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"),
+        expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+          .as("cents"))
+      .withColumn("_shard", pmod(col("l_orderkey"), lit(nShards)))
+      .persist()
+    val nB = StreamingQueries.sizedSnapshotBuckets(
+      Tables.part(spark, sf).count())
+    val snapDir = java.nio.file.Files.createTempDirectory("graft_s44prefix")
+    try {
+      (0 until nShards).foreach { k =>
+        val sofar = feed.filter(col("_shard") <= k)
+        val emitted = sofar.groupBy(col("l_partkey"))
+          .agg(sum("cents").as("rc"), count(lit(1)).as("n"))
+          .join(feed.filter(col("_shard") === k)
+            .select("l_partkey").distinct(), Seq("l_partkey"), "left_semi")
+        StreamingQueries.mergeSnapshotBatch(snapDir, Seq("l_partkey"),
+          k.toLong, emitted, nB)
+        val got = ops.Relational.abcReadout(
+          StreamingQueries.snapshotPanel(spark, snapDir, nB)
+            .select(col("l_partkey"), col("rc")))
+          .collect().map(_.toSeq).toSeq
+        val exp = ops.Relational.abcReadout(
+          sofar.groupBy(col("l_partkey")).agg(sum("cents").as("rc")))
+          .collect().map(_.toSeq).toSeq
+        assert(got == exp,
+          s"after trigger $k the compacted ABC readout must equal the " +
+            s"batch lane over shards 0..$k on the part axis")
+      }
+    } finally {
+      feed.unpersist()
+      graft.sources.SourceSinks.deleteDir(snapDir)
+    }
+  }
+
   test("s44 streaming ABC equals batch q66 under orderkey-sharded delivery") {
     val got = StreamingQueries.s44_stream_abc(spark, sf)
       .collect().map(_.toSeq).toSeq
