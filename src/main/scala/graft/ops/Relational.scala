@@ -21,17 +21,32 @@ object Relational {
 
   // q01: multi-aggregate scan (TPC-H Q1 flavor). One shuffle, map-side
   // partial agg; only referenced columns read from parquet.
+  // Money totals fold in EXACT INTEGER units (cents; 1e-4 dollars for
+  // the discount product, which lives on the 4dp grid): a corpus-scale
+  // double sum sits above ~1e11 where parallel-summation fp error
+  // exceeds the half-cent, so round(sum(price),2) flips against the
+  // oracle's sequential sum — caught live by the r15 sf5 multi-JVM
+  // gate on x16, audited onto every coarse-cell money sum.
   val q01_pricing_agg: Q = (s, d) => {
     Tables.lineitem(s, d)
       .filter(col("l_shipdate") <= ts("1998-09-02"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        (sum(expr("cast(round(l_extendedprice * 100) as bigint)")) / 100.0)
+          .as("sum_base_price"),
+        sum(expr(
+          "cast(round(l_extendedprice * (1.0 - l_discount) * 10000) as bigint)"))
+          .as("s4"),
         round(avg("l_quantity"), 2).as("avg_qty"),
         round(avg("l_extendedprice"), 2).as("avg_price"),
         count(lit(1)).as("count_order"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+        col("sum_base_price"),
+        // half-up from the exact 1e-4 sum to cents: the 4dp total CAN
+        // land exactly on a half-cent (s4 ≡ 50 mod 100)
+        (expr("(2 * s4 + 100) div 200") / 100.0).as("sum_disc_price"),
+        col("avg_qty"), col("avg_price"), col("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
 
@@ -88,8 +103,12 @@ object Relational {
     Tables.lineitem(s, d)
       .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1997-01-01") &&
         col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
-        count(lit(1)).as("n_items"))
+      // exact 1e-4-grid fold + half-up to cents (the q01 discipline)
+      .agg(sum(expr(
+        "cast(round(l_extendedprice * l_discount * 10000) as bigint)"))
+        .as("s4"), count(lit(1)).as("n_items"))
+      .select((expr("(2 * s4 + 100) div 200") / 100.0).as("revenue"),
+        col("n_items"))
   }
 
   // q07: top-3 customers by balance per nation — one shuffle on the window
@@ -201,7 +220,11 @@ object Relational {
     val pavg = l.groupBy(col("l_partkey")).agg(avg("l_quantity").as("avg_qty"))
     l.join(pavg, "l_partkey")
       .filter(col("l_quantity") > col("avg_qty") * 1.5)
-      .agg(count(lit(1)).as("n_items"), round(sum("l_extendedprice"), 2).as("total_price"))
+      .agg(count(lit(1)).as("n_items"),
+        // exact cents — the single-cell total crosses the fp half-cent
+        // noise floor at scale (q01 discipline)
+        (sum(expr("cast(round(l_extendedprice * 100) as bigint)")) / 100.0)
+          .as("total_price"))
   }
 
   // q18: IN subquery → left_semi on broadcast dim selection.
@@ -222,8 +245,12 @@ object Relational {
         (col("p_brand") === "Brand#1" && col("l_quantity").between(1, 20) && col("p_size").between(1, 15)) ||
         (col("p_brand") === "Brand#2" && col("l_quantity").between(10, 30) && col("p_size").between(1, 25)) ||
         (col("p_type") === "PROMO" && col("l_discount") >= 0.05))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
-        count(lit(1)).as("n_items"))
+      // exact 1e-4-grid fold + half-up to cents (the q01 discipline)
+      .agg(sum(expr(
+        "cast(round(l_extendedprice * (1.0 - l_discount) * 10000) as bigint)"))
+        .as("s4"), count(lit(1)).as("n_items"))
+      .select((expr("(2 * s4 + 100) div 200") / 100.0).as("revenue"),
+        col("n_items"))
   }
 
   // q20: running total per customer — explicit ROWS frame, window order
@@ -280,7 +307,9 @@ object Relational {
     Tables.orders(s, d)
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
-        round(sum("o_totalprice"), 2).as("total_price"))
+        // exact cents — the ALL/ALL cell is the corpus total (q01)
+        (sum(expr("cast(round(o_totalprice * 100) as bigint)")) / 100.0)
+          .as("total_price"))
       .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
         col("n_orders"), col("total_price"))
@@ -370,7 +399,8 @@ object Relational {
     Tables.orders(s, d)
       .groupBy(month(col("o_orderdate")).as("order_month"))
       .pivot("o_orderstatus", Seq("F", "O", "P"))
-      .agg(round(sum("o_totalprice"), 2))
+      // exact cents per cell (q01 discipline)
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")) / 100.0)
       .select(col("order_month"),
         coalesce(col("F"), lit(0.0)).as("f_total"),
         coalesce(col("O"), lit(0.0)).as("o_total"),
@@ -5561,8 +5591,10 @@ object Relational {
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+        |    AS sum_base_price,
+        |  ((2 * sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000)
+        |            AS BIGINT)) + 100) // 200) / 100.0 AS sum_disc_price,
         |  round(avg(l_quantity), 2) AS avg_qty,
         |  round(avg(l_extendedprice), 2) AS avg_price,
         |  count(*)::BIGINT AS count_order
@@ -5599,7 +5631,8 @@ object Relational {
         |WHERE r_name = 'ASIA'
         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
     "q06_selective" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      """SELECT ((2 * sum(CAST(round(l_extendedprice * l_discount * 10000)
+        |            AS BIGINT)) + 100) // 200) / 100.0 AS revenue,
         |  count(*)::BIGINT AS n_items
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -5662,7 +5695,8 @@ object Relational {
         |ORDER BY 1""".stripMargin,
     "q17_correlated" ->
       """SELECT count(*)::BIGINT AS n_items,
-        |  round(sum(l_extendedprice), 2) AS total_price
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+        |    AS total_price
         |FROM lineitem l
         |WHERE l_quantity > 1.5 * (SELECT avg(l_quantity) FROM lineitem l2
         |                          WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
@@ -5671,7 +5705,8 @@ object Relational {
         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q19_complex_pred" ->
-      """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      """SELECT ((2 * sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+        |            * 10000) AS BIGINT)) + 100) // 200) / 100.0 AS revenue,
         |  count(*)::BIGINT AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 20 AND p_size BETWEEN 1 AND 15)
@@ -5701,7 +5736,7 @@ object Relational {
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |  coalesce(o_orderpriority, 'ALL') AS priority,
         |  count(*)::BIGINT AS n_orders,
-        |  round(sum(o_totalprice), 2) AS total_price
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
     "q23_percentile" ->
@@ -5715,9 +5750,15 @@ object Relational {
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "q24_pivot" ->
       """SELECT month(o_orderdate)::INT AS order_month,
-        |  coalesce(round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2), 0.0) AS f_total,
-        |  coalesce(round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2), 0.0) AS o_total,
-        |  coalesce(round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2), 0.0) AS p_total
+        |  coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN
+        |    CAST(round(o_totalprice * 100) AS BIGINT) END) / 100.0, 0.0)
+        |    AS f_total,
+        |  coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN
+        |    CAST(round(o_totalprice * 100) AS BIGINT) END) / 100.0, 0.0)
+        |    AS o_total,
+        |  coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN
+        |    CAST(round(o_totalprice * 100) AS BIGINT) END) / 100.0, 0.0)
+        |    AS p_total
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q25_setops" ->
       """SELECT custkey, 'loyal' AS cohort FROM (

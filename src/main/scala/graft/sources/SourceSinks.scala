@@ -602,7 +602,12 @@ object SourceSinks {
     val out = Seq(1, 2).map { v =>
       readAsOf(v).agg(
         count(lit(1)).as("n_rows"),
-        round(sum("o_totalprice"), 2).as("sum_price"),
+        // corpus-total money in EXACT INTEGER CENTS: at sf5 the raw
+        // double sum sits near 2e12 where parallel-order fp error
+        // exceeds the half-cent, so round(sum(price),2) flips vs the
+        // oracle's sequential sum (caught by the r15 sf5 gate)
+        (sum(expr("cast(round(o_totalprice * 100) as bigint)")) / 100.0)
+          .as("sum_price"),
         sum((col("o_orderstatus") === "O").cast("long")).as("n_open"))
         .select(lit(v).as("version"), col("n_rows"), col("sum_price"), col("n_open"))
     }.reduce(_ union _).orderBy("version")
@@ -681,7 +686,9 @@ object SourceSinks {
     dead.foreach(n => deleteDir(Paths.get(s"$dir/$n")))
     val out = s.read.parquet(live.toSeq.sorted.map(f => s"$dir/$f"): _*)
       .agg(count(lit(1)).as("n_rows"),
-        round(sum("o_totalprice"), 2).as("sum_price"),
+        // exact integer cents — the x16 sf5 half-cent lesson
+        (sum(expr("cast(round(o_totalprice * 100) as bigint)")) / 100.0)
+          .as("sum_price"),
         sum((col("o_orderstatus") === "O").cast("long")).as("n_open"))
       .select(lit(2).as("version"), col("n_rows"), col("sum_price"), col("n_open"))
     (out, dead, names.filterNot(dead.contains).sorted, dir)
@@ -1030,7 +1037,9 @@ object SourceSinks {
     val out = base.join(dv, Seq("file", "pos"), "left_anti")
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
-        round(sum("o_totalprice"), 2).as("sum_price"),
+        // exact integer cents — the x16 sf5 half-cent lesson
+        (sum(expr("cast(round(o_totalprice * 100) as bigint)")) / 100.0)
+          .as("sum_price"),
         sum((pmod(col("o_orderkey"), lit(7)) === 0).cast("long")).as("n_stripe"))
       .orderBy("o_orderstatus")
     materializeThenCleanup(s, out, dir)
@@ -1217,7 +1226,8 @@ object SourceSinks {
       val filesets = manifest.filter(_._1 == v).map(_._2).sorted
       s.read.parquet(filesets.map(f => s"$dir/$f"): _*)
         .agg(count(lit(1)).as("n_rows"),
-          round(sum("o_totalprice"), 2).as("sum_price"))
+          (sum(expr("cast(round(o_totalprice * 100) as bigint)")) / 100.0)
+            .as("sum_price"))
         .select(lit(v).as("version"), col("n_rows"), col("sum_price"),
           lit(filesets.length.toLong).as("n_filesets"),
           // rollback ⇔ this version's fileset list already appeared at
@@ -1316,7 +1326,8 @@ object SourceSinks {
     val out = Seq("clone", "source").map { t =>
       val tbl = if (t == "source") "src" else "clone"
       readVia(tbl).agg(count(lit(1)).as("n_rows"),
-        round(sum("o_totalprice"), 2).as("sum_price"))
+        (sum(expr("cast(round(o_totalprice * 100) as bigint)")) / 100.0)
+          .as("sum_price"))
         .select(lit(t).as("tbl"), col("n_rows"), col("sum_price"),
           lit(owned(tbl)).as("n_files_owned"))
     }.reduce(_ unionAll _).orderBy("tbl")
@@ -1733,10 +1744,12 @@ object SourceSinks {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x32_shallow_clone" ->
       """WITH s0 AS (
-        |  SELECT count(*)::BIGINT AS n, round(sum(o_totalprice), 2) AS sp
+        |  SELECT count(*)::BIGINT AS n,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sp
         |  FROM orders),
         |c0 AS (
-        |  SELECT count(*)::BIGINT AS n, round(sum(o_totalprice), 2) AS sp
+        |  SELECT count(*)::BIGINT AS n,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sp
         |  FROM (SELECT o_totalprice FROM orders
         |        UNION ALL
         |        SELECT o_totalprice FROM orders WHERE o_orderkey % 3 = 0))
@@ -1755,12 +1768,14 @@ object SourceSinks {
         |ORDER BY fileset""".stripMargin,
     "x30_snapshot_rollback" ->
       """WITH v1 AS (
-        |  SELECT count(*)::BIGINT AS n, round(sum(o_totalprice), 2) AS sp
+        |  SELECT count(*)::BIGINT AS n,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sp
         |  FROM orders),
         |v2 AS (
         |  SELECT count(*)::BIGINT AS n,
-        |    round(sum(o_totalprice +
-        |      CASE WHEN o_orderkey % 2 = 1 THEN 25.0 ELSE 0 END), 2) AS sp
+        |    sum(CAST(round((o_totalprice +
+        |      CASE WHEN o_orderkey % 2 = 1 THEN 25.0 ELSE 0 END) * 100)
+        |      AS BIGINT)) / 100.0 AS sp
         |  FROM orders)
         |SELECT 1 AS version, n AS n_rows, sp AS sum_price,
         |  2::BIGINT AS n_filesets, 0 AS is_rollback FROM v1
@@ -1817,7 +1832,7 @@ object SourceSinks {
         |ORDER BY version""".stripMargin,
     "x26_deletion_vectors" ->
       """SELECT o_orderstatus, count(*)::BIGINT AS n,
-        |  round(sum(o_totalprice), 2) AS sum_price,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_price,
         |  sum((o_orderkey % 7 = 0)::BIGINT)::BIGINT AS n_stripe
         |FROM orders
         |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0)
@@ -1879,18 +1894,19 @@ object SourceSinks {
         |ORDER BY o_orderkey, change_type""".stripMargin,
     "x16_time_travel" ->
       """SELECT 1 AS version, count(*)::BIGINT AS n_rows,
-        |  round(sum(o_totalprice), 2) AS sum_price,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_price,
         |  sum((o_orderstatus = 'O')::INT)::BIGINT AS n_open FROM orders
         |UNION ALL
         |SELECT 2, count(*)::BIGINT,
-        |  round(sum(CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice + 10.0
-        |                 ELSE o_totalprice END), 2),
+        |  sum(CAST(round((CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice + 10.0
+        |                 ELSE o_totalprice END) * 100) AS BIGINT)) / 100.0,
         |  sum((o_orderstatus = 'O')::INT)::BIGINT FROM orders
         |ORDER BY version""".stripMargin,
     "x18_snapshot_expire" ->
       """SELECT 2 AS version, count(*)::BIGINT AS n_rows,
-        |  round(sum(CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice + 10.0
-        |                 ELSE o_totalprice END), 2) AS sum_price,
+        |  sum(CAST(round((CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice + 10.0
+        |                 ELSE o_totalprice END) * 100) AS BIGINT)) / 100.0
+        |    AS sum_price,
         |  sum((o_orderstatus = 'O')::INT)::BIGINT AS n_open FROM orders""".stripMargin,
     "x17_merge_upsert" ->
       """WITH src0 AS (

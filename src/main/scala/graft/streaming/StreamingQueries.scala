@@ -1726,9 +1726,17 @@ object StreamingQueries {
         .filter { case (b, _, _) => touched.contains(b) }
       val baseVersion = baseStates
         .map { case (b, v, _) => b -> v }.toMap
-      val bases = baseStates.map { case (b, _, p) =>
-        ss.read.parquet(p.toString).withColumn("_bkt", lit(b)) }
-      val merged = bases.foldLeft(bdf: DataFrame)(_ unionByName _)
+      // ONE multi-path read of every touched bucket's base: a per-path
+      // union would hand Catalyst a B-ary left-deep plan whose analysis
+      // is superlinear in B — with sized bucket counts (≤4096) the
+      // driver spun for minutes in the analyzer (caught by the r15 sf5
+      // multi-JVM gate). _bkt recomputes from the keys — the same
+      // deterministic pmod(hash) that routed the rows at write time.
+      val base =
+        if (baseStates.isEmpty) None
+        else Some(ss.read.parquet(baseStates.map(_._3.toString): _*)
+          .withColumn("_bkt", pmod(hash(keys.map(col): _*), lit(buckets))))
+      val merged = base.fold(bdf: DataFrame)(bdf.unionByName(_))
         .groupBy(("_bkt" +: keys).map(col): _*)
         .agg(max_by(struct(valNames.map(col): _*), col("n")).as("st"))
         .select(col("_bkt") +: (keys.map(col) ++
