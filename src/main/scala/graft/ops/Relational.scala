@@ -166,9 +166,15 @@ object Relational {
   val q12_case_agg: Q = (s, d) => {
     Tables.lineitem(s, d)
       .groupBy(month(col("l_shipdate")).as("ship_month"))
+      // exact cents — month×flag cells sit in the 1e10-1e11 band where
+      // double-sum order noise reaches the half-cent (q01 sf5 lesson)
       .agg(
-        round(sum(when(col("l_returnflag") === "R", col("l_extendedprice")).otherwise(0.0)), 2).as("returned_price"),
-        round(sum(when(col("l_returnflag") =!= "R", col("l_extendedprice")).otherwise(0.0)), 2).as("kept_price"),
+        (sum(when(col("l_returnflag") === "R",
+          expr("cast(round(l_extendedprice * 100) as bigint)"))
+          .otherwise(0L)) / 100.0).as("returned_price"),
+        (sum(when(col("l_returnflag") =!= "R",
+          expr("cast(round(l_extendedprice * 100) as bigint)"))
+          .otherwise(0L)) / 100.0).as("kept_price"),
         count(lit(1)).as("n_items"))
       .orderBy("ship_month")
   }
@@ -5669,8 +5675,12 @@ object Relational {
         |ORDER BY region_name, nation_name""".stripMargin,
     "q12_case_agg" ->
       """SELECT month(l_shipdate)::INT AS ship_month,
-        |  round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0.0 END), 2) AS returned_price,
-        |  round(sum(CASE WHEN l_returnflag <> 'R' THEN l_extendedprice ELSE 0.0 END), 2) AS kept_price,
+        |  sum(CASE WHEN l_returnflag = 'R'
+        |    THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    ELSE 0 END) / 100.0 AS returned_price,
+        |  sum(CASE WHEN l_returnflag <> 'R'
+        |    THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    ELSE 0 END) / 100.0 AS kept_price,
         |  count(*)::BIGINT AS n_items
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q13_outer_join_agg" ->

@@ -431,8 +431,14 @@ object SourceSinks {
     s.table("graft_lineitem_b")
       .join(s.table("graft_orders_b"), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
+      // exact 1e-4-grid fold + half-up to cents (the q01 sf5 lesson:
+      // priority-cell revenue crosses the fp half-cent noise floor)
       .agg(count(lit(1)).as("n_items"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        sum(expr(
+          "cast(round(l_extendedprice * (1.0 - l_discount) * 10000) as bigint)"))
+          .as("s4"))
+      .select(col("o_orderpriority"), col("n_items"),
+        (expr("(2 * s4 + 100) div 200") / 100.0).as("revenue"))
       .orderBy("o_orderpriority")
 
   // x05: bucketed-write + co-located join end-to-end; result verified
@@ -1940,7 +1946,8 @@ object SourceSinks {
     "x04_stream_parquet_sink" -> sqlStats,
     "x05_bucketed_join" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS n_items,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |  ((2 * sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000)
+        |        AS BIGINT)) + 100) // 200) / 100.0 AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x08_aqe_skew_join" ->
