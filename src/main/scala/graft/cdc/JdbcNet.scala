@@ -218,7 +218,12 @@ object JdbcNet {
     val work = Files.createTempDirectory("graft_jdbcserve")
     val cp = classpathEntries().mkString(File.pathSeparator)
     val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
-    val pb = new ProcessBuilder(javaBin, "-Xmx2g", "-cp", cp,
+    // heap is env-tunable (SPARK_GRAFT_JDBC_XMX) for big-sf gates, but
+    // the load-bearing bound is incrementalCollect in JdbcServe below:
+    // with it the server streams result partitions instead of
+    // buffering whole result sets, so the default heap serves any sf
+    val xmx = sys.env.getOrElse("SPARK_GRAFT_JDBC_XMX", "2g")
+    val pb = new ProcessBuilder(javaBin, s"-Xmx$xmx", "-cp", cp,
       s"-Dderby.stream.error.file=$work/derby.log",
       "graft.cdc.JdbcServe", port.toString)
     pb.directory(work.toFile) // metastore/scratch junk lands here, not CWD
@@ -282,6 +287,14 @@ object JdbcServe {
       .config("spark.sql.hive.thriftServer.singleSession", "true")
       .config("spark.sql.ansi.enabled", "true")
       .config("spark.sql.ansi.doubleQuotedIdentifiers", "true")
+      // STREAM result partitions to the client instead of buffering the
+      // whole result set in the server heap (the default materializes
+      // every row of an operation before the first fetch): serving the
+      // sf5 snapshot scan OOM'd the fixed-size server heap — r16
+      // optimization, guide §5. Row-identical; the reference daemon
+      // pages its snapshot reads the same way (chunked snapshot
+      // semantics), so streaming is also the more faithful behavior.
+      .config("spark.sql.thriftServer.incrementalCollect", "true")
       .config("spark.hive.server2.thrift.port", port.toString)
       .config("spark.hive.server2.thrift.bind.host", "localhost")
       .getOrCreate()

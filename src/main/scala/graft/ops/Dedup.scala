@@ -511,34 +511,55 @@ object Dedup {
   val d09_incremental_keeplist: Q = (s, d) => incrementalKeeplist(s, d)
 
   /** Driver-held incremental dedup state — the engine under d09 (batch
-    * loop) and d11 (Structured Streaming foreachBatch). Carries the CC
-    * labels AND the accumulated exploded-shingle store across batches as
-    * eagerly localCheckpoint-ed tables: materialized RDD blocks whose
-    * lineage CANNOT re-derive shingles from the corpus — so total shingle
-    * work is O(N), not O(B·N), and each batch SHINGLES ONLY ITS OWN
-    * DOCUMENTS. `onBatch(newEx, newPairs)` exposes the only shingle table
-    * computed in an advance and the candidate-pair frame (whose plan must
-    * be free of shingle computation and document scans — spec-asserted).
+    * loop) and d11/s17 (Structured Streaming foreachBatch). Carries the
+    * CC labels AND the accumulated exploded-shingle store across batches
+    * as PARQUET state tables under a scratch dir (snapshotTwin's
+    * file-backed discipline). Each advance lands ONLY its own batch's
+    * shingles — total shingle work stays O(N), not O(B·N) — and the
+    * merged label table, then re-reads them, so recovery from executor
+    * loss is a task retry re-reading files. The previous design held the
+    * store as eager `localCheckpoint()` unions: replication-1,
+    * memory-resident RDD blocks whose lineage CANNOT be re-derived — at
+    * sf5 multi-JVM one executor OOM during the candidate join lost the
+    * blocks and killed the stream with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND
+    * on every attempt (r16 optimization, guide §5: on a 100 TB cluster
+    * executor churn is routine; inter-batch state must be durable and
+    * off-heap). The accumulated store is ONE multi-path parquet read,
+    * never a per-batch union chain (the r15 B-ary-union analyzer
+    * lesson); batch membership re-derives from the stored batch tag.
+    * `onBatch(newEx, newPairs)` exposes the only shingle table computed
+    * in an advance and the candidate-pair frame (whose plan must be free
+    * of shingle computation and document scans — spec-asserted; its only
+    * scans are parquet reads of this engine's state dir).
     */
   final class IncrementalDedup(spread: Int) {
     private[ops] var labels: DataFrame = null
-    private[ops] var accEx: DataFrame = null // union of checkpointed batch stores
+    private var exPaths: Vector[String] = Vector.empty
     var batchesSeen: Int = 0
+    /** Durable inter-batch state root (what a production incremental job
+      * persists between runs); reaped at JVM exit, and must outlive the
+      * lazy keep-list the caller consumes.
+      */
+    private[graft] val stateDir = graft.sources.SourceSinks.cleanupOnExit(
+      java.nio.file.Files.createTempDirectory("graft_incdedup_"))
 
     def advance(newDocs: DataFrame,
         onBatch: (DataFrame, DataFrame) => Unit = (_, _) => ()): Unit = {
       batchesSeen += 1
+      val ss = newDocs.sparkSession
       // the ONLY shingle computation this batch — the new documents,
-      // materialized once by the eager localCheckpoint (the persisted
-      // store a production incremental job carries between runs)
-      val newEx = explodedShinglesOf(newDocs, spread).localCheckpoint()
-      val seenEx =
-        if (accEx == null) newEx.withColumn("is_new", lit(true))
-        else accEx.withColumn("is_new", lit(false))
-          .union(newEx.withColumn("is_new", lit(true)))
-      // both sides descend from the same checkpointed store (self-join
-      // lineage): alias every column apart so the shingle equi-join keys
-      // get distinct exprIds (a("s") === b("s") would collapse to a
+      // landed once as this batch's durable store; `b` tags the batch so
+      // the multi-path read below re-identifies new vs accumulated rows
+      val exPath = stateDir.resolve(f"ex_b$batchesSeen%04d").toString
+      explodedShinglesOf(newDocs, spread)
+        .withColumn("b", lit(batchesSeen)).write.parquet(exPath)
+      exPaths :+= exPath
+      val newEx = ss.read.parquet(exPath).drop("b")
+      val seenEx = ss.read.parquet(exPaths: _*)
+        .withColumn("is_new", col("b") === batchesSeen)
+      // both sides scan the same file-backed store (self-join lineage):
+      // alias every column apart so the shingle equi-join keys get
+      // distinct exprIds (a("s") === b("s") would collapse to a
       // trivially-true predicate)
       val a = seenEx.select(col("doc_id").as("da"), col("n_sh").as("na"),
         col("s").as("sa"), col("is_new").as("an"))
@@ -563,16 +584,22 @@ object Dedup {
         else newPairs.union(
           labels.select(col("cluster").as("d1"), col("doc_id").as("d2"))
             .filter(col("d1") =!= col("d2")))
-      // localCheckpoint truncates the logical plan at the batch boundary:
-      // without it each batch's CC nests the previous batch's full
-      // round-by-round plan tree and ANALYSIS time compounds — the
-      // checkpointed label table is also exactly what a production
-      // incremental job persists between runs. The CC-internal cache is
-      // released once the checkpoint has materialized from it.
+      // landing the label table truncates the logical plan at the batch
+      // boundary (without it each batch's CC nests the previous batch's
+      // full round-by-round plan tree and ANALYSIS time compounds) AND
+      // makes the inter-batch state durable: a parquet read re-derives
+      // from disk after executor loss, where the former localCheckpoint
+      // blocks died with their executor. The CC-internal cache is
+      // released once the write has materialized from it; the previous
+      // version is folded into this one, so it retires immediately.
       val (out, cached) = ccClustersWithCache(allPairs, pointerJump = true, maxIter = 30)
-      labels = out.localCheckpoint()
+      val lblPath = stateDir.resolve(f"labels_v$batchesSeen%04d")
+      out.write.parquet(lblPath.toString)
       cached.unpersist()
-      accEx = if (accEx == null) newEx else accEx.union(newEx)
+      labels = ss.read.parquet(lblPath.toString)
+      if (batchesSeen > 1)
+        graft.sources.SourceSinks.deleteDir(
+          stateDir.resolve(f"labels_v${batchesSeen - 1}%04d"))
     }
 
     def keeplistFor(documents: DataFrame): DataFrame = keeplist(documents, labels)

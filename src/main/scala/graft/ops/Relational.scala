@@ -628,23 +628,78 @@ object Relational {
   }
 
   // q37: SCALE-SAFE decile profile — q27's semantics with no global-sort
-  // window anywhere in the plan. Decile boundaries come from one
-  // distributed `percentile` aggregation (ObjectHashAggregate with
-  // map-side partials; at 100 TB swap in approx_percentile(col, p, acc)
-  // for O(acc) memory — identical plan shape), broadcast to the fact
-  // scan; every row then buckets itself map-side by counting boundaries
-  // below its value. Boundaries are rounded to 4 decimals on BOTH sides
-  // so the Spark/DuckDB interpolation agrees bit-for-bit in the compare
-  // (Spark `percentile` ≡ DuckDB quantile_cont, proven by q23).
-  // RelationalSpec asserts the executed plan contains no Window and no
-  // single-partition exchange.
+  // window and no unbounded aggregation buffer anywhere in the plan.
+  // The old boundary row was one exact `percentile(…, array(0.1..0.9))`
+  // — Spark's Percentile is a TypedImperativeAggregate whose buffer
+  // holds EVERY distinct value with counts, and the group-less
+  // aggregation funnels the whole corpus's value set through one final
+  // merge task: at sf5 multi-JVM that buffer OOM'd a 4-core/8 GB
+  // executor by itself (r16 optimization, guide §5 — per-task state
+  // must be bounded). The boundaries now come from the distributed
+  // exact-rank machinery the Pareto lanes already use: orders collapse
+  // to distinct (price, count) cells in ONE keyed hash aggregation
+  // (map-side partials, spills gracefully — the shuffle carries
+  // distinct prices, never a growing buffer); the ascending cumulative
+  // count rides rankBucketed's bucket-partitioned windows plus a prefix
+  // over the bounded ≤2^14-row bucket axis; each quantile then
+  // interpolates between the values at ranks ⌊p(n−1)⌋+1 and ⌈p(n−1)⌉+1
+  // with EXACTLY Percentile's arithmetic ((higher−pos)·v_lo +
+  // (pos−lower)·v_hi; v_lo when the ranks coincide or share a value) —
+  // bit-identical doubles, so the 4dp-rounded boundaries match the
+  // previous form and DuckDB quantile_cont unchanged (q23's grid
+  // argument; oracle untouched). Boundaries broadcast to the fact scan;
+  // every row then buckets itself map-side by counting boundaries below
+  // its value. RelationalSpec asserts the executed plan has no
+  // Percentile aggregate, no global window over raw rows, and no
+  // row-carrying single-partition exchange.
   val q37_decile_profile: Q = (s, d) => {
     val o = Tables.orders(s, d)
-    val bnds = o.agg(
-      transform(
-        percentile(col("o_totalprice"),
-          array((1 to 9).map(i => lit(i / 10.0)): _*)),
-        b => round(b, 4)).as("bnds"))
+    // value-collapsed axis (Percentile skips nulls; count only non-null)
+    val cells = o.filter(col("o_totalprice").isNotNull)
+      .groupBy(col("o_totalprice").as("v")).agg(count(lit(1)).as("cnt"))
+    val bucketed = rankBucketed(cells, "v")
+    val win = Window.partitionBy("bucket").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // per-bucket totals ride the SAME bucket shuffle as the running
+    // count (whole-partition frame) — cumSumDesc's shared-exchange
+    // discipline
+    val withCum = bucketed
+      .withColumn("cum_in", sum("cnt").over(win))
+      .withColumn("bsum", sum("cnt").over(Window.partitionBy("bucket")))
+    val wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val off = withCum.groupBy("bucket").agg(first("bsum").as("bsum"))
+      .withColumn("cum_off", coalesce(sum("bsum").over(wb), lit(0L)))
+    // each distinct value covers ascending 1-based ranks [lo, hi]
+    val axis = withCum
+      .join(broadcast(off.select("bucket", "cum_off")), Seq("bucket"))
+      .select(col("v"),
+        (col("cum_off") + col("cum_in") - col("cnt") + 1).as("lo"),
+        (col("cum_off") + col("cum_in")).as("hi"))
+    // nine target positions p·(n−1); floor/ceil exactly as Percentile
+    val targets = off.agg(sum("bsum").as("n"))
+      .select(col("n"),
+        explode(array((1 to 9).map(i => lit(i / 10.0)): _*)).as("p"))
+      .select(col("p"), (col("p") * (col("n") - 1)).as("pos"))
+      .select(col("p"), col("pos"),
+        floor(col("pos")).as("lower"), ceil(col("pos")).as("higher"))
+    // ≤2 axis rows match a target (one value covers each rank)
+    val picked = axis.join(broadcast(targets),
+        (col("lower") + 1).between(col("lo"), col("hi")) ||
+          (col("higher") + 1).between(col("lo"), col("hi")))
+      .groupBy("p", "pos", "lower", "higher")
+      .agg(
+        min(when((col("lower") + 1).between(col("lo"), col("hi")), col("v")))
+          .as("vlo"),
+        min(when((col("higher") + 1).between(col("lo"), col("hi")), col("v")))
+          .as("vhi"))
+    val bnds = picked
+      .withColumn("bnd", round(
+        when(col("higher") === col("lower") || col("vhi") === col("vlo"),
+          col("vlo"))
+          .otherwise((col("higher") - col("pos")) * col("vlo") +
+            (col("pos") - col("lower")) * col("vhi")), 4))
+      .agg(transform(array_sort(collect_list(struct(col("p"), col("bnd")))),
+        x => x.getField("bnd")).as("bnds"))
     o.crossJoin(broadcast(bnds))
       .withColumn("decile",
         (size(filter(col("bnds"), b => col("o_totalprice") > b)) + 1).cast("bigint"))

@@ -456,20 +456,32 @@ class PipelineSpec extends AnyFunSuite {
       assert(ids.nonEmpty && ids.forall(_ % B == batch), s"batch $batch shingled $ids")
       shingledDocs :+= ids
       shingleRows += newEx.count()
-      // the candidate join reads ONLY the materialized (checkpointed)
-      // shingle stores: its plan contains no shingle computation and no
-      // scan of the documents table / cache — history CANNOT be re-derived
+      // the candidate join reads ONLY the durable file-backed shingle
+      // store: its plan contains no shingle computation, no scan of the
+      // documents table / cache, and no checkpoint-RDD blocks (the r16
+      // optimization replaced the memory-resident localCheckpoint state
+      // that an executor loss destroyed at sf5 multi-JVM) — history
+      // CANNOT be re-derived, and recovery is a file re-read
       val plan = newPairs.queryExecution.optimizedPlan
       val shingleExprs = plan.collect { case n => n.expressions }.flatten
         .flatMap(_.collect {
           case e if e.getClass.getSimpleName == "TokenShingleHashExpr" => e
         })
       assert(shingleExprs.isEmpty, s"batch $batch recomputes shingles")
-      val sourceScans = plan.collect {
+      plan.collect {
         case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
         case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+        case rdd if rdd.getClass.getSimpleName == "LogicalRDD" => rdd
+      }.foreach {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          val roots = r.relation
+            .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.rootPaths.map(_.toString)
+          assert(roots.nonEmpty && roots.forall(_.contains("graft_incdedup_")),
+            s"batch $batch scans outside the dedup state dir: $roots")
+        case other =>
+          fail(s"batch $batch candidate join reads non-durable state: $other")
       }
-      assert(sourceScans.isEmpty, s"batch $batch re-reads documents: $sourceScans")
     })
     // every document shingled in exactly one batch, never twice
     assert(shingledDocs.map(_.size).sum == shingledDocs.flatten.toSet.size)

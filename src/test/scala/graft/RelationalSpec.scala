@@ -66,25 +66,43 @@ class RelationalSpec extends AnyFunSuite {
     assert(heap == win)
   }
 
-  test("q37 plans with no window and no single-partition exchange") {
+  test("q37 plans with no percentile buffer, no raw-row global window, " +
+      "no row-carrying single-partition exchange") {
     val df = ops.Relational.q37_decile_profile(spark, sf)
     val rows = df.collect()
     assert(rows.length == 10)
     assert(rows.map(_.getAs[Long]("n_orders")).sum ==
       Tables.orders(spark, sf).count())
     val nodes = PlanWalk.allNodes(df.queryExecution.executedPlan)
-    assert(!nodes.exists(_.getClass.getSimpleName.contains("Window")),
-      "q37 must not use a window")
-    // a single-partition exchange is only acceptable as the final merge of
-    // a scalar aggregation (constant-size partial buffers, one row per map
-    // partition — the percentile boundary agg); it must never carry table
-    // rows (the q27 ntile shape this query exists to avoid)
+    // r15 verdict / r16 optimization: the exact Percentile aggregate
+    // buffers every distinct value in one final-merge task (executor
+    // OOM at sf5 multi-JVM) — the boundary subplan must not contain it
+    val pctile = nodes.flatMap(_.expressions).flatMap(_.collect {
+      case e if e.getClass.getSimpleName == "Percentile" => e
+    })
+    assert(pctile.isEmpty,
+      "q37 must not buffer values in a Percentile aggregate")
+    // windows: only the bucketed rank machinery's — partitioned by
+    // bucket, or global ONLY over a collapsed post-aggregate axis
+    // (≤2^14 bucket-offset rows, rankBuckets' cap), never raw rows
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val hasAgg = PlanWalk.allNodes(w.child)
+        .exists(_.getClass.getSimpleName.contains("Aggregate"))
+      assert(hasAgg, "q37: global window over raw rows")
+    }
+    // a single-partition exchange may only carry a post-aggregate axis
+    // (bucket offsets / the 9-row boundary frame); it must never carry
+    // table rows (the q27 ntile shape this query exists to avoid)
     val singleParts = nodes.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
         if e.outputPartitioning.numPartitions == 1 => e
     }
-    val rowCarrying = singleParts.filterNot(
-      _.children.head.getClass.getSimpleName.contains("Aggregate"))
+    val rowCarrying = singleParts.filterNot(e =>
+      PlanWalk.allNodes(e.children.head)
+        .exists(_.getClass.getSimpleName.contains("Aggregate")))
     assert(rowCarrying.isEmpty,
       s"row-carrying single-partition exchange in q37: $rowCarrying")
   }
