@@ -39,7 +39,12 @@ object Bench {
     // r13 third-session machinery worth tracking round-over-round:
     // d28 re-runs the d02 shingle join under the estimator, q118 is
     // the calendar-axis sequential-test scan, q119 the 4-cell DiD join
-    "d28_dup_estimate", "q118_sprt", "q119_did")
+    "d28_dup_estimate", "q118_sprt", "q119_did",
+    // r16 optimization: q37's boundary row moved from the exact
+    // Percentile buffer (executor OOM + single-task merge at sf5) to
+    // the distributed rank machinery — 4.4x at sf5 local; tracked here
+    // so a regression in that machinery is visible round-over-round
+    "q37_decile_profile")
 
   // min-of-3: round-7's driver run landed +29% over round-6 on byte-
   // identical headline code — pure box noise; a third run tightens the
