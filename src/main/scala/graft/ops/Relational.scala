@@ -366,12 +366,19 @@ object Relational {
         count(lit(1)).as("n_orders"))
       .orderBy("o_orderpriority")
 
-  /** The 100 TB percentile swap as ROUTED CODE, not prose: every lane
+  /** The 100 TB percentile swap as ROUTED CODE, not prose: a lane
     * whose scale note says "swaps for approx_percentile at 100 TB"
-    * (q52/q84/q98/q107/t54) computes its bounds through this helper in
-    * exact mode, and the error-pinned spec runs the SAME helper in both
-    * modes (q39's ≤ rank-error argument) — the swap is proven on the
-    * shared path, once, instead of re-asserted in prose per lane.
+    * computes its bounds through this helper in exact mode, and the
+    * error-pinned spec runs the SAME helper in both modes (q39's
+    * ≤ rank-error argument) — the swap is proven on the shared path,
+    * once, instead of re-asserted in prose per lane. Since the r16
+    * optimization the corpus-axis UNWEIGHTED consumers
+    * (q52/q84/q107/t54, plus q37/q53/s31) ride [[exactQuantiles]]
+    * instead — exact at any scale with bounded per-task state, no swap
+    * needed; this helper's exact mode remains for q23 (the
+    * percentile ≡ quantile_cont calibration pair with q39) and for
+    * q98/s47's weighted medians (whose scale path is the
+    * value-COLLAPSED axis — see `freq` below).
     *
     * exact=true → percentile(): buffers every value per group; what the
     * DuckDB oracles replay. exact=false → approx_percentile
@@ -396,6 +403,96 @@ object Relational {
         if (exact) percentile(c, pct)
         else percentile_approx(c, pct, lit(accuracy))
     }
+  }
+
+  /** Exact `percentile` / quantile_cont values, optionally per group,
+    * WITHOUT Spark's Percentile aggregate — the q37 boundary machinery
+    * generalized (r16 optimization, guide §5). Percentile is a
+    * TypedImperativeAggregate whose buffer holds every distinct value
+    * with counts; group-less it funnels the corpus's value set through
+    * ONE final merge task (q37's sf5 executor OOM), grouped it still
+    * buffers each group's whole value set in one task. Here the input
+    * collapses to distinct (group, value, count) cells in ONE keyed
+    * hash aggregation (map-side partials, graceful spill), the
+    * ascending cumulative count rides rankBucketed's bucket-partitioned
+    * windows plus a per-group prefix over the bounded |groups|×≤2^14
+    * offset axis, and each requested fraction interpolates between the
+    * values at 1-based ranks ⌊p(n−1)⌋+1 and ⌈p(n−1)⌉+1 with EXACTLY
+    * Percentile's arithmetic ((higher−pos)·v_lo + (pos−lower)·v_hi;
+    * v_lo when the ranks coincide or share a value) — bit-identical
+    * doubles, so DuckDB quantile_cont oracles are unaffected. Returns
+    * one row per group: partCols ++ `qs` array<double> in ascending
+    * frac order. Nulls in `v` are excluded (Percentile semantics).
+    */
+  private[graft] def exactQuantiles(in: DataFrame, v: String,
+      fracs: Seq[Double], partCols: Seq[String] = Nil): DataFrame = {
+    val pc = partCols.map(col)
+    val cells = in.filter(col(v).isNotNull)
+      .groupBy(pc :+ col(v).as("__q_v"): _*)
+      .agg(count(lit(1)).as("__q_cnt"))
+    // bucket is a monotone pure function of the value (global stats),
+    // so it composes with any grouping — q110's bucketRank precedent
+    val bucketed = rankBucketed(cells, "__q_v")
+    val win = Window.partitionBy(pc :+ col("bucket"): _*).orderBy("__q_v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // per-(group, bucket) totals ride the SAME shuffle as the running
+    // count (whole-partition frame) — cumSumDesc's shared-exchange
+    // discipline
+    val withCum = bucketed
+      .withColumn("__q_cin", sum("__q_cnt").over(win))
+      .withColumn("__q_bsum",
+        sum("__q_cnt").over(Window.partitionBy(pc :+ col("bucket"): _*)))
+    val wb = Window.partitionBy(pc: _*).orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = withCum.groupBy(pc :+ col("bucket"): _*)
+      .agg(first("__q_bsum").as("__q_bsum"))
+      .withColumn("__q_off", coalesce(sum("__q_bsum").over(wb), lit(0L)))
+    // each distinct value covers ascending 1-based ranks [__q_lo, __q_hi]
+    val axis = withCum
+      .join(broadcast(off.select(
+        pc ++ Seq(col("bucket"), col("__q_off")): _*)),
+        partCols :+ "bucket")
+      .select(pc ++ Seq(col("__q_v"),
+        (col("__q_off") + col("__q_cin") - col("__q_cnt") + 1).as("__q_lo"),
+        (col("__q_off") + col("__q_cin")).as("__q_hi")): _*)
+    // target positions p·(n−1) per group; floor/ceil exactly as
+    // Percentile computes them
+    val targets = off.groupBy(pc: _*).agg(sum("__q_bsum").as("__q_n"))
+      .select(pc ++ Seq(col("__q_n"),
+        explode(array(fracs.map(lit): _*)).as("__q_p")): _*)
+      .select(pc ++ Seq(col("__q_p"),
+        (col("__q_p") * (col("__q_n") - 1)).as("__q_pos")): _*)
+      .select(pc ++ Seq(col("__q_p"), col("__q_pos"),
+        floor(col("__q_pos")).as("__q_l"),
+        ceil(col("__q_pos")).as("__q_h")): _*)
+    val tgt = targets.select(
+      partCols.map(c => col(c).as(s"__t_$c")) ++
+        Seq(col("__q_p"), col("__q_pos"), col("__q_l"), col("__q_h")): _*)
+    // ≤2 axis rows match a target (one value covers each rank); the
+    // broadcast side is |groups|×|fracs| rows
+    val cover = (col("__q_l") + 1).between(col("__q_lo"), col("__q_hi")) ||
+      (col("__q_h") + 1).between(col("__q_lo"), col("__q_hi"))
+    val cond = partCols.map(c => col(c) === col(s"__t_$c"))
+      .foldLeft(cover)(_ && _)
+    val picked = axis.join(broadcast(tgt), cond)
+      .groupBy(pc ++ Seq(col("__q_p"), col("__q_pos"),
+        col("__q_l"), col("__q_h")): _*)
+      .agg(
+        min(when((col("__q_l") + 1).between(col("__q_lo"), col("__q_hi")),
+          col("__q_v"))).as("__q_vlo"),
+        min(when((col("__q_h") + 1).between(col("__q_lo"), col("__q_hi")),
+          col("__q_v"))).as("__q_vhi"))
+    picked
+      .withColumn("__q_bnd",
+        when(col("__q_h") === col("__q_l") ||
+            col("__q_vhi") === col("__q_vlo"),
+          col("__q_vlo").cast("double"))
+          .otherwise((col("__q_h") - col("__q_pos")) * col("__q_vlo") +
+            (col("__q_pos") - col("__q_l")) * col("__q_vhi")))
+      .groupBy(pc: _*)
+      .agg(transform(
+        array_sort(collect_list(struct(col("__q_p"), col("__q_bnd")))),
+        x => x.getField("__q_bnd")).as("qs"))
   }
 
   // q24: pivot month × order-status revenue matrix. The pivot values are
@@ -654,52 +751,9 @@ object Relational {
   // row-carrying single-partition exchange.
   val q37_decile_profile: Q = (s, d) => {
     val o = Tables.orders(s, d)
-    // value-collapsed axis (Percentile skips nulls; count only non-null)
-    val cells = o.filter(col("o_totalprice").isNotNull)
-      .groupBy(col("o_totalprice").as("v")).agg(count(lit(1)).as("cnt"))
-    val bucketed = rankBucketed(cells, "v")
-    val win = Window.partitionBy("bucket").orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // per-bucket totals ride the SAME bucket shuffle as the running
-    // count (whole-partition frame) — cumSumDesc's shared-exchange
-    // discipline
-    val withCum = bucketed
-      .withColumn("cum_in", sum("cnt").over(win))
-      .withColumn("bsum", sum("cnt").over(Window.partitionBy("bucket")))
-    val wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    val off = withCum.groupBy("bucket").agg(first("bsum").as("bsum"))
-      .withColumn("cum_off", coalesce(sum("bsum").over(wb), lit(0L)))
-    // each distinct value covers ascending 1-based ranks [lo, hi]
-    val axis = withCum
-      .join(broadcast(off.select("bucket", "cum_off")), Seq("bucket"))
-      .select(col("v"),
-        (col("cum_off") + col("cum_in") - col("cnt") + 1).as("lo"),
-        (col("cum_off") + col("cum_in")).as("hi"))
-    // nine target positions p·(n−1); floor/ceil exactly as Percentile
-    val targets = off.agg(sum("bsum").as("n"))
-      .select(col("n"),
-        explode(array((1 to 9).map(i => lit(i / 10.0)): _*)).as("p"))
-      .select(col("p"), (col("p") * (col("n") - 1)).as("pos"))
-      .select(col("p"), col("pos"),
-        floor(col("pos")).as("lower"), ceil(col("pos")).as("higher"))
-    // ≤2 axis rows match a target (one value covers each rank)
-    val picked = axis.join(broadcast(targets),
-        (col("lower") + 1).between(col("lo"), col("hi")) ||
-          (col("higher") + 1).between(col("lo"), col("hi")))
-      .groupBy("p", "pos", "lower", "higher")
-      .agg(
-        min(when((col("lower") + 1).between(col("lo"), col("hi")), col("v")))
-          .as("vlo"),
-        min(when((col("higher") + 1).between(col("lo"), col("hi")), col("v")))
-          .as("vhi"))
-    val bnds = picked
-      .withColumn("bnd", round(
-        when(col("higher") === col("lower") || col("vhi") === col("vlo"),
-          col("vlo"))
-          .otherwise((col("higher") - col("pos")) * col("vlo") +
-            (col("pos") - col("lower")) * col("vhi")), 4))
-      .agg(transform(array_sort(collect_list(struct(col("p"), col("bnd")))),
-        x => x.getField("bnd")).as("bnds"))
+    val bnds = exactQuantiles(o.select("o_totalprice"), "o_totalprice",
+      (1 to 9).map(_ / 10.0))
+      .select(transform(col("qs"), b => round(b, 4)).as("bnds"))
     o.crossJoin(broadcast(bnds))
       .withColumn("decile",
         (size(filter(col("bnds"), b => col("o_totalprice") > b)) + 1).cast("bigint"))
@@ -1128,11 +1182,17 @@ object Relational {
         count(lit(1)).cast("double").as("frequency"),
         sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("mc"))
     val qs = Seq(0.2, 0.4, 0.6, 0.8)
-    val bounds = per.agg(
-      pctileExactOrSketch(col("recency"), qs, exact = true).as("rb"),
-      pctileExactOrSketch(col("frequency"), qs, exact = true).as("fb"),
-      pctileExactOrSketch(col("mc").cast("double"), qs, exact = true)
-        .as("mb"))
+    // three per-metric quintile bounds via the bounded rank machinery
+    // (r16: each of the three customer-axis Percentile buffers was
+    // q37's funnel class); ReuseExchange dedupes the shared `per`
+    // reduction under the three passes and the scoring probe
+    val bounds = exactQuantiles(per, "recency", qs)
+      .select(col("qs").as("rb"))
+      .crossJoin(exactQuantiles(per, "frequency", qs)
+        .select(col("qs").as("fb")))
+      .crossJoin(exactQuantiles(
+        per.select(col("mc").cast("double").as("mcd")), "mcd", qs)
+        .select(col("qs").as("mb")))
     def score(c: Column, b: Column): Column =
       (0 to 3).map(i => (c >= element_at(b, i + 1)).cast("int"))
         .foldLeft(lit(1))(_ + _)
@@ -1157,9 +1217,13 @@ object Relational {
   // rank-based alternative to s18's z-score — immune to the outliers
   // it hunts): per-segment customer-spend median, then the median of
   // absolute deviations, flag |x − med| > 3·MAD. Two grouped exact
-  // percentile aggs chained by ≤5-row broadcast joins — the fact side
-  // shuffles once on c_custkey (spend) and once on c_mktsegment; at
-  // 100 TB both medians swap for approx_percentile (q39's discipline).
+  // medians chained by ≤5-row broadcast joins. The medians ride
+  // exactQuantiles (r16 optimization): the former grouped percentile()
+  // buffered each segment's ENTIRE distinct-spend set (customer-axis ∝
+  // corpus) in one task's aggregation buffer — q37's sf5 OOM class,
+  // merely spread across 5 tasks; the rank machinery keeps per-task
+  // state bounded AND the result exact at any scale, so the documented
+  // exact→approx swap is no longer needed here.
   // All deviation doubles derive from the same formula on both engines.
   // spend folds in EXACT INTEGER CENTS: the med pass, the dev pass, and
   // the mad pass each re-materialize `spend`, so a parallel double sum
@@ -1173,12 +1237,12 @@ object Relational {
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"), col("c_custkey"))
       .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("sc"))
-    val med = spend.groupBy(col("c_mktsegment"))
-      .agg(expr("percentile(sc, 0.5)").as("med_c"))
+    val med = exactQuantiles(spend, "sc", Seq(0.5), Seq("c_mktsegment"))
+      .select(col("c_mktsegment"), col("qs").getItem(0).as("med_c"))
     val dev = spend.join(broadcast(med), Seq("c_mktsegment"))
       .withColumn("dev_c", abs(col("sc") - col("med_c")))
-    val mad = dev.groupBy(col("c_mktsegment"))
-      .agg(expr("percentile(dev_c, 0.5)").as("mad_c"))
+    val mad = exactQuantiles(dev, "dev_c", Seq(0.5), Seq("c_mktsegment"))
+      .select(col("c_mktsegment"), col("qs").getItem(0).as("mad_c"))
     dev.join(broadcast(mad), Seq("c_mktsegment"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_customers"),
@@ -2314,8 +2378,11 @@ object Relational {
   // first view per user in one keyed agg, first purchase AFTER it via
   // a co-partitioned join + second agg on the same user key (Catalyst
   // reuses the exchange), then the delay distribution collapses to one
-  // bounded profile row — exact percentiles here, approx_percentile at
-  // 100 TB (q39's documented swap).
+  // bounded profile row. The four delay quantiles ride exactQuantiles
+  // (r16 optimization): the former four exact percentile() calls each
+  // buffered the whole user-axis delay set in one merge task — q37's
+  // funnel, ×4; one bounded rank pass now yields all four exactly, and
+  // the documented exact→approx swap is no longer needed here.
   val q84_time_to_convert: Q = (s, d) => {
     val ev = Tables.events(s, d)
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
@@ -2330,17 +2397,16 @@ object Relational {
       .agg(min("us").as("fp"))
       .select(col("user_id"),
         ((col("fp") - col("fv")) / lit(3600000000.0)).as("delay_h"))
+    val qtl = exactQuantiles(conv, "delay_h", Seq(0.25, 0.5, 0.75, 0.9))
     conv.agg(count(lit(1)).as("n_viewers"),
         count(col("delay_h")).as("n_converted"),
-        round(count(col("delay_h")) / count(lit(1)).cast("double"), 4).as("cvr"),
-        round(pctileExactOrSketch(col("delay_h"), Seq(0.25), exact = true), 2)
-          .as("p25_h"),
-        round(pctileExactOrSketch(col("delay_h"), Seq(0.5), exact = true), 2)
-          .as("p50_h"),
-        round(pctileExactOrSketch(col("delay_h"), Seq(0.75), exact = true), 2)
-          .as("p75_h"),
-        round(pctileExactOrSketch(col("delay_h"), Seq(0.9), exact = true), 2)
-          .as("p90_h"))
+        round(count(col("delay_h")) / count(lit(1)).cast("double"), 4).as("cvr"))
+      .crossJoin(broadcast(qtl))
+      .select(col("n_viewers"), col("n_converted"), col("cvr"),
+        round(col("qs").getItem(0), 2).as("p25_h"),
+        round(col("qs").getItem(1), 2).as("p50_h"),
+        round(col("qs").getItem(2), 2).as("p75_h"),
+        round(col("qs").getItem(3), 2).as("p90_h"))
   }
 
 
@@ -3823,8 +3889,10 @@ object Relational {
         .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)"))
           .as("cents"))
     def seg(df: DataFrame): DataFrame = {
-      val b = df.agg(pctileExactOrSketch(col("cents"),
-        Seq(0.2, 0.4, 0.6, 0.8), exact = true).as("b"))
+      // quintile bounds via the bounded rank machinery (r16: the
+      // customer-axis Percentile buffer was q37's funnel class)
+      val b = exactQuantiles(df, "cents", Seq(0.2, 0.4, 0.6, 0.8))
+        .select(col("qs").as("b"))
       df.crossJoin(broadcast(b))
         .select(col("o_custkey"),
           (0 to 3).map(i =>

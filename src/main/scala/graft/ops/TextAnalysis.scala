@@ -1772,10 +1772,11 @@ object TextAnalysis {
     // quantile has at most one true decimal (f ∈ {0,.2,.4,.6,.8}), so
     // the round is exact and absorbs the cross-engine ulp noise that
     // could otherwise flip a doc sitting on an integer-bp boundary
-    val b = j.agg(transform(
-      graft.ops.Relational.pctileExactOrSketch(col("bp"),
-        Seq(0.2, 0.4, 0.6, 0.8), exact = true),
-      x => round(x, 4)).as("b"))
+    // quintile bounds via the bounded rank machinery (r16: the
+    // doc-axis Percentile buffer was q37's funnel class)
+    val b = graft.ops.Relational.exactQuantiles(
+        j, "bp", Seq(0.2, 0.4, 0.6, 0.8))
+      .select(transform(col("qs"), x => round(x, 4)).as("b"))
     j.crossJoin(broadcast(b))
       .select(col("n_tokens"), col("dup"),
         (0 to 3).map(i =>

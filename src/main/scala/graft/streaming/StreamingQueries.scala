@@ -1240,13 +1240,19 @@ object StreamingQueries {
         .filter(col("fv") =!= Long.MaxValue) // users with a view
         .select(when(col("fp") =!= Long.MinValue,
           (col("fp") - col("fv")) / lit(3600000000.0)).as("delay_h"))
+      // delay quantiles via the bounded rank machinery (r16: q84's
+      // exactQuantiles twin — one pass, no Percentile buffer)
+      val qtl = graft.ops.Relational.exactQuantiles(
+        conv, "delay_h", Seq(0.25, 0.5, 0.75, 0.9))
       conv.agg(count(lit(1)).as("n_viewers"),
         count(col("delay_h")).as("n_converted"),
-        round(count(col("delay_h")) / count(lit(1)).cast("double"), 4).as("cvr"),
-        round(expr("percentile(delay_h, 0.25)"), 2).as("p25_h"),
-        round(expr("percentile(delay_h, 0.5)"), 2).as("p50_h"),
-        round(expr("percentile(delay_h, 0.75)"), 2).as("p75_h"),
-        round(expr("percentile(delay_h, 0.9)"), 2).as("p90_h"))
+        round(count(col("delay_h")) / count(lit(1)).cast("double"), 4).as("cvr"))
+        .crossJoin(broadcast(qtl))
+        .select(col("n_viewers"), col("n_converted"), col("cvr"),
+          round(col("qs").getItem(0), 2).as("p25_h"),
+          round(col("qs").getItem(1), 2).as("p50_h"),
+          round(col("qs").getItem(2), 2).as("p75_h"),
+          round(col("qs").getItem(3), 2).as("p90_h"))
     } finally graft.sources.SourceSinks.deleteDir(dir)
   }
 

@@ -468,10 +468,19 @@ class RelationalSpec extends AnyFunSuite {
       val k = (r.getAs[Int]("r_score"), r.getAs[Int]("f_score"), r.getAs[Int]("m_score"))
       assert(cells(k) == r.getAs[Long]("n_customers"), s"cell $k")
     }
+    // plan shape: the quintile bounds ride the bucketed rank machinery
+    // (r16) — windows must be partitioned, or global ONLY over a
+    // collapsed post-aggregate axis (bucket offsets), never a raw-row
+    // global ntile window
     val nodes = PlanWalk.allNodes(
       ops.Relational.q52_rfm(spark, sf).queryExecution.executedPlan)
-    assert(!nodes.exists(_.getClass.getSimpleName.contains("Window")),
-      "q52 must bucket by broadcast boundaries, not a global ntile window")
+    nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(PlanWalk.allNodes(w.child)
+        .exists(_.getClass.getSimpleName.contains("Aggregate")),
+        "q52: global window over raw rows")
+    }
   }
 
   test("q53 MAD outlier counts equal a driver-side exact recompute") {
