@@ -44,7 +44,12 @@ object Bench {
     // Percentile buffer (executor OOM + single-task merge at sf5) to
     // the distributed rank machinery — 4.4x at sf5 local; tracked here
     // so a regression in that machinery is visible round-over-round
-    "q37_decile_profile")
+    "q37_decile_profile",
+    // r17 (r16 verdict item 4): q52 (three exactQuantiles calls + probe)
+    // and q53 (chained median→MAD calls) exercise the shared
+    // exactQuantiles machinery hardest — tracked so a reuse/plan-shape
+    // regression in it is visible round-over-round. Additive only.
+    "q52_rfm", "q53_mad_outliers")
 
   // min-of-3: round-7's driver run landed +29% over round-6 on byte-
   // identical headline code — pure box noise; a third run tightens the
@@ -142,17 +147,20 @@ object Bench {
     // a regression gate unable to catch a real 2× or clear a false one;
     // the first run pays first-touch page-cache and codegen costs that
     // are not plan cost, so it is timed but dropped)
-    val extraJson =
-      if (extraNames.isEmpty) ""
+    var extRunsJson = "{}"
+    val extMins: Seq[(String, Double)] =
+      if (extraNames.isEmpty) Nil
       else {
         // extended_runs carries ALL four timings (warm-up included) so
         // the artifact is diagnosable on its own; only the min drops
         // the first run
         val rawX = timePanel(extraNames, Runs + 1)
-        val timed = rawX
-          .map { case (n, ts) => n -> (if (ts.length > 1) ts.tail else ts) }
-        s""","extended":${mapJson(minOf(timed))},"extended_runs":${runsJsonOf(rawX)}"""
+        extRunsJson = runsJsonOf(rawX)
+        minOf(rawX.map { case (n, ts) => n -> (if (ts.length > 1) ts.tail else ts) })
       }
+    val extraJson =
+      if (extraNames.isEmpty) ""
+      else s""","extended":${mapJson(extMins)},"extended_runs":$extRunsJson"""
     def jsonEscape(s: String): String = s.flatMap {
       case '\\' => "\\\\"
       case '"' => "\\\""
@@ -164,6 +172,20 @@ object Bench {
       else errors.map { case (k, v) => "\"" + k + "\":\"" + jsonEscape(v) + "\"" }
         .mkString(",\"errors\":{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson$extraJson,"sf":"$sfDir"$errJson}""")
+    // r17 (r16 verdict item 2): the driver captures only the LAST ~2000
+    // chars of output, and the full line above has grown past that (it
+    // embeds runs/extended_runs) — its head is cut before parsing, which
+    // is why BENCH_r01..r16 all carry parsed:null. Print a COMPACT line
+    // LAST (3-decimal values, no runs arrays, ~1.1KB with both maps) so a
+    // complete {"metric",...} object always sits inside the tail window.
+    // Same fields and meaning as the r13+ contract line; the full line
+    // above is kept for diagnosability. Additive, harness-comparison-safe.
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val compactQs = mapJson(results.map { case (k, v) => k -> r3(v) })
+    val compactExt =
+      if (extraNames.isEmpty) ""
+      else s""","extended":${mapJson(extMins.map { case (k, v) => k -> r3(v) })}"""
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$compactQs$compactExt,"sf":"$sfDir"$errJson}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

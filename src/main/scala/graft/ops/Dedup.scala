@@ -455,14 +455,31 @@ object Dedup {
     keeplist(Tables.documents(s, d), labels)
   }
 
-  /** (doc_id, cluster, keep) for every document given CC labels. */
-  def keeplist(documents: DataFrame, labels: DataFrame): DataFrame =
+  /** d08's keep flags for composition consumers (t51/t52) — same
+    * pairs → CC → join-back pipeline, WITHOUT the lane's presentation
+    * sort (a dead global exchange under the consumer's next join).
+    */
+  private[graft] def dedupKeepFlags(s: SparkSession, d: String): DataFrame =
+    keeplistRaw(Tables.documents(s, d),
+      ccClusters(ngramJaccardPairs(s, d).select(col("d1"), col("d2")),
+        pointerJump = true, maxIter = 30))
+
+  /** (doc_id, cluster, keep) for every document given CC labels —
+    * UNSORTED: the composition consumers (t51/t52) feed this into
+    * further joins/aggregates where the presentation sort below would
+    * be a dead global exchange (guide §2.4 — r17; the d02 pairs-vs-lane
+    * precedent applied to the keeplist).
+    */
+  def keeplistRaw(documents: DataFrame, labels: DataFrame): DataFrame =
     documents.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster"), col("doc_id")).as("cluster"),
         (col("doc_id") === coalesce(col("cluster"), col("doc_id"))).as("keep"))
-      .orderBy("doc_id")
+
+  /** (doc_id, cluster, keep) for every document given CC labels. */
+  def keeplist(documents: DataFrame, labels: DataFrame): DataFrame =
+    keeplistRaw(documents, labels).orderBy("doc_id")
 
   /** d08 over d03's MinHash-LSH pairs — the 100 TB formulation
     * (spec-checked against the exact keep-list, not oracle'd).
@@ -597,9 +614,16 @@ object Dedup {
       out.write.parquet(lblPath.toString)
       cached.unpersist()
       labels = ss.read.parquet(lblPath.toString)
-      if (batchesSeen > 1)
+      // retire superseded versions ONE BATCH LATE (keep vN and v(N-1),
+      // delete v(N-2)): a lazy frame handed out by keeplistFor()/onBatch
+      // before this advance still reads v(N-1) — deleting it here would
+      // fail that frame with FileNotFoundException if the caller
+      // consumes it after the advance (r16 ADVICE: the old checkpoint
+      // blocks stayed readable until GC; parquet state must not narrow
+      // that lifetime). Disk stays bounded at ≤2 label versions.
+      if (batchesSeen > 2)
         graft.sources.SourceSinks.deleteDir(
-          stateDir.resolve(f"labels_v${batchesSeen - 1}%04d"))
+          stateDir.resolve(f"labels_v${batchesSeen - 2}%04d"))
     }
 
     def keeplistFor(documents: DataFrame): DataFrame = keeplist(documents, labels)
@@ -666,7 +690,10 @@ object Dedup {
   // training corpus at any scale. Same native one-pass shingle hashes as
   // d02 (8-token windows; the token-tuple ↔ string-shingle bijection
   // argument from shingleHashes applies).
-  val d12_decontamination: Q = (s, d) => {
+  /** d12's train-vs-eval shared-8-gram join (train_id, eval_id, s8
+    * matches) — the contamination evidence both the d12 report and the
+    * composition consumers derive from. */
+  private def contaminationHits(s: SparkSession, d: String): DataFrame = {
     val spread = s.sparkContext.defaultParallelism
     def shingled(df: DataFrame, idName: String): DataFrame =
       df.repartition(spread)
@@ -677,11 +704,23 @@ object Dedup {
     val train = shingled(docs.filter(col("doc_id") % 17 =!= 0), "train_id")
     val eval8 = shingled(docs.filter(col("doc_id") % 17 === 0), "eval_id")
     train.join(eval8, "s8")
+  }
+
+  val d12_decontamination: Q = (s, d) =>
+    contaminationHits(s, d)
       .groupBy(col("train_id"))
       .agg(countDistinct(col("s8")).as("n_shared_8grams"),
         countDistinct(col("eval_id")).as("n_eval_docs_hit"))
       .orderBy("train_id")
-  }
+
+  /** The contaminated train ids ONLY — what t52's funnel flag actually
+    * consumes (r17, guide §1.2 "don't compute things you throw away"):
+    * skips d12's two countDistinct aggregates and presentation sort,
+    * whose output t52 immediately reduced to distinct ids anyway. Same
+    * membership by construction (d12's group keys ARE these ids).
+    */
+  private[graft] def contaminatedTrainIds(s: SparkSession, d: String): DataFrame =
+    contaminationHits(s, d).select(col("train_id")).distinct()
 
   // d13: exact-substring CONTAINMENT dedup — documents whose entire
   // (whitespace-normalized) text appears verbatim inside another document:
@@ -791,7 +830,9 @@ object Dedup {
   // seam (flag precedence, eval exclusion, sampling over survivors
   // only) loses or double-counts a document.
   val t17_corpus_build: Q = (s, d) =>
-    corpusBuildFrom(s, d, d08_dedup_keeplist(s, d).select(col("doc_id"), col("keep")))
+    // r17: unsorted keep flags (the sort was dead under the join inside
+    // corpusBuildFrom — guide §2.4)
+    corpusBuildFrom(s, d, dedupKeepFlags(s, d).select(col("doc_id"), col("keep")))
 
   // s17: STREAMING corpus build — t17 with its dedup verdicts maintained
   // by the d11 Structured-Streaming keep-list engine instead of the d08
@@ -807,8 +848,10 @@ object Dedup {
 
   private def corpusBuildFrom(s: SparkSession, d: String, kl: DataFrame): DataFrame = {
     val docs = Tables.documents(s, d)
-    val contam = d12_decontamination(s, d)
-      .select(col("train_id").as("doc_id")).distinct()
+    // r17: ids-only contamination surface (see contaminatedTrainIds) —
+    // d12's countDistinct report aggregates were dead weight here
+    val contam = contaminatedTrainIds(s, d)
+      .select(col("train_id").as("doc_id"))
       .withColumn("contam", lit(true))
     val idx = regexp_extract(col("source"), "(\\d+)", 1).cast("int")
     val rate = when(idx % 4 === 0, 150L).when(idx % 4 === 1, 100L)
@@ -1255,7 +1298,9 @@ object Dedup {
   // token-count projection + per-source integer sums. Oracle rides
   // the same recursive-CTE ground truth as d08.
   val t51_dedup_token_yield: Q = (s, d) => {
-    val kl = d08_dedup_keeplist(s, d).select("doc_id", "keep")
+    // r17: unsorted keep flags — the keeplist's presentation sort was a
+    // dead global exchange under the join below (guide §2.4)
+    val kl = dedupKeepFlags(s, d).select("doc_id", "keep")
     Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         size(split(norm(col("text")), " ")).cast("long").as("nt"))
@@ -1282,9 +1327,16 @@ object Dedup {
   // COMPOSITION, not just the pieces. t17 materializes the surviving
   // corpus; this prices each cut.
   val t52_pipeline_funnel: Q = (s, d) => {
-    val kl = d08_dedup_keeplist(s, d).select(col("doc_id"), col("keep"))
-    val contam = d12_decontamination(s, d)
-      .select(col("train_id").as("doc_id")).distinct()
+    // r17 (guide §1.2/§2.4): consume the sub-pipelines' UNSORTED /
+    // un-aggregated composition surfaces — the previous formulation
+    // paid d08's presentation sort (a dead global exchange under the
+    // join below), d12's two countDistinct aggregates (reduced to
+    // distinct ids immediately), and a redundant distinct. Stage flags
+    // and every emitted number are identical by construction; the
+    // oracle still re-derives each stage from the same CTE fragments.
+    val kl = dedupKeepFlags(s, d).select(col("doc_id"), col("keep"))
+    val contam = contaminatedTrainIds(s, d)
+      .select(col("train_id").as("doc_id"))
       .withColumn("contam", lit(true))
     val base = Tables.documents(s, d)
       .select(col("doc_id"),

@@ -425,11 +425,36 @@ object Relational {
     * frac order. Nulls in `v` are excluded (Percentile semantics).
     */
   private[graft] def exactQuantiles(in: DataFrame, v: String,
-      fracs: Seq[Double], partCols: Seq[String] = Nil): DataFrame = {
+      fracs: Seq[Double], partCols: Seq[String] = Nil,
+      weight: Option[Column] = None): DataFrame = {
     val pc = partCols.map(col)
+    // r17 (r16 verdict item 3): the machinery below references `cells`
+    // from ~6 subtree positions and chained calls COMPOUND the static
+    // plan (q53's formatted plan hit 7,245 lines; q52's embedded 38
+    // scans). Runtime ReusedExchange was proven to dedupe the executed
+    // work (plans/r17/*_executed_before.txt: q52 runs 4 scans, not 38),
+    // but AQE re-optimizes the remaining LOGICAL plan at every one of
+    // the ~30-40 stage boundaries, so driver-side planning grew with
+    // the SQUARE of composition depth — q52/q53 spent 4-7.6 s at sf0.1
+    // on sub-MB data. The fix lives at the CALL SITES, not here: single
+    // calls (q37/q84/q107/t54/s31) keep the one-action shape whose
+    // runtime reuse the executed plans prove, while composing callers
+    // (q52/q53) pin the bounded frames at their composition boundaries
+    // (see q52/q53) so depth never multiplies the plan. Checkpointing
+    // `cells` inside the helper was measured and REJECTED: under AQE
+    // even a lazy localCheckpoint executes its stages at build time, so
+    // it serializes every call into driver-synchronized mini-jobs and
+    // regressed the single-call lanes (q37 1.81→3.07 s at sf0.1) for no
+    // gain the within-action ReusedExchange wasn't already providing.
+    // r17: optional integer repetition weights (Percentile's `freq`
+    // semantics, q98/s47) — a cell's count is the SUM of its rows'
+    // weights instead of the row count; every rank/interpolation step
+    // below is already count-based, so nothing else changes and the
+    // result is collapse-invariant by construction (grouping equal
+    // values and summing their weights yields the same cells).
     val cells = in.filter(col(v).isNotNull)
       .groupBy(pc :+ col(v).as("__q_v"): _*)
-      .agg(count(lit(1)).as("__q_cnt"))
+      .agg(weight.map(w => sum(w)).getOrElse(count(lit(1))).as("__q_cnt"))
     // bucket is a monotone pure function of the value (global stats),
     // so it composes with any grouping — q110's bucketRank precedent
     val bucketed = rankBucketed(cells, "__q_v")
@@ -482,7 +507,7 @@ object Relational {
           col("__q_v"))).as("__q_vlo"),
         min(when((col("__q_h") + 1).between(col("__q_lo"), col("__q_hi")),
           col("__q_v"))).as("__q_vhi"))
-    picked
+    val res = picked
       .withColumn("__q_bnd",
         when(col("__q_h") === col("__q_l") ||
             col("__q_vhi") === col("__q_vlo"),
@@ -493,6 +518,21 @@ object Relational {
       .agg(transform(
         array_sort(collect_list(struct(col("__q_p"), col("__q_bnd")))),
         x => x.getField("__q_bnd")).as("qs"))
+      // NOTE: partCols must stay a low-cardinality axis (today's
+      // largest: q53's 5 segments) — the per-group offset frame
+      // broadcast above and the |groups|×|fracs| target broadcast both
+      // assume it; a corpus-proportional group axis needs a shuffle
+      // join on (group, bucket) instead (r16 ADVICE, documented guard).
+    // empty/all-null input: grouped calls correctly yield no rows (the
+    // old grouped percentile() agreed), but the GROUP-LESS aggregate
+    // used to emit ONE row of null percentiles — preserve that arity
+    // lazily via a 1-row left join (r16 verdict item 7 / ADVICE:
+    // consumers crossJoin this frame, so a zero-row result would
+    // silently drop their summary row).
+    if (partCols.nonEmpty) res
+    else in.sparkSession.range(1).select(lit(1).as("__q_k"))
+      .join(broadcast(res.withColumn("__q_k", lit(1))), Seq("__q_k"), "left")
+      .select(col("qs"))
   }
 
   // q24: pivot month × order-status revenue matrix. The pivot values are
@@ -1174,6 +1214,13 @@ object Relational {
     // (q89's double-key class, comparison flavor). Exact longs make
     // both materializations bit-identical; quintile boundaries are the
     // same cut points ×100.
+    // r17: `per` is referenced by the three bounds passes AND the
+    // scoring probe; with exactQuantiles' internal checkpoints those
+    // run as separate jobs, so without pinning `per` the orders
+    // scan+agg would execute 4x. One localCheckpoint = one scan+agg,
+    // every consumer reads the materialized customer axis (and the
+    // "both materializations bit-identical" note above becomes
+    // literal: there is exactly one materialization now).
     val per = Tables.orders(s, d)
       .groupBy(col("o_custkey"))
       .agg(
@@ -1181,6 +1228,7 @@ object Relational {
           .cast("double").as("recency"),
         count(lit(1)).cast("double").as("frequency"),
         sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("mc"))
+      .localCheckpoint(false)
     val qs = Seq(0.2, 0.4, 0.6, 0.8)
     // three per-metric quintile bounds via the bounded rank machinery
     // (r16: each of the three customer-axis Percentile buffers was
@@ -1193,6 +1241,10 @@ object Relational {
       .crossJoin(exactQuantiles(
         per.select(col("mc").cast("double").as("mcd")), "mcd", qs)
         .select(col("qs").as("mb")))
+      // r17: pin the ONE-ROW bounds frame — the probe below then plans
+      // against a leaf instead of re-embedding three exactQuantiles
+      // DAGs (composition-boundary discipline, guide §3.3)
+      .localCheckpoint(false)
     def score(c: Column, b: Column): Column =
       (0 to 3).map(i => (c >= element_at(b, i + 1)).cast("int"))
         .foldLeft(lit(1))(_ + _)
@@ -1233,16 +1285,28 @@ object Relational {
   // interpolate to integers-or-halves (exactly representable), dev is
   // exact halves, and the readout divides once onto the ≤3dp grid.
   val q53_mad_outliers: Q = (s, d) => {
+    // r17: spend feeds the med pass, the dev frame (hence the mad pass)
+    // and the final readout; pinned once so the join+agg executes once
+    // (the "each pass re-materializes spend" note above is now a single
+    // materialization — exact cents keep it bit-stable regardless).
     val spend = Tables.orders(s, d)
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"), col("c_custkey"))
       .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("sc"))
+      .localCheckpoint(false)
+    // r17: med/mad are bounded ≤5-row frames; pinning them at the
+    // composition boundary keeps the mad pass and the readout planning
+    // against leaves — the former CHAINED plan re-embedded the med
+    // DAG inside the mad DAG (7,245 formatted lines; AQE re-optimized
+    // it at every stage boundary, 7.6 s at sf0.1 on sub-MB data)
     val med = exactQuantiles(spend, "sc", Seq(0.5), Seq("c_mktsegment"))
       .select(col("c_mktsegment"), col("qs").getItem(0).as("med_c"))
+      .localCheckpoint(false)
     val dev = spend.join(broadcast(med), Seq("c_mktsegment"))
       .withColumn("dev_c", abs(col("sc") - col("med_c")))
     val mad = exactQuantiles(dev, "dev_c", Seq(0.5), Seq("c_mktsegment"))
       .select(col("c_mktsegment"), col("qs").getItem(0).as("mad_c"))
+      .localCheckpoint(false)
     dev.join(broadcast(mad), Seq("c_mktsegment"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_customers"),
@@ -2992,14 +3056,25 @@ object Relational {
     * is COLLAPSE-INVARIANT (grouping equal values and summing their
     * integer weights changes nothing), so the batch lane feeds it raw
     * per-line rows while s47's streaming twin feeds the value-collapsed
-    * state panel — twin equality is exact, not ulp-argued. */
+    * state panel — twin equality is exact, not ulp-argued.
+    * r17 (r16 verdict item 6): the two weighted Percentile buffers
+    * (each held every distinct unit price of a flag in one task's
+    * aggregation buffer) now ride exactQuantiles' weighted mode —
+    * identical floor/ceil/interpolation arithmetic over weight-summed
+    * cells, so results are bit-identical, and the lane is exact at ANY
+    * scale with bounded per-task state (collapse invariance now holds
+    * by construction: the helper's first move IS the value collapse).
+    * Left join: a group whose values are all null keeps its units row
+    * with null percentiles, exactly as the old aggregate did. */
   private[graft] def wmedianReadout(panel: DataFrame): DataFrame =
     panel.groupBy(col("l_returnflag"))
-      .agg(sum("q").as("units"),
-        round(pctileExactOrSketch(col("unit_price"), Seq(0.5),
-          exact = true, freq = Some(col("q"))), 4).as("wmedian"),
-        round(pctileExactOrSketch(col("unit_price"), Seq(0.9),
-          exact = true, freq = Some(col("q"))), 4).as("wp90"))
+      .agg(sum("q").as("units"))
+      .join(exactQuantiles(panel, "unit_price", Seq(0.5, 0.9),
+        Seq("l_returnflag"), weight = Some(col("q"))),
+        Seq("l_returnflag"), "left")
+      .select(col("l_returnflag"), col("units"),
+        round(col("qs").getItem(0), 4).as("wmedian"),
+        round(col("qs").getItem(1), 4).as("wp90"))
       .orderBy("l_returnflag")
 
   val q98_weighted_median: Q = (s, d) =>

@@ -194,6 +194,73 @@ class RelationalSpec extends AnyFunSuite {
     } finally spend.unpersist()
   }
 
+  test("exactQuantiles: group-less empty/all-null input yields ONE row of " +
+      "null qs (Percentile's arity), grouped empty input yields none") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // r16 verdict item 7 / ADVICE: the old group-less percentile()
+    // aggregate emitted one row of nulls on empty input; consumers
+    // (q84/s31/q52/t54) crossJoin the quantile frame, so a zero-row
+    // result would silently drop their summary row. The helper pins
+    // the arity with a lazy 1-row left join — no driver-side check.
+    val empty = Seq.empty[(String, java.lang.Double)].toDF("g", "x")
+    val allNull = Seq(("a", null: java.lang.Double),
+      ("b", null: java.lang.Double)).toDF("g", "x")
+    for (in <- Seq(empty, allNull)) {
+      val rows = ops.Relational.exactQuantiles(in, "x", Seq(0.25, 0.5))
+        .collect()
+      assert(rows.length == 1, "group-less call must keep the 1-row arity")
+      assert(rows.head.isNullAt(0), "qs must be null on no non-null input")
+      // grouped calls: no rows, exactly as grouped percentile() behaved
+      assert(ops.Relational.exactQuantiles(in, "x", Seq(0.5), Seq("g"))
+        .collect().isEmpty)
+    }
+    // the q84-shaped consumer survives a zero-conversion input: the
+    // summary row arrives with null percentiles, not as an empty frame
+    val conv = Seq(("u1", null: java.lang.Double),
+      ("u2", null: java.lang.Double)).toDF("user_id", "delay_h")
+    val qtl = ops.Relational.exactQuantiles(conv, "delay_h", Seq(0.5))
+    val out = conv.agg(count(lit(1)).as("n_viewers"))
+      .crossJoin(broadcast(qtl))
+      .select(col("n_viewers"), col("qs").getItem(0).as("p50"))
+      .collect()
+    assert(out.length == 1 && out.head.getLong(0) == 2 && out.head.isNullAt(1))
+  }
+
+  test("exactQuantiles weighted mode equals percentile(col, p, freq) " +
+      "bit-for-bit and is collapse-invariant") {
+    import org.apache.spark.sql.functions._
+    // r16 verdict item 6: q98/s47's weighted medians now ride the rank
+    // machinery — this pins the replicated arithmetic against Spark's
+    // own weighted Percentile on real data (unit prices x quantities)
+    val panel = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("g"),
+        (col("l_extendedprice") / col("l_quantity")).as("v"),
+        col("l_quantity").cast("long").as("w"))
+      .persist()
+    try {
+      val expect = panel.groupBy("g")
+        .agg(percentile(col("v"), array(lit(0.5), lit(0.9)), col("w"))
+          .as("qs"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      val got = ops.Relational.exactQuantiles(panel, "v", Seq(0.5, 0.9),
+          Seq("g"), weight = Some(col("w")))
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      assert(got.keySet == expect.keySet && got.nonEmpty)
+      got.foreach { case (g, qs) =>
+        assert(qs == expect(g), s"group $g: $qs != ${expect(g)}")
+      }
+      // collapse invariance by construction: feeding the value-collapsed
+      // panel (s47's state shape) changes nothing, bit-for-bit
+      val collapsed = panel.groupBy("g", "v")
+        .agg(sum("w").as("w"))
+      val gotC = ops.Relational.exactQuantiles(collapsed, "v", Seq(0.5, 0.9),
+          Seq("g"), weight = Some(col("w")))
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      assert(gotC == got)
+    } finally panel.unpersist()
+  }
+
   test("q41 binned range join equals the naive non-equi join, BNLJ-free") {
     import org.apache.spark.sql.functions._
     val df = ops.Relational.q41_range_join(spark, sf)
